@@ -1,0 +1,301 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Tables
+
+/** Core relational operator inventory (SURVEY.md §2 A/B/C/D/E/G rows).
+  *
+  * Each query is the Spark-first restatement of a reference operator,
+  * exercised on the driver's synthetic star schema. Scale notes inline:
+  * the shapes here are the ones that survive a 1000-executor / 100 TB
+  * deployment (broadcast dims, partial aggregation, anti-joins instead
+  * of driver-side set math).
+  */
+object Relational extends QueryModule {
+
+  /** Exact-decimal bridge for hash-stable money arithmetic: the source
+    * doubles are binary images of 2-dp decimals, so casting each INPUT to
+    * decimal(18,2) is unambiguous in both Spark and DuckDB; all further
+    * arithmetic then happens in exact decimal (order-independent), unlike
+    * casting a computed double where the two engines' rounding diverges.
+    */
+  private def money(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- Aggregation (SURVEY G2/G3 analog; TPC-H Q1 shape). Partial
+    // aggregation (map-side combine) keeps the shuffle at |groups| rows.
+    Q(
+      "q01_agg_pricing",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum($"l_quantity").as("sum_qty"),
+            sum(money($"l_extendedprice")).as("sum_base_price"),
+            sum(money($"l_extendedprice") * (lit(1) - money($"l_discount")))
+              .as("sum_disc_price"),
+            count(lit(1)).as("count_order"),
+          )
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(l_quantity) AS sum_qty,
+             |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+             |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+             |  count(*) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin),
+    ),
+
+    // ---- Scan + filter + projection (SURVEY A1/P1/B5). The predicate
+    // and the 3-column ReadSchema both reach the parquet scan.
+    Q(
+      "q02_scan_filter_project",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp")
+            && $"l_shipdate" < lit("1995-04-01").cast("timestamp")
+            && $"l_discount" > lit(0.05))
+          .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+             |  AND l_shipdate <  TIMESTAMP '1995-04-01'
+             |  AND l_discount > 0.05""".stripMargin),
+    ),
+
+    // ---- Equi-join + aggregate (SURVEY J1 shape without merge rules).
+    // customer is the small side → broadcast hash join, no shuffle of orders.
+    Q(
+      "q03_join_agg",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)),
+            $"o_custkey" === $"c_custkey")
+          .groupBy($"c_mktsegment")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(money($"o_totalprice")).as("total_price"),
+          )
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment""".stripMargin),
+    ),
+
+    // ---- Multi-way star join (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+    // region). All dims broadcast; the fact table streams through one stage.
+    Q(
+      "q04_star_join_revenue",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+          .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name", $"n_name")
+          .agg(
+            sum(money($"l_extendedprice") * (lit(1) - money($"l_discount")))
+              .as("revenue"),
+            count(lit(1)).as("n_items"),
+          )
+      },
+      Some("""SELECT r_name, n_name,
+             |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name""".stripMargin),
+    ),
+
+    // ---- Semi-join (SURVEY J4 "ids present" / EXISTS).
+    Q(
+      "q05_semi_join",
+      (s, d) => {
+        import s.implicits._
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d).select($"o_custkey"),
+            $"c_custkey" === $"o_custkey", "left_semi")
+          .select($"c_custkey", $"c_name")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin),
+    ),
+
+    // ---- Anti-join (SURVEY J3 "disappeared listings" / NOT EXISTS):
+    // customers with no URGENT order. The filter runs before the join,
+    // shrinking the build side; non-empty at every sf.
+    Q(
+      "q06_anti_join",
+      (s, d) => {
+        import s.implicits._
+        Tables.customer(s, d)
+          .join(
+            Tables.orders(s, d)
+              .filter($"o_orderpriority" === "1-URGENT")
+              .select($"o_custkey"),
+            $"c_custkey" === $"o_custkey", "left_anti")
+          .select($"c_custkey", $"c_name", $"c_mktsegment")
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin),
+    ),
+
+    // ---- Keyed dedup, last-wins (SURVEY G1: intra-batch last write wins
+    // before the cross-batch merge). Window + row_number, unique-key
+    // tie-break so the result is deterministic.
+    Q(
+      "q07_dedup_lastwins",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"ts".desc, $"event_id".desc)
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"user_id", $"event_id", $"event_type", $"value")
+      },
+      Some("""SELECT user_id, event_id, event_type, value FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events) t WHERE rn = 1""".stripMargin),
+    ),
+
+    // ---- Running/windowed aggregate over event time (SURVEY G4 ordered
+    // history analog). decimal cumsum → order-independent across engines.
+    Q(
+      "q08_running_total",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("running_value", sum(money($"value")).over(w))
+          .select($"event_id", $"user_id", $"running_value")
+      },
+      Some("""SELECT event_id, user_id,
+             |  sum(CAST(value AS DECIMAL(18,2))) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+             |FROM events""".stripMargin),
+    ),
+
+    // ---- Distinct-set union (SURVEY G5/G7: scrape work-list assembly).
+    Q(
+      "q09_distinct_union",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        ev.filter($"event_type" === "purchase").select($"user_id")
+          .union(ev.filter($"event_type" === "signup").select($"user_id"))
+          .distinct()
+      },
+      Some("""SELECT DISTINCT user_id FROM (
+             |  SELECT user_id FROM events WHERE event_type = 'purchase'
+             |  UNION ALL
+             |  SELECT user_id FROM events WHERE event_type = 'signup') t""".stripMargin),
+    ),
+
+    // ---- Freshness OR-filter (SURVEY P2: last 7 days relative to table
+    // max — asOf comes from the data, not wall clock, for determinism).
+    // Scalar "subquery" = 1-row broadcast cross join; no second scan shuffle.
+    Q(
+      "q10_freshness_filter",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val maxTs = ev.agg(max($"ts").as("max_ts"))
+        ev.crossJoin(broadcast(maxTs))
+          .filter($"ts" >= $"max_ts" - expr("INTERVAL 7 DAYS")
+            || $"event_type" === "signup")
+          .select($"event_id", $"user_id", $"event_type")
+      },
+      Some("""SELECT event_id, user_id, event_type FROM events
+             |WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+             |   OR event_type = 'signup'""".stripMargin),
+    ),
+
+    // ---- Ordered top-k (SURVEY F17 pagination analog: one page of 28).
+    // TakeOrderedAndProject — no global sort materialization.
+    Q(
+      "q11_topk_orders",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+          .limit(28)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 28""".stripMargin),
+    ),
+
+    // ---- Derived status column (SURVEY B4) + conditional agg.
+    Q(
+      "q12_status_column",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .withColumn("status",
+            when($"event_type" === "error", lit("non active"))
+              .otherwise(lit("active")))
+          .groupBy($"status")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(money($"value")).as("total_value"),
+          )
+      },
+      Some("""SELECT CASE WHEN event_type = 'error' THEN 'non active'
+             |            ELSE 'active' END AS status,
+             |  count(*) AS n,
+             |  sum(CAST(value AS DECIMAL(18,2))) AS total_value
+             |FROM events GROUP BY 1""".stripMargin),
+    ),
+
+    // ---- Event-time bucketing (SURVEY S-windows: tumbling 1h window as
+    // date_trunc group — the batch twin of the streaming windowed agg).
+    Q(
+      "q13_hourly_rollup",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(money($"value")).as("total_value"),
+          )
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+             |  count(*) AS n,
+             |  sum(CAST(value AS DECIMAL(18,2))) AS total_value
+             |FROM events GROUP BY 1, 2""".stripMargin),
+    ),
+
+    // ---- Grouped count + fan-out math (SURVEY G2 + F17:
+    // total_pages = ceil(n / 28)).
+    Q(
+      "q14_pagination_math",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("total_pages", ceil($"n" / lit(28)))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(ceil(count(*) / 28.0) AS BIGINT) AS total_pages
+             |FROM events GROUP BY event_type""".stripMargin),
+    ),
+  )
+}
