@@ -14,6 +14,7 @@ object SparkEntry {
   /** All registered query modules (SURVEY §2 families). */
   def modules: Seq[QueryModule] = Seq(
     Relational,
+    RefFunctions,
   )
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
