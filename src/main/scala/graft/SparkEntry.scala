@@ -15,6 +15,7 @@ object SparkEntry {
   def modules: Seq[QueryModule] = Seq(
     Relational,
     RefFunctions,
+    MergeQueries,
   )
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
