@@ -16,6 +16,7 @@ object SparkEntry {
     Relational,
     RefFunctions,
     MergeQueries,
+    CorpusQueries,
   )
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)

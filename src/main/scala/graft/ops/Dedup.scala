@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora — the
+  * training-data-pipeline family (builder brief): exact, MinHash+LSH,
+  * n-gram Jaccard, SimHash. All candidate generation is bucket-join
+  * shaped (shuffle on band/bucket keys) — there is NO pairwise cross
+  * join anywhere, so every operator scales linearly in corpus size plus
+  * candidate volume at 100 TB; exact verification runs only on bucket
+  * collisions.
+  *
+  * ANSI-safety note: hash mixing uses rotate/xor only — `h1 + j*h2`
+  * double-hashing would overflow LongType and *throw* under Spark 4's
+  * default ANSI mode.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup on a content hash: keeps the minimum id per distinct
+    * content. One hash-shuffle; at scale this is the cheapest possible
+    * full-corpus dedup (map-side partial min per group).
+    */
+  def exactDedup(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  // ------------------------------------------------------------- shingles
+
+  /** Distinct word n-grams of a whitespace-tokenized text. */
+  def wordNGrams(text: Column, n: Int): Column = {
+    val words = split(text, "\\s+")
+    val count = size(words) - (n - 1)
+    val grams = transform(sequence(lit(0), greatest(count, lit(0)) - 1),
+      i => concat_ws(" ", (0 until n).map(o => element_at(words, i + o + 1)): _*))
+    array_distinct(grams)
+  }
+
+  // -------------------------------------------------------- MinHash + LSH
+
+  private def rotl(c: Column, s: Int): Column =
+    if (s % 64 == 0) c
+    else shiftleft(c, s).bitwiseOR(shiftrightunsigned(c, 64 - s))
+
+  /** j-th hash from two base hashes via rotate/xor mixing (overflow-free
+    * stand-in for Kirsch–Mitzenmacher double hashing). */
+  private def mixHash(h1: Column, h2: Column, j: Int): Column =
+    if (j < 64) rotl(h1, j).bitwiseXOR(h2)
+    else rotl(h2, j - 64).bitwiseXOR(h1)
+
+  /** MinHash signature (array<long> of length numHashes ≤ 128) over a
+    * shingle array. Single pass over the shingles: each shingle is hashed
+    * twice (xxhash64 + salted xxhash64), expanded to numHashes mixed
+    * values, and element-wise min-folded.
+    */
+  def minhashSignature(grams: Column, numHashes: Int): Column = {
+    require(numHashes <= 128, "mixing scheme provides 128 positions")
+    val hs = transform(grams, g => struct(
+      xxhash64(g).as("h1"), xxhash64(concat(g, lit("#2"))).as("h2")))
+    val init = array_repeat(lit(Long.MaxValue), numHashes)
+    aggregate(hs, init, (acc, s) => zip_with(acc,
+      array((0 until numHashes).map(j =>
+        mixHash(s.getField("h1"), s.getField("h2"), j)): _*),
+      (a, b) => least(a, b)))
+  }
+
+  /** LSH banding: candidate pairs (idA < idB) sharing at least one band
+    * of `bandRows` consecutive signature positions. P(candidate | J=j) =
+    * 1-(1-j^r)^b; with r=2, b=64 recall at j≥0.5 is 1-1e-8.
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, gramsCol: String,
+      numHashes: Int = 128, bandRows: Int = 2): DataFrame = {
+    val numBands = numHashes / bandRows
+    val sig = minhashSignature(col(gramsCol), numHashes)
+    val bands = array((0 until numBands).map { b =>
+      struct(lit(b).as("band") +: (0 until bandRows).map(i =>
+        element_at(col("__sig"), b * bandRows + i + 1).as(s"h$i")): _*)
+    }: _*)
+    val buckets = df.select(col(idCol), sig.as("__sig"))
+      .select(col(idCol), explode(bands).as("bk"))
+      .select(col(idCol), col("bk.*"))
+    val keys = "band" +: (0 until bandRows).map(i => s"h$i")
+    val a = buckets.alias("a")
+    val b = buckets.alias("b")
+    a.join(b, keys.map(k => col(s"a.$k") === col(s"b.$k"))
+        .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs by exact word-n-gram Jaccard ≥ tau, with
+    * MinHash-LSH candidate generation (no cross join) and exact
+    * verification on the candidate set only.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tau: Double = 0.5,
+      numHashes: Int = 128, bandRows: Int = 2): DataFrame = {
+    val grams = df.select(col(idCol), wordNGrams(col(textCol), n).as("grams"))
+    val cands = lshCandidatePairs(grams, idCol, "grams", numHashes, bandRows)
+    cands
+      .join(grams.select(col(idCol).as("id_a"), col("grams").as("ga")), "id_a")
+      .join(grams.select(col(idCol).as("id_b"), col("grams").as("gb")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("ga"), col("gb"))) /
+          size(array_union(col("ga"), col("gb"))))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // --------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over a token array: per-bit vote of each token's
+    * xxhash64, bit set when the vote is positive. */
+  def simhash64(tokens: Column): Column = {
+    val hs = transform(tokens, t => xxhash64(t))
+    val counts = aggregate(hs, array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc,
+        array((0 until 64).map(b =>
+          when(shiftrightunsigned(h, b).bitwiseAND(lit(1L)) === 1L, 1)
+            .otherwise(-1)): _*),
+        (a, v) => a + v))
+    (0 until 64).map(b =>
+      when(element_at(counts, b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Near-dup pairs with Hamming distance ≤ maxHamming on token SimHash.
+    * Banding on 4×16-bit chunks: pigeonhole guarantees full recall for
+    * maxHamming ≤ 3; verification via bit_count(xor).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band blocking guarantees recall only to 3")
+    val fp = df.select(col(idCol),
+      simhash64(split(col(textCol), "\\s+")).as("fp"))
+    val chunks = array((0 until 4).map(c => struct(lit(c).as("chunk"),
+      shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL))
+        .as("v"))): _*)
+    val buckets = fp.select(col(idCol), col("fp"), explode(chunks).as("bk"))
+      .select(col(idCol), col("fp"), col("bk.chunk"), col("bk.v"))
+    val a = buckets.alias("a")
+    val b = buckets.alias("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v")
+        && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation (builder brief): language
+  * ID, quality scoring, token counting, document fingerprinting. All
+  * pure Column expressions (codegen'd, no UDFs); arithmetic is plain
+  * IEEE so any engine replaying the formula gets identical bits.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword-budget estimate: word / non-space-punct runs
+    * (`\w+|[^\w\s]`) — the standard cheap proxy for tokenizer load. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  /** Characteristic-stopword language scores. Tiny dictionaries on
+    * purpose: the operator shape (per-language token-overlap count +
+    * deterministic argmax) is what scales; swap dictionaries for real
+    * corpora. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+  )
+
+  private def langScore(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => words.map(w => t === w).reduce(_ || _)))
+
+  /** Predicted language: argmax of stopword-hit counts, ties broken by
+    * language code (asc); all-zero → "unknown". */
+  def langId(text: Column): Column = {
+    val tokens = split(trim(text), "\\s+")
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      struct(langScore(tokens, ws).as("score"), lit(lang).as("lang"))
+    }
+    // array_max on struct = lexicographic → (max score, max lang); to get
+    // min-lang tie-break, compare on (score, negated-rank) instead
+    val ranked = scored.zipWithIndex.map { case (s, i) =>
+      struct(s.getField("score").as("score"),
+        lit(-i).as("nrank"), s.getField("lang").as("lang"))
+    }
+    val best = array_max(array(ranked: _*))
+    when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("unknown"))
+  }
+
+  /** Quality features + a composite score. Formula kept to
+    * threshold-terms and single-division ratios so every engine computes
+    * identical doubles. */
+  def qualityFeatures(text: Column): Column = {
+    val nChars = length(text)
+    val nTokens = tokenCount(text)
+    val punct = length(regexp_replace(text, lit("[\\w\\s]"), lit("")))
+    val digits = length(regexp_replace(text, lit("[^0-9]"), lit("")))
+    val enHits = langScore(split(trim(text), "\\s+"), stopwords("en"))
+    val punctRatio = punct.cast("double") / nChars
+    val digitRatio = digits.cast("double") / nChars
+    val stopRatio = enHits.cast("double") / nTokens
+    // threshold points summed as INTEGERS, one *0.1 then one +: exactly
+    // two FP ops — an all-double chain picks up ulp drift from constant
+    // folding/association and breaks cross-engine equality
+    val points =
+      when(nTokens >= 20 && nTokens <= 5000, lit(4)).otherwise(lit(0)) +
+        when(punctRatio < 0.1, lit(3)).otherwise(lit(0)) +
+        when(digitRatio < 0.2, lit(1)).otherwise(lit(0))
+    val score = points.cast("double") * 0.1 + stopRatio * 0.2
+    struct(nTokens.as("n_tokens"), punctRatio.as("punct_ratio"),
+      digitRatio.as("digit_ratio"), stopRatio.as("stopword_ratio"),
+      score.as("quality"))
+  }
+
+  /** Order-insensitive content fingerprint: md5 of the sorted distinct
+    * token bag — catches reshuffled/re-wrapped duplicates that exact
+    * hashing misses, at one shuffle (engine-portable, unlike xxhash). */
+  def bagFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(split(trim(text), "\\s+")))))
+
+  /** Rolling-hash fingerprint: minimum xxhash64 over all k-character
+    * shingles of the document (winnowing's global-window degenerate
+    * case; per-window minima at scale). Not engine-portable (xxhash64);
+    * rows-only checked. */
+  def minHashFingerprint(text: Column, k: Int = 8): Column = {
+    val n = length(text) - (k - 1)
+    array_min(transform(sequence(lit(1), greatest(n, lit(1))),
+      i => xxhash64(text.substr(i, lit(k)))))
+  }
+}

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data-pipeline operators over documents/embeddings (builder
+  * brief: dedup, similarity search, text analysis). Oracle SQL uses
+  * brute-force restatements in DuckDB where expressible; hash-based ops
+  * (SimHash/xxhash LSH internals) are rows-only by nature but their
+  * verified OUTPUT (exact Jaccard pairs) is oracle-checked against a
+  * brute-force pairwise scan — i.e. the oracle proves the LSH path found
+  * exactly the pairs a quadratic scan finds.
+  */
+object CorpusQueries extends QueryModule {
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- exact dedup: one hash shuffle, min-id survivor per content.
+    Q(
+      "q21_dedup_exact",
+      (s, d) => Dedup.exactDedup(Tables.documents(s, d), "text", "doc_id"),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS doc_id,
+             |  count(*) AS n_copies
+             |FROM documents GROUP BY md5(text)""".stripMargin),
+    ),
+
+    // ---- MinHash-LSH near-dup: Spark side generates candidates via
+    // 64 bands × 2 rows banding (recall 1-1e-8 at J≥0.5) then verifies
+    // exactly; DuckDB oracle brute-forces all pairs. Equal output ⇔ the
+    // LSH prefilter lost nothing.
+    Q(
+      "q22_ngram_jaccard_pairs",
+      (s, d) => Dedup.ngramJaccardPairs(
+        Tables.documents(s, d), "doc_id", "text", n = 3, tau = 0.5),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+             |), g AS (
+             |  SELECT doc_id, list_distinct(
+             |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS t
+             |  FROM toks
+             |)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  len(list_intersect(a.t, b.t)) * 1.0 /
+             |    len(list_distinct(list_concat(a.t, b.t))) AS jaccard
+             |FROM g a JOIN g b ON a.doc_id < b.doc_id
+             |WHERE len(list_intersect(a.t, b.t)) * 1.0 /
+             |    len(list_distinct(list_concat(a.t, b.t))) >= 0.5""".stripMargin),
+    ),
+
+    // ---- SimHash near-dup (xxhash64-based → rows-only check).
+    Q(
+      "q23_simhash_pairs",
+      (s, d) => Dedup.simhashPairs(
+        Tables.documents(s, d), "doc_id", "text", maxHamming = 3),
+      None,
+    ),
+
+    // ---- embedding cosine near-dup: brute-force exact (the baseline).
+    Q(
+      "q24_embedding_near_dup",
+      (s, d) => Similarity.cosinePairs(
+        Tables.embeddings(s, d), "vec_id", "embedding", tau = 0.45),
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
+             |    (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+             |     sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cosine
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
+             |    (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+             |     sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.45""".stripMargin),
+    ),
+
+    // ---- exact cosine top-k per vector (ANN correctness baseline).
+    Q(
+      "q25_cosine_topk",
+      (s, d) => Similarity.cosineTopK(
+        Tables.embeddings(s, d), "vec_id", "embedding", k = 3),
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |), p AS (
+             |  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+             |    list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
+             |      (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+             |       sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cosine
+             |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+             |)
+             |SELECT id, neighbor_id, cosine, rank FROM (
+             |  SELECT *, CAST(row_number() OVER (
+             |    PARTITION BY id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+             |  FROM p) t WHERE rank <= 3""".stripMargin),
+    ),
+
+    // ---- ANN scale path: hyperplane-LSH bucketed top-k (approximate →
+    // rows-only; recall vs q25 measured in tests).
+    Q(
+      "q26_ann_lsh_topk",
+      (s, d) => Similarity.annTopK(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 3, numPlanes = 6, dim = 64, numTables = 16),
+      None,
+    ),
+
+    // ---- token counting (whitespace + BPE-ish regex budget).
+    Q(
+      "q27_token_stats",
+      (s, d) => {
+        val doc = Tables.documents(s, d)
+        doc.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+          length(col("text")).as("n_chars"))
+      },
+      Some("""SELECT doc_id,
+             |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
+             |  length(text) AS n_chars
+             |FROM documents""".stripMargin),
+    ),
+
+    // ---- language ID (stopword-overlap argmax, deterministic ties).
+    Q(
+      "q28_lang_id",
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+             |), s AS (
+             |  SELECT doc_id,
+             |    len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS s_en,
+             |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+             |    len(list_filter(toks, x -> x IN ('el','la','de','y','es'))) AS s_es
+             |  FROM t
+             |)
+             |SELECT doc_id, CASE
+             |  WHEN greatest(s_en, s_de, s_es) = 0 THEN 'unknown'
+             |  WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+             |  WHEN s_de >= s_es THEN 'de'
+             |  ELSE 'es' END AS lang_pred
+             |FROM s""".stripMargin),
+    ),
+
+    // ---- quality scoring (ratio features + threshold composite).
+    Q(
+      "q29_quality_score",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.qualityFeatures(col("text")).as("q"))
+        .select(col("doc_id"), col("q.n_tokens"), col("q.punct_ratio"),
+          col("q.digit_ratio"), col("q.stopword_ratio"), col("q.quality")),
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             |    length(regexp_replace(text, '[\w\s]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
+             |    length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) AS digit_ratio,
+             |    len(list_filter(string_split(trim(text), ' '),
+             |        x -> x IN ('the','a','of','and','is'))) * 1.0 /
+             |      len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio
+             |  FROM documents
+             |)
+             |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, punct_ratio, digit_ratio,
+             |  stopword_ratio,
+             |  (CAST(CASE WHEN n_tokens BETWEEN 20 AND 5000 THEN 4 ELSE 0 END +
+             |        CASE WHEN punct_ratio < 0.1 THEN 3 ELSE 0 END +
+             |        CASE WHEN digit_ratio < 0.2 THEN 1 ELSE 0 END AS DOUBLE)
+             |   * 0.1 + stopword_ratio * 0.2) AS quality
+             |FROM f""".stripMargin),
+    ),
+
+    // ---- document fingerprints: portable bag-md5 (oracle) — the
+    // xxhash rolling variant is exercised in tests.
+    Q(
+      "q30_fingerprint",
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.bagFingerprint(col("text")).as("bag_fp")),
+      Some("""SELECT doc_id,
+             |  md5(array_to_string(list_sort(list_distinct(
+             |    string_split(trim(text), ' '))), ' ')) AS bag_fp
+             |FROM documents""".stripMargin),
+    ),
+  )
+}

@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("exact dedup keeps one survivor per distinct text") {
+    val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y")).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(d, "text", "doc_id")
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("wordNGrams produces distinct consecutive triples") {
+    val g = Seq("a b c d a b c d").toDF("text")
+      .select(Dedup.wordNGrams($"text", 3)).as[Seq[String]].collect().head
+    assert(g.toSet == Set("a b c", "b c d", "c d a", "d a b"))
+  }
+
+  test("LSH jaccard pairs equal brute-force pairs on real docs") {
+    val grams = docs.select($"doc_id", Dedup.wordNGrams($"text", 3).as("g"))
+    val brute = grams.alias("a").join(grams.alias("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j", size(array_intersect($"a.g", $"b.g")) /
+        size(array_union($"a.g", $"b.g")))
+      .filter($"j" >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .as[(Long, Long)].collect().toSet
+    val lsh = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == brute)
+    assert(brute.nonEmpty)   // planted near-dups exist at sf0.001 too
+  }
+
+  test("simhash of identical texts equal; hamming pairs include near-dups") {
+    val d = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "q w e r t y u i")).toDF("doc_id", "text")
+    val fps = d.select($"doc_id", Dedup.simhash64(split($"text", " ")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+    val pairs = Dedup.simhashPairs(d, "doc_id", "text", 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("cosine is exact: self-similarity 1.0, orthogonal 0.0") {
+    val d = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0)), (Seq(1.0, 0.0), Seq(0.0, 2.0)))
+      .toDF("a", "b")
+    val r = d.select(Similarity.cosine($"a", $"b")).as[Double].collect()
+    assert(r(0) == 1.0 && r(1) == 0.0)
+  }
+
+  test("ANN LSH top-k recall vs exact top-k is usable") {
+    val exact = Similarity.cosineTopK(embs, "vec_id", "embedding", 3)
+      .select($"id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(embs, "vec_id", "embedding", 3,
+        numPlanes = 6, dim = 64, numTables = 16)
+      .select($"id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    info(f"ANN recall@3 with 16 tables x 6 planes: $recall%.3f")
+    assert(recall > 0.5)
+    assert(ann.size <= exact.size)
+  }
+
+  test("langId picks the dominant stopword language deterministically") {
+    val d = Seq("the cat of the hat is", "der hund und die katze ist",
+      "el perro y la casa es", "zzz qqq").toDF("text")
+    val r = d.select(TextAnalysis.langId($"text")).as[String].collect().toSeq
+    assert(r == Seq("en", "de", "es", "unknown"))
+  }
+
+  test("token counts and fingerprint are order-insensitive where claimed") {
+    val d = Seq("a b, c! d", "d c! b, a").toDF("text")
+    val counts = d.select(TextAnalysis.tokenCount($"text"),
+      TextAnalysis.bpeTokenCount($"text")).as[(Int, Int)].collect()
+    assert(counts(0) == ((4, 6)))   // a / b / , / c / ! / d
+    val fps = d.select(TextAnalysis.bagFingerprint($"text")).as[String].collect()
+    // bag fingerprint sorts tokens: "a" "b," "c!" "d" — same bag → same fp
+    assert(fps(0) == fps(1))
+    val roll = d.select(TextAnalysis.minHashFingerprint($"text", 4))
+      .as[Long].collect()
+    assert(roll(0) != 0L)
+  }
+}
