@@ -117,9 +117,15 @@ object MergeListings {
     val srcCols = sourceKeyed.columns.filterNot(_ == "__seq").toSeq
     val withSeq = sourceKeyed
     val rowStruct = struct(col("__seq") +: srcCols.map(c => col(c)): _*)
+    // explicit __seq comparator: sort_array's struct ordering rejects rows
+    // holding MapType columns (the extras bag)
+    val bySeq = (l: Column, r: Column) =>
+      when(l.getField("__seq") < r.getField("__seq"), lit(-1))
+        .when(l.getField("__seq") > r.getField("__seq"), lit(1))
+        .otherwise(lit(0))
     val grouped = withSeq
       .groupBy(col(KEY).as("__k"))
-      .agg(sort_array(collect_list(rowStruct)).as("__rows"))
+      .agg(array_sort(collect_list(rowStruct), bySeq).as("__rows"))
 
     // ---- 3. Full outer join with the master.
     val t = target.alias("t")

@@ -169,6 +169,24 @@ object CorpusQueries extends QueryModule {
              |FROM f""".stripMargin),
     ),
 
+    // ---- multimodal metadata path: text bytes stand in for image blobs
+    // (no codec libs in the container); expression-twin decode is
+    // oracle-checked, the batch mapPartitions path is equality-tested
+    // against it in CorpusOpsSpec.
+    Q(
+      "q31_multimodal_meta",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.ops.Multimodal.metaExpr(col("text").cast("binary")).as("m"))
+        .select(col("doc_id"), col("m.mime"), col("m.width"),
+          col("m.height"), col("m.channels")),
+      Some("""SELECT doc_id, 'image/fake' AS mime,
+             |  CAST(64 + octet_length(encode(text)) % 1024 AS INT) AS width,
+             |  CAST(64 + (octet_length(encode(text)) * 7919) % 1024 AS INT) AS height,
+             |  3 AS channels
+             |FROM documents""".stripMargin),
+    ),
+
     // ---- document fingerprints: portable bag-md5 (oracle) — the
     // xxhash rolling variant is exercised in tests.
     Q(

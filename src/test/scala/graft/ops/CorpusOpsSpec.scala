@@ -69,6 +69,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(ann.size <= exact.size)
   }
 
+  test("multimodal: batch decode path equals expression twin; frame offsets") {
+    val blobs = docs.select($"doc_id", $"text".cast("binary").as("blob"))
+    val viaCodec = Multimodal.decodeImages(blobs, "doc_id", "blob", batchSize = 7)
+    val viaExpr = blobs.select($"doc_id", Multimodal.metaExpr($"blob").as("m"))
+      .select($"doc_id", $"m.mime", $"m.width", $"m.height", $"m.channels")
+    assert(viaCodec.exceptAll(viaExpr).isEmpty && viaExpr.exceptAll(viaCodec).isEmpty)
+    val offs = blobs.limit(1)
+      .select(Multimodal.frameOffsets($"blob", 4)).as[Seq[Long]].collect().head
+    assert(offs.length == 4 && offs.head == 0L && offs == offs.sorted)
+  }
+
   test("langId picks the dominant stopword language deterministically") {
     val d = Seq("the cat of the hat is", "der hund und die katze ist",
       "el perro y la casa es", "zzz qqq").toDF("text")
