@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StreamingQuery, Trigger}
+
+/** Streaming restatement of the reference's incremental semantics
+  * (SURVEY §2 H): the hourly cron batch IS a micro-batch stream —
+  * `foreachBatch` + MERGE is the engine's S1/S2 realization; windowed
+  * aggregations and keyed state cover S3–S6.
+  */
+object StreamingMerge {
+
+  /** Micro-batch upsert: each streaming batch MERGEs into the Parquet
+    * master with an atomic write-tmp-then-swap publish (S7 — the
+    * reference's whole-file-rewrite transaction, parse_data.py:222).
+    *
+    * Scale note: local mode swaps a directory; on a cluster the same
+    * hook writes to a transactional table format — the merge plan is
+    * unchanged.
+    */
+  def start(batches: DataFrame, masterPath: String,
+      checkpointDir: String): StreamingQuery = {
+    batches.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        mergeIntoMaster(spark, batch, masterPath)
+      }
+      .start()
+  }
+
+  /** One micro-batch merge + atomic publish (callable from batch mode
+    * too — the cron-driven E2 entry uses exactly this). */
+  def mergeIntoMaster(spark: SparkSession, batch: DataFrame,
+      masterPath: String): Unit = {
+    val fs = new Path(masterPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val main = new Path(masterPath)
+    val tmp = new Path(masterPath + "__tmp")
+    val old = new Path(masterPath + "__old")
+    val master =
+      if (fs.exists(main)) spark.read.parquet(masterPath)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+    val merged = graft.merge.MergeListings.mergeBatch(master, batch)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(main)) fs.rename(main, old)
+    fs.rename(tmp, main)        // swap: readers see old or new, never half
+    fs.delete(old, true)
+  }
+}
+
+object StreamOps {
+
+  /** S-windows: tumbling event-time aggregation with a watermark — the
+    * streaming twin of q13's batch rollup. Late rows beyond the
+    * watermark are dropped; on-time aggregates finalize per window. */
+  def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Keyed lifecycle state (S2/S4): per key, track last price and last
+    * activity; emit a CDC row per state change. Timeout fires an
+    * unpublish marker when a key goes quiet — the streaming analog of
+    * the batch anti-join J3.
+    */
+  case class KeyState(lastPrice: Option[Double], lastActive: Long,
+      changes: Int)
+  case class CdcEvent(key: String, kind: String, price: Option[Double],
+      delta: Option[Double], ts: Long)
+
+  /** @param quietMillis idle period after which a key is declared
+    *        unpublished; ≤ 0 disables the timeout (NB: a processing-time
+    *        timeout keeps the query triggering forever, which also makes
+    *        `processAllAvailable` in tests never settle). */
+  def lifecycle(input: Dataset[(String, Double, Long)],
+      quietMillis: Long): Dataset[CdcEvent] = {
+    import input.sparkSession.implicits._
+    val timeoutMode =
+      if (quietMillis > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    input.groupByKey(_._1)
+      .flatMapGroupsWithState[KeyState, CdcEvent](
+        OutputMode.Append(), timeoutMode) {
+        case (key, rows, state: GroupState[KeyState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(CdcEvent(key, "unpublished", s.lastPrice, None, s.lastActive))
+          } else {
+            val sorted = rows.toSeq.sortBy(_._3)
+            var st = state.getOption.getOrElse(KeyState(None, 0L, 0))
+            val out = sorted.flatMap { case (_, price, ts) =>
+              val ev = st.lastPrice match {
+                case None =>
+                  Some(CdcEvent(key, "insert", Some(price), None, ts))
+                case Some(p) if p != price =>
+                  Some(CdcEvent(key, "price_change", Some(price),
+                    Some(price - p), ts))
+                case _ => None
+              }
+              st = KeyState(Some(price), ts, st.changes +
+                (if (ev.exists(_.kind == "price_change")) 1 else 0))
+              ev
+            }
+            state.update(st)
+            if (quietMillis > 0) state.setTimeoutDuration(quietMillis)
+            out.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("foreachBatch merge: two micro-batches upsert into the master") {
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val masterPath = s"$dir/master"
+    val ckpt1 = s"$dir/ckpt1"
+
+    val stream = MemoryStream[(String, String, Double)]
+    stream.addData(("1", "2026-01-01 10:00:00", 100.0),
+      ("2", "2026-01-01 11:00:00", 200.0))
+    val batches = stream.toDF()
+      .toDF("offer_id", "updated_date", "price_value")
+    val q1 = StreamingMerge.start(batches, masterPath, ckpt1)
+    q1.awaitTermination(60000)
+
+    val m1 = spark.read.parquet(masterPath)
+    assert(m1.count() == 2)
+    assert(m1.filter($"offer_id" === "1")
+      .select("publication_date").as[String].collect().head
+      == "2026-01-01 10:00:00")
+
+    // batch 2 via a fresh AvailableNow run (cron-tick semantics): price drop
+    val stream2 = MemoryStream[(String, String, Double)]
+    stream2.addData(("1", "2026-01-02 09:00:00", 90.0))
+    val q2 = StreamingMerge.start(
+      stream2.toDF().toDF("offer_id", "updated_date", "price_value"),
+      masterPath, s"$dir/ckpt2")
+    q2.awaitTermination(60000)
+
+    val m2 = spark.read.parquet(masterPath)
+    assert(m2.count() == 2)
+    val r = m2.filter($"offer_id" === "1").collect().head
+    assert(r.getAs[Double]("price_value") == 90.0)
+    assert(r.getAs[String]("price_changes") == "-10")
+    assert(r.getAs[Long]("total_price_changes") == 1L)
+  }
+
+  test("watermarked hourly rollup finalizes windows") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = stream.toDF().toDF("ts", "event_type", "value")
+    val rolled = StreamOps.hourlyRollup(df)
+    val q = rolled.writeStream.format("memory")
+      .queryName("rollup").outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-roll").toString)
+      .start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    stream.addData((t("2026-01-01 10:05:00"), "purchase", 10.0),
+      (t("2026-01-01 10:45:00"), "purchase", 5.0),
+      (t("2026-01-01 11:10:00"), "error", 1.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the 10:00 window
+    stream.addData((t("2026-01-01 14:00:00"), "signup", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("rollup")
+      .select($"window_start".cast("string"), $"event_type", $"n")
+      .as[(String, String, Long)].collect().toSet
+    q.stop()
+    assert(rows.contains(("2026-01-01 10:00:00", "purchase", 2L)))
+  }
+
+  test("keyed lifecycle state emits insert and price-change CDC rows") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(String, Double, Long)]
+    val cdc = StreamOps.lifecycle(stream.toDS(), quietMillis = 0L)
+    val q = cdc.writeStream.format("memory").queryName("cdc")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cdc").toString)
+      .start()
+    stream.addData(("a", 100.0, 1L), ("b", 50.0, 2L))
+    q.processAllAvailable()
+    stream.addData(("a", 120.0, 3L), ("b", 50.0, 4L))
+    q.processAllAvailable()
+    val rows = spark.table("cdc")
+      .select($"key", $"kind", $"delta").as[(String, String, Option[Double])]
+      .collect().toSet
+    q.stop()
+    assert(rows.contains(("a", "insert", None)))
+    assert(rows.contains(("b", "insert", None)))
+    assert(rows.contains(("a", "price_change", Some(20.0))))
+    assert(!rows.exists(r => r._1 == "b" && r._2 == "price_change"))
+  }
+}
