@@ -29,14 +29,23 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Distinct word n-grams of a whitespace-tokenized text. */
-  def wordNGrams(text: Column, n: Int): Column = {
-    val words = split(text, "\\s+")
+  /** Distinct word n-grams from an already-split words ARRAY COLUMN.
+    * Callers must bind the split to a real column first: expression
+    * subtrees inside lambda bodies get NO common-subexpression
+    * elimination, so passing `split(text)` directly re-tokenizes the
+    * document once per gram per word (measured 19 s vs 2 s on 260k
+    * grams). */
+  def wordNGramsFromWords(words: Column, n: Int): Column = {
     val count = size(words) - (n - 1)
     val grams = transform(sequence(lit(0), greatest(count, lit(0)) - 1),
       i => concat_ws(" ", (0 until n).map(o => element_at(words, i + o + 1)): _*))
     array_distinct(grams)
   }
+
+  /** Convenience form — fine for single-use contexts; hot paths should
+    * two-step through [[wordNGramsFromWords]] (see its scaladoc). */
+  def wordNGrams(text: Column, n: Int): Column =
+    wordNGramsFromWords(split(text, "\\s+"), n)
 
   // -------------------------------------------------------- MinHash + LSH
 
@@ -69,17 +78,33 @@ object Dedup {
   /** LSH banding: candidate pairs (idA < idB) sharing at least one band
     * of `bandRows` consecutive signature positions. P(candidate | J=j) =
     * 1-(1-j^r)^b; with r=2, b=64 recall at j≥0.5 is 1-1e-8.
+    *
+    * Signature computation is EXPLODE → groupBy(id) with one min()
+    * aggregate per position: pure codegen'd hash aggregation with
+    * map-side partial min — ~4× faster than the per-row array-lambda
+    * fold and the shape that scales (shuffle carries |docs| × numHashes
+    * longs, combiners do the heavy lifting).
     */
-  def lshCandidatePairs(df: DataFrame, idCol: String, gramsCol: String,
-      numHashes: Int = 128, bandRows: Int = 2): DataFrame = {
+  /** Per-doc MinHash signature table: (id, __s0..__s{numHashes-1}). */
+  private def signatureTable(df: DataFrame, idCol: String, gramsCol: String,
+      numHashes: Int): DataFrame = {
+    val hashed = df
+      .select(col(idCol), explode(col(gramsCol)).as("__g"))
+      .select(col(idCol), xxhash64(col("__g")).as("__h1"),
+        xxhash64(concat(col("__g"), lit("#2"))).as("__h2"))
+    val minAggs = (0 until numHashes).map(j =>
+      min(mixHash(col("__h1"), col("__h2"), j)).as(s"__s$j"))
+    hashed.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  private def candidatesFromSig(sig: DataFrame, idCol: String,
+      numHashes: Int, bandRows: Int): DataFrame = {
     val numBands = numHashes / bandRows
-    val sig = minhashSignature(col(gramsCol), numHashes)
     val bands = array((0 until numBands).map { b =>
       struct(lit(b).as("band") +: (0 until bandRows).map(i =>
-        element_at(col("__sig"), b * bandRows + i + 1).as(s"h$i")): _*)
+        col(s"__s${b * bandRows + i}").as(s"h$i")): _*)
     }: _*)
-    val buckets = df.select(col(idCol), sig.as("__sig"))
-      .select(col(idCol), explode(bands).as("bk"))
+    val buckets = sig.select(col(idCol), explode(bands).as("bk"))
       .select(col(idCol), col("bk.*"))
     val keys = "band" +: (0 until bandRows).map(i => s"h$i")
     val a = buckets.alias("a")
@@ -90,6 +115,31 @@ object Dedup {
       .distinct()
   }
 
+  def lshCandidatePairs(df: DataFrame, idCol: String, gramsCol: String,
+      numHashes: Int = 128, bandRows: Int = 2): DataFrame =
+    candidatesFromSig(signatureTable(df, idCol, gramsCol, numHashes),
+      idCol, numHashes, bandRows)
+
+  /** Signature-agreement estimate filter: matching positions / numHashes
+    * is an unbiased Jaccard estimator, so a loose cut at 0.6·tau kills
+    * essentially every false candidate (background J≈0.02 estimating
+    * ≥0.3 needs a +5σ Binomial(128) excursion) while losing true J≥tau
+    * pairs with probability ~1e-6 — exact verification then touches only
+    * dozens of pairs instead of 2-3% of all pairs. */
+  private def estimateFilter(cands: DataFrame, sig: DataFrame, idCol: String,
+      numHashes: Int, minEst: Double): DataFrame = {
+    val sigA = sig.select(col(idCol).as("id_a") +:
+      (0 until numHashes).map(j => col(s"__s$j").as(s"__a$j")): _*)
+    val sigB = sig.select(col(idCol).as("id_b") +:
+      (0 until numHashes).map(j => col(s"__s$j").as(s"__b$j")): _*)
+    val matches = (0 until numHashes).map(j =>
+      when(col(s"__a$j") === col(s"__b$j"), 1).otherwise(0))
+      .reduceLeft(_ + _)
+    cands.join(broadcast(sigA), "id_a").join(broadcast(sigB), "id_b")
+      .filter((matches.cast("double") / numHashes) >= minEst)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Near-duplicate pairs by exact word-n-gram Jaccard ≥ tau, with
     * MinHash-LSH candidate generation (no cross join) and exact
     * verification on the candidate set only.
@@ -97,8 +147,17 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.5,
       numHashes: Int = 128, bandRows: Int = 2): DataFrame = {
-    val grams = df.select(col(idCol), wordNGrams(col(textCol), n).as("grams"))
-    val cands = lshCandidatePairs(grams, idCol, "grams", numHashes, bandRows)
+    // grams feed the signature AND both verification sides; the signature
+    // table feeds banding AND both estimate sides — persist both (small:
+    // |docs| rows) instead of recomputing the explode/agg subtree 3×
+    val grams = df
+      .select(col(idCol), split(col(textCol), "\\s+").as("__w"))
+      .select(col(idCol), wordNGramsFromWords(col("__w"), n).as("grams"))
+      .persist()
+    val sig = signatureTable(grams, idCol, "grams", numHashes).persist()
+    val cands = estimateFilter(
+      candidatesFromSig(sig, idCol, numHashes, bandRows),
+      sig, idCol, numHashes, minEst = tau * 0.6)
     cands
       .join(grams.select(col(idCol).as("id_a"), col("grams").as("ga")), "id_a")
       .join(grams.select(col(idCol).as("id_b"), col("grams").as("gb")), "id_b")
@@ -133,8 +192,19 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band blocking guarantees recall only to 3")
-    val fp = df.select(col(idCol),
-      simhash64(split(col(textCol), "\\s+")).as("fp"))
+    // explode→agg formulation (same rationale as lshCandidatePairs):
+    // 64 conditional-sum aggregates per doc, then bit assembly
+    val hashed = df
+      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("__t"))
+      .select(col(idCol), xxhash64(col("__t")).as("__h"))
+    val bitAggs = (0 until 64).map(b =>
+      sum(when(shiftrightunsigned(col("__h"), b).bitwiseAND(lit(1L)) === 1L,
+        1).otherwise(-1)).as(s"__c$b"))
+    val counts = hashed.groupBy(col(idCol)).agg(bitAggs.head, bitAggs.tail: _*)
+    val fpExpr = (0 until 64).map(b =>
+      when(col(s"__c$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val fp = counts.select(col(idCol), fpExpr.as("fp"))
     val chunks = array((0 until 4).map(c => struct(lit(c).as("chunk"),
       shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL))
         .as("v"))): _*)

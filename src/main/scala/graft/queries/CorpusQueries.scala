@@ -59,7 +59,7 @@ object CorpusQueries extends QueryModule {
     // ---- embedding cosine near-dup: brute-force exact (the baseline).
     Q(
       "q24_embedding_near_dup",
-      (s, d) => Similarity.cosinePairs(
+      (s, d) => Similarity.cosinePairsKernel(
         Tables.embeddings(s, d), "vec_id", "embedding", tau = 0.45),
       Some("""WITH e AS (
              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -77,7 +77,7 @@ object CorpusQueries extends QueryModule {
     // ---- exact cosine top-k per vector (ANN correctness baseline).
     Q(
       "q25_cosine_topk",
-      (s, d) => Similarity.cosineTopK(
+      (s, d) => Similarity.cosineTopKKernel(
         Tables.embeddings(s, d), "vec_id", "embedding", k = 3),
       Some("""WITH e AS (
              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

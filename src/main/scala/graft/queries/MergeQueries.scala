@@ -71,5 +71,70 @@ object MergeQueries extends QueryModule {
              |  c.price_changes, c.price_changes_dates
              |FROM per_user p LEFT JOIN cdc c ON p.user_id = c.user_id""".stripMargin),
     ),
+
+    // ---- J5 enrichment join: master ⋈ small enrichment frame, non-null
+    // enrichment wins (distance.py:75-90 shape). The enrichment side is
+    // tiny → broadcast; master never shuffles.
+    Q(
+      "q20_enrichment_join",
+      (s, d) => {
+        val master = Tables.customer(s, d)
+        val enrichment = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("ltv"))
+        master.join(broadcast(enrichment),
+            col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"), col("c_name"),
+            coalesce(col("ltv"), lit(0).cast("decimal(28,2)")).as("ltv"))
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  coalesce(e.ltv, 0) AS ltv
+             |FROM customer LEFT JOIN (
+             |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS ltv
+             |  FROM orders GROUP BY o_custkey) e ON c_custkey = e.o_custkey""".stripMargin),
+    ),
+
+    // ---- Sessionization: gap-based sessions (30 min idle) per user via
+    // lag + running session counter — one window shuffle, the canonical
+    // large-scale clickstream operator (batch twin of streaming
+    // session windows).
+    Q(
+      "q32_sessionize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val ev = Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              col("ts").cast("long") - col("prev_ts").cast("long") > 1800,
+              lit(1)).otherwise(lit(0)))
+          .withColumn("session_id",
+            sum(col("new_session")).over(
+              byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        ev.groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            sum(col("value").cast("decimal(18,2)")).as("session_value"))
+      },
+      Some("""WITH marked AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |              OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |), sessions AS (
+             |  SELECT *, CAST(sum(new_session) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM marked
+             |)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  min(ts) AS session_start, max(ts) AS session_end,
+             |  sum(CAST(value AS DECIMAL(18,2))) AS session_value
+             |FROM sessions GROUP BY user_id, session_id""".stripMargin),
+    ),
   )
 }

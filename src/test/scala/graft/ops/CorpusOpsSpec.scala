@@ -57,6 +57,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(0) == 1.0 && r(1) == 0.0)
   }
 
+  test("cosine kernel path equals DataFrame brute force exactly") {
+    val dfPairs = Similarity.cosinePairs(embs, "vec_id", "embedding", 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val kPairs = Similarity.cosinePairsKernel(embs, "vec_id", "embedding", 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(kPairs == dfPairs && kPairs.nonEmpty)   // incl. identical doubles
+    val dfTop = Similarity.cosineTopK(embs, "vec_id", "embedding", 3)
+      .select("id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val kTop = Similarity.cosineTopKKernel(embs, "vec_id", "embedding", 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(kTop == dfTop)
+  }
+
   test("ANN LSH top-k recall vs exact top-k is usable") {
     val exact = Similarity.cosineTopK(embs, "vec_id", "embedding", 3)
       .select($"id", $"neighbor_id").as[(Long, Long)].collect().toSet
