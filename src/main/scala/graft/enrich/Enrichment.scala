@@ -1,0 +1,148 @@
+package graft.enrich
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** External-enrichment source semantics (SURVEY §2 A4–A8 + J5): the
+  * reference's asyncio worker pool, re-expressed on Spark's own task
+  * scheduler. One partition = one worker: a lazily-created client per
+  * partition (connection reuse, A6), row-level retry with a budget
+  * (A6), a partition-local 429 circuit breaker (A7), an inter-request
+  * delay (anti-hammering, base_async_processor.py:194-197), and
+  * `repartition(n)` as the pool-size knob — `n = 1` reproduces the
+  * serial etiquette mode the geo APIs require (A8,
+  * parse_data.py:177-182).
+  *
+  * Zero-egress environment: the [[HttpClient]] is a trait; production
+  * would bind an HTTP implementation, tests bind deterministic fakes.
+  */
+case class HttpRequest(url: String, requestId: String, method: String,
+    params: Map[String, String])
+
+case class HttpResponse(requestId: String, status: Int, body: String,
+    error: Option[String] = None)
+
+trait HttpClient extends Serializable {
+  def execute(req: HttpRequest): HttpResponse
+  def close(): Unit = ()
+}
+
+object Enrichment {
+
+  /** Process a request frame through a per-partition client.
+    *
+    * Retry/breaker semantics match the reference: transport failures
+    * retry up to `maxRetries` then yield a 599 error row; HTTP 429 is
+    * NEVER retried and `breakerThreshold` consecutive 429s open the
+    * breaker — every remaining request in the partition fails instantly
+    * without touching the network (async_http_processor.py:17-27).
+    */
+  def processRequests(requests: Dataset[HttpRequest],
+      clientFactory: () => HttpClient,
+      maxConcurrent: Int = 2,
+      maxRetries: Int = 5,
+      breakerThreshold: Int = 5,
+      interRequestDelayMs: Long = 0L): Dataset[HttpResponse] = {
+    import requests.sparkSession.implicits._
+    requests.repartition(math.max(1, maxConcurrent))
+      .mapPartitions { it =>
+        lazy val client = clientFactory()
+        var consecutive429 = 0
+        var breakerOpen = false
+        val out = it.map { req =>
+          if (breakerOpen)
+            HttpResponse(req.requestId, 429, "", Some("circuit-open"))
+          else {
+            if (interRequestDelayMs > 0) Thread.sleep(interRequestDelayMs)
+            var attempt = 0
+            var result: HttpResponse = null
+            while (result == null) {
+              try {
+                val r = client.execute(req)
+                if (r.status == 429) {
+                  consecutive429 += 1
+                  if (consecutive429 >= breakerThreshold) breakerOpen = true
+                  result = r                    // 429: fail fast, no retry
+                } else {
+                  consecutive429 = 0
+                  result = r
+                }
+              } catch {
+                case e: Exception if attempt < maxRetries => attempt += 1
+                case e: Exception =>
+                  result = HttpResponse(req.requestId, 599, "",
+                    Some(s"failed after ${attempt + 1} attempts: ${e.getMessage}"))
+              }
+            }
+            result
+          }
+        }
+        out // client closed by JVM teardown in local mode; task-completion
+            // listener hook is where a pooled impl would close()
+      }
+  }
+
+  /** Nominatim-shaped geocode request per row (distance.py:9-21). */
+  def geocodeRequests(workList: DataFrame): Dataset[HttpRequest] = {
+    import workList.sparkSession.implicits._
+    workList.select(col("offer_id").cast("string"), col("address"))
+      .as[(String, String)].map { case (id, addr) =>
+        HttpRequest("https://nominatim.openstreetmap.org/search", id, "GET",
+          Map("q" -> addr, "format" -> "json", "countrycodes" -> "ru",
+            "addressdetails" -> "1"))
+      }
+  }
+
+  /** Full distance-enrichment chain (distance.py:38-90): work-list →
+    * geocode (serial) → P6 filter + coordinate extract → route (serial)
+    * → meters → km(2dp). Both HTTP phases run at concurrency 1 —
+    * correctness-over-throughput for rate-limited public APIs.
+    */
+  def distanceChain(workList: DataFrame, refCoords: String,
+      clientFactory: () => HttpClient): DataFrame = {
+    val spark = workList.sparkSession
+    import spark.implicits._
+
+    val geo = processRequests(geocodeRequests(workList), clientFactory,
+      maxConcurrent = 1)
+    // P6: keep 200s; JSON-extract first candidate's coordinates;
+    // malformed payloads coerce null and drop (distance.py:56-69)
+    val coords = geo.toDF()
+      .filter(col("status") === 200)
+      .select(col("requestId").as("offer_id"),
+        get_json_object(col("body"), "$[0].lat").cast("double").as("lat"),
+        get_json_object(col("body"), "$[0].lon").cast("double").as("lon"))
+      .filter(col("lat").isNotNull && col("lon").isNotNull)
+
+    val routeReqs = coords.select(col("offer_id"), col("lat"), col("lon"))
+      .as[(String, Double, Double)].map { case (id, lat, lon) =>
+        HttpRequest(
+          s"https://routing.openstreetmap.de/routed-foot/route/v1/foot/" +
+            s"$refCoords;$lon,$lat", id, "GET",
+          Map("overview" -> "false", "alternatives" -> "false"))
+      }
+
+    val routes = processRequests(routeReqs, clientFactory, maxConcurrent = 1)
+    routes.toDF()
+      .filter(col("status") === 200)
+      .select(col("requestId").as("offer_id"),
+        get_json_object(col("body"), "$.routes[0].distance")
+          .cast("double").as("meters"))
+      .filter(col("meters").isNotNull)
+      .select(col("offer_id"),
+        graft.functions.Functions.distanceKm(col("meters")).as("distance"))
+  }
+
+  /** J5: fold `{offer_id, distance}` back into the master — non-null
+    * enrichment wins, same rule the merge applies (distance is the only
+    * updated column, so a broadcast left join is the cheap equivalent of
+    * the full MERGE; parse_data.py:451-458). */
+  def mergeDistance(master: DataFrame, distances: DataFrame): DataFrame =
+    master.join(
+        broadcast(distances.select(col("offer_id"),
+          col("distance").as("__new_distance"))),
+        Seq("offer_id"), "left")
+      .withColumn("distance",
+        coalesce(col("__new_distance"), col("distance")))
+      .drop("__new_distance")
+}

@@ -174,6 +174,65 @@ object Similarity {
     }.toDF("id", "neighbor_id", "cosine", "rank")
   }
 
+  /** IVF (inverted-file) ANN: k-means partitions the vector space into
+    * `numCentroids` cells; each query probes its `nProbe` nearest cells
+    * and ranks only their members. The standard high-recall scale path
+    * when LSH recall is poor (weakly-correlated vectors): one equality
+    * join on cell id, candidate volume ≈ nProbe/numCentroids of brute
+    * force. Training is eager (MLlib k-means on the column), like any
+    * index build.
+    */
+  def annTopKIvf(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      numCentroids: Int = 16, nProbe: Int = 4, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val base = df.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("__v"))
+      .withColumn("__features", array_to_vector(col("__v")))
+    val model = new KMeans().setK(numCentroids).setSeed(seed)
+      .setFeaturesCol("__features").fit(base)
+    val centers = model.clusterCenters.map(_.toArray)
+    val bcCenters = spark.sparkContext.broadcast(centers)
+
+    // member table: each vector in its own cell, with norm
+    val members = model.transform(base)
+      .select(col("id").as("member_id"), col("__v").as("__vm"),
+        col("prediction").as("cell"))
+      .withColumn("__nm", normUnrolled(col("__vm"), dim))
+
+    // probe table: each vector → its nProbe nearest cells (tiny centroid
+    // set → computed in a map, like the kernel path)
+    val probes = base.select(col("id"), col("__v")).as[(Long, Seq[Double])]
+      .flatMap { case (id, v) =>
+        val cs = bcCenters.value
+        val dists = cs.indices.map { c =>
+          val ctr = cs(c)
+          var s = 0.0
+          var i = 0
+          while (i < ctr.length) {
+            val d = v(i) - ctr(i); s += d * d; i += 1
+          }
+          (s, c)
+        }.sortBy(x => (x._1, x._2)).take(nProbe)
+        dists.map { case (_, c) => (id, v, c) }
+      }.toDF("id", "__vq", "cell")
+      .withColumn("__nq", normUnrolled(col("__vq"), dim))
+
+    val pairs = probes.join(members, "cell")
+      .filter(col("id") =!= col("member_id"))
+      .select(col("id"), col("member_id").as("neighbor_id"),
+        (dotUnrolled(col("__vq"), col("__vm"), dim) /
+          (col("__nq") * col("__nm"))).as("cosine"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplanes for sign-LSH (seeded on the
     * driver; shipped as literals — they are plan constants). */
   private def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {

@@ -82,17 +82,24 @@ object Pipeline {
         || col("status") === "active")
 
   /** A9/A10 CSV sink with NaN scrub (parse_data.py:187-204): NaN → null
-    * on floating columns, then a single header CSV. */
+    * on floating columns; array/map/struct columns JSON-encoded (the
+    * reference's pandas to_csv stringifies them); header CSV. */
   def writeCsv(df: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.types._
     val scrubbed = df.schema.fields.foldLeft(df) { (acc, f) =>
       f.dataType match {
-        case org.apache.spark.sql.types.DoubleType |
-             org.apache.spark.sql.types.FloatType =>
+        case DoubleType | FloatType =>
           acc.withColumn(f.name, when(isnan(col(f.name)), lit(null))
             .otherwise(col(f.name)))
+        case _: ArrayType | _: MapType | _: StructType =>
+          acc.withColumn(f.name, to_json(col(f.name)))
         case _ => acc
       }
     }
-    scrubbed.write.mode("overwrite").option("header", "true").csv(path)
+    scrubbed.write.mode("overwrite").option("header", "true")
+      // RFC-4180 quote doubling: Spark's default backslash escaping makes
+      // rows with embedded quotes unreadable to pandas/csv readers
+      .option("escape", "\"")
+      .csv(path)
   }
 }

@@ -38,21 +38,11 @@ object StreamingMerge {
     * too — the cron-driven E2 entry uses exactly this). */
   def mergeIntoMaster(spark: SparkSession, batch: DataFrame,
       masterPath: String): Unit = {
-    val fs = new Path(masterPath).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val main = new Path(masterPath)
-    val tmp = new Path(masterPath + "__tmp")
-    val old = new Path(masterPath + "__old")
-    val master =
-      if (fs.exists(main)) spark.read.parquet(masterPath)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+    val master = graft.io.AtomicParquet.read(spark, masterPath, batch)
+    // publish writes to tmp first (executing the plan while the master
+    // path is still intact) and only then swaps — no checkpoint needed
     val merged = graft.merge.MergeListings.mergeBatch(master, batch)
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(main)) fs.rename(main, old)
-    fs.rename(tmp, main)        // swap: readers see old or new, never half
-    fs.delete(old, true)
+    graft.io.AtomicParquet.publish(merged, masterPath)
   }
 }
 

@@ -94,6 +94,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(offs.length == 4 && offs.head == 0L && offs == offs.sorted)
   }
 
+  test("IVF ANN recall beats LSH at comparable candidate volume") {
+    val exact = Similarity.cosineTopK(embs, "vec_id", "embedding", 3)
+      .select($"id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.annTopKIvf(embs, "vec_id", "embedding", 3,
+        numCentroids = 16, nProbe = 6)
+      .select($"id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(f"IVF recall@3 (16 cells, probe 6): $recall%.3f")
+    assert(recall > 0.5)
+  }
+
   test("langId picks the dominant stopword language deterministically") {
     val d = Seq("the cat of the hat is", "der hund und die katze ist",
       "el perro y la casa es", "zzz qqq").toDF("text")
