@@ -67,8 +67,8 @@ object Similarity {
     val b = v.alias("b")
     a.join(b, col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        (dotUnrolled(col("a.__v"), col("b.__v"), dim) /
-          (col("a.__n") * col("b.__n"))).as("cosine"))
+        graft.functions.CosineSimilarity(col("a.__v"), col("b.__v"))
+          .as("cosine"))
       .filter(col("cosine") >= tau)
   }
 
@@ -81,8 +81,8 @@ object Similarity {
     val b = v.alias("b")
     val pairs = a.join(b, col(s"a.$idCol") =!= col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id"), col(s"b.$idCol").as("neighbor_id"),
-        (dotUnrolled(col("a.__v"), col("b.__v"), dim) /
-          (col("a.__n") * col("b.__n"))).as("cosine"))
+        graft.functions.CosineSimilarity(col("a.__v"), col("b.__v"))
+          .as("cosine"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w))
@@ -225,8 +225,8 @@ object Similarity {
     val pairs = probes.join(members, "cell")
       .filter(col("id") =!= col("member_id"))
       .select(col("id"), col("member_id").as("neighbor_id"),
-        (dotUnrolled(col("__vq"), col("__vm"), dim) /
-          (col("__nq") * col("__nm"))).as("cosine"))
+        graft.functions.CosineSimilarity(col("__vq"), col("__vm"))
+          .as("cosine"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w))
@@ -288,8 +288,8 @@ object Similarity {
       .join(v.select(col(idCol).as("neighbor_id"), col("__v").as("__vb"),
         col("__n").as("__nb")), "neighbor_id")
       .select(col("id"), col("neighbor_id"),
-        (dotUnrolled(col("__va"), col("__vb"), dim) /
-          (col("__na") * col("__nb"))).as("cosine"))
+        graft.functions.CosineSimilarity(col("__va"), col("__vb"))
+          .as("cosine"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w))

@@ -59,7 +59,10 @@ object CorpusQueries extends QueryModule {
     // ---- embedding cosine near-dup: brute-force exact (the baseline).
     Q(
       "q24_embedding_near_dup",
-      (s, d) => Similarity.cosinePairsKernel(
+      // declarative form: the native CosineSimilarity Expression keeps
+      // the nested-loop join condition on a tight-loop eval (the HOF
+      // composition was interpreted per pair — 60x slower)
+      (s, d) => Similarity.cosinePairs(
         Tables.embeddings(s, d), "vec_id", "embedding", tau = 0.45),
       Some("""WITH e AS (
              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -77,6 +80,9 @@ object CorpusQueries extends QueryModule {
     // ---- exact cosine top-k per vector (ANN correctness baseline).
     Q(
       "q25_cosine_topk",
+      // kernel path: the declarative window form shuffles all n² pairs
+      // for ranking (14 s at sf0.1); the kernel ranks per-partition and
+      // emits only k rows per vector (2.7 s), same bits (tested equal)
       (s, d) => Similarity.cosineTopKKernel(
         Tables.embeddings(s, d), "vec_id", "embedding", k = 3),
       Some("""WITH e AS (

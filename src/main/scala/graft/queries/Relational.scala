@@ -282,6 +282,22 @@ object Relational extends QueryModule {
              |FROM events GROUP BY 1, 2""".stripMargin),
     ),
 
+    // ---- Hierarchical rollup (beyond the reference's flat groupings —
+    // subtotals + grand total in one pass, partial-agg friendly).
+    Q(
+      "q34_rollup",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            sum($"l_extendedprice".cast("decimal(18,2)")).as("total"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin),
+    ),
+
     // ---- Grouped count + fan-out math (SURVEY G2 + F17:
     // total_pages = ceil(n / 28)).
     Q(
