@@ -72,6 +72,39 @@ object Pipeline {
     MergeListings.mergeBatch(master, batch)
   }
 
+  /** P3: active rows missing a price estimation → re-scrape work list
+    * (parse_data.py:138-143). */
+  def missingEstimationIds(master: DataFrame): DataFrame =
+    master.filter(
+      (col("estimated_price").isNull ||
+        col("estimated_price").cast("string") === "") &&
+      !coalesce(col("is_unpublished"), lit(false)))
+      .select(col("offer_id")).distinct()
+
+  /** P4 + B5: rows without a distance but with an address → the
+    * enrichment work list (parse_data.py:441-449). */
+  def distanceWorkList(master: DataFrame): DataFrame =
+    master.filter(col("distance").isNull &&
+      length(coalesce(col("address"), lit(""))) > 0)
+      .select(col("offer_id"), col("address"))
+
+  /** G7: per-flag union of scrape id sets (parse_data.py:376-401). */
+  def scrapeWorkList(currentIds: DataFrame, activeIds: DataFrame,
+      missingIds: DataFrame, updateAll: Boolean, scrapeNew: Boolean,
+      checkUnpublished: Boolean): DataFrame = {
+    val newIds = currentIds.join(activeIds, Seq("offer_id"), "left_anti")
+    val parts = Seq(
+      if (updateAll) Some(currentIds) else None,
+      if (!updateAll && scrapeNew) Some(newIds) else None,
+      if (checkUnpublished)
+        Some(activeIds.join(currentIds, Seq("offer_id"), "left_anti"))
+      else None,
+    ).flatten
+    parts.reduceOption(_ unionByName _)
+      .map(_.distinct())
+      .getOrElse(currentIds.limit(0))
+  }
+
   /** P2 dashboard view: last_active within 7 days of asOf OR active;
     * unparseable last_active coerces null and drops from the left
     * disjunct (pandas errors="coerce", parse_data.py:479-483). */
