@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.io.BucketedMaster
+import org.apache.spark.sql.functions._
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted sum equals plain sum (hot-key split is transparent)") {
+    val events = graft.model.Tables.events(spark, "/root/testdata/sf0.001")
+    val plain = events.groupBy($"event_type")
+      .agg(sum($"value").as("sum_value"), count(lit(1)).as("n"))
+      .select($"event_type", round($"sum_value", 6).as("s"), $"n")
+      .as[(String, Double, Long)].collect().toSet
+    val salted = SkewOps.saltedSum(events.withColumnRenamed("value", "value"),
+        Seq("event_type"), "value", saltBuckets = 8, spreadCol = Some("event_id"))
+      .select($"event_type", round($"sum_value", 6).as("s"), $"n")
+      .as[(String, Double, Long)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join") {
+    val fact = Seq((1, "a", 10.0), (1, "b", 20.0), (2, "c", 30.0))
+      .toDF("k", "tag", "v")
+    val dim = Seq((1, "one"), (2, "two")).toDF("k", "name")
+    val plain = fact.join(dim, "k").select($"tag", $"name")
+      .as[(String, String)].collect().toSet
+    val salted = SkewOps.saltedJoin(fact, dim, "k", 4, "tag")
+      .select($"tag", $"name").as[(String, String)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("bucketed master: merge plan has no Exchange on the master side") {
+    spark.sql("DROP TABLE IF EXISTS graft_master_test")
+    val master = Seq(("1", "2026-01-01 10:00:00", 100.0),
+      ("2", "2026-01-01 10:00:00", 200.0))
+      .toDF("offer_id", "updated_date", "price_value")
+    BucketedMaster.write(master, "graft_master_test", buckets = 4)
+
+    val batch = Seq(("1", "2026-01-02 10:00:00", 90.0))
+      .toDF("offer_id", "updated_date", "price_value")
+    val merged = BucketedMaster.merge(spark, "graft_master_test", batch,
+      buckets = 4)
+    // correctness first
+    val r = merged.filter($"offer_id" === "1").collect().head
+    assert(r.getAs[Double]("price_value") == 90.0)
+    assert(r.getAs[String]("price_changes") == "-10")
+
+    // plan shape: the bucketed scan side must not re-shuffle. The batch
+    // side shuffles once (groupBy) — total Exchanges strictly fewer than
+    // the unbucketed plan's.
+    val bucketedPlan = merged.queryExecution.executedPlan.toString
+    val unbucketed = graft.merge.MergeListings.mergeBatch(
+      master, batch).queryExecution.executedPlan.toString
+    def exchanges(p: String) = p.split("\n").count(_.contains("Exchange"))
+    info(s"exchanges bucketed=${exchanges(bucketedPlan)} " +
+      s"unbucketed=${exchanges(unbucketed)}")
+    assert(exchanges(bucketedPlan) < exchanges(unbucketed))
+    spark.sql("DROP TABLE IF EXISTS graft_master_test")
+  }
+}
