@@ -26,43 +26,18 @@ object Similarity {
     dot(a, b) / (norm(a) * norm(b))
   }
 
-  /** Dimension-unrolled cosine: the same left-to-right FP sum as the HOF
-    * form (bit-identical result) but emitted as one flat codegen
-    * expression — no per-pair array allocation, no lambda interpreter.
-    * ~10× faster in the pairwise hot path; requires statically-known dim.
-    */
-  def cosineUnrolled(a: Column, b: Column, dim: Int): Column = {
-    def dot(x: Column, y: Column) =
-      (0 until dim).map(i => element_at(x, i + 1) * element_at(y, i + 1))
-        .reduceLeft(_ + _)
-    def norm(x: Column) = sqrt(
-      (0 until dim).map(i => element_at(x, i + 1) * element_at(x, i + 1))
-        .reduceLeft(_ + _))
-    dot(a, b) / (norm(a) * norm(b))
-  }
-
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  private def dotUnrolled(x: Column, y: Column, dim: Int): Column =
-    (0 until dim).map(i => element_at(x, i + 1) * element_at(y, i + 1))
-      .reduceLeft(_ + _)
-
-  private def normUnrolled(x: Column, dim: Int): Column = sqrt(
-    (0 until dim).map(i => element_at(x, i + 1) * element_at(x, i + 1))
-      .reduceLeft(_ + _))
-
-  /** (id, vec, norm) projection: norms computed ONCE per vector before
-    * the pairwise join instead of per pair — identical bits (same input,
-    * same ops), 3× fewer folds in the O(n²) stage. */
-  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int): DataFrame =
+  /** (id, vec) projection — the native CosineSimilarity expression
+    * computes dot and norms in one per-pair loop, so no per-vector norm
+    * precompute is needed. */
+  private def withVec(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
-      .withColumn("__n", normUnrolled(col("__v"), dim))
 
   /** All pairs (idA < idB) with cosine ≥ tau — exact, brute force. */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
       tau: Double, dim: Int = 64): DataFrame = {
-    val v = withNorm(df, idCol, vecCol, dim)
+    val v = withVec(df, idCol, vecCol)
     val a = v.alias("a")
     val b = v.alias("b")
     a.join(b, col(s"a.$idCol") < col(s"b.$idCol"))
@@ -76,7 +51,7 @@ object Similarity {
     * Ties broken by neighbor id for determinism. */
   def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int = 64): DataFrame = {
-    val v = withNorm(df, idCol, vecCol, dim)
+    val v = withVec(df, idCol, vecCol)
     val a = v.alias("a")
     val b = v.alias("b")
     val pairs = a.join(b, col(s"a.$idCol") =!= col(s"b.$idCol"))
@@ -202,7 +177,6 @@ object Similarity {
     val members = model.transform(base)
       .select(col("id").as("member_id"), col("__v").as("__vm"),
         col("prediction").as("cell"))
-      .withColumn("__nm", normUnrolled(col("__vm"), dim))
 
     // probe table: each vector → its nProbe nearest cells (tiny centroid
     // set → computed in a map, like the kernel path)
@@ -220,7 +194,6 @@ object Similarity {
         }.sortBy(x => (x._1, x._2)).take(nProbe)
         dists.map { case (_, c) => (id, v, c) }
       }.toDF("id", "__vq", "cell")
-      .withColumn("__nq", normUnrolled(col("__vq"), dim))
 
     val pairs = probes.join(members, "cell")
       .filter(col("id") =!= col("member_id"))
@@ -270,7 +243,7 @@ object Similarity {
   def annTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
       numPlanes: Int, dim: Int, numTables: Int = 16,
       seed: Long = 42L): DataFrame = {
-    val v = withNorm(df, idCol, vecCol, dim)
+    val v = withVec(df, idCol, vecCol)
     val tables = array((0 until numTables).map(t => struct(
       lit(t).as("tbl"),
       lshBucket(col("__v"), numPlanes, dim, seed + t).as("bucket"))): _*)
@@ -283,10 +256,9 @@ object Similarity {
         && col(s"a.$idCol") =!= col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id"), col(s"b.$idCol").as("neighbor_id"))
       .distinct()
-      .join(v.select(col(idCol).as("id"), col("__v").as("__va"),
-        col("__n").as("__na")), "id")
-      .join(v.select(col(idCol).as("neighbor_id"), col("__v").as("__vb"),
-        col("__n").as("__nb")), "neighbor_id")
+      .join(v.select(col(idCol).as("id"), col("__v").as("__va")), "id")
+      .join(v.select(col(idCol).as("neighbor_id"), col("__v").as("__vb")),
+        "neighbor_id")
       .select(col("id"), col("neighbor_id"),
         graft.functions.CosineSimilarity(col("__va"), col("__vb"))
           .as("cosine"))
