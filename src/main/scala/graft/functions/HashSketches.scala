@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native per-document hash sketches. The composed forms (explode each
+  * shingle → 128 min()/64 sum() aggregate columns) are correct and
+  * map-side-combined, but pay an explode shuffle and hundreds of millions of aggregate
+  * updates; these expressions compute the whole sketch in ONE tight
+  * loop per document — no explode, no shuffle, no aggregation state.
+  * Hash values are IDENTICAL to the Column forms (xxhash64 seed 42,
+  * salted second hash via byte-concat, rotate/xor mixing), so banding /
+  * estimate semantics and all recall math carry over unchanged.
+  *
+  * Evaluated once per ROW (not per pair), so CodegenFallback costs one
+  * virtual call per document — nothing.
+  */
+private object Sketch {
+  final val Seed = 42L
+  private val salt = UTF8String.fromString("#2")
+
+  def hashPair(g: UTF8String): (Long, Long) = {
+    val h1 = XXH64.hashUnsafeBytes(g.getBaseObject, g.getBaseOffset,
+      g.numBytes(), Seed)
+    val salted = UTF8String.concat(g, salt)
+    val h2 = XXH64.hashUnsafeBytes(salted.getBaseObject,
+      salted.getBaseOffset, salted.numBytes(), Seed)
+    (h1, h2)
+  }
+
+  @inline def rotl(v: Long, s: Int): Long =
+    if ((s & 63) == 0) v else (v << s) | (v >>> (64 - s))
+
+  @inline def mix(h1: Long, h2: Long, j: Int): Long =
+    if (j < 64) rotl(h1, j) ^ h2 else rotl(h2, j - 64) ^ h1
+}
+
+/** array<string> shingles → array<long> MinHash signature. */
+case class MinHashSignatureExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numHashes <= 128)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val g = arr.getUTF8String(i)
+      if (g != null) {
+        val (h1, h2) = Sketch.hashPair(g)
+        var j = 0
+        while (j < numHashes) {
+          val m = Sketch.mix(h1, h2, j)
+          if (m < sig(j)) sig(j) = m
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** array<string> tokens → 64-bit SimHash fingerprint. */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t != null) {
+        val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
+          t.numBytes(), Sketch.Seed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object HashSketches {
+  import org.apache.spark.sql.GraftBridge
+
+  def minhashSignature(grams: Column, numHashes: Int): Column =
+    GraftBridge.column(
+      MinHashSignatureExpr(GraftBridge.expression(grams), numHashes))
+
+  def simhash64(tokens: Column): Column =
+    GraftBridge.column(SimHash64Expr(GraftBridge.expression(tokens)))
+}

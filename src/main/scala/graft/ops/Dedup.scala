@@ -85,24 +85,22 @@ object Dedup {
     * fold and the shape that scales (shuffle carries |docs| × numHashes
     * longs, combiners do the heavy lifting).
     */
-  /** Per-doc MinHash signature table: (id, __s0..__s{numHashes-1}). */
+  /** Per-doc MinHash signature table: (id, __sig array<long>). The
+    * native sketch expression (graft.functions.HashSketches) computes
+    * the whole signature in one loop per document — no explode, no
+    * aggregation shuffle; at 100 TB the sketch stage is a pure map. */
   private def signatureTable(df: DataFrame, idCol: String, gramsCol: String,
-      numHashes: Int): DataFrame = {
-    val hashed = df
-      .select(col(idCol), explode(col(gramsCol)).as("__g"))
-      .select(col(idCol), xxhash64(col("__g")).as("__h1"),
-        xxhash64(concat(col("__g"), lit("#2"))).as("__h2"))
-    val minAggs = (0 until numHashes).map(j =>
-      min(mixHash(col("__h1"), col("__h2"), j)).as(s"__s$j"))
-    hashed.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
-  }
+      numHashes: Int): DataFrame =
+    df.select(col(idCol),
+      graft.functions.HashSketches
+        .minhashSignature(col(gramsCol), numHashes).as("__sig"))
 
   private def candidatesFromSig(sig: DataFrame, idCol: String,
       numHashes: Int, bandRows: Int): DataFrame = {
     val numBands = numHashes / bandRows
     val bands = array((0 until numBands).map { b =>
       struct(lit(b).as("band") +: (0 until bandRows).map(i =>
-        col(s"__s${b * bandRows + i}").as(s"h$i")): _*)
+        element_at(col("__sig"), b * bandRows + i + 1).as(s"h$i")): _*)
     }: _*)
     val buckets = sig.select(col(idCol), explode(bands).as("bk"))
       .select(col(idCol), col("bk.*"))
@@ -128,13 +126,14 @@ object Dedup {
     * dozens of pairs instead of 2-3% of all pairs. */
   private def estimateFilter(cands: DataFrame, sig: DataFrame, idCol: String,
       numHashes: Int, minEst: Double): DataFrame = {
-    val sigA = sig.select(col(idCol).as("id_a") +:
-      (0 until numHashes).map(j => col(s"__s$j").as(s"__a$j")): _*)
-    val sigB = sig.select(col(idCol).as("id_b") +:
-      (0 until numHashes).map(j => col(s"__s$j").as(s"__b$j")): _*)
-    val matches = (0 until numHashes).map(j =>
-      when(col(s"__a$j") === col(s"__b$j"), 1).otherwise(0))
-      .reduceLeft(_ + _)
+    val sigA = sig.select(col(idCol).as("id_a"), col("__sig").as("__sa"))
+    val sigB = sig.select(col(idCol).as("id_b"), col("__sig").as("__sb"))
+    // matching positions / numHashes — zip_with over two bound array
+    // columns (no recompute hazard: both are plain attributes)
+    val matches = aggregate(
+      zip_with(col("__sa"), col("__sb"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
     cands.join(broadcast(sigA), "id_a").join(broadcast(sigB), "id_b")
       .filter((matches.cast("double") / numHashes) >= minEst)
       .select(col("id_a"), col("id_b"))
@@ -192,19 +191,11 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band blocking guarantees recall only to 3")
-    // explode→agg formulation (same rationale as lshCandidatePairs):
-    // 64 conditional-sum aggregates per doc, then bit assembly
-    val hashed = df
-      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("__t"))
-      .select(col(idCol), xxhash64(col("__t")).as("__h"))
-    val bitAggs = (0 until 64).map(b =>
-      sum(when(shiftrightunsigned(col("__h"), b).bitwiseAND(lit(1L)) === 1L,
-        1).otherwise(-1)).as(s"__c$b"))
-    val counts = hashed.groupBy(col(idCol)).agg(bitAggs.head, bitAggs.tail: _*)
-    val fpExpr = (0 until 64).map(b =>
-      when(col(s"__c$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    val fp = counts.select(col(idCol), fpExpr.as("fp"))
+    // native sketch: whole fingerprint in one loop per doc (no explode,
+    // no aggregation shuffle)
+    val fp = df.select(col(idCol),
+      graft.functions.HashSketches
+        .simhash64(split(col(textCol), "\\s+")).as("fp"))
     val chunks = array((0 until 4).map(c => struct(lit(c).as("chunk"),
       shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL))
         .as("v"))): _*)

@@ -168,8 +168,10 @@ object Similarity {
     val base = df.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("__v"))
       .withColumn("__features", array_to_vector(col("__v")))
+    // few iterations on purpose: cells only need to be roughly Voronoi
+    // for probing — recall comes from nProbe, not assignment optimality
     val model = new KMeans().setK(numCentroids).setSeed(seed)
-      .setFeaturesCol("__features").fit(base)
+      .setMaxIter(8).setFeaturesCol("__features").fit(base)
     val centers = model.clusterCenters.map(_.toArray)
     val bcCenters = spark.sparkContext.broadcast(centers)
 

@@ -38,6 +38,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(brute.nonEmpty)   // planted near-dups exist at sf0.001 too
   }
 
+  test("native sketch expressions equal their Column-composed forms") {
+    import graft.functions.HashSketches
+    val grams = docs.select($"doc_id", split($"text", "\\s+").as("w"))
+      .select($"doc_id", Dedup.wordNGramsFromWords($"w", 3).as("g"))
+    val mismatch = grams.select(
+        Dedup.minhashSignature($"g", 128).as("col_sig"),
+        HashSketches.minhashSignature($"g", 128).as("nat_sig"))
+      .filter($"col_sig" =!= $"nat_sig").count()
+    assert(mismatch == 0)
+    val shMismatch = docs.select(
+        Dedup.simhash64(split($"text", "\\s+")).as("a"),
+        HashSketches.simhash64(split($"text", "\\s+")).as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(shMismatch == 0)
+  }
+
   test("simhash of identical texts equal; hamming pairs include near-dups") {
     val d = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
       (3L, "q w e r t y u i")).toDF("doc_id", "text")
