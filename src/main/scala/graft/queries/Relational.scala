@@ -282,6 +282,33 @@ object Relational extends QueryModule {
              |FROM events GROUP BY 1, 2""".stripMargin),
     ),
 
+    // ---- Sliding event-time windows (1h size, 30m slide): each event
+    // lands in exactly two windows. Batch twin of the streaming sliding
+    // window; oracle restates it as two shifted tumbling windows.
+    Q(
+      "q35_sliding_window",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy(window($"ts", "1 hour", "30 minutes").as("w"),
+            $"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast("decimal(18,2)")).as("total_value"))
+          .select($"w.start".as("window_start"), $"event_type", $"n",
+            $"total_value")
+      },
+      Some("""WITH s AS (
+             |  SELECT make_timestamp(CAST(floor(floor(epoch(ts)) / 1800) * 1800 AS BIGINT) * 1000000)
+             |    AS window_start, event_type, value FROM events
+             |  UNION ALL
+             |  SELECT make_timestamp((CAST(floor(floor(epoch(ts)) / 1800) * 1800 AS BIGINT) - 1800) * 1000000)
+             |    AS window_start, event_type, value FROM events
+             |)
+             |SELECT window_start, event_type, count(*) AS n,
+             |  sum(CAST(value AS DECIMAL(18,2))) AS total_value
+             |FROM s GROUP BY window_start, event_type""".stripMargin),
+    ),
+
     // ---- Hierarchical rollup (beyond the reference's flat groupings —
     // subtotals + grand total in one pass, partial-agg friendly).
     Q(
