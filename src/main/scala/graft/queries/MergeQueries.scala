@@ -85,10 +85,14 @@ object MergeQueries extends QueryModule {
         master.join(broadcast(enrichment),
             col("c_custkey") === col("o_custkey"), "left")
           .select(col("c_custkey"), col("c_name"),
-            coalesce(col("ltv"), lit(0).cast("decimal(28,2)")).as("ltv"))
+            // Exact decimal internally; DOUBLE only at the output boundary
+            // (Spark sum→decimal(28,2) vs DuckDB decimal(38,2) render
+            // differently; the values are identical).
+            coalesce(col("ltv"), lit(0).cast("decimal(28,2)"))
+              .cast("double").as("ltv"))
       },
       Some("""SELECT c_custkey, c_name,
-             |  coalesce(e.ltv, 0) AS ltv
+             |  CAST(coalesce(e.ltv, 0) AS DOUBLE) AS ltv
              |FROM customer LEFT JOIN (
              |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS ltv
              |  FROM orders GROUP BY o_custkey) e ON c_custkey = e.o_custkey""".stripMargin),
@@ -115,9 +119,12 @@ object MergeQueries extends QueryModule {
               byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         ev.groupBy(col("user_id"), col("session_id"))
           .agg(count(lit(1)).as("n_events"),
-            min(col("ts")).as("session_start"),
-            max(col("ts")).as("session_end"),
-            sum(col("value").cast("decimal(18,2)")).as("session_value"))
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss")
+              .as("session_start"),
+            date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss")
+              .as("session_end"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("session_value"))
       },
       Some("""WITH marked AS (
              |  SELECT user_id, event_id, ts, value,
@@ -132,8 +139,9 @@ object MergeQueries extends QueryModule {
              |  FROM marked
              |)
              |SELECT user_id, session_id, count(*) AS n_events,
-             |  min(ts) AS session_start, max(ts) AS session_end,
-             |  sum(CAST(value AS DECIMAL(18,2))) AS session_value
+             |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
              |FROM sessions GROUP BY user_id, session_id""".stripMargin),
     ),
   )

@@ -101,13 +101,16 @@ object Relational extends QueryModule {
           .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
           .groupBy($"r_name", $"n_name")
           .agg(
+            // Exact decimal internally (order-independent sum); DOUBLE only
+            // in the output so Spark/DuckDB render identically (their
+            // decimal result precisions differ: 28,2 vs 38,2).
             sum(money($"l_extendedprice") * (lit(1) - money($"l_discount")))
-              .as("revenue"),
+              .cast("double").as("revenue"),
             count(lit(1)).as("n_items"),
           )
       },
       Some("""SELECT r_name, n_name,
-             |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
              |  count(*) AS n_items
              |FROM lineitem
              |JOIN orders   ON l_orderkey = o_orderkey
@@ -181,13 +184,14 @@ object Relational extends QueryModule {
           .orderBy($"ts", $"event_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.events(s, d)
-          .withColumn("running_value", sum(money($"value")).over(w))
+          .withColumn("running_value",
+            sum(money($"value")).over(w).cast("double"))
           .select($"event_id", $"user_id", $"running_value")
       },
       Some("""SELECT event_id, user_id,
-             |  sum(CAST(value AS DECIMAL(18,2))) OVER (
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
              |    PARTITION BY user_id ORDER BY ts, event_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
              |FROM events""".stripMargin),
     ),
 
@@ -270,15 +274,20 @@ object Relational extends QueryModule {
       (s, d) => {
         import s.implicits._
         Tables.events(s, d)
-          .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+          .groupBy(date_trunc("hour", $"ts").as("hour_ts"), $"event_type")
           .agg(
             count(lit(1)).as("n"),
-            sum(money($"value")).as("total_value"),
+            sum(money($"value")).cast("double").as("total_value"),
           )
+          // Timestamp outputs render as strings: Spark parquet writes µs,
+          // DuckDB→pandas lands ns — a formatted string is engine-neutral.
+          .select(date_format($"hour_ts", "yyyy-MM-dd HH:mm:ss").as("hour"),
+            $"event_type", $"n", $"total_value")
       },
-      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             |  event_type,
              |  count(*) AS n,
-             |  sum(CAST(value AS DECIMAL(18,2))) AS total_value
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1, 2""".stripMargin),
     ),
 
@@ -293,9 +302,11 @@ object Relational extends QueryModule {
           .groupBy(window($"ts", "1 hour", "30 minutes").as("w"),
             $"event_type")
           .agg(count(lit(1)).as("n"),
-            sum($"value".cast("decimal(18,2)")).as("total_value"))
-          .select($"w.start".as("window_start"), $"event_type", $"n",
-            $"total_value")
+            sum($"value".cast("decimal(18,2)")).cast("double")
+              .as("total_value"))
+          .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss")
+              .as("window_start"),
+            $"event_type", $"n", $"total_value")
       },
       Some("""WITH s AS (
              |  SELECT make_timestamp(CAST(floor(floor(epoch(ts)) / 1800) * 1800 AS BIGINT) * 1000000)
@@ -304,9 +315,10 @@ object Relational extends QueryModule {
              |  SELECT make_timestamp((CAST(floor(floor(epoch(ts)) / 1800) * 1800 AS BIGINT) - 1800) * 1000000)
              |    AS window_start, event_type, value FROM events
              |)
-             |SELECT window_start, event_type, count(*) AS n,
-             |  sum(CAST(value AS DECIMAL(18,2))) AS total_value
-             |FROM s GROUP BY window_start, event_type""".stripMargin),
+             |SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+             |  event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM s GROUP BY 1, 2""".stripMargin),
     ),
 
     // ---- Hierarchical rollup (beyond the reference's flat groupings —
