@@ -17,6 +17,7 @@ object SparkEntry {
     RefFunctions,
     MergeQueries,
     CorpusQueries,
+    ParseQueries,
   )
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.etl.{Flatten, Normalize}
+import graft.pipeline.{Pipeline, RawPage}
+
+/** Oracle-checked exercise of the parse surface (SURVEY §2 U1–U4, F6–F8,
+  * F12–F14, P5, B1–B4) — the reference's actual job
+  * (scraper/html_parser.py:59-221, parse_data.py:256-281).
+  *
+  * Listing/card HTML is CONSTRUCTED per row from table columns, so the
+  * full parse→flatten→normalize chain runs for real while DuckDB can
+  * compute every expected output directly from the same columns — the
+  * driver's hash compare then validates the chain end-to-end.
+  */
+object ParseQueries extends QueryModule {
+
+  private def n(c: Column): Column = c.cast("string")
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- U1 (document→struct) through the whole pipeline: priority
+    // price selectors, title positional parse (F6), PriceInfo split-4
+    // (F8), label-value bags (U3: all three container kinds), geo
+    // classifier (F14), metro prefix strip (F13), updated-label strip
+    // (F12) + Russian-date normalize (F2), features→flags (U4),
+    // unpublished→status (B4), numeric normalize (F1).
+    Q(
+      "q36_parse_listing_pipeline",
+      (s, d) => {
+        import s.implicits._
+        val ck = col("c_custkey")
+        val cks = n(ck)
+        val room = n(pmod(ck, lit(4)) + 1)
+        val area = n(pmod(ck, lit(80)) + 20)
+        val flr = n(pmod(ck, lit(9)) + 1)
+        val price = n(ck * 100)
+        val est = n(ck * 90)
+        val dep = n(ck * 10)
+        val updDay = n(pmod(ck, lit(28)) + 1)
+        val tv = n(ck * 3)
+        val tdv = n(pmod(ck, lit(24)))
+        val street = concat(col("c_name"), lit(" улица"))
+        val html = concat(
+          lit("<html><body>"),
+          lit("<span data-mark=\"MainPrice\">"), price, lit(" ₽/мес.</span>"),
+          lit("<span data-testid=\"valuation_estimationPrice\">"), est,
+          lit(" ₽</span>"),
+          lit("<span data-testid=\"metadata-updated-date\">Обновлено: "),
+          updDay, lit(" янв 10:30</span>"),
+          lit("<span data-mark=\"OfferTitle\">"), room,
+          lit("-комн. квартира, "), area, lit(" м², "), flr,
+          lit("/12 этаж</span>"),
+          lit("<span data-mark=\"PriceInfo\">На длительный срок, "
+            + "Комм. платежи включены, Комиссия 50%, Залог "), dep,
+          lit(" ₽</span>"),
+          lit("<div data-name=\"OfferFactItem\"><span>Этаж</span><span>"),
+          flr, lit(" из 12</span></div>"),
+          lit("<div data-name=\"ObjectFactoidsItem\"><span>Общая площадь"
+            + "</span><span>"), area, lit(" м²</span></div>"),
+          lit("<div data-name=\"OfferSummaryInfoItem\"><p>Санузел</p>"
+            + "<p>совмещенный</p></div>"),
+          lit("<div data-name=\"OfferStats\">"), tv, lit(" просмотров, "),
+          tdv, lit(" за сегодня, "), cks, lit(" уникальных</div>"),
+          lit("<div data-name=\"Geo\"><address itemprop=\"name\" "
+            + "content=\"Москва, "), street, lit(", 5\"></address>"),
+          lit("<div data-name=\"UndergroundItem\"><a href=\"#\">м. "),
+          col("c_name"), lit("</a></div></div>"),
+          lit("<a data-name=\"AddressItem\" href=\"https://cian.ru/\">"
+            + "Москва</a>"),
+          lit("<a data-name=\"AddressItem\" href=\"https://cian.ru/"
+            + "cat.php?district%5B0%5D=1\">ЦАО</a>"),
+          lit("<a data-name=\"AddressItem\" href=\"https://cian.ru/"
+            + "ulitsa-x-02"), cks, lit("/\">"), street, lit("</a>"),
+          lit("<a data-name=\"AddressItem\" href=\"https://cian.ru/"
+            + "cat.php?house%5B0%5D="), cks, lit("\">5</a>"),
+          when(pmod(ck, lit(2)) === 0,
+            lit("<div data-name=\"FeaturesItem\">Холодильник</div>"))
+            .otherwise(lit("")),
+          when(pmod(ck, lit(7)) === 0,
+            lit("<div data-name=\"OfferUnpublished\">Снято</div>"))
+            .otherwise(lit("")),
+          lit("</body></html>"))
+        val pages = Tables.customer(s, d).select(
+          concat(lit("https://cian.ru/rent/flat/"), cks, lit("/")).as("url"),
+          html.as("html")).as[RawPage]
+        val parsed = Pipeline.filterParsed(
+          Pipeline.parsePages(s, pages, "2024-06-01 00:00:00"))
+        val normalized = Normalize(Flatten(parsed),
+          lit("2024-06-15 12:00:00").cast("timestamp"))
+        normalized.select(
+          col("offer_id"), col("status"),
+          col("price_value"), col("estimated_price"),
+          col("room_count"), col("total_area"),
+          col("floor"), col("total_floors"),
+          col("security_deposit"), col("commission"),
+          col("rental_period"), col("utilities_payment"), col("bathroom"),
+          col("city"), col("district"), col("street"), col("street_id"),
+          col("building"), col("building_id"), col("address"),
+          col("metro_station"), col("updated_date"),
+          col("total_views"), col("today_views"), col("unique_views"),
+          // flags are true/null internally (merge null-skip semantics);
+          // coalesce at the output so both engines render plain booleans
+          coalesce(col("has_refrigerator"), lit(false))
+            .as("has_refrigerator"))
+      },
+      Some("""SELECT CAST(c_custkey AS VARCHAR) AS offer_id,
+             |  CASE WHEN c_custkey % 7 = 0 THEN 'non active' ELSE 'active' END AS status,
+             |  CAST(c_custkey * 100 AS DOUBLE) AS price_value,
+             |  CAST(c_custkey * 90 AS DOUBLE) AS estimated_price,
+             |  CAST(c_custkey % 4 + 1 AS DOUBLE) AS room_count,
+             |  CAST(c_custkey % 80 + 20 AS DOUBLE) AS total_area,
+             |  CAST(c_custkey % 9 + 1 AS DOUBLE) AS "floor",
+             |  CAST(12 AS DOUBLE) AS total_floors,
+             |  CAST(c_custkey * 10 AS DOUBLE) AS security_deposit,
+             |  CAST(50 AS DOUBLE) AS commission,
+             |  'На длительный срок' AS rental_period,
+             |  ' Комм. платежи включены' AS utilities_payment,
+             |  'совмещенный' AS bathroom,
+             |  'Москва' AS city,
+             |  'ЦАО' AS district,
+             |  replace(c_name || ' улица', 'улица', 'ул.') AS street,
+             |  CAST(c_custkey AS VARCHAR) AS street_id,
+             |  '5' AS building,
+             |  CAST(c_custkey AS VARCHAR) AS building_id,
+             |  'Москва, ' || replace(c_name || ' улица', 'улица', 'ул.') || ', 5' AS address,
+             |  c_name AS metro_station,
+             |  strftime(make_timestamp(2024, 1, c_custkey % 28 + 1, 10, 30, 0), '%Y-%m-%d %H:%M:%S') AS updated_date,
+             |  CAST(c_custkey * 3 AS DOUBLE) AS total_views,
+             |  CAST(c_custkey % 24 AS DOUBLE) AS today_views,
+             |  CAST(c_custkey AS DOUBLE) AS unique_views,
+             |  (c_custkey % 2 = 0) AS has_refrigerator
+             |FROM customer""".stripMargin),
+    ),
+
+    // ---- U2 card splitter: each search page fans out to 2 card records
+    // (generator semantics, parse_data.py:256-281); offer id comes from
+    // the LinkArea href (html_parser.py:203-210), overriding the page URL.
+    Q(
+      "q37_parse_search_cards",
+      (s, d) => {
+        import s.implicits._
+        val ck = col("c_custkey")
+        def card(j: Int): Column = concat(
+          lit("<div data-name=\"CardComponent\">"
+            + "<div data-name=\"LinkArea\"><a href=\"https://cian.ru/rent/flat/"),
+          n(ck * 10 + j),
+          lit("/\">Объявление</a></div><span data-mark=\"MainPrice\">"),
+          n(ck * 100 + j),
+          lit(" ₽/мес.</span></div>"))
+        val html = concat(
+          lit("<html><body><div data-name=\"Offers\">"),
+          card(1), card(2), lit("</div></body></html>"))
+        val pages = Tables.customer(s, d).select(
+          concat(lit("https://cian.ru/rent/flats/?page="), n(ck)).as("url"),
+          html.as("html")).as[RawPage]
+        Pipeline.filterParsed(
+            Pipeline.parsePages(s, pages, "2024-06-01 00:00:00"))
+          .select(col("offer_id"), col("offer_url"),
+            graft.functions.Functions.parseNumeric(col("price_value"))
+              .as("price_value"))
+      },
+      Some("""SELECT CAST(c_custkey * 10 + j AS VARCHAR) AS offer_id,
+             |  'https://cian.ru/rent/flat/' || CAST(c_custkey * 10 + j AS VARCHAR) AS offer_url,
+             |  CAST(c_custkey * 100 + j AS DOUBLE) AS price_value
+             |FROM customer CROSS JOIN (VALUES (1), (2)) t(j)""".stripMargin),
+    ),
+  )
+}
