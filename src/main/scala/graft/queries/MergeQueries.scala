@@ -72,6 +72,94 @@ object MergeQueries extends QueryModule {
              |FROM per_user p LEFT JOIN cdc c ON p.user_id = c.user_id""".stripMargin),
     ),
 
+    // ---- The MATCHED-row merge path (R1/R2/R4/R5/R6/R7 cross-batch,
+    // merge.py:29-94): events split by event_id parity into two batches;
+    // batch 1 folds into an empty master, batch 2 folds into THAT — so
+    // every batch-2 row for a batch-1 user exercises the update branch
+    // against a real target row. Cross-batch == one fold in (parity,
+    // event_id) order, which DuckDB restates with window functions.
+    // is_unpublished (event_type='error') drives the R4 unpublish
+    // transition; description exercises the R7 freeze-while-unpublished.
+    Q(
+      "q38_merge_two_batch",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          col("user_id").cast(StringType).as("offer_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("updated_date"),
+          col("value").as("price_value"),
+          (col("event_type") === "error").as("is_unpublished"),
+          concat(lit("d-"), col("event_id").cast("string")).as("description"),
+          col("event_id"))
+        val batch1 = ev.filter(col("event_id") % 2 === 0)
+        val batch2 = ev.filter(col("event_id") % 2 === 1)
+        val emptyTarget = s.createDataFrame(
+          s.sparkContext.emptyRDD[Row],
+          StructType(Seq(
+            StructField("offer_id", StringType),
+            StructField("updated_date", StringType),
+            StructField("price_value", DoubleType),
+            StructField("is_unpublished", BooleanType),
+            StructField("description", StringType))))
+        val m1 = MergeListings.mergeBatch(emptyTarget, batch1, Some("event_id"))
+        val m2 = MergeListings.mergeBatch(m1, batch2, Some("event_id"))
+        m2.select(
+          col("offer_id").cast(LongType).as("user_id"),
+          col("price_value"),
+          col("publication_date"),
+          col("last_active"),
+          col("is_unpublished"),
+          col("unpublished_date"),
+          col("description"),
+          col("total_price_changes"),
+          col("price_change_value"),
+          col("price_change_date"),
+          col("price_changes"),
+          col("price_changes_dates"))
+      },
+      Some("""WITH src AS (
+             |  SELECT user_id, event_id, value,
+             |    strftime(ts, '%Y-%m-%d %H:%M:%S') AS tss,
+             |    (event_type = 'error') AS unpub,
+             |    'd-' || CAST(event_id AS VARCHAR) AS descr,
+             |    event_id % 2 AS batch
+             |  FROM events
+             |), ordered AS (
+             |  SELECT *, row_number() OVER w AS rn,
+             |    lag(value) OVER w AS prev_value,
+             |    lag(unpub) OVER w AS prev_unpub
+             |  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY batch, event_id)
+             |), flags AS (
+             |  SELECT *,
+             |    (rn > 1 AND unpub AND NOT prev_unpub) AS transition,
+             |    (rn > 1 AND NOT (unpub AND NOT prev_unpub)
+             |       AND value <> prev_value) AS price_changed,
+             |    CAST(trunc(value) AS BIGINT) - CAST(trunc(prev_value) AS BIGINT) AS delta
+             |  FROM ordered
+             |), per_user AS (
+             |  SELECT user_id,
+             |    max_by(value, rn) AS price_value,
+             |    min_by(tss, rn) AS publication_date,
+             |    max_by(tss, rn) AS last_active,
+             |    max_by(unpub, rn) AS is_unpublished,
+             |    max_by(tss, rn) FILTER (WHERE transition) AS unpublished_date,
+             |    max_by(descr, rn) FILTER (WHERE NOT unpub OR rn = 1) AS description
+             |  FROM flags GROUP BY user_id
+             |), cdc AS (
+             |  SELECT user_id,
+             |    count(*) AS total_price_changes,
+             |    max_by(delta, rn) AS price_change_value,
+             |    max_by(tss, rn) AS price_change_date,
+             |    string_agg(CAST(delta AS VARCHAR), ', ' ORDER BY rn) AS price_changes,
+             |    string_agg(tss, ', ' ORDER BY rn) AS price_changes_dates
+             |  FROM flags WHERE price_changed GROUP BY user_id
+             |)
+             |SELECT p.user_id, p.price_value, p.publication_date, p.last_active,
+             |  p.is_unpublished, p.unpublished_date, p.description,
+             |  c.total_price_changes, c.price_change_value, c.price_change_date,
+             |  c.price_changes, c.price_changes_dates
+             |FROM per_user p LEFT JOIN cdc c ON p.user_id = c.user_id""".stripMargin),
+    ),
+
     // ---- J5 enrichment join: master ⋈ small enrichment frame, non-null
     // enrichment wins (distance.py:75-90 shape). The enrichment side is
     // tiny → broadcast; master never shuffles.
