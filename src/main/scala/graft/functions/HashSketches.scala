@@ -104,6 +104,47 @@ case class SimHash64Expr(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** array<double> vector → array<int> of sign-LSH bucket ids, one per
+  * table. The Column form (16 tables × numPlanes zip_with/aggregate
+  * chains over plane-weight array LITERALS) carries ~6k literal nodes in
+  * the plan and re-evaluates the HOF lambdas per table; this computes
+  * every table's bucket in one tight loop per row. Plane weights are a
+  * constructor argument (serialized with the expression, not plan
+  * literals) and the dot product folds in ascending index order — bucket
+  * ids are bit-identical to the Column form for equal-length inputs.
+  */
+case class SignLshBucketsExpr(child: Expression,
+    planes: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types.IntegerType
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData].toDoubleArray()
+    val out = new Array[Int](planes.length)
+    var t = 0
+    while (t < planes.length) {
+      val table = planes(t)
+      var bucket = 0
+      var p = 0
+      while (p < table.length) {
+        val w = table(p)
+        val lim = math.min(w.length, v.length)
+        var dot = 0.0
+        var i = 0
+        while (i < lim) { dot += v(i) * w(i); i += 1 }
+        if (dot > 0) bucket |= (1 << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object HashSketches {
   import org.apache.spark.sql.GraftBridge
 
@@ -113,4 +154,12 @@ object HashSketches {
 
   def simhash64(tokens: Column): Column =
     GraftBridge.column(SimHash64Expr(GraftBridge.expression(tokens)))
+
+  /** @param planes [table][plane][dim] weights (see
+    *               [[graft.ops.Similarity.lshBucket]] for the seeded
+    *               generator this must match). */
+  def signLshBuckets(vec: Column,
+      planes: Array[Array[Array[Double]]]): Column =
+    GraftBridge.column(
+      SignLshBucketsExpr(GraftBridge.expression(vec), planes))
 }

@@ -64,89 +64,103 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  // ------------------------------------------------------- kernel path
+  // ------------------------------------------------- blocked kernel path
 
-  /** Pairwise kernel: the DataFrame brute-force forms above push the
-    * cosine predicate INTO the nested-loop join condition, where Catalyst
-    * evaluates the 190-node expression interpreted per pair (measured
-    * 60-90 s for 2M pairs). This path broadcasts the (small) vector set
-    * once — norms precomputed — and runs tight primitive loops per
-    * partition: same sequential FP order (bit-identical results), ~50×
-    * faster. At 100 TB the same kernel runs per block-pair of a blocked
-    * all-pairs decomposition instead of one global broadcast.
-    */
-  /** (id, vector, norm) for every row, sorted by id, norms precomputed
-    * with the same ascending-index sum as the expression form. */
-  private def collectVectors(df: DataFrame, idCol: String,
-      vecCol: String): Array[(Long, Array[Double], Double)] =
-    df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
-      .collect()
-      .map { r =>
-        val v = r.getSeq[Double](1).toArray
-        var s = 0.0
-        var i = 0
-        while (i < v.length) { s += v(i) * v(i); i += 1 }
-        (r.getLong(0), v, math.sqrt(s))
-      }.sortBy(_._1)
+  /** Blocked all-pairs kernel: the DataFrame brute-force forms above push
+    * the cosine predicate INTO the nested-loop join condition, where
+    * Catalyst evaluates the 190-node expression interpreted per pair
+    * (measured 60-90 s for 2M pairs). Here vectors land in `numBlocks`
+    * stable blocks (id mod B); every (query-block, candidate-block) pair
+    * becomes ONE task over two in-memory arrays, and a tight primitive
+    * loop computes the dot products in the same ascending-index order as
+    * the expression form — bit-identical results, no driver collect(),
+    * per-task memory bounded by 2·n/B vectors. Replication factor is B
+    * (each block ships to B tasks): at 100 TB pick B so n/B vectors fit
+    * an executor (e.g. 64-dim doubles, 4 GiB budget → ~8M vectors/block),
+    * which is exactly the blocked matrix-multiply decomposition. */
+  private def packedBlocks(df: DataFrame, idCol: String, vecCol: String,
+      numBlocks: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("__v"))
+      .groupBy(pmod(col("id"), lit(numBlocks)).cast("int").as("__blk"))
+      .agg(collect_list(struct(col("id").as("_1"), col("__v").as("_2")))
+        .as("vecs"))
 
-  /** Exact cosine pairs ≥ tau via the broadcast kernel. */
-  def cosinePairsKernel(df: DataFrame, idCol: String, vecCol: String,
-      tau: Double, dim: Int = 64): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val all = collectVectors(df, idCol, vecCol)
-    val bc = spark.sparkContext.broadcast(all)
-    val n = all.length
-    // fine slicing balances the triangular workload (row i pairs with
-    // n-i-1 others) across the scheduler
-    spark.sparkContext.parallelize(0 until n,
-        math.min(math.max(n, 1), 8 * spark.sparkContext.defaultParallelism))
-      .flatMap { i =>
-        val vs = bc.value
-        val (ida, va, na) = vs(i)
-        (i + 1 until vs.length).iterator.flatMap { j =>
-          val (idb, vb, nb) = vs(j)
-          var dot = 0.0
-          var k = 0
-          while (k < va.length) { dot += va(k) * vb(k); k += 1 }
-          val cos = dot / (na * nb)
-          if (cos >= tau) Some((ida, idb, cos)) else None
-        }
-      }.toDF("id_a", "id_b", "cosine")
+  private def l2(v: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    math.sqrt(s)
   }
 
-  /** Exact top-k per vector via the broadcast kernel (ties: cosine desc,
-    * neighbor id asc — same ordering as the window-function form). */
-  def cosineTopKKernel(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, dim: Int = 64): DataFrame = {
+  private def dotP(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < a.length) { d += a(i) * b(i); i += 1 }
+    d
+  }
+
+  /** Exact cosine pairs ≥ tau via the blocked kernel: B(B+1)/2 tasks —
+    * each unordered id pair meets in exactly one (min-block, max-block)
+    * task, same-block tasks loop the strict upper triangle. */
+  def cosinePairsKernel(df: DataFrame, idCol: String, vecCol: String,
+      tau: Double, numBlocks: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val all = collectVectors(df, idCol, vecCol)
-    val bc = spark.sparkContext.broadcast(all)
-    val n = all.length
-    spark.sparkContext.parallelize(0 until n,
-        math.min(n, spark.sparkContext.defaultParallelism)).flatMap { i =>
-      val vs = bc.value
-      val (ida, va, na) = vs(i)
-      val sims = new Array[(Double, Long)](vs.length - 1)
-      var w = 0
-      var j = 0
-      while (j < vs.length) {
-        if (j != i) {
-          val (idb, vb, nb) = vs(j)
-          var dot = 0.0
-          var m = 0
-          while (m < va.length) { dot += va(m) * vb(m); m += 1 }
-          sims(w) = (dot / (na * nb), idb)
-          w += 1
+    val packed = packedBlocks(df, idCol, vecCol, numBlocks)
+    val tasks = packed.select(col("__blk").as("qblk"), col("vecs").as("qv"))
+      .crossJoin(packed.select(col("__blk").as("cblk"), col("vecs").as("cv")))
+      .filter(col("qblk") <= col("cblk"))
+      .as[(Int, Seq[(Long, Seq[Double])], Int, Seq[(Long, Seq[Double])])]
+    tasks.flatMap { case (qblk, qvecs, cblk, cvecs) =>
+      val qs = qvecs.map { case (id, v) =>
+        val a = v.toArray; (id, a, l2(a)) }.toArray
+      val cs = if (qblk == cblk) qs
+        else cvecs.map { case (id, v) =>
+          val a = v.toArray; (id, a, l2(a)) }.toArray
+      qs.iterator.flatMap { case (ida, va, na) =>
+        cs.iterator.filter { case (idb, _, _) =>
+          if (qblk == cblk) ida < idb else true
+        }.flatMap { case (idb, vb, nb) =>
+          val cos = dotP(va, vb) / (na * nb)
+          if (cos >= tau)
+            Some((math.min(ida, idb), math.max(ida, idb), cos))
+          else None
         }
-        j += 1
       }
-      val top = sims.sortBy { case (c, id) => (-c, id) }.take(k)
-      top.iterator.zipWithIndex.map { case ((c, idb), r) =>
-        (ida, idb, c, r + 1)
+    }.toDF("id_a", "id_b", "cosine")
+  }
+
+  /** Exact top-k per vector via the blocked kernel: each task emits a
+    * per-query PARTIAL top-k against its candidate block (global top-k ⊆
+    * union of partials), then one window pass merges the ≤ B·k partials
+    * per id. Ties: cosine desc, neighbor id asc — same ordering as the
+    * window-function form (tested bit-identical). */
+  def cosineTopKKernel(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, numBlocks: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val packed = packedBlocks(df, idCol, vecCol, numBlocks)
+    val tasks = packed.select(col("__blk").as("qblk"), col("vecs").as("qv"))
+      .crossJoin(packed.select(col("__blk").as("cblk"), col("vecs").as("cv")))
+      .as[(Int, Seq[(Long, Seq[Double])], Int, Seq[(Long, Seq[Double])])]
+    val partial = tasks.flatMap { case (_, qvecs, _, cvecs) =>
+      val cs = cvecs.map { case (id, v) =>
+        val a = v.toArray; (id, a, l2(a)) }.toArray
+      qvecs.iterator.flatMap { case (qid, qv) =>
+        val qa = qv.toArray
+        val qn = l2(qa)
+        val sims = cs.iterator.collect {
+          case (idb, vb, nb) if idb != qid =>
+            (dotP(qa, vb) / (qn * nb), idb)
+        }.toArray
+        sims.sortBy { case (c, id) => (-c, id) }.take(k)
+          .iterator.map { case (c, idb) => (qid, idb, c) }
       }
-    }.toDF("id", "neighbor_id", "cosine", "rank")
+    }.toDF("id", "neighbor_id", "cosine")
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    partial.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** IVF (inverted-file) ANN: k-means partitions the vector space into
@@ -168,10 +182,18 @@ object Similarity {
     val base = df.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("__v"))
       .withColumn("__features", array_to_vector(col("__v")))
-    // few iterations on purpose: cells only need to be roughly Voronoi
-    // for probing — recall comes from nProbe, not assignment optimality
+    // Train on a bounded seeded sample: 16 centroids need ~10^5 points,
+    // not 8 full passes over the table (at 100 TB, full-table fit IS the
+    // index-build bottleneck). Few iterations + rough cells on purpose —
+    // recall comes from nProbe, not assignment optimality. The one count()
+    // is metadata-cheap on parquet and amortized into the index build.
+    val trainCap = 100000L
+    val n = base.count()
+    val train = if (n <= trainCap) base
+      else base.sample(withReplacement = false,
+        trainCap.toDouble / n, seed)
     val model = new KMeans().setK(numCentroids).setSeed(seed)
-      .setMaxIter(8).setFeaturesCol("__features").fit(base)
+      .setMaxIter(8).setFeaturesCol("__features").fit(train)
     val centers = model.clusterCenters.map(_.toArray)
     val bcCenters = spark.sparkContext.broadcast(centers)
 
@@ -210,7 +232,7 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplanes for sign-LSH (seeded on the
     * driver; shipped as literals — they are plan constants). */
-  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+  private[ops] def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)
     Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
@@ -246,24 +268,31 @@ object Similarity {
       numPlanes: Int, dim: Int, numTables: Int = 16,
       seed: Long = 42L): DataFrame = {
     val v = withVec(df, idCol, vecCol)
-    val tables = array((0 until numTables).map(t => struct(
-      lit(t).as("tbl"),
-      lshBucket(col("__v"), numPlanes, dim, seed + t).as("bucket"))): _*)
-    val buckets = v.select(col(idCol), col("__v"), explode(tables).as("bk"))
-      .select(col(idCol), col("__v"), col("bk.tbl"), col("bk.bucket"))
+    // all tables' buckets in ONE native-expression pass per row (the
+    // Column-form equivalent carries ~6k plan literals and re-runs a
+    // HOF chain per table — bucket ids proven equal in tests)
+    val planes: Array[Array[Array[Double]]] =
+      (0 until numTables).map(t =>
+        hyperplanes(numPlanes, dim, seed + t)
+          .map(_.toArray).toArray).toArray
+    val buckets = v
+      .select(col(idCol), col("__v"),
+        posexplode(graft.functions.HashSketches.signLshBuckets(
+          col("__v"), planes)).as(Seq("tbl", "bucket")))
     val a = buckets.alias("a")
     val b = buckets.alias("b")
+    // Vectors are CARRIED through the bucket join and the cosine computed
+    // before the pair-dedup: a pair colliding in several tables costs a
+    // few redundant expression evals, which beats re-joining the vector
+    // table twice after distinct() (two extra shuffles of the whole
+    // candidate set — measured slower than exact brute force at sf0.1).
     val pairs = a.join(b, col("a.tbl") === col("b.tbl")
         && col("a.bucket") === col("b.bucket")
         && col(s"a.$idCol") =!= col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id"), col(s"b.$idCol").as("neighbor_id"))
-      .distinct()
-      .join(v.select(col(idCol).as("id"), col("__v").as("__va")), "id")
-      .join(v.select(col(idCol).as("neighbor_id"), col("__v").as("__vb")),
-        "neighbor_id")
-      .select(col("id"), col("neighbor_id"),
-        graft.functions.CosineSimilarity(col("__va"), col("__vb"))
+      .select(col(s"a.$idCol").as("id"), col(s"b.$idCol").as("neighbor_id"),
+        graft.functions.CosineSimilarity(col("a.__v"), col("b.__v"))
           .as("cosine"))
+      .distinct()
     val w = Window.partitionBy(col("id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w))

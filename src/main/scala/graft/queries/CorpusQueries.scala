@@ -56,13 +56,13 @@ object CorpusQueries extends QueryModule {
       None,
     ),
 
-    // ---- embedding cosine near-dup: brute-force exact (the baseline).
+    // ---- embedding cosine near-dup: exact, via the blocked kernel (the
+    // oracle-checked path IS the scale path — block-pair tasks, no
+    // driver collect, no all-pairs join; the declarative cosinePairs
+    // form remains as the equality-tested reference implementation).
     Q(
       "q24_embedding_near_dup",
-      // declarative form: the native CosineSimilarity Expression keeps
-      // the nested-loop join condition on a tight-loop eval (the HOF
-      // composition was interpreted per pair — 60x slower)
-      (s, d) => Similarity.cosinePairs(
+      (s, d) => Similarity.cosinePairsKernel(
         Tables.embeddings(s, d), "vec_id", "embedding", tau = 0.45),
       Some("""WITH e AS (
              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -80,9 +80,10 @@ object CorpusQueries extends QueryModule {
     // ---- exact cosine top-k per vector (ANN correctness baseline).
     Q(
       "q25_cosine_topk",
-      // kernel path: the declarative window form shuffles all n² pairs
-      // for ranking (14 s at sf0.1); the kernel ranks per-partition and
-      // emits only k rows per vector (2.7 s), same bits (tested equal)
+      // blocked kernel: the declarative window form shuffles all n² pairs
+      // for ranking (14 s at sf0.1); the blocked kernel emits per-block
+      // partial top-k (≤ B·k rows per vector reach the final window),
+      // same bits (tested equal), and no driver collect()
       (s, d) => Similarity.cosineTopKKernel(
         Tables.embeddings(s, d), "vec_id", "embedding", k = 3),
       Some("""WITH e AS (

@@ -54,6 +54,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(shMismatch == 0)
   }
 
+  test("native sign-LSH buckets equal the Column-composed lshBucket form") {
+    import graft.functions.HashSketches
+    val numTables = 4
+    val numPlanes = 6
+    val planes = (0 until numTables).map(t =>
+      Similarity.hyperplanes(numPlanes, 64, 42L + t)
+        .map(_.toArray).toArray).toArray
+    val v = embs.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val colForm = v.select($"vec_id",
+      array((0 until numTables).map(t =>
+        Similarity.lshBucket($"v", numPlanes, 64, 42L + t)): _*).as("b"))
+    val natForm = v.select($"vec_id",
+      HashSketches.signLshBuckets($"v", planes).as("b"))
+    val mismatch = colForm.alias("c").join(natForm.alias("n"), "vec_id")
+      .filter(col("c.b") =!= col("n.b")).count()
+    assert(mismatch == 0)
+  }
+
   test("simhash of identical texts equal; hamming pairs include near-dups") {
     val d = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
       (3L, "q w e r t y u i")).toDF("doc_id", "text")
