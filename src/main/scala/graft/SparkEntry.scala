@@ -18,6 +18,7 @@ object SparkEntry {
     MergeQueries,
     CorpusQueries,
     ParseQueries,
+    StreamingQueries,
   )
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)

@@ -1,0 +1,161 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.streaming.{StreamingMerge, StreamOps}
+
+/** Driver-visible exercise of the Structured Streaming layer (SURVEY §2
+  * S1–S7): these queries run REAL streaming plans — `readStream` file
+  * source → `Trigger.AvailableNow` → `foreachBatch` MERGE + atomic
+  * publish / watermarked window aggregation — and surface the result as
+  * a batch DataFrame the DuckDB oracle can restate.
+  *
+  * The reference's hourly cron run IS one micro-batch (scrape_and_
+  * process.sh:1-24 + parse_data.py:213-233): each q41 streaming run
+  * consumes the files that appeared since the last checkpoint, merges
+  * them into the parquet master, and atomically swaps it — two runs here
+  * reproduce two cron ticks, so the matched-row merge rules fire
+  * cross-batch exactly as in q38's fold restatement.
+  */
+object StreamingQueries extends QueryModule {
+
+  /** Per-invocation scratch root (unique dir under java.io.tmpdir; the
+    * file-source checkpoint, input files, and master live beneath it). */
+  private def scratch(): String =
+    Files.createTempDirectory("graft-stream-").toString
+
+  val queries: Seq[Q] = Seq(
+    // ---- S1/S2/S5/S6/S7 + J1/R-rules through the real streaming path:
+    // events (a deterministic 1-in-7 user subset) split by event_id
+    // parity into two "cron ticks"; each tick is delivered as a parquet
+    // file into a watched directory and processed by an AvailableNow run
+    // with a shared checkpoint — run 2 sees ONLY the new file, so its
+    // rows hit a populated master (the matched-row branch). The final
+    // master must equal q38's batch fold of the same rows.
+    Q(
+      "q41_streaming_merge",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("user_id") % 7 === 0)
+          .select(
+            col("user_id").cast("string").as("offer_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("updated_date"),
+            col("value").as("price_value"),
+            (col("event_type") === "error").as("is_unpublished"),
+            concat(lit("d-"), col("event_id").cast("string")).as("description"),
+            col("event_id"))
+        val root = scratch()
+        val inDir = s"$root/in"
+        val masterPath = s"$root/master"
+        val ckpt = s"$root/ckpt"
+
+        def tick(batch: DataFrame): Unit = {
+          batch.coalesce(1).write.mode("append").parquet(inDir)
+          val stream = s.readStream.schema(batch.schema).parquet(inDir)
+          StreamingMerge.start(stream, masterPath, ckpt, Some("event_id"))
+            .awaitTermination()
+        }
+        tick(ev.filter(col("event_id") % 2 === 0))
+        tick(ev.filter(col("event_id") % 2 === 1))
+
+        s.read.parquet(masterPath).select(
+          col("offer_id").cast("long").as("user_id"),
+          col("price_value"),
+          col("publication_date"),
+          col("last_active"),
+          col("is_unpublished"),
+          col("unpublished_date"),
+          col("description"),
+          col("total_price_changes"),
+          col("price_change_value"),
+          col("price_change_date"),
+          col("price_changes"),
+          col("price_changes_dates"))
+      },
+      // Same window-function restatement as q38, restricted to the 1-in-7
+      // user subset the streaming run consumed.
+      Some("""WITH src AS (
+             |  SELECT user_id, event_id, value,
+             |    strftime(ts, '%Y-%m-%d %H:%M:%S') AS tss,
+             |    (event_type = 'error') AS unpub,
+             |    'd-' || CAST(event_id AS VARCHAR) AS descr,
+             |    event_id % 2 AS batch
+             |  FROM events WHERE user_id % 7 = 0
+             |), ordered AS (
+             |  SELECT *, row_number() OVER w AS rn,
+             |    lag(value) OVER w AS prev_value,
+             |    lag(unpub) OVER w AS prev_unpub
+             |  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY batch, event_id)
+             |), flags AS (
+             |  SELECT *,
+             |    (rn > 1 AND unpub AND NOT prev_unpub) AS transition,
+             |    (rn > 1 AND NOT (unpub AND NOT prev_unpub)
+             |       AND value <> prev_value) AS price_changed,
+             |    CAST(trunc(value) AS BIGINT) - CAST(trunc(prev_value) AS BIGINT) AS delta
+             |  FROM ordered
+             |), per_user AS (
+             |  SELECT user_id,
+             |    max_by(value, rn) AS price_value,
+             |    min_by(tss, rn) AS publication_date,
+             |    max_by(tss, rn) AS last_active,
+             |    max_by(unpub, rn) AS is_unpublished,
+             |    max_by(tss, rn) FILTER (WHERE transition) AS unpublished_date,
+             |    max_by(descr, rn) FILTER (WHERE NOT unpub OR rn = 1) AS description
+             |  FROM flags GROUP BY user_id
+             |), cdc AS (
+             |  SELECT user_id,
+             |    count(*) AS total_price_changes,
+             |    max_by(delta, rn) AS price_change_value,
+             |    max_by(tss, rn) AS price_change_date,
+             |    string_agg(CAST(delta AS VARCHAR), ', ' ORDER BY rn) AS price_changes,
+             |    string_agg(tss, ', ' ORDER BY rn) AS price_changes_dates
+             |  FROM flags WHERE price_changed GROUP BY user_id
+             |)
+             |SELECT p.user_id, p.price_value, p.publication_date, p.last_active,
+             |  p.is_unpublished, p.unpublished_date, p.description,
+             |  c.total_price_changes, c.price_change_value, c.price_change_date,
+             |  c.price_changes, c.price_changes_dates
+             |FROM per_user p LEFT JOIN cdc c ON p.user_id = c.user_id""".stripMargin),
+    ),
+
+    // ---- S3 event-time windows through the real streaming path: the
+    // watermarked tumbling rollup (StreamOps.hourlyRollup) driven by a
+    // file-source stream in Update mode into a memory sink. One
+    // AvailableNow batch → every window is emitted exactly once, so the
+    // sink contents equal q13's batch rollup and share its oracle.
+    Q(
+      "q42_streaming_rollup",
+      (s, d) => {
+        val root = scratch()
+        val inDir = s"$root/in"
+        val ev = Tables.events(s, d).select(col("ts"), col("event_type"),
+          col("value"))
+        ev.write.parquet(inDir)
+        val sinkTable = "graft_stream_rollup_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = StreamOps
+          .hourlyRollup(s.readStream.schema(ev.schema).parquet(inDir))
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("memory")
+          .queryName(sinkTable)
+          .start()
+        q.awaitTermination()
+        s.table(sinkTable).select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"),
+          col("total_value").cast("double").as("total_value"))
+      },
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             |  event_type,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1, 2""".stripMargin),
+    ),
+  )
+}

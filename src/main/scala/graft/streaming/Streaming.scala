@@ -22,26 +22,31 @@ object StreamingMerge {
     * unchanged.
     */
   def start(batches: DataFrame, masterPath: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String, seqCol: Option[String] = None): StreamingQuery = {
     batches.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        mergeIntoMaster(spark, batch, masterPath)
+        mergeIntoMaster(spark, batch, masterPath, seqCol)
       }
       .start()
   }
 
   /** One micro-batch merge + atomic publish (callable from batch mode
-    * too — the cron-driven E2 entry uses exactly this). */
+    * too — the cron-driven E2 entry uses exactly this).
+    *
+    * @param seqCol optional source column giving the deterministic fold
+    *        order for multiple same-key rows inside one micro-batch (the
+    *        reference folds listings in scrape order, merge.py:96-99)
+    */
   def mergeIntoMaster(spark: SparkSession, batch: DataFrame,
-      masterPath: String): Unit = {
+      masterPath: String, seqCol: Option[String] = None): Unit = {
     val master = graft.io.AtomicParquet.read(spark, masterPath, batch)
     // publish writes to tmp first (executing the plan while the master
     // path is still intact) and only then swaps — no checkpoint needed
-    val merged = graft.merge.MergeListings.mergeBatch(master, batch)
+    val merged = graft.merge.MergeListings.mergeBatch(master, batch, seqCol)
     graft.io.AtomicParquet.publish(merged, masterPath)
   }
 }
