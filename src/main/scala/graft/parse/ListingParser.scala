@@ -79,7 +79,10 @@ object ListingParser {
       .map(_.replace("Обновлено: ", ""))
     val title = firstText(html, Seq(
       "data-mark" -> "OfferSubtitle", "data-mark" -> "OfferTitle"))
-    val error = {
+    // P8: DOM error classification first (404 AND 429 shapes,
+    // parse_listing_page.js:4-50); any other h5.error-code text is still
+    // surfaced so the P5 error-row filter drops those pages too.
+    val error = ErrorPages.classifyListing(html).orElse {
       val re = """(?s)<h5[^>]*class="[^"]*error-code[^"]*"[^>]*>(.*?)</h5>""".r
       re.findFirstMatchIn(html).map(m => text(m.group(1))).filter(_.nonEmpty)
     }

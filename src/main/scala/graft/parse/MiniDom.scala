@@ -89,6 +89,44 @@ object MiniDom {
       .replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
       .replaceAll("[ \t\r\n]+", " ").trim
 
+  /** Elements whose `class` attribute CONTAINS the token (CSS
+    * `.token` semantics — querySelector in the reference's JS), unlike
+    * [[findAll]]'s exact attr="value" match. */
+  def findAllByClassToken(html: String, token: String): Seq[(String, String)] = {
+    val out = ArrayBuffer.empty[(String, String)]
+    var from = 0
+    while (from < html.length) {
+      val at = html.indexOf("class=\"", from)
+      if (at < 0) { from = html.length }
+      else {
+        val vEnd = html.indexOf('"', at + 7)
+        val classes =
+          if (vEnd < 0) Array.empty[String]
+          else html.substring(at + 7, vEnd).split("\\s+")
+        if (classes.contains(token)) {
+          val tagStart = html.lastIndexOf('<', at)
+          val tagEnd = html.indexOf('>', at)
+          if (tagStart >= 0 && tagEnd > tagStart) {
+            val openTag = html.substring(tagStart, tagEnd + 1)
+            openTagRe.findPrefixMatchOf(openTag).foreach { m =>
+              if (openTag.endsWith("/>")) out += ((openTag, ""))
+              else out += ((openTag, balancedInner(html, tagEnd + 1, m.group(1))))
+            }
+          }
+        }
+        from = at + 7
+      }
+    }
+    out.toSeq
+  }
+
+  /** Raw text nodes (inter-tag runs), entity-decoded and ws-collapsed —
+    * the textContent of LEAF elements is a concatenation of these, so a
+    * pattern that must match inside one leaf (extract_summary.js:44-56's
+    * `element.children.length === 0` walk) can be searched per run. */
+  def textRuns(html: String): Seq[String] =
+    html.split("<[^>]*>").toSeq.map(text).filter(_.nonEmpty)
+
   /** Attribute value from an opening tag. */
   def attr(openTag: String, name: String): Option[String] = {
     val re = (name + "=\"([^\"]*)\"").r

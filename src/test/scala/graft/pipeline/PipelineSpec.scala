@@ -58,7 +58,10 @@ class PipelineSpec extends SparkSpec {
     assert(unpub.is_unpublished)
     val err = ListingParser.parse(fixture("error_404.html"),
       "https://x.ru/rent/flat/9/", ts)
-    assert(err.error.contains("404"))
+    assert(err.error.contains("404 - Page not found"))
+    val rate = ListingParser.parse(fixture("error_429.html"),
+      "https://x.ru/rent/flat/9/", ts)
+    assert(rate.error.contains("429 - Too many requests"))
   }
 
   test("end-to-end: two batches through parse→flatten→normalize→merge→view") {
