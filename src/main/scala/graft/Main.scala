@@ -17,10 +17,13 @@ import graft.io.AtomicParquet
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect {
+    // zero-arity flags are consumed separately — pairing them through a
+    // sliding(2,2) would shift every later key/value pair off by one
+    val zeroArity = Set("--no-unpublish-by-search")
+    val flags = args.filter(zeroArity).toSet
+    val opts = args.filterNot(zeroArity).sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
-    val flags = args.filter(_ == "--no-unpublish-by-search").toSet
     val pagesDir = opts("pages")
     val masterPath = opts("master")
     val outDir = opts.getOrElse("out", masterPath + "_views")

@@ -19,12 +19,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * FP contract: dot and both norms are independent sequential
   * left-to-right sums — bit-identical to the HOF/unrolled forms and to
-  * DuckDB's `list_sum`, so oracle hash-compares stay exact.
+  * DuckDB's `list_sum`, so oracle hash-compares stay exact. Degenerate
+  * inputs follow the HOF form too: length-mismatched arrays yield null
+  * (zip_with null-pads, poisoning its sums) and zero-norm vectors yield
+  * NaN (0.0/0.0 — doubles never throw under ANSI).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def checkInputDataTypes():
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     if (left.dataType == ArrayType(DoubleType, false) ||
@@ -41,7 +45,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
@@ -67,14 +72,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = $a.getDouble($i);
-         |  double $yv = $b.getDouble($i);
-         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = $a.getDouble($i);
+         |    double $yv = $b.getDouble($i);
+         |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |  }
+         |  ${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny));
          |}
-         |${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny));
        """.stripMargin
     })
 

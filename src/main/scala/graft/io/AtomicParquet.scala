@@ -26,9 +26,27 @@ object AtomicParquet {
     val tmp = new Path(path + "__tmp")
     val old = new Path(path + "__old")
     df.write.mode("overwrite").parquet(tmp.toString)
+    // rename returns false instead of throwing (dest exists, cross-fs,
+    // src missing) — continuing would delete the only good copy, so each
+    // step is checked. A crash between the two renames leaves the intact
+    // master at __old; `recover` restores it on the next run.
+    def renameOrThrow(src: Path, dst: Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"atomic publish: rename $src -> $dst failed")
     if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(main)) fs.rename(main, old)
-    fs.rename(tmp, main)
+    if (fs.exists(main)) renameOrThrow(main, old)
+    renameOrThrow(tmp, main)
     fs.delete(old, true)
+  }
+
+  /** Crash recovery: if a previous publish died between its two renames
+    * (no main dir, __old still present), restore the saved master. Call
+    * before [[read]] on restart; a no-op in the healthy state. */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val main = new Path(path)
+    val old = new Path(path + "__old")
+    if (!fs.exists(main) && fs.exists(old) && !fs.rename(old, main))
+      throw new java.io.IOException(s"atomic publish: recovery rename failed for $path")
   }
 }

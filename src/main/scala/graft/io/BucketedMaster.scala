@@ -26,9 +26,8 @@ object BucketedMaster {
     spark.table(table)
 
   /** One merge round against the bucketed master. The returned plan's
-    * master side has no shuffle (verified in BucketedMasterSpec by
-    * asserting Exchange count). */
-  def merge(spark: SparkSession, table: String, batch: DataFrame,
-      buckets: Int = 64): DataFrame =
+    * master side has no shuffle (verified in ScaleOpsSpec by asserting
+    * Exchange count). */
+  def merge(spark: SparkSession, table: String, batch: DataFrame): DataFrame =
     graft.merge.MergeListings.mergeBatch(read(spark, table), batch)
 }

@@ -27,8 +27,11 @@ object Multimodal {
     * stay in lockstep with [[metaExpr]] (tested). */
   object StubCodec extends ImageCodec {
     def decode(bytes: Array[Byte]): MediaMeta = {
-      val n = bytes.length
-      MediaMeta("image/fake", 64 + n % 1024, 64 + (n * 7919) % 1024, 3)
+      // 64-bit multiply: n*7919 overflows Int32 for blobs >= ~272 KB,
+      // and the expression twin runs under ANSI (would throw, not wrap)
+      val n = bytes.length.toLong
+      MediaMeta("image/fake", (64 + n % 1024).toInt,
+        (64 + (n * 7919) % 1024).toInt, 3)
     }
   }
 
@@ -36,7 +39,7 @@ object Multimodal {
     * Columns (codegen'd, prunable) — the fast path when only metadata is
     * needed and no real pixel work happens. */
   def metaExpr(blob: Column): Column = {
-    val n = octet_length(blob)
+    val n = octet_length(blob).cast("long") // match DuckDB's 64-bit octet_length
     struct(
       lit("image/fake").as("mime"),
       (lit(64) + pmod(n, lit(1024))).cast("int").as("width"),

@@ -128,6 +128,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(offs.length == 4 && offs.head == 0L && offs == offs.sorted)
   }
 
+  test("multimodal twins agree on blobs past the Int32 overflow point") {
+    // 300 KB: n*7919 overflows Int32 — Int arithmetic would throw under
+    // ANSI in the expression path while the codec wrapped
+    val big = Seq((1L, Array.fill[Byte](300 * 1024)(7))).toDF("doc_id", "blob")
+    val viaExpr = big.select(Multimodal.metaExpr($"blob").as("m"))
+      .select($"m.width", $"m.height").as[(Int, Int)].collect().head
+    val m = Multimodal.StubCodec.decode(Array.fill[Byte](300 * 1024)(7))
+    assert(viaExpr == ((m.width, m.height)))
+  }
+
+  test("native cosine yields null on length mismatch, like the HOF form") {
+    val d = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),
+      (Seq(1.0, 0.0), Seq(1.0, 0.0))).toDF("a", "b")
+    val native = d.select(graft.functions.CosineSimilarity($"a", $"b"))
+      .as[Option[Double]].collect().toSeq
+    val hof = d.select(Similarity.cosine($"a", $"b"))
+      .as[Option[Double]].collect().toSeq
+    assert(native == Seq(None, Some(1.0)))
+    assert(native == hof)
+  }
+
   test("IVF ANN recall beats LSH at comparable candidate volume") {
     val exact = Similarity.cosineTopK(embs, "vec_id", "embedding", 3)
       .select($"id", $"neighbor_id").as[(Long, Long)].collect().toSet

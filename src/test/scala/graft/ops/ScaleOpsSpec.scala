@@ -40,8 +40,7 @@ class ScaleOpsSpec extends SparkSpec {
 
     val batch = Seq(("1", "2026-01-02 10:00:00", 90.0))
       .toDF("offer_id", "updated_date", "price_value")
-    val merged = BucketedMaster.merge(spark, "graft_master_test", batch,
-      buckets = 4)
+    val merged = BucketedMaster.merge(spark, "graft_master_test", batch)
     // correctness first
     val r = merged.filter($"offer_id" === "1").collect().head
     assert(r.getAs[Double]("price_value") == 90.0)
