@@ -18,6 +18,7 @@ object SparkEntry {
     MergeQueries,
     CorpusQueries,
     ParseQueries,
+    PipelineQueries,
     StreamingQueries,
   )
 

@@ -160,6 +160,105 @@ object MergeQueries extends QueryModule {
              |FROM per_user p LEFT JOIN cdc c ON p.user_id = c.user_id""".stripMargin),
     ),
 
+    // ---- J2 url-fallback join (merge.py:13-18): batch 1 builds a keyed
+    // master carrying offer_url; batch 2 is all ORPHANS (null offer_id,
+    // matching offer_url) — each must adopt the master row's key and
+    // land as an unpublish update (is_unpublished forced true, R4
+    // transition when the prior state was active, R7 description freeze,
+    // null price skipped by R1). DuckDB restates the whole two-batch
+    // fold with the orphan unioned in as a synthetic last row per user.
+    Q(
+      "q48_merge_url_fallback",
+      (s, d) => {
+        val ev = Tables.events(s, d).filter(col("event_id") % 2 === 0).select(
+          col("user_id").cast(StringType).as("offer_id"),
+          concat(lit("https://cian.ru/rent/flat/"),
+            col("user_id").cast("string"), lit("/")).as("offer_url"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("updated_date"),
+          col("value").as("price_value"),
+          (col("event_type") === "error").as("is_unpublished"),
+          concat(lit("d-"), col("event_id").cast("string")).as("description"),
+          col("event_id"))
+        val orphans = ev.select(col("offer_url")).distinct().select(
+          lit(null).cast(StringType).as("offer_id"),
+          col("offer_url"),
+          lit("2026-01-01 00:00:00").as("updated_date"),
+          lit(null).cast(DoubleType).as("price_value"),
+          lit(null).cast(BooleanType).as("is_unpublished"),
+          lit(null).cast(StringType).as("description"),
+          lit(1000000000L).as("event_id"))
+        val emptyTarget = s.createDataFrame(
+          s.sparkContext.emptyRDD[Row],
+          StructType(Seq(
+            StructField("offer_id", StringType),
+            StructField("offer_url", StringType),
+            StructField("updated_date", StringType),
+            StructField("price_value", DoubleType),
+            StructField("is_unpublished", BooleanType),
+            StructField("description", StringType))))
+        val m1 = MergeListings.mergeBatch(emptyTarget, ev, Some("event_id"))
+        val m2 = MergeListings.mergeBatch(m1, orphans, Some("event_id"))
+        m2.select(
+          col("offer_id").cast(LongType).as("user_id"),
+          col("offer_url"),
+          col("price_value"),
+          col("publication_date"),
+          col("last_active"),
+          col("is_unpublished"),
+          col("unpublished_date"),
+          col("description"),
+          col("total_price_changes"),
+          col("price_changes"))
+      },
+      Some("""WITH src AS (
+             |  SELECT user_id, event_id, value,
+             |    strftime(ts, '%Y-%m-%d %H:%M:%S') AS tss,
+             |    (event_type = 'error') AS unpub,
+             |    'd-' || CAST(event_id AS VARCHAR) AS descr
+             |  FROM events WHERE event_id % 2 = 0
+             |), uni AS (
+             |  SELECT * FROM src
+             |  UNION ALL
+             |  SELECT DISTINCT user_id, 1000000000 AS event_id,
+             |    CAST(NULL AS DOUBLE) AS value, '2026-01-01 00:00:00' AS tss,
+             |    TRUE AS unpub, CAST(NULL AS VARCHAR) AS descr
+             |  FROM src
+             |), ordered AS (
+             |  SELECT *, row_number() OVER w AS rn,
+             |    lag(value) OVER w AS prev_value,
+             |    lag(unpub) OVER w AS prev_unpub
+             |  FROM uni WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+             |), flags AS (
+             |  SELECT *,
+             |    (rn > 1 AND unpub AND NOT prev_unpub) AS transition,
+             |    (rn > 1 AND NOT (unpub AND NOT prev_unpub)
+             |       AND value IS NOT NULL AND prev_value IS NOT NULL
+             |       AND value <> prev_value) AS price_changed,
+             |    CAST(trunc(value) AS BIGINT) - CAST(trunc(prev_value) AS BIGINT) AS delta
+             |  FROM ordered
+             |), per_user AS (
+             |  SELECT user_id,
+             |    max_by(value, rn) FILTER (WHERE value IS NOT NULL) AS price_value,
+             |    min_by(tss, rn) AS publication_date,
+             |    max_by(tss, rn) AS last_active,
+             |    max_by(unpub, rn) AS is_unpublished,
+             |    max_by(tss, rn) FILTER (WHERE transition) AS unpublished_date,
+             |    max_by(descr, rn) FILTER (WHERE NOT unpub OR rn = 1) AS description
+             |  FROM flags GROUP BY user_id
+             |), cdc AS (
+             |  SELECT user_id,
+             |    count(*) AS total_price_changes,
+             |    string_agg(CAST(delta AS VARCHAR), ', ' ORDER BY rn) AS price_changes
+             |  FROM flags WHERE price_changed GROUP BY user_id
+             |)
+             |SELECT p.user_id,
+             |  'https://cian.ru/rent/flat/' || CAST(p.user_id AS VARCHAR) || '/' AS offer_url,
+             |  p.price_value, p.publication_date, p.last_active,
+             |  p.is_unpublished, p.unpublished_date, p.description,
+             |  c.total_price_changes, c.price_changes
+             |FROM per_user p LEFT JOIN cdc c ON p.user_id = c.user_id""".stripMargin),
+    ),
+
     // ---- J5 enrichment join: master ⋈ small enrichment frame, non-null
     // enrichment wins (distance.py:75-90 shape). The enrichment side is
     // tiny → broadcast; master never shuffles.

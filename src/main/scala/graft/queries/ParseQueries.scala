@@ -167,5 +167,60 @@ object ParseQueries extends QueryModule {
              |  CAST(c_custkey * 100 + j AS DOUBLE) AS price_value
              |FROM customer CROSS JOIN (VALUES (1), (2)) t(j)""".stripMargin),
     ),
+
+    // ---- P8 error-page DOM classification (all six listing shapes,
+    // parse_listing_page.js:4-50) + U5 summary extractor with its full
+    // fallback chain (leaf-run pattern, h5 textContent, cards-only and
+    // 429 failures — extract_summary.js:5-94), per-row variants driven
+    // by customer keys so DuckDB restates the classification as CASE.
+    Q(
+      "q47_error_pages_summary",
+      (s, d) => {
+        import s.implicits._
+        Tables.customer(s, d).select(col("c_custkey").cast("long"))
+          .as[Long].map { k =>
+            val listingHtml = (k % 6).toInt match {
+              case 0 => """<html><body><h5 class="error-code">404</h5></body></html>"""
+              case 1 => """<html><head><title>Ошибка 404 на cian.ru</title></head><body>x</body></html>"""
+              case 2 => """<html><body><div class="header__code">429</div></body></html>"""
+              case 3 => """<html><body><div>Too Many Requests</div></body></html>"""
+              case 5 => """<html><body><h1 class="title">Страница не найдена</h1></body></html>"""
+              case _ =>
+                s"""<html><body><span data-mark="MainPrice">${k * 100} ₽/мес.</span></body></html>"""
+            }
+            val n = k * 3
+            val summaryHtml = (k % 4).toInt match {
+              case 0 => s"""<html><body><div>Найдено $n объявлений</div></body></html>"""
+              case 1 => s"""<html><body><h5>Найдено <b>$n</b> объявлений</h5></body></html>"""
+              case 2 => """<html><body><div data-name="CardComponent">x</div></body></html>"""
+              case _ => """<html><body><div class="header__code">429</div></body></html>"""
+            }
+            val p = graft.parse.ListingParser.parse(listingHtml,
+              s"https://cian.ru/rent/flat/$k/", "2024-06-01 00:00:00")
+            val sres = graft.parse.ErrorPages.extractSummary(summaryHtml)
+            (p.offer_id, p.error, p.price_value,
+              sres.toOption, sres.left.toOption)
+          }.toDF("offer_id", "error", "price_value",
+            "summary_count", "summary_error")
+      },
+      Some("""SELECT CAST(c_custkey AS VARCHAR) AS offer_id,
+             |  CASE CAST(c_custkey % 6 AS INT)
+             |    WHEN 0 THEN '404 - Page not found'
+             |    WHEN 1 THEN '404 - Page not found'
+             |    WHEN 2 THEN '429 - Too many requests'
+             |    WHEN 3 THEN '429 - Too many requests'
+             |    WHEN 5 THEN '404 - Page not found'
+             |    ELSE NULL END AS error,
+             |  CASE WHEN c_custkey % 6 = 4
+             |    THEN CAST(c_custkey * 100 AS VARCHAR) || ' ₽/мес.'
+             |    ELSE NULL END AS price_value,
+             |  CASE WHEN c_custkey % 4 IN (0, 1) THEN c_custkey * 3
+             |    ELSE NULL END AS summary_count,
+             |  CASE CAST(c_custkey % 4 AS INT)
+             |    WHEN 2 THEN 'Could not extract total listings count from page'
+             |    WHEN 3 THEN '429 - Too many requests'
+             |    ELSE NULL END AS summary_error
+             |FROM customer""".stripMargin),
+    ),
   )
 }

@@ -1,0 +1,191 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.config.SearchConfig
+import graft.enrich.{Enrichment, HttpClient, HttpRequest, HttpResponse}
+import graft.io.JsonTable
+import graft.model.Tables
+import graft.pipeline.Pipeline
+
+/** Deterministic fake HTTP backend for the driver-visible enrichment
+  * query (q45): every response is a pure function of the request, so
+  * DuckDB can restate the whole chain's arithmetic while the REAL
+  * worker-pool path (per-partition client, serial mode, P6 status
+  * filter + JSON extract) executes. k%13==0 addresses geocode to a 404
+  * — those rows must drop at the status filter.
+  */
+class ArithmeticGeoClient extends HttpClient {
+  def execute(req: HttpRequest): HttpResponse =
+    if (req.url.contains("nominatim")) {
+      val k = req.params("q").filter(_.isDigit).toLong
+      if (k % 13 == 0) HttpResponse(req.requestId, 404, "")
+      else HttpResponse(req.requestId, 200,
+        s"""[{"lat":"${55 + k % 90}","lon":"${37 + k % 50}"}]""")
+    } else {
+      // route URL tail: ...;<lon>,<lat> (integer-valued, so exact)
+      val coords = req.url.substring(req.url.lastIndexOf(';') + 1).split(",")
+      val lon = coords(0).toDouble
+      val lat = coords(1).toDouble
+      val meters = ((lat * 3 + lon * 7) * 10).toLong
+      HttpResponse(req.requestId, 200,
+        s"""{"routes":[{"distance":$meters}]}""")
+    }
+}
+
+/** Oracle-checked exercise of the pipeline surface the driver couldn't
+  * see in round 1: work-list/filter operators (P1/P3/P4/B5/B6 —
+  * parse_data.py:138-143,376-401,441-449), the YAML→URL source spec
+  * (A2/A3/P7 — construct_url.py:16-40), the enrichment chain
+  * (A5–A8/P6/F18/F16 — distance.py:9-90), and the sink round-trip
+  * (A9/A10/A11/F15/S7 — parse_data.py:187-204).
+  */
+object PipelineQueries extends QueryModule {
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- P1/P3/P4 filters, B5/B6 projections, G5/G6/G7 set algebra as
+    // one labeled union of the four reference work lists over a master
+    // synthesized from customer columns; current-batch ids from orders.
+    Q(
+      "q43_work_lists",
+      (s, d) => {
+        val ck = col("c_custkey")
+        val master = Tables.customer(s, d).select(
+          ck.cast("string").as("offer_id"),
+          when(pmod(ck, lit(3)) === 0, lit(null).cast("double"))
+            .otherwise(ck * 90.0).as("estimated_price"),
+          (pmod(ck, lit(7)) === 0).as("is_unpublished"),
+          when(pmod(ck, lit(5)) === 0, lit(null).cast("double"))
+            .otherwise(ck.cast("double")).as("distance"),
+          when(pmod(ck, lit(11)) === 0, lit(""))
+            .otherwise(concat(lit("addr "), ck.cast("string"))).as("address"))
+        val current = Tables.orders(s, d)
+          .select(col("o_custkey").cast("string").as("offer_id")).distinct()
+        val active = master.filter(!col("is_unpublished"))
+          .select(col("offer_id")).distinct()
+        val noAddr = lit(null).cast("string").as("address")
+        val est = Pipeline.missingEstimationIds(master)
+          .select(lit("estimation").as("src"), col("offer_id"), noAddr)
+        val dist = Pipeline.distanceWorkList(master)
+          .select(lit("distance").as("src"), col("offer_id"), col("address"))
+        val scrape = Pipeline.scrapeWorkList(current, active,
+            est.select(col("offer_id")),
+            updateAll = false, scrapeNew = true, checkUnpublished = true)
+          .select(lit("scrape").as("src"), col("offer_id"), noAddr)
+        val unpub = Pipeline.missingAsUnpublished(master, current)
+          .select(lit("unpublish").as("src"), col("offer_id"), noAddr)
+        est.unionByName(dist).unionByName(scrape).unionByName(unpub)
+      },
+      Some("""WITH master AS (
+             |  SELECT CAST(c_custkey AS VARCHAR) AS offer_id,
+             |    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_custkey * 90.0 END AS estimated_price,
+             |    (c_custkey % 7 = 0) AS unpub,
+             |    CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE CAST(c_custkey AS DOUBLE) END AS distance,
+             |    CASE WHEN c_custkey % 11 = 0 THEN '' ELSE 'addr ' || CAST(c_custkey AS VARCHAR) END AS address
+             |  FROM customer
+             |), cur AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS offer_id FROM orders),
+             |active AS (SELECT offer_id FROM master WHERE NOT unpub),
+             |gone AS (SELECT offer_id FROM active EXCEPT SELECT offer_id FROM cur)
+             |SELECT 'estimation' AS src, offer_id, CAST(NULL AS VARCHAR) AS address
+             |FROM master WHERE estimated_price IS NULL AND NOT unpub
+             |UNION ALL
+             |SELECT 'distance', offer_id, address
+             |FROM master WHERE distance IS NULL AND length(coalesce(address, '')) > 0
+             |UNION ALL
+             |SELECT 'scrape', offer_id, NULL FROM (
+             |  SELECT offer_id FROM (SELECT offer_id FROM cur EXCEPT SELECT offer_id FROM active)
+             |  UNION
+             |  SELECT offer_id FROM gone)
+             |UNION ALL
+             |SELECT 'unpublish', offer_id, NULL FROM gone""".stripMargin),
+    ),
+
+    // ---- A2 YAML scan + A3/P7 URL scan-spec: per-nation YAML parsed by
+    // the REAL jackson path on executors, compiled to search/page/listing
+    // URLs; DuckDB restates the byte-exact URL strings.
+    Q(
+      "q44_search_urls",
+      (s, d) => {
+        import s.implicits._
+        val rows = Tables.nation(s, d)
+          .select(col("n_nationkey").cast("long")).as[Long].map { k =>
+            val yaml = s"maxprice: ${k * 1000 + 5000}\n" +
+              s"district:\n  - $k\n  - ${k + 100}\n" +
+              "rooms:\n  - 1\n  - 2\n"
+            val cfg = SearchConfig.fromYaml(yaml)
+            val base = "https://cian.ru"
+            val url = SearchConfig.searchUrl(base, cfg)
+            val pages = SearchConfig.searchPageUrls(url, 2)
+            val listing = SearchConfig.listingUrls(base, Seq(k.toString)).head
+            (k, url, pages, listing)
+          }.toDF("nationkey", "search_url", "page_urls", "listing_url")
+        rows.select(col("nationkey"), col("search_url"),
+          posexplode(col("page_urls")).as(Seq("pos", "page_url")),
+          col("listing_url"))
+          .select(col("nationkey"), (col("pos") + 1).as("page"),
+            col("search_url"), col("page_url"), col("listing_url"))
+      },
+      Some("""SELECT n_nationkey AS nationkey, CAST(p AS BIGINT) AS page,
+             |  'https://cian.ru/cat.php?currency=2&engine_version=2&type=4&deal_type=rent&sort=creation_date_desc&maxprice='
+             |    || CAST(n_nationkey * 1000 + 5000 AS VARCHAR)
+             |    || '&district[0]=' || CAST(n_nationkey AS VARCHAR)
+             |    || '&district[1]=' || CAST(n_nationkey + 100 AS VARCHAR)
+             |    || '&room1=1&room2=1' AS search_url,
+             |  'https://cian.ru/cat.php?currency=2&engine_version=2&type=4&deal_type=rent&sort=creation_date_desc&maxprice='
+             |    || CAST(n_nationkey * 1000 + 5000 AS VARCHAR)
+             |    || '&district[0]=' || CAST(n_nationkey AS VARCHAR)
+             |    || '&district[1]=' || CAST(n_nationkey + 100 AS VARCHAR)
+             |    || '&room1=1&room2=1&p=' || CAST(p AS VARCHAR) AS page_url,
+             |  'https://cian.ru/rent/flat/' || CAST(n_nationkey AS VARCHAR) AS listing_url
+             |FROM nation CROSS JOIN (VALUES (1), (2)) t(p)""".stripMargin),
+    ),
+
+    // ---- A5–A8 + P6 + F18 + F16: the full distance-enrichment chain
+    // through the real worker-pool source (serial mode, per-partition
+    // client, retry/breaker machinery in the path) against the
+    // arithmetic fake backend; k%13 rows 404 out at the status filter.
+    Q(
+      "q45_enrichment_chain",
+      (s, d) => {
+        val workList = Tables.customer(s, d).select(
+          col("c_custkey").cast("string").as("offer_id"),
+          concat(lit("addr "), col("c_custkey").cast("string")).as("address"))
+        Enrichment.distanceChain(workList, "37.6,55.7",
+          () => new ArithmeticGeoClient)
+      },
+      Some("""SELECT CAST(c_custkey AS VARCHAR) AS offer_id,
+             |  floor(((55 + c_custkey % 90) * 3 + (37 + c_custkey % 50) * 7) * 10
+             |        / 1000 * 100 + 0.5) / 100 AS distance
+             |FROM customer WHERE c_custkey % 13 <> 0""".stripMargin),
+    ),
+
+    // ---- A9 JSON sink (NaN scrub + atomic swap) → A1 JSON scan →
+    // A10/A11 CSV sink (complex cols JSON-encoded) → CSV scan: the full
+    // sink round-trip; output equals the scrubbed source values.
+    Q(
+      "q46_sink_roundtrip",
+      (s, d) => {
+        val ck = col("c_custkey")
+        val src = Tables.customer(s, d).select(
+          ck.cast("string").as("offer_id"),
+          when(pmod(ck, lit(9)) === 0, lit(Double.NaN))
+            .otherwise(ck * 1.5).as("price"),
+          array(lit("a"), col("c_mktsegment")).as("tags"))
+        val dir = Files.createTempDirectory("graft_q46_").toString
+        JsonTable.write(src, s"$dir/master_json")
+        val back = JsonTable.read(s, s"$dir/master_json", src.schema)
+        Pipeline.writeCsv(back, s"$dir/master_csv")
+        s.read.option("header", "true").option("escape", "\"")
+          .csv(s"$dir/master_csv")
+          .select(col("offer_id"), col("price").cast("double"),
+            col("tags").as("tags_json"))
+      },
+      Some("""SELECT CAST(c_custkey AS VARCHAR) AS offer_id,
+             |  CASE WHEN c_custkey % 9 = 0 THEN NULL ELSE c_custkey * 1.5 END AS price,
+             |  '["a","' || c_mktsegment || '"]' AS tags_json
+             |FROM customer""".stripMargin),
+    ),
+  )
+}
