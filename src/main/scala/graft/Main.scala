@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.pipeline.{Pipeline, RawPage}
-import graft.io.AtomicParquet
+import graft.io.{AtomicParquet, PerfTracker}
 
 /** E2 equivalent (SURVEY §3): the cron-driven run. Builds the session,
   * resolves run-mode flags, executes one E1 micro-batch over a directory
@@ -40,6 +40,9 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A13: per-run perf log (task-denominated analog of the reference's
+    // request tracker); JSON lines land next to the CSV views
+    val perf = PerfTracker.install(spark)
     import spark.implicits._
 
     val asOf = lit(asOfStr).cast("timestamp")
@@ -67,6 +70,9 @@ object Main {
     Pipeline.writeCsv(Pipeline.dashboardView(published, asOf),
       s"$outDir/combined_data_filtered")
     println(s"master rows: ${spark.read.parquet(masterPath).count()}")
+    new java.io.File(outDir).mkdirs()
+    perf.writeLog(s"$outDir/performance_log.jsonl")
+    println(perf.summaryLine())
     spark.stop()
   }
 }

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * would bind an HTTP implementation, tests bind deterministic fakes.
   */
 case class HttpRequest(url: String, requestId: String, method: String,
-    params: Map[String, String])
+    params: Map[String, String], headers: Map[String, String] = Map.empty)
 
 case class HttpResponse(requestId: String, status: Int, body: String,
     error: Option[String] = None)
@@ -46,7 +46,14 @@ object Enrichment {
     import requests.sparkSession.implicits._
     requests.repartition(math.max(1, maxConcurrent))
       .mapPartitions { it =>
-        lazy val client = clientFactory()
+        // close a created client when the task finishes (success OR
+        // failure) — the seam where a pooled HTTP impl releases sockets
+        var created: HttpClient = null
+        lazy val client = { created = clientFactory(); created }
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            if (created != null) created.close()
+          })
         var consecutive429 = 0
         var breakerOpen = false
         val out = it.map { req =>
@@ -77,8 +84,7 @@ object Enrichment {
             result
           }
         }
-        out // client closed by JVM teardown in local mode; task-completion
-            // listener hook is where a pooled impl would close()
+        out
       }
   }
 

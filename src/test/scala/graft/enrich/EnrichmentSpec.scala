@@ -9,6 +9,16 @@ import java.util.concurrent.ConcurrentHashMap
 object ScriptedClients {
   // attempt counters shared across (local-mode) tasks per request id
   val attempts = new ConcurrentHashMap[String, Integer]()
+  // close() invocations per client class (A6 lifecycle)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Echoes request headers back so cookie attachment is observable. */
+  class HeaderEcho extends HttpClient {
+    def execute(req: HttpRequest): HttpResponse =
+      HttpResponse(req.requestId, 200,
+        req.headers.getOrElse("Cookie", ""))
+    override def close(): Unit = { closes.incrementAndGet(); () }
+  }
 
   /** Fails with an exception `failures` times per request, then 200. */
   class Flaky(failures: Int) extends HttpClient {
@@ -73,6 +83,41 @@ class EnrichmentSpec extends SparkSpec {
     // only the first 5 hit the "network"; the rest were circuit-open
     assert(ScriptedClients.attempts.size == 5)
     assert(out.count(_.error.contains("circuit-open")) == 15)
+  }
+
+  test("A12 cookies: file jar loads, degrades on garbage, reaches requests") {
+    val f = java.nio.file.Files.createTempFile("graft_cookies", ".json")
+    java.nio.file.Files.writeString(f,
+      """[{"name":"sid","value":"abc","domain":".cian.ru"},
+        |{"name":"tz","value":"utc"},{"novalue":1}]""".stripMargin)
+    val jar = Cookies.load(Some(f.toString), useCookies = true)
+    assert(jar.contains(Seq("sid" -> "abc", "tz" -> "utc")))
+    assert(Cookies.headerValue(jar.get) == "sid=abc; tz=utc")
+    // disabled / missing / corrupt → None, never a failure
+    assert(Cookies.load(Some(f.toString), useCookies = false).isEmpty)
+    assert(Cookies.load(Some("/nonexistent.json"), useCookies = true).isEmpty)
+    val bad = java.nio.file.Files.createTempFile("graft_cookies_bad", ".json")
+    java.nio.file.Files.writeString(bad, "{not json")
+    assert(Cookies.load(Some(bad.toString), useCookies = true).isEmpty)
+
+    val out = Enrichment.processRequests(
+      Cookies.withCookies(reqs("a", "b"), jar),
+      () => new ScriptedClients.HeaderEcho(), maxConcurrent = 1).collect()
+    assert(out.forall(_.body == "sid=abc; tz=utc"))
+    // no jar → untouched requests
+    val plain = Enrichment.processRequests(
+      Cookies.withCookies(reqs("c"), None),
+      () => new ScriptedClients.HeaderEcho(), maxConcurrent = 1).collect()
+    assert(plain.head.body == "")
+  }
+
+  test("per-partition client is closed on task completion") {
+    ScriptedClients.closes.set(0)
+    Enrichment.processRequests(reqs("a", "b", "c"),
+      () => new ScriptedClients.HeaderEcho(), maxConcurrent = 2).collect()
+    // one client per non-empty partition, each closed exactly once
+    val n = ScriptedClients.closes.get()
+    assert(n >= 1 && n <= 2, s"expected 1-2 closes, got $n")
   }
 
   test("distance chain: geocode→route→km with malformed-payload drops") {
