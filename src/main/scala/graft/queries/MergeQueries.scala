@@ -196,7 +196,11 @@ object MergeQueries extends QueryModule {
             StructField("price_value", DoubleType),
             StructField("is_unpublished", BooleanType),
             StructField("description", StringType))))
+        // the J2 path reads the target twice (url-lookup + main join); a
+        // real master is a published table between batches — persist m1
+        // to mirror that instead of executing the batch-1 fold twice
         val m1 = MergeListings.mergeBatch(emptyTarget, ev, Some("event_id"))
+          .persist()
         val m2 = MergeListings.mergeBatch(m1, orphans, Some("event_id"))
         m2.select(
           col("offer_id").cast(LongType).as("user_id"),
