@@ -104,6 +104,58 @@ case class SimHash64Expr(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** array<string> tokens → 60-bit PORTABLE SimHash: votes come from the
+  * top 15 hex chars of each token's md5 (= the md5 digest's first 8
+  * big-endian bytes >>> 4), so any engine with md5 restates the
+  * fingerprint bit-exactly — this is the oracle-checkable twin of
+  * [[SimHash64Expr]] (the Column form in `Dedup.simhashBits` is the
+  * parity reference; both are tested equal).
+  */
+case class SimHashMd5Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  @transient private lazy val md5 =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](60)
+    val digest = md5.get()
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t != null) {
+        digest.reset()
+        val d = digest.digest(t.getBytes)
+        var acc = 0L
+        var k = 0
+        while (k < 8) { acc = (acc << 8) | (d(k) & 0xFFL); k += 1 }
+        val h = acc >>> 4 // top 15 hex chars = 60 bits
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** array<double> vector → array<int> of sign-LSH bucket ids, one per
   * table. The Column form (16 tables × numPlanes zip_with/aggregate
   * chains over plane-weight array LITERALS) carries ~6k literal nodes in
@@ -154,6 +206,9 @@ object HashSketches {
 
   def simhash64(tokens: Column): Column =
     GraftBridge.column(SimHash64Expr(GraftBridge.expression(tokens)))
+
+  def simhashMd5_60(tokens: Column): Column =
+    GraftBridge.column(SimHashMd5Expr(GraftBridge.expression(tokens)))
 
   /** @param planes [table][plane][dim] weights (see
     *               [[graft.ops.Similarity.lshBucket]] for the seeded

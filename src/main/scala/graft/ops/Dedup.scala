@@ -169,36 +169,44 @@ object Dedup {
 
   // --------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash over a token array: per-bit vote of each token's
-    * xxhash64, bit set when the vote is positive. */
-  def simhash64(tokens: Column): Column = {
-    val hs = transform(tokens, t => xxhash64(t))
-    val counts = aggregate(hs, array_repeat(lit(0), 64),
+  /** Column-form SimHash over an arbitrary per-token hash and bit
+    * width: per-bit vote of each token's hash, bit set when the vote is
+    * positive. The parametric form exists so a cross-engine-portable
+    * hash can replace xxhash64 where an external oracle must restate
+    * the fingerprint exactly. */
+  def simhashBits(tokens: Column, bits: Int,
+      tokenHash: Column => Column): Column = {
+    val hs = transform(tokens, t => tokenHash(t))
+    val counts = aggregate(hs, array_repeat(lit(0), bits),
       (acc, h) => zip_with(acc,
-        array((0 until 64).map(b =>
+        array((0 until bits).map(b =>
           when(shiftrightunsigned(h, b).bitwiseAND(lit(1L)) === 1L, 1)
             .otherwise(-1)): _*),
         (a, v) => a + v))
-    (0 until 64).map(b =>
+    (0 until bits).map(b =>
       when(element_at(counts, b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Near-dup pairs with Hamming distance ≤ maxHamming on token SimHash.
-    * Banding on 4×16-bit chunks: pigeonhole guarantees full recall for
-    * maxHamming ≤ 3; verification via bit_count(xor).
-    */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+  /** 64-bit SimHash (xxhash64 votes) — Column twin of the native sketch. */
+  def simhash64(tokens: Column): Column =
+    simhashBits(tokens, 64, t => xxhash64(t))
+
+  /** Portable 60-bit token hash: top 15 hex chars of md5 — any engine
+    * with md5 restates it bit-exactly (60 bits keeps the value inside a
+    * signed 64-bit integer in every engine). */
+  def md5Hash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** Banded Hamming-neighbor join over a (id, fp) fingerprint frame:
+    * 4 chunks of `chunkBits`; pigeonhole guarantees full recall for
+    * maxHamming ≤ 3; verification via bit_count(xor). */
+  private def hammingBandPairs(fp: DataFrame, idCol: String,
+      chunkBits: Int, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-band blocking guarantees recall only to 3")
-    // native sketch: whole fingerprint in one loop per doc (no explode,
-    // no aggregation shuffle)
-    val fp = df.select(col(idCol),
-      graft.functions.HashSketches
-        .simhash64(split(col(textCol), "\\s+")).as("fp"))
     val chunks = array((0 until 4).map(c => struct(lit(c).as("chunk"),
-      shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL))
-        .as("v"))): _*)
+      shiftrightunsigned(col("fp"), c * chunkBits)
+        .bitwiseAND(lit((1L << chunkBits) - 1)).as("v"))): _*)
     val buckets = fp.select(col(idCol), col("fp"), explode(chunks).as("bk"))
       .select(col(idCol), col("fp"), col("bk.chunk"), col("bk.v"))
     val a = buckets.alias("a")
@@ -210,4 +218,25 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Near-dup pairs with Hamming distance ≤ maxHamming on token SimHash
+    * (production path: native 64-bit xxhash sketch — the whole
+    * fingerprint in one loop per doc, no explode, no agg shuffle). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    hammingBandPairs(
+      df.select(col(idCol), graft.functions.HashSketches
+        .simhash64(split(col(textCol), "\\s+")).as("fp")),
+      idCol, 16, maxHamming)
+
+  /** Oracle path: same operator over the portable 60-bit md5 hash
+    * (4×15-bit bands) — an external engine can brute-force the exact
+    * same pairs, which is what makes q23 hash-checkable. Native sketch
+    * here too; `simhashBits(…, 60, md5Hash60)` is its parity twin. */
+  def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    hammingBandPairs(
+      df.select(col(idCol), graft.functions.HashSketches
+        .simhashMd5_60(split(col(textCol), "\\s+")).as("fp")),
+      idCol, 15, maxHamming)
 }

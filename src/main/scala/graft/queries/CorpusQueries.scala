@@ -51,9 +51,32 @@ object CorpusQueries extends QueryModule {
     // ---- SimHash near-dup (xxhash64-based → rows-only check).
     Q(
       "q23_simhash_pairs",
-      (s, d) => Dedup.simhashPairs(
+      // the portable-hash variant (60-bit md5 votes): bit-identical
+      // restatement in DuckDB → the banded join is checked against an
+      // exact brute-force Hamming scan (production uses the native
+      // xxhash sketch — same operator, parity-tested in CorpusOpsSpec)
+      (s, d) => Dedup.simhashPairsPortable(
         Tables.documents(s, d), "doc_id", "text", maxHamming = 3),
-      None,
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+             |  FROM documents
+             |), h AS (
+             |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv
+             |  FROM toks
+             |), votes AS (
+             |  SELECT doc_id, bb.b,
+             |    sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+             |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS b) bb
+             |  GROUP BY doc_id, bb.b
+             |), fp AS (
+             |  SELECT doc_id,
+             |    CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS f
+             |  FROM votes GROUP BY doc_id
+             |)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+             |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.f, b.f)) <= 3""".stripMargin),
     ),
 
     // ---- embedding cosine near-dup: exact, via the blocked kernel (the

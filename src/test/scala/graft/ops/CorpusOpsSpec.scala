@@ -10,6 +10,14 @@ class CorpusOpsSpec extends SparkSpec {
   private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
   private lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet")
 
+  test("portable md5-60 token hash is the cross-engine value") {
+    // pinned to int(hashlib.md5(b'hello').hexdigest()[:15], 16) — the
+    // same value DuckDB's CAST('0x'||substr(md5(t),1,15) AS BIGINT) gives
+    val v = Seq("hello").toDF("t")
+      .select(Dedup.md5Hash60($"t")).as[Long].collect().head
+    assert(v == 419982666956583591L)
+  }
+
   test("exact dedup keeps one survivor per distinct text") {
     val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y")).toDF("doc_id", "text")
     val out = Dedup.exactDedup(d, "text", "doc_id")
@@ -52,6 +60,11 @@ class CorpusOpsSpec extends SparkSpec {
         HashSketches.simhash64(split($"text", "\\s+")).as("b"))
       .filter($"a" =!= $"b").count()
     assert(shMismatch == 0)
+    val md5Mismatch = docs.select(
+        Dedup.simhashBits(split($"text", "\\s+"), 60, Dedup.md5Hash60).as("a"),
+        HashSketches.simhashMd5_60(split($"text", "\\s+")).as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(md5Mismatch == 0)
   }
 
   test("native sign-LSH buckets equal the Column-composed lshBucket form") {
