@@ -71,6 +71,7 @@ object Main {
       s"$outDir/combined_data_filtered")
     println(s"master rows: ${spark.read.parquet(masterPath).count()}")
     new java.io.File(outDir).mkdirs()
+    perf.awaitQuiesce()
     perf.writeLog(s"$outDir/performance_log.jsonl")
     println(perf.summaryLine())
     spark.stop()

@@ -12,6 +12,10 @@ object AtomicParquet {
 
   def read(spark: SparkSession, path: String,
       schemaSource: => DataFrame): DataFrame = {
+    // restart entry: heal a crashed half-swap FIRST — otherwise a missing
+    // main dir reads as an empty master and the next publish deletes
+    // __old, the only surviving copy
+    recover(spark, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new Path(path))) spark.read.parquet(path)
     else spark.createDataFrame(
@@ -40,8 +44,9 @@ object AtomicParquet {
   }
 
   /** Crash recovery: if a previous publish died between its two renames
-    * (no main dir, __old still present), restore the saved master. Call
-    * before [[read]] on restart; a no-op in the healthy state. */
+    * (no main dir, __old still present), restore the saved master.
+    * [[read]] invokes this on every restart; a no-op in the healthy
+    * state. */
   def recover(spark: SparkSession, path: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val main = new Path(path)

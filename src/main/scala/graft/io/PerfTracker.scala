@@ -64,24 +64,46 @@ class PerfTracker extends SparkListener {
       (rt.totalMemory() - rt.freeMemory()) / 1048576.0)
   }
 
+  // Locale.ROOT: the default locale may render decimals with a comma
+  // (de_DE, ru_RU, …), which would corrupt the JSON
+  private def fmt(pattern: String, args: Any*): String =
+    String.format(java.util.Locale.ROOT, pattern,
+      args.map(_.asInstanceOf[AnyRef]): _*)
+
   /** One JSON perf-log line (the reference's debug-channel record). */
   def logLine(): String = {
     val s = snapshot()
-    f"""{"elapsed_sec":${s.elapsedSec}%.3f,"processed":${s.processed},""" +
-      s""""successful":${s.successful},"failed":${s.failed},""" +
-      s""""retried":${s.retried},"speed":${"%.2f".format(s.speed)},""" +
-      s""""records_read":${s.recordsRead},"records_written":${s.recordsWritten},""" +
-      s""""bytes_read":${s.bytesRead},"bytes_written":${s.bytesWritten},""" +
-      s""""executor_run_time_ms":${s.executorRunTimeMs},""" +
-      s""""peak_task_memory_bytes":${s.peakTaskMemoryBytes},""" +
-      f""""jvm_heap_used_mb":${s.jvmHeapUsedMb}%.1f}"""
+    fmt("""{"elapsed_sec":%.3f,"processed":%d,"successful":%d,""" +
+      """"failed":%d,"retried":%d,"speed":%.2f,"records_read":%d,""" +
+      """"records_written":%d,"bytes_read":%d,"bytes_written":%d,""" +
+      """"executor_run_time_ms":%d,"peak_task_memory_bytes":%d,""" +
+      """"jvm_heap_used_mb":%.1f}""",
+      s.elapsedSec, s.processed, s.successful, s.failed, s.retried,
+      s.speed, s.recordsRead, s.recordsWritten, s.bytesRead,
+      s.bytesWritten, s.executorRunTimeMs, s.peakTaskMemoryBytes,
+      s.jvmHeapUsedMb)
   }
 
   /** The reference's progress pipe table, task-denominated. */
   def summaryLine(): String = {
     val s = snapshot()
-    f"${s.processed}%7d|${s.successful}%7d|${s.failed}%7d|${s.retried}%7d|" +
-      f"${s.speed}%10.2f|${s.jvmHeapUsedMb}%9.1f"
+    fmt("%7d|%7d|%7d|%7d|%10.2f|%9.1f", s.processed, s.successful,
+      s.failed, s.retried, s.speed, s.jvmHeapUsedMb)
+  }
+
+  /** Listener delivery is asynchronous; block until the counters have
+    * been stable for `stableMs` (capped at `timeoutMs`) before taking an
+    * end-of-run snapshot, so the final jobs' task events are included. */
+  def awaitQuiesce(stableMs: Long = 200, timeoutMs: Long = 5000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var last = processed.sum()
+    var lastChange = System.currentTimeMillis()
+    while (System.currentTimeMillis() < deadline &&
+        System.currentTimeMillis() - lastChange < stableMs) {
+      Thread.sleep(25)
+      val p = processed.sum()
+      if (p != last) { last = p; lastChange = System.currentTimeMillis() }
+    }
   }
 
   /** Append the current perf line to a local JSON-lines log. */

@@ -122,7 +122,10 @@ object Similarity {
           if (qblk == cblk) ida < idb else true
         }.flatMap { case (idb, vb, nb) =>
           val cos = dotP(va, vb) / (na * nb)
-          if (cos >= tau)
+          // Spark SQL's `cosine >= tau` keeps NaN (NaN is largest
+          // there); Java's would drop it — keep parity with the
+          // declarative twin
+          if (cos >= tau || cos.isNaN)
             Some((math.min(ida, idb), math.max(ida, idb), cos))
           else None
         }
@@ -153,7 +156,12 @@ object Similarity {
           case (idb, vb, nb) if idb != qid =>
             (dotP(qa, vb) / (qn * nb), idb)
         }.toArray
-        sims.sortBy { case (c, id) => (-c, id) }.take(k)
+        // NaN (zero-norm vectors) must sort FIRST, matching Spark SQL's
+        // NaN-is-largest ordering in the window merge below — Scala's
+        // default Double ordering would sort it last and truncate it
+        sims.sortBy { case (c, id) =>
+          (if (c.isNaN) Double.NegativeInfinity else -c, id)
+        }.take(k)
           .iterator.map { case (c, idb) => (qid, idb, c) }
       }
     }.toDF("id", "neighbor_id", "cosine")

@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 import graft.config.SearchConfig
@@ -173,7 +172,7 @@ object PipelineQueries extends QueryModule {
           when(pmod(ck, lit(9)) === 0, lit(Double.NaN))
             .otherwise(ck * 1.5).as("price"),
           array(lit("a"), col("c_mktsegment")).as("tags"))
-        val dir = Files.createTempDirectory("graft_q46_").toString
+        val dir = graft.io.Scratch.dir("graft_q46_")
         JsonTable.write(src, s"$dir/master_json")
         val back = JsonTable.read(s, s"$dir/master_json", src.schema)
         Pipeline.writeCsv(back, s"$dir/master_csv")

@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -22,10 +21,10 @@ import graft.streaming.{StreamingMerge, StreamOps}
   */
 object StreamingQueries extends QueryModule {
 
-  /** Per-invocation scratch root (unique dir under java.io.tmpdir; the
-    * file-source checkpoint, input files, and master live beneath it). */
-  private def scratch(): String =
-    Files.createTempDirectory("graft-stream-").toString
+  /** Per-invocation scratch root (unique dir under java.io.tmpdir,
+    * deleted at JVM exit; the file-source checkpoint, input files, and
+    * master live beneath it). */
+  private def scratch(): String = graft.io.Scratch.dir("graft-stream-")
 
   val queries: Seq[Q] = Seq(
     // ---- S1/S2/S5/S6/S7 + J1/R-rules through the real streaming path:

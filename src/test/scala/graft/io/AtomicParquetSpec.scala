@@ -28,6 +28,10 @@ class AtomicParquetSpec extends SparkSpec {
     // simulate a crash between the two renames: main moved to __old,
     // replacement never arrived
     assert(fs(dir).rename(new Path(dir), new Path(dir + "__old")))
+    // read() heals on restart — the production entry path must never see
+    // an empty master where __old still holds the data
+    assert(AtomicParquet.read(spark, dir,
+      Seq((0L, "z")).toDF("id", "v")).count() == 1)
     AtomicParquet.recover(spark, dir)
     assert(spark.read.parquet(dir).count() == 1)
     // healthy state: recover is a no-op

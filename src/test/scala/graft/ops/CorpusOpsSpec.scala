@@ -151,6 +151,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(viaExpr == ((m.width, m.height)))
   }
 
+  test("kernel top-k matches window form when zero-norm vectors yield NaN") {
+    // Spark SQL orders NaN as the LARGEST double; the kernel's Scala-side
+    // partial must not truncate it regardless of block assignment
+    val d = (0L until 12L).map { i =>
+      val v = if (i == 5L) Seq.fill(4)(0.0)
+              else Seq(1.0 + i, 2.0, 3.0, i.toDouble)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val viaWindow = Similarity.cosineTopK(d, "vec_id", "embedding", 3)
+      .select("id", "neighbor_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    val viaKernel = Similarity
+      .cosineTopKKernel(d, "vec_id", "embedding", 3, numBlocks = 4)
+      .select("id", "neighbor_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(viaKernel == viaWindow)
+    // the zero-norm neighbor ranks first everywhere (NaN is largest)
+    assert(viaWindow.count { case (_, nb, r) => nb == 5L && r == 1 } == 11)
+
+    val pairsWindow = Similarity.cosinePairs(d, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val pairsKernel = Similarity
+      .cosinePairsKernel(d, "vec_id", "embedding", 0.9, numBlocks = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairsKernel == pairsWindow)
+  }
+
   test("native cosine yields null on length mismatch, like the HOF form") {
     val d = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),
       (Seq(1.0, 0.0), Seq(1.0, 0.0))).toDF("a", "b")
