@@ -167,6 +167,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  // ------------------------------------------------------------ clustering
+
+  /** Connected components over a near-dup pair list → duplicate
+    * clusters (cluster id = min member id): the "keep one survivor per
+    * duplicate group" step a training pipeline runs after pair
+    * generation. Iterative min-label propagation: each round one
+    * join + groupBy with lineage cut per round (localCheckpoint), so
+    * the plan stays O(1) across rounds; converges in O(component
+    * diameter) rounds — near-dup components are shallow in practice.
+    * At extreme scale the alternating large-star/small-star scheme
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * 2014) reduces round count to O(log n) with the same per-round
+    * plan shape.
+    *
+    * @return (id, cluster_id) for every id present in `pairs`.
+    */
+  def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id")).localCheckpoint()
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      val nbr = edges.join(labels.select(col("id").as("dst"),
+          col("cluster_id").as("__dl")), "dst")
+        .groupBy(col("src")).agg(min(col("__dl")).as("__nl"))
+      val next = labels.join(nbr, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("__nl"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      done = next.join(labels.withColumnRenamed("cluster_id", "__old"), "id")
+        .filter(col("cluster_id") =!= col("__old")).isEmpty
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** Column-form SimHash over an arbitrary per-token hash and bit

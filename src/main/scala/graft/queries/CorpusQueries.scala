@@ -48,6 +48,53 @@ object CorpusQueries extends QueryModule {
              |    len(list_distinct(list_concat(a.t, b.t))) >= 0.5""".stripMargin),
     ),
 
+    // ---- Duplicate CLUSTERS from the near-dup pairs: connected
+    // components by min-label propagation, every document labeled with
+    // its cluster's canonical (minimum) id — the survivor-selection step
+    // after pair generation. DuckDB restates the components with a
+    // recursive transitive closure over the same brute-force pair set.
+    Q(
+      "q49_dup_clusters",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, tau = 0.5)
+        val clusters = Dedup.duplicateClusters(pairs)
+          .withColumnRenamed("id", "doc_id")
+        docs.select(col("doc_id"))
+          .join(clusters, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+          .withColumn("is_canonical", col("cluster_id") === col("doc_id"))
+      },
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+             |), g AS (
+             |  SELECT doc_id, list_distinct(
+             |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS t
+             |  FROM toks
+             |), p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.t, b.t)) * 1.0 /
+             |      len(list_distinct(list_concat(a.t, b.t))) >= 0.5
+             |), edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM p
+             |  UNION SELECT id_b, id_a FROM p
+             |), reach AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+             |), comp AS (
+             |  SELECT src AS id, least(src, min(dst)) AS cluster_id
+             |  FROM reach GROUP BY src
+             |)
+             |SELECT d.doc_id,
+             |  coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+             |  (coalesce(c.cluster_id, d.doc_id) = d.doc_id) AS is_canonical
+             |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin),
+    ),
+
     // ---- SimHash near-dup (xxhash64-based → rows-only check).
     Q(
       "q23_simhash_pairs",

@@ -25,6 +25,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("duplicate clusters: min-label components over pair edges") {
+    // two components: a 6-node path (worst-case diameter for label
+    // propagation) and a triangle; 99 is absent from pairs entirely
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 6L).forall(out(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(out(_) == 10L))
+    assert(!out.contains(99L))
+  }
+
   test("wordNGrams produces distinct consecutive triples") {
     val g = Seq("a b c d a b c d").toDF("text")
       .select(Dedup.wordNGrams($"text", 3)).as[Seq[String]].collect().head
