@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for corpus curation (builder brief): language
@@ -73,6 +74,35 @@ object TextAnalysis {
     struct(nTokens.as("n_tokens"), punctRatio.as("punct_ratio"),
       digitRatio.as("digit_ratio"), stopRatio.as("stopword_ratio"),
       score.as("quality"))
+  }
+
+  /** Top-k characteristic terms per document by tf·idf with a LOG-FREE
+    * idf (`tf · N / df` — linear inverse document frequency): integer
+    * products and one IEEE division are exactly rounded, so the scores
+    * (and hence the ranking) are bit-identical on any engine — `ln`
+    * is not correctly-rounded and would drift in the last ulp. Swap
+    * `log(N/df)` in when cross-engine equality doesn't matter.
+    *
+    * Shape: one tokenize+groupBy per doc (map-side combined), a
+    * broadcast of the |vocab|-sized df table, one window for top-k.
+    * Ties broken by term (asc) for determinism. */
+  def tfIdfTop(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(trim(col(textCol)), "\\s+")).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = toks.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val total = df.select(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(total))
+      .withColumn("score", col("tf") * col("__n") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("score"), col("rank"))
   }
 
   /** Order-insensitive content fingerprint: md5 of the sorted distinct

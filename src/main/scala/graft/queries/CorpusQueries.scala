@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Packing, Sampling, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operators over documents/embeddings (builder
   * brief: dedup, similarity search, text analysis). Oracle SQL uses
@@ -285,6 +285,79 @@ object CorpusQueries extends QueryModule {
              |  md5(array_to_string(list_sort(list_distinct(
              |    string_split(trim(text), ' '))), ' ')) AS bag_fp
              |FROM documents""".stripMargin),
+    ),
+
+    // ---- tf·idf top terms (log-free linear idf → bit-exact ranking on
+    // any engine; see TextAnalysis.tfIdfTop scaladoc).
+    Q(
+      "q50_tfidf_top_terms",
+      (s, d) => TextAnalysis.tfIdfTop(Tables.documents(s, d),
+        "doc_id", "text", k = 5),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+             |  FROM documents
+             |), tf AS (
+             |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+             |), dfreq AS (
+             |  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+             |), n AS (SELECT count(*) AS n FROM documents),
+             |scored AS (
+             |  SELECT t.doc_id, t.term, t.tf, t.tf * n.n / d.df AS score
+             |  FROM tf t JOIN dfreq d ON t.term = d.term CROSS JOIN n
+             |), ranked AS (
+             |  SELECT *, CAST(row_number() OVER (
+             |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT) AS rank
+             |  FROM scored
+             |)
+             |SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= 5""".stripMargin),
+    ),
+
+    // ---- deterministic hash split: content-keyed train/val/test that
+    // never migrates rows across cluster sizes/engines (q51's oracle IS
+    // another engine computing the identical assignment).
+    Q(
+      "q51_hash_split",
+      (s, d) => Sampling.hashSplit(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id", "s42")
+        .select(col("doc_id"), col("bucket"), col("split")),
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's42'), 1, 15)
+             |      AS BIGINT) % 10000 AS bucket
+             |  FROM documents
+             |)
+             |SELECT doc_id, bucket,
+             |  CASE WHEN bucket < 8000 THEN 'train'
+             |       WHEN bucket < 9000 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM b""".stripMargin),
+    ),
+
+    // ---- sequence packing (concatenate-then-chunk): each doc's token
+    // interval and chunk span under a 512-token sequence length.
+    Q(
+      "q52_sequence_packing",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Packing.chunkAssignments(docs, "doc_id",
+          TextAnalysis.tokenCount(col("text")), seqLen = 512)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents
+             |), c AS (
+             |  SELECT doc_id, n_tokens,
+             |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS token_end
+             |  FROM t
+             |)
+             |SELECT doc_id, n_tokens, token_end,
+             |  token_end - n_tokens AS token_start,
+             |  CAST(floor((token_end - n_tokens) / 512.0) AS BIGINT) AS first_chunk,
+             |  CAST(floor((token_end - 1) / 512.0) AS BIGINT) AS last_chunk,
+             |  (token_end - n_tokens) % 512 AS chunk_offset
+             |FROM c""".stripMargin),
     ),
   )
 }

@@ -212,6 +212,46 @@ class CorpusOpsSpec extends SparkSpec {
     assert(recall > 0.5)
   }
 
+  test("tfidf top terms: rare terms outrank common ones; ties by term") {
+    val d = Seq((1L, "x x common"), (2L, "y common"), (3L, "common"))
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfTop(d, "doc_id", "text", 1)
+      .select($"doc_id", $"term").as[(Long, String)].collect().toMap
+    // "x" tf=2 df=1 → 2*3/1=6 beats "common" (1*3/3=1); doc 3 only has common
+    assert(top == Map(1L -> "x", 2L -> "y", 3L -> "common"))
+  }
+
+  test("hash split: deterministic, covers all rows, ~80/10/10") {
+    val ids = spark.range(10000).toDF("id")
+    val s1 = Sampling.hashSplit(ids, "id", "seedA")
+      .groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(s1.values.sum == 10000)
+    assert(s1("train") > 7500 && s1("train") < 8500)
+    assert(s1("val") > 700 && s1("val") < 1300)
+    // identical assignment on re-run (stability is the whole point)
+    val a = Sampling.hashSplit(ids, "id", "seedA")
+      .select($"id", $"split").as[(Long, String)].collect().toSet
+    val b = Sampling.hashSplit(ids.repartition(7), "id", "seedA")
+      .select($"id", $"split").as[(Long, String)].collect().toSet
+    assert(a == b)
+  }
+
+  test("sequence packing: contiguous intervals, exact chunk spans") {
+    val d = Seq((1L, 300), (2L, 300), (3L, 1200), (4L, 24))
+      .toDF("doc_id", "n")
+    val out = Packing.chunkAssignments(d, "doc_id", $"n", seqLen = 512)
+      .select($"doc_id", $"token_start", $"token_end", $"first_chunk",
+        $"last_chunk", $"chunk_offset")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    // stream: [0,300) [300,600) [600,1800) [1800,1824)
+    assert(out.map(r => (r._2, r._3)).toSeq ==
+      Seq((0L, 300L), (300L, 600L), (600L, 1800L), (1800L, 1824L)))
+    assert(out.map(r => (r._4, r._5)).toSeq ==
+      Seq((0L, 0L), (0L, 1L), (1L, 3L), (3L, 3L)))
+    assert(out.map(_._6).toSeq == Seq(0L, 300L, 88L, 264L))
+  }
+
   test("langId picks the dominant stopword language deterministically") {
     val d = Seq("the cat of the hat is", "der hund und die katze ist",
       "el perro y la casa es", "zzz qqq").toDF("text")
