@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests for the corpus operators: packing interval algebra
+  * over random token counts, and hash-split assignment law. Batched —
+  * one Spark job per property. */
+class CorpusPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(7L + i)))
+
+  test("packing: contiguity + chunk arithmetic hold for random inputs") {
+    val counts = samples(Gen.chooseNum(1, 2000), 300)
+    val df = counts.zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }.toDF("doc_id", "n")
+    val L = 128
+    val rows = Packing.chunkAssignments(df, "doc_id", $"n", L)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_tokens", $"token_start", $"token_end",
+        $"first_chunk", $"last_chunk", $"chunk_offset")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    // intervals tile the stream with no gaps or overlap
+    assert(rows.head._3 == 0L)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 == a._4); case _ => ()
+    }
+    rows.foreach { case (_, n, s, e, fc, lc, off) =>
+      assert(e - s == n)
+      assert(fc == s / L && lc == (e - 1) / L)
+      assert(off == s % L && off >= 0 && off < L)
+      assert(fc <= lc)
+    }
+  }
+
+  test("hash split: every bucket obeys its threshold band, any seed") {
+    val seeds = Seq("a", "b", "xyz")
+    for (seed <- seeds) {
+      val out = Sampling.hashSplit(spark.range(2000).toDF("id"), "id", seed)
+        .select($"bucket", $"split").as[(Long, String)].collect()
+      out.foreach { case (b, s) =>
+        assert(b >= 0 && b < 10000)
+        val expect = if (b < 8000) "train" else if (b < 9000) "val" else "test"
+        assert(s == expect, s"bucket $b -> $s")
+      }
+    }
+  }
+
+  test("tfidf plan broadcasts the vocabulary side") {
+    val d = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val plan = TextAnalysis.tfIdfTop(d, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"))
+  }
+}
