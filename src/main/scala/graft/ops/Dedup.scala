@@ -207,6 +207,11 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // wrong cluster ids are worse than a loud failure: a component with
+    // diameter > maxIter would silently split into several clusters
+    if (!done) throw new IllegalStateException(
+      s"duplicateClusters did not converge in $maxIter rounds — " +
+        "raise maxIter (component diameter exceeds it)")
     labels
   }
 

@@ -1,8 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Column, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Sequence packing for LLM pretraining: documents are concatenated in
   * a stable order into one token stream that is cut into fixed-length
@@ -11,30 +11,67 @@ import org.apache.spark.sql.functions._
   * Each document maps to its token interval [start, end) → first/last
   * chunk and in-chunk offset.
   *
-  * Pure exact-integer window math: one global prefix sum over the
-  * ordering column. On a cluster the global order is a range partition
-  * and the cumulative sum is the standard two-pass distributed prefix
-  * sum (per-partition totals broadcast back); the per-row math is
-  * unchanged — which is why the assignment is reproducible at any
-  * cluster size and restatable by any engine (q52's DuckDB twin).
+  * The global prefix sum is the REAL two-pass distributed scan — an
+  * unpartitioned window would funnel every row through one task:
+  * range-partition by the ordering key, sum tokens per partition, fold
+  * the per-partition totals into exclusive offsets on the driver (P
+  * scalars — metadata, not data), then one mapPartitions pass adds the
+  * running sum to its partition's offset. Per-row math is exact
+  * integers, so chunk assignments are reproducible at any parallelism
+  * and restatable by any engine (q52's DuckDB twin).
   */
 object Packing {
 
   /** @param tokenCol per-document token count (e.g.
-    *                 [[TextAnalysis.tokenCount]])
-    *  @param seqLen  chunk length in tokens */
+    *                 [[TextAnalysis.tokenCount]]); zero-token documents
+    *                 get the degenerate span first_chunk == last_chunk
+    *  @param seqLen  chunk length in tokens
+    *  @param numPartitions range partitions for the scan (default: the
+    *                 session's shuffle parallelism) */
   def chunkAssignments(df: DataFrame, idCol: String, tokenCol: Column,
-      seqLen: Int): DataFrame = {
-    val w = Window.orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol), tokenCol.cast("long").as("n_tokens"))
-      .withColumn("token_end", sum(col("n_tokens")).over(w))
-      .withColumn("token_start", col("token_end") - col("n_tokens"))
-      // values ≪ 2^53: the double divisions below are exact
-      .withColumn("first_chunk",
-        floor(col("token_start") / seqLen).cast("long"))
+      seqLen: Int, numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    // both passes must observe the SAME partitioning + order
+    val base = df.select(col(idCol), tokenCol.cast("long").as("n_tokens"))
+      .repartitionByRange(p, col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .persist()
+    // pass 1: per-partition totals → exclusive global offsets
+    val totals = base
+      .groupBy(spark_partition_id().as("__pid"))
+      .agg(sum(col("n_tokens")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Array[Long] = {
+      val out = new Array[Long](p)
+      var acc = 0L
+      for (i <- 0 until p) { out(i) = acc; acc += totals.getOrElse(i, 0L) }
+      out
+    }
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    // pass 2: within-partition running sum + this partition's offset
+    val outSchema = StructType(Seq(
+      base.schema.head,
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("token_end", LongType, nullable = false)))
+    val withEnd = spark.createDataFrame(
+      base.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var acc = bcOffsets.value(pid)
+        it.map { r =>
+          val n = r.getLong(1)
+          acc += n
+          Row(r.get(0), n, acc)
+        }
+      }, outSchema)
+    val start = col("token_end") - col("n_tokens")
+    val firstChunk = floor(start / seqLen).cast("long")
+    withEnd
+      .withColumn("token_start", start)
+      .withColumn("first_chunk", firstChunk)
       .withColumn("last_chunk",
-        floor((col("token_end") - 1) / seqLen).cast("long"))
-      .withColumn("chunk_offset", pmod(col("token_start"), lit(seqLen.toLong)))
+        when(col("n_tokens") === 0, firstChunk)
+          .otherwise(floor((col("token_end") - 1) / seqLen).cast("long")))
+      .withColumn("chunk_offset", pmod(start, lit(seqLen.toLong)))
   }
 }

@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform bucket in [0, buckets) from the key and a salt. */
+  /** Uniform bucket in [0, buckets) from the key and a salt — ONE
+    * shared 60-bit construction ([[Dedup.md5Hash60]]) so the q23/q51
+    * oracle twins can never drift apart. */
   def hashBucket(key: Column, seed: String, buckets: Int = 10000): Column =
-    pmod(conv(substring(md5(concat(key.cast("string"), lit(seed))), 1, 15),
-      16, 10).cast("long"), lit(buckets.toLong))
+    pmod(Dedup.md5Hash60(concat(key.cast("string"), lit(seed))),
+      lit(buckets.toLong))
 
   /** Assign every row a named split by hash-bucket thresholds.
     *

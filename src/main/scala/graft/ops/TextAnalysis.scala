@@ -91,9 +91,10 @@ object TextAnalysis {
     val toks = df.select(col(idCol),
       explode(split(trim(col(textCol)), "\\s+")).as("term"))
     val tf = toks.groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val docFreq = toks.groupBy(col("term"))
-      .agg(countDistinct(col(idCol)).as("df"))
+      .agg(count(lit(1)).as("tf")).persist()
+    // tf already holds one row per (doc, term) — df comes from the
+    // aggregated side, not a second tokenize+explode pass over the corpus
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val total = df.select(count(lit(1)).as("__n"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term").asc)

@@ -15,7 +15,8 @@ class CorpusPropertySpec extends SparkSpec {
     (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(7L + i)))
 
   test("packing: contiguity + chunk arithmetic hold for random inputs") {
-    val counts = samples(Gen.chooseNum(1, 2000), 300)
+    // zero-token docs included: they get the degenerate point span
+    val counts = samples(Gen.chooseNum(0, 2000), 300)
     val df = counts.zipWithIndex
       .map { case (n, i) => (i.toLong, n) }.toDF("doc_id", "n")
     val L = 128
@@ -31,10 +32,27 @@ class CorpusPropertySpec extends SparkSpec {
     }
     rows.foreach { case (_, n, s, e, fc, lc, off) =>
       assert(e - s == n)
-      assert(fc == s / L && lc == (e - 1) / L)
+      assert(fc == s / L)
+      assert(lc == (if (n == 0) s / L else (e - 1) / L))
       assert(off == s % L && off >= 0 && off < L)
       assert(fc <= lc)
     }
+  }
+
+  test("packing: two-pass distributed scan == single-window reference") {
+    import org.apache.spark.sql.expressions.Window
+    val counts = samples(Gen.chooseNum(0, 500), 200)
+    val df = counts.zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }.toDF("doc_id", "n")
+    val dist = Packing
+      .chunkAssignments(df, "doc_id", $"n", 64, numPartitions = 7)
+      .select($"doc_id", $"token_end").as[(Long, Long)].collect().toMap
+    val w = Window.orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = df.select($"doc_id",
+        sum($"n".cast("long")).over(w).as("token_end"))
+      .as[(Long, Long)].collect().toMap
+    assert(dist == ref)
   }
 
   test("hash split: every bucket obeys its threshold band, any seed") {
