@@ -333,6 +333,75 @@ object CorpusQueries extends QueryModule {
              |FROM b""".stripMargin),
     ),
 
+    // ---- the whole curation pipeline composed end-to-end: quality
+    // gate → exact dedup survivors → deterministic split — the shape a
+    // real corpus run chains, oracle-checked as one unit so operator
+    // composition (not just each op alone) is verified.
+    Q(
+      "q54_curation_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val scored = docs.select(col("doc_id"), col("text"),
+          TextAnalysis.langId(col("text")).as("lang"),
+          TextAnalysis.qualityFeatures(col("text"))
+            .getField("quality").as("quality"))
+        val kept = scored.filter(col("quality") >= 0.5)
+        val survivors = Dedup.exactDedup(kept, "text", "doc_id")
+        Sampling.hashSplit(
+            survivors.join(kept, Seq("doc_id"))
+              .select(col("doc_id"), col("lang"), col("quality"),
+                col("n_copies")),
+            "doc_id", "cur42")
+          .select(col("doc_id"), col("lang"), col("quality"),
+            col("n_copies"), col("split"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, text,
+             |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             |    length(regexp_replace(text, '[\w\s]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
+             |    length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) AS digit_ratio,
+             |    len(list_filter(string_split(trim(text), ' '),
+             |        x -> x IN ('the','a','of','and','is'))) * 1.0 /
+             |      len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio,
+             |    len(list_filter(string_split(trim(text), ' '),
+             |        x -> x IN ('the','a','of','and','is'))) AS s_en,
+             |    len(list_filter(string_split(trim(text), ' '),
+             |        x -> x IN ('der','die','das','und','ist'))) AS s_de,
+             |    len(list_filter(string_split(trim(text), ' '),
+             |        x -> x IN ('el','la','de','y','es'))) AS s_es
+             |  FROM documents
+             |), scored AS (
+             |  SELECT doc_id, text,
+             |    CASE
+             |      WHEN greatest(s_en, s_de, s_es) = 0 THEN 'unknown'
+             |      WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+             |      WHEN s_de >= s_es THEN 'de'
+             |      ELSE 'es' END AS lang,
+             |    (CAST(CASE WHEN n_tokens BETWEEN 20 AND 5000 THEN 4 ELSE 0 END +
+             |          CASE WHEN punct_ratio < 0.1 THEN 3 ELSE 0 END +
+             |          CASE WHEN digit_ratio < 0.2 THEN 1 ELSE 0 END AS DOUBLE)
+             |     * 0.1 + stopword_ratio * 0.2) AS quality
+             |  FROM f
+             |), kept AS (
+             |  SELECT * FROM scored WHERE quality >= 0.5
+             |), surv AS (
+             |  SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+             |  FROM kept GROUP BY md5(text)
+             |), j AS (
+             |  SELECT s.doc_id, k.lang, k.quality, s.n_copies
+             |  FROM surv s JOIN kept k ON s.doc_id = k.doc_id
+             |), b AS (
+             |  SELECT *, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'cur42'), 1, 15)
+             |    AS BIGINT) % 10000 AS bucket
+             |  FROM j
+             |)
+             |SELECT doc_id, lang, quality, n_copies,
+             |  CASE WHEN bucket < 8000 THEN 'train'
+             |       WHEN bucket < 9000 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM b""".stripMargin),
+    ),
+
     // ---- sequence packing (concatenate-then-chunk): each doc's token
     // interval and chunk span under a 512-token sequence length.
     Q(

@@ -156,5 +156,40 @@ object StreamingQueries extends QueryModule {
              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1, 2""".stripMargin),
     ),
+
+    // ---- streaming exactly-once dedup: the events table delivered
+    // TWICE into the watched directory (duplicate delivery), collapsed
+    // by dropDuplicatesWithinWatermark — output must equal the original
+    // table exactly once.
+    Q(
+      "q53_streaming_dedup",
+      (s, d) => {
+        val root = scratch()
+        val inDir = s"$root/in"
+        val ev = Tables.events(s, d).select(col("event_id"),
+          col("user_id"), col("ts"), col("value"))
+        ev.write.mode("append").parquet(inDir)
+        ev.write.mode("append").parquet(inDir) // the duplicate delivery
+        val sink = "graft_stream_dedup_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = StreamOps
+          .dedupEvents(s.readStream.schema(ev.schema).parquet(inDir))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("tss"),
+            col("value"))
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("memory")
+          .queryName(sink)
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+      },
+      Some("""SELECT event_id, user_id,
+             |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS tss, value
+             |FROM events""".stripMargin),
+    ),
   )
 }

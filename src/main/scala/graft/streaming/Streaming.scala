@@ -56,6 +56,15 @@ object StreamOps {
   /** S-windows: tumbling event-time aggregation with a watermark — the
     * streaming twin of q13's batch rollup. Late rows beyond the
     * watermark are dropped; on-time aggregates finalize per window. */
+  /** Exactly-once event dedup: duplicate deliveries of the same
+    * `event_id` inside the watermark horizon collapse to one row with
+    * BOUNDED state — `dropDuplicatesWithinWatermark` evicts seen-keys
+    * past the horizon, where plain `dropDuplicates` would grow state
+    * forever (the streaming twin of [[graft.ops.Dedup.exactDedup]]). */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
