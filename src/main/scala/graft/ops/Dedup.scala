@@ -190,9 +190,8 @@ object Dedup {
       .distinct().persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id")).localCheckpoint()
-    var i = 0
-    var done = false
-    while (i < maxIter && !done) {
+
+    def round(): Boolean = { // propagate once; true when nothing changed
       val nbr = edges.join(labels.select(col("id").as("dst"),
           col("cluster_id").as("__dl")), "dst")
         .groupBy(col("src")).agg(min(col("__dl")).as("__nl"))
@@ -201,14 +200,22 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("__nl"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint()
-      done = next.join(labels.withColumnRenamed("cluster_id", "__old"), "id")
+      val stable = next
+        .join(labels.withColumnRenamed("cluster_id", "__old"), "id")
         .filter(col("cluster_id") =!= col("__old")).isEmpty
       labels = next
-      i += 1
+      stable
     }
+
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) { done = round(); i += 1 }
+    // a run whose LAST permitted round still changed labels may in fact
+    // have just converged — confirm with one extra (cheap) round before
+    // deciding; wrong cluster ids are worse than a loud failure, so a
+    // genuinely unconverged component (diameter > maxIter) throws
+    if (!done) done = round()
     edges.unpersist()
-    // wrong cluster ids are worse than a loud failure: a component with
-    // diameter > maxIter would silently split into several clusters
     if (!done) throw new IllegalStateException(
       s"duplicateClusters did not converge in $maxIter rounds — " +
         "raise maxIter (component diameter exceeds it)")

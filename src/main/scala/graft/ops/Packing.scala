@@ -33,11 +33,17 @@ object Packing {
     val spark = df.sparkSession
     val p = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    // both passes must observe the SAME partitioning + order
-    val base = df.select(col(idCol), tokenCol.cast("long").as("n_tokens"))
+    // null token counts (e.g. null text) pack as zero-width spans
+    // rather than NPE-ing the scan; localCheckpoint (not persist) so
+    // both passes observe the SAME materialized partitioning and the
+    // blocks are freed by the context cleaner once the result is
+    // unreachable — a CacheManager persist would pin them for the
+    // session lifetime
+    val base = df.select(col(idCol),
+        coalesce(tokenCol.cast("long"), lit(0L)).as("n_tokens"))
       .repartitionByRange(p, col(idCol))
       .sortWithinPartitions(col(idCol))
-      .persist()
+      .localCheckpoint()
     // pass 1: per-partition totals → exclusive global offsets
     val totals = base
       .groupBy(spark_partition_id().as("__pid"))

@@ -90,8 +90,11 @@ object TextAnalysis {
       k: Int): DataFrame = {
     val toks = df.select(col(idCol),
       explode(split(trim(col(textCol)), "\\s+")).as("term"))
+    // localCheckpoint, not persist: tf feeds docFreq AND the scoring
+    // join (one tokenize pass), and its blocks free on GC instead of
+    // pinning in the session cache across invocations
     val tf = toks.groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf")).persist()
+      .agg(count(lit(1)).as("tf")).localCheckpoint()
     // tf already holds one row per (doc, term) — df comes from the
     // aggregated side, not a second tokenize+explode pass over the corpus
     val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -213,8 +213,12 @@ object CorpusQueries extends QueryModule {
       "q28_lang_id",
       (s, d) => Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred")),
+      // tokenization is \s+ (matching the Spark side exactly) and ties
+      // go to the alphabetically-first language, which is langId's
+      // array_max tie-break — an 'en-first' CASE would silently drift
+      // on s_en == s_de documents
       Some("""WITH t AS (
-             |  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
              |), s AS (
              |  SELECT doc_id,
              |    len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS s_en,
@@ -224,8 +228,8 @@ object CorpusQueries extends QueryModule {
              |)
              |SELECT doc_id, CASE
              |  WHEN greatest(s_en, s_de, s_es) = 0 THEN 'unknown'
-             |  WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
-             |  WHEN s_de >= s_es THEN 'de'
+             |  WHEN s_de >= s_en AND s_de >= s_es THEN 'de'
+             |  WHEN s_en >= s_es THEN 'en'
              |  ELSE 'es' END AS lang_pred
              |FROM s""".stripMargin),
     ),
@@ -243,7 +247,7 @@ object CorpusQueries extends QueryModule {
              |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
              |    length(regexp_replace(text, '[\w\s]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
              |    length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) AS digit_ratio,
-             |    len(list_filter(string_split(trim(text), ' '),
+             |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
              |        x -> x IN ('the','a','of','and','is'))) * 1.0 /
              |      len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio
              |  FROM documents
@@ -360,22 +364,22 @@ object CorpusQueries extends QueryModule {
              |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
              |    length(regexp_replace(text, '[\w\s]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
              |    length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) AS digit_ratio,
-             |    len(list_filter(string_split(trim(text), ' '),
+             |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
              |        x -> x IN ('the','a','of','and','is'))) * 1.0 /
              |      len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio,
-             |    len(list_filter(string_split(trim(text), ' '),
+             |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
              |        x -> x IN ('the','a','of','and','is'))) AS s_en,
-             |    len(list_filter(string_split(trim(text), ' '),
+             |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
              |        x -> x IN ('der','die','das','und','ist'))) AS s_de,
-             |    len(list_filter(string_split(trim(text), ' '),
+             |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
              |        x -> x IN ('el','la','de','y','es'))) AS s_es
              |  FROM documents
              |), scored AS (
              |  SELECT doc_id, text,
              |    CASE
              |      WHEN greatest(s_en, s_de, s_es) = 0 THEN 'unknown'
-             |      WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
-             |      WHEN s_de >= s_es THEN 'de'
+             |      WHEN s_de >= s_en AND s_de >= s_es THEN 'de'
+             |      WHEN s_en >= s_es THEN 'en'
              |      ELSE 'es' END AS lang,
              |    (CAST(CASE WHEN n_tokens BETWEEN 20 AND 5000 THEN 4 ELSE 0 END +
              |          CASE WHEN punct_ratio < 0.1 THEN 3 ELSE 0 END +

@@ -254,9 +254,12 @@ class CorpusOpsSpec extends SparkSpec {
 
   test("langId picks the dominant stopword language deterministically") {
     val d = Seq("the cat of the hat is", "der hund und die katze ist",
-      "el perro y la casa es", "zzz qqq").toDF("text")
+      "el perro y la casa es", "zzz qqq",
+      // score ties go to the alphabetically-first language — the q28/q54
+      // oracle CASE order encodes exactly this, so it's pinned here
+      "the der", "the el", "der\tel").toDF("text")
     val r = d.select(TextAnalysis.langId($"text")).as[String].collect().toSeq
-    assert(r == Seq("en", "de", "es", "unknown"))
+    assert(r == Seq("en", "de", "es", "unknown", "de", "en", "de"))
   }
 
   test("token counts and fingerprint are order-insensitive where claimed") {
