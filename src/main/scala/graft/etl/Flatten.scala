@@ -54,7 +54,18 @@ object Flatten {
   )
 
   /** Flatten a parsed-page frame (schema of [[graft.parse.ParsedPage]])
-    * into the canonical flat listing schema. */
+    * into the canonical flat listing schema.
+    *
+    * Shape matters for the driver: a naive ~50-step `withColumn` chain
+    * re-analyzes the whole plan per call (quadratic driver time) and
+    * duplicates the title/stats/geo struct subtrees once per `.getField`
+    * reference — measured as the dominant cost of the parse pipeline at
+    * sf0.1. Instead the expensive subtrees are hoisted into `_`-prefixed
+    * columns (one Project; CollapseProject keeps them materialized
+    * because each is referenced more than once and is non-cheap), and
+    * the flat schema is produced by ONE bulk select that preserves the
+    * exact column order the historical chain produced.
+    */
   def apply(parsed: DataFrame): DataFrame = {
     val bag = col("attrs")
     def fromBag(ru: String): Column = element_at(bag, ru)
@@ -65,92 +76,106 @@ object Flatten {
         canon -> coalesce(entries.keys.toSeq.sorted.map(fromBag): _*)
     }
 
-    val titleInfo = Functions.parseOfferTitle(col("title"))
-    val stats = Functions.parseOfferStats(col("offer_stats"))
-    val geo = Functions.geoFromItems(col("address_items"))
-    val floorInfo = Functions.parseFloor(
-      coalesce(mapped("floor_combined"), titleInfo.getField("floor")))
+    val hoisted = parsed
+      .withColumns(Map(
+        "_title" -> Functions.parseOfferTitle(col("title")),
+        "_stats" -> Functions.parseOfferStats(col("offer_stats")),
+        "_geo" -> Functions.geoFromItems(col("address_items"))))
+      .withColumns(Map(
+        "_floor" -> Functions.parseFloor(
+          coalesce(mapped("floor_combined"), col("_title").getField("floor"))),
+        "_street" -> Functions.normalizeStreetNames(
+          col("_geo").getField("street"))))
 
-    val street = Functions.normalizeStreetNames(geo.getField("street"))
+    val titleInfo = col("_title")
+    val stats = col("_stats")
+    val geo = col("_geo")
+    val floorInfo = col("_floor")
+    val street = col("_street")
     val builtAddress = Functions.buildAddress(
       geo.getField("city"), street, geo.getField("building"))
 
-    val knownKeys = fieldMappings.keys.toSeq
-    val extras = map_filter(bag,
-      (k, _) => !knownKeys.map(lit(_) === k).reduce(_ || _))
+    val knownKeys = fieldMappings.keys.toArray
+    val extras = map_filter(bag, (k, _) => !array_contains(lit(knownKeys), k))
 
-    parsed
-      // rental terms: positional PriceInfo (already columns) wins
-      .withColumn("rental_period",
-        coalesce(col("rental_period"), mapped("rental_period")))
-      .withColumn("utilities_payment",
-        coalesce(col("utilities_payment"), mapped("utilities_payment")))
-      .withColumn("commission", coalesce(col("commission"), mapped("commission")))
-      .withColumn("security_deposit",
-        coalesce(col("security_deposit"), mapped("security_deposit")))
-      .withColumn("prepayment", mapped("prepayment"))
-      .withColumn("negotiable", mapped("negotiable"))
-      .withColumn("living_conditions", mapped("living_conditions"))
-      // areas / layout: label bag wins over title-derived (insertion order)
-      .withColumn("total_area",
-        coalesce(mapped("total_area"), titleInfo.getField("total_area")))
-      .withColumn("living_area", mapped("living_area"))
-      .withColumn("kitchen_area", mapped("kitchen_area"))
-      .withColumn("room_area", mapped("room_area"))
-      .withColumn("ceiling_height", mapped("ceiling_height"))
-      .withColumn("room_count", titleInfo.getField("room_count"))
-      .withColumn("rooms_for_rent", mapped("rooms_for_rent"))
-      .withColumn("rooms_in_apartment", mapped("rooms_in_apartment"))
-      .withColumn("sleeping_places", mapped("sleeping_places"))
-      .withColumn("floor_combined", mapped("floor_combined"))
-      .withColumn("floor", floorInfo.getField("floor"))
-      .withColumn("total_floors",
-        coalesce(floorInfo.getField("total_floors"),
-          titleInfo.getField("total_floors")))
-      // building attributes
-      .withColumn("apartment_type", mapped("apartment_type"))
-      .withColumn("layout", mapped("layout"))
-      .withColumn("renovation", mapped("renovation"))
-      .withColumn("bathroom", mapped("bathroom"))
-      .withColumn("balcony", mapped("balcony"))
-      .withColumn("view", mapped("view"))
-      .withColumn("year_built", mapped("year_built"))
-      .withColumn("building_type", mapped("building_type"))
-      .withColumn("building_series", mapped("building_series"))
-      .withColumn("ceiling_type", mapped("ceiling_type"))
-      .withColumn("heating", mapped("heating"))
-      .withColumn("parking", mapped("parking"))
-      .withColumn("elevators", mapped("elevators"))
-      .withColumn("entrances", mapped("entrances"))
-      .withColumn("gas_supply", mapped("gas_supply"))
-      .withColumn("garbage_chute", mapped("garbage_chute"))
-      .withColumn("emergency", mapped("emergency"))
-      // amenity flags: present → true, absent → null (merge null-skip)
-      .transform { df =>
-        amenityFlags.foldLeft(df) { case (acc, (ru, flag)) =>
-          acc.withColumn(flag,
-            when(array_contains(col("features"), ru), lit(true)))
-        }
-      }
-      // geo
-      .withColumn("city", geo.getField("city"))
-      .withColumn("district", geo.getField("district"))
-      .withColumn("neighborhood", geo.getField("neighborhood"))
-      .withColumn("street", street)
-      .withColumn("street_id", geo.getField("street_id"))
-      .withColumn("building", geo.getField("building"))
-      .withColumn("building_id", geo.getField("building_id"))
-      .withColumn("metro_station",
-        coalesce(col("metro_station"), geo.getField("metro_station")))
-      .withColumn("metro_id", geo.getField("metro_id"))
-      .withColumn("address",
+    // in-place replacements of ParsedPage columns (rental terms:
+    // positional PriceInfo wins over the label bag — dict insertion order)
+    val replaced: Map[String, Column] = Map(
+      "rental_period" ->
+        coalesce(col("rental_period"), mapped("rental_period")),
+      "utilities_payment" ->
+        coalesce(col("utilities_payment"), mapped("utilities_payment")),
+      "commission" -> coalesce(col("commission"), mapped("commission")),
+      "security_deposit" ->
+        coalesce(col("security_deposit"), mapped("security_deposit")),
+      "metro_station" ->
+        coalesce(col("metro_station"), geo.getField("metro_station")),
+      "address" ->
         when(builtAddress =!= "", builtAddress).otherwise(col("address")))
-      // views
-      .withColumn("total_views", stats.getField("total_views"))
-      .withColumn("today_views", stats.getField("today_views"))
-      .withColumn("unique_views", stats.getField("unique_views"))
-      // open-vocabulary tail
-      .withColumn("extras", extras)
-      .drop("attrs", "address_items")
+
+    // appended columns, in the historical first-assignment order
+    val appended: Seq[(String, Column)] =
+      Seq(
+        "prepayment" -> mapped("prepayment"),
+        "negotiable" -> mapped("negotiable"),
+        "living_conditions" -> mapped("living_conditions"),
+        // areas / layout: label bag wins over title-derived (insertion order)
+        "total_area" ->
+          coalesce(mapped("total_area"), titleInfo.getField("total_area")),
+        "living_area" -> mapped("living_area"),
+        "kitchen_area" -> mapped("kitchen_area"),
+        "room_area" -> mapped("room_area"),
+        "ceiling_height" -> mapped("ceiling_height"),
+        "room_count" -> titleInfo.getField("room_count"),
+        "rooms_for_rent" -> mapped("rooms_for_rent"),
+        "rooms_in_apartment" -> mapped("rooms_in_apartment"),
+        "sleeping_places" -> mapped("sleeping_places"),
+        "floor_combined" -> mapped("floor_combined"),
+        "floor" -> floorInfo.getField("floor"),
+        "total_floors" -> coalesce(floorInfo.getField("total_floors"),
+          titleInfo.getField("total_floors")),
+        // building attributes
+        "apartment_type" -> mapped("apartment_type"),
+        "layout" -> mapped("layout"),
+        "renovation" -> mapped("renovation"),
+        "bathroom" -> mapped("bathroom"),
+        "balcony" -> mapped("balcony"),
+        "view" -> mapped("view"),
+        "year_built" -> mapped("year_built"),
+        "building_type" -> mapped("building_type"),
+        "building_series" -> mapped("building_series"),
+        "ceiling_type" -> mapped("ceiling_type"),
+        "heating" -> mapped("heating"),
+        "parking" -> mapped("parking"),
+        "elevators" -> mapped("elevators"),
+        "entrances" -> mapped("entrances"),
+        "gas_supply" -> mapped("gas_supply"),
+        "garbage_chute" -> mapped("garbage_chute"),
+        "emergency" -> mapped("emergency")) ++
+      // amenity flags: present → true, absent → null (merge null-skip)
+      amenityFlags.toSeq.map { case (ru, flag) =>
+        flag -> when(array_contains(col("features"), ru), lit(true))
+      } ++
+      Seq(
+        // geo
+        "city" -> geo.getField("city"),
+        "district" -> geo.getField("district"),
+        "neighborhood" -> geo.getField("neighborhood"),
+        "street" -> street,
+        "street_id" -> geo.getField("street_id"),
+        "building" -> geo.getField("building"),
+        "building_id" -> geo.getField("building_id"),
+        "metro_id" -> geo.getField("metro_id"),
+        // views
+        "total_views" -> stats.getField("total_views"),
+        "today_views" -> stats.getField("today_views"),
+        "unique_views" -> stats.getField("unique_views"),
+        // open-vocabulary tail
+        "extras" -> extras)
+
+    val dropped = Set("attrs", "address_items")
+    val kept = parsed.columns.filterNot(dropped).toSeq
+      .map(n => replaced.getOrElse(n, col(n)).as(n))
+    hoisted.select(kept ++ appended.map { case (n, c) => c.as(n) }: _*)
   }
 }

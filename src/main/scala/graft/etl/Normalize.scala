@@ -35,17 +35,22 @@ object Normalize {
     *             ("сегодня"/"вчера"/year-rollback); reference behavior =
     *             current_timestamp(). */
   def apply(df: DataFrame, asOf: Column): DataFrame = {
-    val withStatus = df.withColumn("status",
+    // single bulk select (not a withColumn fold — that re-analyzes the
+    // plan once per field); column order matches the historical chain:
+    // input order with in-place transforms, temp cols dropped, status last
+    val statusExpr =
       when(!coalesce(col("is_unpublished"), lit(false)), lit("active"))
-        .otherwise(lit("non active")))
-    val withNums = numericFields.foldLeft(withStatus) { (acc, f) =>
-      if (acc.columns.contains(f))
-        acc.withColumn(f, Functions.parseNumeric(col(f))) else acc
+        .otherwise(lit("non active"))
+    val numSet = numericFields.toSet
+    val dateSet = dateFields.toSet
+    val kept = df.columns.filterNot(tempCols.toSet).toSeq.map { f =>
+      if (f == "status") statusExpr.as(f)
+      else if (numSet(f)) Functions.parseNumeric(col(f)).as(f)
+      else if (dateSet(f)) Functions.parseRussianDate(col(f), asOf).as(f)
+      else col(f)
     }
-    val withDates = dateFields.foldLeft(withNums) { (acc, f) =>
-      if (acc.columns.contains(f))
-        acc.withColumn(f, Functions.parseRussianDate(col(f), asOf)) else acc
-    }
-    withDates.drop(tempCols: _*)
+    val out = if (df.columns.contains("status")) kept
+      else kept :+ statusExpr.as("status")
+    df.select(out: _*)
   }
 }
