@@ -123,7 +123,15 @@ object Dedup {
     * essentially every false candidate (background J≈0.02 estimating
     * ≥0.3 needs a +5σ Binomial(128) excursion) while losing true J≥tau
     * pairs with probability ~1e-6 — exact verification then touches only
-    * dozens of pairs instead of 2-3% of all pairs. */
+    * dozens of pairs instead of 2-3% of all pairs.
+    *
+    * Join strategy is deliberately unhinted: the signature frame is
+    * |docs| rows × numHashes longs — forcing a broadcast would ship the
+    * whole corpus signature to every executor (a ~1 TB broadcast at 1 B
+    * docs). An id-keyed shuffle join scales linearly, and AQE still
+    * broadcasts when the frame is genuinely small. (Carrying signatures
+    * through the banding explode instead would multiply shuffle volume
+    * by numBands — strictly worse.) */
   private def estimateFilter(cands: DataFrame, sig: DataFrame, idCol: String,
       numHashes: Int, minEst: Double): DataFrame = {
     val sigA = sig.select(col(idCol).as("id_a"), col("__sig").as("__sa"))
@@ -134,7 +142,7 @@ object Dedup {
       zip_with(col("__sa"), col("__sb"),
         (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
-    cands.join(broadcast(sigA), "id_a").join(broadcast(sigB), "id_b")
+    cands.join(sigA, "id_a").join(sigB, "id_b")
       .filter((matches.cast("double") / numHashes) >= minEst)
       .select(col("id_a"), col("id_b"))
   }
@@ -195,15 +203,18 @@ object Dedup {
       val nbr = edges.join(labels.select(col("id").as("dst"),
           col("cluster_id").as("__dl")), "dst")
         .groupBy(col("src")).agg(min(col("__dl")).as("__nl"))
+      // stability is read off a __changed flag computed IN the propagate
+      // select — the historical join-back against the previous labels
+      // frame doubled the per-round shuffle work; the flag check below
+      // only rescans the already-checkpointed partitions
+      val newLabel =
+        least(col("cluster_id"), coalesce(col("__nl"), col("cluster_id")))
       val next = labels.join(nbr, col("id") === col("src"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("__nl"), col("cluster_id")))
-            .as("cluster_id"))
+        .select(col("id"), newLabel.as("cluster_id"),
+          (newLabel =!= col("cluster_id")).as("__changed"))
         .localCheckpoint()
-      val stable = next
-        .join(labels.withColumnRenamed("cluster_id", "__old"), "id")
-        .filter(col("cluster_id") =!= col("__old")).isEmpty
-      labels = next
+      val stable = next.filter(col("__changed")).isEmpty
+      labels = next.drop("__changed")
       stable
     }
 

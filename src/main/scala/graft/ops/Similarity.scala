@@ -181,7 +181,7 @@ object Similarity {
     */
   def annTopKIvf(df: DataFrame, idCol: String, vecCol: String, k: Int,
       numCentroids: Int = 16, nProbe: Int = 4, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, knownCount: Option[Long] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = df.sparkSession
@@ -189,30 +189,30 @@ object Similarity {
 
     val base = df.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("__v"))
-      .withColumn("__features", array_to_vector(col("__v")))
     // Train on a bounded seeded sample: 16 centroids need ~10^5 points,
     // not 8 full passes over the table (at 100 TB, full-table fit IS the
     // index-build bottleneck). Few iterations + rough cells on purpose —
-    // recall comes from nProbe, not assignment optimality. The one count()
-    // is metadata-cheap on parquet and amortized into the index build.
+    // recall comes from nProbe, not assignment optimality. Pass
+    // `knownCount` to skip the sizing count() when the caller knows it.
     val trainCap = 100000L
-    val n = base.count()
-    val train = if (n <= trainCap) base
+    val n = knownCount.getOrElse(base.count())
+    val trainBase = if (n <= trainCap) base
       else base.sample(withReplacement = false,
         trainCap.toDouble / n, seed)
     val model = new KMeans().setK(numCentroids).setSeed(seed)
-      .setMaxIter(8).setFeaturesCol("__features").fit(train)
+      .setMaxIter(8).setFeaturesCol("__features")
+      .fit(trainBase.withColumn("__features", array_to_vector(col("__v"))))
     val centers = model.clusterCenters.map(_.toArray)
     val bcCenters = spark.sparkContext.broadcast(centers)
 
-    // member table: each vector in its own cell, with norm
-    val members = model.transform(base)
-      .select(col("id").as("member_id"), col("__v").as("__vm"),
-        col("prediction").as("cell"))
-
-    // probe table: each vector → its nProbe nearest cells (tiny centroid
-    // set → computed in a map, like the kernel path)
-    val probes = base.select(col("id"), col("__v")).as[(Long, Seq[Double])]
+    // ONE distance pass per vector: distances to all centroids computed
+    // once, the nProbe nearest emitted as probe cells with the nearest
+    // (rank 0) doubling as the vector's own cell membership. This
+    // replaces the earlier model.transform(base) member pass, which
+    // recomputed every centroid distance a second time through MLlib's
+    // vector UDFs; assignment and probe tie-break (lowest index) are now
+    // consistent by construction.
+    val assigned = base.as[(Long, Seq[Double])]
       .flatMap { case (id, v) =>
         val cs = bcCenters.value
         val dists = cs.indices.map { c =>
@@ -224,8 +224,12 @@ object Similarity {
           }
           (s, c)
         }.sortBy(x => (x._1, x._2)).take(nProbe)
-        dists.map { case (_, c) => (id, v, c) }
-      }.toDF("id", "__vq", "cell")
+        dists.zipWithIndex.map { case ((_, c), r) => (id, v, c, r) }
+      }.toDF("id", "__vq", "cell", "__r")
+
+    val members = assigned.filter(col("__r") === 0)
+      .select(col("id").as("member_id"), col("__vq").as("__vm"), col("cell"))
+    val probes = assigned.select(col("id"), col("__vq"), col("cell"))
 
     val pairs = probes.join(members, "cell")
       .filter(col("id") =!= col("member_id"))

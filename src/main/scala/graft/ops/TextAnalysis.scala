@@ -83,11 +83,19 @@ object TextAnalysis {
     * is not correctly-rounded and would drift in the last ulp. Swap
     * `log(N/df)` in when cross-engine equality doesn't matter.
     *
-    * Shape: one tokenize+groupBy per doc (map-side combined), a
-    * broadcast of the |vocab|-sized df table, one window for top-k.
-    * Ties broken by term (asc) for determinism. */
+    * Shape: one tokenize+groupBy per doc (map-side combined), then a
+    * term-keyed join against the document-frequency table, one window
+    * for top-k. The df join is deliberately unhinted: vocabulary size is
+    * unbounded on web corpora (typos, ids, urls), so a forced broadcast
+    * is an eventual OOM — AQE still broadcasts when the vocab is small.
+    * `minDf` prunes hapax/rare terms BEFORE the join (standard practice;
+    * shrinks both join sides and the window input). Ties broken by term
+    * (asc) for determinism.
+    *
+    * @param minDf drop terms appearing in fewer than this many docs
+    *              (1 = keep everything, the cross-engine-oracle setting) */
   def tfIdfTop(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+      k: Int, minDf: Long = 1L): DataFrame = {
     val toks = df.select(col(idCol),
       explode(split(trim(col(textCol)), "\\s+")).as("term"))
     // localCheckpoint, not persist: tf feeds docFreq AND the scoring
@@ -98,10 +106,11 @@ object TextAnalysis {
     // tf already holds one row per (doc, term) — df comes from the
     // aggregated side, not a second tokenize+explode pass over the corpus
     val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
     val total = df.select(count(lit(1)).as("__n"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(broadcast(docFreq), "term")
+    tf.join(docFreq, "term")
       .crossJoin(broadcast(total))
       .withColumn("score", col("tf") * col("__n") / col("df"))
       .withColumn("rank", row_number().over(w))
