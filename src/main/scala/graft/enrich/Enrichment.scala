@@ -105,12 +105,14 @@ object Enrichment {
     * correctness-over-throughput for rate-limited public APIs.
     */
   def distanceChain(workList: DataFrame, refCoords: String,
-      clientFactory: () => HttpClient): DataFrame = {
+      clientFactory: () => HttpClient,
+      cookieJar: Option[Seq[(String, String)]] = None): DataFrame = {
     val spark = workList.sparkSession
     import spark.implicits._
 
-    val geo = processRequests(geocodeRequests(workList), clientFactory,
-      maxConcurrent = 1)
+    val geo = processRequests(
+      Cookies.withCookies(geocodeRequests(workList), cookieJar),
+      clientFactory, maxConcurrent = 1)
     // P6: keep 200s; JSON-extract first candidate's coordinates;
     // malformed payloads coerce null and drop (distance.py:56-69)
     val coords = geo.toDF()
@@ -128,7 +130,9 @@ object Enrichment {
           Map("overview" -> "false", "alternatives" -> "false"))
       }
 
-    val routes = processRequests(routeReqs, clientFactory, maxConcurrent = 1)
+    val routes = processRequests(
+      Cookies.withCookies(routeReqs, cookieJar), clientFactory,
+      maxConcurrent = 1)
     routes.toDF()
       .filter(col("status") === 200)
       .select(col("requestId").as("offer_id"),

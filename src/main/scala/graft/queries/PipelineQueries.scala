@@ -3,7 +3,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.config.SearchConfig
-import graft.enrich.{Enrichment, HttpClient, HttpRequest, HttpResponse}
+import graft.enrich.{Cookies, Enrichment, HttpClient, HttpRequest, HttpResponse}
 import graft.io.JsonTable
 import graft.model.Tables
 import graft.pipeline.Pipeline
@@ -16,12 +16,19 @@ import graft.pipeline.Pipeline
   * — those rows must drop at the status filter.
   */
 class ArithmeticGeoClient extends HttpClient {
+  private val sessionRe = """session=(\d+)""".r
   def execute(req: HttpRequest): HttpResponse =
     if (req.url.contains("nominatim")) {
       val k = req.params("q").filter(_.isDigit).toLong
+      // A12 visibility: the session cookie (attached by Cookies
+      // .withCookies from a real jar file) shifts the returned latitude,
+      // so the oracle SQL proves the header reached the backend
+      val session = req.headers.get("Cookie")
+        .flatMap(c => sessionRe.findFirstMatchIn(c))
+        .map(_.group(1).toLong).getOrElse(0L)
       if (k % 13 == 0) HttpResponse(req.requestId, 404, "")
       else HttpResponse(req.requestId, 200,
-        s"""[{"lat":"${55 + k % 90}","lon":"${37 + k % 50}"}]""")
+        s"""[{"lat":"${55 + k % 90 + session}","lon":"${37 + k % 50}"}]""")
     } else {
       // route URL tail: ...;<lon>,<lat> (integer-valued, so exact)
       val coords = req.url.substring(req.url.lastIndexOf(';') + 1).split(",")
@@ -31,6 +38,18 @@ class ArithmeticGeoClient extends HttpClient {
       HttpResponse(req.requestId, 200,
         s"""{"routes":[{"distance":$meters}]}""")
     }
+}
+
+/** A7 backend: every request is rate-limited. With breakerThreshold=5
+  * exactly the first five rows of the (single) partition receive a real
+  * backend 429; the breaker then opens and every remaining row fails
+  * fast with error="circuit-open" (async_http_processor.py:17-27).
+  * Which five rows go first is partition-order-dependent, so the
+  * driver-visible observable is the aggregate count per kind.
+  */
+class AlwaysRateLimitedClient extends HttpClient {
+  def execute(req: HttpRequest): HttpResponse =
+    HttpResponse(req.requestId, 429, "")
 }
 
 /** Oracle-checked exercise of the pipeline surface the driver couldn't
@@ -151,13 +170,46 @@ object PipelineQueries extends QueryModule {
         val workList = Tables.customer(s, d).select(
           col("c_custkey").cast("string").as("offer_id"),
           concat(lit("addr "), col("c_custkey").cast("string")).as("address"))
+        // A12 end-to-end: a real browser-export-shaped jar FILE is
+        // loaded by Cookies.load and attached to every request; the
+        // backend shifts lat by the session cookie's value, so the
+        // oracle's +7 proves the header crossed the executor boundary.
+        val jarPath = java.nio.file.Paths
+          .get(graft.io.Scratch.dir("graft_q45_"), "cookies.json")
+        java.nio.file.Files.write(jarPath,
+          """[{"name":"session","value":"7"},{"name":"theme","value":"dark"}]"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val jar = Cookies.load(Some(jarPath.toString), useCookies = true)
         Enrichment.distanceChain(workList, "37.6,55.7",
-          () => new ArithmeticGeoClient)
+          () => new ArithmeticGeoClient, jar)
       },
       Some("""SELECT CAST(c_custkey AS VARCHAR) AS offer_id,
-             |  floor(((55 + c_custkey % 90) * 3 + (37 + c_custkey % 50) * 7) * 10
+             |  floor(((55 + c_custkey % 90 + 7) * 3 + (37 + c_custkey % 50) * 7) * 10
              |        / 1000 * 100 + 0.5) / 100 AS distance
              |FROM customer WHERE c_custkey % 13 <> 0""".stripMargin),
+    ),
+
+    // ---- A7 circuit breaker, driver-visible: all-429 backend → exactly
+    // breakerThreshold real 429s then fail-fast circuit-open rows for the
+    // rest of the partition; aggregated because the first-five identity
+    // is partition-order-dependent (the values are not).
+    Q(
+      "q55_circuit_breaker",
+      (s, d) => {
+        val reqs = Enrichment.geocodeRequests(
+          Tables.customer(s, d).select(
+            col("c_custkey").cast("string").as("offer_id"),
+            concat(lit("addr "), col("c_custkey").cast("string")).as("address")))
+        Enrichment.processRequests(reqs, () => new AlwaysRateLimitedClient,
+            maxConcurrent = 1, breakerThreshold = 5)
+          .toDF()
+          .groupBy(col("status"),
+            coalesce(col("error"), lit("backend-429")).as("kind"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT 429 AS status, 'backend-429' AS kind, CAST(5 AS BIGINT) AS n
+             |UNION ALL
+             |SELECT 429, 'circuit-open', count(*) - 5 FROM customer""".stripMargin),
     ),
 
     // ---- A9 JSON sink (NaN scrub + atomic swap) → A1 JSON scan →
