@@ -231,14 +231,48 @@ object Similarity {
       .select(col("id").as("member_id"), col("__vq").as("__vm"), col("cell"))
     val probes = assigned.select(col("id"), col("__vq"), col("cell"))
 
-    val pairs = probes.join(members, "cell")
-      .filter(col("id") =!= col("member_id"))
-      .select(col("id"), col("member_id").as("neighbor_id"),
-        graft.functions.CosineSimilarity(col("__vq"), col("__vm"))
-          .as("cosine"))
+    // Rank candidates with the same blocked-kernel shape as
+    // [[cosineTopKKernel]]: a row-level join here would push
+    // |probes|·|cell| candidate rows (≈ nProbe/numCentroids of brute
+    // force — 85M at sf0.1) through an expression eval and a full
+    // window sort. Instead members pack per cell and probes pack per
+    // (cell, sub-block); each join row is ONE task over two in-memory
+    // arrays emitting a per-probe partial top-k, so only ≤ nProbe·k
+    // rows per id reach the merge window. Per-task memory is bounded
+    // by |cell| + |probe sub-block| vectors — at scale numCentroids
+    // grows with n (cells stay executor-sized) and numBlocks bounds
+    // the probe side exactly like the brute-force kernel's B.
+    val numBlocks = 8
+    val memberPacks = members.groupBy(col("cell"))
+      .agg(collect_list(struct(col("member_id").as("_1"),
+        col("__vm").as("_2"))).as("mv"))
+    val probePacks = probes
+      .groupBy(col("cell"), pmod(col("id"), lit(numBlocks)).cast("int").as("__pblk"))
+      .agg(collect_list(struct(col("id").as("_1"),
+        col("__vq").as("_2"))).as("pv"))
+    val tasks = probePacks.join(memberPacks, "cell")
+      .select(col("pv"), col("mv"))
+      .as[(Seq[(Long, Seq[Double])], Seq[(Long, Seq[Double])])]
+    val partial = tasks.flatMap { case (pvecs, mvecs) =>
+      val ms = mvecs.map { case (id, v) =>
+        val a = v.toArray; (id, a, l2(a)) }.toArray
+      pvecs.iterator.flatMap { case (qid, qv) =>
+        val qa = qv.toArray
+        val qn = l2(qa)
+        val sims = ms.iterator.collect {
+          case (idb, vb, nb) if idb != qid =>
+            (dotP(qa, vb) / (qn * nb), idb)
+        }.toArray
+        // NaN-first ordering — matches the merge window's NaN-is-largest
+        sims.sortBy { case (c, id) =>
+          (if (c.isNaN) Double.NegativeInfinity else -c, id)
+        }.take(k)
+          .iterator.map { case (c, idb) => (qid, idb, c) }
+      }
+    }.toDF("id", "neighbor_id", "cosine")
     val w = Window.partitionBy(col("id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
+    partial.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 

@@ -191,6 +191,42 @@ object CorpusQueries extends QueryModule {
       None,
     ),
 
+    // ---- ANN recall GATE: seeded recall@3 of both approximate paths
+    // against the exact kernel, emitted as driver-visible rows — a
+    // regression that crushed recall (hyperplane/centroid bug, join key
+    // drift) flips meets_floor and fails the hash compare, where the
+    // rows-only checks on q26/q33 would stay green. Floors sit under
+    // the measured values (ivf 0.76-0.83, lsh 0.58-0.62 across sf) by
+    // a margin that absorbs k-means sample jitter but not a real break.
+    Q(
+      "q56_ann_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val k = 3
+        val exact = Similarity
+          .cosineTopKKernel(emb, "vec_id", "embedding", k)
+          .select(col("id"), col("neighbor_id")).persist()
+        val floors = Map("ivf" -> 0.70, "lsh" -> 0.40)
+        val methods = Seq(
+          "ivf" -> Similarity.annTopKIvf(emb, "vec_id", "embedding", k,
+            numCentroids = 16, nProbe = 6),
+          "lsh" -> Similarity.annTopK(emb, "vec_id", "embedding", k,
+            numPlanes = 6, dim = 64, numTables = 16))
+        methods.map { case (m, approx) =>
+          exact.join(
+              approx.select(col("id"), col("neighbor_id"))
+                .withColumn("__hit", lit(1)),
+              Seq("id", "neighbor_id"), "left")
+            .agg((sum(coalesce(col("__hit"), lit(0))) / count(lit(1)))
+              .as("recall"))
+            .select(lit(m).as("method"),
+              (col("recall") >= floors(m)).as("meets_floor"))
+        }.reduce(_ unionByName _)
+      },
+      Some("""SELECT 'ivf' AS method, true AS meets_floor
+             |UNION ALL SELECT 'lsh', true""".stripMargin),
+    ),
+
     // ---- token counting (whitespace + BPE-ish regex budget).
     Q(
       "q27_token_stats",
