@@ -184,10 +184,9 @@ object Dedup {
     * join + groupBy with lineage cut per round (localCheckpoint), so
     * the plan stays O(1) across rounds; converges in O(component
     * diameter) rounds — near-dup components are shallow in practice.
-    * At extreme scale the alternating large-star/small-star scheme
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    * 2014) reduces round count to O(log n) with the same per-round
-    * plan shape.
+    * At extreme scale (deep components) use [[duplicateClustersStar]]:
+    * the alternating large-star/small-star scheme converges in O(log n)
+    * rounds with the same per-round plan shape.
     *
     * @return (id, cluster_id) for every id present in `pairs`.
     */
@@ -231,6 +230,89 @@ object Dedup {
       s"duplicateClusters did not converge in $maxIter rounds — " +
         "raise maxIter (component diameter exceeds it)")
     labels
+  }
+
+  /** Connected components by ALTERNATING STAR OPERATIONS — the
+    * extreme-scale drop-in for [[duplicateClusters]] (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014). Where
+    * min-label propagation needs O(component diameter) rounds (a 10^6-node
+    * path graph = 10^6 rounds), the large-star/small-star alternation
+    * restructures the EDGE SET itself and provably converges in
+    * O(log² n) rounds (O(log n) in practice) regardless of diameter,
+    * with the same per-round plan shape: one groupBy-min + one join.
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m = min(Γ(u) ∪ u) — long tails collapse toward small ids;
+    *  - small-star(u): u and its smaller neighbors all attach to their
+    *    minimum — stars flatten one level.
+    *
+    * Both steps preserve connectivity; the fixed point is a forest of
+    * depth-1 stars rooted at each component's minimum id. Per-round
+    * lineage is cut with localCheckpoint (same O(1)-plan discipline as
+    * the propagation form), and non-convergence throws loudly rather
+    * than returning wrong clusters.
+    *
+    * Parity with [[duplicateClusters]] is asserted in CorpusOpsSpec on
+    * paths, cycles, stars and random graphs; the driver-visible q57
+    * checks it against a recursive-CTE transitive closure.
+    *
+    * @return (id, cluster_id) for every id present in `pairs` — same
+    *         contract as [[duplicateClusters]].
+    */
+  def duplicateClustersStar(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    // canonical undirected edge list (u < v), self-loops dropped
+    var edges = pairs
+      .select(col(idA).as("__x"), col(idB).as("__y"))
+      .filter(col("__x") =!= col("__y"))
+      .select(least(col("__x"), col("__y")).as("u"),
+        greatest(col("__x"), col("__y")).as("v"))
+      .distinct().localCheckpoint()
+
+    def starRound(cur: DataFrame): DataFrame = {
+      // large-star: per node, neighbors LARGER than it re-attach to the
+      // min of its closed neighborhood. m ≤ u < v, so (m, v) stays
+      // canonical without re-sorting.
+      val adj = cur.select(col("u"), col("v"))
+        .unionByName(cur.select(col("v").as("u"), col("u").as("v")))
+      val mins = adj.groupBy(col("u"))
+        .agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("u"), col("__mn")).as("m"))
+      val ls = adj.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v")).distinct()
+      // small-star: group by the LARGER endpoint; it and all its smaller
+      // neighbors attach to their collective minimum. mn < v' for every
+      // emitted neighbor v' and mn < u, so edges stay canonical.
+      val sAdj = ls.select(col("v").as("big"), col("u").as("small"))
+      val sMin = sAdj.groupBy(col("big")).agg(min(col("small")).as("__mn"))
+      val ss = sAdj.join(sMin, "big")
+        .select(col("__mn").as("u"),
+          explode(array(col("small"), col("big"))).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      ss.localCheckpoint()
+    }
+
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      val next = starRound(edges)
+      // set equality via one count + one-sided except (both over
+      // already-checkpointed frames); the alternation is monotone so a
+      // same-size superset cannot occur silently
+      done = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+      i += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"duplicateClustersStar did not converge in $maxIter rounds")
+    // fixed point = depth-1 stars: each non-root appears as v exactly
+    // once with its root as u; roots label themselves
+    edges.select(col("v").as("id"), col("u").as("cluster_id"))
+      .unionByName(edges.select(col("u").as("id"), col("u").as("cluster_id")))
+      .distinct()
   }
 
   // --------------------------------------------------------------- SimHash

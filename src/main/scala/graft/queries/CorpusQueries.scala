@@ -468,5 +468,61 @@ object CorpusQueries extends QueryModule {
              |  (token_end - n_tokens) % 512 AS chunk_offset
              |FROM c""".stripMargin),
     ),
+
+    // ---- duplicate clusters at EXTREME scale: the large-star/small-star
+    // alternation (O(log n) rounds regardless of component diameter)
+    // over the SimHash near-dup pairs — a second, independent pair
+    // generator feeding a second, independent clustering algorithm, both
+    // restated by the oracle from first principles (portable md5 votes →
+    // brute-force Hamming scan → recursive transitive closure).
+    Q(
+      "q57_dup_clusters_star",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.simhashPairsPortable(docs, "doc_id", "text",
+          maxHamming = 3)
+        val clusters = Dedup.duplicateClustersStar(pairs)
+          .withColumnRenamed("id", "doc_id")
+        docs.select(col("doc_id"))
+          .join(clusters, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+          .withColumn("is_canonical", col("cluster_id") === col("doc_id"))
+      },
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+             |  FROM documents
+             |), h AS (
+             |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv
+             |  FROM toks
+             |), votes AS (
+             |  SELECT doc_id, bb.b,
+             |    sum(CASE WHEN (hv >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+             |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS b) bb
+             |  GROUP BY doc_id, bb.b
+             |), fp AS (
+             |  SELECT doc_id,
+             |    CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS f
+             |  FROM votes GROUP BY doc_id
+             |), p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.f, b.f)) <= 3
+             |), edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM p
+             |  UNION SELECT id_b, id_a FROM p
+             |), reach AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+             |), comp AS (
+             |  SELECT src AS id, least(src, min(dst)) AS cluster_id
+             |  FROM reach GROUP BY src
+             |)
+             |SELECT d.doc_id,
+             |  coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+             |  (coalesce(c.cluster_id, d.doc_id) = d.doc_id) AS is_canonical
+             |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin),
+    ),
   )
 }

@@ -37,6 +37,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!out.contains(99L))
   }
 
+  test("star clustering matches min-label propagation on adversarial graphs") {
+    // path (deep diameter — the case star ops exist for), triangle,
+    // star, two-node component, and a seeded random graph
+    val rng = new scala.util.Random(7)
+    val random = Seq.fill(120)((rng.nextInt(40).toLong + 100L,
+      rng.nextInt(40).toLong + 100L)).filter(p => p._1 != p._2)
+    val fixed = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 24L), (20L, 23L), (20L, 22L), (20L, 21L),
+      (30L, 31L))
+    val pairs = (fixed ++ random).toDF("id_a", "id_b")
+    val prop = Dedup.duplicateClusters(pairs, maxIter = 60)
+      .as[(Long, Long)].collect().toMap
+    val star = Dedup.duplicateClustersStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(star == prop)
+    assert((1L to 6L).forall(star(_) == 1L))
+  }
+
+  test("star clustering converges on a long path in few rounds") {
+    // 200-node path: propagation needs ~200 rounds, star ops O(log n) —
+    // maxIter=12 would loudly fail if the alternation degraded to
+    // per-hop propagation
+    val pairs = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClustersStar(pairs, maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(out.size == 200 && out.values.forall(_ == 1L))
+  }
+
   test("wordNGrams produces distinct consecutive triples") {
     val g = Seq("a b c d a b c d").toDF("text")
       .select(Dedup.wordNGrams($"text", 3)).as[Seq[String]].collect().head
