@@ -182,8 +182,6 @@ object Similarity {
   def annTopKIvf(df: DataFrame, idCol: String, vecCol: String, k: Int,
       numCentroids: Int = 16, nProbe: Int = 4, dim: Int = 64,
       seed: Long = 42L, knownCount: Option[Long] = None): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -194,15 +192,31 @@ object Similarity {
     // index-build bottleneck). Few iterations + rough cells on purpose —
     // recall comes from nProbe, not assignment optimality. Pass
     // `knownCount` to skip the sizing count() when the caller knows it.
+    // The capped sample (≤100k × dim doubles ≈ 50 MB) is collected and
+    // Lloyd's runs ON THE DRIVER: an MLlib fit here launches ~2 jobs per
+    // iteration against a frame we already bounded to driver size, and
+    // that job-launch overhead WAS the dominant cost of the whole query
+    // (measured 7.7 s of an 11.3 s wall at sf0.1; local fit: <0.1 s).
+    // This is the faiss shape: index training is sample-local, only
+    // assignment is distributed.
     val trainCap = 100000L
     val n = knownCount.getOrElse(base.count())
     val trainBase = if (n <= trainCap) base
       else base.sample(withReplacement = false,
         trainCap.toDouble / n, seed)
-    val model = new KMeans().setK(numCentroids).setSeed(seed)
-      .setMaxIter(8).setFeaturesCol("__features")
-      .fit(trainBase.withColumn("__features", array_to_vector(col("__v"))))
-    val centers = model.clusterCenters.map(_.toArray)
+    // SPHERICAL cells: similarity is cosine, so cluster and assign on
+    // L2-NORMALIZED vectors (cosine NN ≡ L2 NN on the unit sphere);
+    // raw-L2 cells on unnormalized vectors split cosine neighborhoods
+    // across norm shells. Candidate generation only — the kernel below
+    // still ranks exact cosine on the original vectors.
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = l2(v)
+      if (n == 0.0 || n.isNaN) v else v.map(_ / n)
+    }
+    val sample: Array[Array[Double]] =
+      trainBase.select(col("__v")).as[Seq[Double]].collect()
+        .map(s => unit(s.toArray))
+    val centers = localKMeans(sample, numCentroids, seed, maxIter = 20)
     val bcCenters = spark.sparkContext.broadcast(centers)
 
     // ONE distance pass per vector: distances to all centroids computed
@@ -215,12 +229,15 @@ object Similarity {
     val assigned = base.as[(Long, Seq[Double])]
       .flatMap { case (id, v) =>
         val cs = bcCenters.value
+        val va = v.toArray
+        val n = l2(va)
+        val u = if (n == 0.0 || n.isNaN) va else va.map(_ / n)
         val dists = cs.indices.map { c =>
           val ctr = cs(c)
           var s = 0.0
           var i = 0
           while (i < ctr.length) {
-            val d = v(i) - ctr(i); s += d * d; i += 1
+            val d = u(i) - ctr(i); s += d * d; i += 1
           }
           (s, c)
         }.sortBy(x => (x._1, x._2)).take(nProbe)
@@ -274,6 +291,80 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     partial.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Seeded Lloyd's k-means over an in-memory sample (the IVF index
+    * build). Deterministic: k-means++-style farthest-point seeding from
+    * a seeded start, nearest-centroid ties to the lowest index, empty
+    * cells keep their previous center. */
+  private[ops] def localKMeans(points: Array[Array[Double]], k: Int,
+      seed: Long, maxIter: Int): Array[Array[Double]] = {
+    require(points.nonEmpty, "k-means needs a non-empty sample")
+    val dim = points.head.length
+    val rng = new scala.util.Random(seed)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ seeding: next center drawn with probability ∝ D²(point,
+    // chosen set) — the seeded RNG keeps it deterministic; D²-sampling
+    // (not greedy farthest-point) avoids electing outliers as cells
+    val centers = new Array[Array[Double]](k)
+    centers(0) = points(rng.nextInt(points.length)).clone()
+    val minD = Array.fill(points.length)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var total = 0.0; var i = 0
+      while (i < points.length) {
+        val d = d2(points(i), centers(c - 1))
+        if (d < minD(i)) minD(i) = d
+        total += minD(i)
+        i += 1
+      }
+      var r = rng.nextDouble() * total
+      var pick = points.length - 1
+      i = 0
+      var acc = 0.0
+      var found = false
+      while (i < points.length && !found) {
+        acc += minD(i)
+        if (acc >= r) { pick = i; found = true }
+        i += 1
+      }
+      centers(c) = points(pick).clone()
+      c += 1
+    }
+    var iter = 0
+    while (iter < maxIter) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      var i = 0
+      while (i < points.length) {
+        val p = points(i)
+        var bc = 0; var bd = Double.MaxValue; var j = 0
+        while (j < k) {
+          val d = d2(p, centers(j))
+          if (d < bd) { bd = d; bc = j }
+          j += 1
+        }
+        val s = sums(bc); var t = 0
+        while (t < dim) { s(t) += p(t); t += 1 }
+        counts(bc) += 1
+        i += 1
+      }
+      var j = 0
+      while (j < k) {
+        if (counts(j) > 0) {
+          val s = sums(j); var t = 0
+          while (t < dim) { s(t) /= counts(j); t += 1 }
+          centers(j) = s
+        }
+        j += 1
+      }
+      iter += 1
+    }
+    centers
   }
 
   /** Deterministic pseudo-random hyperplanes for sign-LSH (seeded on the
