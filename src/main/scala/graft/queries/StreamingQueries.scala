@@ -191,5 +191,76 @@ object StreamingQueries extends QueryModule {
              |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS tss, value
              |FROM events""".stripMargin),
     ),
+
+    // ---- S4 timeout unpublish through the real streaming path, on
+    // EVENT time so the driver can check it: keys quiet for >7 event-
+    // time days before the final watermark (max ts - 1h) emit an
+    // 'unpublished' CDC row from the state timeout callback — the
+    // streaming analog of the batch anti-join J3, deterministic because
+    // every clock in it is data-derived. CDC inserts/price changes ride
+    // along, so one oracle pins both the state machine and the timeout.
+    Q(
+      "q58_streaming_timeout_unpublish",
+      (s, d) => {
+        val root = scratch()
+        val inDir = s"$root/in"
+        val quiet = 7L * 24 * 3600 * 1000
+        // 1-in-37 events per 1-in-5 user: ~2 events/key, so SOME keys'
+        // last activity predates the quiet horizon (timeout branch
+        // fires) and some don't (state survives) — both branches of the
+        // timeout state machine land in the oracle compare
+        val ev = Tables.events(s, d)
+          .filter(col("user_id") % 5 === 0 && col("event_id") % 37 === 0)
+          .select(col("user_id").cast("string").as("key"),
+            col("value").as("price"), col("ts"),
+            col("event_id").as("seq"))
+        ev.coalesce(1).write.parquet(inDir)
+        val sink = "graft_stream_timeout_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = StreamOps.lifecycleEventTime(
+            s.readStream.schema(ev.schema).parquet(inDir),
+            quietMillis = quiet, watermarkDelay = "1 hour")
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("memory")
+          .queryName(sink)
+          .start()
+        q.awaitTermination()
+        s.table(sink).select(
+          col("key").cast("long").as("user_id"), col("kind"),
+          col("price"), col("delta"), col("ts").as("ts_ms"))
+      },
+      Some("""WITH src AS (
+             |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE user_id % 5 = 0 AND event_id % 37 = 0
+             |), ordered AS (
+             |  SELECT *, row_number() OVER w AS rn,
+             |    count(*) OVER (PARTITION BY user_id) AS cnt,
+             |    lag(value) OVER w AS prev_value
+             |  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |), cdc AS (
+             |  SELECT user_id, 'insert' AS kind, value AS price,
+             |    CAST(NULL AS DOUBLE) AS delta,
+             |    CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+             |  FROM ordered WHERE rn = 1
+             |  UNION ALL
+             |  SELECT user_id, 'price_change', value, value - prev_value,
+             |    CAST(epoch_ms(ts) AS BIGINT)
+             |  FROM ordered WHERE rn > 1 AND value <> prev_value
+             |), last AS (
+             |  SELECT user_id, value AS price,
+             |    CAST(epoch_ms(ts) AS BIGINT) AS last_ms
+             |  FROM ordered WHERE rn = cnt
+             |), wm AS (
+             |  SELECT max(epoch_ms(ts)) - 3600000 AS w FROM src
+             |)
+             |SELECT user_id, kind, price, delta, ts_ms FROM cdc
+             |UNION ALL
+             |SELECT l.user_id, 'unpublished', l.price,
+             |  CAST(NULL AS DOUBLE), l.last_ms
+             |FROM last l, wm WHERE l.last_ms + 604800000 < wm.w""".stripMargin),
+    ),
   )
 }

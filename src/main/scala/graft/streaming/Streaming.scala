@@ -84,6 +84,59 @@ object StreamOps {
   case class CdcEvent(key: String, kind: String, price: Option[Double],
       delta: Option[Double], ts: Long)
 
+  /** S4 on EVENT time — the deterministic (and therefore driver-
+    * checkable) twin of [[lifecycle]]'s processing-time timeout: a key
+    * with no event for `quietMillis` of EVENT time past the watermark is
+    * declared unpublished. Under `Trigger.AvailableNow` the final
+    * watermark is `max(event ts) - delay`, so which keys time out is a
+    * pure function of the data — the oracle restates it as
+    * `last_active + quiet < max(ts) - delay` (Spark fires event-time
+    * timeouts strictly below the watermark).
+    *
+    * Input columns: key string, price double, ts timestamp, seq long
+    * (tie-break for same-timestamp rows within a key).
+    */
+  def lifecycleEventTime(input: DataFrame, quietMillis: Long,
+      watermarkDelay: String): Dataset[CdcEvent] = {
+    import input.sparkSession.implicits._
+    input.withWatermark("ts", watermarkDelay)
+      .as[(String, Double, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KeyState, CdcEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[KeyState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(CdcEvent(key, "unpublished", s.lastPrice, None, s.lastActive))
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r._3.getTime, r._4))
+            var st = state.getOption.getOrElse(KeyState(None, 0L, 0))
+            val out = sorted.flatMap { case (_, price, ts, _) =>
+              val t = ts.getTime
+              val ev = st.lastPrice match {
+                case None =>
+                  Some(CdcEvent(key, "insert", Some(price), None, t))
+                case Some(p) if p != price =>
+                  Some(CdcEvent(key, "price_change", Some(price),
+                    Some(price - p), t))
+                case _ => None
+              }
+              st = KeyState(Some(price), t, st.changes +
+                (if (ev.exists(_.kind == "price_change")) 1 else 0))
+              ev
+            }
+            state.update(st)
+            // a timeout timestamp at/below the current watermark throws;
+            // clamping (rather than skipping) keeps the key eligible to
+            // fire on the very next watermark advance
+            state.setTimeoutTimestamp(math.max(st.lastActive + quietMillis,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   /** @param quietMillis idle period after which a key is declared
     *        unpublished; ≤ 0 disables the timeout (NB: a processing-time
     *        timeout keeps the query triggering forever, which also makes

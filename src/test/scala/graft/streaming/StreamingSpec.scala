@@ -91,4 +91,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("a", "price_change", Some(20.0))))
     assert(!rows.exists(r => r._1 == "b" && r._2 == "price_change"))
   }
+
+  test("event-time timeout unpublishes quiet keys when the watermark passes them") {
+    implicit val sq = spark.sqlContext
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")
+    val stream = MemoryStream[(String, Double, java.sql.Timestamp, Long)]
+    val cdc = StreamOps.lifecycleEventTime(
+      stream.toDS().toDF("key", "price", "ts", "seq"),
+      quietMillis = 2L * 3600 * 1000, watermarkDelay = "1 hour")
+    val q = cdc.writeStream.format("memory").queryName("etcdc")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-etcdc").toString)
+      .start()
+    stream.addData(("a", 100.0, ts(1), 1L), ("b", 50.0, ts(1), 2L))
+    q.processAllAvailable()
+    // b stays active; a goes quiet. watermark reaches 09:00 (10:00 - 1h)
+    // > a's timeout (01:00 + 2h) -> 'a' unpublishes; b does not
+    stream.addData(("b", 50.0, ts(10), 3L))
+    q.processAllAvailable()
+    stream.addData(("b", 50.0, ts(11), 4L))
+    q.processAllAvailable()
+    val rows = spark.table("etcdc")
+      .select($"key", $"kind", $"ts").as[(String, String, Long)]
+      .collect().toSet
+    q.stop()
+    assert(rows.contains(("a", "unpublished", ts(1).getTime)))
+    assert(!rows.exists(r => r._1 == "b" && r._2 == "unpublished"))
+  }
 }
