@@ -42,7 +42,9 @@ object Enrichment {
       maxConcurrent: Int = 2,
       maxRetries: Int = 5,
       breakerThreshold: Int = 5,
-      interRequestDelayMs: Long = 0L): Dataset[HttpResponse] = {
+      interRequestDelayMs: Long = 0L,
+      rateLimitAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[HttpResponse] = {
     import requests.sparkSession.implicits._
     requests.repartition(math.max(1, maxConcurrent))
       .mapPartitions { it =>
@@ -57,9 +59,10 @@ object Enrichment {
         var consecutive429 = 0
         var breakerOpen = false
         val out = it.map { req =>
-          if (breakerOpen)
+          if (breakerOpen) {
+            rateLimitAcc.foreach(_.add(1))
             HttpResponse(req.requestId, 429, "", Some("circuit-open"))
-          else {
+          } else {
             if (interRequestDelayMs > 0) Thread.sleep(interRequestDelayMs)
             var attempt = 0
             var result: HttpResponse = null
@@ -69,6 +72,7 @@ object Enrichment {
                 if (r.status == 429) {
                   consecutive429 += 1
                   if (consecutive429 >= breakerThreshold) breakerOpen = true
+                  rateLimitAcc.foreach(_.add(1))
                   result = r                    // 429: fail fast, no retry
                 } else {
                   consecutive429 = 0
@@ -103,16 +107,52 @@ object Enrichment {
     * geocode (serial) → P6 filter + coordinate extract → route (serial)
     * → meters → km(2dp). Both HTTP phases run at concurrency 1 —
     * correctness-over-throughput for rate-limited public APIs.
+    *
+    * @param fleetAbort429Fraction when set, a FLEET-level breaker
+    *        guards the phase boundary: phase 1's 429s are counted in a
+    *        LongAccumulator across ALL partitions, phase 1 is
+    *        materialized (localCheckpoint — HTTP side effects must not
+    *        sit in a re-executable lineage anyway), and if the global
+    *        429 fraction reaches the threshold the driver SKIPS phase 2
+    *        entirely, returning zero enrichment rows instead of firing
+    *        another full pass of doomed requests at a saturated API.
+    *        Per-partition breakers (A7) can't see this: each partition
+    *        may sit just under its consecutive-429 threshold while the
+    *        fleet-wide rate says the API is gone. Accumulator counts
+    *        are task-retry-approximate, which is fine for a
+    *        rate-estimate decision.
     */
   def distanceChain(workList: DataFrame, refCoords: String,
       clientFactory: () => HttpClient,
-      cookieJar: Option[Seq[(String, String)]] = None): DataFrame = {
+      cookieJar: Option[Seq[(String, String)]] = None,
+      fleetAbort429Fraction: Option[Double] = None): DataFrame = {
     val spark = workList.sparkSession
     import spark.implicits._
 
-    val geo = processRequests(
+    val acc429 = fleetAbort429Fraction.map(_ =>
+      spark.sparkContext.longAccumulator("graft.enrich.fleet429"))
+    val geoRaw = processRequests(
       Cookies.withCookies(geocodeRequests(workList), cookieJar),
-      clientFactory, maxConcurrent = 1)
+      clientFactory, maxConcurrent = 1, rateLimitAcc = acc429)
+    val geoOrAbort: Option[Dataset[HttpResponse]] =
+      fleetAbort429Fraction match {
+        case None => Some(geoRaw)
+        case Some(frac) =>
+          val mat = geoRaw.localCheckpoint()
+          val total = mat.count()
+          val limited = acc429.get.value
+          if (total > 0 && limited.toDouble / total >= frac) {
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"fleet breaker open: $limited/$total geocode requests " +
+                s"rate-limited (>= $frac) — skipping route phase")
+            None
+          } else Some(mat)
+      }
+    if (geoOrAbort.isEmpty) {
+      return spark.emptyDataset[(String, Double)]
+        .toDF("offer_id", "distance")
+    }
+    val geo = geoOrAbort.get
     // P6: keep 200s; JSON-extract first candidate's coordinates;
     // malformed payloads coerce null and drop (distance.py:56-69)
     val coords = geo.toDF()

@@ -212,6 +212,36 @@ object PipelineQueries extends QueryModule {
              |SELECT 429, 'circuit-open', count(*) - 5 FROM customer""".stripMargin),
     ),
 
+    // ---- FLEET-level breaker at the phase boundary: the same distance
+    // chain run twice with a 50% fleet-abort threshold — against the
+    // saturated all-429 backend the driver reads the accumulator after
+    // the (materialized) geocode phase and skips routing entirely (zero
+    // rows); against the healthy backend the guard stays silent and the
+    // full chain result flows through. Per-partition breakers (q55)
+    // cannot make this call — each partition only sees its own slice.
+    Q(
+      "q59_fleet_breaker_abort",
+      (s, d) => {
+        val workList = Tables.customer(s, d)
+          .filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey").cast("string").as("offer_id"),
+            concat(lit("addr "), col("c_custkey").cast("string")).as("address"))
+        def run(factory: () => HttpClient) =
+          Enrichment.distanceChain(workList, "37.6,55.7", factory,
+            cookieJar = None, fleetAbort429Fraction = Some(0.5))
+        run(() => new AlwaysRateLimitedClient)
+          .agg(count(lit(1)).as("n")).select(lit("saturated").as("scenario"), col("n"))
+          .unionByName(
+            run(() => new ArithmeticGeoClient)
+              .agg(count(lit(1)).as("n"))
+              .select(lit("healthy").as("scenario"), col("n")))
+      },
+      Some("""SELECT 'saturated' AS scenario, CAST(0 AS BIGINT) AS n
+             |UNION ALL
+             |SELECT 'healthy', count(*) FROM customer
+             |WHERE c_custkey % 3 = 0 AND c_custkey % 13 <> 0""".stripMargin),
+    ),
+
     // ---- A9 JSON sink (NaN scrub + atomic swap) → A1 JSON scan →
     // A10/A11 CSV sink (complex cols JSON-encoded) → CSV scan: the full
     // sink round-trip; output equals the scrubbed source values.

@@ -136,4 +136,19 @@ class EnrichmentSpec extends SparkSpec {
     assert(merged("1").contains(rows("1")))
     assert(merged("2").contains(9.99))         // null enrichment never clears
   }
+
+  test("fleet breaker: saturated phase 1 aborts phase 2; healthy run unaffected") {
+    val work = (1 to 40).map(i => (i.toString, s"addr $i"))
+      .toDF("offer_id", "address")
+    val aborted = Enrichment.distanceChain(work, "37.6,55.7",
+      () => new ScriptedClients.RateLimited(),
+      fleetAbort429Fraction = Some(0.5))
+    assert(aborted.count() == 0)
+    assert(aborted.columns.toSeq == Seq("offer_id", "distance"))
+
+    val healthy = Enrichment.distanceChain(work, "37.6,55.7",
+      () => new ScriptedClients.FakeGeo(),
+      fleetAbort429Fraction = Some(0.5))
+    assert(healthy.count() == 40)              // guard silent below threshold
+  }
 }
