@@ -133,4 +133,59 @@ object TextAnalysis {
     array_min(transform(sequence(lit(1), greatest(n, lit(1))),
       i => xxhash64(text.substr(i, lit(k)))))
   }
+
+  /** Repetition signals — the Gopher-family quality filters ("Scaling
+    * Language Models: ... Gopher", Rae et al. 2021, §A1.1): excessive
+    * word repetition and a dominant repeated n-gram mark boilerplate /
+    * spam / degenerate generations that length+punctuation gates miss.
+    *
+    *  - `dup_word_frac`  = (n_words − n_distinct_words) / n_words
+    *  - `top_bigram_frac` = occurrences of the most frequent word
+    *    bigram / total bigrams (ties → lexicographically first bigram)
+    *  - `flagged` = dup_word_frac > 0.8 ∨ top_bigram_frac > 0.18
+    *
+    * All counts are integers and each fraction is one IEEE division, so
+    * any engine restates identical bits. Shape: per-doc word stats are a
+    * pure map; the bigram top-1 is explode → count → one `min(struct)`
+    * aggregation per doc — two map-side-combined hash aggregations, no
+    * window sort, per-group state O(1). At 100 TB both shuffles carry
+    * (doc, bigram)-grain counts, bounded by corpus token count.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val words = df.select(col(idCol),
+      split(trim(col(textCol)), "\\s+").as("__w"))
+    val stats = words.select(col(idCol),
+      size(col("__w")).as("n_words"),
+      size(array_distinct(col("__w"))).as("n_distinct_words"))
+    // sequence(1, n) DESCENDS when n < 1, so single-word docs must gate
+    // to an explicit empty array (explode then drops them; the left
+    // join below re-attaches null top-bigram columns)
+    val bigrams = words.select(col(idCol),
+      explode(when(size(col("__w")) >= 2,
+        transform(sequence(lit(1), size(col("__w")) - 1),
+          i => concat_ws(" ", element_at(col("__w"), i),
+            element_at(col("__w"), i + 1))))
+        .otherwise(array())).as("bigram"))
+    val counts = bigrams.groupBy(col(idCol), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+    // min over struct(-n, bigram) = (highest count, first bigram) —
+    // deterministic top-1 without a per-doc window sort
+    val top = counts
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("n")).as("__negn"), col("bigram"), col("n")))
+        .as("__t"))
+      .select(col(idCol), col("__t.bigram").as("top_bigram"),
+        col("__t.n").as("top_bigram_n"))
+    val dupFrac = (col("n_words") - col("n_distinct_words")) * lit(1.0) /
+      col("n_words")
+    val topFrac = col("top_bigram_n") * lit(1.0) / (col("n_words") - 1)
+    stats.join(top, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"), col("n_distinct_words"),
+        when(col("n_words") > 0, dupFrac).as("dup_word_frac"),
+        col("top_bigram"), col("top_bigram_n"),
+        when(col("n_words") > 1, topFrac).as("top_bigram_frac"))
+      .withColumn("flagged",
+        col("dup_word_frac") > 0.8 || col("top_bigram_frac") > 0.18)
+  }
 }

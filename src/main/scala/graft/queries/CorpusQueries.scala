@@ -524,5 +524,45 @@ object CorpusQueries extends QueryModule {
              |  (coalesce(c.cluster_id, d.doc_id) = d.doc_id) AS is_canonical
              |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin),
     ),
+
+    // ---- Gopher-style repetition quality filters: duplicate-word
+    // fraction + dominant-bigram fraction, integer counts with one IEEE
+    // division each so DuckDB restates identical bits; deterministic
+    // top-bigram tie-break (count desc, bigram asc).
+    Q(
+      "q60_repetition_signals",
+      (s, d) => TextAnalysis.repetitionSignals(
+        Tables.documents(s, d), "doc_id", "text"),
+      Some("""WITH w AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+             |  FROM documents
+             |), stats AS (
+             |  SELECT doc_id, len(ws) AS n_words,
+             |    len(list_distinct(ws)) AS n_distinct_words
+             |  FROM w
+             |), bg AS (
+             |  SELECT doc_id,
+             |    unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bigram
+             |  FROM w
+             |), bc AS (
+             |  SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2
+             |), top AS (
+             |  SELECT doc_id, bigram AS top_bigram, n AS top_bigram_n FROM (
+             |    SELECT *, row_number() OVER (
+             |      PARTITION BY doc_id ORDER BY n DESC, bigram ASC) AS rk
+             |    FROM bc) WHERE rk = 1
+             |)
+             |SELECT s.doc_id, s.n_words, s.n_distinct_words,
+             |  CASE WHEN s.n_words > 0
+             |    THEN (s.n_words - s.n_distinct_words) * 1.0 / s.n_words END
+             |    AS dup_word_frac,
+             |  t.top_bigram, t.top_bigram_n,
+             |  CASE WHEN s.n_words > 1
+             |    THEN t.top_bigram_n * 1.0 / (s.n_words - 1) END
+             |    AS top_bigram_frac,
+             |  ((s.n_words - s.n_distinct_words) * 1.0 / s.n_words > 0.8
+             |    OR t.top_bigram_n * 1.0 / (s.n_words - 1) > 0.18) AS flagged
+             |FROM stats s LEFT JOIN top t ON s.doc_id = t.doc_id""".stripMargin),
+    ),
   )
 }

@@ -303,4 +303,24 @@ class CorpusOpsSpec extends SparkSpec {
       .as[Long].collect()
     assert(roll(0) != 0L)
   }
+
+  test("repetition signals: fractions, tie-break, single-word degenerate") {
+    val d = Seq(
+      (1L, "spam spam spam spam"),         // dup 3/4; top bigram 3/3
+      (2L, "a b a b c"),                   // "a b" x2 of 4 bigrams
+      (3L, "w x y z"),                     // all bigrams distinct -> tie
+      (4L, "solo"))                        // no bigrams at all
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(d, "doc_id", "text")
+      .as[(Long, Int, Int, Option[Double], Option[String], Option[Long],
+        Option[Double], Option[Boolean])].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(1L)._4.contains(0.75) && r(1L)._7.contains(1.0)
+      && r(1L)._8.contains(true))
+    assert(r(2L)._5.contains("a b") && r(2L)._6.contains(2L)
+      && r(2L)._7.contains(0.5))
+    assert(r(3L)._5.contains("w x"))       // tie -> lexicographically first
+    assert(r(4L)._2 == 1 && r(4L)._5.isEmpty && r(4L)._7.isEmpty
+      && r(4L)._8.isEmpty)                 // null flag on degenerate doc
+  }
 }
