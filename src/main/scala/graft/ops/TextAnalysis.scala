@@ -134,6 +134,30 @@ object TextAnalysis {
       i => xxhash64(text.substr(i, lit(k)))))
   }
 
+  /** PII scrubbing: email and phone-number patterns replaced with
+    * typed placeholder tokens, plus per-document match counts (the
+    * audit trail a curation run keeps). Pure map — no shuffle, no
+    * state; at 100 TB this is a free rider on any existing scan.
+    *
+    * Patterns deliberately use only syntax shared by Java regex and
+    * RE2 (no backrefs, no lookaround) so an external engine restates
+    * the scrub byte-for-byte.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{2,4}[- ][0-9]{2,4}"
+
+  /** (redacted text, email count, phone count) as a struct column.
+    * Emails scrub FIRST: an address's local part may contain digit
+    * runs that the phone pattern would otherwise split. */
+  def redactPii(text: Column): Column = {
+    val nEmail = size(regexp_extract_all(text, lit(emailPattern), lit(0)))
+    val noEmail = regexp_replace(text, lit(emailPattern), lit("<EMAIL>"))
+    val nPhone = size(regexp_extract_all(noEmail, lit(phonePattern), lit(0)))
+    val clean = regexp_replace(noEmail, lit(phonePattern), lit("<PHONE>"))
+    struct(clean.as("redacted"), nEmail.as("n_emails"),
+      nPhone.as("n_phones"))
+  }
+
   /** Repetition signals — the Gopher-family quality filters ("Scaling
     * Language Models: ... Gopher", Rae et al. 2021, §A1.1): excessive
     * word repetition and a dominant repeated n-gram mark boilerplate /

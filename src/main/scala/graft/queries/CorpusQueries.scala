@@ -564,5 +564,53 @@ object CorpusQueries extends QueryModule {
              |    OR t.top_bigram_n * 1.0 / (s.n_words - 1) > 0.18) AS flagged
              |FROM stats s LEFT JOIN top t ON s.doc_id = t.doc_id""".stripMargin),
     ),
+
+    // ---- PII scrub: the corpus carries no natural PII, so the query
+    // PLANTS deterministic emails/phones from doc_id on 2/3 of the
+    // docs and redacts them — the oracle rebuilds the same augmented
+    // text and restates the scrub byte-for-byte (patterns restricted
+    // to the Java-regex ∩ RE2 dialect). Counts audit the scrub; the
+    // untouched third proves redaction is exact-match-only.
+    Q(
+      "q61_pii_redaction",
+      (s, d) => {
+        val id = col("doc_id")
+        val aug = Tables.documents(s, d).select(id,
+          when(id % 3 === 0, concat(col("text"), lit(" contact user"),
+            id.cast("string"), lit("@mail.example.org now")))
+            .when(id % 3 === 1, concat(col("text"), lit(" call +7 495 "),
+              (id % 900 + 100).cast("string"), lit(" "),
+              (id % 9000 + 1000).cast("string")))
+            .otherwise(col("text")).as("t"))
+        aug.select(id, TextAnalysis.redactPii(col("t")).as("p"))
+          .select(id, col("p.n_emails"), col("p.n_phones"),
+            col("p.redacted"))
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, CASE
+             |    WHEN doc_id % 3 = 0 THEN text || ' contact user' ||
+             |      CAST(doc_id AS VARCHAR) || '@mail.example.org now'
+             |    WHEN doc_id % 3 = 1 THEN text || ' call +7 495 ' ||
+             |      CAST(doc_id % 900 + 100 AS VARCHAR) || ' ' ||
+             |      CAST(doc_id % 9000 + 1000 AS VARCHAR)
+             |    ELSE text END AS t
+             |  FROM documents
+             |), scrub AS (
+             |  SELECT doc_id,
+             |    len(regexp_extract_all(t,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             |    regexp_replace(t,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             |      '<EMAIL>', 'g') AS t2
+             |  FROM aug
+             |)
+             |SELECT doc_id, n_emails,
+             |  len(regexp_extract_all(t2,
+             |    '\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{2,4}[- ][0-9]{2,4}')) AS n_phones,
+             |  regexp_replace(t2,
+             |    '\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{2,4}[- ][0-9]{2,4}',
+             |    '<PHONE>', 'g') AS redacted
+             |FROM scrub""".stripMargin),
+    ),
   )
 }

@@ -304,6 +304,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(roll(0) != 0L)
   }
 
+  test("PII redaction: emails before phones, counts, identity on clean text") {
+    val d = Seq(
+      "mail a.b_c%d+1@sub.example.org and +7 495 123 4567 twice 33-222-33-44",
+      "nothing to scrub here").toDF("text")
+    val r = d.select(TextAnalysis.redactPii($"text").as("p"))
+      .select($"p.redacted", $"p.n_emails", $"p.n_phones")
+      .as[(String, Int, Int)].collect()
+    assert(r(0) == (("mail <EMAIL> and <PHONE> twice <PHONE>", 1, 2)))
+    assert(r(1) == (("nothing to scrub here", 0, 0)))
+  }
+
   test("repetition signals: fractions, tie-break, single-word degenerate") {
     val d = Seq(
       (1L, "spam spam spam spam"),         // dup 3/4; top bigram 3/3
