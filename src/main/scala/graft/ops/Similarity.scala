@@ -435,4 +435,39 @@ object Similarity {
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Near-dup PAIRS (cosine ≥ tau) via multi-table sign-LSH — the
+    * bounded-work scale path beside the exact [[cosinePairsKernel]]:
+    * the kernel's B² block-pair tasks still enumerate every id pair
+    * (exactness costs n²/2 dot products no matter how it's blocked),
+    * while here work is candidate-bounded — one explode (L rows/vector),
+    * one bucket-key shuffle, dot products only for in-bucket collisions.
+    * Approximate by nature (recall = 1-(1-(1-θ/π)^p)^L per pair angle);
+    * the measured recall vs the exact kernel is driver-gated in q56.
+    * Same carry-the-vector strategy as [[annTopK]]: cosine is computed
+    * on the collision row, then `(min id, max id)` pairs dedup once.
+    */
+  def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      tau: Double, numPlanes: Int = 6, dim: Int = 64, numTables: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val v = withVec(df, idCol, vecCol)
+    val planes: Array[Array[Array[Double]]] =
+      (0 until numTables).map(t =>
+        hyperplanes(numPlanes, dim, seed + t)
+          .map(_.toArray).toArray).toArray
+    val buckets = v
+      .select(col(idCol), col("__v"),
+        posexplode(graft.functions.HashSketches.signLshBuckets(
+          col("__v"), planes)).as(Seq("tbl", "bucket")))
+    val a = buckets.alias("a")
+    val b = buckets.alias("b")
+    a.join(b, col("a.tbl") === col("b.tbl")
+        && col("a.bucket") === col("b.bucket")
+        && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        graft.functions.CosineSimilarity(col("a.__v"), col("b.__v"))
+          .as("cosine"))
+      .filter(col("cosine") >= tau)
+      .distinct()
+  }
 }

@@ -227,6 +227,43 @@ object CorpusQueries extends QueryModule {
              |UNION ALL SELECT 'lsh', true""".stripMargin),
     ),
 
+    // ---- near-dup PAIR recall gate: the LSH-bucketed pair generator
+    // (bounded work — candidates only, no n² dot products) measured
+    // against the exact kernel, as a driver-visible floor like q56's
+    // top-k gates; n_true additionally pins the exact side, since
+    // DuckDB restates it independently by brute force. LSH internals
+    // aren't SQL-restatable (seeded gaussian hyperplanes), hence the
+    // floor-boolean form; the floor sits well under the measured
+    // 0.78-0.86 across sf but far above any structural break.
+    Q(
+      "q62_pair_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val exact = Similarity
+          .cosinePairsKernel(emb, "vec_id", "embedding", tau = 0.45)
+          .select(col("id_a"), col("id_b")).persist()
+        val lsh = Similarity
+          .cosinePairsLsh(emb, "vec_id", "embedding", tau = 0.45)
+          .select(col("id_a"), col("id_b"))
+          .withColumn("__hit", lit(1))
+        exact.join(lsh, Seq("id_a", "id_b"), "left")
+          .agg(count(lit(1)).as("n_true"),
+            (sum(coalesce(col("__hit"), lit(0))) / count(lit(1)))
+              .as("recall"))
+          .select(lit("lsh_pairs").as("method"),
+            (col("recall") >= 0.5).as("meets_floor"), col("n_true"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |)
+             |SELECT 'lsh_pairs' AS method, true AS meets_floor,
+             |  count(*) AS n_true
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
+             |    (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+             |     sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.45""".stripMargin),
+    ),
+
     // ---- token counting (whitespace + BPE-ish regex budget).
     Q(
       "q27_token_stats",

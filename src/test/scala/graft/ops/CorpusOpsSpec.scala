@@ -241,6 +241,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(recall > 0.5)
   }
 
+  test("LSH pair recall vs exact kernel pairs is usable") {
+    val exact = Similarity.cosinePairsKernel(embs, "vec_id", "embedding", 0.45)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosinePairsLsh(embs, "vec_id", "embedding", 0.45)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val recall = (exact & lsh).size.toDouble / exact.size
+    info(f"LSH pair recall at tau=0.45: $recall%.3f (${exact.size} true pairs)")
+    assert((lsh -- exact).isEmpty)   // verification is exact: no false pairs
+    assert(recall > 0.5)
+  }
+
   test("tfidf top terms: rare terms outrank common ones; ties by term") {
     val d = Seq((1L, "x x common"), (2L, "y common"), (3L, "common"))
       .toDF("doc_id", "text")
