@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * serial etiquette mode the geo APIs require (A8,
   * parse_data.py:177-182).
   *
-  * Zero-egress environment: the [[HttpClient]] is a trait; production
-  * would bind an HTTP implementation, tests bind deterministic fakes.
+  * The [[HttpClient]] seam has a real production binding —
+  * [[JdkHttpClient]] over `java.net.http` (integration-tested against
+  * an in-process loopback server in JdkHttpClientSpec); oracle queries
+  * bind deterministic fakes so the driver can restate the arithmetic.
   */
 case class HttpRequest(url: String, requestId: String, method: String,
     params: Map[String, String], headers: Map[String, String] = Map.empty)
