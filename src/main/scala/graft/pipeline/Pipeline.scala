@@ -28,6 +28,32 @@ object Pipeline {
     pages.flatMap(p => ListingParser.parseCards(p.html, p.url, timestamp)).toDF()
   }
 
+  /** A4's fetch stage over the real HTTP seam: a URL frame becomes the
+    * `Dataset[RawPage]` the parse stage consumes, through the same
+    * worker-pool machinery the enrichment source uses (per-partition
+    * client, retry budget, 429 breaker, serial etiquette at
+    * maxConcurrent=1). Non-200 pages surface as RawPage rows with
+    * empty html plus the status in the url fragment-free contract the
+    * error-page classifier already handles via its DOM markers, so the
+    * standard parse→filter stages drop them.
+    *
+    * What this does NOT do is run a JS engine: pages requiring browser
+    * rendering (the reference's Playwright context rotation,
+    * async_scraper.py:53-184) still need a rendering fetcher behind the
+    * same (url, html) contract — the one genuinely env-bound piece.
+    */
+  def fetchPages(urls: DataFrame,
+      clientFactory: () => graft.enrich.HttpClient,
+      maxConcurrent: Int = 1,
+      headers: Map[String, String] = Map.empty): Dataset[RawPage] = {
+    import urls.sparkSession.implicits._
+    val reqs = urls.select(col("url")).as[String]
+      .map(u => graft.enrich.HttpRequest(u, u, "GET", Map.empty, headers))
+    graft.enrich.Enrichment
+      .processRequests(reqs, clientFactory, maxConcurrent = maxConcurrent)
+      .map(r => RawPage(r.requestId, if (r.status == 200) r.body else ""))
+  }
+
   /** P5: drop error rows / rows without a key — EXCEPT keyless rows that
     * carry an offer_url (the J2 url-fallback input keeps those). */
   def filterParsed(parsed: DataFrame): DataFrame =

@@ -80,6 +80,30 @@ class JdkHttpClientSpec extends SparkSpec {
     assert(out.error.exists(_.contains("failed after 3 attempts")))
   }
 
+  test("fetch→parse end-to-end: real sockets feed the real parser") {
+    def fixture(name: String): String = {
+      val src = scala.io.Source
+        .fromResource(s"fixtures/$name")(scala.io.Codec.UTF8)
+      try src.mkString finally src.close()
+    }
+    withServer { (server, port) =>
+      server.createContext("/rent/flat/1001/", (x: HttpExchange) =>
+        respond(x, 200, fixture("listing_page.html")))
+      server.createContext("/gone", (x: HttpExchange) =>
+        respond(x, 404, ""))
+      val urls = Seq(s"http://127.0.0.1:$port/rent/flat/1001/",
+        s"http://127.0.0.1:$port/gone").toDF("url")
+      val pages = graft.pipeline.Pipeline.fetchPages(urls,
+        () => new JdkHttpClient())
+      val parsed = graft.pipeline.Pipeline.parsePages(spark, pages,
+        "2026-08-12T10:00:00")
+      val ok = graft.pipeline.Pipeline.filterParsed(parsed)
+        .select($"offer_id", $"price_value").as[(String, String)]
+        .collect()
+      assert(ok.toSeq == Seq(("1001", "54 000 ₽/мес.")))
+    }
+  }
+
   test("POST form body reaches the server") {
     withServer { (server, port) =>
       server.createContext("/form", (x: HttpExchange) => {
