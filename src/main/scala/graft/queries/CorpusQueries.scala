@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.ops.{Dedup, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Packing, Sampling, Similarity, SkewOps, TextAnalysis}
 
 /** Training-data-pipeline operators over documents/embeddings (builder
   * brief: dedup, similarity search, text analysis). Oracle SQL uses
@@ -600,6 +600,27 @@ object CorpusQueries extends QueryModule {
              |  ((s.n_words - s.n_distinct_words) * 1.0 / s.n_words > 0.8
              |    OR t.top_bigram_n * 1.0 / (s.n_words - 1) > 0.18) AS flagged
              |FROM stats s LEFT JOIN top t ON s.doc_id = t.doc_id""".stripMargin),
+    ),
+
+    // ---- salted two-phase aggregation under a hot grouping key: the
+    // skew shape AQE can't fix (one reducer owning a dominant group).
+    // Deterministic salt from user_id; sums go through decimal(18,2)
+    // BEFORE aggregation so the two-phase re-association is exact and
+    // the oracle's single-phase sum matches bit-for-bit (double sums
+    // would drift in the last ulp under reordering).
+    Q(
+      "q63_salted_hot_key_agg",
+      (s, d) => SkewOps.saltedSum(
+          Tables.events(s, d).select(col("event_type"), col("user_id"),
+            col("value").cast("decimal(18,2)").as("v")),
+          Seq("event_type"), "v", saltBuckets = 8,
+          spreadCol = Some("user_id"))
+        .select(col("event_type"),
+          col("sum_v").cast("double").as("total_value"), col("n")),
+      Some("""SELECT event_type,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+             |  count(*) AS n
+             |FROM events GROUP BY 1""".stripMargin),
     ),
 
     // ---- PII scrub: the corpus carries no natural PII, so the query
