@@ -34,7 +34,9 @@ object Bench {
     // millisecond precision keeps the line compact: the driver captures
     // only a bounded TAIL of stdout, and full-precision doubles pushed
     // the line past it (r3: the line's head was cut mid-key)
-    def f3(v: Double): String = f"$v%.3f"
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f",
+        java.lang.Double.valueOf(v))   // comma-decimal locales break JSON
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -16,8 +16,9 @@ import java.nio.charset.StandardCharsets
   * client-per-worker shape of the reference pool.
   *
   * Semantics under [[Enrichment.processRequests]]:
-  *  - GET: params become a URL query string (URL-encoded, insertion
-  *    order preserved);
+  *  - GET: params become a URL query string (URL-encoded, KEY-SORTED —
+  *    Map iteration order is unspecified past 4 entries, and sorted
+  *    keys make request URLs deterministic for logging/caching);
   *  - POST: params become a form-encoded body;
   *  - transport failures THROW (connect/read timeout, refused) — the
   *    worker-pool's retry budget and 599 fallback handle them;
@@ -42,7 +43,8 @@ class JdkHttpClient(
     URLEncoder.encode(s, StandardCharsets.UTF_8)
 
   private def query(params: Map[String, String]): String =
-    params.map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+    params.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
 
   def execute(req: HttpRequest): HttpResponse = {
     val isPost = req.method.equalsIgnoreCase("POST")

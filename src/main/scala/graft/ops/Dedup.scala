@@ -309,10 +309,17 @@ object Dedup {
     if (!done) throw new IllegalStateException(
       s"duplicateClustersStar did not converge in $maxIter rounds")
     // fixed point = depth-1 stars: each non-root appears as v exactly
-    // once with its root as u; roots label themselves
-    edges.select(col("v").as("id"), col("u").as("cluster_id"))
+    // once with its root as u; roots label themselves. Re-attach ids
+    // whose only pairs were self-loops (dropped from the edge set
+    // above) as their own singleton clusters — the contract promises a
+    // row for EVERY id in `pairs`, matching [[duplicateClusters]].
+    val labels = edges.select(col("v").as("id"), col("u").as("cluster_id"))
       .unionByName(edges.select(col("u").as("id"), col("u").as("cluster_id")))
       .distinct()
+    val allIds = pairs.select(col(idA).as("id"))
+      .unionByName(pairs.select(col(idB).as("id"))).distinct()
+    allIds.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
   // --------------------------------------------------------------- SimHash

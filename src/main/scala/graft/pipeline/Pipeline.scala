@@ -32,10 +32,10 @@ object Pipeline {
     * `Dataset[RawPage]` the parse stage consumes, through the same
     * worker-pool machinery the enrichment source uses (per-partition
     * client, retry budget, 429 breaker, serial etiquette at
-    * maxConcurrent=1). Non-200 pages surface as RawPage rows with
-    * empty html plus the status in the url fragment-free contract the
-    * error-page classifier already handles via its DOM markers, so the
-    * standard parse→filter stages drop them.
+    * maxConcurrent=1). Only 200 responses become pages; callers that
+    * need the failure detail (requeue 5xx/599, count 404s) should run
+    * [[graft.enrich.Enrichment.processRequests]] directly — the
+    * responses carry the status this convenience view drops.
     *
     * What this does NOT do is run a JS engine: pages requiring browser
     * rendering (the reference's Playwright context rotation,
@@ -51,7 +51,8 @@ object Pipeline {
       .map(u => graft.enrich.HttpRequest(u, u, "GET", Map.empty, headers))
     graft.enrich.Enrichment
       .processRequests(reqs, clientFactory, maxConcurrent = maxConcurrent)
-      .map(r => RawPage(r.requestId, if (r.status == 200) r.body else ""))
+      .filter(_.status == 200)
+      .map(r => RawPage(r.requestId, r.body))
   }
 
   /** P5: drop error rows / rows without a key — EXCEPT keyless rows that

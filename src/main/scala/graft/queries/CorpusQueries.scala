@@ -251,7 +251,10 @@ object CorpusQueries extends QueryModule {
             (sum(coalesce(col("__hit"), lit(0))) / count(lit(1)))
               .as("recall"))
           .select(lit("lsh_pairs").as("method"),
-            (col("recall") >= 0.5).as("meets_floor"), col("n_true"))
+            // empty exact set -> NULL recall -> vacuously true (the
+            // oracle's unconditional `true` at n_true = 0)
+            coalesce(col("recall") >= 0.5, lit(true)).as("meets_floor"),
+            col("n_true"))
       },
       Some("""WITH e AS (
              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -110,7 +110,10 @@ object StreamOps {
             state.remove()
             Iterator(CdcEvent(key, "unpublished", s.lastPrice, None, s.lastActive))
           } else {
-            val sorted = rows.toSeq.sortBy(r => (r._3.getTime, r._4))
+            // sort on the FULL timestamp (micros-aware Comparable), not
+            // getTime — ms truncation would order sub-ms siblings
+            // differently than the oracle's ORDER BY ts, event_id
+            val sorted = rows.toSeq.sortBy(r => (r._3, r._4))
             var st = state.getOption.getOrElse(KeyState(None, 0L, 0))
             val out = sorted.flatMap { case (_, price, ts, _) =>
               val t = ts.getTime
@@ -122,8 +125,12 @@ object StreamOps {
                     Some(price - p), t))
                 case _ => None
               }
-              st = KeyState(Some(price), t, st.changes +
-                (if (ev.exists(_.kind == "price_change")) 1 else 0))
+              // lastActive is monotone: a cross-batch out-of-order (but
+              // not watermark-late) event must not pull the timeout
+              // horizon backwards and unpublish a key that was active
+              st = KeyState(Some(price), math.max(st.lastActive, t),
+                st.changes +
+                  (if (ev.exists(_.kind == "price_change")) 1 else 0))
               ev
             }
             state.update(st)

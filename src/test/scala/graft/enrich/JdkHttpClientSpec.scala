@@ -43,7 +43,7 @@ class JdkHttpClientSpec extends SparkSpec {
         () => new JdkHttpClient(), maxConcurrent = 1)
         .collect().head
       assert(out.status == 200)
-      assert(out.body.contains("q=a+b&page=2"))
+      assert(out.body.contains("page=2&q=a+b"))   // key-sorted query
       assert(out.body.contains(""""cookie":"session=7""""))
     }
   }

@@ -47,13 +47,15 @@ class CorpusOpsSpec extends SparkSpec {
       (10L, 11L), (11L, 12L), (10L, 12L),
       (20L, 24L), (20L, 23L), (20L, 22L), (20L, 21L),
       (30L, 31L))
-    val pairs = (fixed ++ random).toDF("id_a", "id_b")
+    val pairs = (fixed ++ random ++ Seq((50L, 50L)))  // self-loop-only id
+      .toDF("id_a", "id_b")
     val prop = Dedup.duplicateClusters(pairs, maxIter = 60)
       .as[(Long, Long)].collect().toMap
     val star = Dedup.duplicateClustersStar(pairs)
       .as[(Long, Long)].collect().toMap
     assert(star == prop)
     assert((1L to 6L).forall(star(_) == 1L))
+    assert(star(50L) == 50L)   // contract: every id in pairs gets a row
   }
 
   test("star clustering converges on a long path in few rounds") {
