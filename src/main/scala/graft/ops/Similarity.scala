@@ -176,8 +176,8 @@ object Similarity {
     * and ranks only their members. The standard high-recall scale path
     * when LSH recall is poor (weakly-correlated vectors): one equality
     * join on cell id, candidate volume ≈ nProbe/numCentroids of brute
-    * force. Training is eager (MLlib k-means on the column), like any
-    * index build.
+    * force. Training is eager, like any index build: a seeded spherical
+    * k-means over a driver-collected ≤100k sample (see below).
     */
   def annTopKIvf(df: DataFrame, idCol: String, vecCol: String, k: Int,
       numCentroids: Int = 16, nProbe: Int = 4, dim: Int = 64,
@@ -193,10 +193,11 @@ object Similarity {
     // recall comes from nProbe, not assignment optimality. Pass
     // `knownCount` to skip the sizing count() when the caller knows it.
     // The capped sample (≤100k × dim doubles ≈ 50 MB) is collected and
-    // Lloyd's runs ON THE DRIVER: an MLlib fit here launches ~2 jobs per
-    // iteration against a frame we already bounded to driver size, and
-    // that job-launch overhead WAS the dominant cost of the whole query
-    // (measured 7.7 s of an 11.3 s wall at sf0.1; local fit: <0.1 s).
+    // Lloyd's runs ON THE DRIVER: a cluster-side iterative fit launches
+    // ~2 jobs per iteration against a frame we already bounded to
+    // driver size, and that job-launch overhead WAS the dominant cost
+    // of the whole query (7.7 s of an 11.3 s wall at sf0.1; local fit:
+    // <0.1 s).
     // This is the faiss shape: index training is sample-local, only
     // assignment is distributed.
     val trainCap = 100000L
@@ -221,11 +222,10 @@ object Similarity {
 
     // ONE distance pass per vector: distances to all centroids computed
     // once, the nProbe nearest emitted as probe cells with the nearest
-    // (rank 0) doubling as the vector's own cell membership. This
-    // replaces the earlier model.transform(base) member pass, which
-    // recomputed every centroid distance a second time through MLlib's
-    // vector UDFs; assignment and probe tie-break (lowest index) are now
-    // consistent by construction.
+    // (rank 0) doubling as the vector's own cell membership — a
+    // separate transform-style member pass would recompute every
+    // centroid distance a second time; assignment and probe tie-break
+    // (lowest index) are consistent by construction.
     val assigned = base.as[(Long, Seq[Double])]
       .flatMap { case (id, v) =>
         val cs = bcCenters.value
