@@ -134,6 +134,34 @@ object TextAnalysis {
       i => xxhash64(text.substr(i, lit(k)))))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): k-gram hashes, sliding windows of `w`
+    * consecutive hashes, one minimum kept per window, distinct minima
+    * as the document's fingerprint set. Guarantees any shared substring
+    * of length ≥ w+k-1 contributes a shared fingerprint, at expected
+    * density 2/(w+1) — the local-similarity detector that whole-doc
+    * hashing (bag/rolling min) can't provide.
+    *
+    * Portable hash (md5-60) so an external engine restates the exact
+    * set; a DataFrame (not Column) operator so the k-gram hash array
+    * binds to a real column — lambda subtrees get no CSE, and an
+    * inline twin would re-hash the document once per window.
+    *
+    * Pure map at any scale; docs shorter than k yield no rows.
+    */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, w: Int = 16): DataFrame = {
+    val text = col(textCol)
+    df.filter(length(text) >= k)
+      .select(col(idCol),
+        transform(sequence(lit(1), length(text) - (k - 1)),
+          i => Dedup.md5Hash60(text.substr(i, lit(k)))).as("__hs"))
+      .select(col(idCol),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(size(col("__hs")) - (w - 1), lit(1))),
+          j => array_min(slice(col("__hs"), j, lit(w)))))).as("fp"))
+  }
+
   /** PII scrubbing: email and phone-number patterns replaced with
     * typed placeholder tokens, plus per-document match counts (the
     * audit trail a curation run keeps). Pure map — no shuffle, no

@@ -605,6 +605,27 @@ object CorpusQueries extends QueryModule {
              |FROM stats s LEFT JOIN top t ON s.doc_id = t.doc_id""".stripMargin),
     ),
 
+    // ---- winnowing fingerprints (the MOSS local-similarity sketch):
+    // every selected window-minimum k-gram hash, as rows, in the
+    // portable md5-60 hash — DuckDB recomputes the identical set from
+    // first principles (same k-grams, same windows, same minima).
+    Q(
+      "q64_winnowing_fingerprints",
+      (s, d) => TextAnalysis.winnowingFingerprints(
+        Tables.documents(s, d), "doc_id", "text", k = 12, w = 16),
+      Some("""WITH g AS (
+             |  SELECT doc_id,
+             |    [CAST('0x' || substr(md5(substr(text, i, 12)), 1, 15) AS BIGINT)
+             |     for i in range(1, length(text) - 10)] AS hs
+             |  FROM documents WHERE length(text) >= 12
+             |), win AS (
+             |  SELECT doc_id, list_distinct(
+             |    [list_min(hs[j:j+15]) for j in range(1, greatest(len(hs) - 15, 1) + 1)]) AS fps
+             |  FROM g
+             |)
+             |SELECT doc_id, unnest(fps) AS fp FROM win""".stripMargin),
+    ),
+
     // ---- salted two-phase aggregation under a hot grouping key: the
     // skew shape AQE can't fix (one reducer owning a dominant group).
     // Deterministic salt from user_id; sums go through decimal(18,2)

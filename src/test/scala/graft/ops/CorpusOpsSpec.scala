@@ -317,6 +317,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(roll(0) != 0L)
   }
 
+  test("winnowing: shared substring >= w+k-1 chars shares a fingerprint") {
+    val shared = "the quick brown fox jumps over the lazy dog!"  // 44 chars
+    val d = Seq((1L, s"AAAA $shared BBBB"), (2L, s"XXXXXX $shared YYYY"),
+      (3L, "totally unrelated content here with no overlap at all"))
+      .toDF("doc_id", "text")
+    // k=12, w=16: guarantee threshold w+k-1 = 27 <= 44
+    val fps = TextAnalysis.winnowingFingerprints(d, "doc_id", "text")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty)   // guaranteed shared fingerprint
+    assert((fps(1L) & fps(3L)).isEmpty)    // unrelated docs don't collide
+    // short doc (< k chars) contributes no rows rather than failing
+    val short = TextAnalysis.winnowingFingerprints(
+      Seq((9L, "tiny")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(short.count() == 0)
+  }
+
   test("PII redaction: emails before phones, counts, identity on clean text") {
     val d = Seq(
       "mail a.b_c%d+1@sub.example.org and +7 495 123 4567 twice 33-222-33-44",
