@@ -143,14 +143,26 @@ object TextAnalysis {
     * hashing (bag/rolling min) can't provide.
     *
     * Portable hash (md5-60) so an external engine restates the exact
-    * set; a DataFrame (not Column) operator so the k-gram hash array
-    * binds to a real column — lambda subtrees get no CSE, and an
-    * inline twin would re-hash the document once per window.
+    * set. Production path is the native [[graft.functions.HashSketches
+    * .winnowing]] sketch — one O(n) loop per document (monotonic-deque
+    * sliding min); the HOF construction ([[winnowingFingerprintsHof]])
+    * pays ~n interpreted md5/conv string expressions plus an O(n·w)
+    * slice-copy window pass (measured 9 s vs sub-second at sf0.1) and
+    * remains as the parity reference.
     *
     * Pure map at any scale; docs shorter than k yield no rows.
     */
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 12, w: Int = 16): DataFrame = {
+      k: Int = 12, w: Int = 16): DataFrame =
+    df.filter(length(col(textCol)) >= k)
+      .select(col(idCol),
+        explode(graft.functions.HashSketches.winnowing(col(textCol), k, w))
+          .as("fp"))
+
+  /** Column-form twin of [[winnowingFingerprints]] — parity reference
+    * for the native sketch (tested set-equal in CorpusOpsSpec). */
+  private[graft] def winnowingFingerprintsHof(df: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int): DataFrame = {
     val text = col(textCol)
     df.filter(length(text) >= k)
       .select(col(idCol),
@@ -184,6 +196,45 @@ object TextAnalysis {
     val clean = regexp_replace(noEmail, lit(phonePattern), lit("<PHONE>"))
     struct(clean.as("redacted"), nEmail.as("n_emails"),
       nPhone.as("n_phones"))
+  }
+
+  /** Near-dup pairs by SHARED WINNOWING FINGERPRINTS: documents with ≥
+    * `minShared` common fingerprints are pairs, scored by the shared
+    * count. Detects LOCAL overlap (a lifted paragraph, a shared
+    * boilerplate block ≥ w+k-1 chars) that whole-document Jaccard
+    * dilutes away — the containment-style complement to
+    * [[graft.ops.Dedup.ngramJaccardPairs]]. Unlike LSH candidate
+    * generation this is DETERMINISTIC (winnowing is exact), so the
+    * full output is oracle-checkable, not recall-gated.
+    *
+    * Shape: fingerprint map → document-frequency prune → fp-key
+    * equality self-join → count per pair. `maxDocFreq` drops
+    * boilerplate fingerprints shared by more than that many documents
+    * BEFORE the join (the analog of tf·idf's min-df prune): a
+    * fingerprint in F docs contributes F² join rows, so ubiquitous
+    * snippets — licence headers, navigation chrome — would otherwise
+    * quadratically dominate cost while carrying no dedup signal.
+    */
+  def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, w: Int = 16, minShared: Int = 2,
+      maxDocFreq: Long = 100L): DataFrame = {
+    // the fingerprint map feeds the freq agg AND both self-join sides —
+    // persist (small: ids + longs) or the sketch scan runs 4×
+    val fps = winnowingFingerprints(df, idCol, textCol, k, w).persist()
+    // document frequency per fingerprint; rare AND sub-boilerplate ones
+    // survive (freq 1 can't form a pair — dropping it halves join input)
+    val kept = fps.join(
+      fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") >= 2 && col("__df") <= maxDocFreq)
+        .select(col("fp")),
+      "fp").persist()
+    val a = kept.alias("a")
+    val b = kept.alias("b")
+    a.join(b, col("a.fp") === col("b.fp")
+        && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** Repetition signals — the Gopher-family quality filters ("Scaling

@@ -626,6 +626,38 @@ object CorpusQueries extends QueryModule {
              |SELECT doc_id, unnest(fps) AS fp FROM win""".stripMargin),
     ),
 
+    // ---- winnowing near-dup pairs: local-overlap detection from
+    // shared fingerprints — deterministic (unlike LSH candidates), so
+    // the ENTIRE pair list is hash-compared, DuckDB recomputing
+    // fingerprints, document-frequency prune, and pair counts from
+    // scratch.
+    Q(
+      "q65_winnowing_pairs",
+      (s, d) => TextAnalysis.winnowingPairs(
+        Tables.documents(s, d), "doc_id", "text",
+        k = 16, w = 24, minShared = 2, maxDocFreq = 20L),
+      Some("""WITH g AS (
+             |  SELECT doc_id,
+             |    [CAST('0x' || substr(md5(substr(text, i, 16)), 1, 15) AS BIGINT)
+             |     for i in range(1, length(text) - 14)] AS hs
+             |  FROM documents WHERE length(text) >= 16
+             |), fps AS (
+             |  SELECT doc_id, unnest(list_distinct(
+             |    [list_min(hs[j:j+23]) for j in range(1, greatest(len(hs) - 23, 1) + 1)])) AS fp
+             |  FROM g
+             |), freq AS (
+             |  SELECT fp FROM fps GROUP BY fp
+             |  HAVING count(*) BETWEEN 2 AND 20
+             |), kept AS (
+             |  SELECT f.doc_id, f.fp FROM fps f JOIN freq USING (fp)
+             |)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  count(*) AS n_shared
+             |FROM kept a JOIN kept b
+             |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
+    ),
+
     // ---- salted two-phase aggregation under a hot grouping key: the
     // skew shape AQE can't fix (one reducer owning a dominant group).
     // Deterministic salt from user_id; sums go through decimal(18,2)

@@ -334,6 +334,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(short.count() == 0)
   }
 
+  test("native winnowing sketch equals the HOF construction on real docs") {
+    // covers m < w (truncated single window), m == w, and m >> w
+    val edge = Seq((1L, "exactly twelve!"), (2L, "a" * 27), (3L, "b" * 28))
+      .toDF("doc_id", "text")
+    for ((df, k, w) <- Seq((docs, 12, 16), (edge, 12, 16), (docs, 8, 4))) {
+      val native = TextAnalysis.winnowingFingerprints(df, "doc_id", "text", k, w)
+        .as[(Long, Long)].collect().toSet
+      val hof = TextAnalysis.winnowingFingerprintsHof(df, "doc_id", "text", k, w)
+        .as[(Long, Long)].collect().toSet
+      assert(native == hof && native.nonEmpty)
+    }
+  }
+
   test("PII redaction: emails before phones, counts, identity on clean text") {
     val d = Seq(
       "mail a.b_c%d+1@sub.example.org and +7 495 123 4567 twice 33-222-33-44",
