@@ -68,6 +68,26 @@ class CorpusPropertySpec extends SparkSpec {
     }
   }
 
+  test("winnowing: native sketch == HOF twin on random strings and params") {
+    // the monotonic-deque sliding min is the riskiest loop in the native
+    // sketch; drive it with random texts (repeats included so window
+    // minima tie) across (k, w) shapes, incl. w > gram count
+    val gen = for {
+      n <- Gen.chooseNum(0, 120)
+      s <- Gen.stringOfN(n, Gen.oneOf(('a' to 'e') :+ ' '))
+    } yield s
+    val texts = samples(gen, 150).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    for ((k, w) <- Seq((3, 5), (8, 4), (12, 16), (5, 200))) {
+      val native = TextAnalysis.winnowingFingerprints(df, "doc_id", "text", k, w)
+        .as[(Long, Long)].collect().toSet
+      val hof = TextAnalysis.winnowingFingerprintsHof(df, "doc_id", "text", k, w)
+        .as[(Long, Long)].collect().toSet
+      assert(native == hof, s"k=$k w=$w")
+    }
+  }
+
   test("tfidf plan broadcasts the vocabulary side") {
     val d = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
     val plan = TextAnalysis.tfIdfTop(d, "doc_id", "text", 2)

@@ -31,6 +31,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("repetition-signals plan: hash aggregates with partial (map-side) combine, no Window") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))           // top-1 via min(struct), not a sort
+    assert(plan.contains("partial_"))          // map-side combine before the shuffle
+    assert(plan.contains("HashAggregate"))
+  }
+
+  test("winnowing-pairs plan: no cartesian product, freq prune joins before the pair join") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.winnowingPairs(docs, "doc_id", "text")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    out.unpersist()
+  }
+
   test("bucketed master: merge plan has no Exchange on the master side") {
     spark.sql("DROP TABLE IF EXISTS graft_master_test")
     val master = Seq(("1", "2026-01-01 10:00:00", 100.0),
