@@ -37,6 +37,26 @@ private object Sketch {
 
   @inline def mix(h1: Long, h2: Long, j: Int): Long =
     if (j < 64) rotl(h1, j) ^ h2 else rotl(h2, j - 64) ^ h1
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Portable 60-bit hash: top 15 hex chars of md5 (= first 8 digest
+    * bytes big-endian >>> 4) — the single definition both sketch
+    * expressions share, bit-identical to `Dedup.md5Hash60`'s
+    * `conv(substr(md5, 1, 15), 16, 10)` and to any engine's
+    * CAST('0x' || substr(md5(x), 1, 15) AS BIGINT). */
+  def md5_60(t: UTF8String): Long = {
+    val digest = md5.get()
+    digest.reset()
+    val d = digest.digest(t.getBytes)
+    var acc = 0L
+    var k = 0
+    while (k < 8) { acc = (acc << 8) | (d(k) & 0xFFL); k += 1 }
+    acc >>> 4
+  }
 }
 
 /** array<string> shingles → array<long> MinHash signature. */
@@ -115,27 +135,15 @@ case class SimHashMd5Expr(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
 
-  @transient private lazy val md5 =
-    new ThreadLocal[java.security.MessageDigest] {
-      override def initialValue(): java.security.MessageDigest =
-        java.security.MessageDigest.getInstance("MD5")
-    }
-
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val votes = new Array[Int](60)
-    val digest = md5.get()
     var i = 0
     val n = arr.numElements()
     while (i < n) {
       val t = arr.getUTF8String(i)
       if (t != null) {
-        digest.reset()
-        val d = digest.digest(t.getBytes)
-        var acc = 0L
-        var k = 0
-        while (k < 8) { acc = (acc << 8) | (d(k) & 0xFFL); k += 1 }
-        val h = acc >>> 4 // top 15 hex chars = 60 bits
+        val h = Sketch.md5_60(t)
         var b = 0
         while (b < 60) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -170,30 +178,17 @@ case class WinnowingExpr(child: Expression, k: Int, w: Int)
   require(k >= 1 && w >= 1)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  @transient private lazy val md5 =
-    new ThreadLocal[java.security.MessageDigest] {
-      override def initialValue(): java.security.MessageDigest =
-        java.security.MessageDigest.getInstance("MD5")
-    }
-
   override def nullSafeEval(input: Any): Any = {
     val u = input.asInstanceOf[UTF8String]
     val n = u.numChars()
     if (n < k) return new GenericArrayData(Array.empty[Long])
     val m = n - k + 1
     val hs = new Array[Long](m)
-    val digest = md5.get()
     var i = 0
     while (i < m) {
       // SQL substr semantics (character-based) — same grams as the
       // Column twin and DuckDB's substr(text, i, k)
-      val g = u.substringSQL(i + 1, k)
-      digest.reset()
-      val d = digest.digest(g.getBytes)
-      var acc = 0L
-      var t = 0
-      while (t < 8) { acc = (acc << 8) | (d(t) & 0xFFL); t += 1 }
-      hs(i) = acc >>> 4 // top 15 hex chars = 60 bits
+      hs(i) = Sketch.md5_60(u.substringSQL(i + 1, k))
       i += 1
     }
     val wc = math.max(m - w + 1, 1)

@@ -219,15 +219,18 @@ object TextAnalysis {
       k: Int = 12, w: Int = 16, minShared: Int = 2,
       maxDocFreq: Long = 100L): DataFrame = {
     // the fingerprint map feeds the freq agg AND both self-join sides —
-    // persist (small: ids + longs) or the sketch scan runs 4×
-    val fps = winnowingFingerprints(df, idCol, textCol, k, w).persist()
+    // localCheckpoint (not persist: blocks free on GC instead of
+    // pinning the session cache across invocations, same rationale as
+    // tfIdfTop) or the sketch scan runs 4×
+    val fps = winnowingFingerprints(df, idCol, textCol, k, w)
+      .localCheckpoint()
     // document frequency per fingerprint; rare AND sub-boilerplate ones
     // survive (freq 1 can't form a pair — dropping it halves join input)
     val kept = fps.join(
       fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
         .filter(col("__df") >= 2 && col("__df") <= maxDocFreq)
         .select(col("fp")),
-      "fp").persist()
+      "fp").localCheckpoint()
     val a = kept.alias("a")
     val b = kept.alias("b")
     a.join(b, col("a.fp") === col("b.fp")

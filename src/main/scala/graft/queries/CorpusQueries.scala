@@ -196,7 +196,7 @@ object CorpusQueries extends QueryModule {
     // regression that crushed recall (hyperplane/centroid bug, join key
     // drift) flips meets_floor and fails the hash compare, where the
     // rows-only checks on q26/q33 would stay green. Floors sit under
-    // the measured values (ivf 0.76-0.83, lsh 0.58-0.62 across sf) by
+    // the measured values (ivf 0.73-0.77, lsh 0.58-0.62 across sf) by
     // a margin that absorbs k-means sample jitter but not a real break.
     Q(
       "q56_ann_recall",

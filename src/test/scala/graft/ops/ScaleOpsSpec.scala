@@ -42,11 +42,10 @@ class ScaleOpsSpec extends SparkSpec {
 
   test("winnowing-pairs plan: no cartesian product, freq prune joins before the pair join") {
     val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
-    val out = TextAnalysis.winnowingPairs(docs, "doc_id", "text")
-    val plan = out.queryExecution.executedPlan.toString
+    val plan = TextAnalysis.winnowingPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"))
-    out.unpersist()
   }
 
   test("bucketed master: merge plan has no Exchange on the master side") {
