@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: drop (or flag) training documents that
+  * share any word n-gram with an evaluation/benchmark set — the
+  * standard pre-training hygiene step (GPT-3 appendix C uses 13-gram
+  * overlap; Dolma and FineWeb ship the same operator). A training
+  * corpus that contains eval text inflates benchmark scores, so this
+  * runs on every corpus refresh.
+  *
+  * Shape at 100 TB:
+  *   - benchmark n-grams are hashed ([[Dedup.md5Hash60]] — 8-byte join
+  *     keys instead of ~100-byte strings) and de-duplicated BEFORE the
+  *     join, so the shuffle carries the benchmark's distinct-gram set
+  *     once, not per occurrence;
+  *   - the corpus side explodes to (doc, gram-hash) and inner-joins the
+  *     benchmark gram set. Benchmark suites are MBs against a TB-scale
+  *     corpus, so AQE broadcasts the gram set and the corpus side never
+  *     shuffles — the operator rides the existing corpus scan. No hint
+  *     is forced: a pathological benchmark set degrades to a shuffle
+  *     join instead of an executor OOM;
+  *   - per-doc hit counts (not just a flag) come from one map-side
+  *     combined aggregation — they are the audit trail a curation run
+  *     publishes next to the drop decision.
+  *
+  * Grams use the md5-60 construction shared with q23/q51/q64, so an
+  * external engine restates the exact same decision from first
+  * principles (q66's DuckDB twin joins on the gram STRINGS — equal
+  * output proves the hashed path loses nothing).
+  */
+object Decontamination {
+
+  /** Distinct word n-gram hashes of a text column; docs shorter than
+    * `n` words contribute no grams. */
+  def gramHashes(text: Column, n: Int): Column = {
+    val w = split(trim(text), "\\s+")
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
+        i => Dedup.md5Hash60(concat_ws(" ", slice(w, i, lit(n)))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** (id, n_hits) for every corpus document sharing ≥1 n-gram with the
+    * benchmark text; `n_hits` counts the distinct shared grams. */
+  def contaminationHits(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, benchTextCol: String, n: Int): DataFrame = {
+    val benchGrams = bench
+      .select(explode(gramHashes(col(benchTextCol), n)).as("__g"))
+      .distinct()
+    docs.select(col(idCol), explode(gramHashes(col(textCol), n)).as("__g"))
+      .join(benchGrams, "__g")
+      // gramHashes is distinct per doc, so plain count == distinct hits
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Every corpus row + (n_hits, contaminated) — the audit view. */
+  def flagContaminated(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, benchTextCol: String, n: Int = 13): DataFrame =
+    docs.join(
+        contaminationHits(docs, bench, idCol, textCol, benchTextCol, n),
+        Seq(idCol), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contaminated", col("n_hits") > 0)
+
+  /** The filtered corpus: documents with zero benchmark overlap. */
+  def decontaminate(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, benchTextCol: String, n: Int = 13): DataFrame =
+    docs.join(
+      contaminationHits(docs, bench, idCol, textCol, benchTextCol, n),
+      Seq(idCol), "left_anti")
+}

@@ -80,4 +80,41 @@ object Packing {
           .otherwise(floor((col("token_end") - 1) / seqLen).cast("long")))
       .withColumn("chunk_offset", pmod(start, lit(seqLen.toLong)))
   }
+
+  /** Per-document sliding-window chunking with overlap — the OTHER
+    * standard corpus shaping next to [[chunkAssignments]]: documents
+    * are cut independently into windows of `maxTokens` words advancing
+    * by `maxTokens - overlap` (RAG indexing, long-doc SFT, embedding
+    * pipelines — anywhere a document must stay self-contained instead
+    * of straddling pack boundaries).
+    *
+    * Chunk count is `1 + ceil((n - maxTokens) / stride)` (one chunk
+    * when `n <= maxTokens`), so the final window always reaches the
+    * document's end and every token is covered. Pure map — a per-row
+    * HOF expression, no shuffle, no state; at 100 TB it rides the
+    * corpus scan like the other text operators. All math is integer,
+    * so any engine restates the exact chunk boundaries (q67's twin).
+    */
+  def slidingChunks(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got overlap=$overlap max=$maxTokens")
+    val stride = maxTokens - overlap
+    val w = split(trim(col(textCol)), "\\s+")
+    val n = size(w)
+    // integer ceil((n - maxTokens) / stride) via (x + stride - 1) div stride
+    // (Column./ is DOUBLE division — floor() restores the integer quotient,
+    // exact for any n below 2^53)
+    val nChunks = when(n <= maxTokens, lit(1))
+      .otherwise(lit(1) +
+        floor((n - maxTokens + (stride - 1)) / lit(stride)).cast("int"))
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => struct(i.as("chunk_idx"),
+        concat_ws(" ", slice(w, i * stride + 1, lit(maxTokens)))
+          .as("chunk_text"),
+        size(slice(w, i * stride + 1, lit(maxTokens))).as("chunk_tokens")))
+    df.select(col(idCol), explode(chunks).as("__c"))
+      .select(col(idCol), col("__c.chunk_idx"), col("__c.chunk_text"),
+        col("__c.chunk_tokens"))
+  }
 }

@@ -40,4 +40,36 @@ object Sampling {
       assign = when(b < math.round(c * buckets), lit(name)).otherwise(assign)
     df.withColumn("bucket", b).withColumn("split", assign)
   }
+
+  /** Deterministic per-group quota: keep at most `cap` rows per group,
+    * chosen by hash rank — the per-domain/per-source cap every web
+    * corpus applies so a handful of template-heavy domains can't
+    * dominate training (C4, Dolma, and FineWeb all cap per host).
+    *
+    * Selection ranks rows inside each group by md5-60(key ‖ seed) with
+    * the key itself as tie-break, so (a) which rows survive depends only
+    * on content keys — re-runs, cluster resizes, and other engines pick
+    * the SAME rows (q68's DuckDB twin), and (b) the picks are an
+    * unbiased pseudo-random sample of the group, not "first N by
+    * ingestion order" (ingestion order correlates with crawl frontier
+    * policy — a real bias).
+    *
+    * Shape: one hash-partitioned window per group. Group cardinality is
+    * domain count (millions), so partitions stay balanced; a single
+    * mega-group (one domain = half the corpus) is exactly the case the
+    * cap exists for, and rank-then-filter still only materializes
+    * `cap` winners per group after the shuffle.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+      cap: Int, seed: String): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("__r").asc, col(keyCol).asc)
+    df.withColumn("__r",
+        Dedup.md5Hash60(concat(col(keyCol).cast("string"), lit(seed))))
+      .withColumn("group_rank", row_number().over(w))
+      .filter(col("group_rank") <= cap)
+      .drop("__r")
+  }
 }

@@ -1,0 +1,173 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-4 curation additions: decontamination, sliding chunks,
+  * per-group caps, sketch gates, and the Catalyst extensions. */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------- decontamination
+
+  test("decontaminate drops exactly the docs sharing an n-gram") {
+    val bench = Seq((100L, "the quick brown fox jumps over")).toDF("id", "text")
+    val docs = Seq(
+      (1L, "xx the quick brown fox yy"),         // shares the 4-gram
+      (2L, "completely different words here"),   // clean
+      (3L, "quick brown fox jumps elsewhere"),   // shares another 4-gram
+      (4L, "the quick brown"),                   // only 3 words — no 4-gram
+    ).toDF("id", "text")
+    val flagged = Decontamination
+      .flagContaminated(docs, bench, "id", "text", "text", n = 4)
+      .select($"id", $"n_hits", $"contaminated")
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (k, h, c) => k -> ((h, c)) }.toMap
+    assert(flagged(1L) == ((1L, true)))
+    assert(flagged(2L) == ((0L, false)))
+    assert(flagged(3L) == ((1L, true)))
+    assert(flagged(4L) == ((0L, false)))
+    val kept = Decontamination
+      .decontaminate(docs, bench, "id", "text", "text", n = 4)
+      .select($"id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+  }
+
+  test("contamination hit count is distinct shared grams") {
+    val bench = Seq((1L, "a b c d e")).toDF("id", "text")
+    // doc shares "a b c" and "b c d" and "c d e" → 3 distinct 3-grams,
+    // and repeats "a b c" twice — distinctness keeps hits at 3
+    val docs = Seq((7L, "a b c d e x a b c")).toDF("id", "text")
+    val hits = Decontamination
+      .contaminationHits(docs, bench, "id", "text", "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(hits(7L) == 3L)
+  }
+
+  // ---------------------------------------------------- sliding chunks
+
+  test("sliding chunks cover every token with the promised overlap") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("id", "text")
+    // max 4, overlap 1 → stride 3 → chunks at 1, 4, 7 (last = t7..t10)
+    val out = Packing.slidingChunks(docs, "id", "text", maxTokens = 4, overlap = 1)
+      .orderBy($"chunk_idx")
+      .select($"chunk_idx", $"chunk_text", $"chunk_tokens")
+      .as[(Int, String, Int)].collect()
+    assert(out.map(_._1).toSeq == Seq(0, 1, 2))
+    assert(out(0)._2 == "t1 t2 t3 t4")
+    assert(out(1)._2 == "t4 t5 t6 t7")
+    assert(out(2)._2 == "t7 t8 t9 t10")
+    assert(out.forall(_._3 == 4))
+  }
+
+  test("short doc yields one whole-doc chunk; tail chunk may be short") {
+    val docs = Seq((1L, "a b"), (2L, "a b c d e")).toDF("id", "text")
+    val out = Packing.slidingChunks(docs, "id", "text", maxTokens = 4, overlap = 2)
+      .select($"id", $"chunk_idx", $"chunk_tokens")
+      .as[(Long, Int, Int)].collect().toSet
+    // id=1: one chunk of 2 tokens; id=2: stride 2 → chunks at 1 (4 toks)
+    // and 3 (3 toks: c d e)
+    assert(out == Set((1L, 0, 2), (2L, 0, 4), (2L, 1, 3)))
+  }
+
+  // ---------------------------------------------------- per-group cap
+
+  test("capPerGroup keeps at most cap rows, deterministically") {
+    val rows = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("key", "grp")
+    val once = Sampling.capPerGroup(rows, "grp", "key", cap = 10, seed = "s1")
+    val counts = once.groupBy($"grp").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ == 10L))
+    // identical picks on re-run and at different parallelism
+    val again = Sampling
+      .capPerGroup(rows.repartition(7), "grp", "key", cap = 10, seed = "s1")
+    assert(once.select($"key").as[Long].collect().toSet ==
+      again.select($"key").as[Long].collect().toSet)
+    // different seed → different picks (with overwhelming probability)
+    val other = Sampling.capPerGroup(rows, "grp", "key", cap = 10, seed = "s2")
+    assert(once.select($"key").as[Long].collect().toSet !=
+      other.select($"key").as[Long].collect().toSet)
+  }
+
+  test("groups under the cap survive whole") {
+    val rows = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("key", "grp")
+    val out = Sampling.capPerGroup(rows, "grp", "key", cap = 5, seed = "s")
+    assert(out.count() == 3)
+  }
+
+  // ---------------------------------------------------- sketch gates
+
+  test("statsGate: sketches sit inside tolerance on real data") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val out = SketchStats.statsGate(docs,
+        Seq("l_orderkey", "l_partkey"), "l_extendedprice",
+        Seq(0.5, 0.95))
+      .as[(String, Option[Long], Boolean)].collect()
+    assert(out.length == 4)
+    assert(out.forall(_._3), s"sketch outside tolerance: ${out.mkString(",")}")
+    val exact = out.collect { case (s, Some(e), _) => s -> e }.toMap
+    val trueDistinct = docs.select(countDistinct($"l_orderkey"),
+      countDistinct($"l_partkey")).as[(Long, Long)].collect().head
+    assert(exact("distinct_l_orderkey") == trueDistinct._1)
+    assert(exact("distinct_l_partkey") == trueDistinct._2)
+  }
+
+  // ---------------------------------------------------- extensions
+
+  test("graft_cosine & sketch functions callable from SQL") {
+    graft.plans.GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 1.0D)) AS c,
+        |  graft_winnowing('abcdefgh', 3, 2) AS fps,
+        |  graft_simhash_md5(array('a', 'b')) AS sh""".stripMargin)
+      .as[(Double, Seq[Long], Long)].collect().head
+    assert(math.abs(row._1 - 1.0 / math.sqrt(2.0)) < 1e-15)
+    // same fingerprints as the library call
+    val lib = Seq("abcdefgh").toDF("t")
+      .select(graft.functions.HashSketches.winnowing($"t", 3, 2))
+      .as[Seq[Long]].collect().head
+    assert(row._2 == lib)
+    val libSh = Seq(Seq("a", "b")).toDF("t")
+      .select(graft.functions.HashSketches.simhashMd5_60($"t"))
+      .as[Long].collect().head
+    assert(row._3 == libSh)
+  }
+
+  test("RewriteHofCosine swaps the HOF form for the native kernel") {
+    graft.plans.GraftExtensions.register(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val withHof = e.select($"vec_id",
+      Similarity.cosine($"v", reverse($"v")).as("c"))
+    val optimized = withHof.queryExecution.optimizedPlan
+    val natives = optimized.expressions.flatMap(_.collect {
+      case c: graft.functions.CosineSimilarity => c })
+    assert(natives.nonEmpty, s"rule did not fire:\n$optimized")
+    assert(optimized.toString.indexOf("aggregate(zip_with") < 0)
+    // and the rewrite is value-preserving, bit for bit
+    val plain = e.sparkSession.newSession()
+    val e2 = plain.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val expected = e2.select($"vec_id",
+      Similarity.cosine($"v", reverse($"v")).as("c"))
+      .as[(Long, Double)].collect().toMap
+    val got = withHof.as[(Long, Double)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("RewriteHofCosine leaves mismatched norm children alone") {
+    graft.plans.GraftExtensions.register(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    // norms over v, v but dot over v, reverse(v) in the raw form —
+    // build a division whose norm children DON'T match the dot's
+    def sumSq(x: org.apache.spark.sql.Column) =
+      sqrt(aggregate(transform(x, p => p * p), lit(0.0), (a, b) => a + b))
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (a, b) => a + b)
+    val weird = e.select((dot($"v", reverse($"v")) /
+      (sumSq($"v") * sumSq($"v"))).as("c"))
+    val natives = weird.queryExecution.optimizedPlan.expressions
+      .flatMap(_.collect { case c: graft.functions.CosineSimilarity => c })
+    assert(natives.isEmpty)
+  }
+}
