@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.ops.{Dedup, Packing, Sampling, Similarity, SkewOps, TextAnalysis}
+import graft.ops.{Decontamination, Dedup, Packing, Sampling, Similarity,
+  SketchStats, SkewOps, TextAnalysis}
 
 /** Training-data-pipeline operators over documents/embeddings (builder
   * brief: dedup, similarity search, text analysis). Oracle SQL uses
@@ -725,6 +726,138 @@ object CorpusQueries extends QueryModule {
              |    '\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{2,4}[- ][0-9]{2,4}',
              |    '<PHONE>', 'g') AS redacted
              |FROM scrub""".stripMargin),
+    ),
+
+    // ---- benchmark decontamination: docs with doc_id % 10 == 0 play
+    // the eval set; the rest of the corpus is flagged by 8-gram overlap
+    // with per-doc audit hit counts. Spark joins on md5-60 gram HASHES
+    // (8-byte shuffle keys — the 100 TB shape); DuckDB joins the gram
+    // STRINGS — equal output proves the hashed path loses nothing.
+    Q(
+      "q66_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Decontamination.flagContaminated(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0),
+            "doc_id", "text", "text", n = 8)
+          .select(col("doc_id"), col("n_hits"), col("contaminated"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+             |), g AS (
+             |  SELECT doc_id, unnest(list_distinct(
+             |    [array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)])) AS gram
+             |  FROM w WHERE len(w) >= 8
+             |), bg AS (
+             |  SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0
+             |), hits AS (
+             |  SELECT g.doc_id, count(*) AS n_hits
+             |  FROM g JOIN bg USING (gram) WHERE g.doc_id % 10 <> 0
+             |  GROUP BY g.doc_id
+             |)
+             |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+             |  coalesce(h.n_hits, 0) > 0 AS contaminated
+             |FROM documents d LEFT JOIN hits h USING (doc_id)
+             |WHERE d.doc_id % 10 <> 0""".stripMargin),
+    ),
+
+    // ---- per-document sliding-window chunking (64-token windows,
+    // 16-token overlap → stride 48): integer chunk math restated by
+    // DuckDB from first principles — identical boundaries, identical
+    // reassembled chunk text.
+    Q(
+      "q67_sliding_chunks",
+      (s, d) => Packing.slidingChunks(Tables.documents(s, d), "doc_id",
+        "text", maxTokens = 64, overlap = 16),
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+             |), c AS (
+             |  SELECT doc_id, w,
+             |    CASE WHEN len(w) <= 64 THEN 1
+             |      ELSE 1 + CAST(floor((len(w) - 64 + 47) / 48.0) AS INT)
+             |    END AS nc
+             |  FROM w
+             |), idx AS (
+             |  SELECT doc_id, w, unnest(range(0, nc)) AS i FROM c
+             |)
+             |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             |  array_to_string(w[CAST(i*48+1 AS INT):CAST(i*48+64 AS INT)], ' ')
+             |    AS chunk_text,
+             |  CAST(len(w[CAST(i*48+1 AS INT):CAST(i*48+64 AS INT)]) AS INT)
+             |    AS chunk_tokens
+             |FROM idx""".stripMargin),
+    ),
+
+    // ---- deterministic per-source quota (the per-domain cap): hash
+    // rank inside each source, keep 15 — another engine recomputes the
+    // IDENTICAL survivor set from (doc_id, seed) alone.
+    Q(
+      "q68_domain_cap",
+      (s, d) => Sampling.capPerGroup(
+          Tables.documents(s, d).select(col("doc_id"), col("source")),
+          "source", "doc_id", cap = 15, seed = "s42")
+        .select(col("doc_id"), col("source"), col("group_rank")),
+      Some("""WITH r AS (
+             |  SELECT doc_id, source,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY CAST('0x' ||
+             |          substr(md5(CAST(doc_id AS VARCHAR) || 's42'), 1, 15)
+             |        AS BIGINT) ASC, doc_id ASC) AS INT) AS group_rank
+             |  FROM documents
+             |)
+             |SELECT doc_id, source, group_rank FROM r
+             |WHERE group_rank <= 15""".stripMargin),
+    ),
+
+    // ---- sketch statistics gate: HLL++ distinct counts and
+    // quantile-sketch percentiles (the only shapes that survive 100 TB)
+    // checked against exact twins computed in the same job — the oracle
+    // pins the exact counts AND that every sketch sits inside tolerance,
+    // so a sketch regression fails driver-visibly (same pattern as the
+    // ANN recall floors, q56).
+    Q(
+      "q69_sketch_stats",
+      (s, d) => SketchStats.statsGate(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_suppkey"), "l_extendedprice", Seq(0.5, 0.95)),
+      Some("""SELECT 'distinct_l_orderkey' AS stat,
+             |  count(DISTINCT l_orderkey) AS exact, true AS within
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'distinct_l_suppkey',
+             |  count(DISTINCT l_suppkey), true FROM lineitem
+             |UNION ALL SELECT 'p50_l_extendedprice', NULL, true
+             |UNION ALL SELECT 'p95_l_extendedprice', NULL, true""".stripMargin),
+    ),
+
+    // ---- the Catalyst extension surface, driver-visible: graft_cosine
+    // is the SQL-registered native kernel; cos_hof is written in the
+    // portable HOF Column form and rewritten to the SAME kernel by the
+    // injected RewriteHofCosine rule (plan shape asserted in
+    // CurationOpsSpec) — both restated by DuckDB's list arithmetic.
+    Q(
+      "q70_sql_native_cosine",
+      (s, d) => {
+        graft.plans.GraftExtensions.register(s)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val joined = e.alias("a").join(e.alias("b"),
+          col("b.vec_id") === col("a.vec_id") + 1)
+        joined.select(col("a.vec_id").as("vec_id"),
+          expr("graft_cosine(a.v, b.v)").as("cos_native"),
+          Similarity.cosine(col("a.v"), col("b.v")).as("cos_hof"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |)
+             |SELECT a.vec_id,
+             |  list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
+             |    (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+             |     sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos_native,
+             |  list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
+             |    (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+             |     sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos_hof
+             |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1""".stripMargin),
     ),
   )
 }
