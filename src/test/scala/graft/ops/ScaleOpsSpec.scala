@@ -75,4 +75,39 @@ class ScaleOpsSpec extends SparkSpec {
     assert(exchanges(bucketedPlan) < exchanges(unbucketed))
     spark.sql("DROP TABLE IF EXISTS graft_master_test")
   }
+
+  test("decontamination plan: equality gram join, no cartesian, map-side combined counts") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Decontamination.flagContaminated(
+        docs.filter($"doc_id" % 10 =!= 0), docs.filter($"doc_id" % 10 === 0),
+        "doc_id", "text", "text", n = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("partial_count")) // audit counts combine map-side
+  }
+
+  test("sliding-chunks plan: pure map — no Exchange at all") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Packing.slidingChunks(docs, "doc_id", "text", 64, 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("per-domain cap plan: exactly one shuffle, keyed by the group") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Sampling.capPerGroup(docs.select($"doc_id", $"source"),
+        "source", "doc_id", cap = 15, seed = "s")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("\n").count(_.contains("Exchange")) == 1)
+    assert(plan.contains("hashpartitioning(source"))
+  }
+
+  test("sketch gate plan: sketch pass is partial-merge (map-side combined HLL)") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val plan = SketchStats.statsGate(li, Seq("l_orderkey"),
+        "l_extendedprice", Seq(0.5))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_approx_count_distinct"))
+  }
 }
