@@ -352,5 +352,45 @@ object Relational extends QueryModule {
              |  CAST(ceil(count(*) / 28.0) AS BIGINT) AS total_pages
              |FROM events GROUP BY event_type""".stripMargin),
     ),
+
+    // ---- as-of (point-in-time) join: every non-purchase event sees the
+    // user's most recent purchase AT OR BEFORE its own timestamp (the
+    // feature-store join; a later purchase leaking in is the classic
+    // label-contamination bug). Spark has no native operator — the
+    // union+running-last form costs one key shuffle (TemporalJoins
+    // scaladoc); DuckDB restates it with its built-in ASOF JOIN, an
+    // entirely independent implementation (sorted merge).
+    Q(
+      "q71_asof_join",
+      (s, d) => {
+        import s.implicits._
+        val events = Tables.events(s, d)
+        val out = graft.ops.TemporalJoins.asOfJoin(
+          events.filter($"event_type" =!= "purchase")
+            .select($"event_id", $"user_id", $"ts", $"value"),
+          events.filter($"event_type" === "purchase")
+            .select($"user_id", $"ts", $"value"),
+          "user_id", "ts", Seq("value"))
+        out.select($"event_id", $"user_id",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts"),
+          $"value",
+          date_format($"asof_ts", "yyyy-MM-dd HH:mm:ss").as("asof_ts"),
+          $"asof_value")
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, ts, value FROM events
+             |  WHERE event_type = 'purchase'
+             |), l AS (
+             |  SELECT event_id, user_id, ts, value FROM events
+             |  WHERE event_type <> 'purchase'
+             |)
+             |SELECT l.event_id, l.user_id,
+             |  strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+             |  l.value,
+             |  strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS asof_ts,
+             |  r.value AS asof_value
+             |FROM l ASOF LEFT JOIN r
+             |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin),
+    ),
   )
 }

@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfJoin attaches the latest right row at or before each left ts") {
+    val right = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 100.0),
+      (1L, ts("2026-01-01 12:00:00"), 200.0),
+      (2L, ts("2026-01-01 11:00:00"), 999.0),
+    ).toDF("user_id", "ts", "value")
+    val left = Seq(
+      (10L, 1L, ts("2026-01-01 09:00:00")), // before any snapshot → null
+      (11L, 1L, ts("2026-01-01 10:00:00")), // equal ts → inclusive match
+      (12L, 1L, ts("2026-01-01 11:30:00")), // between → 10:00 snapshot
+      (13L, 1L, ts("2026-01-01 13:00:00")), // after both → 12:00 snapshot
+      (14L, 3L, ts("2026-01-01 13:00:00")), // key with no right rows
+    ).toDF("event_id", "user_id", "ts")
+    val out = TemporalJoins
+      .asOfJoin(left, right, "user_id", "ts", Seq("value"))
+      .select($"event_id", $"asof_ts", $"asof_value")
+      .as[(Long, Option[Timestamp], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(10L) == ((None, None)))
+    assert(out(11L) == ((Some(ts("2026-01-01 10:00:00")), Some(100.0))))
+    assert(out(12L) == ((Some(ts("2026-01-01 10:00:00")), Some(100.0))))
+    assert(out(13L) == ((Some(ts("2026-01-01 12:00:00")), Some(200.0))))
+    assert(out(14L) == ((None, None)))
+    assert(out.size == 5) // every left row survives exactly once
+  }
+
+  test("asOfJoin never leaks a future right row (label-leakage guard)") {
+    val right = Seq((1L, ts("2026-01-02 00:00:00"), 7.0))
+      .toDF("user_id", "ts", "value")
+    val left = Seq((1L, 1L, ts("2026-01-01 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val out = TemporalJoins
+      .asOfJoin(left, right, "user_id", "ts", Seq("value"))
+      .select($"asof_value").as[Option[Double]].collect()
+    assert(out.toSeq == Seq(None))
+  }
+
+  test("asOfJoin plan: one exchange, one sort — no nested loop") {
+    val right = Seq((1L, ts("2026-01-01 00:00:00"), 1.0))
+      .toDF("user_id", "ts", "value")
+    val left = Seq((1L, 1L, ts("2026-01-01 01:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val plan = TemporalJoins
+      .asOfJoin(left, right, "user_id", "ts", Seq("value"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"))
+    // both sides shuffle into ONE hashpartitioning(user_id) exchange
+    // each; the payload windows collapse into a single Window operator
+    assert(plan.split("\n").count(_.contains("Window")) == 1)
+  }
+
+  test("asOfJoin refuses colliding payload names") {
+    val df = Seq((1L, ts("2026-01-01 00:00:00"), 1.0))
+      .toDF("user_id", "ts", "asof_value")
+    intercept[IllegalArgumentException] {
+      TemporalJoins.asOfJoin(df, df.withColumnRenamed("asof_value", "value"),
+        "user_id", "ts", Seq("value"))
+    }
+  }
+}
