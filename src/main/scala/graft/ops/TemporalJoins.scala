@@ -70,4 +70,44 @@ object TemporalJoins {
     }
     filled.filter(col("__src") === 1).drop("__src")
   }
+
+  /** Range (interval) join WITHOUT an equi-key: every (point, interval)
+    * pair with `start <= point <= end` — attribution windows, outage
+    * overlays, sensor alignment. Catalyst plans the bare BETWEEN
+    * predicate as BroadcastNestedLoopJoin (|P|·|I| comparisons); this is
+    * the standard BINNED decomposition: time is cut into `binSeconds`
+    * buckets, each interval explodes to the buckets it covers, each
+    * point lands in exactly ONE bucket, and the join becomes a plain
+    * equality shuffle on the bucket id with the exact BETWEEN as a
+    * post-filter. A point's bucket is unique, so no dedup pass is
+    * needed. Binning is candidate generation only — any monotonic bin
+    * function preserves coverage, the BETWEEN filter is authoritative.
+    *
+    * Cost at scale: shuffle = |points| + Σ(interval span / binSeconds)
+    * rows; per-bin work is quadratic in bin occupancy. Pick binSeconds
+    * near the median interval length (big bins → fat buckets; small
+    * bins → interval replication). A globally hot time range is a
+    * skewed bucket — AQE skew-join splits it; an equi-key (user,
+    * region) should ride IN FRONT of the bucket when the data has one
+    * (compose: add the key to both sides' join columns).
+    *
+    * Both frames keep all their columns; prefix/rename before calling
+    * if names collide (checked).
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, ptCol: String,
+      startCol: String, endCol: String, binSeconds: Long = 300L): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive, got $binSeconds")
+    val overlap = points.columns.toSeq.intersect(intervals.columns.toSeq)
+    require(overlap.isEmpty,
+      s"column names collide across sides: ${overlap.mkString(",")}")
+    val binMicros = binSeconds * 1000000L
+    def binOf(c: org.apache.spark.sql.Column) =
+      floor(unix_micros(c) / lit(binMicros)).cast("long")
+    val p = points.withColumn("__bin", binOf(col(ptCol)))
+    val i = intervals.withColumn("__bin",
+      explode(sequence(binOf(col(startCol)), binOf(col(endCol)))))
+    p.join(i, Seq("__bin"))
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop("__bin")
+  }
 }

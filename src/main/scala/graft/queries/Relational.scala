@@ -392,5 +392,35 @@ object Relational extends QueryModule {
              |FROM l ASOF LEFT JOIN r
              |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin),
     ),
+
+    // ---- range (interval) join, NO equi-key — the shape Catalyst
+    // plans as a nested loop: every event inside any purchase's ±5 min
+    // attribution window. Spark side runs the binned decomposition
+    // (equality shuffle on 5-min buckets + exact post-filter,
+    // TemporalJoins scaladoc); DuckDB restates the bare quadratic
+    // BETWEEN — equal output proves the binning loses nothing.
+    Q(
+      "q72_range_join",
+      (s, d) => {
+        import s.implicits._
+        val events = Tables.events(s, d)
+        val points = events.filter($"event_type" =!= "purchase")
+          .select($"event_id", $"ts")
+        val windows = events.filter($"event_type" === "purchase")
+          .select($"event_id".as("purchase_id"),
+            ($"ts" - expr("INTERVAL 5 MINUTES")).as("start_ts"),
+            ($"ts" + expr("INTERVAL 5 MINUTES")).as("end_ts"))
+        graft.ops.TemporalJoins
+          .rangeJoin(points, windows, "ts", "start_ts", "end_ts", 300L)
+          .select($"event_id", $"purchase_id")
+      },
+      Some("""SELECT p.event_id, i.event_id AS purchase_id
+             |FROM events p
+             |JOIN (SELECT event_id, ts FROM events
+             |      WHERE event_type = 'purchase') i
+             |  ON p.ts BETWEEN i.ts - INTERVAL 5 MINUTE
+             |             AND i.ts + INTERVAL 5 MINUTE
+             |WHERE p.event_type <> 'purchase'""".stripMargin),
+    ),
   )
 }

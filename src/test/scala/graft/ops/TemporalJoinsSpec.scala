@@ -67,4 +67,42 @@ class TemporalJoinsSpec extends SparkSpec {
         "user_id", "ts", Seq("value"))
     }
   }
+
+  test("rangeJoin finds exactly the contained points, ends inclusive") {
+    val points = Seq(
+      (1L, ts("2026-01-01 10:00:00")),
+      (2L, ts("2026-01-01 10:05:00")), // == interval end → inclusive
+      (3L, ts("2026-01-01 10:05:01")), // just outside
+      (4L, ts("2026-01-01 23:00:00")),
+    ).toDF("event_id", "pt")
+    val intervals = Seq(
+      (100L, ts("2026-01-01 10:00:00"), ts("2026-01-01 10:05:00")),
+      // spans many 5-min bins — must still match each point ONCE
+      (200L, ts("2026-01-01 09:00:00"), ts("2026-01-01 11:00:00")),
+    ).toDF("window_id", "start_ts", "end_ts")
+    val out = TemporalJoins
+      .rangeJoin(points, intervals, "pt", "start_ts", "end_ts", 300L)
+      .select($"event_id", $"window_id").as[(Long, Long)].collect().sorted
+    assert(out.toSeq == Seq((1L, 100L), (1L, 200L), (2L, 100L), (2L, 200L),
+      (3L, 200L)))
+  }
+
+  test("rangeJoin plan: equality shuffle join on the bin, no nested loop") {
+    val points = Seq((1L, ts("2026-01-01 10:00:00"))).toDF("event_id", "pt")
+    val intervals = Seq((9L, ts("2026-01-01 09:00:00"),
+      ts("2026-01-01 11:00:00"))).toDF("window_id", "start_ts", "end_ts")
+    val plan = TemporalJoins
+      .rangeJoin(points, intervals, "pt", "start_ts", "end_ts", 300L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"))
+  }
+
+  test("rangeJoin refuses colliding column names") {
+    val points = Seq((1L, ts("2026-01-01 10:00:00"))).toDF("id", "pt")
+    val intervals = Seq((9L, ts("2026-01-01 09:00:00"),
+      ts("2026-01-01 11:00:00"))).toDF("id", "start_ts", "end_ts")
+    intercept[IllegalArgumentException] {
+      TemporalJoins.rangeJoin(points, intervals, "pt", "start_ts", "end_ts")
+    }
+  }
 }
