@@ -28,6 +28,37 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  // ------------------------------------------------------- quantization
+
+  /** Symmetric per-vector int8 quantization: scale = max|v|/127,
+    * q_i = round(v_i/scale) ∈ [-127, 127]. At 100 TB this is the
+    * memory lever for every similarity path above — a 64-dim float
+    * embedding drops 4× (8× vs double), which is the difference
+    * between an in-memory block kernel and a spilling one; IVF/LSH
+    * candidate generation runs on the quantized vectors and only the
+    * final re-rank (top-k·C candidates, a vanishing fraction) touches
+    * full precision. Scale stays a per-row column, so dequantization
+    * is exact-as-stored: dq_i = q_i · scale.
+    *
+    * Pure Column expressions (codegen'd map, no shuffle). Zero vectors
+    * quantize to zeros with scale 0. Recall loss under quantization is
+    * driver-gated by q73 (same floor pattern as q56/q62).
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val v = asDouble(vec)
+    val scale = array_max(transform(v, abs(_))) / lit(127.0)
+    struct(
+      when(scale > 0.0,
+          transform(v, x => round(x / scale).cast("tinyint")))
+        .otherwise(transform(v, _ => lit(0).cast("tinyint"))).as("q"),
+      scale.as("scale"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: array<double> ≈ the original. */
+  def dequantizeInt8(quantized: Column): Column =
+    transform(quantized.getField("q"),
+      x => x.cast("double") * quantized.getField("scale"))
+
   /** (id, vec) projection — the native CosineSimilarity expression
     * computes dot and norms in one per-pair loop, so no per-vector norm
     * precompute is needed. */

@@ -228,6 +228,33 @@ object CorpusQueries extends QueryModule {
              |UNION ALL SELECT 'lsh', true""".stripMargin),
     ),
 
+    // ---- int8-quantization recall gate: the exact top-k kernel re-run
+    // on symmetric-int8 dequantized vectors (the 4× memory path every
+    // similarity op rides at 100 TB) must keep recall@3 ≥ 0.85 vs full
+    // precision — measured 0.98 at sf0.001 (CurationOpsSpec); the floor
+    // absorbs scale jitter but not a quantizer break.
+    Q(
+      "q73_quantized_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val k = 3
+        val exact = Similarity
+          .cosineTopKKernel(emb, "vec_id", "embedding", k)
+          .select(col("id"), col("neighbor_id"))
+        val dq = emb.select(col("vec_id"),
+          Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding")))
+            .as("embedding"))
+        val approx = Similarity.cosineTopKKernel(dq, "vec_id", "embedding", k)
+          .select(col("id"), col("neighbor_id")).withColumn("__hit", lit(1))
+        exact.join(approx, Seq("id", "neighbor_id"), "left")
+          .agg((sum(coalesce(col("__hit"), lit(0))) / count(lit(1)))
+            .as("recall"))
+          .select(lit("int8").as("method"),
+            (col("recall") >= 0.85).as("meets_floor"))
+      },
+      Some("SELECT 'int8' AS method, true AS meets_floor"),
+    ),
+
     // ---- near-dup PAIR recall gate: the LSH-bucketed pair generator
     // (bounded work — candidates only, no n² dot products) measured
     // against the exact kernel, as a driver-visible floor like q56's

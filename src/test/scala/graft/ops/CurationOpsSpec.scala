@@ -111,6 +111,40 @@ class CurationOpsSpec extends SparkSpec {
     assert(exact("distinct_l_partkey") == trueDistinct._2)
   }
 
+  // ---------------------------------------------------- quantization
+
+  test("int8 quantization: bounded error, exact zero vector, recall headroom") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    // round-trip error is at most scale/2 = max|v|/254 per component
+    val err = embs.select(
+      zip_with($"v",
+        Similarity.dequantizeInt8(Similarity.quantizeInt8($"v")),
+        (a, b) => abs(a - b)).as("e"),
+      (array_max(transform($"v", abs(_))) / lit(254.0)).as("bound"))
+      .select(max(array_max($"e") - $"bound")).as[Double].collect().head
+    assert(err <= 1e-12, s"round-trip error exceeded scale/2 by $err")
+    val z = Seq((1L, Seq(0.0, 0.0))).toDF("id", "v")
+      .select(Similarity.quantizeInt8($"v").as("q"))
+      .select($"q.scale", Similarity.dequantizeInt8($"q").as("dq"))
+      .as[(Double, Seq[Double])].collect().head
+    assert(z._1 == 0.0 && z._2 == Seq(0.0, 0.0))
+    // recall@3 of the dequantized kernel vs exact — measure the headroom
+    // behind q73's 0.85 floor
+    val k = 3
+    val exact = Similarity.cosineTopKKernel(embs, "vec_id", "v", k)
+      .select($"id", $"neighbor_id")
+    val dq = embs.select($"vec_id",
+      Similarity.dequantizeInt8(Similarity.quantizeInt8($"v")).as("v"))
+    val approx = Similarity.cosineTopKKernel(dq, "vec_id", "v", k)
+      .select($"id", $"neighbor_id").withColumn("__hit", lit(1))
+    val recall = exact.join(approx, Seq("id", "neighbor_id"), "left")
+      .agg((sum(coalesce($"__hit", lit(0))) / count(lit(1))).as("r"))
+      .as[Double].collect().head
+    info(f"int8 recall@3 = $recall%.4f (q73 floor 0.85)")
+    assert(recall >= 0.95, f"recall $recall%.4f leaves no headroom over the floor")
+  }
+
   // ---------------------------------------------------- extensions
 
   test("graft_cosine & sketch functions callable from SQL") {
