@@ -72,4 +72,47 @@ object Sampling {
       .filter(col("group_rank") <= cap)
       .drop("__r")
   }
+
+  /** EXACT-QUOTA stratified split: within every stratum (language,
+    * domain, quality band) rows are ranked by seeded hash and assigned
+    * splits by rank thresholds — each stratum lands within one row of
+    * its target fractions, where [[hashSplit]]'s per-row thresholding
+    * is only binomially close (a 200-doc language can miss its 10%
+    * eval share by several points; at eval-set sizes that is real
+    * noise). The tradeoff is stability: quotas depend on stratum
+    * COUNTS, so adding a row can reassign others within its stratum —
+    * use hashSplit when rows must never migrate, stratifiedSplit when
+    * per-stratum proportions must hold exactly. Both are seeded-hash
+    * deterministic: any engine recomputes the same assignment (q74).
+    *
+    * Shape: one window (rank + count share a partition) on the stratum
+    * key — the same single-shuffle price as [[capPerGroup]].
+    */
+  def stratifiedSplit(df: DataFrame, strataCol: String, keyCol: String,
+      seed: String,
+      fractions: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    require(fractions.nonEmpty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col("__r").asc, col(keyCol).asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+    // PURE-INTEGER per-mille thresholds (rank·1000 ≤ ‰·n): a double
+    // form like rank <= round(cum*n) drifts cross-engine because the
+    // cumulated fraction (0.8+0.1) and the literal 0.9 are different
+    // doubles — integer math restates exactly everywhere
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.round(c * 1000))
+    var assign: Column = lit(fractions.last._1)
+    for (((name, _), permille) <- fractions.zip(cum).init.reverse)
+      assign = when(col("__rank") * 1000L <= lit(permille) * col("__n"),
+        lit(name)).otherwise(assign)
+    df.withColumn("__r",
+        Dedup.md5Hash60(concat(col(keyCol).cast("string"), lit(seed))))
+      .withColumn("__rank", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("split", assign)
+      .drop("__r", "__rank", "__n")
+  }
 }

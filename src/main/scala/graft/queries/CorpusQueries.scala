@@ -255,6 +255,32 @@ object CorpusQueries extends QueryModule {
       Some("SELECT 'int8' AS method, true AS meets_floor"),
     ),
 
+    // ---- exact-quota stratified split: every language lands within
+    // one row of 80/10/10 (hashSplit is only binomially close — real
+    // noise for small strata). Pure-integer rank·1000 ≤ ‰·n
+    // thresholds, so DuckDB recomputes the identical assignment.
+    Q(
+      "q74_stratified_split",
+      (s, d) => Sampling.stratifiedSplit(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "lang", "doc_id", seed = "s42")
+        .select(col("doc_id"), col("lang"), col("split")),
+      Some("""WITH r AS (
+             |  SELECT doc_id, lang,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY CAST('0x' ||
+             |          substr(md5(CAST(doc_id AS VARCHAR) || 's42'), 1, 15)
+             |        AS BIGINT) ASC, doc_id ASC) AS rk,
+             |    count(*) OVER (PARTITION BY lang) AS n
+             |  FROM documents
+             |)
+             |SELECT doc_id, lang,
+             |  CASE WHEN rk * 1000 <= 800 * n THEN 'train'
+             |       WHEN rk * 1000 <= 900 * n THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM r""".stripMargin),
+    ),
+
     // ---- near-dup PAIR recall gate: the LSH-bucketed pair generator
     // (bounded work — candidates only, no n² dot products) measured
     // against the exact kernel, as a driver-visible floor like q56's

@@ -94,6 +94,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.count() == 3)
   }
 
+  test("stratifiedSplit holds exact per-stratum quotas; hashSplit only binomial") {
+    // 3 strata of very different sizes — each must land within one row
+    // of 80/10/10
+    val rows = ((1L to 200L).map((_, "en")) ++ (201L to 250L).map((_, "de"))
+      ++ (251L to 260L).map((_, "es"))).toDF("key", "lang")
+    val out = Sampling.stratifiedSplit(rows, "lang", "key", "s42")
+    val counts = out.groupBy($"lang", $"split").count()
+      .as[(String, String, Long)].collect()
+      .map { case (l, s, n) => (l, s) -> n }.toMap
+    assert(counts(("en", "train")) == 160 && counts(("en", "val")) == 20 &&
+      counts(("en", "test")) == 20)
+    assert(counts(("de", "train")) == 40 && counts(("de", "val")) == 5 &&
+      counts(("de", "test")) == 5)
+    assert(counts(("es", "train")) == 8 && counts(("es", "val")) == 1 &&
+      counts(("es", "test")) == 1)
+    // deterministic across partitioning
+    val again = Sampling.stratifiedSplit(rows.repartition(7), "lang", "key", "s42")
+    assert(out.select($"key", $"split").as[(Long, String)].collect().toSet ==
+      again.select($"key", $"split").as[(Long, String)].collect().toSet)
+  }
+
   // ---------------------------------------------------- sketch gates
 
   test("statsGate: sketches sit inside tolerance on real data") {
