@@ -157,6 +157,72 @@ object StreamingQueries extends QueryModule {
              |FROM events GROUP BY 1, 2""".stripMargin),
     ),
 
+    // ---- native streaming session windows (S3 extension): one
+    // AvailableNow run through the real session_window operator. The
+    // operator only supports APPEND mode — a session emits when the
+    // watermark passes its end — so a sentinel event (user −1, far
+    // future) pushes the final watermark past every real session's
+    // end and Spark's closing no-data batch flushes them all; the
+    // sentinel's own never-closable session is filtered out. The
+    // DuckDB oracle restates session_window's exact micro-precision
+    // semantics (new session when gap ≥ 30 min; end = last event +
+    // gap) from first principles over the same events.
+    Q(
+      "q75_streaming_sessionize",
+      (s, d) => {
+        val root = scratch()
+        val inDir = s"$root/in"
+        val ev = Tables.events(s, d).select(col("ts"), col("user_id"),
+          col("value"))
+        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        val sentinel = s.range(1).select(
+          lit(new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000))
+            .as("ts"),
+          lit(-1L).as("user_id"), lit(0.0).as("value"))
+        ev.unionByName(sentinel).coalesce(1).write.parquet(inDir)
+        val sinkTable = "graft_stream_sessions_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = StreamOps
+          .sessionize(s.readStream.schema(ev.schema).parquet(inDir))
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("memory")
+          .queryName(sinkTable)
+          .start()
+        q.awaitTermination()
+        s.table(sinkTable).filter(col("user_id") =!= -1L)
+          .select(col("user_id"),
+            date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+              .as("session_start"),
+            date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss")
+              .as("session_end"),
+            col("n_events"),
+            col("session_value").cast("double").as("session_value"))
+      },
+      Some("""WITH marked AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+             |), s AS (
+             |  SELECT *, sum(new_session) OVER (
+             |    PARTITION BY user_id ORDER BY ts
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM marked
+             |)
+             |SELECT user_id,
+             |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+             |    AS session_end,
+             |  count(*) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS session_value
+             |FROM s GROUP BY user_id, sid""".stripMargin),
+    ),
+
     // ---- streaming exactly-once dedup: the events table delivered
     // TWICE into the watched directory (duplicate delivery), collapsed
     // by dropDuplicatesWithinWatermark — output must equal the original

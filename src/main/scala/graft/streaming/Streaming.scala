@@ -74,6 +74,26 @@ object StreamOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Gap-based sessionization on the NATIVE streaming operator
+    * (`session_window`): per user, events closer than `gap` merge into
+    * one session; the window's end is last-event + gap. State is one
+    * open window per (user, session) and the watermark closes/evicts
+    * sessions — the streaming twin of the batch lag+cumsum form (q32),
+    * with MICROSECOND gap boundaries (a new session starts when the
+    * inter-event gap is ≥ `gap`, strictly-less merges), where the
+    * batch twin compares seconds. q75's oracle restates these exact
+    * semantics via epoch_us arithmetic. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("session_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"),
+        col("session_value"))
+
   /** Keyed lifecycle state (S2/S4): per key, track last price and last
     * activity; emit a CDC row per state change. Timeout fires an
     * unpublish marker when a key goes quiet — the streaming analog of
