@@ -1,10 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import graft.io.PerfTracker
 
 /** Driver-run benchmark: executes every registered query on the sf dir
   * from SPARK_GRAFT_SF_DIR and prints ONE JSON line of per-query wall
   * seconds. Each query is forced with a count() action (results are
   * checked separately by Verify; here we measure plan execution).
+  *
+  * Output discipline: the driver captures only a bounded TAIL of
+  * stdout, so the summary line must (a) be the LAST line printed and
+  * (b) stay short. Query keys are therefore the `qNN` prefix (unique
+  * across the suite; r4's full names pushed the line to ~2.3 KB and
+  * its head was truncated). Per-query stage metrics (task time, GC,
+  * shuffle bytes, spill) are deltas from a [[PerfTracker]] listener,
+  * streamed as JSON lines to BENCH_PERF.jsonl in the working directory
+  * — the durable evidence channel for drift attribution that doesn't
+  * compete with the summary line for tail bytes.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -18,10 +29,35 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // one optimizer configuration for the whole suite: q70 registers the
+    // extensions at query-build time, which would otherwise flip the
+    // RewriteHofCosine rule on mid-run and make later plans depend on
+    // suite order (register is idempotent, so q70's own call is a no-op)
+    graft.plans.GraftExtensions.register(spark)
+    val tracker = PerfTracker.install(spark)
     // warm the JVM/codegen once on the smallest sf so per-query numbers
     // measure execution, not first-query classloading
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // experiment knob for GC-pressure bisection: force a full collection
+    // between queries so each starts from a compacted heap
+    val gcBetween = sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")
+    // comma-decimal locales break JSON
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f",
+        java.lang.Double.valueOf(v))
+    val perfLog = new java.io.PrintWriter(
+      new java.io.FileWriter("BENCH_PERF.jsonl", false))
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // `qNN` prefix — unique today; fall back to full names if a future
+    // query breaks that rather than silently merging two keys
+    val short: Map[String, String] = {
+      val pfx = names.map(n => n -> n.takeWhile(_ != '_')).toMap
+      if (pfx.values.toSet.size == names.size) pfx
+      else names.map(n => n -> n).toMap
+    }
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val before = tracker.snapshot()
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       val secs = (System.nanoTime() - t0) / 1e9
@@ -29,18 +65,30 @@ object Bench {
       // operators may persist() intermediates; drop them so successive
       // queries measure from a clean heap
       spark.catalog.clearCache()
+      // listener delivery is async — settle briefly so this query's task
+      // metrics land in its own delta, not the next one's
+      tracker.awaitQuiesce(stableMs = 50, timeoutMs = 2000)
+      val after = tracker.snapshot()
+      val line = s"""{"q":"${short(name)}","name":"$name","sec":${f3(secs)}""" +
+        s""","task_ms":${after.executorRunTimeMs - before.executorRunTimeMs}""" +
+        s""","gc_ms":${after.jvmGcTimeMs - before.jvmGcTimeMs}""" +
+        s""","shuf_r":${after.shuffleBytesRead - before.shuffleBytesRead}""" +
+        s""","shuf_w":${after.shuffleBytesWritten - before.shuffleBytesWritten}""" +
+        s""","spill":${after.spilledBytes - before.spilledBytes}""" +
+        s""","tasks":${after.processed - before.processed}""" +
+        s""","heap_mb":${after.jvmHeapUsedMb.toLong}}"""
+      perfLog.println(line)
+      perfLog.flush()
+      if (gcBetween) System.gc()
       name -> secs
     }
-    // millisecond precision keeps the line compact: the driver captures
-    // only a bounded TAIL of stdout, and full-precision doubles pushed
-    // the line past it (r3: the line's head was cut mid-key)
-    def f3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f",
-        java.lang.Double.valueOf(v))   // comma-decimal locales break JSON
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    perfLog.close()
+    val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // the summary MUST be the final stdout line (bounded-tail capture)
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    Console.out.flush()
     spark.stop()
   }
 }

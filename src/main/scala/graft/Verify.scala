@@ -19,6 +19,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // uniform optimizer config across the suite (q70 would otherwise
+    // install the extension rules mid-run; register is idempotent)
+    graft.plans.GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

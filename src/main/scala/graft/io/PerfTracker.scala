@@ -30,6 +30,10 @@ class PerfTracker extends SparkListener {
   private val bytesRead = new LongAdder
   private val bytesWritten = new LongAdder
   private val executorRunTimeMs = new LongAdder
+  private val jvmGcTimeMs = new LongAdder
+  private val shuffleBytesRead = new LongAdder
+  private val shuffleBytesWritten = new LongAdder
+  private val spilledBytes = new LongAdder
   private val peakTaskMemory = new AtomicLong(0L)
 
   override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
@@ -44,6 +48,10 @@ class PerfTracker extends SparkListener {
       bytesRead.add(m.inputMetrics.bytesRead)
       bytesWritten.add(m.outputMetrics.bytesWritten)
       executorRunTimeMs.add(m.executorRunTime)
+      jvmGcTimeMs.add(m.jvmGCTime)
+      shuffleBytesRead.add(m.shuffleReadMetrics.totalBytesRead)
+      shuffleBytesWritten.add(m.shuffleWriteMetrics.bytesWritten)
+      spilledBytes.add(m.memoryBytesSpilled + m.diskBytesSpilled)
       peakTaskMemory.accumulateAndGet(m.peakExecutionMemory, math.max)
     }
   }
@@ -52,7 +60,8 @@ class PerfTracker extends SparkListener {
       elapsedSec: Double, processed: Long, successful: Long, failed: Long,
       retried: Long, speed: Double, recordsRead: Long, recordsWritten: Long,
       bytesRead: Long, bytesWritten: Long, executorRunTimeMs: Long,
-      peakTaskMemoryBytes: Long, jvmHeapUsedMb: Double)
+      jvmGcTimeMs: Long, shuffleBytesRead: Long, shuffleBytesWritten: Long,
+      spilledBytes: Long, peakTaskMemoryBytes: Long, jvmHeapUsedMb: Double)
 
   def snapshot(): Snapshot = {
     val elapsed = math.max(1e-9, (System.currentTimeMillis() - startedAtMs) / 1e3)
@@ -60,7 +69,9 @@ class PerfTracker extends SparkListener {
     val rt = Runtime.getRuntime
     Snapshot(elapsed, p, successful.sum(), failed.sum(), retried.sum(),
       p / elapsed, recordsRead.sum(), recordsWritten.sum(), bytesRead.sum(),
-      bytesWritten.sum(), executorRunTimeMs.sum(), peakTaskMemory.get(),
+      bytesWritten.sum(), executorRunTimeMs.sum(), jvmGcTimeMs.sum(),
+      shuffleBytesRead.sum(), shuffleBytesWritten.sum(), spilledBytes.sum(),
+      peakTaskMemory.get(),
       (rt.totalMemory() - rt.freeMemory()) / 1048576.0)
   }
 
@@ -76,12 +87,15 @@ class PerfTracker extends SparkListener {
     fmt("""{"elapsed_sec":%.3f,"processed":%d,"successful":%d,""" +
       """"failed":%d,"retried":%d,"speed":%.2f,"records_read":%d,""" +
       """"records_written":%d,"bytes_read":%d,"bytes_written":%d,""" +
-      """"executor_run_time_ms":%d,"peak_task_memory_bytes":%d,""" +
+      """"executor_run_time_ms":%d,"jvm_gc_time_ms":%d,""" +
+      """"shuffle_bytes_read":%d,"shuffle_bytes_written":%d,""" +
+      """"spilled_bytes":%d,"peak_task_memory_bytes":%d,""" +
       """"jvm_heap_used_mb":%.1f}""",
       s.elapsedSec, s.processed, s.successful, s.failed, s.retried,
       s.speed, s.recordsRead, s.recordsWritten, s.bytesRead,
-      s.bytesWritten, s.executorRunTimeMs, s.peakTaskMemoryBytes,
-      s.jvmHeapUsedMb)
+      s.bytesWritten, s.executorRunTimeMs, s.jvmGcTimeMs,
+      s.shuffleBytesRead, s.shuffleBytesWritten, s.spilledBytes,
+      s.peakTaskMemoryBytes, s.jvmHeapUsedMb)
   }
 
   /** The reference's progress pipe table, task-denominated. */

@@ -155,13 +155,16 @@ object Dedup {
       n: Int = 3, tau: Double = 0.5,
       numHashes: Int = 128, bandRows: Int = 2): DataFrame = {
     // grams feed the signature AND both verification sides; the signature
-    // table feeds banding AND both estimate sides — persist both (small:
-    // |docs| rows) instead of recomputing the explode/agg subtree 3×
+    // table feeds banding AND both estimate sides — materialize both
+    // (small: |docs| rows) instead of recomputing the explode/agg subtree
+    // 3×. localCheckpoint, not persist: blocks free when the frames go
+    // unreachable, where a CacheManager entry would pin them for the
+    // session (library callers never see the frames to unpersist them)
     val grams = df
       .select(col(idCol), split(col(textCol), "\\s+").as("__w"))
       .select(col(idCol), wordNGramsFromWords(col("__w"), n).as("grams"))
-      .persist()
-    val sig = signatureTable(grams, idCol, "grams", numHashes).persist()
+      .localCheckpoint()
+    val sig = signatureTable(grams, idCol, "grams", numHashes).localCheckpoint()
     val cands = estimateFilter(
       candidatesFromSig(sig, idCol, numHashes, bandRows),
       sig, idCol, numHashes, minEst = tau * 0.6)

@@ -93,6 +93,23 @@ object Sampling {
       fractions: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
     require(fractions.nonEmpty)
+    // the thresholds quantize to per-mille: a fraction finer than the
+    // 1/1000 resolution collapses two cumulative thresholds into one and
+    // silently starves a split, and a sum > 1 makes later splits
+    // unreachable — fail loudly instead
+    fractions.foreach { case (name, f) =>
+      require(f > 0.0, s"fraction for '$name' must be > 0, got $f")
+    }
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9,
+      s"fractions sum to ${fractions.map(_._2).sum} > 1")
+    val cumPermille = fractions.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.round(c * 1000))
+    (0L +: cumPermille).zip(cumPermille).zip(fractions).foreach {
+      case ((prev, cur), (name, f)) => require(cur > prev,
+        s"fraction for '$name' ($f) is below the 1/1000 resolution of " +
+          "the integer thresholds (its cumulative threshold collapses " +
+          "into the previous split's); use coarser fractions")
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol))
       .orderBy(col("__r").asc, col(keyCol).asc)

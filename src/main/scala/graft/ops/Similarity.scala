@@ -164,6 +164,28 @@ object Similarity {
     }.toDF("id_a", "id_b", "cosine")
   }
 
+  /** Per-block partial top-k: every query vector against one candidate
+    * block, self-pairs skipped. NaN (zero-norm vectors) must sort FIRST,
+    * matching Spark SQL's NaN-is-largest ordering in the merge window —
+    * Scala's default Double ordering would sort it last and truncate it. */
+  private def blockTopK(qvecs: Seq[(Long, Seq[Double])],
+      cvecs: Seq[(Long, Seq[Double])], k: Int): Iterator[(Long, Long, Double)] = {
+    val cs = cvecs.map { case (id, v) =>
+      val a = v.toArray; (id, a, l2(a)) }.toArray
+    qvecs.iterator.flatMap { case (qid, qv) =>
+      val qa = qv.toArray
+      val qn = l2(qa)
+      val sims = cs.iterator.collect {
+        case (idb, vb, nb) if idb != qid =>
+          (dotP(qa, vb) / (qn * nb), idb)
+      }.toArray
+      sims.sortBy { case (c, id) =>
+        (if (c.isNaN) Double.NegativeInfinity else -c, id)
+      }.take(k)
+        .iterator.map { case (c, idb) => (qid, idb, c) }
+    }
+  }
+
   /** Exact top-k per vector via the blocked kernel: each task emits a
     * per-query PARTIAL top-k against its candidate block (global top-k ⊆
     * union of partials), then one window pass merges the ≤ B·k partials
@@ -178,23 +200,32 @@ object Similarity {
       .crossJoin(packed.select(col("__blk").as("cblk"), col("vecs").as("cv")))
       .as[(Int, Seq[(Long, Seq[Double])], Int, Seq[(Long, Seq[Double])])]
     val partial = tasks.flatMap { case (_, qvecs, _, cvecs) =>
-      val cs = cvecs.map { case (id, v) =>
-        val a = v.toArray; (id, a, l2(a)) }.toArray
-      qvecs.iterator.flatMap { case (qid, qv) =>
-        val qa = qv.toArray
-        val qn = l2(qa)
-        val sims = cs.iterator.collect {
-          case (idb, vb, nb) if idb != qid =>
-            (dotP(qa, vb) / (qn * nb), idb)
-        }.toArray
-        // NaN (zero-norm vectors) must sort FIRST, matching Spark SQL's
-        // NaN-is-largest ordering in the window merge below — Scala's
-        // default Double ordering would sort it last and truncate it
-        sims.sortBy { case (c, id) =>
-          (if (c.isNaN) Double.NegativeInfinity else -c, id)
-        }.take(k)
-          .iterator.map { case (c, idb) => (qid, idb, c) }
-      }
+      blockTopK(qvecs, cvecs, k)
+    }.toDF("id", "neighbor_id", "cosine")
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    partial.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Exact top-k for a SUBSET of query vectors against the FULL table —
+    * the recall-gate shape (q26/q33/q73): a seeded/deterministic query
+    * subset is all a floor needs, and the exact side's cost drops from
+    * n² to |subset|·n while the approximate operator under test still
+    * runs whole. Same bits as [[cosineTopKKernel]] restricted to the
+    * subset (identical block kernel, identical tie-break). */
+  def cosineTopKKernelForQueries(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, queryPred: Column,
+      numBlocks: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val packedC = packedBlocks(df, idCol, vecCol, numBlocks)
+    val packedQ = packedBlocks(df.filter(queryPred), idCol, vecCol, numBlocks)
+    val tasks = packedQ.select(col("__blk").as("qblk"), col("vecs").as("qv"))
+      .crossJoin(packedC.select(col("__blk").as("cblk"), col("vecs").as("cv")))
+      .as[(Int, Seq[(Long, Seq[Double])], Int, Seq[(Long, Seq[Double])])]
+    val partial = tasks.flatMap { case (_, qvecs, _, cvecs) =>
+      blockTopK(qvecs, cvecs, k)
     }.toDF("id", "neighbor_id", "cosine")
     val w = Window.partitionBy(col("id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -302,21 +333,7 @@ object Similarity {
       .select(col("pv"), col("mv"))
       .as[(Seq[(Long, Seq[Double])], Seq[(Long, Seq[Double])])]
     val partial = tasks.flatMap { case (pvecs, mvecs) =>
-      val ms = mvecs.map { case (id, v) =>
-        val a = v.toArray; (id, a, l2(a)) }.toArray
-      pvecs.iterator.flatMap { case (qid, qv) =>
-        val qa = qv.toArray
-        val qn = l2(qa)
-        val sims = ms.iterator.collect {
-          case (idb, vb, nb) if idb != qid =>
-            (dotP(qa, vb) / (qn * nb), idb)
-        }.toArray
-        // NaN-first ordering — matches the merge window's NaN-is-largest
-        sims.sortBy { case (c, id) =>
-          (if (c.isNaN) Double.NegativeInfinity else -c, id)
-        }.take(k)
-          .iterator.map { case (c, idb) => (qid, idb, c) }
-      }
+      blockTopK(pvecs, mvecs, k)
     }.toDF("id", "neighbor_id", "cosine")
     val w = Window.partitionBy(col("id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

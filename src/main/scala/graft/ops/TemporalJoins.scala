@@ -27,48 +27,73 @@ import org.apache.spark.sql.functions._
   *
   * Tie semantics match DuckDB's `ASOF JOIN … ON l.ts >= r.ts` (q71's
   * oracle): an equal-timestamp right row IS visible to the left row
-  * (right sorts before left at the same ts). Right rows should be
-  * unique per (key, ts) — with duplicates, which one wins is
-  * tie-broken by the payload ordering, documented rather than chosen.
+  * (right sorts before left at the same ts). Duplicate right rows per
+  * (key, ts) are tie-broken deterministically: the MAXIMUM payload
+  * struct (field-by-field comparison over (ts, payloadCols)) wins —
+  * chosen and tested, not left to partition order. Payloads containing
+  * a non-orderable type (map) fall back to the un-tie-broken ordering,
+  * called out in the returned plan's nondeterminism.
   */
 object TemporalJoins {
 
   /** @param payloadCols right columns carried onto left rows, emitted
     *                    as `prefix+col`; the matched right timestamp is
     *                    emitted as `prefix+tsCol` (null when no right
-    *                    row precedes the left row). */
+    *                    row precedes the left row). The matched row's
+    *                    values are attached WHOLESALE — a null in a
+    *                    payload column stays null (per-column fills
+    *                    would resurrect an older row's value and mix
+    *                    columns from different right rows). */
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, payloadCols: Seq[String],
       prefix: String = "asof_"): DataFrame = {
     require(payloadCols.nonEmpty, "need at least one payload column")
-    require(!left.columns.contains("__src"),
-      "left must not already carry a __src column")
-    val outPayload = (tsCol +: payloadCols).map(prefix + _)
+    require(!left.columns.contains("__src") && !right.columns.contains("__src"),
+      "inputs must not already carry a __src column")
+    require(!left.columns.contains("__payload") &&
+      !right.columns.contains("__payload"),
+      "inputs must not already carry a __payload column")
+    val payloadFields = tsCol +: payloadCols
+    val outPayload = payloadFields.map(prefix + _)
     require(outPayload.intersect(left.columns.toSeq).isEmpty,
       s"prefixed payload ${outPayload.mkString(",")} collides with left")
-    // unified schema: every left column + prefixed right payloads; the
-    // side each column is absent from carries typed nulls
-    val lSide = (tsCol +: payloadCols).map(c => c -> right.schema(c).dataType)
-      .foldLeft(left.withColumn("__src", lit(1))) { case (df, (c, t)) =>
-        df.withColumn(prefix + c, lit(null).cast(t))
-      }
-    val rTagged = right.select(
-      col(keyCol) +: col(tsCol) +:
-        (tsCol +: payloadCols).map(c => col(c).as(prefix + c)): _*)
+    // ONE struct column carries the whole right payload: it is non-null
+    // for every right row even when individual payload fields are null,
+    // so a single last(ignoreNulls) attaches the matched row's values
+    // nulls included — N independent per-column fills would skip a null
+    // field and resurrect an OLDER right row's value, silently mixing
+    // columns from different right rows (the classic as-of bug).
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payloadFields.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
+    val lSide = left.withColumn("__src", lit(1))
+      .withColumn("__payload", lit(null).cast(payloadType))
+    val rSide0 = right.select(col(keyCol), col(tsCol),
+      struct(payloadFields.map(col): _*).as("__payload"))
       .withColumn("__src", lit(0))
     val rSide = left.columns.filterNot(c => c == keyCol || c == tsCol)
-      .foldLeft(rTagged) { (df, c) =>
+      .foldLeft(rSide0) { (df, c) =>
         df.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
+    // deterministic duplicate-(key, ts) tie-break: order right rows by
+    // the payload struct too (struct ordering is field-by-field), so the
+    // MAX payload is the one last() carries; non-orderable payload types
+    // (maps) keep the unordered form
+    val payloadOrderable = org.apache.spark.sql.catalyst.expressions
+      .RowOrdering.isOrderable(rSide.schema("__payload").dataType)
+    val ordering =
+      if (payloadOrderable)
+        Seq(col(tsCol).asc, col("__src").asc, col("__payload").asc_nulls_last)
+      else Seq(col(tsCol).asc, col("__src").asc)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("__src").asc)
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // same window spec for every payload → Catalyst collapses them into
-    // one Window operator / one sort
-    val filled = outPayload.foldLeft(lSide.unionByName(rSide)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val filled = lSide.unionByName(rSide)
+      .withColumn("__payload", last(col("__payload"), ignoreNulls = true).over(w))
+    val unpacked = payloadFields.foldLeft(filled) { (df, c) =>
+      df.withColumn(prefix + c, col("__payload").getField(c))
     }
-    filled.filter(col("__src") === 1).drop("__src")
+    unpacked.filter(col("__src") === 1).drop("__src", "__payload")
   }
 
   /** Range (interval) join WITHOUT an equi-key: every (point, interval)
@@ -94,18 +119,42 @@ object TemporalJoins {
     * Both frames keep all their columns; prefix/rename before calling
     * if names collide (checked).
     */
+  /** @param maxBinsPerInterval runaway guard: an open-ended interval (a
+    *                            sentinel end date, an unclosed outage)
+    *                            would otherwise explode to millions of
+    *                            rows silently — any interval covering
+    *                            more bins fails the job loudly. At the
+    *                            default 300 s bins the default cap is
+    *                            ~9.5 years; clamp or pre-filter the
+    *                            intervals (or raise binSeconds) instead
+    *                            of raising the cap. */
   def rangeJoin(points: DataFrame, intervals: DataFrame, ptCol: String,
-      startCol: String, endCol: String, binSeconds: Long = 300L): DataFrame = {
+      startCol: String, endCol: String, binSeconds: Long = 300L,
+      maxBinsPerInterval: Long = 1000000L): DataFrame = {
     require(binSeconds > 0, s"binSeconds must be positive, got $binSeconds")
+    require(maxBinsPerInterval > 0,
+      s"maxBinsPerInterval must be positive, got $maxBinsPerInterval")
     val overlap = points.columns.toSeq.intersect(intervals.columns.toSeq)
     require(overlap.isEmpty,
       s"column names collide across sides: ${overlap.mkString(",")}")
+    // __bin is internal; a pre-existing one on either side would be
+    // silently overwritten and dropped (mirrors asOfJoin's __src guard)
+    require(!points.columns.contains("__bin") &&
+      !intervals.columns.contains("__bin"),
+      "inputs must not already carry a __bin column")
     val binMicros = binSeconds * 1000000L
     def binOf(c: org.apache.spark.sql.Column) =
       floor(unix_micros(c) / lit(binMicros)).cast("long")
     val p = points.withColumn("__bin", binOf(col(ptCol)))
+    val nBins = binOf(col(endCol)) - binOf(col(startCol)) + 1
     val i = intervals.withColumn("__bin",
-      explode(sequence(binOf(col(startCol)), binOf(col(endCol)))))
+      explode(when(nBins <= maxBinsPerInterval,
+          sequence(binOf(col(startCol)), binOf(col(endCol))))
+        .otherwise(raise_error(concat(
+          lit("rangeJoin: interval covers "), nBins.cast("string"),
+          lit(s" bins > maxBinsPerInterval=$maxBinsPerInterval " +
+            s"(binSeconds=$binSeconds); clamp the interval or raise " +
+            "binSeconds"))))))
     p.join(i, Seq("__bin"))
       .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop("__bin")

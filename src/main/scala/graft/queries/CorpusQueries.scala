@@ -172,24 +172,69 @@ object CorpusQueries extends QueryModule {
              |  FROM p) t WHERE rank <= 3""".stripMargin),
     ),
 
-    // ---- ANN scale path: hyperplane-LSH bucketed top-k (approximate →
-    // rows-only; recall vs q25 measured in tests).
+    // ---- ANN scale path: hyperplane-LSH bucketed top-k. Approximate by
+    // nature, so the driver-visible output is the recall-floor VERDICT
+    // (the q56 pattern) computed against the exact kernel on a
+    // deterministic 1-in-5 query subset — n_queries pins the subset size
+    // from the data (DuckDB recounts it), meets_floor pins the recall.
+    // A structural break (hyperplane bug, join-key drift) crushes recall
+    // to ~0 and flips the row; the floor sits ~6σ under the measured
+    // 0.58-0.62 at the subset's sample size. The full top-k rows remain
+    // reachable via Similarity.annTopK; q56 additionally gates the
+    // full-query-set recall at a tighter floor.
     Q(
       "q26_ann_lsh_topk",
-      (s, d) => Similarity.annTopK(Tables.embeddings(s, d), "vec_id",
-        "embedding", k = 3, numPlanes = 6, dim = 64, numTables = 16),
-      None,
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val k = 3
+        val exact = Similarity.cosineTopKKernelForQueries(emb, "vec_id",
+            "embedding", k, col("vec_id") % 5 === 0)
+          .select(col("id"), col("neighbor_id"))
+        val approx = Similarity.annTopK(emb, "vec_id", "embedding", k,
+            numPlanes = 6, dim = 64, numTables = 16)
+          .filter(col("id") % 5 === 0)
+          .select(col("id"), col("neighbor_id")).withColumn("__hit", lit(1))
+        exact.join(approx, Seq("id", "neighbor_id"), "left")
+          .agg(countDistinct(col("id")).as("n_queries"),
+            (sum(coalesce(col("__hit"), lit(0))) / count(lit(1)))
+              .as("recall"))
+          .select(lit("lsh").as("method"), col("n_queries"),
+            (col("recall") >= 0.40).as("meets_floor"))
+      },
+      Some("""SELECT 'lsh' AS method, count(*) AS n_queries,
+             |  true AS meets_floor
+             |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin),
     ),
 
     // ---- ANN scale path #2: IVF (k-means cells + multi-probe). Higher
     // recall than sign-LSH on weakly-correlated vectors (measured 0.81
-    // vs 0.58 recall@3 at lower candidate volume). Approximate →
-    // rows-only.
+    // vs 0.58 recall@3 at lower candidate volume). Same gate form as
+    // q26; the 1-in-2 subset keeps the sample big enough that the 0.65
+    // floor stays ≥5σ under the measured 0.73-0.77 (q56 gates the full
+    // set at 0.70 — this row's floor is looser because its sample is
+    // smaller).
     Q(
       "q33_ann_ivf_topk",
-      (s, d) => Similarity.annTopKIvf(Tables.embeddings(s, d), "vec_id",
-        "embedding", k = 3, numCentroids = 16, nProbe = 6),
-      None,
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val k = 3
+        val exact = Similarity.cosineTopKKernelForQueries(emb, "vec_id",
+            "embedding", k, col("vec_id") % 2 === 0)
+          .select(col("id"), col("neighbor_id"))
+        val approx = Similarity.annTopKIvf(emb, "vec_id", "embedding", k,
+            numCentroids = 16, nProbe = 6)
+          .filter(col("id") % 2 === 0)
+          .select(col("id"), col("neighbor_id")).withColumn("__hit", lit(1))
+        exact.join(approx, Seq("id", "neighbor_id"), "left")
+          .agg(countDistinct(col("id")).as("n_queries"),
+            (sum(coalesce(col("__hit"), lit(0))) / count(lit(1)))
+              .as("recall"))
+          .select(lit("ivf").as("method"), col("n_queries"),
+            (col("recall") >= 0.65).as("meets_floor"))
+      },
+      Some("""SELECT 'ivf' AS method, count(*) AS n_queries,
+             |  true AS meets_floor
+             |FROM embeddings WHERE vec_id % 2 = 0""".stripMargin),
     ),
 
     // ---- ANN recall GATE: seeded recall@3 of both approximate paths
@@ -204,9 +249,12 @@ object CorpusQueries extends QueryModule {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val k = 3
+        // localCheckpoint, not persist: reused by both method joins, but
+        // a CacheManager entry would outlive the query (library callers
+        // can't unpersist it) — checkpoint blocks free on GC
         val exact = Similarity
           .cosineTopKKernel(emb, "vec_id", "embedding", k)
-          .select(col("id"), col("neighbor_id")).persist()
+          .select(col("id"), col("neighbor_id")).localCheckpoint()
         val floors = Map("ivf" -> 0.70, "lsh" -> 0.40)
         val methods = Seq(
           "ivf" -> Similarity.annTopKIvf(emb, "vec_id", "embedding", k,
@@ -232,19 +280,25 @@ object CorpusQueries extends QueryModule {
     // on symmetric-int8 dequantized vectors (the 4× memory path every
     // similarity op rides at 100 TB) must keep recall@3 ≥ 0.85 vs full
     // precision — measured 0.98 at sf0.001 (CurationOpsSpec); the floor
-    // absorbs scale jitter but not a quantizer break.
+    // absorbs scale jitter but not a quantizer break. Both kernels rank
+    // a deterministic 1-in-5 query subset against the FULL candidate
+    // set (r4 ran two full n² kernels — the suite's most expensive
+    // computation, doubled; a floor doesn't need every query vector, and
+    // at recall 0.98 the subset's sampling σ is <1%).
     Q(
       "q73_quantized_recall",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val k = 3
+        val qp = col("vec_id") % 5 === 0
         val exact = Similarity
-          .cosineTopKKernel(emb, "vec_id", "embedding", k)
+          .cosineTopKKernelForQueries(emb, "vec_id", "embedding", k, qp)
           .select(col("id"), col("neighbor_id"))
         val dq = emb.select(col("vec_id"),
           Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding")))
             .as("embedding"))
-        val approx = Similarity.cosineTopKKernel(dq, "vec_id", "embedding", k)
+        val approx = Similarity
+          .cosineTopKKernelForQueries(dq, "vec_id", "embedding", k, qp)
           .select(col("id"), col("neighbor_id")).withColumn("__hit", lit(1))
         exact.join(approx, Seq("id", "neighbor_id"), "left")
           .agg((sum(coalesce(col("__hit"), lit(0))) / count(lit(1)))
@@ -293,9 +347,11 @@ object CorpusQueries extends QueryModule {
       "q62_pair_recall",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
+        // consumed exactly once by the join below — no materialization
+        // needed (the old persist() pinned a session-lifetime cache entry)
         val exact = Similarity
           .cosinePairsKernel(emb, "vec_id", "embedding", tau = 0.45)
-          .select(col("id_a"), col("id_b")).persist()
+          .select(col("id_a"), col("id_b"))
         val lsh = Similarity
           .cosinePairsLsh(emb, "vec_id", "embedding", tau = 0.45)
           .select(col("id_a"), col("id_b"))

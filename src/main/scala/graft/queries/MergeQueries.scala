@@ -197,10 +197,13 @@ object MergeQueries extends QueryModule {
             StructField("is_unpublished", BooleanType),
             StructField("description", StringType))))
         // the J2 path reads the target twice (url-lookup + main join); a
-        // real master is a published table between batches — persist m1
-        // to mirror that instead of executing the batch-1 fold twice
+        // real master is a published table between batches — materialize
+        // m1 to mirror that instead of executing the batch-1 fold twice.
+        // localCheckpoint (not persist): blocks free on GC, no session-
+        // lifetime cache pin, and the batch-2 plan starts from a flat
+        // scan instead of re-optimizing the whole batch-1 fold
         val m1 = MergeListings.mergeBatch(emptyTarget, ev, Some("event_id"))
-          .persist()
+          .localCheckpoint()
         val m2 = MergeListings.mergeBatch(m1, orphans, Some("event_id"))
         m2.select(
           col("offer_id").cast(LongType).as("user_id"),

@@ -115,6 +115,25 @@ class CurationOpsSpec extends SparkSpec {
       again.select($"key", $"split").as[(Long, String)].collect().toSet)
   }
 
+  test("stratifiedSplit rejects unusable fractions loudly") {
+    val rows = Seq((1L, "en"), (2L, "en")).toDF("key", "lang")
+    // below per-mille resolution → would silently starve the split
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSplit(rows, "lang", "key", "s",
+        Seq("a" -> 0.9995, "b" -> 0.0005))
+    }
+    // non-positive
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSplit(rows, "lang", "key", "s",
+        Seq("a" -> 1.0, "b" -> 0.0))
+    }
+    // sum > 1 → later splits unreachable
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSplit(rows, "lang", "key", "s",
+        Seq("a" -> 0.8, "b" -> 0.3))
+    }
+  }
+
   // ---------------------------------------------------- sketch gates
 
   test("statsGate: sketches sit inside tolerance on real data") {

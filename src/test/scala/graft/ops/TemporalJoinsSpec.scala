@@ -68,6 +68,57 @@ class TemporalJoinsSpec extends SparkSpec {
     }
   }
 
+  test("asOfJoin attaches the matched row WHOLESALE: its null payload " +
+      "field stays null instead of resurrecting an older row's value") {
+    val right = Seq(
+      (1L, ts("2026-01-01 10:00:00"), Some(100.0), Some("a")),
+      // the matched row carries a NULL value — per-column fills would
+      // skip it and attach 100.0 from 10:00 while taking label "b" from
+      // 11:00 (columns from two different right rows)
+      (1L, ts("2026-01-01 11:00:00"), None, Some("b")),
+    ).toDF("user_id", "ts", "value", "label")
+    val left = Seq((20L, 1L, ts("2026-01-01 12:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val out = TemporalJoins
+      .asOfJoin(left, right, "user_id", "ts", Seq("value", "label"))
+      .select($"asof_ts", $"asof_value", $"asof_label")
+      .as[(Option[Timestamp], Option[Double], Option[String])].collect()
+    assert(out.toSeq ==
+      Seq((Some(ts("2026-01-01 11:00:00")), None, Some("b"))))
+  }
+
+  test("asOfJoin tie-breaks duplicate (key, ts) right rows " +
+      "deterministically: max payload struct wins") {
+    val right = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 1.0),
+      (1L, ts("2026-01-01 10:00:00"), 9.0),
+      (1L, ts("2026-01-01 10:00:00"), 5.0),
+    ).toDF("user_id", "ts", "value")
+    val left = Seq((30L, 1L, ts("2026-01-01 10:30:00")))
+      .toDF("event_id", "user_id", "ts")
+    // payload struct is (ts, value); equal ts → max value wins
+    val out = TemporalJoins
+      .asOfJoin(left, right, "user_id", "ts", Seq("value"))
+      .select($"asof_value").as[Option[Double]].collect()
+    assert(out.toSeq == Seq(Some(9.0)))
+  }
+
+  test("asOfJoin refuses a reserved internal column on either side") {
+    val right = Seq((1L, ts("2026-01-01 00:00:00"), 1.0))
+      .toDF("user_id", "ts", "value")
+    intercept[IllegalArgumentException] {
+      TemporalJoins.asOfJoin(
+        Seq((1L, 1L, ts("2026-01-01 01:00:00"), "x"))
+          .toDF("event_id", "user_id", "ts", "__payload"),
+        right, "user_id", "ts", Seq("value"))
+    }
+    intercept[IllegalArgumentException] {
+      TemporalJoins.asOfJoin(
+        Seq((1L, 1L, ts("2026-01-01 01:00:00"))).toDF("event_id", "user_id", "ts"),
+        right.withColumn("__src", $"value"), "user_id", "ts", Seq("value"))
+    }
+  }
+
   test("rangeJoin finds exactly the contained points, ends inclusive") {
     val points = Seq(
       (1L, ts("2026-01-01 10:00:00")),
@@ -104,5 +155,32 @@ class TemporalJoinsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TemporalJoins.rangeJoin(points, intervals, "pt", "start_ts", "end_ts")
     }
+  }
+
+  test("rangeJoin refuses a pre-existing __bin column") {
+    val points = Seq((1L, ts("2026-01-01 10:00:00"), 0L))
+      .toDF("event_id", "pt", "__bin")
+    val intervals = Seq((9L, ts("2026-01-01 09:00:00"),
+      ts("2026-01-01 11:00:00"))).toDF("window_id", "start_ts", "end_ts")
+    intercept[IllegalArgumentException] {
+      TemporalJoins.rangeJoin(points, intervals, "pt", "start_ts", "end_ts")
+    }
+  }
+
+  test("rangeJoin fails loudly on an open-ended interval instead of " +
+      "exploding it to millions of rows") {
+    val points = Seq((1L, ts("2026-01-01 10:00:00"))).toDF("event_id", "pt")
+    val intervals = Seq(
+      // the unclosed-outage sentinel: end date far in the future
+      (9L, ts("2026-01-01 09:00:00"), ts("9999-12-31 00:00:00")))
+      .toDF("window_id", "start_ts", "end_ts")
+    val e = intercept[Exception] {
+      TemporalJoins.rangeJoin(points, intervals, "pt", "start_ts", "end_ts",
+        binSeconds = 300L, maxBinsPerInterval = 1000L).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("maxBinsPerInterval")))
   }
 }
