@@ -299,14 +299,19 @@ object Dedup {
 
     var i = 0
     var done = false
+    // each frame is counted ONCE and the count carried to the next
+    // round's equality check — recounting the (checkpointed) previous
+    // frame would add a redundant job to every round
+    var edgeCount = edges.count()
     while (i < maxIter && !done) {
       val next = starRound(edges)
-      // set equality via one count + one-sided except (both over
+      val nextCount = next.count()
+      // set equality via count + one-sided except (both over
       // already-checkpointed frames); the alternation is monotone so a
       // same-size superset cannot occur silently
-      done = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      done = nextCount == edgeCount && next.exceptAll(edges).isEmpty
       edges = next
+      edgeCount = nextCount
       i += 1
     }
     if (!done) throw new IllegalStateException(

@@ -268,5 +268,46 @@ object PipelineQueries extends QueryModule {
              |  '["a","' || c_mktsegment || '"]' AS tags_json
              |FROM customer""".stripMargin),
     ),
+
+    // ---- A4 fixture source as a first-class DSv2 table: a recorded-
+    // HTML directory read via `format("graft-html")` with metadata
+    // filter pushdown + column pruning (unit-asserted in
+    // HtmlDirectorySourceSpec; the `length > 10` filter here rides the
+    // pushdown path e2e). The oracle triangulates three ways: DuckDB's
+    // read_text() re-reads the same files for path/length/doc_id, the
+    // documents TABLE restates lang/src (pinning fixture generation to
+    // the table), and the price formula restates the page body (pinning
+    // content extraction). The oracle glob hardcodes sf0.01 — the only
+    // scale the driver's DuckDB pass runs at.
+    Q(
+      "q76_html_dir_source",
+      (s, d) => {
+        val dir = graft.sources.HtmlFixtures.write(s, d)
+        s.read.format("graft-html").load(dir)
+          .filter(col("length") > 10)
+          .select(col("path"),
+            regexp_extract(col("name"), "doc_(\\d+)\\.html", 1)
+              .cast("long").as("doc_id"),
+            col("length"),
+            regexp_extract(col("html"), "MainPrice\">(\\d+) ", 1)
+              .cast("int").as("price"),
+            regexp_extract(col("html"), "class=\"lang\">([a-z]+)<", 1)
+              .as("lang"),
+            regexp_extract(col("html"), "class=\"source\">([a-z0-9]+)<", 1)
+              .as("src"))
+      },
+      Some("""WITH r AS (
+             |  SELECT filename AS path,
+             |    CAST(regexp_extract(filename, 'doc_(\d+)\.html', 1) AS BIGINT)
+             |      AS doc_id,
+             |    CAST(size AS BIGINT) AS length
+             |  FROM read_text('/root/repo/target/html_fixtures/sf0.01/*.html')
+             |  WHERE size > 10
+             |)
+             |SELECT r.path, r.doc_id, r.length,
+             |  CAST((r.doc_id * 37) % 90000 + 10000 AS INT) AS price,
+             |  d.lang, d.source AS src
+             |FROM r JOIN documents d ON r.doc_id = d.doc_id""".stripMargin),
+    ),
   )
 }

@@ -1,0 +1,55 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Deterministic fixture corpus for the [[HtmlDirectorySource]] gate
+  * (q76): one recorded "listing page" per documents row with
+  * `doc_id % 10 == 0`, written to `target/html_fixtures/<sf-name>/` —
+  * a FIXED path (not [[graft.io.Scratch]]) because the driver's DuckDB
+  * oracle re-reads the files via `read_text()` AFTER this JVM exits,
+  * and the path is baked into the oracle SQL.
+  *
+  * Every byte derives from the row (lang, source) or a doc_id formula
+  * (the price), so the oracle can restate the whole page from the
+  * documents table + filename alone. The write is driver-side by
+  * design: a fixture directory must land on ONE filesystem, and the
+  * selected subset is bounded (1/10 of documents — 50 files at the
+  * oracle's sf0.01). Idempotent: stale `*.html` in the target dir are
+  * removed first, so re-runs at different sf never leave orphans.
+  */
+object HtmlFixtures {
+
+  /** Price formula embedded in each page — restated in q76's oracle. */
+  def priceOf(docId: Long): Long = (docId * 37) % 90000 + 10000
+
+  def write(spark: SparkSession, sfDir: String): String = {
+    val sfName = new java.io.File(sfDir).getName
+    val dir = java.nio.file.Paths.get("target", "html_fixtures", sfName)
+      .toAbsolutePath
+    java.nio.file.Files.createDirectories(dir)
+    val stale = dir.toFile.listFiles()
+    if (stale != null)
+      stale.filter(_.getName.endsWith(".html")).foreach(_.delete())
+    val rows = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val html =
+        s"""<html><body>
+           |<span data-mark="MainPrice">${priceOf(id)} ₽/мес.</span>
+           |<div class="lang">${r.getString(1)}</div>
+           |<div class="source">${r.getString(2)}</div>
+           |</body></html>""".stripMargin
+      java.nio.file.Files.write(dir.resolve(f"doc_$id%06d.html"),
+        html.getBytes(StandardCharsets.UTF_8))
+    }
+    dir.toString
+  }
+}
