@@ -95,19 +95,27 @@ object Dedup {
       graft.functions.HashSketches
         .minhashSignature(col(gramsCol), numHashes).as("__sig"))
 
-  private def candidatesFromSig(sig: DataFrame, idCol: String,
-      numHashes: Int, bandRows: Int): DataFrame = {
+  /** Per-doc band buckets (id, band, h0..h{r-1}) — the LSH join keys. */
+  private def bandBuckets(sig: DataFrame, idCol: String, numHashes: Int,
+      bandRows: Int): DataFrame = {
     val numBands = numHashes / bandRows
     val bands = array((0 until numBands).map { b =>
       struct(lit(b).as("band") +: (0 until bandRows).map(i =>
         element_at(col("__sig"), b * bandRows + i + 1).as(s"h$i")): _*)
     }: _*)
-    val buckets = sig.select(col(idCol), explode(bands).as("bk"))
+    sig.select(col(idCol), explode(bands).as("bk"))
       .select(col(idCol), col("bk.*"))
-    val keys = "band" +: (0 until bandRows).map(i => s"h$i")
+  }
+
+  private def bandKeys(bandRows: Int): Seq[String] =
+    "band" +: (0 until bandRows).map(i => s"h$i")
+
+  private def candidatesFromSig(sig: DataFrame, idCol: String,
+      numHashes: Int, bandRows: Int): DataFrame = {
+    val buckets = bandBuckets(sig, idCol, numHashes, bandRows)
     val a = buckets.alias("a")
     val b = buckets.alias("b")
-    a.join(b, keys.map(k => col(s"a.$k") === col(s"b.$k"))
+    a.join(b, bandKeys(bandRows).map(k => col(s"a.$k") === col(s"b.$k"))
         .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
@@ -132,10 +140,11 @@ object Dedup {
     * broadcasts when the frame is genuinely small. (Carrying signatures
     * through the banding explode instead would multiply shuffle volume
     * by numBands — strictly worse.) */
-  private def estimateFilter(cands: DataFrame, sig: DataFrame, idCol: String,
+  private def estimateFilter(cands: DataFrame, sigLeft: DataFrame,
+      sigRight: DataFrame, idCol: String,
       numHashes: Int, minEst: Double): DataFrame = {
-    val sigA = sig.select(col(idCol).as("id_a"), col("__sig").as("__sa"))
-    val sigB = sig.select(col(idCol).as("id_b"), col("__sig").as("__sb"))
+    val sigA = sigLeft.select(col(idCol).as("id_a"), col("__sig").as("__sa"))
+    val sigB = sigRight.select(col(idCol).as("id_b"), col("__sig").as("__sb"))
     // matching positions / numHashes — zip_with over two bound array
     // columns (no recompute hazard: both are plain attributes)
     val matches = aggregate(
@@ -167,7 +176,7 @@ object Dedup {
     val sig = signatureTable(grams, idCol, "grams", numHashes).localCheckpoint()
     val cands = estimateFilter(
       candidatesFromSig(sig, idCol, numHashes, bandRows),
-      sig, idCol, numHashes, minEst = tau * 0.6)
+      sig, sig, idCol, numHashes, minEst = tau * 0.6)
     cands
       .join(grams.select(col(idCol).as("id_a"), col("grams").as("ga")), "id_a")
       .join(grams.select(col(idCol).as("id_b"), col("grams").as("gb")), "id_b")
@@ -176,6 +185,52 @@ object Dedup {
           size(array_union(col("ga"), col("gb"))))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** CROSS-CORPUS near-duplicate pairs: every (new, old) pair with
+    * exact word-n-gram Jaccard ≥ tau — "dedup the incoming crawl
+    * against everything already trained on", the incremental sibling of
+    * [[ngramJaccardPairs]] (a full self-dedup of old ∪ new would
+    * re-pay the old corpus's candidate generation on every batch; here
+    * old-side signatures are computed once per batch and could be a
+    * persisted table at scale).
+    *
+    * Same machinery end to end — MinHash signatures, banded buckets,
+    * signature-agreement prefilter, exact verify on gram sets — except
+    * candidates join ACROSS the two bucket tables (no id ordering
+    * constraint: the sides themselves distinguish the pair, and ids may
+    * exist in both corpora). Output: (id_new, id_old, jaccard).
+    */
+  def crossCorpusJaccardPairs(dfNew: DataFrame, dfOld: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, tau: Double = 0.5,
+      numHashes: Int = 128, bandRows: Int = 2): DataFrame = {
+    def gramsOf(df: DataFrame) = df
+      .select(col(idCol), split(col(textCol), "\\s+").as("__w"))
+      .select(col(idCol), wordNGramsFromWords(col("__w"), n).as("grams"))
+      .localCheckpoint()
+    val gramsNew = gramsOf(dfNew)
+    val gramsOld = gramsOf(dfOld)
+    val sigNew = signatureTable(gramsNew, idCol, "grams", numHashes)
+      .localCheckpoint()
+    val sigOld = signatureTable(gramsOld, idCol, "grams", numHashes)
+      .localCheckpoint()
+    val a = bandBuckets(sigNew, idCol, numHashes, bandRows).alias("a")
+    val b = bandBuckets(sigOld, idCol, numHashes, bandRows).alias("b")
+    val cands = a.join(b,
+        bandKeys(bandRows).map(k => col(s"a.$k") === col(s"b.$k"))
+          .reduce(_ && _))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    estimateFilter(cands, sigNew, sigOld, idCol, numHashes,
+        minEst = tau * 0.6)
+      .join(gramsNew.select(col(idCol).as("id_a"), col("grams").as("ga")), "id_a")
+      .join(gramsOld.select(col(idCol).as("id_b"), col("grams").as("gb")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("ga"), col("gb"))) /
+          size(array_union(col("ga"), col("gb"))))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a").as("id_new"), col("id_b").as("id_old"),
+        col("jaccard"))
   }
 
   // ------------------------------------------------------------ clustering

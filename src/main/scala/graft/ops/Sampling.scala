@@ -73,6 +73,56 @@ object Sampling {
       .drop("__r")
   }
 
+  /** Deterministic token-budget corpus MIXING: downsample every source
+    * so its share of a total token budget matches its mixture weight —
+    * the "data recipe" step every pretraining corpus build runs (e.g.
+    * N parts web, 1 part code, 2 parts books) after curation and before
+    * packing.
+    *
+    * All integer arithmetic so any engine restates the exact row set:
+    * per-source target = (budgetTokens · weight‰) div 1000; keep rate =
+    * min(1000, target·1000 div sourceTokens) per-mille; a row survives
+    * iff md5-60-bucket(key ‖ seed) mod 1000 < rate. Sources above their
+    * target thin uniformly-at-random-by-hash (unbiased, stable across
+    * engines/cluster sizes — same construction as [[hashSplit]]);
+    * sources already under target keep everything (rate caps at 1000 —
+    * this operator only downsamples; upsampling is a repetition-factor
+    * decision for the training loader, not a row filter).
+    *
+    * Scale shape: one map-side-combined agg for source totals (sources
+    * = domains, bounded), one join of rates back onto rows — unhinted,
+    * AQE broadcasts the rate table when small — and a pure-map hash
+    * filter. No windows, no driver collect.
+    *
+    * @param weightsPermille explicit per-source mixture weights (‰);
+    *                        sources not listed get defaultPermille
+    * @return surviving rows with n_tokens and rate_permille appended
+    */
+  def mixToBudget(df: DataFrame, sourceCol: String, keyCol: String,
+      tokenCol: Column, budgetTokens: Long,
+      weightsPermille: Map[String, Long], defaultPermille: Long,
+      seed: String): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(defaultPermille >= 0 && weightsPermille.values.forall(_ >= 0),
+      "mixture weights must be non-negative")
+    val withTok = df.withColumn("n_tokens", tokenCol)
+    val wpm = weightsPermille.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPermille)) { case (acc, (s, w)) =>
+        when(col(sourceCol) === s, lit(w)).otherwise(acc)
+      }
+    val rates = withTok.groupBy(col(sourceCol))
+      .agg(sum(col("n_tokens")).cast("long").as("__t"))
+      .withColumn("__wpm", wpm)
+      .withColumn("rate_permille",
+        least(lit(1000L),
+          when(col("__t") > 0,
+            expr(s"((${budgetTokens}L * __wpm) div 1000 * 1000) div __t"))
+            .otherwise(lit(1000L))))
+      .select(col(sourceCol), col("rate_permille"))
+    withTok.join(rates, sourceCol)
+      .filter(hashBucket(col(keyCol), seed, 1000) < col("rate_permille"))
+  }
+
   /** EXACT-QUOTA stratified split: within every stratum (language,
     * domain, quality band) rows are ranked by seeded hash and assigned
     * splits by rank thresholds — each stratum lands within one row of

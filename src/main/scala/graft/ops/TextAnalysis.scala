@@ -20,6 +20,55 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
 
+  /** CCNet-style boilerplate-line removal: a line (newline-separated
+    * paragraph) appearing in MORE than `maxDocFreq` distinct documents
+    * is template chrome — nav bars, cookie banners, copyright footers —
+    * and is stripped from every document; surviving lines keep their
+    * original order. This is the cross-document sibling of the
+    * within-document repetition filters ([[repetitionSignals]]): the
+    * CCNet/RefinedWeb pipelines run exactly this paragraph-frequency
+    * pass before model-based filtering.
+    *
+    * Scale shape: lines join on an 8-byte md5-60 line hash (the q66
+    * decontamination trick — full line text never becomes a shuffle
+    * KEY, only a carried value), doc frequency is one map-side-combined
+    * hash agg, and document rebuild is one groupBy with an in-group
+    * array sort — no windows. Hash collisions merge two lines' doc
+    * frequencies; at 2^60 that is theoretical, and the DuckDB oracle
+    * (q78) restates the SAME hashed grouping so the check is exact.
+    *
+    * @return (idCol, clean_text, n_lines_kept, n_lines_removed); a doc
+    *         that was pure boilerplate keeps an empty clean_text.
+    */
+  def stripBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    // feeds the doc-freq agg AND the rebuild join — materialize once;
+    // localCheckpoint so the blocks free on GC (no session cache pin)
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__lh", Dedup.md5Hash60(col("__line")))
+      .localCheckpoint()
+    val docFreq = lines.select(col(idCol), col("__lh")).distinct()
+      .groupBy(col("__lh")).agg(count(lit(1)).as("__df"))
+    val kept = lines.join(docFreq, "__lh").filter(col("__df") <= maxDocFreq)
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            x => x.getField("__line")),
+          "\n").as("clean_text"),
+        count(lit(1)).as("n_lines_kept"))
+    df.select(col(idCol), size(split(col(textCol), "\n")).as("__total"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        (col("__total") - coalesce(col("n_lines_kept"), lit(0L)))
+          .as("n_lines_removed"))
+  }
+
   /** Characteristic-stopword language scores. Tiny dictionaries on
     * purpose: the operator shape (per-language token-overlap count +
     * deterministic argmax) is what scales; swap dictionaries for real

@@ -939,6 +939,129 @@ object CorpusQueries extends QueryModule {
              |UNION ALL SELECT 'p95_l_extendedprice', NULL, true""".stripMargin),
     ),
 
+    // ---- CROSS-CORPUS near-dup: the incoming batch (doc_id % 3 == 0)
+    // deduped against the already-trained corpus (the rest) — MinHash
+    // banding + estimate prefilter + exact verify across the two
+    // frames. DuckDB brute-forces all (new, old) gram-set pairs; equal
+    // output proves the cross-corpus LSH path loses nothing.
+    Q(
+      "q77_cross_corpus_pairs",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.crossCorpusJaccardPairs(
+          docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", n = 3, tau = 0.5)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+             |), g AS (
+             |  SELECT doc_id, list_distinct(
+             |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS t
+             |  FROM toks
+             |)
+             |SELECT a.doc_id AS id_new, b.doc_id AS id_old,
+             |  len(list_intersect(a.t, b.t)) * 1.0 /
+             |    len(list_distinct(list_concat(a.t, b.t))) AS jaccard
+             |FROM g a JOIN g b ON a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+             |WHERE len(list_intersect(a.t, b.t)) * 1.0 /
+             |    len(list_distinct(list_concat(a.t, b.t))) >= 0.5""".stripMargin),
+    ),
+
+    // ---- CCNet-style boilerplate-line removal: the corpus has no
+    // natural multi-line structure, so the query PLANTS deterministic
+    // nav headers / copyright footers (the q61 planted-PII pattern) and
+    // strips lines shared by more than 10 documents; the untouched
+    // middle line proves removal is frequency-gated, the pure-chrome
+    // docs (doc_id % 50 == 0) prove full-boilerplate collapse. DuckDB
+    // rebuilds the same augmented text and restates the strip over the
+    // same md5-60 line hashes, byte-for-byte.
+    Q(
+      "q78_boilerplate_lines",
+      (s, d) => {
+        val id = col("doc_id")
+        val header = lit("NAV home about contact")
+        val footer = concat(lit("FOOTER copyright site "),
+          (id % 3).cast("string"))
+        val aug = Tables.documents(s, d).select(id,
+          when(id % 50 === 0, concat_ws("\n", header, footer))
+            .when(id % 2 === 0, concat_ws("\n", header, col("text"), footer))
+            .otherwise(concat_ws("\n", col("text"), footer)).as("t"))
+        TextAnalysis.stripBoilerplateLines(aug, "doc_id", "t",
+          maxDocFreq = 10L)
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, CASE
+             |    WHEN doc_id % 50 = 0 THEN 'NAV home about contact' || chr(10) ||
+             |      'FOOTER copyright site ' || CAST(doc_id % 3 AS VARCHAR)
+             |    WHEN doc_id % 2 = 0 THEN 'NAV home about contact' || chr(10) ||
+             |      text || chr(10) ||
+             |      'FOOTER copyright site ' || CAST(doc_id % 3 AS VARCHAR)
+             |    ELSE text || chr(10) ||
+             |      'FOOTER copyright site ' || CAST(doc_id % 3 AS VARCHAR)
+             |    END AS t
+             |  FROM documents
+             |), l0 AS (
+             |  SELECT doc_id, string_split(t, chr(10)) AS ls FROM aug
+             |), l AS (
+             |  SELECT doc_id, unnest(ls) AS line,
+             |    unnest(range(1, len(ls) + 1)) AS pos,
+             |    CAST('0x' || substr(md5(unnest(ls)), 1, 15) AS BIGINT) AS lh
+             |  FROM l0
+             |), dfq AS (
+             |  SELECT lh, count(DISTINCT doc_id) AS df FROM l GROUP BY 1
+             |), kept AS (
+             |  SELECT l.* FROM l JOIN dfq USING (lh) WHERE dfq.df <= 10
+             |), reb AS (
+             |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             |    count(*) AS n_lines_kept
+             |  FROM kept GROUP BY 1
+             |), tot AS (
+             |  SELECT doc_id, len(string_split(t, chr(10))) AS total FROM aug
+             |)
+             |SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+             |  coalesce(r.n_lines_kept, 0) AS n_lines_kept,
+             |  t.total - coalesce(r.n_lines_kept, 0) AS n_lines_removed
+             |FROM tot t LEFT JOIN reb r USING (doc_id)""".stripMargin),
+    ),
+
+    // ---- token-budget corpus mixing: src0 weighted 200‰ of a 10k-token
+    // budget (target above its size → kept whole), src1 150‰ (target
+    // just under its size → rate ~970‰), the rest 30‰ (strongly
+    // downsampled) — all-integer rate math and md5-60 row selection, so
+    // DuckDB recomputes the identical surviving row set.
+    Q(
+      "q79_budget_mixing",
+      (s, d) => Sampling.mixToBudget(
+          Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
+          "source", "doc_id", TextAnalysis.tokenCount(col("text")),
+          budgetTokens = 10000L,
+          weightsPermille = Map("src0" -> 200L, "src1" -> 150L),
+          defaultPermille = 30L, seed = "mix42")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("rate_permille")),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, source,
+             |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+             |  FROM documents
+             |), tot AS (
+             |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t
+             |  FROM tok GROUP BY 1
+             |), r AS (
+             |  SELECT source, least(1000,
+             |    (((10000 * CASE WHEN source = 'src0' THEN 200
+             |                    WHEN source = 'src1' THEN 150
+             |                    ELSE 30 END) // 1000) * 1000) // t)
+             |    AS rate_permille
+             |  FROM tot
+             |)
+             |SELECT k.doc_id, k.source, k.n_tokens, r.rate_permille
+             |FROM tok k JOIN r USING (source)
+             |WHERE CAST('0x' ||
+             |    substr(md5(CAST(k.doc_id AS VARCHAR) || 'mix42'), 1, 15)
+             |  AS BIGINT) % 1000 < r.rate_permille""".stripMargin),
+    ),
+
     // ---- the Catalyst extension surface, driver-visible: graft_cosine
     // is the SQL-registered native kernel; cos_hof is written in the
     // portable HOF Column form and rewritten to the SAME kernel by the

@@ -25,6 +25,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("cross-corpus pairs: finds exactly the (new, old) near-dups, " +
+      "never a within-side pair") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val newDocs = Seq(
+      (100L, base),                      // near-dup of old 1 (identical)
+      (101L, "zz yy xx ww vv uu"),       // no old match
+      (102L, base + " w11"),             // J(102,1) = 8/9 ≥ 0.5
+    ).toDF("doc_id", "text")
+    val oldDocs = Seq(
+      (1L, base),
+      (2L, "aa bb cc dd ee ff gg hh"),
+      // old-old near-dup of 2 — must NOT be reported
+      (3L, "aa bb cc dd ee ff gg hh ii"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossCorpusJaccardPairs(newDocs, oldDocs,
+        "doc_id", "text", n = 3, tau = 0.5)
+      .select($"id_new", $"id_old").as[(Long, Long)].collect().toSet
+    assert(out == Set((100L, 1L), (102L, 1L)))
+  }
+
+  test("cross-corpus pairs tolerate the same id existing in both corpora") {
+    val d = Seq((7L, "w1 w2 w3 w4 w5 w6")).toDF("doc_id", "text")
+    val out = Dedup.crossCorpusJaccardPairs(d, d, "doc_id", "text",
+        n = 3, tau = 0.5)
+      .select($"id_new", $"id_old", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((7L, 7L, 1.0)))
+  }
+
   test("duplicate clusters: min-label components over pair edges") {
     // two components: a 6-node path (worst-case diameter for label
     // propagation) and a triangle; 99 is absent from pairs entirely

@@ -134,6 +134,74 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("stripBoilerplateLines drops only over-frequent lines, keeps order") {
+    val docs = Seq(
+      (1L, "HEADER\nunique one\nFOOTER"),
+      (2L, "HEADER\nunique two\nFOOTER"),
+      (3L, "HEADER\nFOOTER"),          // pure chrome → empty
+      (4L, "solo line"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.stripBoilerplateLines(docs, "doc_id", "text",
+        maxDocFreq = 2L)
+      .select($"doc_id", $"clean_text", $"n_lines_kept", $"n_lines_removed")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // HEADER/FOOTER appear in 3 docs > maxDocFreq=2 → stripped
+    assert(out(1L) == (("unique one", 1L, 2L)))
+    assert(out(2L) == (("unique two", 1L, 2L)))
+    assert(out(3L) == (("", 0L, 2L)))
+    assert(out(4L) == (("solo line", 1L, 0L)))
+  }
+
+  test("stripBoilerplateLines: frequency AT the cap survives, order is " +
+      "original line order not sort order") {
+    val docs = Seq(
+      (1L, "zeta\nalpha\nmid"),
+      (2L, "zeta\nalpha"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.stripBoilerplateLines(docs, "doc_id", "text",
+        maxDocFreq = 2L)
+      .select($"doc_id", $"clean_text").as[(Long, String)].collect().toMap
+    // df(zeta)=df(alpha)=2 == cap → kept; zeta stays FIRST
+    assert(out(1L) == "zeta\nalpha\nmid")
+    assert(out(2L) == "zeta\nalpha")
+  }
+
+  test("mixToBudget: capped sources survive whole, heavy sources thin " +
+      "deterministically, weights validated") {
+    val rows = (1L to 200L).map { i =>
+      (i, if (i <= 40) "small" else "big", "t " * 9 + "t")  // 10 tokens each
+    }.toDF("doc_id", "source", "text")
+    // budget 1000 tokens: small weighted 500‰ → target 500 ≥ its 400
+    // tokens → rate 1000 (kept whole); big 100‰ → target 100 of 1600
+    // tokens → rate 62‰
+    val out = Sampling.mixToBudget(rows, "source", "doc_id",
+      TextAnalysis.tokenCount(col("text")), budgetTokens = 1000L,
+      weightsPermille = Map("small" -> 500L), defaultPermille = 100L,
+      seed = "mx")
+    val bySrc = out.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc("small") == 40L)           // rate capped at 1000‰
+    assert(bySrc.getOrElse("big", 0L) < 40L) // strongly downsampled
+    val rates = out.select($"source", $"rate_permille").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(rates("small") == 1000L && rates("big") == 62L)
+    // deterministic under repartitioning
+    val again = Sampling.mixToBudget(rows.repartition(7), "source", "doc_id",
+      TextAnalysis.tokenCount(col("text")), 1000L,
+      Map("small" -> 500L), 100L, "mx")
+    assert(out.select($"doc_id").as[Long].collect().sorted.toSeq ==
+      again.select($"doc_id").as[Long].collect().sorted.toSeq)
+    intercept[IllegalArgumentException] {
+      Sampling.mixToBudget(rows, "source", "doc_id", lit(1), 0L,
+        Map.empty, 100L, "mx")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixToBudget(rows, "source", "doc_id", lit(1), 10L,
+        Map("x" -> -1L), 100L, "mx")
+    }
+  }
+
   // ---------------------------------------------------- sketch gates
 
   test("statsGate: sketches sit inside tolerance on real data") {
