@@ -1062,6 +1062,54 @@ object CorpusQueries extends QueryModule {
              |  AS BIGINT) % 1000 < r.rate_permille""".stripMargin),
     ),
 
+    // ---- SEMANTIC dedup (SemDeDup, Abbas et al. 2023): embedding
+    // near-dup pairs → connected components → one survivor (min id) per
+    // semantic cluster with its cluster size — the embedding-space
+    // sibling of q49/q57's text-space clustering, composed entirely
+    // from oracle-proven parts (blocked exact kernel + min-label CC).
+    // DuckDB restates pairs by brute force and components by recursive
+    // transitive closure.
+    Q(
+      "q80_semantic_dedup",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val pairs = Similarity.cosinePairsKernel(emb, "vec_id", "embedding",
+          tau = 0.45)
+        val clusters = Dedup.duplicateClusters(pairs)
+          .withColumnRenamed("id", "vec_id")
+        emb.select(col("vec_id"))
+          .join(clusters, Seq("vec_id"), "left")
+          .select(
+            coalesce(col("cluster_id"), col("vec_id")).as("survivor_id"))
+          .groupBy(col("survivor_id"))
+          .agg(count(lit(1)).as("cluster_size"))
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |), p AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |  WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
+             |      (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+             |       sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.45
+             |), edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM p
+             |  UNION SELECT id_b, id_a FROM p
+             |), reach AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+             |), comp AS (
+             |  SELECT src AS id, least(src, min(dst)) AS cluster_id
+             |  FROM reach GROUP BY src
+             |), lab AS (
+             |  SELECT e.vec_id, coalesce(c.cluster_id, e.vec_id) AS survivor_id
+             |  FROM e LEFT JOIN comp c ON e.vec_id = c.id
+             |)
+             |SELECT survivor_id, count(*) AS cluster_size
+             |FROM lab GROUP BY 1""".stripMargin),
+    ),
+
     // ---- the Catalyst extension surface, driver-visible: graft_cosine
     // is the SQL-registered native kernel; cos_hof is written in the
     // portable HOF Column form and rewritten to the SAME kernel by the
