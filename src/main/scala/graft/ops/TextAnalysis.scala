@@ -20,6 +20,47 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
 
+  /** Corpus-LM "familiarity" score — the integer-exact stand-in for
+    * CCNet's KenLM perplexity filter: score(doc) = mean corpus document
+    * frequency over the doc's bigram OCCURRENCES. Text built from
+    * transitions the corpus uses everywhere scores high; gibberish and
+    * OCR noise score near 1 (every bigram known only to its own doc).
+    * Like real LM filtering the signal is corpus-relative — but the
+    * "model" here is just a doc-frequency table, so training and
+    * scoring are one job and every count is an integer: the score is a
+    * single IEEE division, restated bit-exactly by any engine (q81).
+    *
+    * Same scale shape as [[stripBoilerplateLines]]: occurrences join
+    * the frequency table on an md5-60 hash (8-byte shuffle keys), both
+    * aggregations map-side combine, no windows.
+    *
+    * @return (idCol, n_bigrams, familiarity); docs with fewer than two
+    *         tokens score null with n_bigrams 0.
+    */
+  def bigramFamiliarity(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    val occ = df.select(col(idCol), words.as("__ws"))
+      .filter(size(col("__ws")) >= 2)
+      .select(col(idCol), explode(
+        transform(sequence(lit(1), size(col("__ws")) - 1),
+          i => concat(element_at(col("__ws"), i), lit(" "),
+            element_at(col("__ws"), i + 1)))).as("__bg"))
+      .select(col(idCol), Dedup.md5Hash60(col("__bg")).as("__bh"))
+      .localCheckpoint() // feeds the freq agg AND the scoring join
+    val dfq = occ.distinct()
+      .groupBy(col("__bh")).agg(count(lit(1)).as("__df"))
+    val scored = occ.join(dfq, "__bh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("__df")).cast("double") / count(lit(1)))
+          .as("familiarity"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("familiarity"))
+  }
+
   /** CCNet-style boilerplate-line removal: a line (newline-separated
     * paragraph) appearing in MORE than `maxDocFreq` distinct documents
     * is template chrome — nav bars, cookie banners, copyright footers —

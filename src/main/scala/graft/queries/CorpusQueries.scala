@@ -1062,6 +1062,37 @@ object CorpusQueries extends QueryModule {
              |  AS BIGINT) % 1000 < r.rate_permille""".stripMargin),
     ),
 
+    // ---- corpus-LM familiarity (the integer-exact KenLM-filter
+    // stand-in): mean bigram document frequency per doc — high for text
+    // made of corpus-common transitions, ~1 for gibberish. Spark joins
+    // occurrences to the frequency table on md5-60 hashes; DuckDB
+    // restates the same hashed grouping, so the score (one IEEE
+    // division of integer sums) hash-compares exactly.
+    Q(
+      "q81_bigram_familiarity",
+      (s, d) => TextAnalysis.bigramFamiliarity(
+        Tables.documents(s, d), "doc_id", "text"),
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+             |), occ AS (
+             |  SELECT doc_id,
+             |    unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bg
+             |  FROM w WHERE len(ws) >= 2
+             |), h AS (
+             |  SELECT doc_id, CAST('0x' || substr(md5(bg), 1, 15) AS BIGINT) AS bh
+             |  FROM occ
+             |), dfq AS (
+             |  SELECT bh, count(DISTINCT doc_id) AS df FROM h GROUP BY 1
+             |), sc AS (
+             |  SELECT h.doc_id, count(*) AS n_bigrams,
+             |    CAST(sum(df) AS DOUBLE) / count(*) AS familiarity
+             |  FROM h JOIN dfq USING (bh) GROUP BY 1
+             |)
+             |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+             |  s.familiarity
+             |FROM documents d LEFT JOIN sc s USING (doc_id)""".stripMargin),
+    ),
+
     // ---- SEMANTIC dedup (SemDeDup, Abbas et al. 2023): embedding
     // near-dup pairs → connected components → one survivor (min id) per
     // semantic cluster with its cluster size — the embedding-space

@@ -202,6 +202,53 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("bigramFamiliarity: shared transitions score above unique ones, " +
+      "degenerate docs score null") {
+    val docs = Seq(
+      (1L, "the cat sat"), // "the cat" df=2, "cat sat" df=1 → 1.5
+      (2L, "the cat ran"), // "the cat" df=2, "cat ran" df=1 → 1.5
+      (3L, "zz qq"),       // unique bigram → 1.0
+      (4L, "solo"),        // no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramFamiliarity(docs, "doc_id", "text")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((2L, Some(1.5))))
+    assert(out(2L) == ((2L, Some(1.5))))
+    assert(out(3L) == ((1L, Some(1.0))))
+    assert(out(4L) == ((0L, None)))
+  }
+
+  test("stripBoilerplateLines is idempotent: a second pass changes nothing") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", concat_ws("\n", lit("SHARED HEADER"), $"text",
+        lit("SHARED FOOTER")).as("t"))
+    val once = TextAnalysis.stripBoilerplateLines(docs, "doc_id", "t", 5L)
+    val twice = TextAnalysis.stripBoilerplateLines(
+      once.select($"doc_id", $"clean_text".as("t")), "doc_id", "t", 5L)
+    // kept lines keep their doc frequency (removing OTHER lines doesn't
+    // change which docs contain a kept line), so pass 2 removes nothing
+    val a = once.select($"doc_id", $"clean_text").as[(Long, String)]
+      .collect().toMap
+    val b = twice.select($"doc_id", $"clean_text").as[(Long, String)]
+      .collect().toMap
+    assert(a == b)
+    assert(twice.filter($"n_lines_removed" > 0).isEmpty)
+  }
+
+  test("mixToBudget is monotone in budget: survivors at B are a subset " +
+      "of survivors at 2B") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"source", $"text")
+    def run(budget: Long) = Sampling.mixToBudget(docs, "source", "doc_id",
+        TextAnalysis.tokenCount($"text"), budget, Map.empty, 50L, "mx")
+      .select($"doc_id").as[Long].collect().toSet
+    val small = run(500L)
+    val big = run(1000L)
+    assert(small.subsetOf(big))
+    assert(small.size < big.size) // the larger budget genuinely admits more
+  }
+
   // ---------------------------------------------------- sketch gates
 
   test("statsGate: sketches sit inside tolerance on real data") {

@@ -110,4 +110,37 @@ class ScaleOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("partial_approx_count_distinct"))
   }
+
+  test("cross-corpus pairs plan: every join is equality-keyed, no cartesian") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Dedup.crossCorpusJaccardPairs(
+        docs.filter($"doc_id" % 3 === 0), docs.filter($"doc_id" % 3 =!= 0),
+        "doc_id", "text", n = 3, tau = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
+  }
+
+  test("boilerplate-strip plan: no window, no cartesian; doc freq is " +
+      "map-side combined") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", concat($"text", lit("\nFOOTER")).as("t"))
+    val plan = TextAnalysis.stripBoilerplateLines(docs, "doc_id", "t", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
+    assert(plan.contains("partial_count"))
+  }
+
+  test("budget-mixing plan: rate table joins back without a forced " +
+      "broadcast hint; survivor filter is a pure map") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"source", $"text")
+    val plan = Sampling.mixToBudget(docs, "source", "doc_id",
+        TextAnalysis.tokenCount($"text"), 10000L, Map("src0" -> 200L),
+        30L, "mx")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
+    // totals aggregate partial-combines map-side
+    assert(plan.contains("partial_sum"))
+  }
 }
