@@ -1141,6 +1141,104 @@ object CorpusQueries extends QueryModule {
              |FROM lab GROUP BY 1""".stripMargin),
     ),
 
+    // ---- URL canonicalization: the corpus has no URL column, so the
+    // query PLANTS messy surface forms from doc_id (mixed case, default
+    // ports, tracking params, unsorted query, trailing slash, fragment
+    // — q61's planted-input pattern) and canonicalizes them; DuckDB
+    // rebuilds the same inputs and replays the same Java∩RE2 transform
+    // byte-for-byte. dup_key groups the collapsed forms — the URL-dedup
+    // key the canonicalization exists for.
+    Q(
+      "q82_url_canonicalize",
+      (s, d) => {
+        val id = col("doc_id")
+        val url = concat(
+          when(id % 2 === 0, lit("HTTP://")).otherwise(lit("https://")),
+          lit("Example"), (id % 5).cast("string"), lit(".COM"),
+          when(id % 2 === 0, lit(":80")).otherwise(lit(":443")),
+          lit("/path"), (id % 7).cast("string"),
+          when(id % 3 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source=feed&b="), (id % 11).cast("string"),
+          lit("&a="), (id % 13).cast("string"),
+          when(id % 4 === 0, lit("#frag")).otherwise(lit("")))
+        Tables.documents(s, d).select(id, url.as("url"))
+          .withColumn("canonical_url", graft.ops.UrlOps.canonicalizeUrl(col("url")))
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END) ||
+             |    'Example' || CAST(doc_id % 5 AS VARCHAR) || '.COM' ||
+             |    (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) ||
+             |    '/path' || CAST(doc_id % 7 AS VARCHAR) ||
+             |    (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+             |    '?utm_source=feed&b=' || CAST(doc_id % 11 AS VARCHAR) ||
+             |    '&a=' || CAST(doc_id % 13 AS VARCHAR) ||
+             |    (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END) AS url
+             |  FROM documents
+             |), parts AS (
+             |  SELECT doc_id, url,
+             |    regexp_replace(url, '#.*$', '') AS nofrag
+             |  FROM u
+             |), comp AS (
+             |  SELECT doc_id, url,
+             |    lower(regexp_extract(nofrag, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+             |    regexp_replace(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest
+             |  FROM parts
+             |), comp2 AS (
+             |  SELECT doc_id, url, scheme,
+             |    lower(regexp_extract(rest, '^([^/?]+)', 1)) AS hostport,
+             |    regexp_replace(rest, '^[^/?]+', '') AS pathq
+             |  FROM comp
+             |), comp3 AS (
+             |  SELECT doc_id, url, scheme,
+             |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+             |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+             |         ELSE hostport END AS host,
+             |    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS trimmedpath,
+             |    regexp_extract(pathq, '\?(.*)$', 1) AS query
+             |  FROM comp2
+             |), comp4 AS (
+             |  SELECT doc_id, url, scheme, host,
+             |    CASE WHEN trimmedpath = '' THEN '/' ELSE trimmedpath END AS path,
+             |    array_to_string(list_sort(list_filter(string_split(query, '&'),
+             |      p -> p <> '' AND NOT regexp_matches(p,
+             |        '^(utm_[a-z0-9]+|fbclid|gclid)='))), '&') AS sortedq
+             |  FROM comp3
+             |)
+             |SELECT doc_id, url,
+             |  scheme || '://' || host || path ||
+             |  (CASE WHEN sortedq <> '' THEN '?' || sortedq ELSE '' END)
+             |    AS canonical_url
+             |FROM comp4""".stripMargin),
+    ),
+
+    // ---- exact heavy hitters via a Misra–Gries typed Aggregator (the
+    // custom-aggregation Catalyst surface): pass 1 is the ≤ k-entry
+    // mergeable summary (guaranteed to retain every key above n/k),
+    // pass 2 exact-counts only the candidates — output is the true
+    // heavy-hitter set, merge-order independent, and DuckDB restates it
+    // as the full GROUP BY a test-scale engine can afford. The planted
+    // HOT key owns ~10% of events; threshold n/15 ≈ 6.7%.
+    Q(
+      "q83_heavy_hitters",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          when(col("user_id") % 10 === 0, lit("HOT"))
+            .otherwise(concat(lit("u"), col("user_id").cast("string")))
+            .as("skew_key"))
+        graft.ops.HeavyHitters.exactHeavyHitters(ev, "skew_key", k = 15)
+      },
+      Some("""WITH k AS (
+             |  SELECT CASE WHEN user_id % 10 = 0 THEN 'HOT'
+             |              ELSE 'u' || CAST(user_id AS VARCHAR) END AS skew_key
+             |  FROM events
+             |), n AS (SELECT count(*) AS n FROM k)
+             |SELECT skew_key, count(*) AS n_occurrences
+             |FROM k CROSS JOIN n
+             |GROUP BY skew_key, n.n
+             |HAVING count(*) * 15 > n.n""".stripMargin),
+    ),
+
     // ---- the Catalyst extension surface, driver-visible: graft_cosine
     // is the SQL-registered native kernel; cos_hof is written in the
     // portable HOF Column form and rewritten to the SAME kernel by the

@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UrlHeavySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(url: String): String =
+    Seq(url).toDF("u").select(UrlOps.canonicalizeUrl($"u")).as[String]
+      .collect().head
+
+  test("canonicalizeUrl: case, default ports, tracking params, sort, " +
+      "trailing slash, fragment") {
+    assert(canon("HTTP://Example.COM:80/a/?utm_source=x&b=2&a=1#frag") ==
+      "http://example.com/a?a=1&b=2")
+    assert(canon("https://Host.org:443/") == "https://host.org/")
+    // non-default port survives
+    assert(canon("http://h.io:8080/x") == "http://h.io:8080/x")
+    // https keeps :80 (not its default)
+    assert(canon("https://h.io:80/x") == "https://h.io:80/x")
+    // no query, empty path → root
+    assert(canon("http://h.io") == "http://h.io/")
+    // only tracking params → no query at all
+    assert(canon("http://h.io/p?utm_campaign=c&gclid=g") == "http://h.io/p")
+  }
+
+  test("canonicalizeUrl collapses surface variants to one dedup key") {
+    val variants = Seq(
+      "http://A.com/path?b=2&a=1",
+      "HTTP://a.COM:80/path/?a=1&b=2#x",
+      "http://a.com/path?utm_source=s&a=1&b=2",
+    ).toDF("u")
+    val keys = variants.select(UrlOps.canonicalizeUrl($"u")).distinct()
+      .as[String].collect()
+    assert(keys.toSeq == Seq("http://a.com/path?a=1&b=2"))
+  }
+
+  test("exactHeavyHitters finds exactly the keys above n/k, " +
+      "independent of partitioning") {
+    // 1000 rows: "hot" owns 200 (20% > 1/5), "warm" 120 (12% < 1/5 at
+    // k=5? 1/5 = 20% → warm excluded, hot exactly 20% is NOT > n/k)
+    // use k=6: threshold 16.7% → hot in, warm out
+    val rows = (Seq.fill(200)("hot") ++ Seq.fill(120)("warm") ++
+      (1 to 680).map(i => s"u$i")).toDF("k")
+    def run(parts: Int) = HeavyHitters
+      .exactHeavyHitters(rows.repartition(parts), "k", k = 6)
+      .as[(String, Long)].collect().toSet
+    assert(run(1) == Set(("hot", 200L)))
+    assert(run(7) == Set(("hot", 200L)))
+    assert(run(32) == Set(("hot", 200L)))
+  }
+
+  test("exactHeavyHitters: uniform data yields an empty result") {
+    val rows = (1 to 500).map(i => s"u$i").toDF("k")
+    assert(HeavyHitters.exactHeavyHitters(rows, "k", k = 10).isEmpty)
+  }
+
+  test("MisraGries summary: guaranteed retention of keys above n/k " +
+      "under adversarial reduce/merge orders") {
+    val mg = new HeavyHitters.MisraGries(3)
+    // 12 items, "a" has 5 > 12/3 — must survive any order
+    val items = Seq.fill(5)("a") ++ Seq("b", "c", "d", "e", "f", "g", "h")
+    val orders = Seq(items, items.reverse, items.sorted)
+    orders.foreach { o =>
+      val (left, right) = o.splitAt(6)
+      val b1 = left.foldLeft(mg.zero)(mg.reduce)
+      val b2 = right.foldLeft(mg.zero)(mg.reduce)
+      val merged = mg.merge(b1, b2)
+      assert(merged.size <= 3)
+      assert(merged.contains("a"), s"order $o lost the heavy key")
+    }
+  }
+}
