@@ -25,6 +25,19 @@ class UrlHeavySpec extends SparkSpec {
     assert(canon("http://h.io/p?utm_campaign=c&gclid=g") == "http://h.io/p")
   }
 
+  test("canonicalizeUrl is idempotent: a canonical URL maps to itself") {
+    val urls = Seq(
+      "HTTP://Example.COM:80/a/?utm_source=x&b=2&a=1#frag",
+      "https://Host.org:443/",
+      "http://h.io:8080/x?z=1&y=2",
+      "http://h.io",
+    ).toDF("u")
+    val once = urls.select(UrlOps.canonicalizeUrl($"u").as("c"))
+    val twice = once.select(UrlOps.canonicalizeUrl($"c").as("c2"))
+    assert(once.as[String].collect().toSeq ==
+      twice.as[String].collect().toSeq)
+  }
+
   test("canonicalizeUrl collapses surface variants to one dedup key") {
     val variants = Seq(
       "http://A.com/path?b=2&a=1",
