@@ -88,6 +88,26 @@ class CorpusPropertySpec extends SparkSpec {
     }
   }
 
+  test("cross-corpus pairs == self-dedup pairs restricted to the cut " +
+      "(consistency between the two LSH paths)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val newSide = docs.filter($"doc_id" % 3 === 0)
+    val oldSide = docs.filter($"doc_id" % 3 =!= 0)
+    val cross = Dedup.crossCorpusJaccardPairs(newSide, oldSide,
+        "doc_id", "text", n = 3, tau = 0.5)
+      .select($"id_new", $"id_old").as[(Long, Long)].collect().toSet
+    // the self-dedup over the union, restricted to pairs with exactly
+    // one endpoint on each side (self emits idA < idB; reorient to
+    // (new, old))
+    val self = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, tau = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => (a % 3 == 0) != (b % 3 == 0) }
+      .map { case (a, b) => if (a % 3 == 0) (a, b) else (b, a) }
+      .toSet
+    assert(cross == self)
+  }
+
   test("tfidf plan broadcasts the vocabulary side") {
     val d = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
     val plan = TextAnalysis.tfIdfTop(d, "doc_id", "text", 2)
