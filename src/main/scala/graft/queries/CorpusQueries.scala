@@ -1062,6 +1062,108 @@ object CorpusQueries extends QueryModule {
              |  AS BIGINT) % 1000 < r.rate_permille""".stripMargin),
     ),
 
+    // ---- the FULL curation funnel, five operator families composed
+    // end to end and oracle-checked as ONE unit: quality gate → exact
+    // dedup survivors → benchmark decontamination (8-gram overlap vs
+    // the doc_id % 10 == 0 eval set) → per-source cap (15) → exact-quota
+    // stratified split. q54 proved a 3-stage composition; this is the
+    // full recipe a production corpus build runs, with DuckDB restating
+    // every stage from first principles in one CTE chain.
+    Q(
+      "q84_curation_funnel",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val scored = docs.select(col("doc_id"), col("text"), col("source"),
+          TextAnalysis.langId(col("text")).as("lang"),
+          TextAnalysis.qualityFeatures(col("text"))
+            .getField("quality").as("quality"))
+        val kept = scored.filter(col("quality") >= 0.5)
+        val surv = Dedup.exactDedup(kept, "text", "doc_id")
+          .select(col("doc_id"))
+        val corpus = kept.join(surv, "doc_id")
+          .filter(col("doc_id") % 10 =!= 0)
+        val evalSet = docs.filter(col("doc_id") % 10 === 0)
+        val clean = Decontamination.decontaminate(corpus, evalSet,
+          "doc_id", "text", "text", n = 8)
+        val capped = Sampling.capPerGroup(
+            clean.select(col("doc_id"), col("source"), col("lang")),
+            "source", "doc_id", cap = 15, seed = "cur5")
+          .select(col("doc_id"), col("source"), col("lang"))
+        Sampling.stratifiedSplit(capped, "lang", "doc_id", seed = "cur5")
+          .select(col("doc_id"), col("source"), col("lang"), col("split"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, text, source,
+             |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             |    length(regexp_replace(text, '[\w\s]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
+             |    length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) AS digit_ratio,
+             |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |        x -> x IN ('the','a','of','and','is'))) * 1.0 /
+             |      len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio,
+             |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |        x -> x IN ('the','a','of','and','is'))) AS s_en,
+             |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |        x -> x IN ('der','die','das','und','ist'))) AS s_de,
+             |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |        x -> x IN ('el','la','de','y','es'))) AS s_es
+             |  FROM documents
+             |), scored AS (
+             |  SELECT doc_id, text, source,
+             |    CASE
+             |      WHEN greatest(s_en, s_de, s_es) = 0 THEN 'unknown'
+             |      WHEN s_de >= s_en AND s_de >= s_es THEN 'de'
+             |      WHEN s_en >= s_es THEN 'en'
+             |      ELSE 'es' END AS lang,
+             |    (CAST(CASE WHEN n_tokens BETWEEN 20 AND 5000 THEN 4 ELSE 0 END +
+             |          CASE WHEN punct_ratio < 0.1 THEN 3 ELSE 0 END +
+             |          CASE WHEN digit_ratio < 0.2 THEN 1 ELSE 0 END AS DOUBLE)
+             |     * 0.1 + stopword_ratio * 0.2) AS quality
+             |  FROM f
+             |), kept AS (
+             |  SELECT * FROM scored WHERE quality >= 0.5
+             |), surv AS (
+             |  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+             |), corpus AS (
+             |  SELECT k.doc_id, k.text, k.source, k.lang
+             |  FROM kept k JOIN surv USING (doc_id)
+             |  WHERE k.doc_id % 10 <> 0
+             |), w2 AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+             |), g2 AS (
+             |  SELECT doc_id, unnest(list_distinct(
+             |    [array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)])) AS gram
+             |  FROM w2 WHERE len(w) >= 8
+             |), bg AS (
+             |  SELECT DISTINCT gram FROM g2 WHERE doc_id % 10 = 0
+             |), hits AS (
+             |  SELECT DISTINCT g2.doc_id FROM g2 JOIN bg USING (gram)
+             |  WHERE g2.doc_id % 10 <> 0
+             |), clean AS (
+             |  SELECT c.* FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+             |  WHERE h.doc_id IS NULL
+             |), capped AS (
+             |  SELECT doc_id, source, lang FROM (
+             |    SELECT cl.*, row_number() OVER (PARTITION BY source
+             |      ORDER BY CAST('0x' ||
+             |          substr(md5(CAST(doc_id AS VARCHAR) || 'cur5'), 1, 15)
+             |        AS BIGINT) ASC, doc_id ASC) AS rk
+             |    FROM clean cl) WHERE rk <= 15
+             |), r AS (
+             |  SELECT doc_id, source, lang,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY CAST('0x' ||
+             |          substr(md5(CAST(doc_id AS VARCHAR) || 'cur5'), 1, 15)
+             |        AS BIGINT) ASC, doc_id ASC) AS rk,
+             |    count(*) OVER (PARTITION BY lang) AS n
+             |  FROM capped
+             |)
+             |SELECT doc_id, source, lang,
+             |  CASE WHEN rk * 1000 <= 800 * n THEN 'train'
+             |       WHEN rk * 1000 <= 900 * n THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM r""".stripMargin),
+    ),
+
     // ---- corpus-LM familiarity (the integer-exact KenLM-filter
     // stand-in): mean bigram document frequency per doc — high for text
     // made of corpus-common transitions, ~1 for gibberish. Spark joins
