@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the bench-emission contract: the driver captures only a
+  * bounded tail of stdout, and round 4 lost seven queries' numbers to
+  * an oversized summary line. These checks fail the build before a
+  * future query addition regresses that fix.
+  */
+class BenchContractSpec extends AnyFunSuite {
+
+  test("qNN short keys are unique across the query inventory") {
+    val names = SparkEntry.queries.keys.toSeq
+    val short = names.map(_.takeWhile(_ != '_'))
+    assert(short.distinct.size == names.size,
+      s"colliding qNN prefixes: ${short.diff(short.distinct).distinct}")
+  }
+
+  test("worst-case summary line stays well inside the capture window") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // worst case: every value prints as NNNN.NNN (8 chars)
+    val line = names.map(n => "\"" + n.takeWhile(_ != '_') + "\":9999.999")
+      .mkString(
+        """{"metric":"total","value":99999.999,"unit":"sec","queries":{""",
+        ",",
+        """},"sf":"/root/testdata/sf0.1"}""")
+    assert(line.length < 2000,
+      s"summary line would be ${line.length} bytes — the r4 truncation " +
+        "started near 2.3 KB; shorten keys or split the line")
+  }
+
+  test("every query has an oracle (the driver gate sees no no_oracle rows)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+}
