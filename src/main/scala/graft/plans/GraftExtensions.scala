@@ -5,8 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
-import graft.functions.{CosineSimilarity, SimHash64Expr, SimHashMd5Expr, WinnowingExpr}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.{CosineSimilarity, NormalizeUnicode, SimHash64Expr, SimHashMd5Expr, WinnowingExpr}
 
 /** Library entry point into Catalyst: registers the native expressions
   * as SQL functions and installs [[RewriteHofCosine]], so (a) pure-SQL
@@ -74,6 +75,19 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 3, "graft_winnowing(text, k, w)")
         WinnowingExpr(args.head, intLit(args(1), "k"), intLit(args(2), "w"))
+      }),
+    (FunctionIdentifier("graft_normalize"),
+      info("graft_normalize", classOf[NormalizeUnicode]),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_normalize(text, 'NFC'|'NFD'|'NFKC'|'NFKD')")
+        val form = args(1) match {
+          case Literal(v: UTF8String, StringType) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"normalization form must be a string literal, got $other")
+        }
+        require(Set("NFC", "NFD", "NFKC", "NFKD").contains(form),
+          s"unknown normalization form $form")
+        NormalizeUnicode(args.head, form)
       }),
   )
 

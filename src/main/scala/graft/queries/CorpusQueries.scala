@@ -1164,6 +1164,39 @@ object CorpusQueries extends QueryModule {
              |FROM r""".stripMargin),
     ),
 
+    // ---- Unicode NFC normalization (native codegen'd expression): the
+    // same visible string arrives from crawls precomposed (é) and
+    // decomposed (e + U+0301), and every hash-keyed operator would
+    // treat them as different documents — normalize first, hash after.
+    // The query plants both parities from doc_id; Spark's
+    // java.text.Normalizer NFC must be byte-identical to DuckDB's
+    // nfc_normalize, and the two parities must collapse to the same
+    // suffix (n_norm pins the char-count change on decomposed rows).
+    Q(
+      "q85_unicode_nfc",
+      (s, d) => {
+        val id = col("doc_id")
+        val planted = concat(col("text"),
+          when(id % 2 === 0, lit(" de\u0301ja\u0300 vu"))
+            .otherwise(lit(" d\u00e9j\u00e0 vu")))
+        Tables.documents(s, d).select(id, planted.as("raw"))
+          .select(id, length(col("raw")).as("n_raw"),
+            graft.functions.NormalizeUnicode(col("raw")).as("norm_text"))
+          .withColumn("n_norm", length(col("norm_text")))
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, text ||
+             |    CASE WHEN doc_id % 2 = 0
+             |      THEN ' de' || chr(769) || 'ja' || chr(768) || ' vu'
+             |      ELSE ' d' || chr(233) || 'j' || chr(224) || ' vu' END AS raw
+             |  FROM documents
+             |)
+             |SELECT doc_id, length(raw) AS n_raw,
+             |  nfc_normalize(raw) AS norm_text,
+             |  length(nfc_normalize(raw)) AS n_norm
+             |FROM p""".stripMargin),
+    ),
+
     // ---- corpus-LM familiarity (the integer-exact KenLM-filter
     // stand-in): mean bigram document frequency per doc — high for text
     // made of corpus-common transitions, ~1 for gibberish. Spark joins

@@ -49,6 +49,30 @@ class UrlHeavySpec extends SparkSpec {
     assert(keys.toSeq == Seq("http://a.com/path?a=1&b=2"))
   }
 
+  test("NormalizeUnicode: NFC composes, NFKC folds compatibility forms, " +
+      "null passes through, SQL registration works") {
+    import graft.functions.NormalizeUnicode
+    val df = Seq(
+      (1L, "e\u0301"),  // decomposed é → NFC composes to U+00E9
+      (2L, "\u00e9"),   // already composed → unchanged
+      (3L, "\ufb01le"), // fi-ligature: NFC keeps, NFKC folds to "fi"
+      (4L, null.asInstanceOf[String]),
+    ).toDF("id", "t")
+    val out = df.select($"id", NormalizeUnicode($"t").as("nfc"),
+        NormalizeUnicode($"t", "NFKC").as("nfkc"))
+      .as[(Long, Option[String], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((Some("\u00e9"), Some("\u00e9"))))
+    assert(out(2L) == ((Some("\u00e9"), Some("\u00e9"))))
+    assert(out(3L) == ((Some("\ufb01le"), Some("file"))))
+    assert(out(4L) == ((None, None)))
+    intercept[IllegalArgumentException] { NormalizeUnicode($"t", "NFX") }
+    graft.plans.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_normalize('e' || '\u0301', 'NFC')").as[String].collect()
+    assert(viaSql.toSeq == Seq("\u00e9"))
+  }
+
   test("exactHeavyHitters finds exactly the keys above n/k, " +
       "independent of partitioning") {
     // 1000 rows: "hot" owns 200 (20% > 1/5), "warm" 120 (12% < 1/5 at
