@@ -20,6 +20,36 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
 
+  /** Tokenizer VOCABULARY construction: the (token → contiguous id)
+    * table a training pipeline freezes before tokenization — tokens
+    * seen in at least `minDf` documents, ranked by corpus frequency
+    * (count desc, token asc — the deterministic tie-break), truncated
+    * to `maxVocab`, ids assigned 0..V-1 in rank order.
+    *
+    * Scale shape: one explode + one map-side-combined hash agg over the
+    * corpus produces the (token, tf, df) stats; the rank window runs
+    * over the VOCABULARY-sized frame (≤ distinct tokens after the
+    * minDf prune), not the corpus — a single-partition sort of the id
+    * space every tokenizer build pays anyway.
+    *
+    * @return (token, tf, df, vocab_id), vocab_id dense from 0.
+    */
+  def buildVocab(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 1L, maxVocab: Int = Int.MaxValue): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    val toks = df.select(col(idCol),
+      explode(split(trim(col(textCol)), "\\s+")).as("token"))
+    val stats = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"),
+        countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDf)
+    val w = Window.orderBy(col("tf").desc, col("token").asc)
+    stats.withColumn("vocab_id",
+        (row_number().over(w) - 1).cast("long"))
+      .filter(col("vocab_id") < maxVocab)
+  }
+
   /** Corpus-LM "familiarity" score — the integer-exact stand-in for
     * CCNet's KenLM perplexity filter: score(doc) = mean corpus document
     * frequency over the doc's bigram OCCURRENCES. Text built from

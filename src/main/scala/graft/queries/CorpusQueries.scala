@@ -1164,6 +1164,27 @@ object CorpusQueries extends QueryModule {
              |FROM r""".stripMargin),
     ),
 
+    // ---- tokenizer vocabulary build: (token → dense id) frozen from
+    // corpus stats — df-pruned, frequency-ranked with a deterministic
+    // tie-break, truncated. DuckDB recomputes the identical table
+    // (same counts, same ordering, same ids).
+    Q(
+      "q86_vocab_build",
+      (s, d) => TextAnalysis.buildVocab(Tables.documents(s, d),
+        "doc_id", "text", minDf = 3L, maxVocab = 1000),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+             |  FROM documents
+             |), stats AS (
+             |  SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+             |  FROM toks GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+             |)
+             |SELECT token, tf, df,
+             |  CAST(row_number() OVER (ORDER BY tf DESC, token ASC) - 1
+             |    AS BIGINT) AS vocab_id
+             |FROM stats QUALIFY vocab_id < 1000""".stripMargin),
+    ),
+
     // ---- Unicode NFC normalization (native codegen'd expression): the
     // same visible string arrives from crawls precomposed (é) and
     // decomposed (e + U+0301), and every hash-keyed operator would

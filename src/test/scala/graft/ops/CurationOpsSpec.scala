@@ -219,6 +219,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(4L) == ((0L, None)))
   }
 
+  test("buildVocab: df prune, frequency rank, deterministic ties, " +
+      "dense truncated ids") {
+    val docs = Seq(
+      (1L, "aa bb aa cc"),
+      (2L, "aa bb dd"),
+      (3L, "aa bb"),
+    ).toDF("doc_id", "text")
+    // tf: aa=4 bb=3 cc=1 dd=1; df: aa=3 bb=3 cc=1 dd=1
+    val out = TextAnalysis.buildVocab(docs, "doc_id", "text", minDf = 2L)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._4)
+    assert(out.toSeq == Seq(("aa", 4L, 3L, 0L), ("bb", 3L, 3L, 1L)))
+    // tie on tf → token asc; maxVocab truncates densely
+    val tied = TextAnalysis.buildVocab(
+      Seq((1L, "zz yy xx")).toDF("doc_id", "text"), "doc_id", "text",
+      minDf = 1L, maxVocab = 2)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._4)
+    assert(tied.toSeq == Seq(("xx", 1L, 1L, 0L), ("yy", 1L, 1L, 1L)))
+  }
+
   test("stripBoilerplateLines is idempotent: a second pass changes nothing") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", concat_ws("\n", lit("SHARED HEADER"), $"text",
