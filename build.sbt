@@ -30,5 +30,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g, not 8g: local[32] runs 32 concurrent tasks against ONE driver
+  // heap, and the LSH/clustering queries additionally pin checkpointed
+  // gram/signature blocks in the storage region. At 8g the storage/
+  // execution boundary sat close enough to the working set that block
+  // eviction + recompute made q49/q77 sporadically jump 4-8x between
+  // otherwise-identical runs (BENCH_PERF.jsonl: wall >> task time, no
+  // task GC — driver-side thrash). The machine has 128 GiB; a real
+  // cluster would give each executor its own heap.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
