@@ -55,8 +55,19 @@ object Bench {
       if (pfx.values.toSet.size == names.size) pfx
       else names.map(n => n -> n).toMap
     }
+    // per-query codegen/JIT warm scale: first execution of a plan with a
+    // giant generated method pays 2-8 s of Janino+HotSpot compilation by
+    // compile-queue luck (measured on q48 — see SCALING.md); compiling
+    // each query's plan shape on the ~50-row sf first makes the timed
+    // number measure EXECUTION at the target sf
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
+      if (warmDir != sfDir)
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+      tracker.awaitQuiesce(stableMs = 50, timeoutMs = 2000)
       val before = tracker.snapshot()
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
