@@ -80,6 +80,11 @@ object HeavyHitters {
     * the IVF centroids) — never a per-key table.
     */
   def exactHeavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    // k is a skew threshold (keys owning > 1/k of the table), not a
+    // top-k: beyond ~10^4 the MG buffer stops being O(small) per
+    // partition and the candidate isin() stops being a sane plan
+    // literal — and a key owning < 0.01% of a table isn't "heavy"
+    require(k >= 1 && k <= 10000, s"k must be in [1, 10000], got $k")
     val spark = df.sparkSession
     import spark.implicits._
     val keys = df.select(col(keyCol).cast("string").as("__k")).as[String]
