@@ -21,7 +21,8 @@ class PerfTrackerSpec extends SparkSpec {
     val line = t.logLine()
     assert(line.startsWith("{") && line.endsWith("}"))
     for (k <- Seq("processed", "successful", "failed", "retried", "speed",
-        "records_read", "bytes_read", "jvm_heap_used_mb"))
+        "records_read", "bytes_read", "jvm_heap_used_mb", "jvm_gc_time_ms",
+        "shuffle_bytes_read", "shuffle_bytes_written", "spilled_bytes"))
       assert(line.contains("\"" + k + "\":"), s"missing $k in $line")
 
     val f = Files.createTempFile("graft_perf", ".jsonl")
@@ -29,5 +30,18 @@ class PerfTrackerSpec extends SparkSpec {
     t.writeLog(f.toString) // appends
     assert(Files.readAllLines(f).size == 2)
     assert(t.summaryLine().count(_ == '|') == 5)
+  }
+
+  test("shuffle and GC deltas populate across a shuffling job") {
+    val t = PerfTracker.install(spark)
+    import spark.implicits._
+    spark.range(200000).select(($"id" % 97).as("k"))
+      .groupBy($"k").count().collect()
+    t.awaitQuiesce()
+    val s = t.snapshot()
+    // a groupBy over 32 partitions must move SOME shuffle bytes; GC and
+    // spill may legitimately be zero on a small job
+    assert(s.shuffleBytesWritten > 0 && s.shuffleBytesRead > 0)
+    assert(s.jvmGcTimeMs >= 0 && s.spilledBytes >= 0)
   }
 }
