@@ -57,11 +57,15 @@ object Bench {
     }
     // per-query codegen/JIT warm scale: first execution of a plan with a
     // giant generated method pays 2-8 s of Janino+HotSpot compilation by
-    // compile-queue luck (measured on q48 — see SCALING.md); compiling
-    // each query's plan shape on the ~50-row sf first makes the timed
-    // number measure EXECUTION at the target sf
+    // compile-queue luck (measured on q48 — see SCALING.md). Warm at
+    // sf0.01, not sf0.001: Janino compiles at any size, but HotSpot's C2
+    // tier needs invocation VOLUME before it compiles the generated
+    // methods — 50-row warms left q48's fold interpreted and its timed
+    // number still swung 2-16 s; the ~60k-row warm drives the hot loops
+    // past the compile threshold so the timed run measures steady-state
+    // execution at the target sf
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
-      "/root/testdata/sf0.001")
+      "/root/testdata/sf0.01")
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       if (warmDir != sfDir)
