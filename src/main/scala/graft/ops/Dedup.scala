@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.MaterializeOps
 
 /** Deduplication operators for large-scale text corpora — the
   * training-data-pipeline family (builder brief): exact, MinHash+LSH,
@@ -159,6 +160,10 @@ object Dedup {
   /** Near-duplicate pairs by exact word-n-gram Jaccard ≥ tau, with
     * MinHash-LSH candidate generation (no cross join) and exact
     * verification on the candidate set only.
+    *
+    * Runs Spark jobs eagerly at call time and ties intermediate blocks
+    * to executor liveness by default — see [[Materialize]] for the
+    * cluster-deployment strategy conf.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.5,
@@ -166,14 +171,14 @@ object Dedup {
     // grams feed the signature AND both verification sides; the signature
     // table feeds banding AND both estimate sides — materialize both
     // (small: |docs| rows) instead of recomputing the explode/agg subtree
-    // 3×. localCheckpoint, not persist: blocks free when the frames go
+    // 3×. Materialize, not persist: blocks free when the frames go
     // unreachable, where a CacheManager entry would pin them for the
     // session (library callers never see the frames to unpersist them)
     val grams = df
       .select(col(idCol), split(col(textCol), "\\s+").as("__w"))
       .select(col(idCol), wordNGramsFromWords(col("__w"), n).as("grams"))
-      .localCheckpoint()
-    val sig = signatureTable(grams, idCol, "grams", numHashes).localCheckpoint()
+      .materialized
+    val sig = signatureTable(grams, idCol, "grams", numHashes).materialized
     val cands = estimateFilter(
       candidatesFromSig(sig, idCol, numHashes, bandRows),
       sig, sig, idCol, numHashes, minEst = tau * 0.6)
@@ -200,6 +205,9 @@ object Dedup {
     * candidates join ACROSS the two bucket tables (no id ordering
     * constraint: the sides themselves distinguish the pair, and ids may
     * exist in both corpora). Output: (id_new, id_old, jaccard).
+    *
+    * Runs Spark jobs eagerly at call time (see [[Materialize]] for the
+    * block-liveness caveat and the cluster strategy conf).
     */
   def crossCorpusJaccardPairs(dfNew: DataFrame, dfOld: DataFrame,
       idCol: String, textCol: String, n: Int = 3, tau: Double = 0.5,
@@ -207,13 +215,13 @@ object Dedup {
     def gramsOf(df: DataFrame) = df
       .select(col(idCol), split(col(textCol), "\\s+").as("__w"))
       .select(col(idCol), wordNGramsFromWords(col("__w"), n).as("grams"))
-      .localCheckpoint()
+      .materialized
     val gramsNew = gramsOf(dfNew)
     val gramsOld = gramsOf(dfOld)
     val sigNew = signatureTable(gramsNew, idCol, "grams", numHashes)
-      .localCheckpoint()
+      .materialized
     val sigOld = signatureTable(gramsOld, idCol, "grams", numHashes)
-      .localCheckpoint()
+      .materialized
     val a = bandBuckets(sigNew, idCol, numHashes, bandRows).alias("a")
     val b = bandBuckets(sigOld, idCol, numHashes, bandRows).alias("b")
     val cands = a.join(b,
@@ -254,7 +262,7 @@ object Dedup {
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().persist()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id")).localCheckpoint()
+      .withColumn("cluster_id", col("id")).materialized
 
     def round(): Boolean = { // propagate once; true when nothing changed
       val nbr = edges.join(labels.select(col("id").as("dst"),
@@ -269,7 +277,7 @@ object Dedup {
       val next = labels.join(nbr, col("id") === col("src"), "left")
         .select(col("id"), newLabel.as("cluster_id"),
           (newLabel =!= col("cluster_id")).as("__changed"))
-        .localCheckpoint()
+        .materialized
       val stable = next.filter(col("__changed")).isEmpty
       labels = next.drop("__changed")
       stable
@@ -325,7 +333,7 @@ object Dedup {
       .filter(col("__x") =!= col("__y"))
       .select(least(col("__x"), col("__y")).as("u"),
         greatest(col("__x"), col("__y")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().materialized
 
     def starRound(cur: DataFrame): DataFrame = {
       // large-star: per node, neighbors LARGER than it re-attach to the
@@ -349,7 +357,7 @@ object Dedup {
           explode(array(col("small"), col("big"))).as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-      ss.localCheckpoint()
+      ss.materialized
     }
 
     var i = 0

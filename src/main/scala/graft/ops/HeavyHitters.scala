@@ -77,7 +77,11 @@ object HeavyHitters {
   /** Keys with frequency strictly greater than n/k, with exact counts.
     *
     * The candidate collect is ≤ k strings (a model-sized artifact, like
-    * the IVF centroids) — never a per-key table.
+    * the IVF centroids) — never a per-key table. A NULL key is a key: a
+    * missing-value column owning > 1/k of the table is exactly the skew
+    * this diagnostic exists to surface (every null lands in one shuffle
+    * partition), so it is reported as a null-keyed output row, never
+    * silently dropped (isin() alone would never match null).
     */
   def exactHeavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     // k is a skew threshold (keys owning > 1/k of the table), not a
@@ -87,17 +91,30 @@ object HeavyHitters {
     require(k >= 1 && k <= 10000, s"k must be in [1, 10000], got $k")
     val spark = df.sparkSession
     import spark.implicits._
-    val keys = df.select(col(keyCol).cast("string").as("__k")).as[String]
+    // nulls are sentinel-encoded BEFORE the typed agg: Spark's typed
+    // aggregation path never hands a null input to reduce(), so a bare
+    // null key would silently skip the summary (collision with a real
+    // key equal to the sentinel is theoretical and would only ADD a
+    // candidate — the exact second pass still reports true counts)
+    val nullSentinel = "\u0000graft:null\u0000"
+    val keys = df.select(
+      coalesce(col(keyCol).cast("string"), lit(nullSentinel)).as("__k"))
+      .as[String]
     val mg = new MisraGries(k)
     val summary: Map[String, Long] = keys.select(mg.toColumn).head()
-    val candidates = summary.keys.toSeq
+    val strCands = summary.keys.filter(_ != nullSentinel).toSeq
+    val nullCand = summary.contains(nullSentinel)
     val n = df.count()
-    if (candidates.isEmpty) {
+    if (strCands.isEmpty && !nullCand) {
       df.sparkSession.emptyDataFrame
         .select(lit("").as(keyCol), lit(0L).as("n_occurrences"))
     } else {
+      val keyIsCandidate =
+        if (strCands.isEmpty) col(keyCol).isNull
+        else if (nullCand) col(keyCol).isin(strCands: _*) || col(keyCol).isNull
+        else col(keyCol).isin(strCands: _*)
       df.select(col(keyCol).cast("string").as(keyCol))
-        .filter(col(keyCol).isin(candidates: _*))
+        .filter(keyIsCandidate)
         .groupBy(col(keyCol))
         .agg(count(lit(1)).as("n_occurrences"))
         .filter(col("n_occurrences") * k > n)

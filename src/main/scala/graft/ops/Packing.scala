@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Column, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.ops.Materialize.MaterializeOps
 
 /** Sequence packing for LLM pretraining: documents are concatenated in
   * a stable order into one token stream that is cut into fixed-length
@@ -43,7 +44,7 @@ object Packing {
         coalesce(tokenCol.cast("long"), lit(0L)).as("n_tokens"))
       .repartitionByRange(p, col(idCol))
       .sortWithinPartitions(col(idCol))
-      .localCheckpoint()
+      .materialized
     // pass 1: per-partition totals → exclusive global offsets
     val totals = base
       .groupBy(spark_partition_id().as("__pid"))
@@ -79,6 +80,68 @@ object Packing {
         when(col("n_tokens") === 0, firstChunk)
           .otherwise(floor((col("token_end") - 1) / seqLen).cast("long")))
       .withColumn("chunk_offset", pmod(start, lit(seqLen.toLong)))
+  }
+
+  /** Distributed global row number — the rank twin of
+    * [[chunkAssignments]]'s prefix sum, for any ranking an unpartitioned
+    * `row_number().over(Window.orderBy(...))` would funnel through a
+    * single task (vocabulary ids, leaderboards, global sample order).
+    * Same two-pass shape: range-partition by the ordering, count rows
+    * per partition, fold counts into exclusive offsets on the driver (P
+    * scalars — metadata, not data), then one mapPartitions pass emits
+    * offset + local position. Ranks are deterministic whenever `order`
+    * is a total order over the rows (ties ACROSS range boundaries would
+    * otherwise land nondeterministically — callers must break ties,
+    * e.g. with a unique trailing column).
+    *
+    * @param order ordering columns WITH direction (e.g.
+    *              `Seq(col("tf").desc, col("token").asc)`)
+    * @param limit stop emitting once this many rows are ranked: sorted
+    *              partitions whose offset is past the limit are skipped
+    *              WHOLESALE — a top-K truncation never deserializes the
+    *              tail (pass `maxVocab` here, not a post-filter)
+    * @return input columns + `outCol` (long, dense from 0 in rank order)
+    */
+  def globalRowNumber(df: DataFrame, order: Seq[Column], outCol: String,
+      limit: Long = Long.MaxValue, numPartitions: Int = 0): DataFrame = {
+    require(order.nonEmpty, "need at least one ordering column")
+    require(limit >= 1, s"limit must be >= 1, got $limit")
+    require(!df.columns.contains(outCol),
+      s"output column $outCol already exists on the input")
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    // localCheckpoint: both passes must observe the SAME materialized
+    // partitioning (see chunkAssignments)
+    val base = df.repartitionByRange(p, order: _*)
+      .sortWithinPartitions(order: _*)
+      .materialized
+    val counts = base
+      .groupBy(spark_partition_id().as("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Array[Long] = {
+      val out = new Array[Long](p)
+      var acc = 0L
+      for (i <- 0 until p) { out(i) = acc; acc += counts.getOrElse(i, 0L) }
+      out
+    }
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    val outSchema = StructType(base.schema.fields :+
+      StructField(outCol, LongType, nullable = false))
+    spark.createDataFrame(
+      base.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val start = bcOffsets.value(pid)
+        if (start >= limit) Iterator.empty
+        else {
+          var acc = start
+          it.takeWhile(_ => acc < limit).map { r =>
+            val out = Row.fromSeq(r.toSeq :+ acc)
+            acc += 1
+            out
+          }
+        }
+      }, outSchema)
   }
 
   /** Per-document sliding-window chunking with overlap — the OTHER

@@ -92,7 +92,10 @@ object Sampling {
     * Scale shape: one map-side-combined agg for source totals (sources
     * = domains, bounded), one join of rates back onto rows — unhinted,
     * AQE broadcasts the rate table when small — and a pure-map hash
-    * filter. No windows, no driver collect.
+    * filter. No windows, no driver collect. A NULL source is a source:
+    * the rate join is null-safe (`<=>`), so unlabeled rows form their
+    * own stratum at defaultPermille instead of vanishing through an
+    * equi-join.
     *
     * @param weightsPermille explicit per-source mixture weights (‰);
     *                        sources not listed get defaultPermille
@@ -105,6 +108,8 @@ object Sampling {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     require(defaultPermille >= 0 && weightsPermille.values.forall(_ >= 0),
       "mixture weights must be non-negative")
+    require(!df.columns.contains("__mix_src"),
+      "input must not already carry a __mix_src column")
     val withTok = df.withColumn("n_tokens", tokenCol)
     val wpm = weightsPermille.toSeq.sortBy(_._1)
       .foldLeft(lit(defaultPermille)) { case (acc, (s, w)) =>
@@ -118,8 +123,11 @@ object Sampling {
           when(col("__t") > 0,
             expr(s"((${budgetTokens}L * __wpm) div 1000 * 1000) div __t"))
             .otherwise(lit(1000L))))
-      .select(col(sourceCol), col("rate_permille"))
-    withTok.join(rates, sourceCol)
+      .select(col(sourceCol).as("__mix_src"), col("rate_permille"))
+    // null-safe join: a null source grouped into its own rate row above
+    // must find it here too (plain equi-join drops null keys silently)
+    withTok.join(rates, col(sourceCol) <=> col("__mix_src"))
+      .drop("__mix_src")
       .filter(hashBucket(col(keyCol), seed, 1000) < col("rate_permille"))
   }
 

@@ -61,10 +61,15 @@ object SketchStats {
         Seq(first(col("__apq")).as("__apq")) ++
         distinctCols.map(c => count_distinct(col(c)).as(s"__d_$c")) ++
         qs.indices.map(i => sum(when(col(quantCol).cast("double") <=
-          element_at(col("__apq"), i + 1), 1L).otherwise(0L)).as(s"__le_$i")) :+
-        count(when(col(quantCol).isNotNull, 1)).as("__n")
+          element_at(col("__apq"), i + 1), 1L).otherwise(0L)).as(s"__le_$i")) ++
+        Seq(count(when(col(quantCol).isNotNull, 1)).as("__n"),
+          count(lit(1)).as("__rows"))
+    // an empty input yields ZERO gate rows (matching the pre-global-agg
+    // grouped form), not one row of null-sketch/zero-count verdicts —
+    // the global agg always emits a row, so filter it back out
     val gates = df.crossJoin(broadcast(sketch))
       .agg(exactAggs.head, exactAggs.tail: _*)
+      .filter(col("__rows") > 0)
     val rows =
       distinctCols.map { c =>
         val err = abs(col(s"__a_$c") - col(s"__d_$c")).cast("double")

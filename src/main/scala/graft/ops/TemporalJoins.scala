@@ -147,11 +147,21 @@ object TemporalJoins {
       floor(unix_micros(c) / lit(binMicros)).cast("long")
     val p = points.withColumn("__bin", binOf(col(ptCol)))
     val nBins = binOf(col(endCol)) - binOf(col(startCol)) + 1
+    // NULL-bounds branch must come FIRST: a null start/end makes the
+    // nBins comparison null, which would otherwise fall through to the
+    // raise_error branch (with a null message, since concat over the
+    // null nBins is null). A null bound is the common encoding of an
+    // unclosed interval; it is DROPPED here (explode over null emits no
+    // rows), matching the pre-guard semantics — pre-filter the interval
+    // side if an unclosed interval should be an error instead.
     val i = intervals.withColumn("__bin",
-      explode(when(nBins <= maxBinsPerInterval,
+      explode(when(col(startCol).isNull || col(endCol).isNull,
+          lit(null).cast("array<long>"))
+        .when(nBins <= maxBinsPerInterval,
           sequence(binOf(col(startCol)), binOf(col(endCol))))
         .otherwise(raise_error(concat(
-          lit("rangeJoin: interval covers "), nBins.cast("string"),
+          lit("rangeJoin: interval covers "),
+          coalesce(nBins.cast("string"), lit("?")),
           lit(s" bins > maxBinsPerInterval=$maxBinsPerInterval " +
             s"(binSeconds=$binSeconds); clamp the interval or raise " +
             "binSeconds"))))))

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.MaterializeOps
 
 /** Text-analysis operators for corpus curation (builder brief): language
   * ID, quality scoring, token counting, document fingerprinting. All
@@ -27,10 +28,15 @@ object TextAnalysis {
     * to `maxVocab`, ids assigned 0..V-1 in rank order.
     *
     * Scale shape: one explode + one map-side-combined hash agg over the
-    * corpus produces the (token, tf, df) stats; the rank window runs
-    * over the VOCABULARY-sized frame (≤ distinct tokens after the
-    * minDf prune), not the corpus — a single-partition sort of the id
-    * space every tokenizer build pays anyway.
+    * corpus produces the (token, tf, df) stats; the rank is
+    * [[Packing.globalRowNumber]]'s two-pass distributed scan (range
+    * partition on (tf desc, token asc) — a total order, token is
+    * unique — per-partition counts → driver offsets → local rank), NOT
+    * an unpartitioned window: at default minDf the frame is ALL
+    * distinct corpus tokens (10⁸–10⁹ on a web corpus — typos, URLs,
+    * numbers), which must never funnel through one task. `maxVocab`
+    * rides into the scan as its `limit`, so tail partitions past the
+    * cutoff are skipped wholesale, not ranked then filtered.
     *
     * @return (token, tf, df, vocab_id), vocab_id dense from 0.
     */
@@ -44,10 +50,9 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"),
         countDistinct(col(idCol)).as("df"))
       .filter(col("df") >= minDf)
-    val w = Window.orderBy(col("tf").desc, col("token").asc)
-    stats.withColumn("vocab_id",
-        (row_number().over(w) - 1).cast("long"))
-      .filter(col("vocab_id") < maxVocab)
+    Packing.globalRowNumber(stats,
+      Seq(col("tf").desc, col("token").asc), "vocab_id",
+      limit = maxVocab.toLong)
   }
 
   /** Corpus-LM "familiarity" score — the integer-exact stand-in for
@@ -65,7 +70,8 @@ object TextAnalysis {
     * aggregations map-side combine, no windows.
     *
     * @return (idCol, n_bigrams, familiarity); docs with fewer than two
-    *         tokens score null with n_bigrams 0.
+    *         tokens score null with n_bigrams 0. Runs Spark jobs eagerly
+    *         at call time (see [[Materialize]]).
     */
   def bigramFamiliarity(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
@@ -77,7 +83,7 @@ object TextAnalysis {
           i => concat(element_at(col("__ws"), i), lit(" "),
             element_at(col("__ws"), i + 1)))).as("__bg"))
       .select(col(idCol), Dedup.md5Hash60(col("__bg")).as("__bh"))
-      .localCheckpoint() // feeds the freq agg AND the scoring join
+      .materialized // feeds the freq agg AND the scoring join
     val dfq = occ.distinct()
       .groupBy(col("__bh")).agg(count(lit(1)).as("__df"))
     val scored = occ.join(dfq, "__bh")
@@ -109,7 +115,8 @@ object TextAnalysis {
     * (q78) restates the SAME hashed grouping so the check is exact.
     *
     * @return (idCol, clean_text, n_lines_kept, n_lines_removed); a doc
-    *         that was pure boilerplate keeps an empty clean_text.
+    *         that was pure boilerplate keeps an empty clean_text. Runs
+    *         Spark jobs eagerly at call time (see [[Materialize]]).
     */
   def stripBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
       maxDocFreq: Long): DataFrame = {
@@ -119,7 +126,7 @@ object TextAnalysis {
     val lines = df.select(col(idCol),
         posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
       .withColumn("__lh", Dedup.md5Hash60(col("__line")))
-      .localCheckpoint()
+      .materialized
     val docFreq = lines.select(col(idCol), col("__lh")).distinct()
       .groupBy(col("__lh")).agg(count(lit(1)).as("__df"))
     val kept = lines.join(docFreq, "__lh").filter(col("__df") <= maxDocFreq)
@@ -222,7 +229,7 @@ object TextAnalysis {
     // join (one tokenize pass), and its blocks free on GC instead of
     // pinning in the session cache across invocations
     val tf = toks.groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf")).localCheckpoint()
+      .agg(count(lit(1)).as("tf")).materialized
     // tf already holds one row per (doc, term) — df comes from the
     // aggregated side, not a second tokenize+explode pass over the corpus
     val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -343,14 +350,14 @@ object TextAnalysis {
     // pinning the session cache across invocations, same rationale as
     // tfIdfTop) or the sketch scan runs 4×
     val fps = winnowingFingerprints(df, idCol, textCol, k, w)
-      .localCheckpoint()
+      .materialized
     // document frequency per fingerprint; rare AND sub-boilerplate ones
     // survive (freq 1 can't form a pair — dropping it halves join input)
     val kept = fps.join(
       fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
         .filter(col("__df") >= 2 && col("__df") <= maxDocFreq)
         .select(col("fp")),
-      "fp").localCheckpoint()
+      "fp").materialized
     val a = kept.alias("a")
     val b = kept.alias("b")
     a.join(b, col("a.fp") === col("b.fp")

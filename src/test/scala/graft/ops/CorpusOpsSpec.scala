@@ -323,6 +323,48 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.map(_._6).toSeq == Seq(0L, 300L, 88L, 264L))
   }
 
+  test("globalRowNumber: dense ranks in order, limit cuts the tail, " +
+      "stable across input partitioning") {
+    val d = spark.range(1000).toDF("id")
+      .withColumn("k", pmod($"id" * 37, lit(1000)))
+    val ranked = Packing.globalRowNumber(d, Seq($"k".asc), "rn",
+      numPartitions = 7)
+    val out = ranked.select($"k", $"rn").as[(Long, Long)].collect().sortBy(_._2)
+    assert(out.map(_._2).toSeq == (0L until 1000L))
+    assert(out.map(_._1).toSeq == out.map(_._1).sorted.toSeq)
+    // limit truncates densely and skips tail partitions wholesale
+    val top = Packing.globalRowNumber(d, Seq($"k".asc), "rn", limit = 10,
+      numPartitions = 7).select($"k").as[Long].collect().sorted
+    assert(top.toSeq == (0L until 10L))
+    // repartitioned input → identical ranks
+    val again = Packing.globalRowNumber(d.repartition(13), Seq($"k".asc),
+      "rn", numPartitions = 7)
+      .select($"k", $"rn").as[(Long, Long)].collect().toSet
+    assert(again == out.toSet)
+  }
+
+  test("buildVocab plan has no window at all — the rank is the two-pass " +
+      "distributed scan") {
+    val docs = Seq((1L, "aa bb aa")).toDF("doc_id", "text")
+    val plan = TextAnalysis.buildVocab(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("Materialize: checkpoint strategy works for cluster deployments, " +
+      "bad values fail loudly") {
+    val d = Seq((1L, "x")).toDF("id", "t")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    spark.conf.set(Materialize.StrategyKey, "checkpoint")
+    try {
+      val out = Materialize(d).as[(Long, String)].collect()
+      assert(out.toSeq == Seq((1L, "x")))
+      spark.conf.set(Materialize.StrategyKey, "bogus")
+      intercept[IllegalArgumentException] { Materialize(d) }
+    } finally spark.conf.unset(Materialize.StrategyKey)
+  }
+
   test("langId picks the dominant stopword language deterministically") {
     val d = Seq("the cat of the hat is", "der hund und die katze ist",
       "el perro y la casa es", "zzz qqq",

@@ -202,6 +202,28 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("mixToBudget: NULL-source rows form their own stratum at the " +
+      "default rate instead of vanishing") {
+    val rows = (1L to 60L).map { i =>
+      (i, if (i <= 30) Some("web") else None, "t " * 9 + "t") // 10 tokens
+    }.toDF("doc_id", "source", "text")
+    // budget huge → every rate caps at 1000‰: ALL rows survive,
+    // including the 30 with a null source (an equi-join would drop them)
+    val out = Sampling.mixToBudget(rows, "source", "doc_id",
+      TextAnalysis.tokenCount(col("text")), budgetTokens = 100000L,
+      weightsPermille = Map("web" -> 500L), defaultPermille = 500L,
+      seed = "mx")
+    assert(out.count() == 60L)
+    assert(out.filter($"source".isNull).count() == 30L)
+    // and the null stratum thins by ITS OWN rate under a tight budget
+    val tight = Sampling.mixToBudget(rows, "source", "doc_id",
+      TextAnalysis.tokenCount(col("text")), budgetTokens = 200L,
+      weightsPermille = Map.empty, defaultPermille = 500L, seed = "mx")
+    val nullRate = tight.filter($"source".isNull)
+      .select($"rate_permille").distinct().as[Long].collect()
+    assert(nullRate.length == 1 && nullRate.head < 1000L)
+  }
+
   test("bigramFamiliarity: shared transitions score above unique ones, " +
       "degenerate docs score null") {
     val docs = Seq(
@@ -283,6 +305,14 @@ class CurationOpsSpec extends SparkSpec {
       countDistinct($"l_partkey")).as[(Long, Long)].collect().head
     assert(exact("distinct_l_orderkey") == trueDistinct._1)
     assert(exact("distinct_l_partkey") == trueDistinct._2)
+  }
+
+  test("statsGate: an empty input yields zero gate rows, not null verdicts") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter(lit(false))
+    val out = SketchStats.statsGate(docs,
+      Seq("l_orderkey"), "l_extendedprice", Seq(0.5))
+    assert(out.isEmpty)
   }
 
   // ---------------------------------------------------- quantization

@@ -183,4 +183,19 @@ class TemporalJoinsSpec extends SparkSpec {
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("maxBinsPerInterval")))
   }
+
+  test("rangeJoin drops a NULL-bounded interval instead of crashing the " +
+      "guard branch") {
+    val points = Seq((1L, ts("2026-01-01 10:00:00"))).toDF("event_id", "pt")
+    val intervals = Seq(
+      (9L, Some(ts("2026-01-01 09:00:00")), Option.empty[java.sql.Timestamp]),
+      (10L, Option.empty[java.sql.Timestamp], Some(ts("2026-01-01 11:00:00"))),
+      (11L, Some(ts("2026-01-01 09:00:00")), Some(ts("2026-01-01 11:00:00"))))
+      .toDF("window_id", "start_ts", "end_ts")
+    val out = TemporalJoins
+      .rangeJoin(points, intervals, "pt", "start_ts", "end_ts", 300L)
+      .select($"event_id", $"window_id").as[(Long, Long)].collect().sorted
+    // NULL-bounded intervals 9 and 10 are dropped; the closed one matches
+    assert(out.toSeq == Seq((1L, 11L)))
+  }
 }

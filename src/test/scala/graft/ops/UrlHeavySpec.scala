@@ -93,6 +93,23 @@ class UrlHeavySpec extends SparkSpec {
     assert(HeavyHitters.exactHeavyHitters(rows, "k", k = 10).isEmpty)
   }
 
+  test("exactHeavyHitters reports a heavy NULL key instead of silently " +
+      "dropping it") {
+    // 300 nulls of 1000 rows (30% > 1/6): the missing-value skew this
+    // diagnostic exists to catch — null lands in ONE shuffle partition
+    val rows = (Seq.fill(300)(Option.empty[String]) ++
+      Seq.fill(250)(Some("hot")) ++ (1 to 450).map(i => Some(s"u$i")))
+      .toDF("k")
+    val out = HeavyHitters.exactHeavyHitters(rows.repartition(7), "k", k = 6)
+      .as[(Option[String], Long)].collect().toSet
+    assert(out == Set((None, 300L), (Some("hot"), 250L)))
+    // all-null input: null is the only candidate
+    val allNull = Seq.fill(10)(Option.empty[String]).toDF("k")
+    val out2 = HeavyHitters.exactHeavyHitters(allNull, "k", k = 2)
+      .as[(Option[String], Long)].collect().toSet
+    assert(out2 == Set((None, 10L)))
+  }
+
   test("MisraGries summary: guaranteed retention of keys above n/k " +
       "under adversarial reduce/merge orders") {
     val mg = new HeavyHitters.MisraGries(3)
