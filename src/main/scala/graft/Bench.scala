@@ -16,6 +16,17 @@ import graft.io.PerfTracker
   * streamed as JSON lines to BENCH_PERF.jsonl in the working directory
   * — the durable evidence channel for drift attribution that doesn't
   * compete with the summary line for tail bytes.
+  *
+  * Timed-window discipline (r5 finding): each query warms TWICE before
+  * the timed rep — once at the small warm sf (HotSpot C2 volume for the
+  * generated code) and once at the TARGET sf (amortizes cold build-time
+  * materialization and target-scale codegen placement that the small
+  * warm cannot reach) — and the timed rep reports a build/exec split
+  * (`build_sec` in BENCH_PERF.jsonl) so an eager-materialization query
+  * can be adjudicated from the files alone. BENCH_PERF.jsonl opens and
+  * closes with a `ctx` run-context line (load average, heap ceiling):
+  * a captured number is only trustworthy next to the machine state
+  * that produced it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,7 +48,10 @@ object Bench {
     val tracker = PerfTracker.install(spark)
     // warm the JVM/codegen once on the smallest sf so per-query numbers
     // measure execution, not first-query classloading
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try SparkEntry.entry(spark).count() catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] entry warm failed: ${e.getClass.getName}")
+    }
     // experiment knob for GC-pressure bisection: force a full collection
     // between queries so each starts from a compacted heap
     val gcBetween = sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")
@@ -47,6 +61,15 @@ object Bench {
         java.lang.Double.valueOf(v))
     val perfLog = new java.io.PrintWriter(
       new java.io.FileWriter("BENCH_PERF.jsonl", false))
+    // run-context stamp: a captured number is only interpretable next to
+    // the machine state that produced it (r5: ambient load inflated two
+    // captured numbers ~8× with nothing in-file saying so)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def ctxLine(tag: String): String =
+      s"""{"ctx":"$tag","load_avg":${f3(osBean.getSystemLoadAverage)}""" +
+        s""","avail_cpus":${osBean.getAvailableProcessors}""" +
+        s""","heap_max_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)}""" +
+        s""","sf_dir":"$sfDir"}"""
     val names = SparkEntry.queries.keys.toSeq.sorted
     // `qNN` prefix — unique today; fall back to full names if a future
     // query breaks that rather than silently merging two keys
@@ -66,15 +89,34 @@ object Bench {
     // execution at the target sf
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       "/root/testdata/sf0.01")
+    perfLog.println(ctxLine("start")); perfLog.flush()
+    def logWarmFailure(name: String, scale: String, e: Throwable): Unit =
+      System.err.println(
+        s"[bench] $name warm ($scale) failed: ${e.getClass.getName}")
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       if (warmDir != sfDir)
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try fn(spark, warmDir).count()
+        catch { case e: Throwable => logWarmFailure(name, warmDir, e) }
+      // target-sf warm: eager build-time materialization (localCheckpoint
+      // in the dedup/text operators) runs jobs at the TARGET scale during
+      // query construction, whose codegen/JIT the small warm cannot
+      // amortize — r5's captured q50 published 10.3 s for a 1 s query
+      // because rep 1 paid a 4.6 s cold build inside the timed window
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable => logWarmFailure(name, sfDir, e) }
       spark.catalog.clearCache()
       tracker.awaitQuiesce(stableMs = 50, timeoutMs = 2000)
       val before = tracker.snapshot()
+      // timed rep, split into build (query construction — includes any
+      // eager materialization) and exec (the count action)
       val t0 = System.nanoTime()
-      val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      var buildSecs = 0.0
+      val n = try {
+        val df = fn(spark, sfDir)
+        buildSecs = (System.nanoTime() - t0) / 1e9
+        df.count()
+      } catch { case _: Throwable => -1L }
       val secs = (System.nanoTime() - t0) / 1e9
       if (n < 0) System.err.println(s"[bench] $name FAILED")
       // operators may persist() intermediates; drop them so successive
@@ -85,6 +127,7 @@ object Bench {
       tracker.awaitQuiesce(stableMs = 50, timeoutMs = 2000)
       val after = tracker.snapshot()
       val line = s"""{"q":"${short(name)}","name":"$name","sec":${f3(secs)}""" +
+        s""","build_sec":${f3(buildSecs)}""" +
         s""","task_ms":${after.executorRunTimeMs - before.executorRunTimeMs}""" +
         s""","gc_ms":${after.jvmGcTimeMs - before.jvmGcTimeMs}""" +
         s""","shuf_r":${after.shuffleBytesRead - before.shuffleBytesRead}""" +
@@ -97,6 +140,7 @@ object Bench {
       if (gcBetween) System.gc()
       name -> secs
     }
+    perfLog.println(ctxLine("end"))
     perfLog.close()
     val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + f3(v) }
       .mkString("{", ",", "}")
