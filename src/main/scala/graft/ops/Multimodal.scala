@@ -8,19 +8,31 @@ import org.apache.spark.sql.functions._
   * feature-extract runs per-partition in BATCHES (the Scala analog of
   * Python's mapInPandas batch shape) behind a pluggable codec.
   *
-  * The container ships no image/audio libraries, so [[StubCodec]] is a
-  * clearly-marked DETERMINISTIC FAKE — it "decodes" dimensions from the
-  * byte buffer's length/content. The Spark-side plumbing (schema, batch
-  * iteration, partition-local codec reuse, expression twin for
-  * pushdown-friendly metadata) is real and tested; swapping in a native
-  * codec changes one `val`.
+  * Two codecs bind the same [[ImageCodec]] seam: [[StubCodec]] is a
+  * clearly-marked DETERMINISTIC FAKE ("decodes" dimensions from buffer
+  * length — the plumbing-only path with an expression twin), and
+  * [[JavaImageIoCodec]] is a REAL decoder (`javax.imageio`, in every
+  * JDK — PNG/JPEG/GIF/BMP) used by [[decodeImageStats]] for actual
+  * pixel work (dimensions + per-channel means), oracle-gated by q87 on
+  * deterministic PNG fixtures. Video/audio codecs remain env-bound
+  * (no native libs in the container); their partitioning shape is
+  * [[frameOffsets]].
   */
 object Multimodal {
 
   case class MediaMeta(mime: String, width: Int, height: Int, channels: Int)
 
+  /** Real decode output: metadata + per-channel pixel means (sRGB). */
+  case class ImageStats(mime: String, width: Int, height: Int,
+      channels: Int, mean_r: Double, mean_g: Double, mean_b: Double)
+
   trait ImageCodec extends Serializable {
     def decode(bytes: Array[Byte]): MediaMeta
+  }
+
+  /** Real pixel decode — the seam a feature extractor binds to. */
+  trait PixelCodec extends Serializable {
+    def decodeStats(bytes: Array[Byte]): ImageStats
   }
 
   /** Deterministic fake decode — STUB for the absent native codec. Must
@@ -32,6 +44,61 @@ object Multimodal {
       val n = bytes.length.toLong
       MediaMeta("image/fake", (64 + n % 1024).toInt,
         (64 + (n * 7919) % 1024).toInt, 3)
+    }
+  }
+
+  /** Container-format sniff from magic bytes — decode-independent, so
+    * the mime survives even for formats ImageIO can't rasterize. */
+  def sniffMime(bytes: Array[Byte]): String =
+    if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G') "image/png"
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8) "image/jpeg"
+    else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == '8') "image/gif"
+    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
+      "image/bmp"
+    else "application/octet-stream"
+
+  /** REAL image decode on the JDK's built-in `javax.imageio` (PNG, JPEG,
+    * GIF, BMP — no external native libs). Binds both seams: metadata
+    * ([[ImageCodec]]) and pixel statistics ([[PixelCodec]]). Pixel means
+    * are taken over `getRGB`'s sRGB view so they are format-independent;
+    * undecodable bytes fail loudly (a corrupt blob in a curation
+    * pipeline is a data bug, not a row to invent dimensions for —
+    * pre-filter with [[sniffMime]] if tolerance is wanted). */
+  object JavaImageIoCodec extends ImageCodec with PixelCodec {
+    private def read(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null,
+        s"undecodable image bytes (${bytes.length} B, ${sniffMime(bytes)})")
+      img
+    }
+
+    def decode(bytes: Array[Byte]): MediaMeta = {
+      val img = read(bytes)
+      MediaMeta(sniffMime(bytes), img.getWidth, img.getHeight,
+        img.getRaster.getNumBands)
+    }
+
+    def decodeStats(bytes: Array[Byte]): ImageStats = {
+      val img = read(bytes)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      ImageStats(sniffMime(bytes), w, h, img.getRaster.getNumBands,
+        sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
     }
   }
 
@@ -69,6 +136,37 @@ object Multimodal {
       }(Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
         Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaInt))
     out.toDF(idCol, "mime", "width", "height", "channels")
+  }
+
+  private case class StatsRow(id: Long, mime: String, width: Int,
+      height: Int, channels: Int, mean_r: Double, mean_g: Double,
+      mean_b: Double)
+
+  /** Batch-shaped REAL decode: dimensions + per-channel pixel means via
+    * the pluggable [[PixelCodec]] — same partition/batch shape as
+    * [[decodeImages]] (one codec per partition, fixed-size batches
+    * mirroring Arrow). At 100 TB the cost model is the map side of the
+    * corpus scan: no shuffle, bounded memory (one decoded image at a
+    * time), prunable output columns.
+    * Input: (id, blob); output: (id, mime, width, height, channels,
+    * mean_r, mean_g, mean_b).
+    */
+  def decodeImageStats(df: DataFrame, idCol: String, blobCol: String,
+      codec: PixelCodec = JavaImageIoCodec, batchSize: Int = 256): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    val out = df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])](enc)
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val s = codec.decodeStats(bytes)
+            StatsRow(id, s.mime, s.width, s.height, s.channels,
+              s.mean_r, s.mean_g, s.mean_b)
+          }
+        }
+      }(Encoders.product[StatsRow])
+    out.toDF(idCol, "mime", "width", "height", "channels",
+      "mean_r", "mean_g", "mean_b")
   }
 
   /** Deterministic frame-offset sampling for "video" blobs: byte offsets

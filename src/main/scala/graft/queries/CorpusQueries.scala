@@ -1424,5 +1424,39 @@ object CorpusQueries extends QueryModule {
              |     sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos_hof
              |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1""".stripMargin),
     ),
+
+    // ---- REAL image decode (javax.imageio) on deterministic PNG
+    // fixtures: dimensions AND per-channel pixel means come from actual
+    // rasterized bytes via the PixelCodec seam (batch mapPartitions),
+    // while DuckDB restates both from the doc_id formulas baked into
+    // PngFixtures — if real decoding breaks, the formulas stop
+    // matching. Solid fill + lossless PNG → channel means are exact
+    // integers, no tolerance needed. Glob hardcodes sf0.01 (the only
+    // scale the driver's DuckDB pass runs at), like q76.
+    Q(
+      "q87_image_decode",
+      (s, d) => {
+        val dir = graft.sources.PngFixtures.write(s, d)
+        val bin = s.read.format("binaryFile").load(s"$dir/*.png")
+          .select(
+            regexp_extract(col("path"), "img_(\\d+)\\.png", 1)
+              .cast("long").as("doc_id"),
+            col("content"))
+        graft.ops.Multimodal.decodeImageStats(bin, "doc_id", "content")
+      },
+      Some("""WITH f AS (
+             |  SELECT CAST(regexp_extract(file, 'img_(\d+)\.png', 1) AS BIGINT)
+             |    AS doc_id
+             |  FROM glob('/root/repo/target/png_fixtures/sf0.01/*.png')
+             |)
+             |SELECT doc_id, 'image/png' AS mime,
+             |  CAST(16 + doc_id % 48 AS INT) AS width,
+             |  CAST(16 + (doc_id * 7) % 48 AS INT) AS height,
+             |  3 AS channels,
+             |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+             |  CAST((doc_id * 3) % 256 AS DOUBLE) AS mean_g,
+             |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_b
+             |FROM f""".stripMargin),
+    ),
   )
 }

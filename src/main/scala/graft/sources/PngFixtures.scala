@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Deterministic PNG fixture corpus for the real-image-decode gate
+  * (q87): one solid-fill PNG per documents row with `doc_id % 10 == 0`,
+  * written to `target/png_fixtures/<sf-name>/` — a FIXED path (not
+  * [[graft.io.Scratch]]) because the driver's DuckDB oracle re-lists the
+  * files via `glob()` AFTER this JVM exits, and the path is baked into
+  * the oracle SQL (same contract as [[HtmlFixtures]]).
+  *
+  * Every pixel derives from doc_id formulas (below), so the oracle can
+  * restate dimensions AND per-channel means from the filename alone —
+  * if `javax.imageio` decoding (q87's subject) breaks, the formulas
+  * stop matching. Solid fill is the deliberate choice: a PNG round-trip
+  * is lossless, so each channel mean equals the fill value EXACTLY and
+  * the hash compare needs no tolerance. Driver-side write by design
+  * (one filesystem, bounded subset — 50 files at the oracle's sf0.01);
+  * idempotent: stale `*.png` are removed first.
+  */
+object PngFixtures {
+
+  /** Dimension/fill formulas — restated in q87's oracle SQL. */
+  def widthOf(docId: Long): Int = (16 + docId % 48).toInt
+  def heightOf(docId: Long): Int = (16 + (docId * 7) % 48).toInt
+  def redOf(docId: Long): Int = (docId % 256).toInt
+  def greenOf(docId: Long): Int = ((docId * 3) % 256).toInt
+  def blueOf(docId: Long): Int = ((docId * 7) % 256).toInt
+
+  def write(spark: SparkSession, sfDir: String): String = {
+    val sfName = new java.io.File(sfDir).getName
+    val dir = java.nio.file.Paths.get("target", "png_fixtures", sfName)
+      .toAbsolutePath
+    java.nio.file.Files.createDirectories(dir)
+    val stale = dir.toFile.listFiles()
+    if (stale != null)
+      stale.filter(_.getName.endsWith(".png")).foreach(_.delete())
+    val ids = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    ids.foreach { id =>
+      val (w, h) = (widthOf(id), heightOf(id))
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (redOf(id) << 16) | (greenOf(id) << 8) | blueOf(id)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val f = dir.resolve(f"img_$id%06d.png").toFile
+      require(javax.imageio.ImageIO.write(img, "png", f),
+        s"no PNG writer available for $f")
+    }
+    dir.toString
+  }
+}

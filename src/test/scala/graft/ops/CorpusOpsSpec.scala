@@ -213,6 +213,65 @@ class CorpusOpsSpec extends SparkSpec {
     assert(offs.length == 4 && offs.head == 0L && offs == offs.sorted)
   }
 
+  test("JavaImageIoCodec really decodes: PNG/JPEG dims, mime sniff, " +
+      "exact solid-fill channel means, loud failure on garbage") {
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val bytes = png(20, 12, (200 << 16) | (100 << 8) | 50)
+    val meta = Multimodal.JavaImageIoCodec.decode(bytes)
+    assert(meta == Multimodal.MediaMeta("image/png", 20, 12, 3))
+    val stats = Multimodal.JavaImageIoCodec.decodeStats(bytes)
+    assert((stats.mean_r, stats.mean_g, stats.mean_b) == ((200.0, 100.0, 50.0)))
+    // JPEG: mime sniff + dims (lossy → no exact mean assertion)
+    val jimg = new java.awt.image.BufferedImage(
+      8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(jimg, "jpg", jbos)
+    val jmeta = Multimodal.JavaImageIoCodec.decode(jbos.toByteArray)
+    assert(jmeta.mime == "image/jpeg" && jmeta.width == 8 && jmeta.height == 6)
+    intercept[IllegalArgumentException] {
+      Multimodal.JavaImageIoCodec.decode("not an image".getBytes)
+    }
+    // batch mapPartitions path == direct codec call
+    val blobs = Seq((1L, bytes), (2L, png(33, 17, 0x0a0b0c)))
+      .toDF("doc_id", "blob")
+    val viaDf = Multimodal
+      .decodeImageStats(blobs, "doc_id", "blob", batchSize = 1)
+      .as[(Long, String, Int, Int, Int, Double, Double, Double)]
+      .collect().toSet
+    val direct = Seq((1L, bytes),
+      (2L, png(33, 17, 0x0a0b0c))).map { case (id, b) =>
+      val s = Multimodal.JavaImageIoCodec.decodeStats(b)
+      (id, s.mime, s.width, s.height, s.channels, s.mean_r, s.mean_g, s.mean_b)
+    }.toSet
+    assert(viaDf == direct)
+  }
+
+  test("PngFixtures round-trip: q87's Spark side reproduces the oracle " +
+      "formulas from real decoded bytes") {
+    val dir = graft.sources.PngFixtures.write(spark, "/root/testdata/sf0.001")
+    val bin = spark.read.format("binaryFile").load(s"$dir/*.png")
+      .select(regexp_extract($"path", "img_(\\d+)\\.png", 1)
+        .cast("long").as("doc_id"), $"content")
+    val out = Multimodal.decodeImageStats(bin, "doc_id", "content")
+      .as[(Long, String, Int, Int, Int, Double, Double, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, mime, w, h, c, mr, mg, mb) =>
+      assert(mime == "image/png" && c == 3)
+      assert(w == graft.sources.PngFixtures.widthOf(id))
+      assert(h == graft.sources.PngFixtures.heightOf(id))
+      assert(mr == graft.sources.PngFixtures.redOf(id).toDouble)
+      assert(mg == graft.sources.PngFixtures.greenOf(id).toDouble)
+      assert(mb == graft.sources.PngFixtures.blueOf(id).toDouble)
+    }
+  }
+
   test("multimodal twins agree on blobs past the Int32 overflow point") {
     // 300 KB: n*7919 overflows Int32 — Int arithmetic would throw under
     // ANSI in the expression path while the codec wrapped
