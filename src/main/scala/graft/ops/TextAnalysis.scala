@@ -55,6 +55,54 @@ object TextAnalysis {
       limit = maxVocab.toLong)
   }
 
+  private case class EncodedDoc(id: Long, token_ids: Seq[Long],
+      n_tokens: Long, n_oov: Long)
+
+  /** Tokenizer APPLICATION — the consumer of [[buildVocab]], closing the
+    * vocab-build → tokenize loop a training pipeline runs: whitespace
+    * tokens map to their frozen vocab ids, out-of-vocabulary tokens to
+    * `oovId` (the sentinel convention; remap downstream if the trainer
+    * wants an explicit UNK row).
+    *
+    * Scale shape: the vocabulary is a MODEL-SIZED artifact (bounded by
+    * buildVocab's maxVocab), so it rides to every task as ONE broadcast
+    * hash map — the same deliberate bounded-collect pattern as the IVF
+    * centroids — and encoding is a pure map over the corpus scan: no
+    * shuffle, no explode, O(1) lookup per token. The declarative
+    * alternative (explode + broadcast join + re-aggregate by position)
+    * shuffles the entire token stream just to rebuild row order; a
+    * Column `element_at` over a map literal is O(|vocab|) PER TOKEN
+    * (Catalyst map data is array-backed). mapPartitions is the honest
+    * shape here.
+    *
+    * @param vocab (token, vocab_id) frame, e.g. [[buildVocab]] output
+    * @return (idCol, token_ids array<long>, n_tokens, n_oov)
+    */
+  def encodeTokens(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, oovId: Long = -1L): DataFrame = {
+    val spark = df.sparkSession
+    val dict: Map[String, Long] = vocab
+      .select(col("token").cast("string"), col("vocab_id").cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bc = spark.sparkContext.broadcast(dict)
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.STRING)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)](enc)
+      .mapPartitions { it =>
+        val d = bc.value
+        it.map { case (id, text) =>
+          // trim+split(-1) matches the Column form split(trim(text), "\s+")
+          val toks = text.trim.split("\\s+", -1)
+          val ids = toks.map(t => d.getOrElse(t, oovId)).toSeq
+          EncodedDoc(id, ids, toks.length.toLong,
+            ids.count(_ == oovId).toLong)
+        }
+      }(org.apache.spark.sql.Encoders.product[EncodedDoc])
+      .toDF(idCol, "token_ids", "n_tokens", "n_oov")
+  }
+
   /** Corpus-LM "familiarity" score — the integer-exact stand-in for
     * CCNet's KenLM perplexity filter: score(doc) = mean corpus document
     * frequency over the doc's bigram OCCURRENCES. Text built from

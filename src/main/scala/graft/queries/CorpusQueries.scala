@@ -1458,5 +1458,52 @@ object CorpusQueries extends QueryModule {
              |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_b
              |FROM f""".stripMargin),
     ),
+
+    // ---- tokenizer application: q86's frozen vocab applied back to the
+    // corpus — every whitespace token to its dense id, OOV to -1, ids in
+    // document order. The vocab travels as ONE broadcast hash map (pure
+    // map over the scan, no shuffle); DuckDB independently rebuilds the
+    // identical vocab (q86's CTE) and re-looks-up every token via a
+    // positional left join, so a drifted id assignment or a dropped OOV
+    // hash-mismatches. The id ARRAY is gated as its space-joined string
+    // (order-preserving, scalar — the driver's sorted-hash compare is
+    // untested on array cells; q64 exploded for the same reason).
+    Q(
+      "q88_tokenize_encode",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val vocab = TextAnalysis.buildVocab(docs, "doc_id", "text",
+          minDf = 3L, maxVocab = 1000)
+        TextAnalysis.encodeTokens(docs, "doc_id", "text", vocab)
+          .select(col("doc_id"),
+            concat_ws(" ", col("token_ids")).as("ids_str"),
+            col("n_tokens"), col("n_oov"))
+      },
+      Some("""WITH toks0 AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+             |  FROM documents
+             |), stats AS (
+             |  SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+             |  FROM toks0 GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+             |), v AS (
+             |  SELECT token,
+             |    CAST(row_number() OVER (ORDER BY tf DESC, token ASC) - 1
+             |      AS BIGINT) AS vocab_id
+             |  FROM stats QUALIFY vocab_id < 1000
+             |), pos AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+             |    unnest(range(1, len(regexp_split_to_array(trim(text), '\s+')) + 1)) AS p
+             |  FROM documents
+             |), mapped AS (
+             |  SELECT t.doc_id, t.p, coalesce(v.vocab_id, -1) AS id
+             |  FROM pos t LEFT JOIN v ON t.tok = v.token
+             |)
+             |SELECT doc_id,
+             |  array_to_string(list(id ORDER BY p ASC), ' ') AS ids_str,
+             |  count(*) AS n_tokens,
+             |  CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+             |FROM mapped GROUP BY doc_id""".stripMargin),
+    ),
   )
 }

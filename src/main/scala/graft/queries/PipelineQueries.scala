@@ -309,5 +309,54 @@ object PipelineQueries extends QueryModule {
              |  d.lang, d.source AS src
              |FROM r JOIN documents d ON r.doc_id = d.doc_id""".stripMargin),
     ),
+
+    // ---- A13 perf-log sink, driver-visible: a fresh PerfTracker runs a
+    // fixed 3-job workload, appends its JSON progress lines to a FIXED
+    // path (the q76/q87 fixture contract), and BOTH engines re-read the
+    // same file — Spark through its JSON source, DuckDB through
+    // read_json_auto — and restate the log's invariants (line count,
+    // processed monotone over time, successful+failed == processed,
+    // positive speed). The booleans are genuinely recomputed by DuckDB
+    // from the same bytes, so a tracker that drops task events or
+    // writes corrupt JSON mismatches.
+    Q(
+      "q89_perf_log_sink",
+      (s, d) => {
+        val sfName = new java.io.File(d).getName
+        val dir = java.nio.file.Paths
+          .get("target", "perf_fixtures", sfName).toAbsolutePath
+        java.nio.file.Files.createDirectories(dir)
+        val path = dir.resolve("perf.jsonl")
+        java.nio.file.Files.deleteIfExists(path)
+        val t = graft.io.PerfTracker.install(s)
+        try {
+          (1 to 3).foreach { _ =>
+            Tables.documents(s, d).count()
+            t.awaitQuiesce()
+            t.writeLog(path.toString)
+          }
+        } finally s.sparkContext.removeSparkListener(t)
+        val log = s.read.json(path.toString)
+        log.agg(
+          count(lit(1)).as("n_lines"),
+          (transform(
+            array_sort(collect_list(
+              struct(col("elapsed_sec"), col("processed")))),
+            x => x.getField("processed"))
+            === array_sort(collect_list(col("processed"))))
+            .as("processed_monotone"),
+          bool_and(col("successful") + col("failed") === col("processed"))
+            .as("balanced"),
+          bool_and(col("speed") > 0).as("speed_positive"))
+      },
+      Some("""SELECT count(*) AS n_lines,
+             |  (list(processed ORDER BY elapsed_sec ASC) =
+             |     list_sort(list(processed))) AS processed_monotone,
+             |  bool_and(successful + failed = processed) AS balanced,
+             |  bool_and(speed > 0) AS speed_positive
+             |FROM read_json_auto(
+             |  '/root/repo/target/perf_fixtures/sf0.01/perf.jsonl')"""
+        .stripMargin),
+    ),
   )
 }

@@ -260,6 +260,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(tied.toSeq == Seq(("xx", 1L, 1L, 0L), ("yy", 1L, 1L, 1L)))
   }
 
+  test("encodeTokens: ids in document order, OOV sentinel, counts") {
+    val docs = Seq(
+      (1L, "aa bb aa cc"),
+      (2L, "aa bb dd"),
+      (3L, "aa bb"),
+    ).toDF("doc_id", "text")
+    // minDf=2 → vocab: aa(tf 4)->0, bb(tf 3)->1; cc/dd are OOV
+    val vocab = TextAnalysis.buildVocab(docs, "doc_id", "text", minDf = 2L)
+    val out = TextAnalysis.encodeTokens(docs, "doc_id", "text", vocab)
+      .as[(Long, Seq[Long], Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((Seq(0L, 1L, 0L, -1L), 4L, 1L)))
+    assert(out(2L) == ((Seq(0L, 1L, -1L), 3L, 1L)))
+    assert(out(3L) == ((Seq(0L, 1L), 2L, 0L)))
+    // custom OOV id flows through
+    val out2 = TextAnalysis
+      .encodeTokens(docs, "doc_id", "text", vocab, oovId = -100L)
+      .filter($"doc_id" === 1L)
+      .select($"token_ids").as[Seq[Long]].collect().head
+    assert(out2 == Seq(0L, 1L, 0L, -100L))
+  }
+
   test("stripBoilerplateLines is idempotent: a second pass changes nothing") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", concat_ws("\n", lit("SHARED HEADER"), $"text",
