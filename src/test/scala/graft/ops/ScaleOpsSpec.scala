@@ -131,6 +131,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plan.contains("partial_count"))
   }
 
+  test("encodeTokens plan: pure map over the scan — no Exchange, no " +
+      "explode; the vocab rides as a task broadcast, not a join") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val vocab = TextAnalysis.buildVocab(docs, "doc_id", "text", minDf = 2L)
+    val plan = TextAnalysis.encodeTokens(docs, "doc_id", "text", vocab)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Generate"), plan) // no explode of the token stream
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("decodeImageStats plan: map-shaped — no Exchange") {
+    val blob = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "content")
+    val plan = graft.ops.Multimodal.decodeImageStats(blob, "doc_id", "content")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("budget-mixing plan: rate table joins back without a forced " +
       "broadcast hint; survivor filter is a pure map") {
     val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
