@@ -41,6 +41,36 @@ object Sampling {
     df.withColumn("bucket", b).withColumn("split", assign)
   }
 
+  /** Deterministic EXACT-SIZE uniform sample: exactly `min(n, |df|)`
+    * rows, chosen by seeded hash rank with the key as tie-break — the
+    * fixed-budget eval-set / human-review draw [[hashSplit]]'s per-row
+    * thresholding can't promise (a 10 000-row eval target lands
+    * binomially ±1%, this lands exact). Same determinism contract as
+    * the other samplers: selection depends only on (key, seed), so any
+    * engine re-derives the identical row set (q90's DuckDB twin).
+    *
+    * Shape: [[Packing.globalRowNumber]]'s two-pass distributed rank
+    * over (hash, key) with `n` as its limit — tail partitions past the
+    * quota are skipped wholesale, no unpartitioned window, no
+    * driver-side data. The tradeoff vs hashSplit is the same as
+    * [[stratifiedSplit]]'s: the quota depends on the GLOBAL rank, so
+    * adding rows can rotate others out of the sample; use hashSplit
+    * when membership must never migrate, sampleExact when the size
+    * must hold exactly.
+    *
+    * @return the sampled rows with `sample_rank` (0-based, dense) */
+  def sampleExact(df: DataFrame, keyCol: String, n: Long,
+      seed: String): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(!df.columns.contains("__r"),
+      "input must not already carry a __r column")
+    Packing.globalRowNumber(
+      df.withColumn("__r",
+        Dedup.md5Hash60(concat(col(keyCol).cast("string"), lit(seed)))),
+      Seq(col("__r").asc, col(keyCol).asc), "sample_rank", limit = n)
+      .drop("__r")
+  }
+
   /** Deterministic per-group quota: keep at most `cap` rows per group,
     * chosen by hash rank — the per-domain/per-source cap every web
     * corpus applies so a handful of template-heavy domains can't

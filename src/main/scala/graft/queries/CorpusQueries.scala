@@ -1505,5 +1505,27 @@ object CorpusQueries extends QueryModule {
              |  CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
              |FROM mapped GROUP BY doc_id""".stripMargin),
     ),
+
+    // ---- exact-size uniform sample: exactly n rows by seeded hash
+    // rank (the fixed-budget eval-set draw per-row thresholding can't
+    // promise). The rank is the two-pass distributed scan — no
+    // unpartitioned window — with n as its limit; DuckDB re-derives the
+    // identical rows AND ranks from the shared md5-60 construction.
+    Q(
+      "q90_sample_exact",
+      (s, d) => Sampling.sampleExact(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id",
+        n = 100L, seed = "ev1"),
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ev1'), 1, 15)
+             |      AS BIGINT) AS r
+             |  FROM documents
+             |)
+             |SELECT doc_id,
+             |  CAST(row_number() OVER (ORDER BY r ASC, doc_id ASC) - 1
+             |    AS BIGINT) AS sample_rank
+             |FROM h QUALIFY sample_rank < 100""".stripMargin),
+    ),
   )
 }

@@ -202,6 +202,23 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("sampleExact: exactly n rows, deterministic across partitioning, " +
+      "seed changes the draw") {
+    val ids = spark.range(5000).toDF("id")
+    val a = Sampling.sampleExact(ids, "id", 100L, "s1")
+      .select($"id", $"sample_rank").as[(Long, Long)].collect()
+    assert(a.length == 100)
+    assert(a.map(_._2).sorted.toSeq == (0L until 100L))
+    val b = Sampling.sampleExact(ids.repartition(13), "id", 100L, "s1")
+      .select($"id", $"sample_rank").as[(Long, Long)].collect()
+    assert(a.toSet == b.toSet)
+    val c = Sampling.sampleExact(ids, "id", 100L, "s2")
+      .select($"id").as[Long].collect().toSet
+    assert(c != a.map(_._1).toSet)
+    // n larger than the table → the whole table
+    assert(Sampling.sampleExact(ids.limit(7), "id", 100L, "s1").count() == 7)
+  }
+
   test("mixToBudget: NULL-source rows form their own stratum at the " +
       "default rate instead of vanishing") {
     val rows = (1L to 60L).map { i =>
