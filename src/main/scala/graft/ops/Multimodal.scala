@@ -58,6 +58,9 @@ object Multimodal {
       bytes(2) == 'F' && bytes(3) == '8') "image/gif"
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
       "image/bmp"
+    else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
+      bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') "audio/wav"
     else "application/octet-stream"
 
   /** REAL image decode on the JDK's built-in `javax.imageio` (PNG, JPEG,
@@ -136,6 +139,67 @@ object Multimodal {
       }(Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
         Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaInt))
     out.toDF(idCol, "mime", "width", "height", "channels")
+  }
+
+  /** Real audio metadata: sample rate (Hz), channel count, frame count,
+    * and the derived duration (frames / rate — one IEEE division, so
+    * any engine restates the exact bits). */
+  case class AudioMeta(mime: String, sample_rate: Int, channels: Int,
+      frames: Long, duration_sec: Double)
+
+  /** Real audio decode seam — WAV/AIFF/AU bind via the JDK; compressed
+    * formats (mp3/ogg) bind the same trait with an external lib. */
+  trait AudioCodec extends Serializable {
+    def decodeAudio(bytes: Array[Byte]): AudioMeta
+  }
+
+  /** REAL audio metadata decode on the JDK's `javax.sound.sampled`
+    * (WAV/AIFF/AU PCM — no external libs), the audio sibling of
+    * [[JavaImageIoCodec]]: header-driven, so cost per blob is O(header),
+    * not O(samples). Undecodable bytes fail loudly, same policy. */
+  object JavaSoundCodec extends AudioCodec {
+    def decodeAudio(bytes: Array[Byte]): AudioMeta = {
+      val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"undecodable audio bytes (${bytes.length} B, " +
+              s"${sniffMime(bytes)})", e)
+      }
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val rate = fmt.getSampleRate.toInt
+        AudioMeta(sniffMime(bytes), rate, fmt.getChannels, frames,
+          frames.toDouble / rate)
+      } finally in.close()
+    }
+  }
+
+  private case class AudioRow(id: Long, mime: String, sample_rate: Int,
+      channels: Int, frames: Long, duration_sec: Double)
+
+  /** Batch-shaped audio metadata decode — same partition/batch shape as
+    * [[decodeImageStats]] (map-side only, one codec per partition).
+    * Input: (id, blob); output: (id, mime, sample_rate, channels,
+    * frames, duration_sec). */
+  def decodeAudioMeta(df: DataFrame, idCol: String, blobCol: String,
+      codec: AudioCodec = JavaSoundCodec, batchSize: Int = 256): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    val out = df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])](enc)
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val m = codec.decodeAudio(bytes)
+            AudioRow(id, m.mime, m.sample_rate, m.channels, m.frames,
+              m.duration_sec)
+          }
+        }
+      }(Encoders.product[AudioRow])
+    out.toDF(idCol, "mime", "sample_rate", "channels", "frames",
+      "duration_sec")
   }
 
   private case class StatsRow(id: Long, mime: String, width: Int,

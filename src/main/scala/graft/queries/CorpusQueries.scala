@@ -1527,5 +1527,35 @@ object CorpusQueries extends QueryModule {
              |    AS BIGINT) AS sample_rank
              |FROM h QUALIFY sample_rank < 100""".stripMargin),
     ),
+
+    // ---- REAL audio metadata decode (javax.sound.sampled), the audio
+    // sibling of q87: WAV headers parsed from actual bytes through the
+    // AudioCodec seam while DuckDB restates rate/channels/frames — and
+    // the duration DIVISION — from the doc_id formulas baked into
+    // WavFixtures. Glob hardcodes sf0.01 like q76/q87/q89.
+    Q(
+      "q91_audio_decode",
+      (s, d) => {
+        val dir = graft.sources.WavFixtures.write(s, d)
+        val bin = s.read.format("binaryFile").load(s"$dir/*.wav")
+          .select(
+            regexp_extract(col("path"), "clip_(\\d+)\\.wav", 1)
+              .cast("long").as("doc_id"),
+            col("content"))
+        graft.ops.Multimodal.decodeAudioMeta(bin, "doc_id", "content")
+      },
+      Some("""WITH f AS (
+             |  SELECT CAST(regexp_extract(file, 'clip_(\d+)\.wav', 1) AS BIGINT)
+             |    AS doc_id
+             |  FROM glob('/root/repo/target/wav_fixtures/sf0.01/*.wav')
+             |)
+             |SELECT doc_id, 'audio/wav' AS mime,
+             |  CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+             |  CAST(1 + doc_id % 2 AS INT) AS channels,
+             |  CAST(400 + doc_id % 600 AS BIGINT) AS frames,
+             |  CAST(400 + doc_id % 600 AS DOUBLE) /
+             |    CAST(8000 + (doc_id % 4) * 4000 AS DOUBLE) AS duration_sec
+             |FROM f""".stripMargin),
+    ),
   )
 }

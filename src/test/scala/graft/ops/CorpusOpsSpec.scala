@@ -272,6 +272,27 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("JavaSoundCodec really decodes WAV headers; fixtures round-trip " +
+      "the q91 oracle formulas") {
+    val dir = graft.sources.WavFixtures.write(spark, "/root/testdata/sf0.001")
+    val bin = spark.read.format("binaryFile").load(s"$dir/*.wav")
+      .select(regexp_extract($"path", "clip_(\\d+)\\.wav", 1)
+        .cast("long").as("doc_id"), $"content")
+    val out = Multimodal.decodeAudioMeta(bin, "doc_id", "content")
+      .as[(Long, String, Int, Int, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, mime, rate, ch, frames, dur) =>
+      assert(mime == "audio/wav")
+      assert(rate == graft.sources.WavFixtures.rateOf(id))
+      assert(ch == graft.sources.WavFixtures.channelsOf(id))
+      assert(frames == graft.sources.WavFixtures.framesOf(id))
+      assert(dur == frames.toDouble / rate)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.JavaSoundCodec.decodeAudio("not audio".getBytes)
+    }
+  }
+
   test("multimodal twins agree on blobs past the Int32 overflow point") {
     // 300 KB: n*7919 overflows Int32 — Int arithmetic would throw under
     // ANSI in the expression path while the codec wrapped
