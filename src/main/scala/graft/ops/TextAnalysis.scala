@@ -293,6 +293,56 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("score"), col("rank"))
   }
 
+  private case class DeflateRow(id: Long, n_bytes: Long,
+      n_deflate: Long, deflate_ratio: Double)
+
+  /** Deflate compression ratio as a REDUNDANCY signal — the
+    * Dolma/RefinedWeb-family quality filter next to the Gopher
+    * repetition fractions ([[repetitionSignals]]): template chrome,
+    * keyword stuffing, and boilerplate-heavy pages compress far below
+    * natural prose, so a low ratio (compressed/raw) flags machine-
+    * generated redundancy that n-gram fractions can miss (long-range
+    * structure), and a ratio near/above 1 flags high-entropy noise
+    * (binary junk, encrypted blobs) posing as text.
+    *
+    * Shape: pure map over the corpus scan via `mapPartitions` — ONE
+    * `java.util.zip.Deflater` per partition, `reset()` between
+    * documents (allocating a native zlib stream per row is the classic
+    * perf bug). No shuffle; rides the scan at 100 TB like the other
+    * text signals. The compressed SIZE is deterministic for a given
+    * zlib build but NOT an engine-portable constant — oracle checks
+    * gate on corpus-level verdicts (q92), never on raw deflate bytes.
+    *
+    * @return (idCol, n_bytes, n_deflate, deflate_ratio); empty text
+    *         scores ratio 0 (header-only output is skipped, not
+    *         divided by zero).
+    */
+  def deflateRatio(df: DataFrame, idCol: String, textCol: String,
+      level: Int = 6): DataFrame = {
+    require(level >= 1 && level <= 9, s"level must be in [1,9], got $level")
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.STRING)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)](enc)
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          if (raw.isEmpty) DeflateRow(id, 0L, 0L, 0.0)
+          else {
+            d.reset(); d.setInput(raw); d.finish()
+            var out = 0L
+            while (!d.finished()) out += d.deflate(buf)
+            DeflateRow(id, raw.length.toLong, out,
+              out.toDouble / raw.length)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.product[DeflateRow])
+      .toDF(idCol, "n_bytes", "n_deflate", "deflate_ratio")
+  }
+
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
     * token bag — catches reshuffled/re-wrapped duplicates that exact
     * hashing misses, at one shuffle (engine-portable, unlike xxhash). */

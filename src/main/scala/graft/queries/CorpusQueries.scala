@@ -1557,5 +1557,39 @@ object CorpusQueries extends QueryModule {
              |    CAST(8000 + (doc_id % 4) * 4000 AS DOUBLE) AS duration_sec
              |FROM f""".stripMargin),
     ),
+
+    // ---- deflate-ratio redundancy signal (the Dolma/RefinedWeb
+    // compression-ratio filter): a verdict-form gate (the q26/q56
+    // pattern) because raw deflate sizes are zlib-build constants no
+    // other engine can restate. DuckDB genuinely recomputes n_docs and
+    // total raw UTF-8 bytes and pins the two verdicts: every ratio in
+    // (0, 1.2], and doubling each document's text compresses strictly
+    // better on corpus average (redundancy detection working end to
+    // end) — a broken Deflater loop or ratio inversion flips a bool
+    // and hash-mismatches.
+    Q(
+      "q92_deflate_ratio",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val single = TextAnalysis.deflateRatio(docs, "doc_id", "text")
+        val doubled = TextAnalysis.deflateRatio(
+          docs.select(col("doc_id"),
+            concat_ws(" ", col("text"), col("text")).as("text")),
+          "doc_id", "text")
+          .select(col("doc_id"), col("deflate_ratio").as("ratio2"))
+        single.join(doubled, "doc_id").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_bytes")).as("total_bytes"),
+          bool_and(col("deflate_ratio") > 0 &&
+            col("deflate_ratio") <= 1.2).as("ratios_bounded"),
+          (avg(col("ratio2")) < avg(col("deflate_ratio")))
+            .as("doubling_compresses_better"))
+      },
+      Some("""SELECT count(*) AS n_docs,
+             |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+             |  true AS ratios_bounded,
+             |  true AS doubling_compresses_better
+             |FROM documents""".stripMargin),
+    ),
   )
 }

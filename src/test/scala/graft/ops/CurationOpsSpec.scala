@@ -277,6 +277,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(tied.toSeq == Seq(("xx", 1L, 1L, 0L), ("yy", 1L, 1L, 1L)))
   }
 
+  test("deflateRatio: repetitive text compresses below prose, noise " +
+      "above it; empty text scores 0; deterministic") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "spam " * 200),
+      (3L, new scala.util.Random(42).alphanumeric.take(1000).mkString),
+      (4L, ""),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.deflateRatio(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(2L)._4 < out(1L)._4, "repetition must compress better")
+    assert(out(3L)._4 > out(2L)._4, "noise must compress worse")
+    assert(out(4L) == ((4L, 0L, 0L, 0.0)))
+    assert(out(1L)._2 == 58L) // raw UTF-8 byte count
+    // stable across partitioning (one Deflater per partition, reset per doc)
+    val again = TextAnalysis.deflateRatio(docs.repartition(3), "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(again == out)
+  }
+
   test("encodeTokens: ids in document order, OOV sentinel, counts") {
     val docs = Seq(
       (1L, "aa bb aa cc"),
