@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   * price as the equi-join the naive form would need anyway, with no
   * pair blowup; per-row window state is O(payload), so a hot key is a
   * sequential scan, not a memory hazard. (Streaming twin:
-  * `mapGroupsWithState` holding the same running payload.)
+  * [[graft.streaming.StreamOps.asOfJoinStream]] — `mapGroupsWithState`
+  * holding the same running payload, q93-oracled against the same
+  * DuckDB ASOF JOIN.)
   *
   * Tie semantics match DuckDB's `ASOF JOIN … ON l.ts >= r.ts` (q71's
   * oracle): an equal-timestamp right row IS visible to the left row

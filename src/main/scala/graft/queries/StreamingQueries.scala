@@ -328,5 +328,60 @@ object StreamingQueries extends QueryModule {
              |  CAST(NULL AS DOUBLE), l.last_ms
              |FROM last l, wm WHERE l.last_ms + 604800000 < wm.w""".stripMargin),
     ),
+
+    // ---- streaming as-of join (the mapGroupsWithState twin
+    // TemporalJoins.asOfJoin's scaladoc names): one AvailableNow batch
+    // over a single tagged file — exactly the batch operator's
+    // semantics, so it shares q71's framing and its DuckDB ASOF JOIN
+    // oracle (an independent sorted-merge implementation).
+    Q(
+      "q93_streaming_asof",
+      (s, d) => {
+        val root = scratch()
+        val inDir = s"$root/in"
+        val ev = Tables.events(s, d)
+        val left = ev.filter(col("event_type") =!= "purchase")
+          .select(lit(1).as("side"), col("event_id"), col("user_id"),
+            col("ts"), col("value"))
+        val right = ev.filter(col("event_type") === "purchase")
+          .select(lit(0).as("side"), lit(0L).as("event_id"),
+            col("user_id"), col("ts"), col("value"))
+        // ONE file → one micro-batch → exact single-batch semantics
+        left.unionByName(right).coalesce(1).write.parquet(inDir)
+        val sinkTable = "graft_stream_asof_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = StreamOps
+          .asOfJoinStream(s.readStream.schema(
+            left.schema).parquet(inDir))
+          .toDF()
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("memory")
+          .queryName(sinkTable)
+          .start()
+        q.awaitTermination()
+        s.table(sinkTable).select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("value"),
+          date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("asof_ts"),
+          col("asof_value"))
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, ts, value FROM events
+             |  WHERE event_type = 'purchase'
+             |), l AS (
+             |  SELECT event_id, user_id, ts, value FROM events
+             |  WHERE event_type <> 'purchase'
+             |)
+             |SELECT l.event_id, l.user_id,
+             |  strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+             |  l.value,
+             |  strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS asof_ts,
+             |  r.value AS asof_value
+             |FROM l ASOF LEFT JOIN r
+             |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin),
+    ),
   )
 }

@@ -164,6 +164,58 @@ object StreamOps {
       }
   }
 
+  case class AsOfState(ts: java.sql.Timestamp, value: Double)
+  case class AsOfOut(event_id: Long, user_id: Long,
+      ts: java.sql.Timestamp, value: Double,
+      asof_ts: Option[java.sql.Timestamp], asof_value: Option[Double])
+
+  /** Streaming twin of [[graft.ops.TemporalJoins.asOfJoin]] — the
+    * `mapGroupsWithState` form its scaladoc names: per key the state is
+    * the latest right-side (ts, value) seen so far, and every left row
+    * emits with the payload AS OF its own timestamp. Within a
+    * micro-batch the group's rows sort by (ts, side, value, id) — right
+    * before left at equal ts, max value winning a right-side tie — so a
+    * single-batch run (AvailableNow over one file, q93) is EXACTLY the
+    * batch operator / DuckDB ASOF JOIN. Across batches the usual
+    * streaming as-of caveat applies (Flink's temporal join has the
+    * same): a right row arriving after a left row already emitted is
+    * not retroactively applied — exactness requires per-key event-time
+    * order across batch boundaries.
+    *
+    * State is ONE small struct per key (bounded, like [[lifecycle]]);
+    * per-batch group sort materializes only that key's batch slice.
+    *
+    * @param tagged single input stream with columns
+    *        (side int — 0 right / 1 left, event_id long, user_id long,
+    *        ts timestamp, value double)
+    */
+  def asOfJoinStream(tagged: DataFrame): Dataset[AsOfOut] = {
+    import tagged.sparkSession.implicits._
+    tagged.as[(Int, Long, Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[AsOfState, AsOfOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[AsOfState]) =>
+          // full-Timestamp sort (micros-aware), right side first at
+          // equal ts, value then id as deterministic tie-breaks
+          val sorted = rows.toSeq.sortBy(r => (r._4, r._1, r._5, r._2))
+          var st: Option[AsOfState] = state.getOption
+          val out = Vector.newBuilder[AsOfOut]
+          sorted.foreach { case (side, eid, _, ts, v) =>
+            if (side == 0) {
+              // newer-or-equal wins: ascending (ts, value) order makes
+              // the max-value right row win an equal-ts tie, matching
+              // the batch operator's max-payload-struct rule
+              if (st.forall(s => !ts.before(s.ts))) st = Some(AsOfState(ts, v))
+            } else {
+              out += AsOfOut(eid, key, ts, v, st.map(_.ts), st.map(_.value))
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** @param quietMillis idle period after which a key is declared
     *        unpublished; ≤ 0 disables the timeout (NB: a processing-time
     *        timeout keeps the query triggering forever, which also makes

@@ -119,4 +119,49 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("a", "unpublished", ts(1).getTime)))
     assert(!rows.exists(r => r._1 == "b" && r._2 == "unpublished"))
   }
+
+  test("streaming as-of join equals the batch operator, including " +
+      "equal-ts visibility and duplicate-right tie-break") {
+    implicit val sq = spark.sqlContext
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")
+    // rights: user 1 at 01:00 (two duplicates — max value 20 must win),
+    // 05:00; user 2 none
+    val rightRows = Seq((1L, ts(1), 10.0), (1L, ts(1), 20.0),
+      (1L, ts(5), 50.0))
+    // lefts: before any right, AT a right ts (equal-ts visible),
+    // between rights, after last; user 2 always unmatched
+    val leftRows = Seq((100L, 1L, ts(0), 1.0), (101L, 1L, ts(1), 2.0),
+      (102L, 1L, ts(3), 3.0), (103L, 1L, ts(7), 4.0),
+      (200L, 2L, ts(2), 5.0))
+    val stream = MemoryStream[(Int, Long, Long, java.sql.Timestamp, Double)]
+    val out = StreamOps.asOfJoinStream(
+      stream.toDS().toDF("side", "event_id", "user_id", "ts", "value"))
+    val q = out.writeStream.format("memory").queryName("sasof")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sasof").toString)
+      .start()
+    stream.addData(
+      rightRows.map(r => (0, 0L, r._1, r._2, r._3)) ++
+        leftRows.map(l => (1, l._1, l._2, l._3, l._4)): _*)
+    q.processAllAvailable()
+    val got = spark.table("sasof")
+      .select($"event_id", $"asof_ts", $"asof_value")
+      .as[(Long, Option[java.sql.Timestamp], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    q.stop()
+    val batch = graft.ops.TemporalJoins.asOfJoin(
+      leftRows.toDF("event_id", "user_id", "ts", "value"),
+      rightRows.toDF("user_id", "ts", "value"),
+      "user_id", "ts", Seq("value"))
+      .select($"event_id", $"asof_ts", $"asof_value")
+      .as[(Long, Option[java.sql.Timestamp], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == batch)
+    assert(got(100L) == ((None, None)))                 // before any right
+    assert(got(101L) == ((Some(ts(1)), Some(20.0))))    // equal-ts, max tie
+    assert(got(102L) == ((Some(ts(1)), Some(20.0))))
+    assert(got(103L) == ((Some(ts(5)), Some(50.0))))
+    assert(got(200L) == ((None, None)))                 // keyless user
+  }
 }
