@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.MaterializeOps
 
 /** Benchmark decontamination: drop (or flag) training documents that
   * share any word n-gram with an evaluation/benchmark set — the
@@ -52,6 +53,44 @@ object Decontamination {
     docs.select(col(idCol), explode(gramHashes(col(textCol), n)).as("__g"))
       .join(benchGrams, "__g")
       // gramHashes is distinct per doc, so plain count == distinct hits
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Bloom-prefiltered contamination hits — IDENTICAL output to
+    * [[contaminationHits]], for the regime where the benchmark gram set
+    * outgrows a cheap broadcast hash join (a full eval-suite union at
+    * 13-grams reaches 10⁸–10⁹ distinct grams ≈ tens of GB as a hash
+    * relation) but still fits a Bloom sketch (~1.2 GB at 10⁹ items /
+    * 1% fpp — broadcastable). The corpus side drops non-member grams
+    * MAP-SIDE against the broadcast sketch, so the join input shrinks
+    * from every corpus gram occurrence to true hits + fpp·|grams|;
+    * false positives survive only to the exact join, which removes
+    * them — the sketch is candidate pruning, the join stays
+    * authoritative (q94 shares q66's oracle: equal output proves it).
+    *
+    * The membership probe is a Scala UDF by necessity — Spark's
+    * `BloomFilterMightContain` expression is internal to the runtime
+    * row-level-filtering rule, not public API; the UDF costs one boxed
+    * long per gram on a path that exists to avoid shuffling terabytes.
+    * Eager (one count + one bloom build on the benchmark side at call
+    * time).
+    */
+  def contaminationHitsBloom(docs: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, benchTextCol: String, n: Int,
+      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val benchGrams = bench
+      .select(explode(gramHashes(col(benchTextCol), n)).as("__g"))
+      .distinct()
+      .materialized // feeds the count, the bloom build, AND the join
+    val nGrams = math.max(benchGrams.count(), 1L)
+    val bloom = benchGrams.stat.bloomFilter("__g", nGrams, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: Long) => bc.value.mightContainLong(g))
+    docs.select(col(idCol), explode(gramHashes(col(textCol), n)).as("__g"))
+      .filter(mightContain(col("__g")))
+      .join(benchGrams, "__g")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
   }

@@ -1591,5 +1591,43 @@ object CorpusQueries extends QueryModule {
              |  true AS doubling_compresses_better
              |FROM documents""".stripMargin),
     ),
+
+    // ---- Bloom-prefiltered decontamination: q66's exact semantics
+    // through the broadcast-sketch candidate-pruning path (for the
+    // regime where the benchmark gram set outgrows a cheap hash join
+    // but fits a Bloom filter). Shares q66's oracle VERBATIM — equal
+    // output is the proof that the sketch prunes candidates without
+    // changing the answer.
+    Q(
+      "q94_decontaminate_bloom",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        val hits = Decontamination.contaminationHitsBloom(
+          corpus, docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", "text", n = 8)
+        corpus.join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+             |), g AS (
+             |  SELECT doc_id, unnest(list_distinct(
+             |    [array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)])) AS gram
+             |  FROM w WHERE len(w) >= 8
+             |), bg AS (
+             |  SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0
+             |), hits AS (
+             |  SELECT g.doc_id, count(*) AS n_hits
+             |  FROM g JOIN bg USING (gram) WHERE g.doc_id % 10 <> 0
+             |  GROUP BY g.doc_id
+             |)
+             |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+             |  coalesce(h.n_hits, 0) > 0 AS contaminated
+             |FROM documents d LEFT JOIN hits h USING (doc_id)
+             |WHERE d.doc_id % 10 <> 0""".stripMargin),
+    ),
   )
 }

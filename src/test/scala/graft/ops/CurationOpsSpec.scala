@@ -277,6 +277,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(tied.toSeq == Seq(("xx", 1L, 1L, 0L), ("yy", 1L, 1L, 1L)))
   }
 
+  test("bloom-prefiltered decontamination equals the exact path on real " +
+      "docs — false positives never reach the output") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val bench = docs.filter($"doc_id" % 10 === 0)
+    val exact = Decontamination.contaminationHits(
+      corpus, bench, "doc_id", "text", "text", n = 8)
+      .as[(Long, Long)].collect().toSet
+    // high fpp on purpose: plenty of bloom false positives, yet the
+    // exact join must strip them all
+    val bloom = Decontamination.contaminationHitsBloom(
+      corpus, bench, "doc_id", "text", "text", n = 8, fpp = 0.3)
+      .as[(Long, Long)].collect().toSet
+    assert(bloom == exact)
+    assert(exact.nonEmpty)
+  }
+
   test("deflateRatio: repetitive text compresses below prose, noise " +
       "above it; empty text scores 0; deterministic") {
     val docs = Seq(
