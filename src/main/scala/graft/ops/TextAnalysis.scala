@@ -93,8 +93,12 @@ object TextAnalysis {
       .mapPartitions { it =>
         val d = bc.value
         it.map { case (id, text) =>
-          // trim+split(-1) matches the Column form split(trim(text), "\s+")
-          val toks = text.trim.split("\\s+", -1)
+          // null text encodes like empty text (no tokens) instead of
+          // NPE-ing the scan; trim+split(-1) matches the Column form
+          // split(trim(text), "\s+")
+          val toks =
+            if (text == null) Array.empty[String]
+            else text.trim.split("\\s+", -1)
           val ids = toks.map(t => d.getOrElse(t, oovId)).toSeq
           EncodedDoc(id, ids, toks.length.toLong,
             ids.count(_ == oovId).toLong)
@@ -329,7 +333,10 @@ object TextAnalysis {
         val d = new java.util.zip.Deflater(level)
         val buf = new Array[Byte](64 * 1024)
         it.map { case (id, text) =>
-          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          // null text scores like empty text instead of NPE-ing the scan
+          val raw =
+            if (text == null) Array.empty[Byte]
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           if (raw.isEmpty) DeflateRow(id, 0L, 0L, 0.0)
           else {
             d.reset(); d.setInput(raw); d.finish()

@@ -297,10 +297,11 @@ class CurationOpsSpec extends SparkSpec {
   test("deflateRatio: repetitive text compresses below prose, noise " +
       "above it; empty text scores 0; deterministic") {
     val docs = Seq(
-      (1L, "the quick brown fox jumps over the lazy dog near the river"),
-      (2L, "spam " * 200),
-      (3L, new scala.util.Random(42).alphanumeric.take(1000).mkString),
-      (4L, ""),
+      (1L, Some("the quick brown fox jumps over the lazy dog near the river")),
+      (2L, Some("spam " * 200)),
+      (3L, Some(new scala.util.Random(42).alphanumeric.take(1000).mkString)),
+      (4L, Some("")),
+      (5L, None), // null text scores like empty, not an NPE
     ).toDF("doc_id", "text")
     val out = TextAnalysis.deflateRatio(docs, "doc_id", "text")
       .as[(Long, Long, Long, Double)].collect()
@@ -308,6 +309,7 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(2L)._4 < out(1L)._4, "repetition must compress better")
     assert(out(3L)._4 > out(2L)._4, "noise must compress worse")
     assert(out(4L) == ((4L, 0L, 0L, 0.0)))
+    assert(out(5L) == ((5L, 0L, 0L, 0.0)))
     assert(out(1L)._2 == 58L) // raw UTF-8 byte count
     // stable across partitioning (one Deflater per partition, reset per doc)
     val again = TextAnalysis.deflateRatio(docs.repartition(3), "doc_id", "text")
@@ -335,6 +337,11 @@ class CurationOpsSpec extends SparkSpec {
       .filter($"doc_id" === 1L)
       .select($"token_ids").as[Seq[Long]].collect().head
     assert(out2 == Seq(0L, 1L, 0L, -100L))
+    // null text encodes like an empty doc, not an NPE
+    val withNull = Seq((9L, Option.empty[String])).toDF("doc_id", "text")
+    val nullOut = TextAnalysis.encodeTokens(withNull, "doc_id", "text", vocab)
+      .as[(Long, Seq[Long], Long, Long)].collect().head
+    assert(nullOut == ((9L, Seq.empty[Long], 0L, 0L)))
   }
 
   test("stripBoilerplateLines is idempotent: a second pass changes nothing") {
