@@ -132,6 +132,7 @@ object Multimodal {
         // one codec per partition; batch iteration mirrors Arrow batches
         it.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, bytes) =>
+            require(bytes != null, s"null $blobCol for $idCol=$id")
             val m = codec.decode(bytes)
             (id, m.mime, m.width, m.height, m.channels)
           }
@@ -192,6 +193,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, bytes) =>
+            require(bytes != null, s"null $blobCol for $idCol=$id")
             val m = codec.decodeAudio(bytes)
             AudioRow(id, m.mime, m.sample_rate, m.channels, m.frames,
               m.duration_sec)
@@ -223,6 +225,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, bytes) =>
+            require(bytes != null, s"null $blobCol for $idCol=$id")
             val s = codec.decodeStats(bytes)
             StatsRow(id, s.mime, s.width, s.height, s.channels,
               s.mean_r, s.mean_g, s.mean_b)
