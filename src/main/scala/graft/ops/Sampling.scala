@@ -41,6 +41,37 @@ object Sampling {
     df.withColumn("bucket", b).withColumn("split", assign)
   }
 
+  /** Keep the TOP `fracPermille`‰ of each group's rows by score — the
+    * per-source quality-quantile filter ("best 25% by quality per
+    * domain") every curation recipe runs after scoring: a global
+    * threshold would let one high-scoring source crowd out the rest,
+    * so the cut is per group. Thresholds are PURE-INTEGER per-mille
+    * (`rank · 1000 ≤ ‰ · n`, the [[stratifiedSplit]] rule) so any
+    * engine restates the exact surviving set (q95); ties break by key.
+    * A group smaller than 1000/‰ rows keeps zero rows — floor, not
+    * ceil, so the kept fraction never exceeds the asked one.
+    *
+    * Shape: one hash-partitioned window per group (rank and count
+    * share the partition — the [[capPerGroup]] price). The score column
+    * must be deterministic for the oracle to restate it.
+    *
+    * @return surviving rows + (group_rank 1-based, group_n) */
+  def topFractionPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+      scoreCol: Column, fracPermille: Long): DataFrame = {
+    require(fracPermille >= 1 && fracPermille <= 1000,
+      s"fracPermille must be in [1, 1000], got $fracPermille")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("__score").desc, col(keyCol).asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    df.withColumn("__score", scoreCol)
+      .withColumn("group_rank", row_number().over(w).cast("long"))
+      .withColumn("group_n", count(lit(1)).over(wAll))
+      .filter(col("group_rank") * 1000 <= col("group_n") * fracPermille)
+      .drop("__score")
+  }
+
   /** Deterministic EXACT-SIZE uniform sample: exactly `min(n, |df|)`
     * rows, chosen by seeded hash rank with the key as tie-break — the
     * fixed-budget eval-set / human-review draw [[hashSplit]]'s per-row

@@ -1629,5 +1629,35 @@ object CorpusQueries extends QueryModule {
              |FROM documents d LEFT JOIN hits h USING (doc_id)
              |WHERE d.doc_id % 10 <> 0""".stripMargin),
     ),
+
+    // ---- per-group top-fraction filter: best 250‰ by token count per
+    // source — the quality-quantile cut after scoring (a global
+    // threshold would let one good source crowd out the rest). Integer
+    // per-mille thresholds (rank·1000 ≤ ‰·n), token count as the
+    // deterministic stand-in score, doc_id tie-break — DuckDB restates
+    // the identical surviving set and ranks.
+    Q(
+      "q95_top_fraction_per_group",
+      (s, d) => Sampling.topFractionPerGroup(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          col("text")),
+        "source", "doc_id", TextAnalysis.tokenCount(col("text")),
+        fracPermille = 250L)
+        .select(col("doc_id"), col("source"), col("group_rank"),
+          col("group_n")),
+      Some("""WITH scored AS (
+             |  SELECT doc_id, source,
+             |    len(regexp_split_to_array(trim(text), '\s+')) AS score
+             |  FROM documents
+             |), ranked AS (
+             |  SELECT doc_id, source,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS group_rank,
+             |    count(*) OVER (PARTITION BY source) AS group_n
+             |  FROM scored
+             |)
+             |SELECT doc_id, source, group_rank, group_n
+             |FROM ranked WHERE group_rank * 1000 <= group_n * 250""".stripMargin),
+    ),
   )
 }

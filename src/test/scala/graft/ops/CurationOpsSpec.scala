@@ -202,6 +202,29 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("topFractionPerGroup: floor per-mille cut per group, ties by key, " +
+      "small groups keep zero") {
+    // group a: 8 rows scores 1..8; group b: 3 rows — 250‰ keeps
+    // floor semantics: a keeps ranks 1-2 (2*1000 <= 8*250), b keeps 0
+    val rows = ((1 to 8).map(i => ("a", i.toLong, i.toDouble)) ++
+      (1 to 3).map(i => ("b", 100L + i, i.toDouble)))
+      .toDF("src", "id", "score")
+    val out = Sampling.topFractionPerGroup(rows, "src", "id",
+        col("score"), 250L)
+      .select($"src", $"id", $"group_rank").as[(String, Long, Long)]
+      .collect().sortBy(r => (r._1, r._3))
+    assert(out.toSeq == Seq(("a", 8L, 1L), ("a", 7L, 2L)))
+    // tie on score → key asc wins the better rank
+    val tied = Seq(("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 5.0),
+      ("a", 4L, 5.0)).toDF("src", "id", "score")
+    val t = Sampling.topFractionPerGroup(tied, "src", "id", col("score"),
+        250L).select($"id").as[Long].collect()
+    assert(t.toSeq == Seq(1L))
+    intercept[IllegalArgumentException] {
+      Sampling.topFractionPerGroup(tied, "src", "id", col("score"), 0L)
+    }
+  }
+
   test("sampleExact: exactly n rows, deterministic across partitioning, " +
       "seed changes the draw") {
     val ids = spark.range(5000).toDF("id")
