@@ -3,6 +3,18 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
+// Encoder row shapes live at the TOP LEVEL, not inside the object:
+// Janino can't reliably resolve methods on classes nested in a Scala
+// object from generated serializer code ("No applicable
+// constructor/method found for ... Multimodal$StatsRow.id()"), and the
+// whole projection silently falls back to interpreter mode — correct
+// but off the codegen fast path for every row of the scan.
+private[graft] case class AudioRow(id: Long, mime: String,
+    sample_rate: Int, channels: Int, frames: Long, duration_sec: Double)
+private[graft] case class StatsRow(id: Long, mime: String, width: Int,
+    height: Int, channels: Int, mean_r: Double, mean_g: Double,
+    mean_b: Double)
+
 /** Multimodal-column plumbing (builder brief): image/audio/video travel
   * as opaque `binary` columns with typed metadata structs; decode /
   * feature-extract runs per-partition in BATCHES (the Scala analog of
@@ -178,9 +190,6 @@ object Multimodal {
     }
   }
 
-  private case class AudioRow(id: Long, mime: String, sample_rate: Int,
-      channels: Int, frames: Long, duration_sec: Double)
-
   /** Batch-shaped audio metadata decode — same partition/batch shape as
     * [[decodeImageStats]] (map-side only, one codec per partition).
     * Input: (id, blob); output: (id, mime, sample_rate, channels,
@@ -203,10 +212,6 @@ object Multimodal {
     out.toDF(idCol, "mime", "sample_rate", "channels", "frames",
       "duration_sec")
   }
-
-  private case class StatsRow(id: Long, mime: String, width: Int,
-      height: Int, channels: Int, mean_r: Double, mean_g: Double,
-      mean_b: Double)
 
   /** Batch-shaped REAL decode: dimensions + per-channel pixel means via
     * the pluggable [[PixelCodec]] — same partition/batch shape as
