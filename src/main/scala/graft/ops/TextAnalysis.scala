@@ -5,6 +5,16 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Materialize.MaterializeOps
 
+// Top-level encoder row shapes — see the note in Multimodal.scala:
+// Janino can't resolve object-nested classes from generated serializer
+// code, which knocks the projection back to interpreter mode.
+private[graft] case class EncodedDoc(id: Long, token_ids: Seq[Long],
+    n_tokens: Long, n_oov: Long)
+private[graft] case class DeflateRow(id: Long, n_bytes: Long,
+    n_deflate: Long, deflate_ratio: Double)
+private[graft] case class LineDedupRow(id: Long, clean_text: String,
+    n_lines: Long, n_removed: Long)
+
 /** Text-analysis operators for corpus curation (builder brief): language
   * ID, quality scoring, token counting, document fingerprinting. All
   * pure Column expressions (codegen'd, no UDFs); arithmetic is plain
@@ -54,9 +64,6 @@ object TextAnalysis {
       Seq(col("tf").desc, col("token").asc), "vocab_id",
       limit = maxVocab.toLong)
   }
-
-  private case class EncodedDoc(id: Long, token_ids: Seq[Long],
-      n_tokens: Long, n_oov: Long)
 
   /** Tokenizer APPLICATION — the consumer of [[buildVocab]], closing the
     * vocab-build → tokenize loop a training pipeline runs: whitespace
@@ -199,6 +206,53 @@ object TextAnalysis {
           .as("n_lines_removed"))
   }
 
+  /** WITHIN-document repeated-line removal — the intra-doc twin of
+    * [[stripBoilerplateLines]] (RefinedWeb/CCNet run both: cross-doc
+    * frequency strips shared chrome, THIS pass strips a page's own
+    * internal repetition — nav lists repeated per section, template
+    * blocks, scraped pagination). First occurrence of each line
+    * survives, later exact repeats drop, order is preserved; lines
+    * whose trimmed length is below `minLen` are ALWAYS kept (default 1
+    * → blank separator lines never collapse, so paragraph structure
+    * survives).
+    *
+    * Shape: pure map over the corpus scan — per-doc first-occurrence
+    * needs set semantics, and a HOF restatement (`array_position` per
+    * element) is O(lines²) per document, so `mapPartitions` with one
+    * hash set per doc is the honest O(lines) form (the [[encodeTokens]]
+    * rationale). No shuffle; rides the scan at 100 TB. Dedup compares
+    * exact line bytes, so any engine restates the surviving set (q96).
+    * "Trimmed" is Java `String.trim` (strips all ASCII ≤ 0x20, not just
+    * spaces — wider than SQL `trim`); q96's planted whitespace is
+    * space-only so the oracle sits inside the shared dialect.
+    *
+    * @return (idCol, clean_text, n_lines, n_removed) */
+  def dedupDocLines(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 1): DataFrame = {
+    require(minLen >= 0, s"minLen must be >= 0, got $minLen")
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.STRING)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)](enc)
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          // null text dedups like empty text instead of NPE-ing the scan;
+          // split(_, -1) keeps trailing empty lines like the SQL split
+          val lines =
+            if (text == null) Array.empty[String]
+            else text.split("\n", -1)
+          val seen = new java.util.HashSet[String]
+          val kept = lines.filter { l =>
+            if (l.trim.length < minLen) true else seen.add(l)
+          }
+          LineDedupRow(id, kept.mkString("\n"), lines.length.toLong,
+            (lines.length - kept.length).toLong)
+        }
+      }(org.apache.spark.sql.Encoders.product[LineDedupRow])
+      .toDF(idCol, "clean_text", "n_lines", "n_removed")
+  }
+
   /** Characteristic-stopword language scores. Tiny dictionaries on
     * purpose: the operator shape (per-language token-overlap count +
     * deterministic argmax) is what scales; swap dictionaries for real
@@ -296,9 +350,6 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col(idCol), col("term"), col("tf"), col("score"), col("rank"))
   }
-
-  private case class DeflateRow(id: Long, n_bytes: Long,
-      n_deflate: Long, deflate_ratio: Double)
 
   /** Deflate compression ratio as a REDUNDANCY signal — the
     * Dolma/RefinedWeb-family quality filter next to the Gopher

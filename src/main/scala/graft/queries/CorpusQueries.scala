@@ -1659,5 +1659,55 @@ object CorpusQueries extends QueryModule {
              |SELECT doc_id, source, group_rank, group_n
              |FROM ranked WHERE group_rank * 1000 <= group_n * 250""".stripMargin),
     ),
+
+    // ---- within-document repeated-line removal: the intra-doc twin of
+    // q78's cross-doc strip. The corpus has no internal line repetition,
+    // so the query PLANTS it (the q78 pattern): a promo line that
+    // repeats twice, the body repeated twice, a blank separator repeated
+    // twice, and a per-doc unique trailer. Expected survivors: first
+    // promo, first body, BOTH blanks (minLen=1 keeps structural blanks),
+    // trailer — DuckDB restates first-occurrence-by-position over the
+    // same split and rebuilds the text byte-for-byte.
+    Q(
+      "q96_dedup_doc_lines",
+      (s, d) => {
+        val id = col("doc_id")
+        val promo = lit("PROMO subscribe now")
+        val aug = Tables.documents(s, d).select(id,
+          concat_ws("\n", promo, col("text"), lit(""), promo,
+            col("text"), lit(""),
+            concat(lit("UNIQ "), id.cast("string"))).as("t"))
+        TextAnalysis.dedupDocLines(aug, "doc_id", "t")
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, 'PROMO subscribe now' || chr(10) || text ||
+             |    chr(10) || '' || chr(10) || 'PROMO subscribe now' ||
+             |    chr(10) || text || chr(10) || '' || chr(10) ||
+             |    'UNIQ ' || CAST(doc_id AS VARCHAR) AS t
+             |  FROM documents
+             |), l0 AS (
+             |  SELECT doc_id, string_split(t, chr(10)) AS ls FROM aug
+             |), l AS (
+             |  SELECT doc_id, unnest(ls) AS line,
+             |    unnest(range(1, len(ls) + 1)) AS pos
+             |  FROM l0
+             |), k AS (
+             |  SELECT doc_id, line, pos,
+             |    CASE WHEN len(trim(line)) < 1 THEN true
+             |         ELSE row_number() OVER (PARTITION BY doc_id, line
+             |           ORDER BY pos) = 1 END AS keep
+             |  FROM l
+             |), reb AS (
+             |  SELECT doc_id,
+             |    string_agg(line, chr(10) ORDER BY pos)
+             |      FILTER (WHERE keep) AS clean_text,
+             |    count(*) AS n_lines,
+             |    count(*) FILTER (WHERE NOT keep) AS n_removed
+             |  FROM k GROUP BY 1
+             |)
+             |SELECT doc_id, coalesce(clean_text, '') AS clean_text,
+             |  n_lines, n_removed
+             |FROM reb""".stripMargin),
+    ),
   )
 }

@@ -167,6 +167,34 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(2L) == "zeta\nalpha")
   }
 
+  test("dedupDocLines: later repeats drop, blanks and short lines always " +
+      "survive, order preserved") {
+    val docs = Seq(
+      (1L, "nav\nbody one\n\nnav\nbody one\n\ntail"),
+      (2L, "only\nonly"),
+      (3L, ""),             // one empty line, kept (blank rule)
+      (4L, null.asInstanceOf[String]), // null text == empty text
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupDocLines(docs, "doc_id", "text")
+      .select($"doc_id", $"clean_text", $"n_lines", $"n_removed")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // both blank separators kept, second nav/body dropped
+    assert(out(1L) == (("nav\nbody one\n\n\ntail", 7L, 2L)))
+    assert(out(2L) == (("only", 2L, 1L)))
+    assert(out(3L) == (("", 1L, 0L)))
+    assert(out(4L) == (("", 0L, 0L)))
+  }
+
+  test("dedupDocLines: minLen guards short structural lines from dedup") {
+    val docs = Seq((1L, "- a -\n--\nx\n--\n- a -")).toDF("doc_id", "text")
+    // minLen=3: "--" (len 2) always kept even though repeated; the
+    // 5-char lines dedup normally
+    val out = TextAnalysis.dedupDocLines(docs, "doc_id", "text", minLen = 3)
+      .select($"clean_text").as[String].collect().head
+    assert(out == "- a -\n--\nx\n--")
+  }
+
   test("mixToBudget: capped sources survive whole, heavy sources thin " +
       "deterministically, weights validated") {
     val rows = (1L to 200L).map { i =>
