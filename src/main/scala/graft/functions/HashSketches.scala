@@ -19,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Evaluated once per ROW (not per pair), so CodegenFallback costs one
   * virtual call per document — nothing.
   */
-private object Sketch {
+private[graft] object Sketch {
   final val Seed = 42L
   private val salt = UTF8String.fromString("#2")
 

@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.Sketch  // md5_60: the one shared 60-bit hash def
+
+// Top-level encoder row shapes — see the note in Multimodal.scala
+// (Janino can't resolve object-nested classes from generated
+// serializer code).
+private[graft] case class LinearScoreRow(id: Long, n_tokens: Long,
+    logit_milli: Long, score: Double)
+private[graft] case class ImportanceRow(id: Long, n_tokens: Long,
+    sum_target: Long, sum_raw: Long, importance: java.lang.Double)
+
+/** Model-scoring operators: apply a (small, frozen) model to every
+  * document of the corpus — the classifier/importance step between
+  * heuristic filtering and training (CCNet's fastText language filter,
+  * the GPT-3/LLaMA quality classifier, FineWeb-Edu's educational
+  * scorer, DSIR's importance resampling all share this shape).
+  *
+  * The common scale pattern: the MODEL is a bounded artifact (a hashed
+  * weight table / two bucket histograms) that rides to every task as
+  * ONE broadcast array — the [[TextAnalysis.encodeTokens]] /
+  * IVF-centroid bounded-collect pattern — and scoring is a pure
+  * `mapPartitions` map over the corpus scan: no shuffle, no explode,
+  * O(1) per token. Scores keep the repo's integer-exact idiom (integer
+  * sums, IEEE arithmetic only in a final fixed-shape formula), so any
+  * engine restates them bit-for-bit (q97/q98).
+  */
+object Scoring {
+
+  /** The shared token → bucket map: md5-60 of the token mod `buckets`
+    * (md5-60 is non-negative, so no sign fixup). Portable: any engine
+    * computes CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % buckets. */
+  @inline private def bucketOf(tok: String, buckets: Int): Int =
+    (Sketch.md5_60(UTF8String.fromString(tok)) % buckets).toInt
+
+  /** Hashed-feature LINEAR classifier scoring — fastText's inference
+    * shape: logit = bias + Σ_token w[h(token) mod D], normalized by
+    * token count. Weights are integer PER-MILLE (a trained float model
+    * quantizes into this — the q73 int8 trick applied to the
+    * classifier), so the per-doc sum is an order-free exact integer and
+    * the only IEEE step is one final division: score =
+    * logit_milli / (1000 · max(n_tokens, 1)), restated bit-exactly by
+    * any engine. Collisions are the standard hashing-trick tradeoff
+    * (fastText ships with them too); `buckets` sizes the table.
+    *
+    * Scale shape: the weight table is D longs (model-sized — 8 MB at
+    * D = 10⁶), broadcast once; scoring rides the corpus scan. No
+    * shuffle anywhere.
+    *
+    * @param weights (bucket int, weight_milli long) — missing buckets
+    *                weigh 0; out-of-range buckets rejected loudly
+    * @return (idCol, n_tokens, logit_milli, score) */
+  def scoreLinearHashed(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, buckets: Int, biasMilli: Long = 0L): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val w = new Array[Long](buckets)
+    weights.select(col("bucket").cast("int"), col("weight_milli").cast("long"))
+      .collect().foreach { r =>
+        val b = r.getInt(0)
+        require(b >= 0 && b < buckets,
+          s"weight bucket $b outside [0, $buckets)")
+        w(b) = r.getLong(1)
+      }
+    val bc = df.sparkSession.sparkContext.broadcast(w)
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)](enc)
+      .mapPartitions { it =>
+        val wt = bc.value
+        val d = wt.length
+        it.map { case (id, text) =>
+          // null text scores like empty text instead of NPE-ing the scan
+          val toks =
+            if (text == null || text.trim.isEmpty) Array.empty[String]
+            else text.trim.split("\\s+", -1)
+          var acc = biasMilli
+          var i = 0
+          while (i < toks.length) {
+            acc += wt(bucketOf(toks(i), d)); i += 1
+          }
+          LinearScoreRow(id, toks.length.toLong, acc,
+            acc.toDouble / (1000.0 * math.max(toks.length, 1)))
+        }
+      }(Encoders.product[LinearScoreRow])
+      .toDF(idCol, "n_tokens", "logit_milli", "score")
+  }
+
+  /** DSIR-style IMPORTANCE weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each raw
+    * document by how target-like its hashed unigram profile is, then
+    * resample the corpus by the weight. DSIR proper uses a log-
+    * likelihood ratio of smoothed hashed-n-gram models; this is the
+    * integer-exact stand-in in the [[TextAnalysis.bigramFamiliarity]]
+    * tradition — the ratio of the doc's MEAN target-bucket frequency to
+    * its MEAN raw-bucket frequency, cross-multiplied so both sums stay
+    * exact integers:
+    *
+    *   importance = (Σ_tok t[b(tok)] · R) / (Σ_tok r[b(tok)] · T)
+    *
+    * with t/r the target/raw bucket occurrence histograms and T/R their
+    * totals. > 1 means the doc's vocabulary is over-represented in the
+    * target; gibberish unseen in the target scores → 0. Every sum is an
+    * exact integer; the two products and one division are fixed-shape
+    * IEEE, so any engine restates the score bit-for-bit (q98).
+    *
+    * Scale shape: both histograms are map-side-combined aggs into D
+    * bounded buckets (model-sized — the target corpus is the SMALL,
+    * curated side by definition; the raw histogram is D longs no matter
+    * the corpus size), broadcast once; scoring rides the raw scan. The
+    * raw-side histogram pass is one extra corpus scan — at 100 TB,
+    * amortize it across recipes by persisting the (bucket, count)
+    * table next to the corpus.
+    *
+    * @return (idCol, n_tokens, sum_target, sum_raw, importance);
+    *         zero-token docs score null with n_tokens 0 */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, targetTextCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = raw.sparkSession
+
+    def histogram(df: DataFrame, c: String): Array[Long] = {
+      val h = new Array[Long](buckets)
+      df.select(explode(split(trim(col(c)), "\\s+")).as("__t"))
+        .filter(col("__t") =!= "")
+        .select((Dedup.md5Hash60(col("__t")) % buckets).cast("int").as("__b"))
+        .groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+        .collect().foreach(r => h(r.getInt(0)) = r.getLong(1))
+      h
+    }
+
+    val t = histogram(target, targetTextCol)
+    val r = histogram(raw, textCol)
+    val totalT = t.sum
+    val totalR = r.sum
+    require(totalT > 0, "target corpus has no tokens")
+    require(totalR > 0, "raw corpus has no tokens")
+    val bcT = spark.sparkContext.broadcast(t)
+    val bcR = spark.sparkContext.broadcast(r)
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    raw.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)](enc)
+      .mapPartitions { it =>
+        val ht = bcT.value
+        val hr = bcR.value
+        val d = ht.length
+        it.map { case (id, text) =>
+          val toks =
+            if (text == null || text.trim.isEmpty) Array.empty[String]
+            else text.trim.split("\\s+", -1)
+          var st = 0L
+          var sr = 0L
+          var i = 0
+          while (i < toks.length) {
+            val b = bucketOf(toks(i), d)
+            st += ht(b); sr += hr(b); i += 1
+          }
+          // every raw token hits its own raw bucket, so sr > 0 whenever
+          // the doc has tokens; the guard is for the zero-token case
+          val imp: java.lang.Double =
+            if (toks.isEmpty) null
+            else Double.box((st.toDouble * totalR) / (sr.toDouble * totalT))
+          ImportanceRow(id, toks.length.toLong, st, sr, imp)
+        }
+      }(Encoders.product[ImportanceRow])
+      .toDF(idCol, "n_tokens", "sum_target", "sum_raw", "importance")
+  }
+}

@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.ops.{Decontamination, Dedup, Packing, Sampling, Similarity,
-  SketchStats, SkewOps, TextAnalysis}
+import graft.ops.{Decontamination, Dedup, Packing, Sampling, Scoring,
+  Similarity, SketchStats, SkewOps, TextAnalysis}
 
 /** Training-data-pipeline operators over documents/embeddings (builder
   * brief: dedup, similarity search, text analysis). Oracle SQL uses
@@ -1708,6 +1708,87 @@ object CorpusQueries extends QueryModule {
              |SELECT doc_id, coalesce(clean_text, '') AS clean_text,
              |  n_lines, n_removed
              |FROM reb""".stripMargin),
+    ),
+
+    // ---- hashed linear classifier scoring: the weights are a
+    // deterministic arithmetic function of the bucket (a stand-in for a
+    // trained fastText/quality model — no model ships in this
+    // container), so DuckDB rebuilds the SAME 512-bucket table from the
+    // same md5 bucketing and re-scores every document. Integer
+    // per-mille weights make the per-doc sum order-free; the single
+    // final division is the only IEEE step, so the score hash-compares
+    // bit-exactly.
+    Q(
+      "q97_linear_score",
+      (s, d) => {
+        val weights = s.range(512).select(
+          col("id").cast("int").as("bucket"),
+          ((col("id") * 2654435761L) % 2001 - 1000).as("weight_milli"))
+        Scoring.scoreLinearHashed(Tables.documents(s, d), "doc_id",
+          "text", weights, buckets = 512, biasMilli = 250L)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+             |  FROM documents
+             |), b AS (
+             |  SELECT doc_id,
+             |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 512 AS bk
+             |  FROM toks
+             |), s AS (
+             |  SELECT doc_id, count(*) AS n_tokens,
+             |    CAST(250 + sum((bk * 2654435761) % 2001 - 1000) AS BIGINT)
+             |      AS logit_milli
+             |  FROM b GROUP BY 1
+             |)
+             |SELECT doc_id, n_tokens, logit_milli,
+             |  logit_milli / (1000.0 * greatest(n_tokens, 1)) AS score
+             |FROM s""".stripMargin),
+    ),
+
+    // ---- DSIR-style importance weighting: src0 is the curated
+    // "target" sample, the whole corpus is raw; both engines build the
+    // same 256-bucket hashed unigram histograms and re-derive every
+    // document's cross-multiplied frequency-ratio score. All sums are
+    // exact integers; the two products and one division are fixed-shape
+    // IEEE, so the weights hash-compare bit-exactly.
+    Q(
+      "q98_importance_weights",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Scoring.importanceWeights(docs,
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", "text", buckets = 256)
+      },
+      Some("""WITH rb AS (
+             |  SELECT doc_id,
+             |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 256 AS bk
+             |  FROM (SELECT doc_id,
+             |          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+             |        FROM documents)
+             |), rhist AS (
+             |  SELECT bk, count(*) AS rn FROM rb GROUP BY 1
+             |), thist AS (
+             |  SELECT bk, count(*) AS tn
+             |  FROM rb JOIN documents USING (doc_id)
+             |  WHERE source = 'src0' GROUP BY bk
+             |), tot AS (
+             |  SELECT (SELECT sum(rn) FROM rhist) AS totr,
+             |         (SELECT sum(tn) FROM thist) AS tott
+             |), persum AS (
+             |  SELECT rb.doc_id, count(*) AS n_tokens,
+             |    CAST(sum(coalesce(t.tn, 0)) AS BIGINT) AS sum_target,
+             |    CAST(sum(r.rn) AS BIGINT) AS sum_raw
+             |  FROM rb
+             |  LEFT JOIN thist t USING (bk)
+             |  JOIN rhist r USING (bk)
+             |  GROUP BY 1
+             |)
+             |SELECT doc_id, n_tokens, sum_target, sum_raw,
+             |  (CAST(sum_target AS DOUBLE) * (SELECT totr FROM tot)) /
+             |  (CAST(sum_raw AS DOUBLE) * (SELECT tott FROM tot))
+             |    AS importance
+             |FROM persum""".stripMargin),
     ),
   )
 }

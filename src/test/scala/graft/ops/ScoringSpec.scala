@@ -1,0 +1,111 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.Sketch
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Model-scoring operators: hashed linear classifier + DSIR-style
+  * importance weights. */
+class ScoringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bucket(tok: String, d: Int): Int =
+    (Sketch.md5_60(UTF8String.fromString(tok)) % d).toInt
+
+  test("scoreLinearHashed: integer logit sums, bias, null/empty text") {
+    val docs = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, ""),
+      (3L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+    // every bucket weighs 7: logit = bias + 7 * n_tokens regardless of
+    // which buckets the tokens hash into
+    val weights = spark.range(16).select(
+      $"id".cast("int").as("bucket"), lit(7L).as("weight_milli"))
+    val out = Scoring.scoreLinearHashed(docs, "doc_id", "text", weights,
+        buckets = 16, biasMilli = 100L)
+      .select($"doc_id", $"n_tokens", $"logit_milli", $"score")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((3L, 121L, 121.0 / 3000.0)))
+    // zero tokens: logit is just the bias, score normalizes by max(n,1)
+    assert(out(2L) == ((0L, 100L, 0.1)))
+    assert(out(3L) == ((0L, 100L, 0.1)))
+  }
+
+  test("scoreLinearHashed: JVM bucketing matches the md5Hash60 column " +
+      "(single-token docs, identity weights)") {
+    val docs = Seq((1L, "hello"), (2L, "world"), (3L, "graft"))
+      .toDF("doc_id", "text")
+    val d = 32
+    // weight_milli = bucket id, so each doc's logit IS its token's bucket
+    val weights = spark.range(d).select(
+      $"id".cast("int").as("bucket"), $"id".as("weight_milli"))
+    val out = Scoring.scoreLinearHashed(docs, "doc_id", "text", weights,
+        buckets = d)
+      .select($"doc_id", $"logit_milli").as[(Long, Long)].collect().toMap
+    val expected = docs
+      .select($"doc_id", (Dedup.md5Hash60($"text") % d).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == expected)
+  }
+
+  test("scoreLinearHashed rejects out-of-range buckets loudly") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    val bad = Seq((99, 1L)).toDF("bucket", "weight_milli")
+    intercept[IllegalArgumentException] {
+      Scoring.scoreLinearHashed(docs, "doc_id", "text", bad, buckets = 8)
+    }
+  }
+
+  test("importanceWeights: target-like docs score above corpus-mean, " +
+      "formula is the exact histogram ratio") {
+    val raw = Seq(
+      (1L, "aa aa bb"),   // target-ish vocabulary
+      (2L, "aa bb"),
+      (3L, "zz zz yy"),   // vocabulary absent from target
+      (4L, ""),           // zero tokens → null importance
+    ).toDF("doc_id", "text")
+    val target = Seq((10L, "aa aa aa bb")).toDF("doc_id", "text")
+    val d = 8
+    val out = Scoring.importanceWeights(raw, target, "doc_id", "text",
+        "text", buckets = d)
+      .select($"doc_id", $"n_tokens", $"sum_target", $"sum_raw",
+        $"importance")
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+
+    // replicate the histograms in plain Scala with the same hash
+    val rawToks = Seq("aa", "aa", "bb", "aa", "bb", "zz", "zz", "yy")
+    val tgtToks = Seq("aa", "aa", "aa", "bb")
+    val rh = rawToks.groupBy(bucket(_, d)).view.mapValues(_.size.toLong).toMap
+    val th = tgtToks.groupBy(bucket(_, d)).view.mapValues(_.size.toLong).toMap
+    val totR = rawToks.size.toLong
+    val totT = tgtToks.size.toLong
+    def exp(toks: Seq[String]) = {
+      val st = toks.map(t => th.getOrElse(bucket(t, d), 0L)).sum
+      val sr = toks.map(t => rh(bucket(t, d))).sum
+      (st, sr, (st.toDouble * totR) / (sr.toDouble * totT))
+    }
+    val (st1, sr1, i1) = exp(Seq("aa", "aa", "bb"))
+    assert(out(1L) == ((1L, 3L, st1, sr1, Some(i1))))
+    val (st3, sr3, i3) = exp(Seq("zz", "zz", "yy"))
+    assert(out(3L) == ((3L, 3L, st3, sr3, Some(i3))))
+    assert(out(4L)._5.isEmpty && out(4L)._2 == 0L)
+    // unless zz/yy collide into aa/bb's buckets, doc 3 scores 0 and
+    // doc 1 scores > 1 (over-represented in target)
+    if (Seq("zz", "yy").map(bucket(_, d))
+        .intersect(Seq("aa", "bb").map(bucket(_, d))).isEmpty) {
+      assert(i3 == 0.0 && i1 > 1.0)
+    }
+  }
+
+  test("importanceWeights rejects an empty target loudly") {
+    val raw = Seq((1L, "a")).toDF("doc_id", "text")
+    val target = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Scoring.importanceWeights(raw, target, "doc_id", "text", "text", 8)
+    }
+  }
+}
