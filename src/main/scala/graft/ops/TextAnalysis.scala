@@ -253,6 +253,58 @@ object TextAnalysis {
       .toDF(idCol, "clean_text", "n_lines", "n_removed")
   }
 
+  /** Corpus n-gram DIVERSITY report — the distinct-over-total gram
+    * ratio at each n, per source and corpus-wide (the dataset-card
+    * self-repetition metric: template-generated or over-crawled slices
+    * show depressed bigram/trigram diversity long before exact dedup
+    * finds anything). `scope` is the group value plus an `ALL` total
+    * row per n.
+    *
+    * Shape: ONE pass — each doc's grams for every n emit from a single
+    * explode (structs of (n, md5-60(gram)): 8-byte hashed keys, never
+    * gram strings, the [[stripBoilerplateLines]] trick), and the ALL
+    * row comes from duplicating each gram row into its group scope and
+    * the ALL scope in the same pass (the hand-rolled Expand that
+    * grouping sets would plan anyway) — not a second scan of the
+    * corpus. `count_distinct` partial-aggregates map-side; at 100 TB
+    * swap it for `approx_count_distinct` (the q69 sketch-gate
+    * precedent) — kept exact here so the oracle can restate it.
+    * Diversity = one IEEE division of two exact integers (q99).
+    *
+    * @return (scope, n, total_grams, distinct_grams, diversity) */
+  def ngramDiversity(df: DataFrame, textCol: String,
+      groupCol: Option[String] = None,
+      ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1) && ns.distinct == ns,
+      s"ns must be distinct positive ints, got $ns")
+    val w = split(trim(col(textCol)), "\\s+")
+    val gramsPerN: Seq[Column] = ns.map { n =>
+      val grams =
+        if (n == 1) w
+        else transform(sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(o => element_at(w, i + o)): _*))
+      when(size(w) >= n,
+        transform(grams, g =>
+          struct(lit(n).as("n"), Dedup.md5Hash60(g).as("gh"))))
+        .otherwise(array().cast("array<struct<n:int,gh:bigint>>"))
+    }
+    val base = df.select(
+      (groupCol.map(g => col(g).cast("string").as("__grp")).toSeq :+
+        explode(flatten(array(gramsPerN: _*))).as("__g")): _*)
+    val scoped = groupCol match {
+      case Some(_) => base.select(
+        explode(array(col("__grp"), lit("ALL"))).as("scope"), col("__g"))
+      case None => base.select(lit("ALL").as("scope"), col("__g"))
+    }
+    scoped
+      .groupBy(col("scope"), col("__g.n").as("n"))
+      .agg(count(lit(1)).as("total_grams"),
+        countDistinct(col("__g.gh")).as("distinct_grams"))
+      .withColumn("diversity",
+        col("distinct_grams").cast("double") / col("total_grams"))
+  }
+
   /** Characteristic-stopword language scores. Tiny dictionaries on
     * purpose: the operator shape (per-language token-overlap count +
     * deterministic argmax) is what scales; swap dictionaries for real

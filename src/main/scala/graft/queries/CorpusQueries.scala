@@ -1790,5 +1790,45 @@ object CorpusQueries extends QueryModule {
              |    AS importance
              |FROM persum""".stripMargin),
     ),
+
+    // ---- n-gram diversity report: distinct/total gram ratios at
+    // n=1,2,3 per source plus an ALL total row — the dataset-card
+    // self-repetition metric. One explode emits every n's hashed grams,
+    // the ALL row comes from in-pass row duplication (hand-rolled
+    // Expand), and DuckDB re-derives the identical counts and the
+    // single-division diversity from the same md5-60 gram hashes.
+    Q(
+      "q99_ngram_diversity",
+      (s, d) => TextAnalysis.ngramDiversity(Tables.documents(s, d),
+        "text", groupCol = Some("source")),
+      Some("""WITH w AS (
+             |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS ws
+             |  FROM documents
+             |), g AS (
+             |  SELECT source, 1 AS n, unnest(ws) AS gram FROM w
+             |  UNION ALL
+             |  SELECT source, 2 AS n,
+             |    unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])
+             |      AS gram
+             |  FROM w WHERE len(ws) >= 2
+             |  UNION ALL
+             |  SELECT source, 3 AS n,
+             |    unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+             |            for i in range(1, len(ws) - 1)]) AS gram
+             |  FROM w WHERE len(ws) >= 3
+             |), h AS (
+             |  SELECT source, n,
+             |    CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gh
+             |  FROM g
+             |), sc AS (
+             |  SELECT source AS scope, n, gh FROM h
+             |  UNION ALL
+             |  SELECT 'ALL' AS scope, n, gh FROM h
+             |)
+             |SELECT scope, n, count(*) AS total_grams,
+             |  CAST(count(DISTINCT gh) AS BIGINT) AS distinct_grams,
+             |  CAST(count(DISTINCT gh) AS DOUBLE) / count(*) AS diversity
+             |FROM sc GROUP BY 1, 2""".stripMargin),
+    ),
   )
 }

@@ -195,6 +195,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == "- a -\n--\nx\n--")
   }
 
+  test("ngramDiversity: hand-computed ratios per scope, ALL row, short " +
+      "docs emit no high-n rows") {
+    val docs = Seq((1L, "x", "a b a"), (2L, "y", "a b"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.ngramDiversity(docs, "text", Some("source"))
+      .select($"scope", $"n", $"total_grams", $"distinct_grams", $"diversity")
+      .as[(String, Int, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out(("x", 1)) == ((3L, 2L, 2.0 / 3.0)))
+    assert(out(("x", 2)) == ((2L, 2L, 1.0)))   // "a b", "b a"
+    assert(out(("x", 3)) == ((1L, 1L, 1.0)))
+    assert(out(("y", 1)) == ((2L, 2L, 1.0)))
+    assert(out(("y", 2)) == ((1L, 1L, 1.0)))
+    assert(!out.contains(("y", 3)))            // doc shorter than n
+    assert(out(("ALL", 1)) == ((5L, 2L, 0.4)))
+    assert(out(("ALL", 2)) == ((3L, 2L, 2.0 / 3.0)))
+    assert(out(("ALL", 3)) == ((1L, 1L, 1.0)))
+    // ungrouped form: only the ALL rows
+    val flat = TextAnalysis.ngramDiversity(docs, "text", None)
+      .select($"scope").distinct().as[String].collect().toSeq
+    assert(flat == Seq("ALL"))
+  }
+
   test("mixToBudget: capped sources survive whole, heavy sources thin " +
       "deterministically, weights validated") {
     val rows = (1L to 200L).map { i =>
