@@ -211,28 +211,63 @@ object Dedup {
     */
   def crossCorpusJaccardPairs(dfNew: DataFrame, dfOld: DataFrame,
       idCol: String, textCol: String, n: Int = 3, tau: Double = 0.5,
-      numHashes: Int = 128, bandRows: Int = 2): DataFrame = {
-    def gramsOf(df: DataFrame) = df
+      numHashes: Int = 128, bandRows: Int = 2): DataFrame =
+    crossCorpusAgainstIndex(dfNew,
+      indexCorpus(dfOld, idCol, textCol, n, numHashes, bandRows),
+      textCol, tau)
+
+  /** The old-corpus side of [[crossCorpusJaccardPairs]], prepared once:
+    * gram sets, MinHash signatures, and banded buckets. Build it one
+    * time and run every incoming batch against it — the amortization
+    * the scaladoc above promises ("old-side signatures computed once
+    * per batch and could be a persisted table at scale"), and the unit
+    * the STREAMING dedup holds across micro-batches
+    * ([[graft.streaming.StreamOps.nearDupAgainstCorpusStream]]). At
+    * scale, persist `grams`/`sig`/`buckets` next to the corpus and
+    * rehydrate instead of rebuilding. Eager (materializes all three
+    * frames at call time — see [[Materialize]]). */
+  case class CorpusIndex(idCol: String, n: Int,
+      numHashes: Int, bandRows: Int, grams: DataFrame, sig: DataFrame,
+      buckets: DataFrame)
+
+  def indexCorpus(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128, bandRows: Int = 2): CorpusIndex = {
+    val grams = df
       .select(col(idCol), split(col(textCol), "\\s+").as("__w"))
       .select(col(idCol), wordNGramsFromWords(col("__w"), n).as("grams"))
       .materialized
-    val gramsNew = gramsOf(dfNew)
-    val gramsOld = gramsOf(dfOld)
-    val sigNew = signatureTable(gramsNew, idCol, "grams", numHashes)
+    val sig = signatureTable(grams, idCol, "grams", numHashes).materialized
+    CorpusIndex(idCol, n, numHashes, bandRows, grams, sig,
+      bandBuckets(sig, idCol, numHashes, bandRows).materialized)
+  }
+
+  /** [[crossCorpusJaccardPairs]] against a prepared [[CorpusIndex]]:
+    * only the NEW side's grams/signatures/buckets are computed per
+    * call — the per-micro-batch cost of the streaming dedup. */
+  def crossCorpusAgainstIndex(dfNew: DataFrame, index: CorpusIndex,
+      textCol: String, tau: Double): DataFrame = {
+    val idCol = index.idCol
+    val gramsNew = dfNew
+      .select(col(idCol), split(col(textCol), "\\s+").as("__w"))
+      .select(col(idCol),
+        wordNGramsFromWords(col("__w"), index.n).as("grams"))
       .materialized
-    val sigOld = signatureTable(gramsOld, idCol, "grams", numHashes)
+    val sigNew = signatureTable(gramsNew, idCol, "grams", index.numHashes)
       .materialized
-    val a = bandBuckets(sigNew, idCol, numHashes, bandRows).alias("a")
-    val b = bandBuckets(sigOld, idCol, numHashes, bandRows).alias("b")
+    val a = bandBuckets(sigNew, idCol, index.numHashes, index.bandRows)
+      .alias("a")
+    val b = index.buckets.alias("b")
     val cands = a.join(b,
-        bandKeys(bandRows).map(k => col(s"a.$k") === col(s"b.$k"))
+        bandKeys(index.bandRows).map(k => col(s"a.$k") === col(s"b.$k"))
           .reduce(_ && _))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    estimateFilter(cands, sigNew, sigOld, idCol, numHashes,
+    estimateFilter(cands, sigNew, index.sig, idCol, index.numHashes,
         minEst = tau * 0.6)
-      .join(gramsNew.select(col(idCol).as("id_a"), col("grams").as("ga")), "id_a")
-      .join(gramsOld.select(col(idCol).as("id_b"), col("grams").as("gb")), "id_b")
+      .join(gramsNew.select(col(idCol).as("id_a"), col("grams").as("ga")),
+        "id_a")
+      .join(index.grams.select(col(idCol).as("id_b"), col("grams").as("gb")),
+        "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("ga"), col("gb"))) /
           size(array_union(col("ga"), col("gb"))))

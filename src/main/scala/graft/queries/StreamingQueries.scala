@@ -383,5 +383,44 @@ object StreamingQueries extends QueryModule {
              |FROM l ASOF LEFT JOIN r
              |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin),
     ),
+
+    // ---- streaming cross-corpus near-dedup: the incremental ingest
+    // gate. The already-trained corpus (doc_id % 3 != 0) is indexed
+    // ONCE (grams + signatures + band buckets); the incoming batch
+    // (doc_id % 3 == 0) arrives as one file → one AvailableNow
+    // micro-batch whose foreachBatch runs the batch cross-corpus
+    // operator against the index. Single-batch output == q77's batch
+    // pairs, so it shares q77's brute-force DuckDB oracle verbatim.
+    Q(
+      "q100_streaming_cross_dedup",
+      (s, d) => {
+        val root = scratch()
+        val inDir = s"$root/in"
+        val outDir = s"$root/out"
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val index = graft.ops.Dedup.indexCorpus(
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", n = 3)
+        docs.filter(col("doc_id") % 3 === 0)
+          .coalesce(1).write.parquet(inDir)
+        val q = StreamOps.nearDupAgainstCorpusStream(
+          s.readStream.schema(docs.schema).parquet(inDir),
+          index, "text", tau = 0.5, outDir, s"$root/ckpt")
+        q.awaitTermination()
+        s.read.parquet(outDir)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+             |), g AS (
+             |  SELECT doc_id, list_distinct(
+             |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS t
+             |  FROM toks
+             |)
+             |SELECT a.doc_id AS id_new, b.doc_id AS id_old,
+             |  len(list_intersect(a.t, b.t)) * 1.0 /
+             |    len(list_distinct(list_concat(a.t, b.t))) AS jaccard
+             |FROM g a JOIN g b ON a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+             |WHERE len(list_intersect(a.t, b.t)) * 1.0 /
+             |    len(list_distinct(list_concat(a.t, b.t))) >= 0.5""".stripMargin),
+    ),
   )
 }

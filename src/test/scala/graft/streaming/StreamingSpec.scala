@@ -164,4 +164,31 @@ class StreamingSpec extends SparkSpec {
     assert(got(103L) == ((Some(ts(5)), Some(50.0))))
     assert(got(200L) == ((None, None)))                 // keyless user
   }
+
+  test("nearDupAgainstCorpusStream: micro-batch matches the batch " +
+      "cross-corpus operator against a once-built index") {
+    val dir = Files.createTempDirectory("graft-stream-xdedup").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq(
+      (10L, base),
+      (11L, "completely unrelated corpus text with no shared grams at all"),
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, base + " extra"),            // near-dup of 10
+      (2L, "fresh novel document content nothing like the corpus here"),
+    ).toDF("doc_id", "text")
+    incoming.coalesce(1).write.parquet(s"$dir/in")
+    val index = graft.ops.Dedup.indexCorpus(corpus, "doc_id", "text", n = 3)
+    val q = StreamOps.nearDupAgainstCorpusStream(
+      spark.readStream.schema(incoming.schema).parquet(s"$dir/in"),
+      index, "text", tau = 0.5, s"$dir/out", s"$dir/ckpt")
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(s"$dir/out")
+      .select($"id_new", $"id_old").as[(Long, Long)].collect().toSet
+    val batch = graft.ops.Dedup.crossCorpusJaccardPairs(
+        incoming, corpus, "doc_id", "text", n = 3, tau = 0.5)
+      .select($"id_new", $"id_old").as[(Long, Long)].collect().toSet
+    assert(got == batch)
+    assert(got == Set((1L, 10L)))
+  }
 }
