@@ -41,6 +41,36 @@ object Sampling {
     df.withColumn("bucket", b).withColumn("split", assign)
   }
 
+  /** LEAKAGE-FREE train/val/test split: near-duplicate documents must
+    * never straddle a split boundary (a test doc whose near-dup sits in
+    * train inflates every eval number — the classic contamination-by-
+    * split bug), so the split KEY is the document's duplicate-cluster
+    * representative rather than the document itself: every member of a
+    * cluster hashes identically and lands in the same split. Singleton
+    * docs key by their own id. `pairs` comes from any near-dup pair
+    * generator (LSH n-gram, winnowing, semantic — q22/q65/q80 shapes).
+    *
+    * Shape: composes two proven pieces — [[Dedup.duplicateClusters]]
+    * (q49) and [[hashSplit]]'s pure-map assignment (q51) — plus one
+    * left join of docs onto the cluster map, which is duplicate-count
+    * sized (≪ corpus; AQE broadcasts it when small). q101's oracle
+    * restates the closure, the representative choice, and the split
+    * math end to end.
+    *
+    * @return input + (split_key, bucket, split) */
+  def leakageFreeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      seed: String,
+      fractions: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      buckets: Int = 10000): DataFrame = {
+    val clusters = Dedup.duplicateClusters(pairs)
+      .select(col("id").as(idCol), col("cluster_id"))
+    val keyed = df.join(clusters, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col(idCol)))
+      .drop("cluster_id")
+    hashSplit(keyed, "split_key", seed, fractions, buckets)
+  }
+
   /** Keep the TOP `fracPermille`‰ of each group's rows by score — the
     * per-source quality-quantile filter ("best 25% by quality per
     * domain") every curation recipe runs after scoring: a global

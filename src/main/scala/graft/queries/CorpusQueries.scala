@@ -1830,5 +1830,60 @@ object CorpusQueries extends QueryModule {
              |  CAST(count(DISTINCT gh) AS DOUBLE) / count(*) AS diversity
              |FROM sc GROUP BY 1, 2""".stripMargin),
     ),
+
+    // ---- leakage-free split: near-dup clusters (q49's closure) key
+    // the hash split (q51's math) so no near-duplicate pair straddles
+    // train/test. DuckDB restates the pair generation, the recursive
+    // closure, the representative choice, and the split thresholds in
+    // one query — any doc landing in a different split than its
+    // cluster-mates hash-mismatches.
+    Q(
+      "q101_leakage_free_split",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, tau = 0.5)
+        Sampling.leakageFreeSplit(docs.select(col("doc_id")), "doc_id",
+            pairs, "s42")
+          .select(col("doc_id"), col("split_key"), col("bucket"),
+            col("split"))
+      },
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+             |), g AS (
+             |  SELECT doc_id, list_distinct(
+             |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS t
+             |  FROM toks
+             |), p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.t, b.t)) * 1.0 /
+             |      len(list_distinct(list_concat(a.t, b.t))) >= 0.5
+             |), edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM p
+             |  UNION SELECT id_b, id_a FROM p
+             |), reach AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+             |), comp AS (
+             |  SELECT src AS id, least(src, min(dst)) AS cluster_id
+             |  FROM reach GROUP BY src
+             |), keyed AS (
+             |  SELECT d.doc_id,
+             |    coalesce(c.cluster_id, d.doc_id) AS split_key
+             |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+             |), b AS (
+             |  SELECT doc_id, split_key,
+             |    CAST('0x' || substr(md5(CAST(split_key AS VARCHAR) || 's42'),
+             |      1, 15) AS BIGINT) % 10000 AS bucket
+             |  FROM keyed
+             |)
+             |SELECT doc_id, split_key, bucket,
+             |  CASE WHEN bucket < 8000 THEN 'train'
+             |       WHEN bucket < 9000 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM b""".stripMargin),
+    ),
   )
 }

@@ -195,6 +195,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == "- a -\n--\nx\n--")
   }
 
+  test("leakageFreeSplit: cluster members share split_key and split, " +
+      "singletons key by their own id") {
+    val docs = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Sampling.leakageFreeSplit(docs, "doc_id", pairs, "s7")
+      .select($"doc_id", $"split_key", $"split")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(Seq(1L, 2L, 3L).map(out(_)._1).distinct == Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(out(_)._2).distinct.size == 1)
+    assert(Seq(5L, 6L).map(out(_)._1).distinct == Seq(5L))
+    assert(Seq(5L, 6L).map(out(_)._2).distinct.size == 1)
+    assert(out(4L)._1 == 4L)
+    // the representative's split is exactly hashSplit of the key itself
+    val solo = Sampling.hashSplit(Seq(1L).toDF("k"), "k", "s7")
+      .select($"split").as[String].collect().head
+    assert(out(1L)._2 == solo)
+  }
+
   test("ngramDiversity: hand-computed ratios per scope, ALL row, short " +
       "docs emit no high-n rows") {
     val docs = Seq((1L, "x", "a b a"), (2L, "y", "a b"))

@@ -57,12 +57,18 @@ def compare(name, spark_df, duck_df):
     return f"OK   {name}: {len(a)} rows x {len(a.columns)} cols"
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # dev-only third arg mirroring Verify's query filter: check only the
+    # named queries (comma-separated) instead of flagging every query
+    # absent from a filtered Verify run
+    if only:
+        names = set(only.split(","))
+        oracles = {k: v for k, v in oracles.items() if k in names}
     fails = 0
     for name, sql in sorted(oracles.items()):
         try:
@@ -86,4 +92,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
