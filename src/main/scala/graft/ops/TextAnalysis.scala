@@ -253,6 +253,36 @@ object TextAnalysis {
       .toDF(idCol, "clean_text", "n_lines", "n_removed")
   }
 
+  /** Encoding-health signals — the UTF-8 hygiene filter every web
+    * pipeline runs before spending compute on content quality: count of
+    * U+FFFD replacement characters (a decoder already gave up), of C0
+    * control characters that aren't tab/newline/CR (binary junk posing
+    * as text), and of the `Ã`/`Â`-plus-continuation digraphs that are
+    * the signature of UTF-8 bytes decoded as Latin-1 (mojibake). All
+    * three are `regexp_extract_all` counts in the Java∩RE2 dialect (the
+    * q61 PII precedent), so any engine restates them; `bad_ratio` is
+    * one IEEE division of exact integers (q102).
+    *
+    * Pure map — rides the corpus scan, no shuffle, stays inside
+    * whole-stage codegen. Null text scores like empty text.
+    *
+    * @return (idCol, n_chars, n_replacement, n_control, n_mojibake,
+    *         bad_ratio) */
+  def encodingSignals(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    def cnt(pattern: String): Column =
+      size(regexp_extract_all(t, lit(pattern), lit(0))).cast("long")
+    val nRepl = cnt("\uFFFD")
+    val nCtrl = cnt("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]")
+    val nMoji = cnt("[\u00C3\u00C2][\u0080-\u00BF]")
+    df.select(col(idCol), length(t).as("n_chars"), nRepl.as("n_replacement"),
+        nCtrl.as("n_control"), nMoji.as("n_mojibake"))
+      .withColumn("bad_ratio",
+        (col("n_replacement") + col("n_control") + col("n_mojibake"))
+          .cast("double") / greatest(col("n_chars"), lit(1L)))
+  }
+
   /** Corpus n-gram DIVERSITY report — the distinct-over-total gram
     * ratio at each n, per source and corpus-wide (the dataset-card
     * self-repetition metric: template-generated or over-crawled slices

@@ -1885,5 +1885,49 @@ object CorpusQueries extends QueryModule {
              |       ELSE 'test' END AS split
              |FROM b""".stripMargin),
     ),
+
+    // ---- encoding-health signals: the corpus is clean ASCII, so the
+    // query PLANTS the three failure signatures (the q61/q78 pattern):
+    // a U+FFFD replacement char, two C0 control bytes, and two
+    // Latin-1-decoded-UTF-8 digraphs (mojibake). DuckDB rebuilds the
+    // same augmented text from chr() codepoints and recounts with the
+    // RE2 spellings of the same character classes.
+    Q(
+      "q102_encoding_signals",
+      (s, d) => {
+        val id = col("doc_id")
+        val aug = Tables.documents(s, d).select(id,
+          when(id % 4 === 0, concat(col("text"), lit(" caf\uFFFD bad")))
+            .when(id % 4 === 1,
+              concat(col("text"), lit(" ctl\u0001x\u0002")))
+            .when(id % 4 === 2,
+              concat(col("text"), lit(" m\u00C3\u00A9nage \u00C3\u00A0")))
+            .otherwise(col("text")).as("t"))
+        TextAnalysis.encodingSignals(aug, "doc_id", "t")
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, CASE
+             |    WHEN doc_id % 4 = 0 THEN text || ' caf' || chr(65533) || ' bad'
+             |    WHEN doc_id % 4 = 1 THEN text || ' ctl' || chr(1) || 'x' || chr(2)
+             |    WHEN doc_id % 4 = 2 THEN text || ' m' || chr(195) || chr(169)
+             |      || 'nage ' || chr(195) || chr(160)
+             |    ELSE text END AS t
+             |  FROM documents
+             |), c AS (
+             |  SELECT doc_id, length(t) AS n_chars,
+             |    CAST(len(regexp_extract_all(t, '[\x{FFFD}]')) AS BIGINT)
+             |      AS n_replacement,
+             |    CAST(len(regexp_extract_all(t,
+             |      '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]'))
+             |      AS BIGINT) AS n_control,
+             |    CAST(len(regexp_extract_all(t,
+             |      '[\x{C3}\x{C2}][\x{80}-\x{BF}]')) AS BIGINT) AS n_mojibake
+             |  FROM aug
+             |)
+             |SELECT doc_id, n_chars, n_replacement, n_control, n_mojibake,
+             |  CAST(n_replacement + n_control + n_mojibake AS DOUBLE) /
+             |    greatest(n_chars, 1) AS bad_ratio
+             |FROM c""".stripMargin),
+    ),
   )
 }

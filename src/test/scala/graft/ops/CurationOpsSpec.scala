@@ -195,6 +195,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == "- a -\n--\nx\n--")
   }
 
+  test("encodingSignals: replacement, control, and mojibake counts with " +
+      "clean text and null text scoring zero") {
+    val docs = Seq(
+      (1L, "ab\uFFFDc\u0001 \u00C3\u00A9"), // one of each signature
+      (2L, "plain clean text"),
+      (3L, "tabs\tand\nnewlines are fine"), // \t \n NOT control-flagged
+      (4L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.encodingSignals(docs, "doc_id", "text")
+      .select($"doc_id", $"n_chars", $"n_replacement", $"n_control",
+        $"n_mojibake", $"bad_ratio")
+      .as[(Long, Int, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 8, 1L, 1L, 1L, 3.0 / 8.0)))
+    assert(out(2L) == ((2L, 16, 0L, 0L, 0L, 0.0)))
+    assert(out(3L)._4 == 0L && out(3L)._6 == 0.0)
+    assert(out(4L) == ((4L, 0, 0L, 0L, 0L, 0.0)))
+  }
+
   test("leakageFreeSplit: cluster members share split_key and split, " +
       "singletons key by their own id") {
     val docs = (1L to 6L).toDF("doc_id")
