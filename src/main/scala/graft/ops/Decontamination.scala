@@ -95,6 +95,57 @@ object Decontamination {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** SPAN-LEVEL decontamination — the Dolma-style paragraph-removal
+    * variant of [[decontaminate]]: instead of dropping a whole document
+    * that shares a benchmark n-gram, drop only the LINES containing a
+    * shared gram and keep the rest of the document (a long page with
+    * one quoted eval question keeps its other 99 paragraphs). Grams
+    * are computed PER LINE, so matches never straddle a line boundary
+    * — the paragraph-granular matching Dolma's decontamination tagger
+    * uses; lines shorter than `n` words carry no grams and always
+    * survive. A doc whose every line is contaminated collapses to
+    * empty rather than disappearing (the [[TextAnalysis
+    * .stripBoilerplateLines]] convention, same rebuild shape).
+    *
+    * Scale: the line explode rides the corpus scan; gram keys are
+    * md5-60 (8-byte); the benchmark gram set is distinct-deduped before
+    * the join and AQE-broadcastable (the [[contaminationHits]] shape) —
+    * swap in the Bloom prefilter for sketch-scale benchmark sets.
+    *
+    * @return (idCol, clean_text, n_lines_kept, n_lines_excised) */
+  def exciseContaminatedLines(docs: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, benchTextCol: String,
+      n: Int = 13): DataFrame = {
+    val benchGrams = bench
+      .select(explode(gramHashes(col(benchTextCol), n)).as("__g"))
+      .distinct()
+    // feeds the contamination probe AND the rebuild — materialize once
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .materialized
+    val bad = lines
+      .select(col(idCol), col("__pos"),
+        explode(gramHashes(col("__line"), n)).as("__g"))
+      .join(benchGrams, "__g")
+      .select(col(idCol), col("__pos")).distinct()
+    val kept = lines.join(bad, Seq(idCol, "__pos"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            x => x.getField("__line")),
+          "\n").as("clean_text"),
+        count(lit(1)).as("n_lines_kept"))
+    docs.select(col(idCol), size(split(col(textCol), "\n")).as("__total"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        (col("__total") - coalesce(col("n_lines_kept"), lit(0L)))
+          .as("n_lines_excised"))
+  }
+
   /** Every corpus row + (n_hits, contaminated) — the audit view. */
   def flagContaminated(docs: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, benchTextCol: String, n: Int = 13): DataFrame =

@@ -1929,5 +1929,79 @@ object CorpusQueries extends QueryModule {
              |    greatest(n_chars, 1) AS bad_ratio
              |FROM c""".stripMargin),
     ),
+
+    // ---- span-level decontamination: q66's benchmark split (doc_id %
+    // 10 == 0 is the eval set), but only the contaminated LINES drop.
+    // Each non-bench doc becomes three lines: a short safe intro (no
+    // 8-grams — always kept), its own text (near-dups to a bench doc
+    // decide), and — for doc_id % 7 == 0 — its decade's bench doc
+    // verbatim (always excised; a clean short tail otherwise). DuckDB
+    // rebuilds the same augmented text and restates the per-line gram
+    // probe, the excision, and the byte-exact rebuild.
+    Q(
+      "q103_excise_contaminated",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bench = docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("b_id"), col("text").as("b_text"))
+        val aug = docs.filter(col("doc_id") % 10 =!= 0)
+          .join(bench,
+            (col("doc_id") - col("doc_id") % 10) === col("b_id"))
+          .select(col("doc_id"),
+            concat_ws("\n", lit("SAFE intro"), col("text"),
+              when(col("doc_id") % 7 === 0, col("b_text"))
+                .otherwise(lit("TAIL clean line"))).as("t"))
+        Decontamination.exciseContaminatedLines(aug,
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "t", "text",
+          n = 8)
+      },
+      Some("""WITH bench AS (
+             |  SELECT doc_id AS b_id, text AS b_text FROM documents
+             |  WHERE doc_id % 10 = 0
+             |), aug AS (
+             |  SELECT d.doc_id, 'SAFE intro' || chr(10) || d.text || chr(10) ||
+             |    CASE WHEN d.doc_id % 7 = 0 THEN b.b_text
+             |         ELSE 'TAIL clean line' END AS t
+             |  FROM documents d JOIN bench b ON d.doc_id - d.doc_id % 10 = b.b_id
+             |  WHERE d.doc_id % 10 <> 0
+             |), bg AS (
+             |  SELECT DISTINCT unnest(list_distinct(
+             |    [array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]))
+             |    AS gram
+             |  FROM (SELECT string_split(trim(text), ' ') AS w FROM documents
+             |        WHERE doc_id % 10 = 0)
+             |  WHERE len(w) >= 8
+             |), l0 AS (
+             |  SELECT doc_id, string_split(t, chr(10)) AS ls FROM aug
+             |), l AS (
+             |  SELECT doc_id, unnest(ls) AS line,
+             |    unnest(range(1, len(ls) + 1)) AS pos
+             |  FROM l0
+             |), lg AS (
+             |  SELECT doc_id, pos, unnest(list_distinct(
+             |    [array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]))
+             |    AS gram
+             |  FROM (SELECT doc_id, pos, string_split(trim(line), ' ') AS w
+             |        FROM l)
+             |  WHERE len(w) >= 8
+             |), bad AS (
+             |  SELECT DISTINCT doc_id, pos FROM lg JOIN bg USING (gram)
+             |), kept AS (
+             |  SELECT l.* FROM l LEFT JOIN bad b
+             |    ON l.doc_id = b.doc_id AND l.pos = b.pos
+             |  WHERE b.doc_id IS NULL
+             |), reb AS (
+             |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+             |      AS clean_text,
+             |    count(*) AS n_lines_kept
+             |  FROM kept GROUP BY 1
+             |), tot AS (
+             |  SELECT doc_id, len(string_split(t, chr(10))) AS total FROM aug
+             |)
+             |SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+             |  coalesce(r.n_lines_kept, 0) AS n_lines_kept,
+             |  t.total - coalesce(r.n_lines_kept, 0) AS n_lines_excised
+             |FROM tot t LEFT JOIN reb r USING (doc_id)""".stripMargin),
+    ),
   )
 }

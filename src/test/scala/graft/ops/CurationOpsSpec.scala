@@ -44,6 +44,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(hits(7L) == 3L)
   }
 
+  test("exciseContaminatedLines drops only lines sharing a bench gram; " +
+      "full contamination collapses to empty") {
+    val bench = Seq((0L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    val docs = Seq(
+      (1L, "clean opening line here\n" +
+        "the quick brown fox jumps over the lazy dog indeed\n" +
+        "short tail"),
+      (2L, "totally unrelated words in every line\nanother clean line"),
+      (3L, "the quick brown fox jumps over the lazy dog"), // all bad
+    ).toDF("id", "text")
+    val out = Decontamination.exciseContaminatedLines(docs, bench, "id",
+        "text", "text", n = 8)
+      .select($"id", $"clean_text", $"n_lines_kept", $"n_lines_excised")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == (("clean opening line here\nshort tail", 2L, 1L)))
+    assert(out(2L) == (("totally unrelated words in every line\n" +
+      "another clean line", 2L, 0L)))
+    assert(out(3L) == (("", 0L, 1L)))
+  }
+
   // ---------------------------------------------------- sliding chunks
 
   test("sliding chunks cover every token with the promised overlap") {
