@@ -276,6 +276,44 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Cross-SOURCE n-gram overlap ESTIMATES from MinHash UNION sketches —
+    * the dataset-card "how much do my slices share" matrix (crawl snapshots
+    * overlapping month-to-month, a vendor corpus double-counting a crawl):
+    * exact pairwise Jaccard between sources needs a distinct-gram join per
+    * pair (quadratic in sources, a full gram shuffle each), where MinHash
+    * is distributive over union — min(sig(A ∪ B)) = min(sig A, sig B) —
+    * so ONE pass computes per-doc signatures, one position-wise min-agg
+    * folds them into a per-SOURCE signature (numHashes longs per source:
+    * model-sized), and every pairwise estimate is a zip-compare of two
+    * tiny arrays. Estimator: matching positions / numHashes (the
+    * [[estimateFilter]] statistics). The q104 gate runs the exact
+    * computation next to it at test scale and pins |est − exact| ≤ tol —
+    * the q56/q69 approximate-operator pattern.
+    *
+    * @return (src_a, src_b, est_jaccard) for every unordered source pair,
+    *         src_a < src_b */
+  def sourceOverlapSketch(df: DataFrame, groupCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128): DataFrame = {
+    val grams = df.select(col(groupCol).cast("string").as("__src"),
+      wordNGramsFromWords(split(trim(col(textCol)), "\\s+"), n).as("grams"))
+    val unionSig = signatureTable(grams, "__src", "grams", numHashes)
+      .select(col("__src"), posexplode(col("__sig")).as(Seq("__p", "__v")))
+      .groupBy(col("__src"), col("__p")).agg(min(col("__v")).as("__m"))
+      .groupBy(col("__src"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__p"), col("__m")))),
+        x => x.getField("__m")).as("__usig"))
+    val a = unionSig.select(col("__src").as("src_a"), col("__usig").as("__sa"))
+    val b = unionSig.select(col("__src").as("src_b"), col("__usig").as("__sb"))
+    val matches = aggregate(
+      zip_with(col("__sa"), col("__sb"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        (matches.cast("double") / numHashes).as("est_jaccard"))
+  }
+
   // ------------------------------------------------------------ clustering
 
   /** Connected components over a near-dup pair list → duplicate

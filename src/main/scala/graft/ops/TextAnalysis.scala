@@ -290,24 +290,43 @@ object TextAnalysis {
     * finds anything). `scope` is the group value plus an `ALL` total
     * row per n.
     *
-    * Shape: ONE pass — each doc's grams for every n emit from a single
-    * explode (structs of (n, md5-60(gram)): 8-byte hashed keys, never
-    * gram strings, the [[stripBoilerplateLines]] trick), and the ALL
-    * row comes from duplicating each gram row into its group scope and
-    * the ALL scope in the same pass (the hand-rolled Expand that
-    * grouping sets would plan anyway) — not a second scan of the
-    * corpus. `count_distinct` partial-aggregates map-side; at 100 TB
-    * swap it for `approx_count_distinct` (the q69 sketch-gate
-    * precedent) — kept exact here so the oracle can restate it.
-    * Diversity = one IEEE division of two exact integers (q99).
+    * Shape: totals never explode at all — a doc's gram count at each n
+    * is arithmetic on its word count, so totals are a pure map + tiny
+    * agg. Distinct counts come from ONE explode of (n, md5-60(gram))
+    * structs (8-byte hashed keys, never gram strings) deduped EARLY to
+    * the per-source distinct set — the ALL row then dedupes that
+    * already-vocabulary-sized set again instead of re-shuffling the
+    * raw gram stream, and no `count + count_distinct` pair ever makes
+    * Catalyst Expand-multiply the stream (the first cut of this
+    * operator did, and was the bench's slowest query ×4 over). At
+    * 100 TB swap the exact distinct for `approx_count_distinct` (the
+    * q69 sketch-gate precedent) — kept exact here so the oracle can
+    * restate it. Diversity = one IEEE division of two exact integers
+    * (q99). Eager (materializes the per-source distinct set once for
+    * its two consumers — see [[Materialize]]).
     *
-    * @return (scope, n, total_grams, distinct_grams, diversity) */
+    * @return (scope, n, total_grams, distinct_grams, diversity);
+    *         (scope, n) pairs with zero grams emit no row */
   def ngramDiversity(df: DataFrame, textCol: String,
       groupCol: Option[String] = None,
       ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1) && ns.distinct == ns,
       s"ns must be distinct positive ints, got $ns")
     val w = split(trim(col(textCol)), "\\s+")
+    val grpExpr = groupCol.map(g => col(g).cast("string"))
+      .getOrElse(lit("ALL"))
+    // totals: |grams_n(doc)| = max(|w| - (n-1), 0) — no explode
+    val sizeCols = ns.map(n =>
+      greatest(size(w) - (n - 1), lit(0)).cast("long").as(s"__c$n"))
+    val totSrc = df.select(grpExpr.as("scope") +: sizeCols: _*)
+      .groupBy(col("scope"))
+      .agg(sum(col(s"__c${ns.head}")).as(s"__t${ns.head}"),
+        ns.tail.map(n => sum(col(s"__c$n")).as(s"__t$n")): _*)
+      .select(col("scope"), explode(array(ns.map(n =>
+        struct(lit(n).as("n"), col(s"__t$n").as("total_grams"))): _*))
+        .as("__s"))
+      .select(col("scope"), col("__s.n").as("n"), col("__s.total_grams"))
+    // distinct: one explode, dedup straight to the per-source set
     val gramsPerN: Seq[Column] = ns.map { n =>
       val grams =
         if (n == 1) w
@@ -319,20 +338,31 @@ object TextAnalysis {
           struct(lit(n).as("n"), Dedup.md5Hash60(g).as("gh"))))
         .otherwise(array().cast("array<struct<n:int,gh:bigint>>"))
     }
-    val base = df.select(
-      (groupCol.map(g => col(g).cast("string").as("__grp")).toSeq :+
-        explode(flatten(array(gramsPerN: _*))).as("__g")): _*)
-    val scoped = groupCol match {
-      case Some(_) => base.select(
-        explode(array(col("__grp"), lit("ALL"))).as("scope"), col("__g"))
-      case None => base.select(lit("ALL").as("scope"), col("__g"))
+    val dSrc = df.select(grpExpr.as("scope"),
+        explode(flatten(array(gramsPerN: _*))).as("__g"))
+      .select(col("scope"), col("__g.n").as("n"), col("__g.gh").as("gh"))
+      .distinct()
+    def joinScopes(d: DataFrame): DataFrame = totSrc.join(
+      d.groupBy(col("scope"), col("n"))
+        .agg(count(lit(1)).as("distinct_grams")),
+      Seq("scope", "n"))
+    val out = groupCol match {
+      case None => joinScopes(dSrc)
+      case Some(_) =>
+        // ALL = union of the per-source distinct sets (already deduped,
+        // vocabulary-sized) + summed totals; dSrcM feeds both consumers
+        val dSrcM = dSrc.materialized
+        val allRows = totSrc.groupBy(col("n"))
+          .agg(sum(col("total_grams")).as("total_grams"))
+          .join(dSrcM.select(col("n"), col("gh")).distinct()
+            .groupBy(col("n")).agg(count(lit(1)).as("distinct_grams")),
+            Seq("n"))
+          .select(lit("ALL").as("scope"), col("n"), col("total_grams"),
+            col("distinct_grams"))
+        joinScopes(dSrcM).unionByName(allRows)
     }
-    scoped
-      .groupBy(col("scope"), col("__g.n").as("n"))
-      .agg(count(lit(1)).as("total_grams"),
-        countDistinct(col("__g.gh")).as("distinct_grams"))
-      .withColumn("diversity",
-        col("distinct_grams").cast("double") / col("total_grams"))
+    out.withColumn("diversity",
+      col("distinct_grams").cast("double") / col("total_grams"))
   }
 
   /** Characteristic-stopword language scores. Tiny dictionaries on

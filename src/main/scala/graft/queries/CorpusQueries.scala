@@ -2003,5 +2003,70 @@ object CorpusQueries extends QueryModule {
              |  t.total - coalesce(r.n_lines_kept, 0) AS n_lines_excised
              |FROM tot t LEFT JOIN reb r USING (doc_id)""".stripMargin),
     ),
+
+    // ---- source-overlap matrix: the union-sketch estimate (one pass +
+    // per-source position-min, MinHash distributive over union) gated
+    // against the exact pairwise trigram Jaccard computed alongside at
+    // test scale. The oracle-compared columns are the EXACT counts/
+    // ratio (bit-exact integer math) plus the est_ok verdict — DuckDB
+    // recomputes the exact side from gram strings and pins est_ok
+    // true, so an estimator collapse flips Spark's verdict and
+    // hash-mismatches (the q26/q33 tripwire convention; the raw
+    // estimate itself is hash-construction-specific, never compared).
+    Q(
+      "q104_source_overlap",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val gh = docs.select(col("source").cast("string").as("src"),
+            explode(Decontamination.gramHashes(col("text"), 3)).as("gh"))
+          .distinct()
+        val sizes = gh.groupBy(col("src")).agg(count(lit(1)).as("n"))
+        val common = gh.alias("x").join(gh.alias("y"),
+            col("x.gh") === col("y.gh") && col("x.src") < col("y.src"))
+          .groupBy(col("x.src").as("src_a"), col("y.src").as("src_b"))
+          .agg(count(lit(1)).as("n_common"))
+        val pairs = sizes.alias("a").join(sizes.alias("b"),
+            col("a.src") < col("b.src"))
+          .select(col("a.src").as("src_a"), col("b.src").as("src_b"),
+            col("a.n").as("n_a"), col("b.n").as("n_b"))
+          .join(common, Seq("src_a", "src_b"), "left")
+          .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+          .withColumn("exact_jaccard", col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")))
+        val est = Dedup.sourceOverlapSketch(docs, "source", "text",
+          n = 3, numHashes = 128)
+        pairs.join(est, Seq("src_a", "src_b"))
+          .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+            col("n_common"), col("exact_jaccard"),
+            (abs(col("est_jaccard") - col("exact_jaccard")) <= 0.15)
+              .as("est_ok"))
+      },
+      Some("""WITH w AS (
+             |  SELECT source, string_split(trim(text), ' ') AS w FROM documents
+             |), g AS (
+             |  SELECT DISTINCT source,
+             |    unnest(list_distinct(
+             |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |       for i in range(1, len(w) - 1)])) AS gram
+             |  FROM w WHERE len(w) >= 3
+             |), sizes AS (
+             |  SELECT source, count(*) AS n FROM g GROUP BY 1
+             |), common AS (
+             |  SELECT x.source AS src_a, y.source AS src_b,
+             |    count(*) AS n_common
+             |  FROM g x JOIN g y ON x.gram = y.gram AND x.source < y.source
+             |  GROUP BY 1, 2
+             |)
+             |SELECT a.source AS src_a, b.source AS src_b,
+             |  a.n AS n_a, b.n AS n_b,
+             |  coalesce(c.n_common, 0) AS n_common,
+             |  CAST(coalesce(c.n_common, 0) AS DOUBLE) /
+             |    (a.n + b.n - coalesce(c.n_common, 0)) AS exact_jaccard,
+             |  true AS est_ok
+             |FROM sizes a
+             |JOIN sizes b ON a.source < b.source
+             |LEFT JOIN common c ON c.src_a = a.source AND c.src_b = b.source"""
+        .stripMargin),
+    ),
   )
 }

@@ -217,6 +217,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == "- a -\n--\nx\n--")
   }
 
+  test("sourceOverlapSketch: identical sources estimate 1.0 exactly, " +
+      "disjoint sources near zero, partial overlap lands near exact") {
+    val mk = (src: String, texts: Seq[String]) =>
+      texts.zipWithIndex.map { case (t, i) => (s"$src-$i", src, t) }
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = (
+      mk("a", Seq(shared)) ++
+      mk("b", Seq(shared)) ++                       // b == a
+      mk("c", Seq("one two three four five six seven eight nine ten")) ++
+      mk("d", Seq(shared, "one two three four five six seven eight nine ten"))
+    ).toDF("doc_id", "source", "text")
+    val est = Dedup.sourceOverlapSketch(docs, "source", "text", n = 3)
+      .select($"src_a", $"src_b", $"est_jaccard")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(est(("a", "b")) == 1.0)                  // same union set
+    assert(est(("a", "c")) < 0.1)                   // disjoint grams
+    // d = a's grams (6) ∪ c's grams (8); J(a,d) = 6/14, J(c,d) = 8/14
+    assert(math.abs(est(("a", "d")) - 6.0 / 14.0) < 0.2)
+    assert(math.abs(est(("c", "d")) - 8.0 / 14.0) < 0.2)
+  }
+
   test("encodingSignals: replacement, control, and mojibake counts with " +
       "clean text and null text scoring zero") {
     val docs = Seq(
