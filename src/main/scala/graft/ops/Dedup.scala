@@ -294,8 +294,12 @@ object Dedup {
     *         src_a < src_b */
   def sourceOverlapSketch(df: DataFrame, groupCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128): DataFrame = {
-    val grams = df.select(col(groupCol).cast("string").as("__src"),
-      wordNGramsFromWords(split(trim(col(textCol)), "\\s+"), n).as("grams"))
+    // two-step through a bound __w column (wordNGramsFromWords scaladoc:
+    // an element_at over the raw split expression re-splits per element)
+    val grams = df
+      .select(col(groupCol).cast("string").as("__src"),
+        split(trim(col(textCol)), "\\s+").as("__w"))
+      .select(col("__src"), wordNGramsFromWords(col("__w"), n).as("grams"))
     val unionSig = signatureTable(grams, "__src", "grams", numHashes)
       .select(col("__src"), posexplode(col("__sig")).as(Seq("__p", "__v")))
       .groupBy(col("__src"), col("__p")).agg(min(col("__v")).as("__m"))

@@ -312,13 +312,20 @@ object TextAnalysis {
       ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1) && ns.distinct == ns,
       s"ns must be distinct positive ints, got $ns")
-    val w = split(trim(col(textCol)), "\\s+")
     val grpExpr = groupCol.map(g => col(g).cast("string"))
       .getOrElse(lit("ALL"))
+    // bind the words array ONCE as a column before any lambda touches
+    // it (the bigramFamiliarity rule): an element_at over the raw
+    // split(...) expression inside a transform re-splits the text per
+    // element — O(words²) per document per n. Bound as an attribute,
+    // the split runs once per row.
+    val prepared = df.select(grpExpr.as("scope"),
+      split(trim(col(textCol)), "\\s+").as("__w"))
+    val w = col("__w")
     // totals: |grams_n(doc)| = max(|w| - (n-1), 0) — no explode
     val sizeCols = ns.map(n =>
       greatest(size(w) - (n - 1), lit(0)).cast("long").as(s"__c$n"))
-    val totSrc = df.select(grpExpr.as("scope") +: sizeCols: _*)
+    val totSrc = prepared.select(col("scope") +: sizeCols: _*)
       .groupBy(col("scope"))
       .agg(sum(col(s"__c${ns.head}")).as(s"__t${ns.head}"),
         ns.tail.map(n => sum(col(s"__c$n")).as(s"__t$n")): _*)
@@ -338,7 +345,7 @@ object TextAnalysis {
           struct(lit(n).as("n"), Dedup.md5Hash60(g).as("gh"))))
         .otherwise(array().cast("array<struct<n:int,gh:bigint>>"))
     }
-    val dSrc = df.select(grpExpr.as("scope"),
+    val dSrc = prepared.select(col("scope"),
         explode(flatten(array(gramsPerN: _*))).as("__g"))
       .select(col("scope"), col("__g.n").as("n"), col("__g.gh").as("gh"))
       .distinct()

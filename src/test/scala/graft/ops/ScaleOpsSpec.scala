@@ -161,4 +161,59 @@ class ScaleOpsSpec extends SparkSpec {
     // totals aggregate partial-combines map-side
     assert(plan.contains("partial_sum"))
   }
+
+  test("scoreLinearHashed plan: pure map — the weight table rides as a " +
+      "task broadcast, not a join") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val weights = spark.range(16).select($"id".cast("int").as("bucket"),
+      lit(1L).as("weight_milli"))
+    val plan = Scoring.scoreLinearHashed(docs, "doc_id", "text", weights, 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Generate"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("importanceWeights scoring pass plan: pure map (histograms are " +
+      "call-time aggs, not plan-time joins)") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Scoring.importanceWeights(docs,
+        docs.filter($"source" === "src0"), "doc_id", "text", "text", 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("ngramDiversity plan: no Expand (the count+count_distinct trap), " +
+      "no Window") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = TextAnalysis.ngramDiversity(docs, "text", Some("source"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("dedupDocLines and encodingSignals plans: pure maps, no Exchange") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val p1 = TextAnalysis.dedupDocLines(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("Exchange"), p1)
+    val p2 = TextAnalysis.encodingSignals(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("Exchange"), p2)
+    assert(p2.contains("*(1)"), p2) // the whole-stage-codegen star
+  }
+
+  test("exciseContaminatedLines plan: equality joins only, no window") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", concat($"text", lit("\nTAIL line")).as("t"))
+    val bench = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"doc_id" % 10 === 0)
+    val plan = Decontamination.exciseContaminatedLines(docs, bench,
+        "doc_id", "t", "text", n = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }
