@@ -33,29 +33,44 @@ import graft.ops.Materialize.MaterializeOps
   */
 object Decontamination {
 
-  /** Distinct word n-gram hashes of a text column; docs shorter than
-    * `n` words contribute no grams. */
-  def gramHashes(text: Column, n: Int): Column = {
-    val w = split(trim(text), "\\s+")
-    when(size(w) >= n,
-      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
-        i => Dedup.md5Hash60(concat_ws(" ", slice(w, i, lit(n)))))))
+  /** Distinct word n-gram hashes from a BOUND words-array column.
+    * `words` must be a plain attribute (select the split into a column
+    * first): a slice over a raw `split(...)` expression inside the
+    * transform lambda re-splits the text per gram — O(words²) per doc
+    * (the `wordNGramsFromWords` rule). */
+  def gramHashesFromWords(words: Column, n: Int): Column =
+    when(size(words) >= n,
+      array_distinct(transform(sequence(lit(1), size(words) - (n - 1)),
+        i => Dedup.md5Hash60(concat_ws(" ", slice(words, i, lit(n)))))))
       .otherwise(array().cast("array<bigint>"))
-  }
+
+  /** Convenience form for one-shot contexts; hot paths should bind the
+    * words array first and call [[gramHashesFromWords]]. */
+  def gramHashes(text: Column, n: Int): Column =
+    gramHashesFromWords(split(trim(text), "\\s+"), n)
+
+  /** (id, grams) with the split bound to a column before gram assembly. */
+  private def docGrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
+      .select(col(idCol), gramHashesFromWords(col("__w"), n).as("__gs"))
+
+  private def benchGramSet(bench: DataFrame, benchTextCol: String,
+      n: Int): DataFrame =
+    bench.select(split(trim(col(benchTextCol)), "\\s+").as("__w"))
+      .select(explode(gramHashesFromWords(col("__w"), n)).as("__g"))
+      .distinct()
 
   /** (id, n_hits) for every corpus document sharing ≥1 n-gram with the
     * benchmark text; `n_hits` counts the distinct shared grams. */
   def contaminationHits(docs: DataFrame, bench: DataFrame, idCol: String,
-      textCol: String, benchTextCol: String, n: Int): DataFrame = {
-    val benchGrams = bench
-      .select(explode(gramHashes(col(benchTextCol), n)).as("__g"))
-      .distinct()
-    docs.select(col(idCol), explode(gramHashes(col(textCol), n)).as("__g"))
-      .join(benchGrams, "__g")
-      // gramHashes is distinct per doc, so plain count == distinct hits
+      textCol: String, benchTextCol: String, n: Int): DataFrame =
+    docGrams(docs, idCol, textCol, n)
+      .select(col(idCol), explode(col("__gs")).as("__g"))
+      .join(benchGramSet(bench, benchTextCol, n), "__g")
+      // gram sets are distinct per doc, so plain count == distinct hits
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
-  }
 
   /** Bloom-prefiltered contamination hits — IDENTICAL output to
     * [[contaminationHits]], for the regime where the benchmark gram set
@@ -80,15 +95,14 @@ object Decontamination {
       idCol: String, textCol: String, benchTextCol: String, n: Int,
       fpp: Double = 0.01): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
-    val benchGrams = bench
-      .select(explode(gramHashes(col(benchTextCol), n)).as("__g"))
-      .distinct()
+    val benchGrams = benchGramSet(bench, benchTextCol, n)
       .materialized // feeds the count, the bloom build, AND the join
     val nGrams = math.max(benchGrams.count(), 1L)
     val bloom = benchGrams.stat.bloomFilter("__g", nGrams, fpp)
     val bc = docs.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((g: Long) => bc.value.mightContainLong(g))
-    docs.select(col(idCol), explode(gramHashes(col(textCol), n)).as("__g"))
+    docGrams(docs, idCol, textCol, n)
+      .select(col(idCol), explode(col("__gs")).as("__g"))
       .filter(mightContain(col("__g")))
       .join(benchGrams, "__g")
       .groupBy(col(idCol))
@@ -116,16 +130,16 @@ object Decontamination {
   def exciseContaminatedLines(docs: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, benchTextCol: String,
       n: Int = 13): DataFrame = {
-    val benchGrams = bench
-      .select(explode(gramHashes(col(benchTextCol), n)).as("__g"))
-      .distinct()
+    val benchGrams = benchGramSet(bench, benchTextCol, n)
     // feeds the contamination probe AND the rebuild — materialize once
     val lines = docs.select(col(idCol),
         posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
       .materialized
     val bad = lines
       .select(col(idCol), col("__pos"),
-        explode(gramHashes(col("__line"), n)).as("__g"))
+        split(trim(col("__line")), "\\s+").as("__lw"))
+      .select(col(idCol), col("__pos"),
+        explode(gramHashesFromWords(col("__lw"), n)).as("__g"))
       .join(benchGrams, "__g")
       .select(col(idCol), col("__pos")).distinct()
     val kept = lines.join(bad, Seq(idCol, "__pos"), "left_anti")

@@ -163,7 +163,10 @@ object Packing {
     require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
       s"need 0 <= overlap < maxTokens, got overlap=$overlap max=$maxTokens")
     val stride = maxTokens - overlap
-    val w = split(trim(col(textCol)), "\\s+")
+    // words bound ONCE as a column: a slice over the raw split(...)
+    // expression inside the transform lambda would re-split the text
+    // per chunk — O(words²/stride) per doc (the bigramFamiliarity rule)
+    val w = col("__w")
     val n = size(w)
     // integer ceil((n - maxTokens) / stride) via (x + stride - 1) div stride
     // (Column./ is DOUBLE division — floor() restores the integer quotient,
@@ -176,7 +179,8 @@ object Packing {
         concat_ws(" ", slice(w, i * stride + 1, lit(maxTokens)))
           .as("chunk_text"),
         size(slice(w, i * stride + 1, lit(maxTokens))).as("chunk_tokens")))
-    df.select(col(idCol), explode(chunks).as("__c"))
+    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
+      .select(col(idCol), explode(chunks).as("__c"))
       .select(col(idCol), col("__c.chunk_idx"), col("__c.chunk_text"),
         col("__c.chunk_tokens"))
   }

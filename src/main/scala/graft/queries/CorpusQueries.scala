@@ -2018,7 +2018,10 @@ object CorpusQueries extends QueryModule {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val gh = docs.select(col("source").cast("string").as("src"),
-            explode(Decontamination.gramHashes(col("text"), 3)).as("gh"))
+            split(trim(col("text")), "\\s+").as("w"))
+          .select(col("src"),
+            explode(Decontamination.gramHashesFromWords(col("w"), 3))
+              .as("gh"))
           .distinct()
         val sizes = gh.groupBy(col("src")).agg(count(lit(1)).as("n"))
         val common = gh.alias("x").join(gh.alias("y"),
