@@ -2024,9 +2024,19 @@ object CorpusQueries extends QueryModule {
               .as("gh"))
           .distinct()
         val sizes = gh.groupBy(col("src")).agg(count(lit(1)).as("n"))
-        val common = gh.alias("x").join(gh.alias("y"),
-            col("x.gh") === col("y.gh") && col("x.src") < col("y.src"))
-          .groupBy(col("x.src").as("src_a"), col("y.src").as("src_b"))
+        // pair counts WITHOUT a gh self-join: group each gram's source
+        // list (≤ |sources| entries) and explode its C(k,2) ordered
+        // pairs in-task — one shuffle of the distinct set instead of
+        // hash-joining it against itself
+        val ss = col("ss")
+        val pairStructs = flatten(transform(ss, (a, i) =>
+          transform(slice(ss, i + 2, size(ss)), b =>
+            struct(a.as("src_a"), b.as("src_b")))))
+        val common = gh.groupBy(col("gh"))
+          .agg(sort_array(collect_set(col("src"))).as("ss"))
+          .filter(size(ss) >= 2)
+          .select(explode(pairStructs).as("p"))
+          .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
           .agg(count(lit(1)).as("n_common"))
         val pairs = sizes.alias("a").join(sizes.alias("b"),
             col("a.src") < col("b.src"))
