@@ -115,4 +115,80 @@ class CorpusPropertySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastExchange"))
   }
+
+  test("dedupDocLines is idempotent on random line soups") {
+    val line = Gen.oneOf("nav bar", "body text here", "", "promo",
+      "unique words appear", "x")
+    val doc = Gen.listOfN(8, line).map(_.mkString("\n"))
+    val docs = samples(doc, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val once = TextAnalysis.dedupDocLines(docs, "doc_id", "text")
+      .select($"doc_id", $"clean_text")
+    val twice = TextAnalysis.dedupDocLines(
+        once.withColumnRenamed("clean_text", "text"), "doc_id", "text")
+      .select($"doc_id", $"clean_text")
+    assert(once.as[(Long, String)].collect().toMap ==
+      twice.as[(Long, String)].collect().toMap)
+    // second pass removes nothing
+    assert(TextAnalysis.dedupDocLines(
+        once.withColumnRenamed("clean_text", "text"), "doc_id", "text")
+      .agg(sum($"n_removed")).as[Long].collect().head == 0L)
+  }
+
+  test("exciseContaminatedLines is idempotent: the survivors carry no " +
+      "bench gram") {
+    val bench = Seq((0L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    val word = Gen.oneOf("the", "quick", "brown", "fox", "alpha", "beta")
+    val line = Gen.listOfN(9, word).map(_.mkString(" "))
+    val doc = Gen.listOfN(4, line).map(_.mkString("\n"))
+    val docs = samples(doc, 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val once = Decontamination.exciseContaminatedLines(docs, bench, "id",
+      "text", "text", n = 8)
+    val again = Decontamination.exciseContaminatedLines(
+      once.select($"id", $"clean_text".as("text")), bench, "id",
+      "text", "text", n = 8)
+    assert(again.agg(sum($"n_lines_excised")).as[Long].collect().head == 0L)
+  }
+
+  test("scoreLinearHashed and importanceWeights are partitioning-" +
+      "invariant (broadcast model, per-row math)") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val weights = spark.range(64).select($"id".cast("int").as("bucket"),
+      (($"id" * 37L) % 201 - 100).as("weight_milli"))
+    def scores(d: org.apache.spark.sql.DataFrame) =
+      Scoring.scoreLinearHashed(d, "doc_id", "text", weights, 64, 10L)
+        .select($"doc_id", $"logit_milli").as[(Long, Long)].collect().toMap
+    assert(scores(docs) == scores(docs.repartition(7)))
+    def imp(d: org.apache.spark.sql.DataFrame) =
+      Scoring.importanceWeights(d, d.filter($"source" === "src0"),
+          "doc_id", "text", "text", 32)
+        .select($"doc_id", $"sum_target", $"sum_raw")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(imp(docs) == imp(docs.repartition(5)))
+  }
+
+  test("encodeTokens: ids round-trip through the vocab for every " +
+      "in-vocabulary token; n_oov accounts for the rest") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val vocab = TextAnalysis.buildVocab(docs, "doc_id", "text", minDf = 2L)
+    val idToTok = vocab.select($"vocab_id", $"token")
+      .as[(Long, String)].collect().toMap
+    val enc = TextAnalysis.encodeTokens(docs, "doc_id", "text", vocab)
+      .select($"doc_id", $"token_ids", $"n_tokens", $"n_oov")
+      .as[(Long, Seq[Long], Long, Long)].collect()
+    val orig = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toMap
+    enc.foreach { case (id, ids, n, oov) =>
+      assert(ids.length == n)
+      assert(ids.count(_ == -1L) == oov)
+      val toks = orig(id).trim.split("\\s+", -1)
+      // every non-OOV id decodes back to the exact original token
+      ids.zip(toks).foreach { case (tid, tok) =>
+        if (tid != -1L) assert(idToTok(tid) == tok)
+      }
+    }
+  }
 }
