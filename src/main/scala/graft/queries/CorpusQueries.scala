@@ -1077,7 +1077,13 @@ object CorpusQueries extends QueryModule {
           TextAnalysis.langId(col("text")).as("lang"),
           TextAnalysis.qualityFeatures(col("text"))
             .getField("quality").as("quality"))
-        val kept = scored.filter(col("quality") >= 0.5)
+        // the scoring stage (6 regex/split passes per row) feeds FOUR
+        // downstream branches (dedup, join-back, decontamination probe,
+        // decontamination join); materialize once so no branch
+        // recomputes the scoring subtree — at corpus scale that's 4
+        // extra full-table scoring passes (locally it's noise; a
+        // production funnel checkpoints between stages regardless)
+        val kept = graft.ops.Materialize(scored.filter(col("quality") >= 0.5))
         val surv = Dedup.exactDedup(kept, "text", "doc_id")
           .select(col("doc_id"))
         val corpus = kept.join(surv, "doc_id")
