@@ -41,6 +41,84 @@ object Sampling {
     df.withColumn("bucket", b).withColumn("split", assign)
   }
 
+  /** Bounded top-k buffer for [[topKPerGroupAgg]]: a sorted ≤ k-entry
+    * list by (score desc, key asc), mergeable — Spark's partial
+    * aggregation runs it map-side, so the shuffle carries O(k) per
+    * (partition, group), never the group's full row set. The ranking
+    * sibling of [[HeavyHitters.MisraGries]]. Rows below the current
+    * k-th are rejected O(1). */
+  final class TopKBuffer(k: Int) extends org.apache.spark.sql.expressions
+      .Aggregator[(Long, Double), List[(Double, Long)], Seq[(Double, Long)]] {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // ordering: score desc, key asc — (s, key) "beats" (s2, key2) iff
+    private def beats(s: Double, key: Long, s2: Double, key2: Long) =
+      s > s2 || (s == s2 && key < key2)
+    override def zero: List[(Double, Long)] = Nil
+    override def reduce(b: List[(Double, Long)],
+        in: (Long, Double)): List[(Double, Long)] = {
+      val (key, s) = in
+      if (b.lengthCompare(k) >= 0 && {
+        val (ls, lk) = b.last; !beats(s, key, ls, lk)
+      }) b
+      else {
+        val (before, after) = b.span { case (bs, bk) => beats(bs, bk, s, key) }
+        (before ::: (s, key) :: after).take(k)
+      }
+    }
+    override def merge(b1: List[(Double, Long)],
+        b2: List[(Double, Long)]): List[(Double, Long)] =
+      (b1 ::: b2).sortWith { case ((s, key), (s2, key2)) =>
+        beats(s, key, s2, key2)
+      }.take(k)
+    override def finish(b: List[(Double, Long)]): Seq[(Double, Long)] = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[List[(Double, Long)]] =
+      org.apache.spark.sql.Encoders.kryo[List[(Double, Long)]]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.Encoders.kryo[Seq[(Double, Long)]]
+  }
+
+  /** Exact per-group top-k by score WITHOUT a window sort: where
+    * [[topFractionPerGroup]]/[[capPerGroup]] rank EVERY group row
+    * through a hash-partitioned window (right when you keep a
+    * fraction), a fixed small k only ever needs a bounded buffer — the
+    * typed [[TopKBuffer]] partial-aggregates map-side, so a hot group
+    * (one domain = half the corpus) costs O(k) shuffle instead of a
+    * full per-group sort. Deterministic: ties break by key asc, so any
+    * engine restates the exact winner set (q105).
+    *
+    * Null scores cannot rank and null groups cannot key a group —
+    * both are rejected loudly rather than silently dropped.
+    *
+    * @return (groupCol, keyCol, score, group_rank 1..k) */
+  def topKPerGroupAgg(df: DataFrame, groupCol: String, keyCol: String,
+      scoreCol: Column, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000,
+      s"k must be in [1, 1000] (bounded-buffer regime; use " +
+        s"topFractionPerGroup for keep-a-fraction), got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepared = df.select(col(groupCol).cast("string").as("__g"),
+      col(keyCol).cast("long").as("__k"), scoreCol.cast("double").as("__s"))
+    val agg = new TopKBuffer(k)
+    prepared
+      .map { r =>
+        require(!r.isNullAt(0), s"null $groupCol cannot key a group")
+        require(!r.isNullAt(2), s"null score for $keyCol=${r.getLong(1)}")
+        require(!r.getDouble(2).isNaN,
+          s"NaN score for $keyCol=${r.getLong(1)} cannot rank")
+        (r.getString(0), r.getLong(1), r.getDouble(2))
+      }
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(agg.toColumn)
+      .flatMap { case (g, tops) =>
+        tops.iterator.zipWithIndex.map { case ((s, key), i) =>
+          (g, key, s, (i + 1).toLong)
+        }
+      }
+      .toDF(groupCol, keyCol, "score", "group_rank")
+  }
+
   /** LEAKAGE-FREE train/val/test split: near-duplicate documents must
     * never straddle a split boundary (a test doc whose near-dup sits in
     * train inflates every eval number — the classic contamination-by-

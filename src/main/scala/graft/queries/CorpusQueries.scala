@@ -2087,5 +2087,30 @@ object CorpusQueries extends QueryModule {
              |LEFT JOIN common c ON c.src_a = a.source AND c.src_b = b.source"""
         .stripMargin),
     ),
+
+    // ---- bounded-buffer per-group top-k: the longest 3 docs per
+    // source via the typed mergeable aggregator (O(k) shuffle per
+    // partition-group, no window sort). Deterministic tie-break (score
+    // desc, doc_id asc) lets DuckDB restate the exact winner set with
+    // a plain row_number window.
+    Q(
+      "q105_topk_per_group",
+      (s, d) => Sampling.topKPerGroupAgg(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          col("text")),
+        "source", "doc_id", TextAnalysis.tokenCount(col("text")), k = 3),
+      Some("""WITH s AS (
+             |  SELECT source, doc_id,
+             |    len(regexp_split_to_array(trim(text), '\s+')) AS sc
+             |  FROM documents
+             |), r AS (
+             |  SELECT source, doc_id, CAST(sc AS DOUBLE) AS score,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY sc DESC, doc_id ASC) AS BIGINT) AS group_rank
+             |  FROM s
+             |)
+             |SELECT source, doc_id, score, group_rank
+             |FROM r WHERE group_rank <= 3""".stripMargin),
+    ),
   )
 }

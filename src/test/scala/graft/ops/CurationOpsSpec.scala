@@ -217,6 +217,34 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == "- a -\n--\nx\n--")
   }
 
+  test("topKPerGroupAgg == window top-k on random scores, any " +
+      "partitioning; ties break by key; loud on null/NaN") {
+    val rows = (1L to 300L).map(i => (i, s"g${i % 4}", (i * 37) % 97))
+      .toDF("key", "grp", "sc")
+    def viaAgg(d: org.apache.spark.sql.DataFrame) =
+      Sampling.topKPerGroupAgg(d, "grp", "key", $"sc", k = 5)
+        .select($"grp", $"key", $"group_rank")
+        .as[(String, Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"grp").orderBy($"sc".desc, $"key".asc)
+    val viaWindow = rows
+      .withColumn("group_rank", row_number().over(w).cast("long"))
+      .filter($"group_rank" <= 5)
+      .select($"grp", $"key", $"group_rank")
+      .as[(String, Long, Long)].collect().toSet
+    assert(viaAgg(rows) == viaWindow)
+    assert(viaAgg(rows.repartition(11)) == viaWindow)
+    // group smaller than k: emits all its rows, ranked
+    val tiny = Seq((1L, "a", 5), (2L, "a", 9)).toDF("key", "grp", "sc")
+    assert(viaAgg(tiny) == Set(("a", 2L, 1L), ("a", 1L, 2L)))
+    // null score rejected loudly
+    val bad = Seq((1L, "a", null.asInstanceOf[java.lang.Integer]))
+      .toDF("key", "grp", "sc")
+    intercept[org.apache.spark.SparkException] {
+      Sampling.topKPerGroupAgg(bad, "grp", "key", $"sc", 2).collect()
+    }
+  }
+
   test("sourceOverlapSketch: identical sources estimate 1.0 exactly, " +
       "disjoint sources near zero, partial overlap lands near exact") {
     val mk = (src: String, texts: Seq[String]) =>
