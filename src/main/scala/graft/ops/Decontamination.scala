@@ -131,9 +131,12 @@ object Decontamination {
       idCol: String, textCol: String, benchTextCol: String,
       n: Int = 13): DataFrame = {
     val benchGrams = benchGramSet(bench, benchTextCol, n)
+    // null text behaves like empty text (one empty line) instead of
+    // vanishing from posexplode and leaving a null excision count
+    val text = coalesce(col(textCol), lit(""))
     // feeds the contamination probe AND the rebuild — materialize once
     val lines = docs.select(col(idCol),
-        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+        posexplode(split(text, "\n")).as(Seq("__pos", "__line")))
       .materialized
     val bad = lines
       .select(col(idCol), col("__pos"),
@@ -151,7 +154,7 @@ object Decontamination {
             x => x.getField("__line")),
           "\n").as("clean_text"),
         count(lit(1)).as("n_lines_kept"))
-    docs.select(col(idCol), size(split(col(textCol), "\n")).as("__total"))
+    docs.select(col(idCol), size(split(text, "\n")).as("__total"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

@@ -180,10 +180,13 @@ object TextAnalysis {
   def stripBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
       maxDocFreq: Long): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    // null text behaves like empty text (one empty line) instead of
+    // vanishing from posexplode and leaving a null removal count
+    val text = coalesce(col(textCol), lit(""))
     // feeds the doc-freq agg AND the rebuild join — materialize once;
     // localCheckpoint so the blocks free on GC (no session cache pin)
     val lines = df.select(col(idCol),
-        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+        posexplode(split(text, "\n")).as(Seq("__pos", "__line")))
       .withColumn("__lh", Dedup.md5Hash60(col("__line")))
       .materialized
     val docFreq = lines.select(col(idCol), col("__lh")).distinct()
@@ -197,7 +200,7 @@ object TextAnalysis {
             x => x.getField("__line")),
           "\n").as("clean_text"),
         count(lit(1)).as("n_lines_kept"))
-    df.select(col(idCol), size(split(col(textCol), "\n")).as("__total"))
+    df.select(col(idCol), size(split(text, "\n")).as("__total"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

@@ -55,8 +55,10 @@ class CurationOpsSpec extends SparkSpec {
       (2L, "totally unrelated words in every line\nanother clean line"),
       (3L, "the quick brown fox jumps over the lazy dog"), // all bad
     ).toDF("id", "text")
-    val out = Decontamination.exciseContaminatedLines(docs, bench, "id",
-        "text", "text", n = 8)
+    val out = Decontamination.exciseContaminatedLines(
+        docs.unionByName(Seq((4L, null.asInstanceOf[String]))
+          .toDF("id", "text")),
+        bench, "id", "text", "text", n = 8)
       .select($"id", $"clean_text", $"n_lines_kept", $"n_lines_excised")
       .as[(Long, String, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
@@ -64,6 +66,8 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(2L) == (("totally unrelated words in every line\n" +
       "another clean line", 2L, 0L)))
     assert(out(3L) == (("", 0L, 1L)))
+    // null text == empty text: one (kept) empty line, nothing excised
+    assert(out(4L) == (("", 1L, 0L)))
   }
 
   // ---------------------------------------------------- sliding chunks
