@@ -88,6 +88,94 @@ object Scoring {
       .toDF(idCol, "n_tokens", "logit_milli", "score")
   }
 
+  /** TRAIN the hashed linear classifier [[scoreLinearHashed]] applies —
+    * the missing half of the CCNet/FineWeb loop (they train a fastText
+    * classifier on curated-vs-raw samples, then score the corpus):
+    * logistic regression on mean-pooled hashed bag-of-words features,
+    * full-batch gradient descent with a fixed iteration count.
+    *
+    * Scale shape: documents are encoded ONCE into (label, bucket ids)
+    * and materialized — each iteration is then one pass over the
+    * compact encoded cache: broadcast the D-double weight vector,
+    * `treeAggregate` the gradient (mergeable, map-side combined),
+    * update on the driver (model-sized). In practice classifiers train
+    * on a curated SAMPLE (10⁵–10⁶ docs), not the 100 TB corpus — the
+    * corpus-sized pass is the APPLY side, which is why the returned
+    * artifact is per-mille quantized to feed [[scoreLinearHashed]]
+    * directly (the q73 int8 trick). Gradient float sums depend on
+    * aggregation order, so the trained weights are deterministic only
+    * to FP noise — q106 gates accuracy/loss verdicts on strongly
+    * separable planted data (the q26/q33 convention), never raw
+    * weights.
+    *
+    * @param labelCol 0.0/1.0 labels; rows with null label or text are
+    *                 rejected loudly
+    * @return ((bucket, weight_milli) frame for scoreLinearHashed,
+    *         bias_milli, final mean log-loss) */
+  def trainLinearHashed(df: DataFrame, textCol: String, labelCol: String,
+      buckets: Int, iters: Int = 50, lr: Double = 1.0)
+      : (DataFrame, Long, Double) = {
+    require(buckets >= 1 && iters >= 1 && lr > 0,
+      s"need buckets >= 1, iters >= 1, lr > 0; got $buckets/$iters/$lr")
+    val spark = df.sparkSession
+    val enc = Encoders.tuple(Encoders.scalaDouble,
+      org.apache.spark.sql.Encoders.STRING)
+    // encode once: (label, bucket ids of every token occurrence)
+    val encoded = df.select(col(labelCol).cast("double"), col(textCol))
+      .as[(Double, String)](enc)
+      .map { case (y, text) =>
+        require(y == 0.0 || y == 1.0, s"label must be 0/1, got $y")
+        require(text != null, "null text cannot train")
+        val toks = text.trim.split("\\s+", -1).filter(_.nonEmpty)
+        (y, toks.map(t => bucketOf(t, buckets)))
+      }(Encoders.tuple(Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.javaSerialization[Array[Int]]))
+      .rdd
+    encoded.localCheckpoint()
+    val n = encoded.count()
+    require(n > 0, "cannot train on an empty frame")
+
+    var w = new Array[Double](buckets)
+    var b = 0.0
+    var loss = Double.NaN
+    for (_ <- 1 to iters) {
+      val bcW = spark.sparkContext.broadcast(w)
+      val bcB = b
+      // (grad w, grad b, sum log-loss)
+      val zeroG = (new Array[Double](buckets), 0.0, 0.0)
+      val (gw, gb, sl) = encoded.treeAggregate(zeroG)(
+        seqOp = { case ((g, g0, l), (y, bs)) =>
+          val wt = bcW.value
+          val m = bs.length.max(1).toDouble
+          var z = bcB
+          var i = 0
+          while (i < bs.length) { z += wt(bs(i)) / m; i += 1 }
+          val p = 1.0 / (1.0 + math.exp(-z))
+          val d = p - y
+          i = 0
+          while (i < bs.length) { g(bs(i)) += d / m; i += 1 }
+          val ll = -(y * math.log(p.max(1e-12)) +
+            (1 - y) * math.log((1 - p).max(1e-12)))
+          (g, g0 + d, l + ll)
+        },
+        combOp = { case ((g1, a1, l1), (g2, a2, l2)) =>
+          var i = 0
+          while (i < g1.length) { g1(i) += g2(i); i += 1 }
+          (g1, a1 + a2, l1 + l2)
+        })
+      bcW.destroy()
+      var i = 0
+      while (i < buckets) { w(i) -= lr * gw(i) / n; i += 1 }
+      b -= lr * gb / n
+      loss = sl / n
+    }
+    import spark.implicits._
+    val weights = w.zipWithIndex
+      .map { case (v, i) => (i, math.round(v * 1000)) }
+      .toSeq.toDF("bucket", "weight_milli")
+    (weights, math.round(b * 1000), loss)
+  }
+
   /** DSIR-style IMPORTANCE weighting (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score each raw
     * document by how target-like its hashed unigram profile is, then

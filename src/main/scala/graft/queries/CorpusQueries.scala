@@ -2112,5 +2112,47 @@ object CorpusQueries extends QueryModule {
              |SELECT source, doc_id, score, group_rank
              |FROM r WHERE group_rank <= 3""".stripMargin),
     ),
+
+    // ---- classifier TRAINING (the CCNet loop closed): plant strongly
+    // separable class markers on the real corpus, train the hashed
+    // logistic regression, then APPLY the quantized artifact back
+    // through scoreLinearHashed and gate verdicts — perfect train
+    // accuracy on the planted margins, positives scoring above
+    // negatives, loss below ln(2) (better than the uninformed model).
+    // Gradient float sums are aggregation-order noise, so the oracle
+    // pins verdict booleans (the q26/q33 convention), never weights;
+    // a training collapse flips a verdict and hash-mismatches.
+    Q(
+      "q106_train_classifier",
+      (s, d) => {
+        val id = col("doc_id")
+        val labeled = Tables.documents(s, d).select(id,
+          (id % 2).cast("double").as("label"),
+          when(id % 2 === 1,
+            concat(col("text"), lit(" qualmark qualmark")))
+            .otherwise(concat(col("text"), lit(" spammark spammark")))
+            .as("t"))
+        val (weights, biasMilli, loss) =
+          Scoring.trainLinearHashed(labeled, "t", "label",
+            buckets = 512, iters = 60, lr = 2.0)
+        val scored = Scoring.scoreLinearHashed(labeled, "doc_id", "t",
+            weights, buckets = 512, biasMilli = biasMilli)
+          .join(labeled.select(id, col("label")), "doc_id")
+        scored.agg(
+          count(lit(1)).as("n_docs"),
+          (sum(when((col("score") > 0).cast("int") ===
+            col("label").cast("int"), 1).otherwise(0)) === count(lit(1)))
+            .as("train_acc_perfect"),
+          (min(when(col("label") === 1.0, col("score")))
+            > max(when(col("label") === 0.0, col("score"))))
+            .as("classes_separated"),
+          lit(loss < 0.693).as("loss_below_uninformed"))
+      },
+      Some("""SELECT count(*) AS n_docs,
+             |  true AS train_acc_perfect,
+             |  true AS classes_separated,
+             |  true AS loss_below_uninformed
+             |FROM documents""".stripMargin),
+    ),
   )
 }

@@ -101,6 +101,41 @@ class ScoringSpec extends SparkSpec {
     }
   }
 
+  test("trainLinearHashed learns a separable planted concept and its " +
+      "quantized artifact classifies through scoreLinearHashed") {
+    val docs = (1L to 80L).map { i =>
+      val label = (i % 2).toDouble
+      val marker = if (label == 1.0) "good good signal" else "bad bad noise"
+      (i, label, s"common filler words here $marker more shared text")
+    }.toDF("doc_id", "label", "text")
+    val (weights, biasMilli, loss) =
+      Scoring.trainLinearHashed(docs, "text", "label",
+        buckets = 64, iters = 60, lr = 2.0)
+    assert(loss < 0.3, s"loss $loss did not converge")
+    val scored = Scoring.scoreLinearHashed(docs, "doc_id", "text",
+        weights, buckets = 64, biasMilli = biasMilli)
+      .join(docs.select($"doc_id", $"label"), "doc_id")
+      .select($"label", $"score").as[(Double, Double)].collect()
+    // every positive scores above every negative
+    val pos = scored.filter(_._1 == 1.0).map(_._2)
+    val neg = scored.filter(_._1 == 0.0).map(_._2)
+    assert(pos.min > neg.max,
+      s"classes overlap: pos.min=${pos.min} neg.max=${neg.max}")
+    assert(scored.forall { case (y, s) => (s > 0) == (y == 1.0) })
+  }
+
+  test("trainLinearHashed rejects bad labels and empty input loudly") {
+    val bad = Seq((1L, 0.5, "x")).toDF("doc_id", "label", "text")
+    intercept[org.apache.spark.SparkException] {
+      Scoring.trainLinearHashed(bad, "text", "label", 8)
+    }
+    val empty = Seq.empty[(Long, Double, String)]
+      .toDF("doc_id", "label", "text")
+    intercept[IllegalArgumentException] {
+      Scoring.trainLinearHashed(empty, "text", "label", 8)
+    }
+  }
+
   test("importanceWeights rejects an empty target loudly") {
     val raw = Seq((1L, "a")).toDF("doc_id", "text")
     val target = Seq.empty[(Long, String)].toDF("doc_id", "text")
