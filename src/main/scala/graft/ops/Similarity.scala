@@ -288,23 +288,7 @@ object Similarity {
     // separate transform-style member pass would recompute every
     // centroid distance a second time; assignment and probe tie-break
     // (lowest index) are consistent by construction.
-    val assigned = base.as[(Long, Seq[Double])]
-      .flatMap { case (id, v) =>
-        val cs = bcCenters.value
-        val va = v.toArray
-        val n = l2(va)
-        val u = if (n == 0.0 || n.isNaN) va else va.map(_ / n)
-        val dists = cs.indices.map { c =>
-          val ctr = cs(c)
-          var s = 0.0
-          var i = 0
-          while (i < ctr.length) {
-            val d = u(i) - ctr(i); s += d * d; i += 1
-          }
-          (s, c)
-        }.sortBy(x => (x._1, x._2)).take(nProbe)
-        dists.zipWithIndex.map { case ((_, c), r) => (id, v, c, r) }
-      }.toDF("id", "__vq", "cell", "__r")
+    val assigned = nearestCells(base, bcCenters, nProbe)
 
     val members = assigned.filter(col("__r") === 0)
       .select(col("id").as("member_id"), col("__vq").as("__vm"), col("cell"))
@@ -321,10 +305,52 @@ object Similarity {
     // by |cell| + |probe sub-block| vectors — at scale numCentroids
     // grows with n (cells stay executor-sized) and numBlocks bounds
     // the probe side exactly like the brute-force kernel's B.
-    val numBlocks = 8
-    val memberPacks = members.groupBy(col("cell"))
+    rankAgainstPacks(probes, packMembers(members), k)
+  }
+
+  /** One distance pass per vector against the broadcast centroids: the
+    * `nProbe` nearest cells per id, rank 0 = the vector's own cell.
+    * Assignment and probe tie-break (lowest index) are consistent by
+    * construction. */
+  private def nearestCells(base: DataFrame,
+      bcCenters: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      nProbe: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    base.as[(Long, Seq[Double])]
+      .flatMap { case (id, v) =>
+        val cs = bcCenters.value
+        val va = v.toArray
+        val n = l2(va)
+        val u = if (n == 0.0 || n.isNaN) va else va.map(_ / n)
+        val dists = cs.indices.map { c =>
+          val ctr = cs(c)
+          var s = 0.0
+          var i = 0
+          while (i < ctr.length) {
+            val d = u(i) - ctr(i); s += d * d; i += 1
+          }
+          (s, c)
+        }.sortBy(x => (x._1, x._2)).take(nProbe)
+        dists.zipWithIndex.map { case ((_, c), r) => (id, v, c, r) }
+      }.toDF("id", "__vq", "cell", "__r")
+  }
+
+  /** (member_id, __vm, cell) → per-cell member packs. */
+  private def packMembers(members: DataFrame): DataFrame =
+    members.groupBy(col("cell"))
       .agg(collect_list(struct(col("member_id").as("_1"),
         col("__vm").as("_2"))).as("mv"))
+
+  /** The blocked-kernel candidate ranking shared by the fused and
+    * index forms (see the plan rationale above [[annTopKIvf]]'s pack
+    * step): probes pack per (cell, sub-block), each join row is one
+    * task over two in-memory arrays emitting a per-probe partial
+    * top-k, and only ≤ nProbe·k rows per id reach the merge window. */
+  private def rankAgainstPacks(probes: DataFrame, memberPacks: DataFrame,
+      k: Int, numBlocks: Int = 8): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
     val probePacks = probes
       .groupBy(col("cell"), pmod(col("id"), lit(numBlocks)).cast("int").as("__pblk"))
       .agg(collect_list(struct(col("id").as("_1"),
@@ -339,6 +365,60 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     partial.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Build-once IVF index — the faiss lifecycle split into its two real
+    * phases: [[buildIvfIndex]] fits the spherical centroids (driver-
+    * local seeded k-means over a bounded sample) and materializes the
+    * per-cell member packs ONCE; [[annSearchIvf]] then serves any query
+    * frame against it, paying only the query side's centroid pass +
+    * the banded kernel join. The fused [[annTopKIvf]] stays the right
+    * call for one-shot self-search (it shares the member/probe distance
+    * pass); the index pair is the amortized shape — at scale, persist
+    * `memberPacks` next to the corpus and rehydrate (the
+    * [[graft.ops.Dedup.CorpusIndex]] convention). Eager (the pack
+    * materialization runs at build time — see [[Materialize]]). */
+  case class IvfIndex(centers: Array[Array[Double]], memberPacks: DataFrame)
+
+  def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int = 16, seed: Long = 42L,
+      knownCount: Option[Long] = None): IvfIndex = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("__v"))
+    val trainCap = 100000L
+    val n = knownCount.getOrElse(base.count())
+    val trainBase = if (n <= trainCap) base
+      else base.sample(withReplacement = false, trainCap.toDouble / n, seed)
+    def unit(v: Array[Double]): Array[Double] = {
+      val nn = l2(v)
+      if (nn == 0.0 || nn.isNaN) v else v.map(_ / nn)
+    }
+    val sample: Array[Array[Double]] =
+      trainBase.select(col("__v")).as[Seq[Double]].collect()
+        .map(s => unit(s.toArray))
+    val centers = localKMeans(sample, numCentroids, seed, maxIter = 20)
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    val members = nearestCells(base, bcCenters, nProbe = 1)
+      .select(col("id").as("member_id"), col("__vq").as("__vm"), col("cell"))
+    IvfIndex(centers, graft.ops.Materialize(packMembers(members)))
+  }
+
+  /** ANN top-k for `queries` against a prepared [[IvfIndex]]: only the
+    * query side's distance pass runs per call. Note: queries present in
+    * the indexed corpus will (correctly) retrieve themselves at
+    * cosine 1 — filter `neighbor_id =!= id` downstream if self-matches
+    * are unwanted. */
+  def annSearchIvf(queries: DataFrame, index: IvfIndex, idCol: String,
+      vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val base = queries.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("__v"))
+    val bcCenters = spark.sparkContext.broadcast(index.centers)
+    val probes = nearestCells(base, bcCenters, nProbe)
+      .select(col("id"), col("__vq"), col("cell"))
+    rankAgainstPacks(probes, index.memberPacks, k)
   }
 
   /** Seeded Lloyd's k-means over an in-memory sample (the IVF index

@@ -2154,5 +2154,38 @@ object CorpusQueries extends QueryModule {
              |  true AS loss_below_uninformed
              |FROM documents""".stripMargin),
     ),
+
+    // ---- IVF index lifecycle split (the faiss shape): build the index
+    // ONCE (centroid fit + materialized member packs), then serve a
+    // query subset against it — only the query side's centroid pass
+    // runs at search time. Recall-floor verdict vs the exact kernel on
+    // the same subset (the q33 convention: DuckDB independently
+    // recounts the queries and pins the verdict; a recall collapse
+    // flips meets_floor and hash-mismatches).
+    Q(
+      "q107_ann_index_search",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val k = 3
+        val index = Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+          numCentroids = 16)
+        val queries = emb.filter(col("vec_id") % 5 === 0)
+        val exact = Similarity.cosineTopKKernelForQueries(emb, "vec_id",
+            "embedding", k, col("vec_id") % 5 === 0)
+          .select(col("id"), col("neighbor_id"))
+        val approx = Similarity.annSearchIvf(queries, index, "vec_id",
+            "embedding", k, nProbe = 6)
+          .select(col("id"), col("neighbor_id")).withColumn("__hit", lit(1))
+        exact.join(approx, Seq("id", "neighbor_id"), "left")
+          .agg(countDistinct(col("id")).as("n_queries"),
+            (sum(coalesce(col("__hit"), lit(0))) / count(lit(1)))
+              .as("recall"))
+          .select(lit("ivf_index").as("method"), col("n_queries"),
+            (col("recall") >= 0.65).as("meets_floor"))
+      },
+      Some("""SELECT 'ivf_index' AS method,
+             |  count(DISTINCT vec_id) AS n_queries, true AS meets_floor
+             |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin),
+    ),
   )
 }

@@ -352,6 +352,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(recall > 0.5)
   }
 
+  test("IVF index lifecycle: build once, search external queries — " +
+      "fused and index forms agree on self-search") {
+    val index = Similarity.buildIvfIndex(embs, "vec_id", "embedding",
+      numCentroids = 16)
+    // external query = a corpus vector nudged slightly: its nearest
+    // indexed neighbor must be the original vector
+    val origRow = embs.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].filter(_._1 == 7L).collect().head
+    val q = Seq((9999L, origRow._2.map(_ * 1.0001)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.annSearchIvf(q, index, "vec_id", "embedding",
+        k = 1, nProbe = 6)
+      .select($"id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((9999L, 7L)))
+    // index-form self-search matches the fused operator's result set
+    val fused = Similarity.annTopKIvf(embs, "vec_id", "embedding", 3,
+        numCentroids = 16, nProbe = 6)
+      .select($"id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val viaIndex = Similarity.annSearchIvf(embs, index, "vec_id",
+        "embedding", k = 3, nProbe = 6)
+      .select($"id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(viaIndex == fused)
+  }
+
   test("LSH pair recall vs exact kernel pairs is usable") {
     val exact = Similarity.cosinePairsKernel(embs, "vec_id", "embedding", 0.45)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
