@@ -318,6 +318,36 @@ object Dedup {
         (matches.cast("double") / numHashes).as("est_jaccard"))
   }
 
+  /** Corpus SNAPSHOT DIFF — the versioning CDC between two corpus
+    * builds (crawl N vs crawl N+1, pre- vs post-curation): every id
+    * classified added / removed / changed / unchanged by full-outer
+    * join on the id and md5 comparison on the content. The audit table
+    * a corpus release publishes next to its data card — and the input
+    * to incremental reprocessing (only `added`/`changed` re-enter the
+    * pipeline; [[crossCorpusJaccardPairs]] then dedups exactly that
+    * slice against the index).
+    *
+    * Shape: one full-outer equality join on the id; content compares
+    * as md5 hex (computed map-side, 32-byte shuffle payload instead of
+    * document bodies when inputs are pre-projected). No windows, no
+    * skew surface beyond the id join itself.
+    *
+    * @return (idCol, status, old_hash, new_hash) — hashes null on the
+    *         absent side; null text hashes like empty text */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def hashed(df: DataFrame, h: String) = df.select(col(idCol),
+      md5(coalesce(col(textCol), lit(""))).as(h))
+    hashed(oldDf, "old_hash")
+      .join(hashed(newDf, "new_hash"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") === col("new_hash"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("old_hash"), col("new_hash"))
+  }
+
   // ------------------------------------------------------------ clustering
 
   /** Connected components over a near-dup pair list → duplicate

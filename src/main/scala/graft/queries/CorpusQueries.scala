@@ -2187,5 +2187,41 @@ object CorpusQueries extends QueryModule {
              |  count(DISTINCT vec_id) AS n_queries, true AS meets_floor
              |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin),
     ),
+
+    // ---- corpus snapshot diff: "crawl N" = docs with doc_id % 9 != 1
+    // (so some ids exist only in N+1 → added), "crawl N+1" = docs with
+    // doc_id % 9 != 2 (→ removed), and every doc_id % 5 == 0 row's text
+    // gains a revision suffix in N+1 (→ changed). DuckDB restates the
+    // same full-outer classification from the same md5s byte-for-byte.
+    Q(
+      "q108_corpus_diff",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val oldSnap = docs.filter(col("doc_id") % 9 =!= 1)
+          .select(col("doc_id"), col("text"))
+        val newSnap = docs.filter(col("doc_id") % 9 =!= 2)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(" rev2"))).otherwise(col("text"))
+              .as("text"))
+        Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+      },
+      Some("""WITH o AS (
+             |  SELECT doc_id, md5(text) AS old_hash FROM documents
+             |  WHERE doc_id % 9 <> 1
+             |), n AS (
+             |  SELECT doc_id, md5(CASE WHEN doc_id % 5 = 0
+             |    THEN text || ' rev2' ELSE text END) AS new_hash
+             |  FROM documents WHERE doc_id % 9 <> 2
+             |)
+             |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             |  CASE WHEN o.old_hash IS NULL THEN 'added'
+             |       WHEN n.new_hash IS NULL THEN 'removed'
+             |       WHEN o.old_hash = n.new_hash THEN 'unchanged'
+             |       ELSE 'changed' END AS status,
+             |  o.old_hash, n.new_hash
+             |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
+        .stripMargin),
+    ),
   )
 }

@@ -221,6 +221,18 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == "- a -\n--\nx\n--")
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged; null " +
+      "text hashes like empty") {
+    val oldSnap = Seq((1L, "same"), (2L, "before"), (3L, "gone"),
+      (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val newSnap = Seq((1L, "same"), (2L, "after"), (4L, "fresh"),
+      (5L, "")).toDF("id", "text")
+    val out = Dedup.corpusDiff(oldSnap, newSnap, "id", "text")
+      .select($"id", $"status").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged"))
+  }
+
   test("topKPerGroupAgg == window top-k on random scores, any " +
       "partitioning; ties break by key; loud on null/NaN") {
     val rows = (1L to 300L).map(i => (i, s"g${i % 4}", (i * 37) % 97))
