@@ -2223,5 +2223,64 @@ object CorpusQueries extends QueryModule {
              |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
         .stripMargin),
     ),
+
+    // ---- the INCREMENTAL reprocessing loop end-to-end (q108 + q77's
+    // pieces composed): diff the snapshots, take only added/changed
+    // docs as the work list, and near-dup exactly that slice against
+    // the once-built old-corpus index — the per-crawl-refresh cost a
+    // production corpus pays instead of a full self-dedup. DuckDB
+    // restates the diff, the work-list cut, and the brute-force
+    // (work, old) pair scan in one query.
+    Q(
+      "q109_incremental_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val oldSnap = docs.filter(col("doc_id") % 9 =!= 1)
+          .select(col("doc_id"), col("text"))
+        val newSnap = docs.filter(col("doc_id") % 9 =!= 2)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(" rev2"))).otherwise(col("text"))
+              .as("text"))
+        val work = newSnap.join(
+          Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+            .filter(col("status").isin("added", "changed"))
+            .select(col("doc_id")),
+          "doc_id")
+        Dedup.crossCorpusAgainstIndex(work,
+          Dedup.indexCorpus(oldSnap, "doc_id", "text", n = 3),
+          "text", tau = 0.5)
+      },
+      Some("""WITH o AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 9 <> 1
+             |), n AS (
+             |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+             |    THEN text || ' rev2' ELSE text END AS text
+             |  FROM documents WHERE doc_id % 9 <> 2
+             |), work AS (
+             |  SELECT n.doc_id, n.text FROM n
+             |  LEFT JOIN o ON n.doc_id = o.doc_id
+             |  WHERE o.doc_id IS NULL OR md5(o.text) <> md5(n.text)
+             |), gw AS (
+             |  SELECT doc_id, list_distinct(
+             |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |     for i in range(1, len(w) - 1)]) AS t
+             |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w
+             |        FROM work)
+             |), go AS (
+             |  SELECT doc_id, list_distinct(
+             |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |     for i in range(1, len(w) - 1)]) AS t
+             |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w
+             |        FROM o)
+             |)
+             |SELECT a.doc_id AS id_new, b.doc_id AS id_old,
+             |  len(list_intersect(a.t, b.t)) * 1.0 /
+             |    len(list_distinct(list_concat(a.t, b.t))) AS jaccard
+             |FROM gw a JOIN go b ON true
+             |WHERE len(list_intersect(a.t, b.t)) * 1.0 /
+             |    len(list_distinct(list_concat(a.t, b.t))) >= 0.5"""
+        .stripMargin),
+    ),
   )
 }
