@@ -358,5 +358,49 @@ object PipelineQueries extends QueryModule {
              |  '/root/repo/target/perf_fixtures/sf0.01/perf.jsonl')"""
         .stripMargin),
     ),
+
+    // ---- training-shard export: hash-sharded JSONL written by Spark,
+    // re-read independently by BOTH engines. Per-shard fingerprints are
+    // order-free integer sums (within-shard order is explicitly not
+    // part of the contract), and DuckDB re-derives every row's shard
+    // from the same md5 bucket formula out of the file PATHS — a
+    // misplaced document flips shard_assignment_ok and hash-mismatches.
+    // Glob hardcodes sf0.01 like q76/q87/q89.
+    Q(
+      "q110_training_shards",
+      (s, d) => {
+        val sfName = new java.io.File(d).getName
+        val dir = java.nio.file.Paths
+          .get("target", "shard_fixtures", sfName).toAbsolutePath.toString
+        graft.io.ShardedExport.writeJsonlShards(
+          Tables.documents(s, d).select(col("doc_id"), col("source"),
+            col("text")),
+          "doc_id", dir, shards = 8, seed = "sh42")
+        val back = s.read.json(dir)
+        back.groupBy(col("shard").cast("long").as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(pmod(graft.ops.Dedup.md5Hash60(col("text")),
+              lit(1099511627776L))).as("content_sum"),
+            sum(col("doc_id")).as("id_sum"),
+            bool_and(graft.ops.Sampling.hashBucket(col("doc_id"),
+              "sh42", 8) === col("shard")).as("shard_assignment_ok"))
+      },
+      Some("""WITH back AS (
+             |  SELECT doc_id, text,
+             |    CAST(regexp_extract(filename, 'shard=(\d+)', 1) AS BIGINT)
+             |      AS shard
+             |  FROM read_json_auto(
+             |    '/root/repo/target/shard_fixtures/sf0.01/shard=*/*.json',
+             |    filename = true)
+             |)
+             |SELECT shard, count(*) AS n_docs,
+             |  CAST(sum(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+             |    % 1099511627776) AS BIGINT) AS content_sum,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |  bool_and(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+             |    || 'sh42'), 1, 15) AS BIGINT) % 8 = shard)
+             |    AS shard_assignment_ok
+             |FROM back GROUP BY 1""".stripMargin),
+    ),
   )
 }
