@@ -572,4 +572,82 @@ object Dedup {
       df.select(col(idCol), graft.functions.HashSketches
         .simhashMd5_60(split(col(textCol), "\\s+")).as("fp")),
       idCol, 15, maxHamming)
+
+  /** SUBSTRING-level corpus dedup — the distributed word-granular
+    * approximation of exact-substring deduplication (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": their
+    * suffix array finds byte spans repeated across the corpus and
+    * excises them in place; a suffix array does not distribute). Here a
+    * word n-gram whose hash appears in at least `minDf` DISTINCT
+    * documents marks its n word positions as duplicated text; each
+    * document's marked positions merge implicitly (overlapping grams
+    * cover overlapping position ranges) and the surviving words rebuild
+    * the text in order. Documents keep their row even when fully
+    * excised (empty `outCol` — the [[Decontamination
+    * .exciseContaminatedLines]] convention).
+    *
+    * Distinct-document frequency (not total occurrences) is deliberate:
+    * within-document repetition is a different signal with its own
+    * operator ([[TextAnalysis.repetitionSignals]]); this one removes
+    * text SHARED across documents — boilerplate, licenses, templated
+    * headers — which is what depresses LM memorization.
+    *
+    * Scale shape: the positioned-gram table (one row per corpus word,
+    * 8-byte md5-60 key) is materialized ONCE and feeds both the
+    * document-frequency aggregation (map-side-combined, countDistinct
+    * on the doc id) and the semi-join back; coverage explodes each
+    * duplicated gram to its n positions (×n only on the duplicated
+    * fraction), distinct-dedups on (doc, position), and the rebuild is
+    * the standard anti-join + per-doc sorted collect (per-group state =
+    * one document). No windows, no self-joins; every shuffle key is a
+    * hash or (doc, position) pair.
+    *
+    * @return (idCol, outCol, n_words_kept, n_words_excised)
+    */
+  def exciseRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      outCol: String = "clean_text", n: Int = 8,
+      minDf: Long = 2L): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    // null text behaves like empty text (zero words kept, zero excised)
+    val text = coalesce(col(textCol), lit(""))
+    val words = df.select(col(idCol),
+      posexplode(split(trim(text), "\\s+")).as(Seq("__pos", "__word")))
+    // one positioned gram per starting word: (doc, start pos, hash).
+    // Bind the words array before the lambda; positions are 0-based to
+    // line up with posexplode's __pos.
+    val grams = df.select(col(idCol),
+        split(trim(text), "\\s+").as("__w"))
+      .filter(size(col("__w")) >= n)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(1), size(col("__w")) - (n - 1)),
+          i => md5Hash60(concat_ws(" ", slice(col("__w"), i, lit(n)))))
+      ).as(Seq("__start", "__g")))
+      .materialized // feeds the df agg AND the coverage join
+    val dup = grams.groupBy(col("__g"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__g"))
+    val covered = grams.join(dup, "__g")
+      .select(col(idCol),
+        explode(sequence(col("__start"), col("__start") + (n - 1)))
+          .as("__pos"))
+      .distinct()
+    val kept = words.join(covered, Seq(idCol, "__pos"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__word")))),
+            x => x.getField("__word")),
+          " ").as(outCol),
+        count(lit(1)).as("n_words_kept"))
+    df.select(col(idCol), size(split(trim(text), "\\s+")).as("__total"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col(outCol), lit("")).as(outCol),
+        coalesce(col("n_words_kept"), lit(0L)).as("n_words_kept"),
+        (col("__total") - coalesce(col("n_words_kept"), lit(0L)))
+          .as("n_words_excised"))
+  }
 }

@@ -699,4 +699,63 @@ object TextAnalysis {
       .withColumn("flagged",
         col("dup_word_frac") > 0.8 || col("top_bigram_frac") > 0.18)
   }
+
+  /** PMI collocation mining — the phrase table a tokenizer pipeline
+    * extracts before merging multiword units ("new york", "machine
+    * learning") into single vocab entries (word2phrase / Mikolov et al.
+    * 2013, public knowledge). A bigram is a collocation when its
+    * observed frequency beats the independence expectation:
+    * PMI = ln(c(ab)·N_uni² / (N_bi·c(a)·c(b))).
+    *
+    * The emitted `lift` column is c(ab)/(c(a)·c(b)) — PMI minus the
+    * corpus-constant ln(N_uni²/N_bi), so ranking by lift IS ranking by
+    * PMI. Deliberately NOT the ln: lift is ONE IEEE division over exact
+    * integer counts (c(a)·c(b) is an exact BIGINT product), which every
+    * engine rounds identically, where ln differs in the last ulp
+    * between libm implementations and would break bit-exact
+    * verification. Callers wanting the ln apply it downstream.
+    *
+    * Scale shape: two corpus scans (unigram, bigram), each a pure
+    * explode into a map-side-combined hash count — no materialization
+    * of the token stream (caching an exploded 100 TB corpus to save a
+    * re-scan is a bad trade; parquet re-read is column-pruned to
+    * textCol). `minCount` prunes the bigram table BEFORE the two
+    * unigram joins (shuffle hash joins on token keys; the pruned pair
+    * table is the small side and AQE can broadcast it). Top-k is
+    * `orderBy.limit` = TakeOrderedAndProject: per-partition heaps, no
+    * global sort. Ties broken (lift desc, w1 asc, w2 asc) — a total
+    * order, since (w1, w2) is unique after grouping.
+    *
+    * At ~2⁵³ total count products the BIGINT→DOUBLE conversion inside
+    * the division starts rounding; ranking degrades gracefully (the
+    * counts columns stay exact).
+    *
+    * @return topK rows of (w1, w2, c_pair, c_w1, c_w2, lift)
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5L,
+      topK: Int = 1000): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val words = split(trim(col(textCol)), "\\s+")
+    val uni = df.select(explode(words).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_tok"))
+    // bind the words array once before the lambda (a raw split inside
+    // transform re-splits per element)
+    val pairs = df.select(words.as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__w")) - 1),
+        i => struct(element_at(col("__w"), i).as("w1"),
+          element_at(col("__w"), i + 1).as("w2")))).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_pair"))
+      .filter(col("c_pair") >= minCount)
+    pairs
+      .join(uni.select(col("tok").as("w1"), col("c_tok").as("c_w1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c_tok").as("c_w2")), "w2")
+      .select(col("w1"), col("w2"), col("c_pair"), col("c_w1"), col("c_w2"),
+        (col("c_pair").cast("double") / (col("c_w1") * col("c_w2")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
 }

@@ -2282,5 +2282,99 @@ object CorpusQueries extends QueryModule {
              |    len(list_distinct(list_concat(a.t, b.t))) >= 0.5"""
         .stripMargin),
     ),
+
+    // ---- PMI collocation mining: top bigram phrases by lift =
+    // c(ab)/(c(a)·c(b)), the PMI ranking with the corpus-constant ln
+    // factored out so the score is one IEEE division over exact integer
+    // counts (bit-exact across engines; ln's last ulp is libm-specific).
+    // DuckDB restates both count scans and the same division.
+    Q(
+      "q111_collocations",
+      (s, d) => TextAnalysis.collocations(
+        Tables.documents(s, d), "text", minCount = 5L, topK = 300),
+      Some("""WITH w AS (
+             |  SELECT string_split(trim(text), ' ') AS w FROM documents
+             |), uc AS (
+             |  SELECT unnest(w) AS tok FROM w
+             |), u AS (
+             |  SELECT tok, count(*) AS c_tok FROM uc GROUP BY 1
+             |), bi AS (
+             |  SELECT w[i] AS w1, w[i + 1] AS w2
+             |  FROM (SELECT w, unnest(range(1, len(w))) AS i
+             |        FROM w WHERE len(w) >= 2)
+             |), bc AS (
+             |  SELECT w1, w2, count(*) AS c_pair FROM bi GROUP BY 1, 2
+             |  HAVING count(*) >= 5
+             |)
+             |SELECT b.w1, b.w2, b.c_pair, l.c_tok AS c_w1,
+             |  r.c_tok AS c_w2,
+             |  CAST(b.c_pair AS DOUBLE) / (l.c_tok * r.c_tok) AS lift
+             |FROM bc b JOIN u l ON b.w1 = l.tok JOIN u r ON b.w2 = r.tok
+             |ORDER BY lift DESC, b.w1, b.w2 LIMIT 300""".stripMargin),
+    ),
+
+    // ---- substring-level corpus dedup (Lee et al. 2022, word-granular):
+    // two doc families get distinct injected footers so each footer's
+    // 8-grams are shared across ~125 docs and get excised, alongside
+    // whatever the corpus's natural near-dups share. DuckDB restates the
+    // positioned-gram scan (raw gram strings where Spark uses md5-60
+    // hashes — same df counts absent collisions), the distinct-doc
+    // frequency gate, the position coverage, and the byte-exact rebuild.
+    Q(
+      "q112_excise_repeated",
+      (s, d) => {
+        val id = col("doc_id")
+        val aug = Tables.documents(s, d).select(id,
+          concat(trim(col("text")),
+            when(id % 4 === 0, lit(" SUBSCRIBE to our newsletter for" +
+              " daily updates and exclusive offers today friend"))
+              .when(id % 4 === 1, lit(" FOLLOW us on social media for" +
+                " the latest breaking news and more"))
+              .otherwise(lit(""))).as("t"))
+        Dedup.exciseRepeatedSpans(aug, "doc_id", "t", n = 8, minDf = 2L)
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, trim(text) || CASE
+             |    WHEN doc_id % 4 = 0 THEN ' SUBSCRIBE to our newsletter' ||
+             |      ' for daily updates and exclusive offers today friend'
+             |    WHEN doc_id % 4 = 1 THEN ' FOLLOW us on social media' ||
+             |      ' for the latest breaking news and more'
+             |    ELSE '' END AS t
+             |  FROM documents
+             |), w AS (
+             |  SELECT doc_id, string_split(trim(t), ' ') AS w FROM aug
+             |), g AS (
+             |  SELECT doc_id, i - 1 AS strt,
+             |    array_to_string(w[i:i+7], ' ') AS gram
+             |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+             |        FROM w WHERE len(w) >= 8)
+             |), dup AS (
+             |  SELECT gram FROM g GROUP BY 1
+             |  HAVING count(DISTINCT doc_id) >= 2
+             |), cov AS (
+             |  SELECT DISTINCT doc_id, pos FROM (
+             |    SELECT doc_id, unnest(range(strt, strt + 8)) AS pos
+             |    FROM g JOIN dup USING (gram))
+             |), wp AS (
+             |  SELECT doc_id, unnest(w) AS word,
+             |    unnest(range(0, len(w))) AS pos
+             |  FROM w
+             |), kept AS (
+             |  SELECT wp.* FROM wp LEFT JOIN cov c
+             |    ON wp.doc_id = c.doc_id AND wp.pos = c.pos
+             |  WHERE c.doc_id IS NULL
+             |), reb AS (
+             |  SELECT doc_id, string_agg(word, ' ' ORDER BY pos)
+             |      AS clean_text,
+             |    count(*) AS n_words_kept
+             |  FROM kept GROUP BY 1
+             |), tot AS (
+             |  SELECT doc_id, len(w) AS total FROM w
+             |)
+             |SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+             |  coalesce(r.n_words_kept, 0) AS n_words_kept,
+             |  t.total - coalesce(r.n_words_kept, 0) AS n_words_excised
+             |FROM tot t LEFT JOIN reb r USING (doc_id)""".stripMargin),
+    ),
   )
 }

@@ -692,4 +692,57 @@ class CurationOpsSpec extends SparkSpec {
       .flatMap(_.collect { case c: graft.functions.CosineSimilarity => c })
     assert(natives.isEmpty)
   }
+
+  // ------------------------------------------------- round-6 operators
+
+  test("collocations: counts, exact single-division lift, minCount gate") {
+    val d = Seq("new york new york city", "the new york times").toDF("text")
+    val out = TextAnalysis.collocations(d, "text", minCount = 2L)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    // only (new, york) survives minCount=2: c=3, c(new)=3, c(york)=3
+    assert(out.toSeq == Seq(("new", "york", 3L, 3L, 3L, 3.0 / 9.0)))
+  }
+
+  test("collocations: deterministic (lift desc, w1, w2) order at ties") {
+    val d = Seq("new york new york city", "the new york times").toDF("text")
+    val out = TextAnalysis.collocations(d, "text", minCount = 1L)
+      .select("w1", "w2").as[(String, String)].collect().toSeq
+    // four pairs share lift exactly 1/3 (IEEE: 3.0/9.0 == 1.0/3.0);
+    // (york, new) at 1/9 sorts last
+    assert(out == Seq(("new", "york"), ("the", "new"), ("york", "city"),
+      ("york", "times"), ("york", "new")))
+  }
+
+  test("exciseRepeatedSpans: shared gram positions drop on every owner, " +
+      "short docs immune, full excision keeps the row") {
+    val d = Seq(
+      (1L, "a b c d e f"),  // shares 'a b c' with 2 and 4
+      (2L, "x a b c z w"),
+      (3L, "p q r s t"),    // untouched
+      (4L, "a b c"),        // fully excised
+      (5L, "a b"),          // < n words: carries no grams, immune
+    ).toDF("doc_id", "text")
+    val out = Dedup.exciseRepeatedSpans(d, "doc_id", "text", n = 3,
+        minDf = 2L)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "d e f", 3L, 3L),
+      (2L, "x z w", 3L, 3L),
+      (3L, "p q r s t", 5L, 0L),
+      (4L, "", 0L, 3L),
+      (5L, "a b", 2L, 0L)))
+  }
+
+  test("exciseRepeatedSpans: null text behaves like empty text") {
+    val d = Seq((1L, null), (2L, "k l m"), (3L, "k l m n"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exciseRepeatedSpans(d, "doc_id", "text", n = 3,
+        minDf = 2L)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    // split(trim('')) = [''] — one empty word, never covered by a gram
+    assert(out.head == ((1L, "", 1L, 0L)))
+    // 'k l m' is shared by docs 2 and 3 → both lose it
+    assert(out(1) == ((2L, "", 0L, 3L)))
+    assert(out(2) == ((3L, "n", 1L, 3L)))
+  }
 }
