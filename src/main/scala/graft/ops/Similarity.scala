@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.ops.Materialize.MaterializeOps
 
 /** Similarity search over an embedding column (array<float|double>).
   *
@@ -597,5 +598,86 @@ object Similarity {
           .as("cosine"))
       .filter(col("cosine") >= tau)
       .distinct()
+  }
+
+  // --------------------------------------------- distributed k-means
+
+  /** DISTRIBUTED Lloyd's k-means over fixed-point-quantized vectors —
+    * the cluster-then-prune primitive (SemDeDup / D4-style semantic
+    * curation) at corpus scale, where [[localKMeans]]'s driver-side
+    * sample fit is no longer representative. Every Lloyd iteration is
+    * one assignment map + one map-side-combined aggregation; the model
+    * (k·dim longs) is the only thing that ever leaves the executors.
+    *
+    * Quantization: q_i = floor(v_i · 2¹⁰) — a POWER-OF-TWO scale, so
+    * the double multiply is exact (exponent shift) and floor is
+    * unambiguous; from there every distance is an exact BIGINT
+    * Σ(q_a−q_b)², making assignment order-independent and restatable
+    * bit-exactly by any engine (float centroid means would differ
+    * across summation orders — the reason naive k-means can't be
+    * hash-verified). Center update: elem = floor(sum/n) computed as
+    * floor(double(sum)/n) — IEEE-identical everywhere for |sum| ≲ 2⁵³
+    * (the rounded quotient cannot cross an integer boundary while
+    * 1/n exceeds its ulp).
+    *
+    * Determinism contract: init = the k lowest-id vectors (cluster j =
+    * rank j); assignment ties break to the lowest cluster index; an
+    * emptied cluster keeps its previous center. No RNG anywhere.
+    *
+    * Scale shape: the quantized frame is materialized once and feeds
+    * iters+1 passes; assignment is a pure codegen'd map against k
+    * broadcast literal centers (no shuffle, no explode); the update
+    * posexplodes to (cluster, dim) grain — ×dim rows INTO a map-side-
+    * combined hash agg that leaves k·dim rows per partition, and only
+    * k·dim rows reach the driver (the IVF-centroid bounded-collect
+    * pattern). iters driver-loop rounds = iters shuffles of k·dim·P
+    * partial rows, independent of corpus size.
+    *
+    * @return (idCol, cluster int, dist2 bigint) under the final centers
+    */
+  def kmeansQuantized(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, scale: Int = 1024): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(scale > 0 && (scale & (scale - 1)) == 0,
+      s"scale must be a positive power of two, got $scale")
+    val qv = df.select(col(idCol),
+        transform(asDouble(col(vecCol)),
+          x => floor(x * lit(scale.toDouble)).cast("long")).as("__q"))
+      .materialized // feeds iters+1 corpus passes
+    def distTo(center: Seq[Long]): Column =
+      aggregate(
+        zip_with(col("__q"), typedLit(center), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v)
+    def withAssignment(centers: Array[Seq[Long]]): DataFrame = {
+      val dists = array(centers.toSeq.map(distTo): _*)
+      // array_position returns the FIRST index of the min — the
+      // lowest-cluster tie-break, 1-based
+      qv.withColumn("__d", dists)
+        .withColumn("dist2", array_min(col("__d")))
+        .withColumn("cluster",
+          (array_position(col("__d"), col("dist2")) - 1).cast("int"))
+    }
+    var centers: Array[Seq[Long]] = qv
+      .orderBy(col(idCol).asc).limit(k).collect()
+      .map(_.getAs[scala.collection.Seq[Long]]("__q").toSeq)
+    require(centers.length == k,
+      s"k=$k exceeds the ${centers.length} input vectors")
+    for (_ <- 1 to iters) {
+      val sums = withAssignment(centers)
+        .select(col("cluster"), posexplode(col("__q")).as(Seq("__dim", "__x")))
+        .groupBy(col("cluster"), col("__dim"))
+        .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+        .collect() // k·dim rows — model-sized
+      val next = centers.clone()
+      sums.groupBy(_.getInt(0)).foreach { case (cl, rows) =>
+        next(cl) = rows.sortBy(_.getInt(1)).map { r =>
+          math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong
+        }.toSeq
+      } // clusters absent from sums (emptied) keep their center
+      centers = next
+    }
+    withAssignment(centers)
+      .select(col(idCol), col("cluster"), col("dist2"))
   }
 }

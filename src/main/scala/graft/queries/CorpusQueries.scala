@@ -2376,5 +2376,117 @@ object CorpusQueries extends QueryModule {
              |  t.total - coalesce(r.n_words_kept, 0) AS n_words_excised
              |FROM tot t LEFT JOIN reb r USING (doc_id)""".stripMargin),
     ),
+
+    // ---- distributed k-means (quantized): every distance is an exact
+    // BIGINT over floor(v·2^10) fixed-point values, so assignment and
+    // the floor(sum/n) center updates are order-independent and DuckDB
+    // restates the full 2-iteration Lloyd run bit-exactly (chained
+    // CTEs: init = 4 lowest ids, assign/update ×2, final assignment).
+    // Float centroid means would differ across summation orders — the
+    // reason naive k-means can't be hash-verified.
+    Q(
+      "q113_kmeans_quantized",
+      (s, d) => Similarity.kmeansQuantized(Tables.embeddings(s, d),
+        "vec_id", "embedding", k = 4, iters = 2, scale = 1024),
+      Some("""WITH qv AS (
+             |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1024)
+             |    AS BIGINT) for x in embedding] AS q
+             |  FROM embeddings
+             |), c0 AS (
+             |  SELECT rn - 1 AS cl, q FROM (
+             |    SELECT q, row_number() OVER (ORDER BY vec_id) AS rn
+             |    FROM qv)
+             |  WHERE rn <= 4
+             |), a1 AS (
+             |  SELECT vec_id, q, cl, d FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY d, cl) AS rn
+             |    FROM (SELECT v.vec_id, v.q, c.cl,
+             |        CAST(list_sum([(v.q[i] - c.q[i]) * (v.q[i] - c.q[i])
+             |          for i in range(1, len(v.q) + 1)]) AS BIGINT) AS d
+             |      FROM qv v, c0 c))
+             |  WHERE rn = 1
+             |), c1 AS (
+             |  SELECT cl, list(m ORDER BY i) AS q FROM (
+             |    SELECT cl, i, CAST(floor(CAST(sum(x) AS DOUBLE)
+             |      / count(*)) AS BIGINT) AS m
+             |    FROM (SELECT cl, unnest(q) AS x,
+             |          unnest(range(1, len(q) + 1)) AS i FROM a1)
+             |    GROUP BY cl, i)
+             |  GROUP BY cl
+             |), a2 AS (
+             |  SELECT vec_id, q, cl, d FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY d, cl) AS rn
+             |    FROM (SELECT v.vec_id, v.q, c.cl,
+             |        CAST(list_sum([(v.q[i] - c.q[i]) * (v.q[i] - c.q[i])
+             |          for i in range(1, len(v.q) + 1)]) AS BIGINT) AS d
+             |      FROM qv v, c1 c))
+             |  WHERE rn = 1
+             |), c2 AS (
+             |  SELECT cl, list(m ORDER BY i) AS q FROM (
+             |    SELECT cl, i, CAST(floor(CAST(sum(x) AS DOUBLE)
+             |      / count(*)) AS BIGINT) AS m
+             |    FROM (SELECT cl, unnest(q) AS x,
+             |          unnest(range(1, len(q) + 1)) AS i FROM a2)
+             |    GROUP BY cl, i)
+             |  GROUP BY cl
+             |), a3 AS (
+             |  SELECT vec_id, cl, d FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY d, cl) AS rn
+             |    FROM (SELECT v.vec_id, c.cl,
+             |        CAST(list_sum([(v.q[i] - c.q[i]) * (v.q[i] - c.q[i])
+             |          for i in range(1, len(v.q) + 1)]) AS BIGINT) AS d
+             |      FROM qv v, c2 c))
+             |  WHERE rn = 1
+             |)
+             |SELECT vec_id, CAST(cl AS INTEGER) AS cluster, d AS dist2
+             |FROM a3""".stripMargin),
+    ),
+
+    // ---- length-bucketed batching: per-batch padding-waste stats over
+    // the assignment frame. DuckDB restates the bucket boundaries, the
+    // per-bucket (length desc, id) rank, the consecutive batch cut,
+    // and the padding arithmetic — all exact integers.
+    Q(
+      "q114_length_batching",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        Packing.lengthBucketedBatches(docs, "doc_id", "n_tok",
+            batchSize = 16, boundaries = Seq(32, 64, 128, 256))
+          .groupBy(col("bucket"), col("batch"))
+          .agg(count(lit(1)).as("n_docs"), max(col("n_tok")).as("max_len"),
+            sum(col("n_tok")).as("sum_len"))
+          .withColumn("padding",
+            col("n_docs") * col("max_len") - col("sum_len"))
+      },
+      Some("""WITH l AS (
+             |  SELECT doc_id, CAST(len(string_split(trim(text), ' '))
+             |    AS BIGINT) AS n_tok
+             |  FROM documents
+             |), b AS (
+             |  SELECT doc_id, n_tok,
+             |    (CASE WHEN n_tok > 32 THEN 1 ELSE 0 END +
+             |     CASE WHEN n_tok > 64 THEN 1 ELSE 0 END +
+             |     CASE WHEN n_tok > 128 THEN 1 ELSE 0 END +
+             |     CASE WHEN n_tok > 256 THEN 1 ELSE 0 END) AS bucket
+             |  FROM l
+             |), r AS (
+             |  SELECT bucket, n_tok, row_number() OVER (
+             |    PARTITION BY bucket ORDER BY n_tok DESC, doc_id) - 1
+             |    AS rn0
+             |  FROM b
+             |), a AS (
+             |  SELECT bucket, CAST(floor(rn0 / 16.0) AS BIGINT) AS batch,
+             |    n_tok
+             |  FROM r
+             |)
+             |SELECT bucket, batch, count(*) AS n_docs,
+             |  max(n_tok) AS max_len, CAST(sum(n_tok) AS BIGINT) AS sum_len,
+             |  CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS padding
+             |FROM a GROUP BY 1, 2""".stripMargin),
+    ),
   )
 }

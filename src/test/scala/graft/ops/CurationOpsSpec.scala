@@ -733,6 +733,51 @@ class CurationOpsSpec extends SparkSpec {
       (5L, "a b", 2L, 0L)))
   }
 
+  test("kmeansQuantized: hand-computed assignments, exact integer " +
+      "distances, lowest-index tie policy") {
+    // scale 1024: q1=(0,0) q2=(0,102) q3=(1024,1024) q4=(921,1024)
+    val d = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.0f, 0.1f)),
+      (3L, Seq(1.0f, 1.0f)), (4L, Seq(0.9f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansQuantized(d, "vec_id", "embedding",
+        k = 2, iters = 1)
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    // init c0=(0,0) c1=(0,102); after one update c0=(0,0),
+    // c1=floor((0+1024+921)/3, (102+1024+1024)/3)=(648,716); final
+    // assignment: v2 flips to c0 (10404 < 796900)
+    assert(out == Seq((1L, 0, 0L), (2L, 0, 10404L),
+      (3L, 1, 236240L), (4L, 1, 169393L)))
+  }
+
+  test("kmeansQuantized: negative values quantize and average with " +
+      "floor (not truncation) semantics") {
+    val d = Seq((1L, Seq(-0.1f)), (2L, Seq(0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansQuantized(d, "vec_id", "embedding",
+        k = 1, iters = 1)
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    // q = (-103, 0); mean = -51.5 → floor → -52 (truncation would give
+    // -51); dist2 = 51², 52²
+    assert(out == Seq((1L, 0, 2601L), (2L, 0, 2704L)))
+  }
+
+  test("lengthBucketedBatches: bucket boundaries are inclusive, batches " +
+      "cut consecutively by (len desc, id)") {
+    val d = Seq(
+      (1L, 10L), (2L, 32L),           // bucket 0 (≤ 32)
+      (3L, 33L), (4L, 64L), (5L, 40L), // bucket 1 (33..64)
+      (6L, 999L),                      // overflow bucket 2
+    ).toDF("doc_id", "n_tok")
+    val out = Packing.lengthBucketedBatches(d, "doc_id", "n_tok",
+        batchSize = 2, boundaries = Seq(32, 64))
+      .as[(Long, Long, Int, Long)].collect().sortBy(_._1).toSeq
+    // bucket 1 order: (64,#4) (40,#5) | (33,#3) → batches 0,0,1
+    assert(out == Seq((1L, 10L, 0, 0L), (2L, 32L, 0, 0L),
+      (3L, 33L, 1, 1L), (4L, 64L, 1, 0L), (5L, 40L, 1, 0L),
+      (6L, 999L, 2, 0L)))
+  }
+
   test("exciseRepeatedSpans: null text behaves like empty text") {
     val d = Seq((1L, null), (2L, "k l m"), (3L, "k l m n"))
       .toDF("doc_id", "text")
