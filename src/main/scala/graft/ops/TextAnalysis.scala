@@ -700,6 +700,120 @@ object TextAnalysis {
         col("dup_word_frac") > 0.8 || col("top_bigram_frac") > 0.18)
   }
 
+  /** BPE MERGE LEARNING — byte-pair-encoding vocabulary induction
+    * (Sennrich et al. 2016, public knowledge), the step that turns a
+    * raw corpus into the subword merge table a tokenizer ships with.
+    * Classic formulation: train on the (word, frequency) table; each
+    * round promotes the most frequent adjacent symbol pair to a new
+    * symbol and rewrites every word.
+    *
+    * Merge-application semantics — pinned, cross-engine: a round
+    * rewrites the space-joined symbol string via
+    * `replace(' L R ' → ' LR ')` on the ' '-wrapped form, i.e.
+    * left-to-right non-overlapping with the scan resuming AFTER each
+    * replacement (the shared separator space is consumed). Where the
+    * pair occurs in immediate succession the consumed separator blocks
+    * the next occurrence within the SAME round — 'a b a b' → 'ab a b',
+    * 'a a a a' → 'aa a a' — and the leftover merges in a later round
+    * when that pair wins again, so rounds under-merge relative to the
+    * Python reference loop but the induction still converges. Accepted
+    * deliberately: the semantics are deterministic, identical between
+    * Spark's `replace` and DuckDB's (q115/q116 restate whole rounds),
+    * and learn a valid merge ordering. Pinned by spec.
+    *
+    * Scale shape: the corpus collapses to the DISTINCT-word frequency
+    * table in one map-side-combined count (the only corpus-sized pass);
+    * each round is one pair-count aggregation over that table (explode
+    * adjacent pairs, hash agg), a 1-row TakeOrdered argmax, and a pure
+    * codegen'd rewrite map, with the frame re-materialized per round so
+    * round cost stays O(1) passes (the iterative-clustering pattern).
+    * Only `numMerges` rows ever reach the driver.
+    *
+    * @return (merge_rank from 1, lhs, rhs, merged, pair_count) —
+    *         fewer than numMerges rows when the pair space dries up
+    */
+  def learnBpeMerges(df: DataFrame, textCol: String,
+      numMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    val merges = learnBpeMergesLocal(df, textCol, numMerges)
+    import spark.implicits._
+    merges.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  private[ops] def learnBpeMergesLocal(df: DataFrame, textCol: String,
+      numMerges: Int): Seq[(Int, String, String, String, Long)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    var cur = wordSymbols(df, textCol).materialized
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var dry = false
+    while (rank <= numMerges && !dry) {
+      val best = symbolPairCounts(cur)
+        .orderBy(col("__cnt").desc, col("__l").asc, col("__r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) dry = true
+      else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += ((rank, l, r, l + r, cnt))
+        cur = cur.withColumn("__sym",
+            call_function("replace", col("__sym"),
+              lit(s" $l $r "), lit(s" $l$r ")))
+          .materialized
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** (word, freq, ' c h a r s ') — the ' '-wrapped symbol string the
+    * merge rounds rewrite. Character split is code-point-based in both
+    * Spark (UTF8String) and DuckDB. */
+  private def wordSymbols(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(trim(col(textCol)), "\\s+")).as("__word"))
+      .filter(length(col("__word")) > 0)
+      .groupBy(col("__word")).agg(count(lit(1)).as("__freq"))
+      .withColumn("__sym", concat(lit(" "),
+        concat_ws(" ", transform(sequence(lit(1), length(col("__word"))),
+          i => col("__word").substr(i, lit(1)))), lit(" ")))
+
+  private def symbolPairCounts(cur: DataFrame): DataFrame =
+    cur.select(col("__freq"), split(trim(col("__sym")), " ").as("__ss"))
+      .filter(size(col("__ss")) >= 2)
+      .select(col("__freq"), explode(
+        transform(sequence(lit(1), size(col("__ss")) - 1),
+          i => struct(element_at(col("__ss"), i).as("__l"),
+            element_at(col("__ss"), i + 1).as("__r")))).as("__p"))
+      .groupBy(col("__p.__l").as("__l"), col("__p.__r").as("__r"))
+      .agg(sum(col("__freq")).as("__cnt"))
+
+  /** BPE SEGMENTATION — the consumer of [[learnBpeMerges]]: every
+    * distinct corpus word rewritten by the learned merges in rank
+    * order (same pinned replace semantics), emitted with its final
+    * symbol count. The merge table is model-sized (bounded collect,
+    * the vocab-broadcast pattern); application is `numMerges` chained
+    * codegen'd replaces over the distinct-word table — no shuffle
+    * beyond the word count itself.
+    *
+    * @return (word, freq, segments — space-joined, n_segments)
+    */
+  def bpeSegment(df: DataFrame, textCol: String,
+      merges: DataFrame): DataFrame = {
+    val ms = merges
+      .select(col("merge_rank").cast("int"), col("lhs"), col("rhs"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val sym = ms.foldLeft(col("__sym")) { case (acc, (l, r)) =>
+      call_function("replace", acc, lit(s" $l $r "), lit(s" $l$r "))
+    }
+    wordSymbols(df, textCol)
+      .withColumn("__out", trim(sym))
+      .select(col("__word").as("word"), col("__freq").as("freq"),
+        col("__out").as("segments"),
+        size(split(col("__out"), " ")).as("n_segments"))
+  }
+
   /** PMI collocation mining — the phrase table a tokenizer pipeline
     * extracts before merging multiword units ("new york", "machine
     * learning") into single vocab entries (word2phrase / Mikolov et al.

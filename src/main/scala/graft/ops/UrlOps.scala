@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization — the normalization pass a web-corpus pipeline
@@ -43,4 +43,55 @@ object UrlOps {
     concat(scheme, lit("://"), host, path,
       when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit("")))
   }
+
+  /** Lowercased host with any `:port` stripped (no default-port
+    * special-casing — blocklists key on the name, not the port). */
+  def hostOf(url: Column): Column =
+    regexp_replace(
+      lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]+)", 1)),
+      ":[0-9]+$", "")
+
+  /** All label-boundary suffixes of a host: `a.b.c` → [a.b.c, b.c, c] —
+    * the expansion that turns "domain or any parent domain" matching
+    * into plain equality joins. Bounded by the label count (~10). */
+  def domainSuffixes(host: Column): Column = {
+    val labels = split(host, "\\.")
+    transform(sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels) - i + 1), "."))
+  }
+
+  /** Domain-blocklist tagging — the UT1/RefinedWeb-style URL filter: a
+    * row is blocked when its host IS a blocklist domain or any
+    * subdomain of one. Suffix matching is an equality JOIN on the
+    * exploded label-suffix chain (never a regex scan over the
+    * blocklist): at 100 TB the blocklist is millions of rows — a
+    * shuffle join on 8-byte-ish suffix keys that AQE broadcasts when
+    * the list is small. The most specific (longest) matching entry is
+    * reported; ties cannot occur (two same-length suffixes of one host
+    * are identical).
+    *
+    * @return df columns + (host, blocked_domain nullable, blocked)
+    */
+  def flagBlocked(df: DataFrame, idCol: String, urlCol: String,
+      blocklist: DataFrame, domainCol: String = "domain"): DataFrame = {
+    val bl = blocklist.select(lower(trim(col(domainCol))).as("__d"))
+      .distinct()
+    val withHost = df.withColumn("host", hostOf(col(urlCol)))
+    val hits = withHost
+      .select(col(idCol), explode(domainSuffixes(col("host"))).as("__d"))
+      .join(bl, "__d")
+      .groupBy(col(idCol))
+      .agg(max(struct(length(col("__d")).as("__len"), col("__d").as("__dom")))
+        .as("__m"))
+      .select(col(idCol), col("__m.__dom").as("blocked_domain"))
+    withHost.join(hits, Seq(idCol), "left")
+      .withColumn("blocked", col("blocked_domain").isNotNull)
+  }
+
+  /** The filtered corpus: rows whose host matches no blocklist entry. */
+  def blocklistFilter(df: DataFrame, idCol: String, urlCol: String,
+      blocklist: DataFrame, domainCol: String = "domain"): DataFrame =
+    flagBlocked(df, idCol, urlCol, blocklist, domainCol)
+      .filter(!col("blocked"))
+      .drop("host", "blocked_domain", "blocked")
 }

@@ -2488,5 +2488,190 @@ object CorpusQueries extends QueryModule {
              |  CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS padding
              |FROM a GROUP BY 1, 2""".stripMargin),
     ),
+
+    // ---- BPE merge learning: three induction rounds over the distinct-
+    // word frequency table. DuckDB replays every round — char split,
+    // weighted pair counts, (cnt desc, l, r) argmax, and the pinned
+    // replace-semantics rewrite (see learnBpeMerges scaladoc) — so the
+    // learned merge table must match row for row.
+    Q(
+      "q115_bpe_learn",
+      (s, d) => TextAnalysis.learnBpeMerges(
+        Tables.documents(s, d), "text", numMerges = 3),
+      Some("""WITH wf AS (
+             |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+             |    SELECT unnest(string_split(trim(text), ' ')) AS word
+             |    FROM documents)
+             |  WHERE length(word) > 0 GROUP BY 1
+             |), s0 AS (
+             |  SELECT word, freq, ' ' || array_to_string(
+             |    [word[i] for i in range(1, length(word) + 1)], ' ')
+             |    || ' ' AS sym
+             |  FROM wf
+             |), p1 AS (
+             |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+             |    SELECT freq, ss[i] AS l, ss[i + 1] AS r
+             |    FROM (SELECT freq, ss, unnest(range(1, len(ss))) AS i
+             |          FROM (SELECT freq, string_split(trim(sym), ' ')
+             |                  AS ss FROM s0)))
+             |  GROUP BY 1, 2
+             |), b1 AS (
+             |  SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1
+             |), s1 AS (
+             |  SELECT word, freq, replace(sym,
+             |    ' ' || b.l || ' ' || b.r || ' ',
+             |    ' ' || b.l || b.r || ' ') AS sym
+             |  FROM s0, b1 b
+             |), p2 AS (
+             |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+             |    SELECT freq, ss[i] AS l, ss[i + 1] AS r
+             |    FROM (SELECT freq, ss, unnest(range(1, len(ss))) AS i
+             |          FROM (SELECT freq, string_split(trim(sym), ' ')
+             |                  AS ss FROM s1)))
+             |  GROUP BY 1, 2
+             |), b2 AS (
+             |  SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1
+             |), s2 AS (
+             |  SELECT word, freq, replace(sym,
+             |    ' ' || b.l || ' ' || b.r || ' ',
+             |    ' ' || b.l || b.r || ' ') AS sym
+             |  FROM s1, b2 b
+             |), p3 AS (
+             |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+             |    SELECT freq, ss[i] AS l, ss[i + 1] AS r
+             |    FROM (SELECT freq, ss, unnest(range(1, len(ss))) AS i
+             |          FROM (SELECT freq, string_split(trim(sym), ' ')
+             |                  AS ss FROM s2)))
+             |  GROUP BY 1, 2
+             |), b3 AS (
+             |  SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1
+             |)
+             |SELECT 1 AS merge_rank, l AS lhs, r AS rhs, l || r AS merged,
+             |  cnt AS pair_count FROM b1
+             |UNION ALL SELECT 2, l, r, l || r, cnt FROM b2
+             |UNION ALL SELECT 3, l, r, l || r, cnt FROM b3""".stripMargin),
+    ),
+
+    // ---- BPE segmentation: the learned 3-merge table applied to every
+    // distinct corpus word (rank order, same pinned replace semantics).
+    // DuckDB re-learns the merges (q115's CTE chain) and re-applies
+    // them, so word segmentations must match byte for byte.
+    Q(
+      "q116_bpe_segment",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.bpeSegment(docs, "text",
+          TextAnalysis.learnBpeMerges(docs, "text", numMerges = 3))
+      },
+      Some("""WITH wf AS (
+             |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+             |    SELECT unnest(string_split(trim(text), ' ')) AS word
+             |    FROM documents)
+             |  WHERE length(word) > 0 GROUP BY 1
+             |), s0 AS (
+             |  SELECT word, freq, ' ' || array_to_string(
+             |    [word[i] for i in range(1, length(word) + 1)], ' ')
+             |    || ' ' AS sym
+             |  FROM wf
+             |), p1 AS (
+             |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+             |    SELECT freq, ss[i] AS l, ss[i + 1] AS r
+             |    FROM (SELECT freq, ss, unnest(range(1, len(ss))) AS i
+             |          FROM (SELECT freq, string_split(trim(sym), ' ')
+             |                  AS ss FROM s0)))
+             |  GROUP BY 1, 2
+             |), b1 AS (
+             |  SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1
+             |), s1 AS (
+             |  SELECT word, freq, replace(sym,
+             |    ' ' || b.l || ' ' || b.r || ' ',
+             |    ' ' || b.l || b.r || ' ') AS sym
+             |  FROM s0, b1 b
+             |), p2 AS (
+             |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+             |    SELECT freq, ss[i] AS l, ss[i + 1] AS r
+             |    FROM (SELECT freq, ss, unnest(range(1, len(ss))) AS i
+             |          FROM (SELECT freq, string_split(trim(sym), ' ')
+             |                  AS ss FROM s1)))
+             |  GROUP BY 1, 2
+             |), b2 AS (
+             |  SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1
+             |), s2 AS (
+             |  SELECT word, freq, replace(sym,
+             |    ' ' || b.l || ' ' || b.r || ' ',
+             |    ' ' || b.l || b.r || ' ') AS sym
+             |  FROM s1, b2 b
+             |), p3 AS (
+             |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+             |    SELECT freq, ss[i] AS l, ss[i + 1] AS r
+             |    FROM (SELECT freq, ss, unnest(range(1, len(ss))) AS i
+             |          FROM (SELECT freq, string_split(trim(sym), ' ')
+             |                  AS ss FROM s2)))
+             |  GROUP BY 1, 2
+             |), b3 AS (
+             |  SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1
+             |), s3 AS (
+             |  SELECT word, freq, replace(sym,
+             |    ' ' || b.l || ' ' || b.r || ' ',
+             |    ' ' || b.l || b.r || ' ') AS sym
+             |  FROM s2, b3 b
+             |)
+             |SELECT word, freq, trim(sym) AS segments,
+             |  CAST(len(string_split(trim(sym), ' ')) AS INTEGER)
+             |    AS n_segments
+             |FROM s3""".stripMargin),
+    ),
+
+    // ---- domain-blocklist URL filter: subdomain-suffix matching as an
+    // equality join over the exploded label-suffix chain; the longest
+    // (most specific) matching entry is reported. DuckDB restates the
+    // host extraction, the suffix expansion, and the longest-match
+    // choice over the same inline blocklist.
+    Q(
+      "q117_blocklist_filter",
+      (s, d) => {
+        val id = col("doc_id")
+        val url = concat(lit("https://"),
+          when(id % 3 === 0, lit("ads.")).when(id % 3 === 1, lit("www."))
+            .otherwise(lit("")),
+          lit("example"), (id % 5).cast("string"), lit(".com/p"),
+          (id % 7).cast("string"))
+        val docs = Tables.documents(s, d).select(id, url.as("url"))
+        import s.implicits._
+        val bl = Seq("example2.com", "ads.example0.com", "example4.com")
+          .toDF("domain")
+        graft.ops.UrlOps.flagBlocked(docs, "doc_id", "url", bl)
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, 'https://' ||
+             |    (CASE WHEN doc_id % 3 = 0 THEN 'ads.'
+             |          WHEN doc_id % 3 = 1 THEN 'www.' ELSE '' END) ||
+             |    'example' || CAST(doc_id % 5 AS VARCHAR) || '.com/p' ||
+             |    CAST(doc_id % 7 AS VARCHAR) AS url
+             |  FROM documents
+             |), h AS (
+             |  SELECT doc_id, url, regexp_replace(lower(regexp_extract(
+             |    url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]+)', 1)),
+             |    ':[0-9]+$', '') AS host
+             |  FROM u
+             |), bl AS (
+             |  SELECT * FROM (VALUES ('example2.com'),
+             |    ('ads.example0.com'), ('example4.com')) t(d)
+             |), sfx AS (
+             |  SELECT doc_id, unnest([array_to_string(l[i:], '.')
+             |    for i in range(1, len(l) + 1)]) AS d
+             |  FROM (SELECT doc_id, string_split(host, '.') AS l FROM h)
+             |), hits AS (
+             |  SELECT doc_id, d FROM (
+             |    SELECT s.doc_id, s.d, row_number() OVER (
+             |      PARTITION BY s.doc_id ORDER BY length(s.d) DESC, s.d)
+             |      AS rn
+             |    FROM sfx s JOIN bl USING (d))
+             |  WHERE rn = 1
+             |)
+             |SELECT h.doc_id, h.url, h.host, hits.d AS blocked_domain,
+             |  hits.d IS NOT NULL AS blocked
+             |FROM h LEFT JOIN hits USING (doc_id)""".stripMargin),
+    ),
   )
 }

@@ -778,6 +778,66 @@ class CurationOpsSpec extends SparkSpec {
       (6L, 999L, 2, 0L)))
   }
 
+  test("learnBpeMerges: hand-computed rounds with (cnt desc, l, r) " +
+      "tie-break; consecutive occurrences defer to later rounds") {
+    // word freqs: abab=3, ab=2. Round 1: (a,b) = 2·3+2 = 8 wins;
+    // 'a b a b' rewrites to 'ab a b' (shared separator consumed), 'a b'
+    // to 'ab'. Round 2 pairs: (ab,a)=3, (a,b)=3 — tie breaks to lhs
+    // 'a' < 'ab', so the DEFERRED (a,b) merges again.
+    val d = Seq("abab abab abab ab ab").toDF("text")
+    val out = TextAnalysis.learnBpeMerges(d, "text", numMerges = 2)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(out == Seq((1, "a", "b", "ab", 8L), (2, "a", "b", "ab", 3L)))
+  }
+
+  test("bpe replace semantics pinned: runs of identical symbols " +
+      "under-merge within a round (scan resumes after the replacement)") {
+    val d = Seq("aaaa bb").toDF("text")
+    val out = TextAnalysis.bpeSegment(d, "text",
+        TextAnalysis.learnBpeMerges(d, "text", numMerges = 1))
+      .select("word", "segments").as[(String, String)].collect().toSet
+    // merge 1 is (a,a) (count 3 beats (b,b)=1); 'a a a a' rewrites to
+    // 'aa a a' — NOT 'aa aa' — because the scan consumed the shared
+    // separator (documented contract); bb is untouched by merge (a,a)
+    assert(out == Set(("aaaa", "aa a a"), ("bb", "b b")))
+  }
+
+  test("bpeSegment: unseen merge leaves words intact, n_segments counts") {
+    val d = Seq("cat cat dog").toDF("text")
+    val merges = TextAnalysis.learnBpeMerges(d, "text", numMerges = 1)
+    // (a,t) weight 2 wins over (c,a)=2? tie: (a,t) < (c,a) lexically
+    val m = merges.as[(Int, String, String, String, Long)].collect().head
+    assert(m == ((1, "a", "t", "at", 2L)))
+    val seg = TextAnalysis.bpeSegment(d, "text", merges)
+      .as[(String, Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(seg == Seq(("cat", 2L, "c at", 2), ("dog", 1L, "d o g", 3)))
+  }
+
+  test("flagBlocked: subdomain suffix matches, longest entry wins, " +
+      "clean hosts pass") {
+    val docs = Seq(
+      (1L, "https://ads.tracker.com/x"),    // subdomain of tracker.com
+      (2L, "https://tracker.com/y"),        // exact
+      (3L, "https://nottracker.com/z"),     // NOT a label-boundary match
+      (4L, "https://deep.ads.tracker.com"), // longest match ads.tracker.com
+      (5L, "HTTPS://Tracker.COM:8443/q"),   // case + port normalization
+    ).toDF("doc_id", "url")
+    val bl = Seq("tracker.com", "ads.tracker.com").toDF("domain")
+    val out = UrlOps.flagBlocked(docs, "doc_id", "url", bl)
+      .select("doc_id", "host", "blocked_domain", "blocked")
+      .as[(Long, String, Option[String], Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "ads.tracker.com", Some("ads.tracker.com"), true),
+      (2L, "tracker.com", Some("tracker.com"), true),
+      (3L, "nottracker.com", None, false),
+      (4L, "deep.ads.tracker.com", Some("ads.tracker.com"), true),
+      (5L, "tracker.com", Some("tracker.com"), true)))
+    val kept = UrlOps.blocklistFilter(docs, "doc_id", "url", bl)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(3L))
+  }
+
   test("exciseRepeatedSpans: null text behaves like empty text") {
     val d = Seq((1L, null), (2L, "k l m"), (3L, "k l m n"))
       .toDF("doc_id", "text")
