@@ -635,6 +635,37 @@ object Similarity {
     *
     * @return (idCol, cluster int, dist2 bigint) under the final centers
     */
+  /** Per-group embedding centroids over the same fixed-point lattice as
+    * [[kmeansQuantized]] (elem = floor(sum(floor(v·scale))/n)) — the
+    * source/cluster profile vector a curation pipeline reports, and a
+    * deterministic seed for IVF cells. Exact integer math end to end,
+    * so the result is order-independent and engine-restatable.
+    *
+    * Scale shape: posexplode to (group, dim) grain into ONE
+    * map-side-combined aggregation (k·dim rows out), then a per-group
+    * sorted re-assembly whose per-group state is one dim-sized array.
+    *
+    * @return (groupCol, centroid array<long>, n_vectors)
+    */
+  def groupCentroidsQuantized(df: DataFrame, groupCol: String,
+      vecCol: String, scale: Int = 1024): DataFrame = {
+    require(scale > 0 && (scale & (scale - 1)) == 0,
+      s"scale must be a positive power of two, got $scale")
+    df.select(col(groupCol),
+        posexplode(transform(asDouble(col(vecCol)),
+          x => floor(x * lit(scale.toDouble)).cast("long")))
+          .as(Seq("__dim", "__x")))
+      .groupBy(col(groupCol), col("__dim"))
+      .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+      .withColumn("__m",
+        floor(col("__s").cast("double") / col("__n")).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(
+        transform(array_sort(collect_list(struct(col("__dim"), col("__m")))),
+          x => x.getField("__m")).as("centroid"),
+        max(col("__n")).as("n_vectors"))
+  }
+
   def kmeansQuantized(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, scale: Int = 1024): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

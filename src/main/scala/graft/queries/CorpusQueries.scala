@@ -2673,5 +2673,98 @@ object CorpusQueries extends QueryModule {
              |  hits.d IS NOT NULL AS blocked
              |FROM h LEFT JOIN hits USING (doc_id)""".stripMargin),
     ),
+
+    // ---- per-group centroids on the fixed-point lattice, exploded to
+    // scalar (label, dim, c) rows for the hash compare (arrays don't
+    // hash portably). DuckDB restates the quantize, the per-dim
+    // floor-mean, and the group sizes.
+    Q(
+      "q118_group_centroids",
+      (s, d) => Similarity
+        .groupCentroidsQuantized(Tables.embeddings(s, d), "label",
+          "embedding", scale = 1024)
+        .select(col("label"), col("n_vectors"),
+          posexplode(col("centroid")).as(Seq("dim", "c")))
+        .select(col("label"), col("dim"), col("c"), col("n_vectors")),
+      Some("""WITH qv AS (
+             |  SELECT label, [CAST(floor(CAST(x AS DOUBLE) * 1024)
+             |    AS BIGINT) for x in embedding] AS q
+             |  FROM embeddings
+             |), e AS (
+             |  SELECT label, unnest(q) AS x,
+             |    unnest(range(0, len(q))) AS dim
+             |  FROM qv
+             |)
+             |SELECT label, CAST(dim AS INTEGER) AS dim,
+             |  CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT)
+             |    AS c,
+             |  count(*) AS n_vectors
+             |FROM e GROUP BY 1, 2""".stripMargin),
+    ),
+
+    // ---- the full training-prep chain in one call — vocab build (q86)
+    // → token encode (q88) → GPT-style sequence packing (q52), i.e.
+    // "text in, shard-ready token spans out". Every stage is an
+    // already-proven operator; DuckDB restates the whole chain in one
+    // CTE pipeline, so stage composition (not just each stage) is
+    // hash-verified.
+    Q(
+      "q119_tokenize_pack",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val vocab = TextAnalysis.buildVocab(docs, "doc_id", "text",
+          minDf = 3L, maxVocab = 1000)
+        val enc = TextAnalysis.encodeTokens(docs, "doc_id", "text", vocab)
+        val packed = Packing.chunkAssignments(enc, "doc_id",
+          col("n_tokens"), seqLen = 256)
+        enc.select(col("doc_id"),
+            concat_ws(" ", col("token_ids")).as("ids_str"), col("n_oov"))
+          .join(packed, "doc_id")
+          .select(col("doc_id"), col("ids_str"), col("n_oov"),
+            col("n_tokens"), col("token_start"), col("token_end"),
+            col("first_chunk"), col("last_chunk"))
+      },
+      Some("""WITH toks0 AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(trim(text),
+             |    '\s+')) AS token
+             |  FROM documents
+             |), stats AS (
+             |  SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+             |  FROM toks0 GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+             |), v AS (
+             |  SELECT token,
+             |    CAST(row_number() OVER (ORDER BY tf DESC, token ASC) - 1
+             |      AS BIGINT) AS vocab_id
+             |  FROM stats QUALIFY vocab_id < 1000
+             |), pos AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+             |    unnest(range(1, len(regexp_split_to_array(trim(text),
+             |      '\s+')) + 1)) AS p
+             |  FROM documents
+             |), mapped AS (
+             |  SELECT t.doc_id, t.p, coalesce(v.vocab_id, -1) AS id
+             |  FROM pos t LEFT JOIN v ON t.tok = v.token
+             |), enc AS (
+             |  SELECT doc_id,
+             |    array_to_string(list(id ORDER BY p ASC), ' ') AS ids_str,
+             |    count(*) AS n_tokens,
+             |    CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_oov
+             |  FROM mapped GROUP BY doc_id
+             |), c AS (
+             |  SELECT doc_id, ids_str, n_oov, n_tokens,
+             |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS token_end
+             |  FROM enc
+             |)
+             |SELECT doc_id, ids_str, n_oov, n_tokens,
+             |  token_end - n_tokens AS token_start, token_end,
+             |  CAST(floor((token_end - n_tokens) / 256.0) AS BIGINT)
+             |    AS first_chunk,
+             |  CAST(floor((token_end - 1) / 256.0) AS BIGINT) AS last_chunk
+             |FROM c""".stripMargin),
+    ),
   )
 }

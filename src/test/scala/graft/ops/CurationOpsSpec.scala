@@ -838,6 +838,18 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept == Seq(3L))
   }
 
+  test("groupCentroidsQuantized: per-dim floor means, group sizes") {
+    val d = Seq(
+      ("a", Seq(0.0f, 1.0f)), ("a", Seq(0.1f, -1.0f)),
+      ("b", Seq(0.5f, 0.5f)),
+    ).toDF("src", "embedding")
+    val out = Similarity.groupCentroidsQuantized(d, "src", "embedding")
+      .as[(String, Seq[Long], Long)].collect().sortBy(_._1).toSeq
+    // a: dim0 floor((0+102)/2)=51, dim1 floor((1024-1024)/2)=0
+    // b: (512, 512)
+    assert(out == Seq(("a", Seq(51L, 0L), 2L), ("b", Seq(512L, 512L), 1L)))
+  }
+
   test("exciseRepeatedSpans: null text behaves like empty text") {
     val d = Seq((1L, null), (2L, "k l m"), (3L, "k l m n"))
       .toDF("doc_id", "text")

@@ -40,6 +40,48 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"))
   }
 
+  test("collocations plan: per-partition top-k (TakeOrdered), no " +
+      "cartesian, map-side combined counts") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = TextAnalysis.collocations(docs, "text", minCount = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan) // no global sort
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("exciseRepeatedSpans plan: no windows, no cartesian — anti-join " +
+      "rebuild over hash keys") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Dedup.exciseRepeatedSpans(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("kmeansQuantized final assignment plan: pure map over the " +
+      "materialized lattice — no Exchange, no join") {
+    val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = Similarity.kmeansQuantized(emb, "vec_id", "embedding",
+        k = 2, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("lengthBucketedBatches plan: bucket min-ranks broadcast back, " +
+      "no per-bucket window") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", TextAnalysis.tokenCount($"text").as("n_tok"))
+    val plan = Packing.lengthBucketedBatches(docs, "doc_id", "n_tok",
+        batchSize = 16, boundaries = Seq(32, 64, 128))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("winnowing-pairs plan: no cartesian product, freq prune joins before the pair join") {
     val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
     val plan = TextAnalysis.winnowingPairs(docs, "doc_id", "text")
