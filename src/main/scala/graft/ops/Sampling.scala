@@ -300,6 +300,77 @@ object Sampling {
       .filter(hashBucket(col(keyCol), seed, 1000) < col("rate_permille"))
   }
 
+  /** SQUARE-ROOT temperature mixture sampling (T = 2) — the standard
+    * multilingual/multi-source rebalancing: target share ∝ √(corpus
+    * share), which flattens the mixture toward small sources without
+    * letting any single source dominate. Downsample-only (the
+    * [[mixToBudget]] convention): the smallest source keeps everything
+    * (rate 1000‰) and source s thins to √(t_min/t_s), which realizes
+    * the √-proportional target mix exactly up to per-mille rounding.
+    *
+    * T is PINNED at 2 deliberately: the rate formula is then
+    * floor(1000·sqrt(t_min/t_s)) — division, sqrt, multiply are all
+    * correctly-rounded IEEE ops over exact integer totals, so any
+    * engine restates the rates bitwise (q120). A free temperature
+    * needs pow(), whose last ulp is libm-specific and would break the
+    * hash gate; generalize by chaining sqrt (T = 4 = √√) if needed.
+    *
+    * Scale shape: one map-side-combined totals agg (sources bounded),
+    * a 1-row min broadcast, the rate join back (null-safe — a NULL
+    * source is its own stratum), and a pure-map hash filter. No
+    * windows, no driver collect.
+    *
+    * @return surviving rows + n_tokens + rate_permille
+    */
+  def temperatureMixSqrt(df: DataFrame, sourceCol: String, keyCol: String,
+      tokenCol: Column, seed: String): DataFrame = {
+    require(!df.columns.contains("__mix_src"),
+      "input must not already carry a __mix_src column")
+    val withTok = df.withColumn("n_tokens", tokenCol)
+    val totals = withTok.groupBy(col(sourceCol))
+      .agg(sum(col("n_tokens")).cast("long").as("__t"))
+    // min over POSITIVE totals only: a zero-token source must not zero
+    // every rate; sources without positive totals keep everything
+    val tmin = totals.filter(col("__t") > 0)
+      .agg(min(col("__t")).as("__tmin"))
+    val rates = totals.crossJoin(broadcast(tmin))
+      .withColumn("rate_permille",
+        when(col("__t") > 0 && col("__tmin").isNotNull,
+          least(lit(1000L),
+            floor(sqrt(col("__tmin").cast("double") / col("__t")) *
+              lit(1000.0)).cast("long")))
+          .otherwise(lit(1000L)))
+      .select(col(sourceCol).as("__mix_src"), col("rate_permille"))
+    withTok.join(rates, col(sourceCol) <=> col("__mix_src"))
+      .drop("__mix_src")
+      .filter(hashBucket(col(keyCol), seed, 1000) < col("rate_permille"))
+  }
+
+  /** Size-balanced shard assignment — equal-weight output shards for
+    * training-data export (the [[graft.io]] JSONL shard writer's
+    * partner): rows rank globally by (weight desc, id asc) and shard
+    * round-robin by rank — the deterministic longest-processing-time
+    * approximation (each of the k heaviest rows opens a shard; from
+    * there strides interleave), which lands shard totals within one
+    * max-row weight of each other for realistic distributions.
+    *
+    * Shape: ONE [[Packing.globalRowNumber]] two-pass scan; the shard
+    * id is pure integer math on the rank. No windows, no collect.
+    *
+    * @return (idCol, weightCol, shard int)
+    */
+  def balancedShards(df: DataFrame, idCol: String, weightCol: String,
+      numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val base = df.select(col(idCol),
+      col(weightCol).cast("long").as(weightCol))
+    Packing.globalRowNumber(base,
+        Seq(col(weightCol).desc, col(idCol).asc), "__rank")
+      .withColumn("shard", pmod(col("__rank"), lit(numShards.toLong))
+        .cast("int"))
+      .drop("__rank")
+  }
+
   /** EXACT-QUOTA stratified split: within every stratum (language,
     * domain, quality band) rows are ranked by seeded hash and assigned
     * splits by rank thresholds — each stratum lands within one row of

@@ -2766,5 +2766,62 @@ object CorpusQueries extends QueryModule {
              |  CAST(floor((token_end - 1) / 256.0) AS BIGINT) AS last_chunk
              |FROM c""".stripMargin),
     ),
+
+    // ---- √-temperature mixture sampling (T = 2): rates are
+    // floor(1000·sqrt(t_min/t_s)) — correctly-rounded IEEE ops over
+    // exact integer totals, so DuckDB restates rates AND the md5-60
+    // hash filter bitwise. (T pinned at 2; pow()'s libm ulp would break
+    // the gate — see temperatureMixSqrt scaladoc.)
+    Q(
+      "q120_temperature_mix",
+      (s, d) => Sampling.temperatureMixSqrt(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("source"), col("text")),
+          "source", "doc_id", TextAnalysis.tokenCount(col("text")),
+          seed = "temp42")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("rate_permille")),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, source,
+             |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+             |  FROM documents
+             |), tot AS (
+             |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t
+             |  FROM tok GROUP BY 1
+             |), mn AS (
+             |  SELECT min(t) AS tmin FROM tot WHERE t > 0
+             |), r AS (
+             |  SELECT source, CASE WHEN t > 0 AND tmin IS NOT NULL
+             |    THEN least(1000, CAST(floor(sqrt(CAST(tmin AS DOUBLE)
+             |      / t) * 1000.0) AS BIGINT))
+             |    ELSE 1000 END AS rate_permille
+             |  FROM tot, mn
+             |)
+             |SELECT k.doc_id, k.source, k.n_tokens, r.rate_permille
+             |FROM tok k JOIN r USING (source)
+             |WHERE CAST('0x' ||
+             |    substr(md5(CAST(k.doc_id AS VARCHAR) || 'temp42'), 1, 15)
+             |  AS BIGINT) % 1000 < r.rate_permille""".stripMargin),
+    ),
+
+    // ---- size-balanced training shards: global (weight desc, id) rank
+    // round-robin into 8 shards — the deterministic LPT approximation.
+    // DuckDB restates the rank and the modulo assignment.
+    Q(
+      "q121_balanced_shards",
+      (s, d) => Sampling.balancedShards(
+        Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", numShards = 8),
+      Some("""WITH l AS (
+             |  SELECT doc_id, CAST(len(string_split(trim(text), ' '))
+             |    AS BIGINT) AS n_tok
+             |  FROM documents
+             |)
+             |SELECT doc_id, n_tok,
+             |  CAST((row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1)
+             |    % 8 AS INTEGER) AS shard
+             |FROM l""".stripMargin),
+    ),
   )
 }

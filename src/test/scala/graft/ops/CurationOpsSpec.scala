@@ -850,6 +850,35 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == Seq(("a", Seq(51L, 0L), 2L), ("b", Seq(512L, 512L), 1L)))
   }
 
+  test("temperatureMixSqrt: smallest source keeps all, rates follow " +
+      "sqrt(t_min/t), zero-token source keeps all") {
+    val d = Seq.tabulate(100)(i =>
+        (i.toLong, if (i < 80) "big" else "small", 10L)) ++
+      Seq((100L, "empty", 0L))
+    val df = d.toDF("doc_id", "source", "w")
+    val out = Sampling.temperatureMixSqrt(df, "source", "doc_id",
+      col("w"), seed = "t")
+    val rates = out.select("source", "rate_permille").distinct()
+      .as[(String, Long)].collect().toMap
+    // t_big=800, t_small=200, t_min=200: rate_big =
+    // floor(1000*sqrt(200/800)) = 500; small keeps 1000
+    assert(rates("big") == 500L && rates("small") == 1000L)
+    // the zero-token source has no positive total — keeps everything
+    assert(out.filter($"source" === "empty").count() == 1)
+  }
+
+  test("balancedShards: round-robin by (weight desc, id); totals " +
+      "within one max weight") {
+    val d = Seq.tabulate(10)(i => (i.toLong, (10 - i).toLong * 10))
+      .toDF("doc_id", "w")
+    val out = Sampling.balancedShards(d, "doc_id", "w", numShards = 3)
+      .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+    // ranks follow weight desc = id asc here; shard = rank % 3
+    assert(out.map(_._3) == Seq(0, 1, 2, 0, 1, 2, 0, 1, 2, 0))
+    val totals = out.groupBy(_._3).map(_._2.map(_._2).sum).toSeq.sorted
+    assert(totals.max - totals.min <= 100)
+  }
+
   test("exciseRepeatedSpans: null text behaves like empty text") {
     val d = Seq((1L, null), (2L, "k l m"), (3L, "k l m n"))
       .toDF("doc_id", "text")
