@@ -65,6 +65,54 @@ object TextAnalysis {
       limit = maxVocab.toLong)
   }
 
+  /** INCREMENTAL vocabulary update — the frozen-id merge a deployed
+    * tokenizer pipeline runs per ingest batch (the [[graft.ops.Dedup
+    * .corpusDiff]] family's tokenizer sibling): existing tokens KEEP
+    * their ids forever (downstream shards already encode with them)
+    * and only their counts advance; batch tokens absent from the vocab
+    * qualify on BATCH document frequency (the old sub-threshold counts
+    * are gone by construction — the pipeline persists the vocab, not
+    * raw corpus stats) and receive fresh ids continuing after the
+    * current max, ranked (tf desc, token) among themselves.
+    *
+    * Scale shape: one map-side-combined batch count, a full-outer-
+    * shaped pair of joins against the model-sized vocab (AQE
+    * broadcasts it), the new-entrant rank through [[Packing
+    * .globalRowNumber]]'s two-pass scan (never an unpartitioned
+    * window), and a 1-value max-id collect.
+    *
+    * @return (token, tf, df, vocab_id) — the same schema
+    *         [[buildVocab]] emits
+    */
+  def updateVocab(oldVocab: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, minDf: Long = 1L): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    val bStats = batch
+      .select(col(idCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("__btf"), countDistinct(col(idCol)).as("__bdf"))
+      .materialized // feeds the count-advance join AND the entrant scan
+    val old = oldVocab.select(col("token"), col("tf"), col("df"),
+      col("vocab_id"))
+    val updated = old.join(bStats, Seq("token"), "left")
+      .select(col("token"),
+        (col("tf") + coalesce(col("__btf"), lit(0L))).as("tf"),
+        (col("df") + coalesce(col("__bdf"), lit(0L))).as("df"),
+        col("vocab_id"))
+    val entrants = bStats.join(old.select(col("token")), Seq("token"),
+        "left_anti")
+      .filter(col("__bdf") >= minDf)
+      .select(col("token"), col("__btf").as("tf"), col("__bdf").as("df"))
+    val offset = old.agg(coalesce(max(col("vocab_id")), lit(-1L)))
+      .collect()(0).getLong(0) + 1L
+    val ranked = Packing.globalRowNumber(entrants,
+        Seq(col("tf").desc, col("token").asc), "__r")
+      .select(col("token"), col("tf"), col("df"),
+        (col("__r") + lit(offset)).as("vocab_id"))
+    updated.unionByName(ranked)
+  }
+
   /** Tokenizer APPLICATION — the consumer of [[buildVocab]], closing the
     * vocab-build → tokenize loop a training pipeline runs: whitespace
     * tokens map to their frozen vocab ids, out-of-vocabulary tokens to

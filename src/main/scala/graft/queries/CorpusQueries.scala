@@ -2823,5 +2823,86 @@ object CorpusQueries extends QueryModule {
              |    % 8 AS INTEGER) AS shard
              |FROM l""".stripMargin),
     ),
+
+    // ---- exact percentiles via histogram-refinement selection (no
+    // global sort — the iterative range-narrowing pass). DuckDB derives
+    // the same ceil(p·n) ranks from an actual sort, so the selection
+    // must land on exactly the sorted-offset values.
+    Q(
+      "q122_exact_quantiles",
+      (s, d) => SketchStats.exactQuantilesLong(
+        Tables.documents(s, d), "n_chars", Seq(0.5, 0.9, 0.99)),
+      Some("""WITH t AS (
+             |  SELECT n_chars AS v FROM documents WHERE n_chars IS NOT NULL
+             |), c AS (
+             |  SELECT count(*) AS n FROM t
+             |), r AS (
+             |  SELECT v, row_number() OVER (ORDER BY v) AS rn FROM t
+             |)
+             |SELECT CAST(0.5 AS DOUBLE) AS p, v AS value FROM r, c
+             |WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+             |UNION ALL
+             |SELECT CAST(0.9 AS DOUBLE), v FROM r, c
+             |WHERE rn = CAST(ceil(0.9 * n) AS BIGINT)
+             |UNION ALL
+             |SELECT CAST(0.99 AS DOUBLE), v FROM r, c
+             |WHERE rn = CAST(ceil(0.99 * n) AS BIGINT)""".stripMargin),
+    ),
+
+    // ---- incremental vocab update: even-id docs build the frozen
+    // vocab, odd-id docs arrive as the batch. Existing tokens keep
+    // their ids with advanced counts; entrants rank after the old max.
+    // DuckDB restates both builds, the count advance, and the entrant
+    // ranking.
+    Q(
+      "q123_vocab_update",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val oldVocab = TextAnalysis.buildVocab(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          minDf = 2L)
+        TextAnalysis.updateVocab(oldVocab,
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          minDf = 2L)
+      },
+      Some("""WITH otk AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(trim(text),
+             |    '\s+')) AS token
+             |  FROM documents WHERE doc_id % 2 = 0
+             |), ost AS (
+             |  SELECT token, count(*) AS tf,
+             |    count(DISTINCT doc_id) AS df
+             |  FROM otk GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+             |), ov AS (
+             |  SELECT token, tf, df, CAST(row_number() OVER (
+             |    ORDER BY tf DESC, token ASC) - 1 AS BIGINT) AS vocab_id
+             |  FROM ost
+             |), btk AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(trim(text),
+             |    '\s+')) AS token
+             |  FROM documents WHERE doc_id % 2 = 1
+             |), bst AS (
+             |  SELECT token, count(*) AS tf,
+             |    count(DISTINCT doc_id) AS df
+             |  FROM btk GROUP BY 1
+             |), upd AS (
+             |  SELECT o.token, o.tf + coalesce(b.tf, 0) AS tf,
+             |    o.df + coalesce(b.df, 0) AS df, o.vocab_id
+             |  FROM ov o LEFT JOIN bst b USING (token)
+             |), mx AS (
+             |  SELECT coalesce(max(vocab_id), -1) AS m FROM ov
+             |), nw AS (
+             |  SELECT b.token, b.tf, b.df FROM bst b
+             |  LEFT JOIN ov o USING (token)
+             |  WHERE o.token IS NULL AND b.df >= 2
+             |), nwr AS (
+             |  SELECT token, tf, df, CAST(m + row_number() OVER (
+             |    ORDER BY tf DESC, token ASC) AS BIGINT) AS vocab_id
+             |  FROM nw, mx
+             |)
+             |SELECT token, tf, df, vocab_id FROM upd
+             |UNION ALL
+             |SELECT token, tf, df, vocab_id FROM nwr""".stripMargin),
+    ),
   )
 }

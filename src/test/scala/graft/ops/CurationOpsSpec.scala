@@ -879,6 +879,46 @@ class CurationOpsSpec extends SparkSpec {
     assert(totals.max - totals.min <= 100)
   }
 
+  test("exactQuantilesLong == sorted-offset selection on ties, " +
+      "negatives, and wide ranges; p=1.0 is the max") {
+    val vals = Seq(5L, 5L, 5L, -100L, 0L, 1L, 1L, 7L, 1000000007L, 42L)
+    val d = vals.map(v => Tuple1(v)).toDF("v")
+    val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val out = SketchStats.exactQuantilesLong(d, "v", ps)
+      .as[(Double, Long)].collect().toMap
+    val sorted = vals.sorted
+    ps.foreach { p =>
+      val k = math.max(1L, math.ceil(p * vals.size).toLong).toInt
+      assert(out(p) == sorted(k - 1), s"p=$p")
+    }
+  }
+
+  test("exactQuantilesLong: empty input yields zero rows; single row " +
+      "answers every p") {
+    val empty = Seq.empty[Long].map(Tuple1(_)).toDF("v")
+    assert(SketchStats.exactQuantilesLong(empty, "v", Seq(0.5)).count() == 0)
+    val one = Seq(Tuple1(99L)).toDF("v")
+    val out = SketchStats.exactQuantilesLong(one, "v", Seq(0.01, 1.0))
+      .as[(Double, Long)].collect().toMap
+    assert(out == Map(0.01 -> 99L, 1.0 -> 99L))
+  }
+
+  test("updateVocab: frozen ids survive, counts advance, entrants rank " +
+      "after the old max by batch df") {
+    val old = Seq((1L, "aa bb aa"), (2L, "aa bb")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.buildVocab(old, "doc_id", "text", minDf = 2L)
+    // old vocab: aa (tf 3) id 0, bb (tf 2) id 1
+    val batch = Seq((3L, "bb cc dd"), (4L, "cc dd cc"), (5L, "ee"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.updateVocab(vocab, batch, "doc_id", "text",
+        minDf = 2L)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._4).toSeq
+    // aa untouched by batch; bb +1/+1; cc (btf 3, bdf 2) enters at 2;
+    // dd (btf 2) at 3; ee (bdf 1) misses minDf
+    assert(out == Seq(("aa", 3L, 2L, 0L), ("bb", 3L, 3L, 1L),
+      ("cc", 3L, 2L, 2L), ("dd", 2L, 2L, 3L)))
+  }
+
   test("exciseRepeatedSpans: null text behaves like empty text") {
     val d = Seq((1L, null), (2L, "k l m"), (3L, "k l m n"))
       .toDF("doc_id", "text")
