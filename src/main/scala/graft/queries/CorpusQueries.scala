@@ -2904,5 +2904,120 @@ object CorpusQueries extends QueryModule {
              |UNION ALL
              |SELECT token, tf, df, vocab_id FROM nwr""".stripMargin),
     ),
+
+    // ---- web-curation v2: the round-6 operators composed end to end —
+    // blocklist filter (q117) → boilerplate-line strip (q78) →
+    // √-temperature mixing (q120) → balanced shards (q121). The DuckDB
+    // twin restates the entire four-stage chain in one CTE pipeline, so
+    // the COMPOSITION (each stage consuming the previous stage's
+    // survivors) is hash-verified.
+    Q(
+      "q124_web_curation",
+      (s, d) => {
+        val id = col("doc_id")
+        val url = concat(lit("https://"),
+          when(id % 3 === 0, lit("ads.")).when(id % 3 === 1, lit("www."))
+            .otherwise(lit("")),
+          lit("example"), (id % 5).cast("string"), lit(".com/p"),
+          (id % 7).cast("string"))
+        val aug = Tables.documents(s, d).select(id, col("source"),
+          concat_ws("\n", col("text"),
+            concat(lit("FOOTER copyright site "),
+              (id % 3).cast("string"))).as("t"),
+          url.as("url"))
+        import s.implicits._
+        val bl = Seq("example2.com", "ads.example0.com").toDF("domain")
+        val kept = graft.ops.UrlOps.blocklistFilter(aug, "doc_id", "url", bl)
+        val clean = TextAnalysis.stripBoilerplateLines(kept, "doc_id",
+            "t", maxDocFreq = 10L)
+          .join(kept.select(id, col("source")), "doc_id")
+        val mixed = Sampling.temperatureMixSqrt(
+          clean.select(id, col("source"), col("clean_text")),
+          "source", "doc_id", TextAnalysis.tokenCount(col("clean_text")),
+          seed = "web42")
+        val sharded = Sampling.balancedShards(
+          mixed.select(id, col("n_tokens")), "doc_id", "n_tokens",
+          numShards = 4)
+        mixed.select(id, col("source"), col("rate_permille"))
+          .join(sharded, "doc_id")
+          .select(id, col("source"), col("n_tokens"),
+            col("rate_permille"), col("shard"))
+      },
+      Some("""WITH d0 AS (
+             |  SELECT doc_id, source,
+             |    text || chr(10) || 'FOOTER copyright site ' ||
+             |      CAST(doc_id % 3 AS VARCHAR) AS t,
+             |    'https://' ||
+             |    (CASE WHEN doc_id % 3 = 0 THEN 'ads.'
+             |          WHEN doc_id % 3 = 1 THEN 'www.' ELSE '' END) ||
+             |    'example' || CAST(doc_id % 5 AS VARCHAR) || '.com/p' ||
+             |    CAST(doc_id % 7 AS VARCHAR) AS url
+             |  FROM documents
+             |), h AS (
+             |  SELECT *, regexp_replace(lower(regexp_extract(url,
+             |    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?]+)', 1)),
+             |    ':[0-9]+$', '') AS host
+             |  FROM d0
+             |), bl AS (
+             |  SELECT * FROM (VALUES ('example2.com'),
+             |    ('ads.example0.com')) t(dm)
+             |), sfx AS (
+             |  SELECT doc_id, unnest([array_to_string(l[i:], '.')
+             |    for i in range(1, len(l) + 1)]) AS dm
+             |  FROM (SELECT doc_id, string_split(host, '.') AS l FROM h)
+             |), blocked AS (
+             |  SELECT DISTINCT doc_id FROM sfx JOIN bl USING (dm)
+             |), kept AS (
+             |  SELECT h.doc_id, h.source, h.t FROM h
+             |  LEFT JOIN blocked b USING (doc_id) WHERE b.doc_id IS NULL
+             |), l0 AS (
+             |  SELECT doc_id, string_split(t, chr(10)) AS ls FROM kept
+             |), l AS (
+             |  SELECT doc_id, unnest(ls) AS line,
+             |    unnest(range(1, len(ls) + 1)) AS pos,
+             |    CAST('0x' || substr(md5(unnest(ls)), 1, 15) AS BIGINT)
+             |      AS lh
+             |  FROM l0
+             |), dfq AS (
+             |  SELECT lh, count(DISTINCT doc_id) AS df FROM l GROUP BY 1
+             |), keptl AS (
+             |  SELECT l.* FROM l JOIN dfq USING (lh) WHERE dfq.df <= 10
+             |), reb AS (
+             |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+             |    AS clean_text
+             |  FROM keptl GROUP BY 1
+             |), cln AS (
+             |  SELECT k.doc_id, k.source, coalesce(r.clean_text, '')
+             |    AS clean_text
+             |  FROM kept k LEFT JOIN reb r USING (doc_id)
+             |), tok AS (
+             |  SELECT doc_id, source,
+             |    len(regexp_split_to_array(trim(clean_text), '\s+'))
+             |      AS n_tokens
+             |  FROM cln
+             |), tot AS (
+             |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tt
+             |  FROM tok GROUP BY 1
+             |), mn AS (
+             |  SELECT min(tt) AS tmin FROM tot WHERE tt > 0
+             |), r AS (
+             |  SELECT source, CASE WHEN tt > 0 AND tmin IS NOT NULL
+             |    THEN least(1000, CAST(floor(sqrt(CAST(tmin AS DOUBLE)
+             |      / tt) * 1000.0) AS BIGINT))
+             |    ELSE 1000 END AS rate_permille
+             |  FROM tot, mn
+             |), mixed AS (
+             |  SELECT k.doc_id, k.source, CAST(k.n_tokens AS BIGINT)
+             |      AS n_tokens, r.rate_permille
+             |  FROM tok k JOIN r USING (source)
+             |  WHERE CAST('0x' ||
+             |      substr(md5(CAST(k.doc_id AS VARCHAR) || 'web42'), 1, 15)
+             |    AS BIGINT) % 1000 < r.rate_permille
+             |)
+             |SELECT doc_id, source, n_tokens, rate_permille,
+             |  CAST((row_number() OVER (ORDER BY n_tokens DESC, doc_id)
+             |    - 1) % 4 AS INTEGER) AS shard
+             |FROM mixed""".stripMargin),
+    ),
   )
 }

@@ -191,4 +191,79 @@ class CorpusPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("exactQuantilesLong == sorted-offset selection on random " +
+      "multisets (heavy ties, negatives, wide magnitudes)") {
+    val gen = Gen.oneOf(Gen.chooseNum(-5L, 5L),          // tie-heavy
+      Gen.chooseNum(-1000000000000L, 1000000000000L))    // wide
+    val vals = samples(gen, 400)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val ps = Seq(0.01, 0.5, 0.9, 1.0)
+    val out = SketchStats.exactQuantilesLong(df, "v", ps)
+      .as[(Double, Long)].collect().toMap
+    val sorted = vals.sorted
+    ps.foreach { p =>
+      val k = math.max(1L, math.ceil(p * vals.size).toLong).toInt
+      assert(out(p) == sorted(k - 1), s"p=$p")
+    }
+  }
+
+  test("exciseRepeatedSpans: kept words are a subsequence of the " +
+      "original; kept+excised == total; no shared n-gram survives") {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val doc = Gen.listOfN(12, word).map(_.mkString(" "))
+    val docs = samples(doc, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val n = 3
+    val out = Dedup.exciseRepeatedSpans(df, "doc_id", "text", n = n,
+        minDf = 2L)
+      .as[(Long, String, Long, Long)].collect()
+    val orig = docs.toMap
+    // recompute the dup-gram set the slow way
+    val grams = docs.flatMap { case (id, t) =>
+      t.split(" ").sliding(n).filter(_.length == n)
+        .map(g => (g.mkString(" "), id)).toSeq
+    }
+    val dup = grams.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2)
+      .keySet
+    out.foreach { case (id, clean, kept, excised) =>
+      val ow = orig(id).split(" ").toSeq
+      val cw = if (clean.isEmpty) Seq.empty else clean.split(" ").toSeq
+      assert(kept + excised == ow.size)
+      assert(cw.size == kept)
+      // subsequence check
+      var i = 0
+      cw.foreach { w =>
+        i = ow.indexOf(w, i); assert(i >= 0); i += 1
+      }
+      // no surviving window of n consecutive KEPT-ADJACENT original
+      // positions forms a dup gram — verify against the slow cover set
+      val covered = ow.indices.filter { j =>
+        (math.max(0, j - n + 1) to math.min(j, ow.size - n)).exists { s =>
+          dup.contains(ow.slice(s, s + n).mkString(" "))
+        }
+      }.toSet
+      assert(cw == ow.indices.filterNot(covered).map(ow))
+    }
+  }
+
+  test("balancedShards: every shard total within one max weight of " +
+      "any other, shard sizes within one row") {
+    val w = Gen.chooseNum(0L, 10000L)
+    val rows = samples(w, 500).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val k = 7
+    val out = Sampling.balancedShards(rows.toDF("id", "w"), "id", "w", k)
+      .as[(Long, Long, Int)].collect()
+    val byShard = out.groupBy(_._3)
+    assert(byShard.keySet == (0 until k).toSet)
+    val sizes = byShard.values.map(_.size)
+    assert(sizes.max - sizes.min <= 1)
+    val totals = byShard.values.map(_.map(_._2).sum)
+    val maxW = out.map(_._2).max
+    assert(totals.max - totals.min <= maxW,
+      s"spread ${totals.max - totals.min} > max row $maxW")
+  }
 }
