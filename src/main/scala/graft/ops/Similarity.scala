@@ -600,6 +600,46 @@ object Similarity {
       .distinct()
   }
 
+  /** Deterministic HASHED random projection — Achlioptas-style ±1
+    * dimensionality reduction (public JL-lemma folklore) with the
+    * "random" matrix derived from the shared portable hash instead of
+    * an RNG: sign(j, i) = ±1 by the parity of md5-60("j:i"). Distances
+    * distort by the usual JL bounds, but the projection is REPRODUCIBLE
+    * anywhere — any engine (and any future run) rebuilds the identical
+    * matrix from the formula, the property an RNG matrix can't give a
+    * cross-engine gate.
+    *
+    * The sign matrix is computed ONCE on the driver (outDim·dim
+    * entries — model-sized, the IVF-centroid pattern) and rides into
+    * the plan as literal arrays; each output coordinate is a
+    * sequential left fold over the input vector (bit-identical to
+    * DuckDB's list_sum), so projections hash-verify exactly (q126).
+    * Pure codegen'd map — no shuffle, no UDF.
+    *
+    * @return (idCol, proj array<double> of outDim)
+    */
+  def hashProjection(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, outDim: Int): DataFrame = {
+    require(dim >= 1 && outDim >= 1 && outDim <= dim,
+      s"need 1 <= outDim <= dim, got dim=$dim outDim=$outDim")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, i: Int): Double = {
+      val hex = md.digest(s"$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      // the shared md5-60 construction: first 15 hex chars as a long
+      if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1.0
+      else -1.0
+    }
+    val signs: IndexedSeq[Seq[Double]] =
+      (0 until outDim).map(j => (0 until dim).map(i => sign(j, i)))
+    val v = asDouble(col(vecCol))
+    val coords = signs.map { s =>
+      aggregate(zip_with(v, typedLit(s), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    df.select(col(idCol), array(coords: _*).as("proj"))
+  }
+
   // --------------------------------------------- distributed k-means
 
   /** DISTRIBUTED Lloyd's k-means over fixed-point-quantized vectors —

@@ -304,6 +304,59 @@ object TextAnalysis {
       .toDF(idCol, "clean_text", "n_lines", "n_removed")
   }
 
+  /** GLOBAL paragraph dedup, keep-first-owner — the Dolma-style
+    * cross-document paragraph pass: each distinct paragraph survives
+    * exactly ONCE in the whole corpus, at its first occurrence
+    * (lowest (doc, position) — deterministic, not ingest-order), and
+    * every other occurrence is dropped in place. Complements
+    * [[stripBoilerplateLines]] (which drops over-frequent lines from
+    * EVERY owner) and [[dedupDocLines]] (within-document only). Lines
+    * shorter than `minLen` chars after trim (blanks, list bullets,
+    * markup) always survive — dropping every second blank line would
+    * corrupt paragraph structure.
+    *
+    * Scale shape: the positioned-line table materializes once (the
+    * [[stripBoilerplateLines]] shape, 8-byte md5-60 keys), the global
+    * first-owner is ONE map-side-combined `min(struct(doc, pos))` per
+    * line hash, survivors are an equality join + filter, and the
+    * rebuild is the standard per-doc sorted collect. No windows.
+    *
+    * @return (idCol, clean_text, n_lines_kept, n_lines_removed)
+    */
+  def dedupParagraphsGlobal(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 1): DataFrame = {
+    require(minLen >= 0, s"minLen must be >= 0, got $minLen")
+    val text = coalesce(col(textCol), lit(""))
+    val lines = df.select(col(idCol),
+        posexplode(split(text, "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__lh", Dedup.md5Hash60(col("__line")))
+      .materialized // feeds the owner agg AND the survivor join
+    val owners = lines
+      .filter(length(trim(col("__line"))) >= minLen)
+      .groupBy(col("__lh"))
+      .agg(min(struct(col(idCol).as("__oid"), col("__pos").as("__opos")))
+        .as("__own"))
+    val kept = lines.join(owners, Seq("__lh"), "left")
+      .filter(length(trim(col("__line"))) < minLen ||
+        (col(idCol) === col("__own.__oid") &&
+          col("__pos") === col("__own.__opos")))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            x => x.getField("__line")),
+          "\n").as("clean_text"),
+        count(lit(1)).as("n_lines_kept"))
+    df.select(col(idCol), size(split(text, "\n")).as("__total"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        (col("__total") - coalesce(col("n_lines_kept"), lit(0L)))
+          .as("n_lines_removed"))
+  }
+
   /** Encoding-health signals — the UTF-8 hygiene filter every web
     * pipeline runs before spending compute on content quality: count of
     * U+FFFD replacement characters (a decoder already gave up), of C0

@@ -3019,5 +3019,80 @@ object CorpusQueries extends QueryModule {
              |    - 1) % 4 AS INTEGER) AS shard
              |FROM mixed""".stripMargin),
     ),
+
+    // ---- global keep-first paragraph dedup: an injected shared intro
+    // (one global survivor) and five shared tail variants (one survivor
+    // each) ride alongside whatever the corpus's own duplicate
+    // paragraphs contribute. DuckDB restates the first-owner choice
+    // ((doc, pos) rank per line) and the byte-exact rebuild.
+    Q(
+      "q125_paragraph_dedup",
+      (s, d) => {
+        val id = col("doc_id")
+        val aug = Tables.documents(s, d).select(id,
+          concat_ws("\n", lit("SHARED intro paragraph"), col("text"),
+            concat(lit("SHARED tail "), (id % 5).cast("string"))).as("t"))
+        TextAnalysis.dedupParagraphsGlobal(aug, "doc_id", "t")
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, 'SHARED intro paragraph' || chr(10) ||
+             |    text || chr(10) || 'SHARED tail ' ||
+             |    CAST(doc_id % 5 AS VARCHAR) AS t
+             |  FROM documents
+             |), l AS (
+             |  SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+             |    unnest(range(1, len(string_split(t, chr(10))) + 1))
+             |      AS pos
+             |  FROM aug
+             |), own AS (
+             |  SELECT line, doc_id AS oid, pos AS opos FROM (
+             |    SELECT line, doc_id, pos, row_number() OVER (
+             |      PARTITION BY line ORDER BY doc_id, pos) AS rn
+             |    FROM l WHERE length(trim(line)) >= 1)
+             |  WHERE rn = 1
+             |), kept AS (
+             |  SELECT l.doc_id, l.pos, l.line FROM l
+             |  LEFT JOIN own o ON l.line = o.line
+             |  WHERE length(trim(l.line)) < 1
+             |     OR (l.doc_id = o.oid AND l.pos = o.opos)
+             |), reb AS (
+             |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+             |      AS clean_text,
+             |    count(*) AS n_lines_kept
+             |  FROM kept GROUP BY 1
+             |), tot AS (
+             |  SELECT doc_id, len(string_split(t, chr(10))) AS total
+             |  FROM aug
+             |)
+             |SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+             |  coalesce(r.n_lines_kept, 0) AS n_lines_kept,
+             |  t.total - coalesce(r.n_lines_kept, 0) AS n_lines_removed
+             |FROM tot t LEFT JOIN reb r USING (doc_id)""".stripMargin),
+    ),
+
+    // ---- hashed ±1 random projection (64 → 8 dims): the sign matrix
+    // derives from the shared md5-60 parity, so DuckDB rebuilds the
+    // identical matrix from the formula and restates every coordinate
+    // as the same sequential left fold (exploded to scalar rows).
+    Q(
+      "q126_hash_projection",
+      (s, d) => Similarity.hashProjection(Tables.embeddings(s, d),
+          "vec_id", "embedding", dim = 64, outDim = 8)
+        .select(col("vec_id"),
+          posexplode(col("proj")).as(Seq("j", "value"))),
+      Some("""WITH s AS (
+             |  SELECT j, i, CASE WHEN CAST('0x' ||
+             |      substr(md5(CAST(j AS VARCHAR) || ':' ||
+             |        CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+             |    THEN 1.0 ELSE -1.0 END AS sg
+             |  FROM range(0, 8) t1(j), range(0, 64) t2(i)
+             |), sl AS (
+             |  SELECT j, list(sg ORDER BY i) AS sv FROM s GROUP BY j
+             |)
+             |SELECT e.vec_id, CAST(sl.j AS INTEGER) AS j,
+             |  list_sum([CAST(e.embedding[i] AS DOUBLE) * sl.sv[i]
+             |    for i in range(1, 65)]) AS value
+             |FROM embeddings e, sl""".stripMargin),
+    ),
   )
 }

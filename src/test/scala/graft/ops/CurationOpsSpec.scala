@@ -919,6 +919,44 @@ class CurationOpsSpec extends SparkSpec {
       ("cc", 3L, 2L, 2L), ("dd", 2L, 2L, 3L)))
   }
 
+  test("dedupParagraphsGlobal: first (doc, pos) owner survives, blanks " +
+      "immune, within-doc repeats also collapse") {
+    val d = Seq(
+      (1L, "shared\nunique1\n\nshared"), // pos-0 owner; pos-3 repeat drops
+      (2L, "shared\nunique2"),
+      (3L, "unique3\nshared\n"),         // trailing '' = blank, immune
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupParagraphsGlobal(d, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "shared\nunique1\n", 3L, 1L),
+      (2L, "unique2", 1L, 1L),
+      (3L, "unique3\n", 2L, 1L)))
+  }
+
+  test("hashProjection: signs are the md5-60 parity, coordinates are " +
+      "sequential folds; deterministic across calls") {
+    val d = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val run = () => Similarity.hashProjection(d, "vec_id", "embedding",
+        dim = 3, outDim = 2)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val out = run()
+    assert(out == run()) // same formula, same matrix
+    // recompute signs the slow way and fold in order
+    def sign(j: Int, i: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.take(15), 16) % 2 == 0) 1.0 else -1.0
+    }
+    val expected = (0 until 2).map(j =>
+      Seq(1.0, 2.0, 3.0).zipWithIndex
+        .foldLeft(0.0) { case (acc, (v, i)) => acc + v * sign(j, i) })
+    assert(out.head._2 == expected)
+    assert(out(1)._2 == Seq(0.0, 0.0))
+  }
+
   test("exciseRepeatedSpans: null text behaves like empty text") {
     val d = Seq((1L, null), (2L, "k l m"), (3L, "k l m n"))
       .toDF("doc_id", "text")
