@@ -112,28 +112,67 @@ object SketchStats {
     */
   def exactQuantilesLong(df: DataFrame, valueCol: String,
       ps: Seq[Double], maxBucketsLog2: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    exactQuantileStates(
+      df.select(lit("").as("__g"), col(valueCol).cast("long").as("__v")),
+      ps, maxBucketsLog2)
+      .map(s => (s.p, s.lo)).toDF("p", "value")
+  }
+
+  /** Per-GROUP exact percentiles — the same histogram-refinement
+    * selection run for every (group, p) pair at once: one scan per
+    * refinement round serves ALL groups' all quantiles (each row
+    * contributes to its own group's active ranges only), so the pass
+    * count stays ≤ ~7 regardless of group count. Driver state is
+    * (groups·|ps|) scalars — usable at dashboard cardinality (sources,
+    * languages), guarded at 10⁴ states; unbounded-cardinality keys
+    * want the sketch gate above instead.
+    *
+    * @return (groupCol string, p double, value long)
+    */
+  def exactQuantilesLongByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, ps: Seq[Double],
+      maxBucketsLog2: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val states = exactQuantileStates(
+      df.select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("long").as("__v")),
+      ps, maxBucketsLog2)
+    states.map(s => (s.g, s.p, s.lo)).toDF(groupCol, "p", "value")
+  }
+
+  private final class QState(val g: String, val p: Double, var lo: Long,
+    var hi: Long, var k: Long, var done: Boolean)
+
+  /** The shared refinement loop over a (__g string, __v long) frame;
+    * returns one resolved state per (group, p). Null values are
+    * excluded; a NULL group is a group (matched with `<=>` so it never
+    * silently vanishes through an equi-predicate). */
+  private def exactQuantileStates(gv: DataFrame, ps: Seq[Double],
+      maxBucketsLog2: Int): Seq[QState] = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"quantiles must be in (0, 1]: $ps")
     require(maxBucketsLog2 >= 1 && maxBucketsLog2 <= 20,
       s"maxBucketsLog2 must be in [1, 20], got $maxBucketsLog2")
-    val spark = df.sparkSession
-    import spark.implicits._
     import graft.ops.Materialize.MaterializeOps
-    val base = df.select(col(valueCol).cast("long").as("__v"))
-      .filter(col("__v").isNotNull).materialized
-    val head = base
-      .agg(count(lit(1)).as("n"), min(col("__v")), max(col("__v")))
-      .collect()(0)
-    val n = head.getLong(0)
-    if (n == 0L) return Seq.empty[(Double, Long)].toDF("p", "value")
-    val lo0 = head.getLong(1)
-    val hi0 = head.getLong(2)
-    require(BigInt(hi0) - BigInt(lo0) < (BigInt(1) << 62),
-      s"value range [$lo0, $hi0] too wide for exact selection")
-    final class St(val p: Double, var lo: Long, var hi: Long, var k: Long,
-      var done: Boolean)
-    val states = ps.map(p =>
-      new St(p, lo0, hi0, math.max(1L, math.ceil(p * n).toLong), false))
+    val base = gv.filter(col("__v").isNotNull).materialized
+    val heads = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), min(col("__v")).as("lo"),
+        max(col("__v")).as("hi"))
+      .collect() // one row per group — bounded-cardinality contract
+    require(heads.length * ps.size <= 10000,
+      s"${heads.length} groups × ${ps.size} quantiles exceeds the " +
+        "10k driver-state guard; use statsGate for high-cardinality keys")
+    val states = heads.toSeq.flatMap { r =>
+      val (g, n, lo0, hi0) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      require(BigInt(hi0) - BigInt(lo0) < (BigInt(1) << 62),
+        s"value range [$lo0, $hi0] too wide for exact selection")
+      ps.map(p => new QState(g, p, lo0, hi0,
+        math.max(1L, math.ceil(p * n).toLong), false))
+    }
     while (states.exists(s => !s.done)) {
       states.foreach(s => if (!s.done && s.lo == s.hi) s.done = true)
       val active = states.filterNot(_.done)
@@ -143,7 +182,8 @@ object SketchStats {
           (s, math.max(0, bits - maxBucketsLog2))
         }
         val contribs = specs.zipWithIndex.map { case ((s, sh), i) =>
-          when(col("__v") >= s.lo && col("__v") <= s.hi,
+          when(col("__g") <=> lit(s.g) &&
+              col("__v") >= s.lo && col("__v") <= s.hi,
             struct(lit(i).as("qi"),
               shiftright(col("__v") - s.lo, sh).as("b")))
             .otherwise(lit(null))
@@ -152,7 +192,7 @@ object SketchStats {
           .filter(col("__c").isNotNull)
           .groupBy(col("__c.qi").as("qi"), col("__c.b").as("b"))
           .agg(count(lit(1)).as("cnt"))
-          .collect() // ≤ |ps|·2^maxBucketsLog2 rows — model-sized
+          .collect() // ≤ states·2^maxBucketsLog2 rows — model-sized
           .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
         specs.zipWithIndex.foreach { case ((s, sh), i) =>
           var cum = 0L
@@ -175,6 +215,6 @@ object SketchStats {
         }
       }
     }
-    states.map(s => (s.p, s.lo)).toDF("p", "value")
+    states
   }
 }

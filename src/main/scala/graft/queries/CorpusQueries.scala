@@ -3094,5 +3094,31 @@ object CorpusQueries extends QueryModule {
              |    for i in range(1, 65)]) AS value
              |FROM embeddings e, sl""".stripMargin),
     ),
+
+    // ---- per-source exact percentiles (histogram-refinement selection,
+    // all (group, p) states sharing each scan). DuckDB re-derives every
+    // group's ceil(p·n_g) rank from an actual per-group sort.
+    Q(
+      "q127_group_quantiles",
+      (s, d) => SketchStats.exactQuantilesLongByGroup(
+        Tables.documents(s, d), "source", "n_chars", Seq(0.5, 0.9)),
+      Some("""WITH t AS (
+             |  SELECT source, n_chars AS v FROM documents
+             |  WHERE n_chars IS NOT NULL
+             |), c AS (
+             |  SELECT source, count(*) AS n FROM t GROUP BY 1
+             |), r AS (
+             |  SELECT source, v, row_number() OVER (
+             |    PARTITION BY source ORDER BY v) AS rn
+             |  FROM t
+             |)
+             |SELECT r.source, CAST(0.5 AS DOUBLE) AS p, r.v AS value
+             |FROM r JOIN c USING (source)
+             |WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+             |UNION ALL
+             |SELECT r.source, CAST(0.9 AS DOUBLE), r.v
+             |FROM r JOIN c USING (source)
+             |WHERE rn = CAST(ceil(0.9 * n) AS BIGINT)""".stripMargin),
+    ),
   )
 }

@@ -957,6 +957,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(1)._2 == Seq(0.0, 0.0))
   }
 
+  test("exactQuantilesLongByGroup: per-group sorted-offset selection; " +
+      "null group is a group") {
+    val d = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 100L), ("b", 200L), (null, 7L), (null, 9L))
+      .toDF("g", "v")
+    val out = SketchStats
+      .exactQuantilesLongByGroup(d, "g", "v", Seq(0.5, 1.0))
+      .as[(Option[String], Double, Long)].collect()
+      .map { case (g, p, v) => (g.getOrElse("∅"), p, v) }.toSet
+    assert(out == Set(
+      ("a", 0.5, 2L), ("a", 1.0, 4L),
+      ("b", 0.5, 100L), ("b", 1.0, 200L),
+      ("∅", 0.5, 7L), ("∅", 1.0, 9L)))
+  }
+
   test("exciseRepeatedSpans: null text behaves like empty text") {
     val d = Seq((1L, null), (2L, "k l m"), (3L, "k l m n"))
       .toDF("doc_id", "text")
