@@ -18,8 +18,11 @@ class BenchContractSpec extends AnyFunSuite {
 
   test("worst-case summary line stays well inside the capture window") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // worst case: every value prints as NNNN.NNN (8 chars)
-    val line = names.map(n => "\"" + n.takeWhile(_ != '_') + "\":9999.999")
+    // worst case mirrors Bench's emission: bare-number keys and f2
+    // values clamped to 999.99 (6 chars) — the clamp is what makes this
+    // a true bound rather than a hope
+    val line = names.map(n =>
+        "\"" + n.takeWhile(_ != '_').stripPrefix("q") + "\":999.99")
       .mkString(
         """{"metric":"total","value":99999.999,"unit":"sec","queries":{""",
         ",",
