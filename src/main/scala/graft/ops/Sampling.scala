@@ -210,6 +210,51 @@ object Sampling {
       .drop("__r")
   }
 
+  /** WEIGHTED sample without replacement, exact size n — Efraimidis &
+    * Spirakis 2006 ("Weighted random sampling with a reservoir"): each
+    * row draws u ~ U(0,1] and the n rows with the largest u^(1/w) win,
+    * which makes every selection step pick proportionally to weight
+    * (the quality-weighted eval-draw / seed-corpus sampler: w = token
+    * count, quality score, citation count).
+    *
+    * Deterministic and engine-restatable: u = (md5-60(key ‖ seed) + 1)
+    * / 2^60 — the repo's shared construction, and the division is by a
+    * power of two, so u is bit-exact in any IEEE engine. Rows rank by
+    * the equivalent key d = −ln(u)/w ascending (monotone transform of
+    * u^(1/w) descending), FLOORED to integer micro-units: ln() is the
+    * one libm call in the gate path and engines may differ in its last
+    * ulp (the q120 pow() concern), so ranking runs on
+    * floor(d·10⁶) — a 1-ulp ln drift flips a row's integer key only
+    * when d sits within ~2 ulp of a micro-unit boundary (P ≈ 10⁻⁸/row)
+    * — with the content key as tie-break for rows the flooring ties.
+    *
+    * Scale shape: the key is a pure map over the scan; the rank is
+    * [[Packing.globalRowNumber]]'s two-pass distributed scan with n as
+    * its limit (never an unpartitioned window); output is n rows.
+    *
+    * Weights must be positive: a null, zero, or negative weight has no
+    * sampling probability and fails loudly (the q83/q79 null-hygiene
+    * convention — silent drops hide a broken upstream score).
+    *
+    * @return the sampled rows + `sample_rank` (0-based, by d asc) */
+  def weightedSampleExact(df: DataFrame, keyCol: String, weightCol: Column,
+      n: Long, seed: String): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(!df.columns.contains("__dk"),
+      "input must not already carry a __dk column")
+    val u = (Dedup.md5Hash60(concat(col(keyCol).cast("string"), lit(seed)))
+      + lit(1L)).cast("double") / lit(1152921504606846976.0) // 2^60
+    val w = weightCol.cast("double")
+    val dk = floor(-log(u) / w * lit(1e6)).cast("long")
+    val guarded = when(w > 0.0, dk).otherwise(raise_error(concat(
+      lit("weightedSampleExact: non-positive or null weight for key "),
+      col(keyCol).cast("string"))))
+    Packing.globalRowNumber(
+      df.withColumn("__dk", guarded),
+      Seq(col("__dk").asc, col(keyCol).asc), "sample_rank", limit = n)
+      .drop("__dk")
+  }
+
   /** Deterministic per-group quota: keep at most `cap` rows per group,
     * chosen by hash rank — the per-domain/per-source cap every web
     * corpus applies so a handful of template-heavy domains can't

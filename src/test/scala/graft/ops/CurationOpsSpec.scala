@@ -419,6 +419,35 @@ class CurationOpsSpec extends SparkSpec {
     assert(Sampling.sampleExact(ids.limit(7), "id", 100L, "s1").count() == 7)
   }
 
+  test("weightedSampleExact: exact n, deterministic across partitioning, " +
+      "heavier rows overrepresented, bad weights fail loudly") {
+    val rows = spark.range(4000)
+      .select($"id", when($"id" < 2000L, 1L).otherwise(50L).as("w"))
+    val a = Sampling.weightedSampleExact(rows, "id", col("w"), 200L, "es1")
+      .select($"id", $"w", $"sample_rank").as[(Long, Long, Long)].collect()
+    assert(a.length == 200)
+    assert(a.map(_._3).sorted.toSeq == (0L until 200L))
+    val b = Sampling
+      .weightedSampleExact(rows.repartition(17), "id", col("w"), 200L, "es1")
+      .select($"id", $"w", $"sample_rank").as[(Long, Long, Long)].collect()
+    assert(a.toSet == b.toSet)
+    // weight-50 rows should dominate a weight-1 population of equal size:
+    // P(pick light) per slot ≈ 1/51 — expect ≪ 30 lights in 200
+    val lights = a.count(_._2 == 1L)
+    assert(lights < 30, s"expected heavy rows to dominate, got $lights lights")
+    // n larger than the table → the whole table
+    assert(Sampling.weightedSampleExact(
+      rows.limit(9), "id", col("w"), 100L, "es1").count() == 9)
+    // a null/zero weight is a broken upstream score — loud, not dropped
+    val withZero = spark.range(10)
+      .select($"id", when($"id" === 5L, 0L).otherwise(1L).as("w"))
+    val e = intercept[Exception] {
+      Sampling.weightedSampleExact(withZero, "id", col("w"), 3L, "es1")
+        .count()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("mixToBudget: NULL-source rows form their own stratum at the " +
       "default rate instead of vanishing") {
     val rows = (1L to 60L).map { i =>
