@@ -552,6 +552,18 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Banded Hamming pairs over a PRECOMPUTED 64-bit fingerprint column
+    * — the public entry for fingerprints born outside this file (the
+    * image aHash from [[graft.ops.Multimodal.imageAHash]], an audio
+    * chromaprint, any external 64-bit sketch). Same 4×16-bit pigeonhole
+    * blocking as [[simhashPairs]]: full recall for maxHamming ≤ 3, one
+    * explode + one equality shuffle, exact `bit_count(xor)` verify.
+    * @return (id_a, id_b, hamming) with id_a < id_b */
+  def fingerprintPairs(fp: DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int = 3): DataFrame =
+    hammingBandPairs(fp.select(col(idCol), col(fpCol).as("fp")),
+      idCol, 16, maxHamming)
+
   /** Near-dup pairs with Hamming distance ≤ maxHamming on token SimHash
     * (production path: native 64-bit xxhash sketch — the whole
     * fingerprint in one loop per doc, no explode, no agg shuffle). */

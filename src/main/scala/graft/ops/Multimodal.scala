@@ -47,6 +47,12 @@ object Multimodal {
     def decodeStats(bytes: Array[Byte]): ImageStats
   }
 
+  /** Perceptual-fingerprint seam: a 64-bit average hash (aHash) over
+    * the decoded image — the image twin of the text SimHash. */
+  trait FingerprintCodec extends Serializable {
+    def aHash64(bytes: Array[Byte]): Long
+  }
+
   /** Deterministic fake decode — STUB for the absent native codec. Must
     * stay in lockstep with [[metaExpr]] (tested). */
   object StubCodec extends ImageCodec {
@@ -82,7 +88,8 @@ object Multimodal {
     * undecodable bytes fail loudly (a corrupt blob in a curation
     * pipeline is a data bug, not a row to invent dimensions for —
     * pre-filter with [[sniffMime]] if tolerance is wanted). */
-  object JavaImageIoCodec extends ImageCodec with PixelCodec {
+  object JavaImageIoCodec extends ImageCodec with PixelCodec
+      with FingerprintCodec {
     private def read(bytes: Array[Byte]): java.awt.image.BufferedImage = {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
@@ -114,6 +121,54 @@ object Multimodal {
       val n = w.toLong * h
       ImageStats(sniffMime(bytes), w, h, img.getRaster.getNumBands,
         sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+    }
+
+    /** 64-bit AVERAGE HASH (aHash), the classic perceptual fingerprint:
+      * pool the image to an 8×8 brightness grid, set bit (bx + 8·by)
+      * iff that cell is brighter than the grid mean. ALL-INTEGER by
+      * contract — cell brightness is the integer-truncated mean of
+      * per-pixel r+g+b over the cell's floor-boundary block, and the
+      * threshold compare is the cross-multiplication `64·cell >
+      * Σcells` — so the hash is bit-reproducible across engines and
+      * restatable by an oracle with no resampling or float model
+      * (q129). Near-identical images differ in few bits; pair them
+      * with [[graft.ops.Dedup.fingerprintPairs]]. Images smaller than
+      * the grid fail loudly (an icon has no 8×8 pooling). */
+    def aHash64(bytes: Array[Byte]): Long = {
+      val img = read(bytes)
+      val (w, h) = (img.getWidth, img.getHeight)
+      require(w >= 8 && h >= 8, s"aHash64 needs >= 8x8 pixels, got ${w}x$h")
+      val cells = new Array[Long](64)
+      var by = 0
+      while (by < 8) {
+        val y0 = by * h / 8; val y1 = (by + 1) * h / 8
+        var bx = 0
+        while (bx < 8) {
+          val x0 = bx * w / 8; val x1 = (bx + 1) * w / 8
+          var s = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          cells(bx + 8 * by) = s / ((x1 - x0).toLong * (y1 - y0))
+          bx += 1
+        }
+        by += 1
+      }
+      val total = cells.sum
+      var fp = 0L
+      var i = 0
+      while (i < 64) {
+        if (64L * cells(i) > total) fp |= 1L << i
+        i += 1
+      }
+      fp
     }
   }
 
@@ -152,6 +207,29 @@ object Multimodal {
       }(Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
         Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaInt))
     out.toDF(idCol, "mime", "width", "height", "channels")
+  }
+
+  /** Perceptual image fingerprints, batch-shaped like [[decodeImages]]
+    * (one codec per partition, pure map — at 100 TB the hash rides the
+    * blob scan, and only the 8-byte fingerprint ever shuffles). Input:
+    * (id, blob); output: (id, ahash). Feed
+    * [[graft.ops.Dedup.fingerprintPairs]] for image near-dup pairs —
+    * the image analog of the text SimHash chain (q23). */
+  def imageAHash(df: DataFrame, idCol: String, blobCol: String,
+      codec: FingerprintCodec = JavaImageIoCodec,
+      batchSize: Int = 256): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])](enc)
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            require(bytes != null, s"null $blobCol for $idCol=$id")
+            (id, codec.aHash64(bytes))
+          }
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .toDF(idCol, "ahash")
   }
 
   /** Real audio metadata: sample rate (Hz), channel count, frame count,

@@ -58,4 +58,51 @@ object PngFixtures {
     }
     dir.toString
   }
+
+  /** Perceptual-hash threshold formula — restated in q129's oracle SQL.
+    * Capped at 62 so the expected aHash 2^th − 1 stays inside a signed
+    * 64-bit integer in every engine (th = 63 would need bit 63). */
+  def threshOf(docId: Long): Int = (1 + docId % 62).toInt
+
+  /** Second fixture family for the image NEAR-DUP gate (q129): 8×8
+    * two-tone PNGs where pixel (x, y) is white iff `x + 8·y <
+    * threshOf(doc_id)` — a raster fill-level pattern. Two images'
+    * aHashes then differ in exactly |Δthresh| bits (each hash is the
+    * low-threshold run of ones: 2^th − 1), so the oracle can restate
+    * every near-dup pair AND its Hamming distance from filenames
+    * alone, while the Spark side must earn them through a REAL decode
+    * (`javax.imageio`) and the integer-pooled aHash. 8×8 exactly so
+    * the 8×8 pooling grid is the identity and the expected hash needs
+    * no resampling model. Same fixed-path/driver-glob contract as
+    * [[write]]. */
+  def writePatterned(spark: SparkSession, sfDir: String): String = {
+    val sfName = new java.io.File(sfDir).getName
+    val dir = java.nio.file.Paths.get("target", "png_ahash", sfName)
+      .toAbsolutePath
+    java.nio.file.Files.createDirectories(dir)
+    val stale = dir.toFile.listFiles()
+    if (stale != null)
+      stale.filter(_.getName.endsWith(".png")).foreach(_.delete())
+    val ids = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    ids.foreach { id =>
+      val th = threshOf(id)
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          img.setRGB(x, y, if (x + 8 * y < th) 0xffffff else 0x000000)
+          x += 1
+        }
+        y += 1
+      }
+      val f = dir.resolve(f"pat_$id%06d.png").toFile
+      require(javax.imageio.ImageIO.write(img, "png", f),
+        s"no PNG writer available for $f")
+    }
+    dir.toString
+  }
 }

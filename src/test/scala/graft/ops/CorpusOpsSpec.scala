@@ -272,6 +272,58 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("aHash64: exact hash on 8x8 patterns, pooling-invariant on 2x " +
+      "upscale, loud on tiny images; near-dup pairs match brute force") {
+    def patternPng(scale: Int, th: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8 * scale, 8 * scale,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8 * scale; x <- 0 until 8 * scale)
+        img.setRGB(x, y,
+          if ((x / scale) + 8 * (y / scale) < th) 0xffffff else 0x000000)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // 8x8: hash is the low-threshold run of ones
+    assert(Multimodal.JavaImageIoCodec.aHash64(patternPng(1, 20)) ==
+      (1L << 20) - 1)
+    // 16x16 (each cell doubled): pooling reduces to the same grid
+    assert(Multimodal.JavaImageIoCodec.aHash64(patternPng(2, 20)) ==
+      (1L << 20) - 1)
+    // smaller than the pooling grid → loud
+    val tiny = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val tbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(tiny, "png", tbos)
+    intercept[IllegalArgumentException] {
+      Multimodal.JavaImageIoCodec.aHash64(tbos.toByteArray)
+    }
+    // fixtures round-trip: decoded hashes match the 2^th − 1 formula,
+    // banded pairs == brute-force |Δth| <= 3 over the same ids
+    val dir = graft.sources.PngFixtures
+      .writePatterned(spark, "/root/testdata/sf0.001")
+    val bin = spark.read.format("binaryFile").load(s"$dir/*.png")
+      .select(regexp_extract($"path", "pat_(\\d+)\\.png", 1)
+        .cast("long").as("doc_id"), $"content")
+    val fp = Multimodal.imageAHash(bin, "doc_id", "content")
+    val hashes = fp.as[(Long, Long)].collect()
+    assert(hashes.nonEmpty)
+    hashes.foreach { case (id, h) =>
+      assert(h == (1L << graft.sources.PngFixtures.threshOf(id)) - 1,
+        s"doc $id")
+    }
+    val pairs = Dedup.fingerprintPairs(fp, "doc_id", "ahash", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val th = hashes.map { case (id, _) =>
+      id -> graft.sources.PngFixtures.threshOf(id)
+    }.toMap
+    val brute = (for {
+      a <- th.keys; b <- th.keys
+      if a < b && math.abs(th(a) - th(b)) <= 3
+    } yield (a, b, math.abs(th(a) - th(b)))).toSet
+    assert(pairs == brute)
+  }
+
   test("JavaSoundCodec really decodes WAV headers; fixtures round-trip " +
       "the q91 oracle formulas") {
     val dir = graft.sources.WavFixtures.write(spark, "/root/testdata/sf0.001")
