@@ -3120,5 +3120,108 @@ object CorpusQueries extends QueryModule {
              |FROM r JOIN c USING (source)
              |WHERE rn = CAST(ceil(0.9 * n) AS BIGINT)""".stripMargin),
     ),
+
+    // ---- weighted sample without replacement (Efraimidis–Spirakis):
+    // 100 docs drawn proportionally to n_chars. DuckDB restates the
+    // whole construction — the shared md5-60 u, −ln(u)/w, the integer
+    // micro-unit floor, and the two-key rank — so a drifted hash, a
+    // wrong weight column, or a broken limit path all hash-mismatch.
+    // The floored-integer key (not the raw double) is what both
+    // engines rank AND emit, keeping the one libm call (ln) out of the
+    // hash compare except through the floor (see weightedSampleExact's
+    // ulp analysis).
+    Q(
+      "q128_weighted_sample",
+      (s, d) => Sampling.weightedSampleExact(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", col("n_chars"), n = 100L, seed = "ws1"),
+      Some("""WITH h AS (
+             |  SELECT doc_id, n_chars,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ws1'), 1, 15)
+             |      AS BIGINT) AS r
+             |  FROM documents
+             |), k AS (
+             |  SELECT doc_id, n_chars,
+             |    CAST(floor(-ln(CAST(r + 1 AS DOUBLE) / 1152921504606846976.0)
+             |      / CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS dk
+             |  FROM h
+             |)
+             |SELECT doc_id, n_chars,
+             |  CAST(row_number() OVER (ORDER BY dk ASC, doc_id ASC) - 1
+             |    AS BIGINT) AS sample_rank
+             |FROM k QUALIFY sample_rank < 100""".stripMargin),
+    ),
+
+    // ---- image NEAR-DUP pairs (the multimodal dedup gate): REAL PNG
+    // decode (javax.imageio) → all-integer 8×8 average hash → the
+    // 4×16-bit banded Hamming join. The fixtures are fill-level
+    // patterns whose aHash is 2^th − 1 by construction (th = 1 +
+    // doc_id % 62), so two images' Hamming distance is exactly
+    // |Δth| — DuckDB restates every pair AND its distance from
+    // filenames alone while Spark must earn them through the actual
+    // decode + pooling + banding chain. A single wrong pixel, a
+    // flipped bit order, or a broken band join changes the pair set
+    // or a distance and hash-mismatches. Glob hardcodes sf0.01 like
+    // q76/q87/q91.
+    Q(
+      "q129_image_near_dup",
+      (s, d) => {
+        val dir = graft.sources.PngFixtures.writePatterned(s, d)
+        val bin = s.read.format("binaryFile").load(s"$dir/*.png")
+          .select(
+            regexp_extract(col("path"), "pat_(\\d+)\\.png", 1)
+              .cast("long").as("doc_id"),
+            col("content"))
+        val fp = graft.ops.Multimodal.imageAHash(bin, "doc_id", "content")
+        Dedup.fingerprintPairs(fp, "doc_id", "ahash", maxHamming = 3)
+      },
+      Some("""WITH f AS (
+             |  SELECT CAST(regexp_extract(file, 'pat_(\d+)\.png', 1) AS BIGINT)
+             |    AS doc_id
+             |  FROM glob('/root/repo/target/png_ahash/sf0.01/*.png')
+             |), t AS (
+             |  SELECT doc_id, 1 + doc_id % 62 AS th FROM f
+             |)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(abs(a.th - b.th) AS INT) AS hamming
+             |FROM t a JOIN t b ON a.doc_id < b.doc_id
+             |WHERE abs(a.th - b.th) <= 3""".stripMargin),
+    ),
+
+    // ---- Z-order (Morton) clustering key — the write-layout value
+    // behind OPTIMIZE ZORDER BY: interleave (user bucket, hour bucket)
+    // so parquet min/max stays tight on BOTH dimensions. The native
+    // codegen'd expression computes the full 32+32→64 interleave;
+    // DuckDB restates it bit-for-bit with a 16-step list fold (the
+    // dims here are 12-bit buckets, so bits 16+ are zero — a 32-step
+    // fold would need 1<<63 and overflow BIGINT). date_trunc before
+    // epoch keeps the hour index integer-exact in both engines (the
+    // q13 convention). 1-in-7 subset keeps the dump proportionate.
+    Q(
+      "q130_zorder_key",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(pmod(col("event_id"), lit(7L)) === 0L)
+          .select(col("event_id"),
+            pmod(col("user_id"), lit(4096L)).as("dim_u"),
+            pmod(expr("unix_timestamp(date_trunc('hour', ts)) div 3600"),
+              lit(4096L)).as("dim_t"))
+        ev.withColumn("z",
+          graft.functions.ZOrder64(col("dim_u"), col("dim_t")))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id,
+             |    user_id % 4096 AS dim_u,
+             |    (CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600)
+             |      % 4096 AS dim_t
+             |  FROM events WHERE event_id % 7 = 0
+             |)
+             |SELECT event_id, dim_u, dim_t,
+             |  CAST(list_sum(list_transform(range(0, 16), i ->
+             |    ((dim_u >> i) & 1) * (CAST(1 AS BIGINT) << (2*i)) +
+             |    ((dim_t >> i) & 1) * (CAST(1 AS BIGINT) << (2*i + 1))
+             |  )) AS BIGINT) AS z
+             |FROM e""".stripMargin),
+    ),
   )
 }
