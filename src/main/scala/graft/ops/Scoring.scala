@@ -255,4 +255,47 @@ object Scoring {
       }(Encoders.product[ImportanceRow])
       .toDF(idCol, "n_tokens", "sum_target", "sum_raw", "importance")
   }
+
+  /** ROBUST per-group score normalization (median/MAD): z_robust =
+    * (x − median_g) / MAD_g with MAD_g = median_g(|x − median_g|) — the
+    * calibration step before cross-source score comparison or mixing
+    * (a quality score of 0.7 means different things from different
+    * scorers; mean/stddev normalization is itself skewed by the
+    * outliers a quality score exists to flag).
+    *
+    * Integer-exact by construction for integer-valued scores: both
+    * medians come from [[SketchStats.exactQuantilesLongByGroup]]'s
+    * histogram-refinement selection (the rank-ceil(n/2) element — an
+    * actual data value, never an interpolation), deviations are exact
+    * integers, and the only IEEE op is the final single division — so
+    * any engine restates the bits (q131). Float-valued scores should be
+    * pre-quantized to integer micro-units (the q128 idiom).
+    *
+    * Scale shape: two grouped-quantile passes (each ≤ ~7 pruned scans
+    * serving ALL groups at once, driver state = groups scalars,
+    * 10⁴-guarded) + two null-safe joins of the groups-sized median/MAD
+    * tables back onto the rows (AQE broadcasts them). No per-group
+    * windows. A zero MAD (over half the group at the median) yields
+    * null, not a division blow-up — documented, not silent: the
+    * caller decides whether a degenerate stratum passes.
+    *
+    * @return input rows + `med`, `mad`, `robust_z` */
+  def robustScaleByGroup(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    require(!df.columns.toSeq.intersect(Seq("med", "mad", "robust_z", "__ad"))
+      .nonEmpty, "input must not already carry med/mad/robust_z/__ad")
+    val meds = SketchStats
+      .exactQuantilesLongByGroup(df, groupCol, valCol, Seq(0.5))
+      .select(col(groupCol).as("__mg"), col("value").as("med"))
+    val withMed = df.join(meds, col(groupCol) <=> col("__mg")).drop("__mg")
+      .withColumn("__ad", abs(col(valCol).cast("long") - col("med")))
+    val mads = SketchStats
+      .exactQuantilesLongByGroup(withMed, groupCol, "__ad", Seq(0.5))
+      .select(col(groupCol).as("__mg"), col("value").as("mad"))
+    withMed.join(mads, col(groupCol) <=> col("__mg")).drop("__mg", "__ad")
+      .withColumn("robust_z",
+        when(col("mad") > 0L,
+          (col(valCol).cast("long") - col("med")).cast("double") /
+            col("mad").cast("double")))
+  }
 }

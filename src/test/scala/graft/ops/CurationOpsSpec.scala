@@ -448,6 +448,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("robustScaleByGroup: lower-median/MAD math, zero-MAD group " +
+      "yields null z, null group survives") {
+    val rows = (Seq((1L, Some("a")), (2L, Some("a")), (3L, Some("a")),
+      (4L, Some("a")), (5L, Some("a"))) ++
+      Seq((7L, Some("b")), (7L, Some("b")), (7L, Some("b"))) ++
+      Seq((10L, None), (20L, None)))
+      .zipWithIndex.map { case ((v, g), i) => (i.toLong, g, v) }
+      .toDF("id", "src", "v")
+    val out = Scoring.robustScaleByGroup(rows, "src", "v")
+      .select($"id", $"src", $"v", $"med", $"mad", $"robust_z")
+      .as[(Long, Option[String], Long, Long, Long, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // group a: values 1..5 → med 3 (rank ceil(2.5)=3), adevs sorted
+    // [0,1,1,2,2] → mad 1; z = v − 3
+    assert(out(0L)._6.contains(-2.0) && out(4L)._6.contains(2.0))
+    assert(out(2L)._4 == 3L && out(2L)._5 == 1L)
+    // group b: constant → mad 0 → null z (not a division blow-up)
+    assert(out(5L)._5 == 0L && out(5L)._6.isEmpty)
+    // null group is its own stratum: med of [10,20] = 10 (lower
+    // median), mad = median of [0,10] = 0 → null z, rows present
+    assert(out(8L)._4 == 10L && out(8L)._6.isEmpty && out(9L)._4 == 10L)
+  }
+
   test("mixToBudget: NULL-source rows form their own stratum at the " +
       "default rate instead of vanishing") {
     val rows = (1L to 60L).map { i =>
