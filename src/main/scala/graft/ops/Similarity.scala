@@ -209,6 +209,59 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** HARD-NEGATIVE mining: for every vector, the k most-similar vectors
+    * carrying a DIFFERENT label — the contrastive-training data step
+    * (embedding-model and reranker training both want "closest
+    * wrong-label" pairs; random negatives are too easy to teach
+    * anything). Same blocked kernel and per-block partial top-k as
+    * [[cosineTopKKernel]] — the label rides the packed block as one
+    * extra long, the constraint is applied INSIDE the kernel loop
+    * before the partial top-k (so a partial can never be starved by
+    * same-label rows crowding out the k), and the merge window keeps
+    * the identical (cosine desc, neighbor asc) tie-break. Null labels
+    * fail loudly — an unlabeled row can neither be a query nor a
+    * negative, and dropping it silently would fake coverage.
+    *
+    * @return (id, neighbor_id, cosine, rank 1..k) */
+  def hardNegativesKernel(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, numBlocks: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lbl = when(col(labelCol).isNotNull, col(labelCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("hardNegativesKernel: null label for "),
+        col(idCol).cast("string"))))
+    val packed = df.select(col(idCol).cast("long").as("id"),
+        lbl.as("__l"), asDouble(col(vecCol)).as("__v"))
+      .groupBy(pmod(col("id"), lit(numBlocks)).cast("int").as("__blk"))
+      .agg(collect_list(struct(col("id").as("_1"), col("__l").as("_2"),
+        col("__v").as("_3"))).as("vecs"))
+    val tasks = packed.select(col("__blk").as("qblk"), col("vecs").as("qv"))
+      .crossJoin(packed.select(col("__blk").as("cblk"), col("vecs").as("cv")))
+      .as[(Int, Seq[(Long, Long, Seq[Double])],
+        Int, Seq[(Long, Long, Seq[Double])])]
+    val partial = tasks.flatMap { case (_, qvecs, _, cvecs) =>
+      val cs = cvecs.map { case (id, l, v) =>
+        val a = v.toArray; (id, l, a, l2(a)) }.toArray
+      qvecs.iterator.flatMap { case (qid, ql, qv) =>
+        val qa = qv.toArray
+        val qn = l2(qa)
+        val sims = cs.iterator.collect {
+          case (idb, lb, vb, nb) if idb != qid && lb != ql =>
+            (dotP(qa, vb) / (qn * nb), idb)
+        }.toArray
+        sims.sortBy { case (c, id) =>
+          (if (c.isNaN) Double.NegativeInfinity else -c, id)
+        }.take(k)
+          .iterator.map { case (c, idb) => (qid, idb, c) }
+      }
+    }.toDF("id", "neighbor_id", "cosine")
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    partial.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact top-k for a SUBSET of query vectors against the FULL table —
     * the recall-gate shape (q26/q33/q73): a seeded/deterministic query
     * subset is all a floor needs, and the exact side's cost drops from

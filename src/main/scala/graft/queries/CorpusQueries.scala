@@ -3223,5 +3223,74 @@ object CorpusQueries extends QueryModule {
              |  )) AS BIGINT) AS z
              |FROM e""".stripMargin),
     ),
+
+    // ---- robust per-source score normalization (median/MAD): the
+    // calibration step before cross-source mixing. Both medians are the
+    // rank-ceil(n/2) ELEMENT (q127's convention — an actual data value,
+    // never an interpolation), deviations are exact integers, and the
+    // only IEEE op is the final division, so DuckDB restates every
+    // robust_z bit-for-bit. Zero-MAD groups emit null, pinned by the
+    // same CASE in both engines.
+    Q(
+      "q131_robust_scale",
+      (s, d) => Scoring.robustScaleByGroup(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "source", "n_chars"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source, n_chars FROM documents
+             |), c AS (
+             |  SELECT source, count(*) AS n FROM t GROUP BY 1
+             |), m AS (
+             |  SELECT r.source, r.n_chars AS med FROM (
+             |    SELECT source, n_chars, row_number() OVER (
+             |      PARTITION BY source ORDER BY n_chars) AS rn
+             |    FROM t) r JOIN c USING (source)
+             |  WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+             |), ad AS (
+             |  SELECT t.doc_id, t.source, t.n_chars, m.med,
+             |    abs(t.n_chars - m.med) AS adev
+             |  FROM t JOIN m USING (source)
+             |), mad AS (
+             |  SELECT r.source, r.adev AS mad FROM (
+             |    SELECT source, adev, row_number() OVER (
+             |      PARTITION BY source ORDER BY adev) AS rn
+             |    FROM ad) r JOIN c USING (source)
+             |  WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+             |)
+             |SELECT ad.doc_id, ad.source, ad.n_chars, ad.med, mad.mad,
+             |  CASE WHEN mad.mad > 0 THEN
+             |    CAST(ad.n_chars - ad.med AS DOUBLE) / CAST(mad.mad AS DOUBLE)
+             |  END AS robust_z
+             |FROM ad JOIN mad USING (source)""".stripMargin),
+    ),
+
+    // ---- hard-negative mining (contrastive training data): for every
+    // embedding, the 3 most-similar vectors with a DIFFERENT label —
+    // the blocked q25 kernel with the label constraint applied inside
+    // the loop. DuckDB brute-forces the same double cosine (identical
+    // ascending-index summation order — the q25 precedent) over the
+    // label-filtered pair set, so a kernel that lets same-label rows
+    // crowd the partial top-k, or drops the constraint, mismatches.
+    Q(
+      "q132_hard_negatives",
+      (s, d) => Similarity.hardNegativesKernel(
+        Tables.embeddings(s, d), "vec_id", "embedding", "label", k = 3),
+      Some("""WITH e AS (
+             |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings
+             |), p AS (
+             |  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+             |    list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
+             |      (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+             |       sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cosine
+             |  FROM e a JOIN e b
+             |    ON a.vec_id <> b.vec_id AND a.label <> b.label
+             |)
+             |SELECT id, neighbor_id, cosine, rank FROM (
+             |  SELECT *, CAST(row_number() OVER (
+             |    PARTITION BY id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+             |  FROM p) t WHERE rank <= 3""".stripMargin),
+    ),
   )
 }

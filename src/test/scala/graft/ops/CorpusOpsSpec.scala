@@ -382,6 +382,45 @@ class CorpusOpsSpec extends SparkSpec {
     assert(pairsKernel == pairsWindow)
   }
 
+  test("hardNegativesKernel: matches brute force, same-label rows never " +
+      "crowd the top-k, null label is loud") {
+    val rng = new scala.util.Random(7)
+    val d = (0L until 30L).map { i =>
+      (i, (i % 3).toInt, Seq.fill(6)(rng.nextDouble()))
+    }.toDF("vec_id", "label", "embedding")
+    val out = Similarity
+      .hardNegativesKernel(d, "vec_id", "embedding", "label", 4,
+        numBlocks = 4)
+      .select($"id", $"neighbor_id", $"rank").as[(Long, Long, Int)]
+      .collect()
+    // brute force: per query, rank wrong-label neighbors by (cosine
+    // desc, id asc)
+    val rows = d.select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val brute = rows.flatMap { case (qid, ql, qv) =>
+      rows.filter { case (id, l, _) => id != qid && l != ql }
+        .map { case (id, _, v) => (cos(qv, v), id) }
+        .sortBy { case (c, id) => (-c, id) }.take(4).zipWithIndex
+        .map { case ((_, id), i) => (qid, id, i + 1) }
+    }.toSet
+    assert(out.toSet == brute)
+    // every neighbor really is wrong-label
+    val lbl = rows.map(r => r._1 -> r._2).toMap
+    out.foreach { case (q, nb, _) => assert(lbl(q) != lbl(nb)) }
+    val e = intercept[Exception] {
+      Similarity.hardNegativesKernel(
+        Seq((1L, Some(0), Seq(1.0)), (2L, None, Seq(2.0)))
+          .toDF("vec_id", "label", "embedding"),
+        "vec_id", "embedding", "label", 1).count()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("native cosine yields null on length mismatch, like the HOF form") {
     val d = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),
       (Seq(1.0, 0.0), Seq(1.0, 0.0))).toDF("a", "b")
