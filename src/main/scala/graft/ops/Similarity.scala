@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.ops.Materialize.MaterializeOps
@@ -59,6 +59,131 @@ object Similarity {
   def dequantizeInt8(quantized: Column): Column =
     transform(quantized.getField("q"),
       x => x.cast("double") * quantized.getField("scale"))
+
+  // -------------------------------------------- product quantization
+
+  /** PQ codebooks (Jégou et al. 2011, "Product quantization for
+    * nearest neighbor search" — the faiss IVF-PQ compression half):
+    * the vector space splits into `m` subspaces of `subDim` dims, each
+    * with its own `ks`-centroid codebook; a vector encodes to m byte
+    * codes. A model-sized artifact (m·ks·subDim doubles — for 8×16 on
+    * 64 dims, 8 KiB), broadcast like the IVF centroids. */
+  case class PqCodebooks(m: Int, ks: Int, subDim: Int,
+      centers: Array[Array[Array[Double]]]) extends Serializable
+
+  /** Train PQ codebooks on a bounded seeded sample (the [[buildIvfIndex]]
+    * shape: index training is sample-local, only encoding is
+    * distributed). Vectors are unit-normalized first — similarity here
+    * is cosine, and on the unit sphere the ADC inner-product estimate
+    * Σ_m ⟨q_m, c_m[code]⟩ IS the cosine estimate. Per-subspace
+    * codebooks come from the same deterministic [[localKMeans]]. */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String, m: Int = 8,
+      ks: Int = 16, seed: Long = 42L,
+      knownCount: Option[Long] = None): PqCodebooks = {
+    require(m >= 1 && ks >= 2 && ks <= 256,
+      s"need m >= 1 and ks in [2, 256] (byte codes), got m=$m ks=$ks")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(asDouble(col(vecCol)).as("__v"))
+    val trainCap = 100000L
+    val n = knownCount.getOrElse(base.count())
+    val trainBase = if (n <= trainCap) base
+      else base.sample(withReplacement = false, trainCap.toDouble / n, seed)
+    val sample: Array[Array[Double]] =
+      trainBase.select(col("__v")).as[Seq[Double]].collect()
+        .map(s => pqUnit(s.toArray))
+    require(sample.nonEmpty, "pqTrain needs a non-empty input")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    val centers = Array.tabulate(m) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(
+        v, s * subDim, (s + 1) * subDim))
+      // per-subspace seed: identical seeds would correlate codebooks
+      localKMeans(sub, ks, seed + s, maxIter = 20)
+    }
+    PqCodebooks(m, ks, subDim, centers)
+  }
+
+  private def pqUnit(v: Array[Double]): Array[Double] = {
+    val n = l2(v)
+    if (n == 0.0 || n.isNaN) v else v.map(_ / n)
+  }
+
+  /** Encode every vector to m byte codes — a pure map with the
+    * broadcast codebooks (nearest subspace centroid, ties to the
+    * lowest index). At 100 TB this is the memory lever past int8: a
+    * 64-dim float embedding (256 B) compresses to 8 code bytes (32×),
+    * which is what lets a candidate set live in executor memory at
+    * corpus scale. @return (idCol, codes binary) */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      cb: PqCodebooks): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val b = bc.value
+        it.map { case (id, vec) =>
+          val v = pqUnit(vec.toArray)
+          require(v.length == b.m * b.subDim,
+            s"vector dim ${v.length} != codebook dim ${b.m * b.subDim}")
+          val codes = new Array[Byte](b.m)
+          var s = 0
+          while (s < b.m) {
+            val cents = b.centers(s)
+            var best = 0; var bd = Double.MaxValue
+            var j = 0
+            while (j < b.ks) {
+              var d = 0.0; var t = 0
+              val c = cents(j)
+              while (t < b.subDim) {
+                val diff = v(s * b.subDim + t) - c(t); d += diff * diff
+                t += 1
+              }
+              if (d < bd) { bd = d; best = j }
+              j += 1
+            }
+            codes(s) = best.toByte
+            s += 1
+          }
+          (id, codes)
+        }
+      }(enc)
+      .toDF(idCol, "codes")
+  }
+
+  /** Reconstruct the quantized vector from its codes (centroid
+    * concatenation). Exact-query-vs-reconstructed-candidate cosine
+    * through any kernel above IS the ADC (asymmetric distance
+    * computation) estimate: ⟨q, concat_m c_m[code_m]⟩ =
+    * Σ_m ⟨q_m, c_m[code_m]⟩ — the per-query m×ks lookup table is a
+    * constant-factor optimization of the same sum, not different
+    * math. Recall under PQ is driver-gated (q133, the q73 pattern). */
+  def pqReconstruct(codes: DataFrame, idCol: String,
+      cb: PqCodebooks): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    codes.select(col(idCol).cast("long"), col("codes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val b = bc.value
+        it.map { case (id, cs) =>
+          val v = new Array[Double](b.m * b.subDim)
+          var s = 0
+          while (s < b.m) {
+            val c = b.centers(s)(cs(s) & 0xff)
+            System.arraycopy(c, 0, v, s * b.subDim, b.subDim)
+            s += 1
+          }
+          (id, v.toSeq)
+        }
+      }
+      .toDF(idCol, "vec")
+  }
 
   /** (id, vec) projection — the native CosineSimilarity expression
     * computes dot and norms in one per-pair loop, so no per-vector norm
@@ -260,6 +385,69 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     partial.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** ADC (asymmetric distance computation) top-k under PQ compression:
+    * EXACT query vectors ranked against RECONSTRUCTED candidates — the
+    * faiss search shape (the query side never quantizes; only the
+    * corpus side lives as codes). Composes [[pqEncode]] →
+    * [[pqReconstruct]] → the blocked kernel with the query block built
+    * from the original vectors. Self-matches are excluded by id, so a
+    * corpus vector never retrieves its own reconstruction. Approximate
+    * by nature → driver-gated by a recall floor (q133, the q73
+    * pattern). */
+  /** @param rerank ADC shortlist size for the faiss "refine" step: the
+    *                ADC estimate retrieves `rerank` (> k) candidates per
+    *                query and EXACT cosine on the original vectors
+    *                re-ranks them to the final k — the standard
+    *                accuracy lever when the corpus has weak cluster
+    *                structure (exact work is |queries|·rerank pairs, a
+    *                vanishing fraction of brute force). 0 = pure ADC. */
+  def pqAdcTopKForQueries(df: DataFrame, idCol: String, vecCol: String,
+      cb: PqCodebooks, k: Int, queryPred: Column,
+      numBlocks: Int = 8, rerank: Int = 0): DataFrame = {
+    require(rerank == 0 || rerank >= k,
+      s"rerank must be 0 (off) or >= k, got rerank=$rerank k=$k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val recon = pqReconstruct(pqEncode(df, idCol, vecCol, cb), idCol, cb)
+    // query side stays EXACT (unit-normalized like the encode side, so
+    // the estimate is the pure ADC inner product on the sphere)
+    val qUnit = df.filter(queryPred)
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("__q"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) => (id, pqUnit(v.toArray).toSeq) }
+      .toDF("id", "vec")
+    val kAdc = if (rerank > 0) rerank else k
+    val packedC = packedBlocks(recon, idCol, "vec", numBlocks)
+    val packedQ = packedBlocks(qUnit, "id", "vec", numBlocks)
+    val tasks = packedQ.select(col("__blk").as("qblk"), col("vecs").as("qv"))
+      .crossJoin(packedC.select(col("__blk").as("cblk"), col("vecs").as("cv")))
+      .as[(Int, Seq[(Long, Seq[Double])], Int, Seq[(Long, Seq[Double])])]
+    val partial = tasks.flatMap { case (_, qvecs, _, cvecs) =>
+      blockTopK(qvecs, cvecs, kAdc)
+    }.toDF("id", "neighbor_id", "cosine")
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val shortlist = partial.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kAdc)
+    if (rerank == 0) shortlist.filter(col("rank") <= k)
+    else {
+      // refine: exact cosine on the original vectors over the
+      // |queries|·rerank shortlist pairs, then the final k
+      val qv = df.filter(queryPred)
+        .select(col(idCol).cast("long").as("__qid"),
+          asDouble(col(vecCol)).as("__qv"))
+      val cv = df.select(col(idCol).cast("long").as("__cid"),
+        asDouble(col(vecCol)).as("__cv"))
+      val refined = shortlist.select(col("id"), col("neighbor_id"))
+        .join(qv, col("id") === col("__qid"))
+        .join(cv, col("neighbor_id") === col("__cid"))
+        .select(col("id"), col("neighbor_id"),
+          cosine(col("__qv"), col("__cv")).as("cosine"))
+      refined.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    }
   }
 
   /** Exact top-k for a SUBSET of query vectors against the FULL table —

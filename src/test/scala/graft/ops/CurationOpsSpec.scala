@@ -685,6 +685,56 @@ class CurationOpsSpec extends SparkSpec {
     assert(recall >= 0.95, f"recall $recall%.4f leaves no headroom over the floor")
   }
 
+  test("PQ: codes are m bytes and deterministic, reconstruction picks " +
+      "real centroids, ADC+refine recall clears the q133 floor") {
+    val rng = new scala.util.Random(11)
+    val embs = (0L until 400L).map { i =>
+      (i, Seq.fill(32)(rng.nextDouble() * 2 - 1))
+    }.toDF("vec_id", "v")
+    val cb = Similarity.pqTrain(embs, "vec_id", "v", m = 8, ks = 16)
+    assert(cb.m == 8 && cb.ks == 16 && cb.subDim == 4)
+    val codes = Similarity.pqEncode(embs, "vec_id", "v", cb)
+      .as[(Long, Array[Byte])].collect()
+    assert(codes.length == 400 && codes.forall(_._2.length == 8))
+    val codes2 = Similarity.pqEncode(embs.repartition(13), "vec_id", "v", cb)
+      .as[(Long, Array[Byte])].collect()
+    assert(codes.map { case (id, c) => id -> c.toSeq }.toMap ==
+      codes2.map { case (id, c) => id -> c.toSeq }.toMap)
+    // reconstruction = concat of actual codebook centroids
+    val rec = Similarity.pqReconstruct(
+      Similarity.pqEncode(embs, "vec_id", "v", cb), "vec_id", cb)
+      .as[(Long, Seq[Double])].collect().toMap
+    val codeMap = codes.map { case (id, c) => id -> c }.toMap
+    rec.foreach { case (id, v) =>
+      (0 until cb.m).foreach { s =>
+        val expected = cb.centers(s)(codeMap(id)(s) & 0xff).toSeq
+        assert(v.slice(s * cb.subDim, (s + 1) * cb.subDim) == expected)
+      }
+    }
+    // ADC + refine: recall@3 over a 1-in-4 query subset with headroom
+    // over q133's 0.85 floor
+    val qp = $"vec_id" % 4 === 0
+    val exact = Similarity
+      .cosineTopKKernelForQueries(embs, "vec_id", "v", 3, qp)
+      .select($"id", $"neighbor_id")
+    val approx = Similarity
+      .pqAdcTopKForQueries(embs, "vec_id", "v", cb, 3, qp, rerank = 100)
+      .select($"id", $"neighbor_id").withColumn("__hit", lit(1))
+    val recall = exact.join(approx, Seq("id", "neighbor_id"), "left")
+      .agg((sum(coalesce($"__hit", lit(0))) / count(lit(1))).as("r"))
+      .as[Double].collect().head
+    info(f"pq adc+refine recall@3 = $recall%.4f (q133 floor 0.85)")
+    assert(recall >= 0.95, f"recall $recall%.4f leaves no headroom")
+    // guards: rerank below k, dim not divisible by m
+    intercept[IllegalArgumentException] {
+      Similarity.pqAdcTopKForQueries(embs, "vec_id", "v", cb, 3, qp,
+        rerank = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqTrain(embs, "vec_id", "v", m = 5)
+    }
+  }
+
   // ---------------------------------------------------- extensions
 
   test("graft_cosine & sketch functions callable from SQL") {
