@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.Materialize.MaterializeOps
+
+/** Web-graph operators for corpus curation: link extraction and an
+  * INTEGER-EXACT PageRank — the graph-centrality quality signal the
+  * big web corpora actually use (Common Crawl publishes harmonic/
+  * PageRank centrality per host; curation pipelines weight or
+  * threshold on it).
+  *
+  * Why integer arithmetic: float PageRank sums incoming contributions
+  * in partition order, and double addition is not associative — two
+  * runs (or two engines) legitimately differ in the last ulp, which a
+  * hash gate cannot tolerate. Ranks here live in parts-per-billion
+  * BIGINTs: contributions divide by out-degree with integer `div`,
+  * damping is `(d‰ · inflow) div 1000`, and integer addition IS
+  * associative — so the result is bit-identical at any parallelism and
+  * in any engine (q134's oracle restates three full iterations). The
+  * truncation each div introduces is bounded by iters · (1 + maxInDeg)
+  * ppb per node — noise far below any curation threshold, and the same
+  * noise everywhere.
+  */
+object GraphOps {
+
+  /** Extract intra-corpus hyperlink edges from an HTML column:
+    * `href="..."` values matched against `targetPattern` (one capture
+    * group → the target document id). Codegen'd regexp per row, one
+    * explode — the edge list is born distributed, no parse service.
+    * Duplicate hrefs are ordinary multigraph edges (kept); hrefs not
+    * matching the pattern (external links) are dropped.
+    *
+    * @return (src, dst) long columns */
+  def extractLinkEdges(df: DataFrame, idCol: String, htmlCol: String,
+      targetPattern: String = "doc_(\\d+)\\.html"): DataFrame =
+    df.select(col(idCol).cast("long").as("src"),
+        explode(regexp_extract_all(col(htmlCol),
+          lit("href=\"([^\"]+)\""), lit(1))).as("__href"))
+      .select(col("src"),
+        regexp_extract(col("__href"), targetPattern, 1).as("__t"))
+      .filter(col("__t") =!= "")
+      .select(col("src"), col("__t").cast("long").as("dst"))
+
+  /** Damped PageRank over an (src, dst) edge multiset, integer-exact
+    * (see object doc). Per iteration: one `div`-by-out-degree map, one
+    * shuffle of contributions keyed by dst, one join back onto the
+    * node frame — the Pregel shape; rounds are lineage-cut so the plan
+    * stays O(1) across iterations (the duplicate-clustering
+    * convention). Dangling nodes (no outlinks) keep their mass out of
+    * circulation — the standard simplification; redistribute upstream
+    * if total-mass conservation matters. Every node present as src or
+    * dst gets a row; isolated nodes should be unioned in by the
+    * caller if they must appear.
+    *
+    * @param totalPpb rank mass at t=0, split evenly (integer div)
+    * @return (node, rank_ppb) */
+  def pageRankInt(edges: DataFrame, iters: Int = 3,
+      dampingPermille: Long = 850L,
+      totalPpb: Long = 1000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
+    require(dampingPermille >= 0L && dampingPermille <= 1000L,
+      s"dampingPermille must be in [0, 1000], got $dampingPermille")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).materialized
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().materialized
+    val n = nodes.count()
+    require(n > 0, "pageRankInt needs a non-empty edge list")
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val base = (totalPpb - totalPpb * dampingPermille / 1000L) / n
+    var r = nodes.withColumn("rank_ppb", lit(totalPpb / n))
+    var it = 0
+    while (it < iters) {
+      val contrib = e.join(r, e("src") === r("node"))
+        .join(outdeg, "src")
+        .select(col("dst"),
+          expr("rank_ppb div __deg").as("__c"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__in"))
+      r = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr(
+            s"($dampingPermille * coalesce(__in, 0L)) div 1000"))
+            .as("rank_ppb"))
+        .materialized
+      it += 1
+    }
+    r
+  }
+}

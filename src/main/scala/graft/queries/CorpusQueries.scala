@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.model.Tables
-import graft.ops.{Decontamination, Dedup, Packing, Sampling, Scoring,
-  Similarity, SketchStats, SkewOps, TextAnalysis}
+import graft.ops.{Decontamination, Dedup, GraphOps, Packing, Sampling,
+  Scoring, Similarity, SketchStats, SkewOps, TextAnalysis}
 
 /** Training-data-pipeline operators over documents/embeddings (builder
   * brief: dedup, similarity search, text analysis). Oracle SQL uses
@@ -3326,6 +3326,72 @@ object CorpusQueries extends QueryModule {
             (col("recall") >= 0.85).as("meets_floor"))
       },
       Some("SELECT 'pq16x16+refine100' AS method, true AS meets_floor"),
+    ),
+
+    // ---- web-graph centrality (the Common Crawl quality signal):
+    // hrefs extracted from REAL fixture HTML through the graft-html
+    // DSv2 source → edge multiset → 3 iterations of integer-exact
+    // PageRank (ranks in parts-per-billion BIGINTs; every div is
+    // integer, so the sum order can't shift a bit and DuckDB restates
+    // all three iterations from the filename-derived link formula
+    // alone — the Spark side must EARN the same edges from the
+    // actual <a href> markup). Glob hardcodes sf0.01 like q76.
+    Q(
+      "q134_pagerank",
+      (s, d) => {
+        val dir = graft.sources.HtmlFixtures.write(s, d)
+        val pages = s.read.format("graft-html").load(dir)
+          .select(regexp_extract(col("name"), "doc_(\\d+)\\.html", 1)
+            .cast("long").as("doc_id"), col("html"))
+        val edges = GraphOps.extractLinkEdges(pages, "doc_id", "html")
+        GraphOps.pageRankInt(edges, iters = 3)
+          .select(col("node").as("doc_id"), col("rank_ppb"))
+      },
+      Some("""WITH f AS (
+             |  SELECT CAST(regexp_extract(file, 'doc_(\d+)\.html', 1) AS BIGINT)
+             |    AS doc_id
+             |  FROM glob('/root/repo/target/html_fixtures/sf0.01/*.html')
+             |), pos AS (
+             |  SELECT doc_id,
+             |    CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS j,
+             |    CAST(count(*) OVER () AS BIGINT) AS n
+             |  FROM f
+             |), e AS (
+             |  SELECT a.doc_id AS src, b.doc_id AS dst
+             |  FROM pos a JOIN pos b ON b.j = (a.j + 1) % a.n
+             |  UNION ALL
+             |  SELECT a.doc_id, b.doc_id
+             |  FROM pos a JOIN pos b ON b.j = (2 * a.j + 1) % a.n
+             |  UNION ALL
+             |  SELECT a.doc_id, b.doc_id
+             |  FROM pos a JOIN pos b ON b.j = (7 * a.j + 3) % a.n
+             |), deg AS (
+             |  SELECT src, count(*) AS d FROM e GROUP BY 1
+             |), r0 AS (
+             |  SELECT doc_id AS node, n, 1000000000 // n AS r FROM pos
+             |), r1 AS (
+             |  SELECT p.node, p.n,
+             |    (150000000 // p.n) + ((850 * COALESCE(s.inflow, 0)) // 1000) AS r
+             |  FROM r0 p LEFT JOIN (
+             |    SELECT e.dst, sum(r.r // d.d) AS inflow
+             |    FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+             |    GROUP BY 1) s ON p.node = s.dst
+             |), r2 AS (
+             |  SELECT p.node, p.n,
+             |    (150000000 // p.n) + ((850 * COALESCE(s.inflow, 0)) // 1000) AS r
+             |  FROM r1 p LEFT JOIN (
+             |    SELECT e.dst, sum(r.r // d.d) AS inflow
+             |    FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+             |    GROUP BY 1) s ON p.node = s.dst
+             |), r3 AS (
+             |  SELECT p.node, p.n,
+             |    (150000000 // p.n) + ((850 * COALESCE(s.inflow, 0)) // 1000) AS r
+             |  FROM r2 p LEFT JOIN (
+             |    SELECT e.dst, sum(r.r // d.d) AS inflow
+             |    FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+             |    GROUP BY 1) s ON p.node = s.dst
+             |)
+             |SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_ppb FROM r3""".stripMargin),
     ),
   )
 }

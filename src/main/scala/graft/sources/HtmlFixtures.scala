@@ -39,13 +39,26 @@ object HtmlFixtures {
       .filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("lang"), col("source"))
       .collect()
-    rows.foreach { r =>
+      .sortBy(_.getLong(0))
+    // deterministic LINK STRUCTURE for the web-graph gate (q134): the
+    // page at sorted position j links to positions (j+1), (2j+1),
+    // (7j+3) mod n — restated by the oracle from filenames alone, while
+    // the Spark side must extract the hrefs from the real HTML.
+    // Duplicate targets and self-links (e.g. 2j+1 ≡ j at j = n−1) are
+    // kept: they are ordinary multigraph edges.
+    val ids = rows.map(_.getLong(0))
+    val n = ids.length
+    rows.zipWithIndex.foreach { case (r, j) =>
       val id = r.getLong(0)
+      val links = Seq((j + 1) % n, (2 * j + 1) % n, (7 * j + 3) % n)
+        .map(t => f"""<a href="doc_${ids(t)}%06d.html">more</a>""")
+        .mkString("\n")
       val html =
         s"""<html><body>
            |<span data-mark="MainPrice">${priceOf(id)} ₽/мес.</span>
            |<div class="lang">${r.getString(1)}</div>
            |<div class="source">${r.getString(2)}</div>
+           |$links
            |</body></html>""".stripMargin
       java.nio.file.Files.write(dir.resolve(f"doc_$id%06d.html"),
         html.getBytes(StandardCharsets.UTF_8))

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extractLinkEdges: real hrefs only, duplicates kept, external " +
+      "links dropped") {
+    val pages = Seq(
+      (1L, """<a href="doc_000002.html">x</a> <a href="doc_000002.html">y</a>
+             |<a href="https://example.com/out">ext</a>""".stripMargin),
+      (2L, """no links here"""),
+    ).toDF("doc_id", "html")
+    val edges = GraphOps.extractLinkEdges(pages, "doc_id", "html")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(edges == Seq((1L, 2L), (1L, 2L)))
+  }
+
+  test("pageRankInt: matches a hand-computed integer iteration, " +
+      "deterministic across partitioning") {
+    // 1 → 2, 1 → 3, 2 → 3, 3 → 1 ; n = 3, total 9e8 → r0 = 3e8 each
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val r1 = GraphOps.pageRankInt(edges, iters = 1,
+      totalPpb = 900000000L)
+      .as[(Long, Long)].collect().toMap
+    // base = (9e8 - 9e8*850/1000)/3 = 135e6/3 = 45e6
+    // contribs: node1 deg2 → 15e8e... r0=3e8: c1 = 3e8 div 2 = 15e7 to
+    // {2,3}; c2 = 3e8 to 3; c3 = 3e8 to 1
+    // r1(1) = 45e6 + 850*3e8 div 1000 = 45e6 + 255e6 = 3e8
+    // r1(2) = 45e6 + 850*15e7 div 1000 = 45e6 + 1275e5 = 172500000
+    // r1(3) = 45e6 + 850*(15e7 + 3e8) div 1000 = 45e6 + 3825e5 = 427500000
+    assert(r1 == Map(1L -> 300000000L, 2L -> 172500000L,
+      3L -> 427500000L))
+    val r3a = GraphOps.pageRankInt(edges, iters = 3,
+      totalPpb = 900000000L).as[(Long, Long)].collect().toMap
+    val r3b = GraphOps.pageRankInt(edges.repartition(7), iters = 3,
+      totalPpb = 900000000L).as[(Long, Long)].collect().toMap
+    assert(r3a == r3b)
+    // rank mass stays bounded by the total (dangling-free graph loses
+    // only div-truncation ppb)
+    assert(r3a.values.sum <= 900000000L)
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRankInt(edges, iters = 0)
+    }
+  }
+}
