@@ -647,6 +647,42 @@ object Similarity {
     IvfIndex(centers, graft.ops.Materialize(packMembers(members)))
   }
 
+  /** Full faiss IVF-PQ index: cells are assigned from the ORIGINAL
+    * vectors (so cell-assignment error never compounds quantization
+    * error — the faiss semantics), but the stored members are the PQ
+    * RECONSTRUCTIONS: at 100 TB the residency cost of the index drops
+    * from n·dim floats to n·m code bytes + the model-sized codebooks,
+    * which is what makes a corpus-wide in-memory index feasible at
+    * all. Search with [[annSearchIvf]] (ADC: exact queries vs
+    * reconstructed members), shortlist k' > k, then exact-refine —
+    * the q135 composition; recall is driver-gated there. */
+  def buildIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      cb: PqCodebooks, numCentroids: Int = 16, seed: Long = 42L,
+      knownCount: Option[Long] = None): IvfIndex = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("__v"))
+    val trainCap = 100000L
+    val n = knownCount.getOrElse(base.count())
+    val trainBase = if (n <= trainCap) base
+      else base.sample(withReplacement = false, trainCap.toDouble / n, seed)
+    val sample: Array[Array[Double]] =
+      trainBase.select(col("__v")).as[Seq[Double]].collect()
+        .map(s => pqUnit(s.toArray))
+    val centers = localKMeans(sample, numCentroids, seed, maxIter = 20)
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    // cells from the ORIGINALS; member payloads swapped for the PQ
+    // reconstructions
+    val cells = nearestCells(base, bcCenters, nProbe = 1)
+      .select(col("id").as("member_id"), col("cell"))
+    val recon = pqReconstruct(pqEncode(df, idCol, vecCol, cb), idCol, cb)
+      .select(col(idCol).cast("long").as("member_id"), col("vec").as("__vm"))
+    val members = cells.join(recon, "member_id")
+      .select(col("member_id"), col("__vm"), col("cell"))
+    IvfIndex(centers, graft.ops.Materialize(packMembers(members)))
+  }
+
   /** ANN top-k for `queries` against a prepared [[IvfIndex]]: only the
     * query side's distance pass runs per call. Note: queries present in
     * the indexed corpus will (correctly) retrieve themselves at

