@@ -14,20 +14,34 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) (pyarrow default), which
-    * Spark's vectorized parquet reader rejects. Read nanos as long and
-    * rebuild a microsecond TimestampType column with integer division
+  /** Timestamp-column normalizer, adaptive to the generator's parquet
+    * physical type. Earlier testdata drops wrote TIMESTAMP(NANOS)
+    * (pyarrow default), which Spark's vectorized reader rejects — those
+    * read as long (`nanosAsLong`) and are rebuilt with integer division
     * (`div`, not `/` — ns-since-epoch ≈ 1.7e18 exceeds double's 2^53
     * exact-integer range, so float division would corrupt timestamps).
+    * Current drops write TIMESTAMP(MICROS, isAdjustedToUTC=false), which
+    * Spark reads natively as TIMESTAMP_NTZ; that is cast to TimestampType
+    * (value-preserving — every session here pins
+    * `spark.sql.session.timeZone=UTC`) because streaming watermarks
+    * reject NTZ event-time columns and the oracle compare was tuned on
+    * TimestampType output. DuckDB sees the same naive micros either way.
     */
   private def withNanosTs(spark: SparkSession, dir: String, name: String,
       tsCols: Seq[String]): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, name)
     tsCols.foldLeft(raw) { (df, c) =>
-      df.withColumn(c,
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr(s"$c div 1000")))
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn(c,
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr(s"$c div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn(c, org.apache.spark.sql.functions.col(c)
+            .cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df // already TimestampType
+      }
     }
   }
 
