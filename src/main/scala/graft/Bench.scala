@@ -54,9 +54,17 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] entry warm failed: ${e.getClass.getName}")
     }
-    // experiment knob for GC-pressure bisection: force a full collection
-    // between queries so each starts from a compacted heap
+    // r6 drift finding: q33-q37/q84 ran 2-4.6× slower with byte-identical
+    // shuffle volumes and 14-22 GB heap — accumulated suite pressure, not
+    // a plan regression. localCheckpoint blocks are freed by the
+    // ContextCleaner only when a DRIVER GC collects the weak refs; with a
+    // 128 GiB heap that may never happen across 135 queries, so blocks
+    // (and their storage memory) pile up. Default: force a full
+    // collection every 10 queries to drive the cleaner; SPARK_GRAFT_BENCH_GC=1
+    // keeps the per-query bisection mode.
     val gcBetween = sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")
+    val gcEvery = sys.env.get("SPARK_GRAFT_BENCH_GC_EVERY").map(_.toInt)
+      .getOrElse(if (gcBetween) 1 else 10)
     // comma-decimal locales break JSON
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f",
@@ -72,7 +80,15 @@ object Bench {
         s""","avail_cpus":${osBean.getAvailableProcessors}""" +
         s""","heap_max_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)}""" +
         s""","sf_dir":"$sfDir"}"""
+    // dev knob: SPARK_GRAFT_BENCH_ONLY=q104,q114 times just those
+    // queries (prefix match on the qNN key) — for iterating on one
+    // query's plan without paying the full-suite wall time. The driver
+    // never sets it, so captured rounds always run the whole suite.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(f =>
+        f.contains(n) || f.exists(p => n.startsWith(p))))
     // `qNN` prefix — unique today; fall back to full names if a future
     // query breaks that rather than silently merging two keys
     val short: Map[String, String] = {
@@ -102,7 +118,14 @@ object Bench {
     def logWarmFailure(name: String, scale: String, e: Throwable): Unit =
       System.err.println(
         s"[bench] $name warm ($scale) failed: ${e.getClass.getName}")
-    val results = names.map { name =>
+    // storage attribution for the drift columns: how much block-manager
+    // memory the suite is dragging along (localCheckpoint blocks live
+    // here until the cleaner frees them)
+    def storageStats: (Long, Int) = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.map(_.memSize).sum / (1024 * 1024), infos.length)
+    }
+    val results = names.zipWithIndex.map { case (name, qIdx) =>
       val fn = SparkEntry.queries(name)
       if (warmDir != sfDir)
         try fn(spark, warmDir).count()
@@ -143,10 +166,13 @@ object Bench {
         s""","shuf_w":${after.shuffleBytesWritten - before.shuffleBytesWritten}""" +
         s""","spill":${after.spilledBytes - before.spilledBytes}""" +
         s""","tasks":${after.processed - before.processed}""" +
-        s""","heap_mb":${after.jvmHeapUsedMb.toLong}}"""
+        s""","heap_mb":${after.jvmHeapUsedMb.toLong}""" + {
+          val (storeMb, storeRdds) = storageStats
+          s""","store_mb":$storeMb,"store_rdds":$storeRdds}"""
+        }
       perfLog.println(line)
       perfLog.flush()
-      if (gcBetween) System.gc()
+      if (gcEvery > 0 && (qIdx + 1) % gcEvery == 0) System.gc()
       name -> secs
     }
     perfLog.println(ctxLine("end"))

@@ -29,6 +29,13 @@ object Tables {
     */
   private def withNanosTs(spark: SparkSession, dir: String, name: String,
       tsCols: Seq[String]): DataFrame = {
+    // The NTZ->TimestampType cast below is value-preserving ONLY under a
+    // UTC session zone; fail at load time rather than shift every event.
+    val tz = spark.conf.get("spark.sql.session.timeZone", "")
+    require(tz == "UTC",
+      s"events loader requires spark.sql.session.timeZone=UTC (got '$tz'): " +
+        "the TIMESTAMP_NTZ -> TIMESTAMP cast reinterprets naive micros in " +
+        "the session zone, so any other zone silently shifts timestamps")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, name)
     tsCols.foldLeft(raw) { (df, c) =>
@@ -40,7 +47,11 @@ object Tables {
         case org.apache.spark.sql.types.TimestampNTZType =>
           df.withColumn(c, org.apache.spark.sql.functions.col(c)
             .cast(org.apache.spark.sql.types.TimestampType))
-        case _ => df // already TimestampType
+        case org.apache.spark.sql.types.TimestampType => df
+        case other => throw new IllegalStateException(
+          s"testdata column $name.$c has unexpected parquet type $other " +
+            "(generator drift?) — expected ns-as-long, TIMESTAMP_NTZ, or " +
+            "TIMESTAMP; refusing to pass it through silently")
       }
     }
   }

@@ -173,18 +173,26 @@ object Dedup {
     // (small: |docs| rows) instead of recomputing the explode/agg subtree
     // 3×. Materialize, not persist: blocks free when the frames go
     // unreachable, where a CacheManager entry would pin them for the
-    // session (library callers never see the frames to unpersist them)
+    // session (library callers never see the frames to unpersist them).
+    // `__gh` rides along as the 64-bit gram hashes: exact verification
+    // compares LONG arrays, not gram strings — set Jaccard is invariant
+    // under an (in-practice) injective hash, and the string compare was
+    // the suite's one GC-dominated stage (allocating UTF8String grams
+    // per candidate pair faster than the collector drains them).
+    // Signatures still derive from the gram STRINGS, so LSH candidate
+    // generation is byte-identical to the pre-hash construction.
     val grams = df
       .select(col(idCol), split(col(textCol), "\\s+").as("__w"))
       .select(col(idCol), wordNGramsFromWords(col("__w"), n).as("grams"))
+      .withColumn("__gh", transform(col("grams"), g => xxhash64(g)))
       .materialized
     val sig = signatureTable(grams, idCol, "grams", numHashes).materialized
     val cands = estimateFilter(
       candidatesFromSig(sig, idCol, numHashes, bandRows),
       sig, sig, idCol, numHashes, minEst = tau * 0.6)
     cands
-      .join(grams.select(col(idCol).as("id_a"), col("grams").as("ga")), "id_a")
-      .join(grams.select(col(idCol).as("id_b"), col("grams").as("gb")), "id_b")
+      .join(grams.select(col(idCol).as("id_a"), col("__gh").as("ga")), "id_a")
+      .join(grams.select(col(idCol).as("id_b"), col("__gh").as("gb")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("ga"), col("gb"))) /
           size(array_union(col("ga"), col("gb"))))
@@ -232,9 +240,12 @@ object Dedup {
 
   def indexCorpus(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bandRows: Int = 2): CorpusIndex = {
+    // `__gh` = 64-bit gram hashes for the verify compare (see
+    // ngramJaccardPairs — Jaccard is hash-invariant, longs don't GC-storm)
     val grams = df
       .select(col(idCol), split(col(textCol), "\\s+").as("__w"))
       .select(col(idCol), wordNGramsFromWords(col("__w"), n).as("grams"))
+      .withColumn("__gh", transform(col("grams"), g => xxhash64(g)))
       .materialized
     val sig = signatureTable(grams, idCol, "grams", numHashes).materialized
     CorpusIndex(idCol, n, numHashes, bandRows, grams, sig,
@@ -251,6 +262,7 @@ object Dedup {
       .select(col(idCol), split(col(textCol), "\\s+").as("__w"))
       .select(col(idCol),
         wordNGramsFromWords(col("__w"), index.n).as("grams"))
+      .withColumn("__gh", transform(col("grams"), g => xxhash64(g)))
       .materialized
     val sigNew = signatureTable(gramsNew, idCol, "grams", index.numHashes)
       .materialized
@@ -264,9 +276,9 @@ object Dedup {
       .distinct()
     estimateFilter(cands, sigNew, index.sig, idCol, index.numHashes,
         minEst = tau * 0.6)
-      .join(gramsNew.select(col(idCol).as("id_a"), col("grams").as("ga")),
+      .join(gramsNew.select(col(idCol).as("id_a"), col("__gh").as("ga")),
         "id_a")
-      .join(index.grams.select(col(idCol).as("id_b"), col("grams").as("gb")),
+      .join(index.grams.select(col(idCol).as("id_b"), col("__gh").as("gb")),
         "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("ga"), col("gb"))) /
@@ -300,6 +312,12 @@ object Dedup {
       .select(col(groupCol).cast("string").as("__src"),
         split(trim(col(textCol)), "\\s+").as("__w"))
       .select(col("__src"), wordNGramsFromWords(col("__w"), n).as("grams"))
+    // materialized: |sources| rows × numHashes longs — a model-sized
+    // artifact. Without this the pairwise self-join below re-executes
+    // the per-doc sketch pass for EACH join side (2 full corpus scans),
+    // and AQE's local-read on the broadcast build side additionally
+    // collapses that copy to the map-side task count (measured: the
+    // whole sketch serialized onto 1 task behind a 1-split parquet).
     val unionSig = signatureTable(grams, "__src", "grams", numHashes)
       .select(col("__src"), posexplode(col("__sig")).as(Seq("__p", "__v")))
       .groupBy(col("__src"), col("__p")).agg(min(col("__v")).as("__m"))
@@ -307,6 +325,7 @@ object Dedup {
       .agg(transform(
         array_sort(collect_list(struct(col("__p"), col("__m")))),
         x => x.getField("__m")).as("__usig"))
+      .materialized
     val a = unionSig.select(col("__src").as("src_a"), col("__usig").as("__sa"))
     val b = unionSig.select(col("__src").as("src_b"), col("__usig").as("__sb"))
     val matches = aggregate(

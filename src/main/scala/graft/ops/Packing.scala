@@ -39,9 +39,16 @@ object Packing {
     // both passes observe the SAME materialized partitioning and the
     // blocks are freed by the context cleaner once the result is
     // unreachable — a CacheManager persist would pin them for the
-    // session lifetime
-    val base = df.select(col(idCol),
+    // session lifetime.
+    // The narrow projection materializes BEFORE repartitionByRange:
+    // the RangePartitioner's sampling job and the shuffle would
+    // otherwise EACH execute the upstream plan — tokenCol is often
+    // split(text) over the whole corpus, so that's 2 extra full scans
+    // of the text column at 100 TB.
+    val narrow = df.select(col(idCol),
         coalesce(tokenCol.cast("long"), lit(0L)).as("n_tokens"))
+      .materialized
+    val base = narrow
       .repartitionByRange(p, col(idCol))
       .sortWithinPartitions(col(idCol))
       .materialized
@@ -111,9 +118,15 @@ object Packing {
     val spark = df.sparkSession
     val p = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    // localCheckpoint: both passes must observe the SAME materialized
-    // partitioning (see chunkAssignments)
-    val base = df.repartitionByRange(p, order: _*)
+    // Materialize the input BEFORE repartitionByRange: the range
+    // sampler's job and the shuffle would otherwise each re-execute the
+    // upstream plan, and rank consumers routinely order by expensive
+    // derived keys (tokenCount = split(text), tf aggregates) — 2–3
+    // redundant scans of the text column at scale. Then localCheckpoint
+    // again after the sort so both passes observe the SAME materialized
+    // partitioning (see chunkAssignments).
+    val input = df.materialized
+    val base = input.repartitionByRange(p, order: _*)
       .sortWithinPartitions(order: _*)
       .materialized
     val counts = base

@@ -115,9 +115,17 @@ object Similarity {
     * lowest index). At 100 TB this is the memory lever past int8: a
     * 64-dim float embedding (256 B) compresses to 8 code bytes (32×),
     * which is what lets a candidate set live in executor memory at
-    * corpus scale. @return (idCol, codes binary) */
+    * corpus scale.
+    *
+    * @param normalize unit-normalize before encoding (default — the
+    *        cosine/IP metric choice this file's search paths use). Pass
+    *        false for L2-metric PQ over raw coordinates (the faiss
+    *        default), where vectors encode as-is; with integer-valued
+    *        inputs and codebooks the whole argmin is then exact integer
+    *        math, restatable bit-for-bit by any engine (q136's oracle).
+    * @return (idCol, codes binary) */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
-      cb: PqCodebooks): DataFrame = {
+      cb: PqCodebooks, normalize: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(cb)
@@ -127,7 +135,7 @@ object Similarity {
       .mapPartitions { it =>
         val b = bc.value
         it.map { case (id, vec) =>
-          val v = pqUnit(vec.toArray)
+          val v = if (normalize) pqUnit(vec.toArray) else vec.toArray
           require(v.length == b.m * b.subDim,
             s"vector dim ${v.length} != codebook dim ${b.m * b.subDim}")
           val codes = new Array[Byte](b.m)

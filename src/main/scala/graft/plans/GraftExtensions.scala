@@ -25,6 +25,10 @@ import graft.functions.{CosineSimilarity, NormalizeUnicode, SimHash64Expr, SimHa
   * }}}
   * For sessions built elsewhere (the correctness driver's, notebooks),
   * [[GraftExtensions.register]] installs the same pieces at runtime.
+  * `register` additionally excludes `InferFiltersFromGenerate` (see the
+  * note at [[GraftExtensions.register]]); builder-time users should set
+  * `spark.sql.optimizer.excludedRules` to the same value — extensions
+  * cannot modify confs.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -91,6 +95,20 @@ object GraftExtensions {
       }),
   )
 
+  /** `InferFiltersFromGenerate` synthesizes `size(e) > 0` from every
+    * explode/posexplode; PredicatePushdown then substitutes the
+    * generator input's FULL defining expression into that filter and
+    * pushes it below projects and exchanges. For this library — where
+    * exploded arrays are COMPUTED (gram sets, MinHash signatures, IVF
+    * probe lists), never stored — that re-evaluates the most expensive
+    * expression in the pipeline a second time, often on the map side of
+    * a repartition at the scan's (1-split) parallelism: measured 8.5 s
+    * of a 10.9 s sketch pass at sf0.1, and a full duplicate corpus-scan
+    * cost at 100 TB. The rule only helps when the filter can prune at a
+    * SOURCE (stored array columns) — not this engine's shape. */
+  private val ExcludedOptimizerRules =
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
   /** Idempotent runtime installation on an existing session (the
     * correctness driver builds its own session, so oracle queries call
     * this at query time; `registerFunction` overwrites on re-register
@@ -103,6 +121,11 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.exists(_ eq RewriteHofCosine))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteHofCosine
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(key).filter(_.nonEmpty)
+    if (!prev.exists(_.contains(ExcludedOptimizerRules)))
+      spark.conf.set(key,
+        (prev.toSeq :+ ExcludedOptimizerRules).mkString(","))
   }
 }
 

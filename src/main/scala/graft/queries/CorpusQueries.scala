@@ -1072,7 +1072,12 @@ object CorpusQueries extends QueryModule {
     Q(
       "q84_curation_funnel",
       (s, d) => {
+        // the 6-regex scoring stage would otherwise run on the parquet's
+        // input splits (13 tasks at sf0.1) — round-robin first so the
+        // funnel's most expensive map uses the full parallelism (q104's
+        // exact-twin rule; a production build's scan has real splits)
         val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
         val scored = docs.select(col("doc_id"), col("text"), col("source"),
           TextAnalysis.langId(col("text")).as("lang"),
           TextAnalysis.qualityFeatures(col("text"))
@@ -2023,13 +2028,31 @@ object CorpusQueries extends QueryModule {
       "q104_source_overlap",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val gh = docs.select(col("source").cast("string").as("src"),
+        // The exact twin's heavy stage (split + gram hash + explode +
+        // partial distinct) would otherwise run on the parquet's input
+        // splits (8 tasks at sf0.1 — 24 cores idle); round-robin the
+        // docs first so it uses the full parallelism. The distinct set
+        // feeds two consumers, but ReuseExchange already shares the
+        // scan + explode + distinct shuffle between them — measured: an
+        // explicit localCheckpoint here is 1.3× WORSE (adds checkpoint
+        // I/O for a reuse Spark provides free), and collect_set over
+        // the raw undeduped explode is 2.5× worse (ObjectHashAggregate
+        // loses to codegen'd distinct + regroup). Test-scale only — the
+        // production operator below stays one-pass, no extra shuffle of
+        // the text column.
+        val gh = docs.repartition(s.sparkContext.defaultParallelism)
+          .select(col("source").cast("string").as("src"),
             split(trim(col("text")), "\\s+").as("w"))
           .select(col("src"),
             explode(Decontamination.gramHashesFromWords(col("w"), 3))
               .as("gh"))
           .distinct()
-        val sizes = gh.groupBy(col("src")).agg(count(lit(1)).as("n"))
+        // materialized: ≤ |sources| rows. The a×b self-join below would
+        // otherwise run the scan+explode+distinct subtree once PER SIDE
+        // (and AQE's local-read on the broadcast build side collapses
+        // that copy to 1 task — the sourceOverlapSketch finding)
+        val sizes = graft.ops.Materialize(
+          gh.groupBy(col("src")).agg(count(lit(1)).as("n")))
         // pair counts WITHOUT a gh self-join: group each gram's source
         // list (≤ |sources| entries) and explode its C(k,2) ordered
         // pairs in-task — one shuffle of the distinct set instead of
@@ -2052,8 +2075,13 @@ object CorpusQueries extends QueryModule {
           .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
           .withColumn("exact_jaccard", col("n_common").cast("double") /
             (col("n_a") + col("n_b") - col("n_common")))
-        val est = Dedup.sourceOverlapSketch(docs, "source", "text",
-          n = 3, numHashes = 128)
+        // same parallelism treatment for the sketch side: its per-doc
+        // 128-way MinHash is CPU-bound and otherwise runs on the 8
+        // input splits (the operator itself stays repartition-free —
+        // at production scale the scan has real splits)
+        val est = Dedup.sourceOverlapSketch(
+          docs.repartition(s.sparkContext.defaultParallelism),
+          "source", "text", n = 3, numHashes = 128)
         pairs.join(est, Seq("src_a", "src_b"))
           .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
             col("n_common"), col("exact_jaccard"),
@@ -3443,6 +3471,52 @@ object CorpusQueries extends QueryModule {
       },
       Some("SELECT 'ivfpq16x16+probe8+refine100' AS method, " +
         "true AS meets_floor"),
+    ),
+
+    // ---- PQ ENCODE oracle (closes the q133/q135 constant-twin gap):
+    // the encode kernel's per-subspace argmin restated bit-for-bit by
+    // DuckDB. Fixed integer codebooks (the literal formula below) +
+    // floor-quantized raw vectors + normalize=false make every distance
+    // an exact integer in both engines — sum order can't shift a bit,
+    // ties break to the lowest code index on both sides — so all 8 code
+    // bytes per vector are engine-independent. This exercises the SAME
+    // mapPartitions kernel q133/q135 run (normalize=true is the only
+    // difference — one branch before the distance loop).
+    Q(
+      "q136_pq_encode",
+      (s, d) => {
+        val m = 8; val ks = 16; val subDim = 8
+        val centers = Array.tabulate(m)(sp => Array.tabulate(ks)(j =>
+          Array.tabulate(subDim)(t =>
+            (((sp * 13 + j * 31 + t * 7) % 21) - 10).toDouble)))
+        val cb = Similarity.PqCodebooks(m, ks, subDim, centers)
+        val quant = Tables.embeddings(s, d).select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 100)).as("wq"))
+        Similarity.pqEncode(quant, "vec_id", "wq", cb, normalize = false)
+          .select(col("vec_id"), hex(col("codes")).as("codes_hex"))
+      },
+      Some("""WITH w AS (
+             |  SELECT vec_id,
+             |    list_transform(CAST(embedding AS DOUBLE[]),
+             |      x -> floor(x * 100)) AS wq
+             |  FROM embeddings
+             |), d AS (
+             |  SELECT vec_id, s.range AS s, j.range AS j,
+             |    sum(pow(wq[CAST(s.range * 8 + t.range + 1 AS INT)]
+             |      - (((s.range * 13 + j.range * 31 + t.range * 7) % 21) - 10),
+             |      2)) AS dist
+             |  FROM w, range(8) s, range(16) j, range(8) t
+             |  GROUP BY 1, 2, 3
+             |), b AS (
+             |  SELECT vec_id, s, j, row_number() OVER (
+             |    PARTITION BY vec_id, s ORDER BY dist ASC, j ASC) AS rn
+             |  FROM d
+             |)
+             |SELECT vec_id,
+             |  string_agg(lpad(upper(to_hex(j)), 2, '0'), '' ORDER BY s)
+             |    AS codes_hex
+             |FROM b WHERE rn = 1 GROUP BY vec_id""".stripMargin),
     ),
   )
 }
