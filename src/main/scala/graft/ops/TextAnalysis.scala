@@ -204,6 +204,103 @@ object TextAnalysis {
         col("familiarity"))
   }
 
+  /** A trained bigram language model as two DISTRIBUTED count tables —
+    * deliberately not a broadcast: at corpus scale the bigram table is
+    * data-sized (billions of rows), so scoring joins it on 8-byte hash
+    * keys like any fact table. `vocabSize` = distinct bigram PREFIXES
+    * in the training corpus (the smoothing denominator's V).
+    *
+    * @param bigrams  (__bh, __c12): occurrences of each bigram
+    * @param unigrams (__w1h, __c1): occurrences of each prefix word */
+  case class BigramLm(bigrams: DataFrame, unigrams: DataFrame,
+      vocabSize: Long)
+
+  /** Per-occurrence bigram rows (idCol?, __bh, __w1h) — bh hashes
+    * "w1 w2", w1h hashes the prefix word (md5-60, the cross-engine
+    * construction). */
+  private def bigramOcc(df: DataFrame, textCol: String,
+      idCol: Option[String]): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    val keep = idCol.map(col).toSeq
+    df.select(keep :+ words.as("__ws"): _*)
+      .filter(size(col("__ws")) >= 2)
+      .select(keep :+ explode(
+        transform(sequence(lit(1), size(col("__ws")) - 1),
+          i => struct(
+            concat(element_at(col("__ws"), i), lit(" "),
+              element_at(col("__ws"), i + 1)).as("bg"),
+            element_at(col("__ws"), i).as("w1")))).as("__o"): _*)
+      .select(keep ++ Seq(Dedup.md5Hash60(col("__o.bg")).as("__bh"),
+        Dedup.md5Hash60(col("__o.w1")).as("__w1h")): _*)
+  }
+
+  /** Train the CCNet/KenLM-style quality-filter LM: add-one-smoothed
+    * bigram conditional probabilities P(w2|w1) = (c12+1)/(c1+V), kept
+    * as raw integer counts so scoring stays engine-exact. Two map-side-
+    * combined hash aggregations over one occurrence pass — the same
+    * scale shape as [[bigramFamiliarity]]'s frequency table. Eager:
+    * both tables materialize at call time ("train once, score every
+    * batch" — the [[graft.ops.Dedup.indexCorpus]] convention); at 100 TB
+    * persist them next to the corpus instead.
+    */
+  def trainBigramLm(df: DataFrame, textCol: String): BigramLm = {
+    val occ = bigramOcc(df, textCol, None).materialized
+    val bigrams = occ.groupBy(col("__bh"))
+      .agg(count(lit(1)).as("__c12")).materialized
+    val unigrams = occ.groupBy(col("__w1h"))
+      .agg(count(lit(1)).as("__c1")).materialized
+    BigramLm(bigrams, unigrams, unigrams.count())
+  }
+
+  /** Score documents against a trained [[BigramLm]] — the model-based
+    * quality gate CCNet runs after boilerplate removal. Per bigram
+    * occurrence, the add-one-smoothed conditional probability
+    * P = (c12+1)/(c1+V) (missing counts 0 — unseen prefix degrades to
+    * the uniform 1/V, the uniform-backoff limit); per document:
+    *
+    *  - `lm_mean_prob_ppb`: mean P quantized to parts-per-billion with
+    *    INTEGER division at both steps — order-independent, bit-exact
+    *    in any engine (q137's oracle), the published filter signal.
+    *    (The ppb quantizer is exact while c12 < ~9.2e9; past that —
+    *    trillion-occurrence bigrams — drop to ppm.)
+    *  - `n_oov`: occurrences whose bigram the training corpus never
+    *    saw (the sparsity/diagnostic count).
+    *  - `perplexity`: exp(-mean ln P), the conventional report form.
+    *    Float transcendentals differ across libms, so this column is
+    *    for humans and thresholds, NOT for cross-engine hashing.
+    *
+    * Scale shape: two shuffle joins on 8-byte hash keys (bigram table
+    * is data-sized — never broadcast), one map-side-combined per-doc
+    * aggregation, no windows.
+    *
+    * @return (idCol, n_bigrams, n_oov, lm_mean_prob_ppb, perplexity);
+    *         docs with fewer than two tokens score (0, 0, null, null) */
+  def scoreBigramLm(df: DataFrame, idCol: String, textCol: String,
+      lm: BigramLm): DataFrame = {
+    val occ = bigramOcc(df, textCol, Some(idCol))
+    val c12 = coalesce(col("__c12"), lit(0L))
+    val c1 = coalesce(col("__c1"), lit(0L))
+    val joined = occ
+      .join(lm.bigrams, Seq("__bh"), "left")
+      .join(lm.unigrams, Seq("__w1h"), "left")
+      .select(col(idCol),
+        (c12 === 0).cast("long").as("__oov"),
+        expr(s"((coalesce(__c12, 0L) + 1L) * 1000000000L) div " +
+          s"(coalesce(__c1, 0L) + ${lm.vocabSize}L)").as("__q"),
+        ((c12 + 1).cast("double") /
+          (c1 + lm.vocabSize).cast("double")).as("__p"))
+    val scored = joined.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__oov")).as("n_oov"),
+        expr("sum(__q) div count(1)").as("lm_mean_prob_ppb"),
+        exp(-avg(log(col("__p")))).as("perplexity"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        col("lm_mean_prob_ppb"), col("perplexity"))
+  }
+
   /** CCNet-style boilerplate-line removal: a line (newline-separated
     * paragraph) appearing in MORE than `maxDocFreq` distinct documents
     * is template chrome — nav bars, cookie banners, copyright footers —

@@ -3518,5 +3518,66 @@ object CorpusQueries extends QueryModule {
              |    AS codes_hex
              |FROM b WHERE rn = 1 GROUP BY vec_id""".stripMargin),
     ),
+
+    // ---- bigram-LM quality scoring (CCNet/KenLM's model-based filter
+    // stage): train add-one-smoothed bigram conditionals on 9/10 of the
+    // corpus, score ALL docs — held-out docs exercise the OOV/backoff
+    // path. The published signal is the ppb-quantized mean conditional
+    // probability: every count is an integer and both divisions are
+    // integral, so DuckDB restates the exact value (the q52/q134
+    // integer-exactness convention); perplexity (float transcendental)
+    // stays out of the compared projection by design.
+    Q(
+      "q137_lm_score",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val lm = TextAnalysis.trainBigramLm(
+          docs.filter(col("doc_id") % 10 =!= 0), "text")
+        TextAnalysis.scoreBigramLm(docs, "doc_id", "text", lm)
+          .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+            col("lm_mean_prob_ppb"))
+      },
+      Some("""WITH tw AS (
+             |  SELECT string_split(trim(text), ' ') AS ws FROM documents
+             |  WHERE doc_id % 10 <> 0
+             |), tocc AS (
+             |  SELECT
+             |    unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bg,
+             |    unnest([ws[i] for i in range(1, len(ws))]) AS w1
+             |  FROM tw WHERE len(ws) >= 2
+             |), th AS (
+             |  SELECT CAST('0x' || substr(md5(bg), 1, 15) AS BIGINT) AS bh,
+             |    CAST('0x' || substr(md5(w1), 1, 15) AS BIGINT) AS w1h
+             |  FROM tocc
+             |), big AS (SELECT bh, count(*) AS c12 FROM th GROUP BY 1),
+             |uni AS (SELECT w1h, count(*) AS c1 FROM th GROUP BY 1),
+             |v AS (SELECT count(*) AS v FROM uni),
+             |sw AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+             |), socc AS (
+             |  SELECT doc_id,
+             |    unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bg,
+             |    unnest([ws[i] for i in range(1, len(ws))]) AS w1
+             |  FROM sw WHERE len(ws) >= 2
+             |), sh AS (
+             |  SELECT doc_id, CAST('0x' || substr(md5(bg), 1, 15) AS BIGINT) AS bh,
+             |    CAST('0x' || substr(md5(w1), 1, 15) AS BIGINT) AS w1h
+             |  FROM socc
+             |), q AS (
+             |  SELECT doc_id,
+             |    CASE WHEN coalesce(c12, 0) = 0 THEN 1 ELSE 0 END AS oov,
+             |    ((coalesce(c12, 0) + 1) * 1000000000)
+             |      // (coalesce(c1, 0) + (SELECT v FROM v)) AS q
+             |  FROM sh LEFT JOIN big USING (bh) LEFT JOIN uni USING (w1h)
+             |), sc AS (
+             |  SELECT doc_id, count(*) AS n_bigrams,
+             |    CAST(sum(oov) AS BIGINT) AS n_oov,
+             |    CAST(sum(q) // count(*) AS BIGINT) AS lm_mean_prob_ppb
+             |  FROM q GROUP BY 1
+             |)
+             |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+             |  coalesce(s.n_oov, 0) AS n_oov, s.lm_mean_prob_ppb
+             |FROM documents d LEFT JOIN sc s USING (doc_id)""".stripMargin),
+    ),
   )
 }

@@ -643,4 +643,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(4L)._2 == 1 && r(4L)._5.isEmpty && r(4L)._7.isEmpty
       && r(4L)._8.isEmpty)                 // null flag on degenerate doc
   }
+
+  test("bigram LM: hand-computed smoothed conditionals, OOV backoff, degenerates") {
+    // train corpus: bigrams "a b"x2, "b a"x1, "b c"x1; prefixes a:2 b:2; V=2
+    val train = Seq("a b a b c").toDF("text")
+    val lm = TextAnalysis.trainBigramLm(train, "text")
+    assert(lm.vocabSize == 2L)
+    val score = Seq(
+      (1L, "a b"),        // P(b|a) = (2+1)/(2+2) = 0.75 -> 750000000 ppb
+      (2L, "a z"),        // OOV bigram, seen prefix: (0+1)/(2+2) = 0.25
+      (3L, "z z"),        // OOV bigram, unseen prefix: 1/(0+2) = 0.5
+      (4L, "a b c q"),    // 0.75, P(c|b)=(1+1)/(2+2)=0.5, "c q" oov with
+                          // unseen prefix c -> 1/V = 0.5;
+                          // mean ppb = (750M + 500M + 500M) div 3
+      (5L, "solo"),       // <2 tokens
+      (6L, ""))           // empty
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.scoreBigramLm(score, "doc_id", "text", lm)
+      .as[(Long, Long, Long, Option[Long], Option[Double])].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, 1L, 0L, Some(750000000L),
+      r(1L)._5)) && math.abs(r(1L)._5.get - 4.0 / 3) < 1e-12)
+    assert(r(2L) == ((2L, 1L, 1L, Some(250000000L), r(2L)._5)))
+    assert(r(3L) == ((3L, 1L, 1L, Some(500000000L), r(3L)._5)))
+    assert(r(4L) == ((4L, 3L, 1L, Some(583333333L), r(4L)._5)))
+    // perplexity = exp(-(ln .75 + ln .5 + ln .5)/3) = (0.1875)^(-1/3)
+    assert(math.abs(r(4L)._5.get - math.pow(0.75 * 0.5 * 0.5, -1.0 / 3))
+      < 1e-12)
+    assert(r(5L) == ((5L, 0L, 0L, None, None)))
+    assert(r(6L) == ((6L, 0L, 0L, None, None)))
+  }
 }
