@@ -604,6 +604,43 @@ object TextAnalysis {
       .otherwise(lit("unknown"))
   }
 
+  /** Per-source corpus DATA CARD — the summary table a corpus release
+    * publishes next to its shards (docs, tokens, exact-duplicate and
+    * language composition per source). Every column is an integer
+    * count, so the card is engine-exact at any parallelism (q138's
+    * DuckDB twin restates it from first principles).
+    *
+    * Scale shape: ONE aggregation over the corpus scan. The exact
+    * per-source distinct-content count shuffles (source, md5) pairs
+    * with map-side partial dedup — the exact twin of what q69's
+    * HLL++ sketch estimates; at 100 TB publish the sketch column next
+    * to this card if the exact distinct becomes the bottleneck. Lang
+    * counts pivot over [[langId]]'s closed label set, so the row stays
+    * fixed-width no matter the corpus.
+    *
+    * @return one row per source, sorted: (source, n_docs, n_tokens,
+    *         max_doc_tokens, n_exact_dup_docs, n_lang_en, n_lang_de,
+    *         n_lang_es, n_lang_unknown) */
+  def corpusDataCard(df: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val perDoc = df.select(
+      col(sourceCol).cast("string").as("source"),
+      tokenCount(col(textCol)).cast("long").as("__nt"),
+      langId(col(textCol)).as("__lang"),
+      md5(col(textCol)).as("__h"))
+    def langN(l: String) =
+      sum((col("__lang") === l).cast("long")).as(s"n_lang_$l")
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        max(col("__nt")).as("max_doc_tokens"),
+        (count(lit(1)) - countDistinct(col("__h")))
+          .as("n_exact_dup_docs"),
+        langN("en"), langN("de"), langN("es"),
+        sum((col("__lang") === "unknown").cast("long"))
+          .as("n_lang_unknown"))
+  }
+
   /** Quality features + a composite score. Formula kept to
     * threshold-terms and single-division ratios so every engine computes
     * identical doubles. */

@@ -3579,5 +3579,43 @@ object CorpusQueries extends QueryModule {
              |  coalesce(s.n_oov, 0) AS n_oov, s.lm_mean_prob_ppb
              |FROM documents d LEFT JOIN sc s USING (doc_id)""".stripMargin),
     ),
+
+    // ---- corpus data card (the per-source summary a release ships):
+    // one aggregation pass, every column an integer count — docs,
+    // tokens, exact-dup composition, language mix. DuckDB restates the
+    // whole card including the q28 language CASE.
+    Q(
+      "q138_corpus_card",
+      (s, d) => TextAnalysis.corpusDataCard(
+        Tables.documents(s, d), "text", "source"),
+      Some("""WITH t AS (
+             |  SELECT CAST(source AS VARCHAR) AS source, text,
+             |    len(regexp_split_to_array(trim(text), '\s+')) AS nt,
+             |    regexp_split_to_array(trim(text), '\s+') AS toks,
+             |    md5(text) AS h
+             |  FROM documents
+             |), l AS (
+             |  SELECT source, nt, h, CASE
+             |    WHEN greatest(s_en, s_de, s_es) = 0 THEN 'unknown'
+             |    WHEN s_de >= s_en AND s_de >= s_es THEN 'de'
+             |    WHEN s_en >= s_es THEN 'en'
+             |    ELSE 'es' END AS lang
+             |  FROM (
+             |    SELECT source, nt, h,
+             |      len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS s_en,
+             |      len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+             |      len(list_filter(toks, x -> x IN ('el','la','de','y','es'))) AS s_es
+             |    FROM t)
+             |)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+             |  max(nt) AS max_doc_tokens,
+             |  count(*) - count(DISTINCT h) AS n_exact_dup_docs,
+             |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_en,
+             |  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_de,
+             |  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_es,
+             |  CAST(sum(CASE WHEN lang = 'unknown' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_unknown
+             |FROM l GROUP BY 1""".stripMargin),
+    ),
   )
 }

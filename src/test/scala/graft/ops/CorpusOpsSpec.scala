@@ -673,4 +673,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(5L) == ((5L, 0L, 0L, None, None)))
     assert(r(6L) == ((6L, 0L, 0L, None, None)))
   }
+
+  test("corpus data card: counts, dups, language mix per source") {
+    val d = Seq(
+      ("web", "the cat is of the mat and a dog"), // en, 9 toks
+      ("web", "the cat is of the mat and a dog"), // exact dup
+      ("web", "der hund ist und die katze"),      // de, 6 toks
+      ("books", "zz qq ww"))                      // unknown, 3 toks
+      .toDF("source", "text")
+    val r = TextAnalysis.corpusDataCard(d, "text", "source")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(r("web") == (("web", 3L, 24L, 9L, 1L, 2L, 1L, 0L, 0L)))
+    assert(r("books") == (("books", 1L, 3L, 3L, 0L, 0L, 0L, 0L, 1L)))
+  }
 }
