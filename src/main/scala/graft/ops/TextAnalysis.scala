@@ -14,6 +14,7 @@ private[graft] case class DeflateRow(id: Long, n_bytes: Long,
     n_deflate: Long, deflate_ratio: Double)
 private[graft] case class LineDedupRow(id: Long, clean_text: String,
     n_lines: Long, n_removed: Long)
+private[graft] case class DecodedDoc(id: Long, decoded_text: String)
 
 /** Text-analysis operators for corpus curation (builder brief): language
   * ID, quality scoring, token counting, document fingerprinting. All
@@ -160,6 +161,41 @@ object TextAnalysis {
         }
       }(org.apache.spark.sql.Encoders.product[EncodedDoc])
       .toDF(idCol, "token_ids", "n_tokens", "n_oov")
+  }
+
+  /** Inverse of [[encodeTokens]] — ids back to whitespace-joined
+    * tokens, `oovId` rendering as `unkToken`: the debugging/inspection
+    * half of the tokenize loop (sample decoded rows next to a quality
+    * verdict, eyeball a filter's survivors). Same scale shape as the
+    * encoder: the reverse vocabulary is one model-sized broadcast and
+    * decoding is a pure map over the scan — no shuffle. Lossy exactly
+    * where encoding was (OOV tokens), which q139's roundtrip oracle
+    * pins: decode(encode(text)) equals text with every OOV token
+    * replaced by `unkToken`.
+    *
+    * @param idsCol array<long> column of vocab ids (e.g. `token_ids`)
+    * @return (idCol, decoded_text) */
+  def decodeTokens(df: DataFrame, idCol: String, idsCol: String,
+      vocab: DataFrame, oovId: Long = -1L,
+      unkToken: String = "<unk>"): DataFrame = {
+    val spark = df.sparkSession
+    val rev: Map[Long, String] = vocab
+      .select(col("vocab_id").cast("long"), col("token").cast("string"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bc = spark.sparkContext.broadcast((rev, unkToken))
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(idsCol).cast("array<long>"))
+      .as[(Long, Seq[Long])]
+      .mapPartitions { it =>
+        val (d, unk) = bc.value
+        it.map { case (id, ids) =>
+          val toks =
+            if (ids == null) Array.empty[String]
+            else ids.iterator.map(d.getOrElse(_, unk)).toArray
+          DecodedDoc(id, toks.mkString(" "))
+        }
+      }(org.apache.spark.sql.Encoders.product[DecodedDoc])
+      .toDF(idCol, "decoded_text")
   }
 
   /** Corpus-LM "familiarity" score — the integer-exact stand-in for

@@ -3617,5 +3617,49 @@ object CorpusQueries extends QueryModule {
              |  CAST(sum(CASE WHEN lang = 'unknown' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_unknown
              |FROM l GROUP BY 1""".stripMargin),
     ),
+
+    // ---- tokenizer ROUNDTRIP (decode closes q86's build + q88's
+    // encode): decode(encode(text)) must equal text with every OOV
+    // token replaced by <unk>. The oracle restates the composition
+    // end-to-end — vocab ranking, membership, and the rebuilt string —
+    // so an id-collision or order bug in EITHER direction breaks it.
+    Q(
+      "q139_tokenize_roundtrip",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val vocab = TextAnalysis.buildVocab(docs, "doc_id", "text",
+          minDf = 3L, maxVocab = 1000)
+        val enc = TextAnalysis.encodeTokens(docs, "doc_id", "text", vocab)
+        TextAnalysis.decodeTokens(enc, "doc_id", "token_ids", vocab)
+          .join(enc.select(col("doc_id"), col("n_oov")), "doc_id")
+          .select(col("doc_id"), col("decoded_text"), col("n_oov"))
+      },
+      Some("""WITH toks0 AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+             |  FROM documents
+             |), stats AS (
+             |  SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+             |  FROM toks0 GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+             |), v AS (
+             |  SELECT token,
+             |    CAST(row_number() OVER (ORDER BY tf DESC, token ASC) - 1
+             |      AS BIGINT) AS vocab_id
+             |  FROM stats QUALIFY vocab_id < 1000
+             |), pos AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+             |    unnest(range(1, len(regexp_split_to_array(trim(text), '\s+')) + 1)) AS p
+             |  FROM documents
+             |), mapped AS (
+             |  SELECT t.doc_id, t.p,
+             |    CASE WHEN v.vocab_id IS NULL THEN '<unk>' ELSE t.tok END AS w,
+             |    CASE WHEN v.vocab_id IS NULL THEN 1 ELSE 0 END AS oov
+             |  FROM pos t LEFT JOIN v ON t.tok = v.token
+             |)
+             |SELECT doc_id,
+             |  array_to_string(list(w ORDER BY p ASC), ' ') AS decoded_text,
+             |  CAST(sum(oov) AS BIGINT) AS n_oov
+             |FROM mapped GROUP BY doc_id""".stripMargin),
+    ),
   )
 }

@@ -687,4 +687,16 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r("web") == (("web", 3L, 24L, 9L, 1L, 2L, 1L, 0L, 0L)))
     assert(r("books") == (("books", 1L, 3L, 3L, 0L, 0L, 0L, 0L, 1L)))
   }
+
+  test("decodeTokens inverts encodeTokens up to <unk> on OOV") {
+    val vocab = Seq(("alpha", 0L), ("beta", 1L), ("gamma", 2L))
+      .toDF("token", "vocab_id")
+    val d = Seq((1L, "alpha beta gamma"), (2L, "beta zzz alpha"))
+      .toDF("doc_id", "text")
+    val enc = TextAnalysis.encodeTokens(d, "doc_id", "text", vocab)
+    val r = TextAnalysis.decodeTokens(enc, "doc_id", "token_ids", vocab)
+      .as[(Long, String)].collect().toMap
+    assert(r(1L) == "alpha beta gamma")
+    assert(r(2L) == "beta <unk> alpha")
+  }
 }
