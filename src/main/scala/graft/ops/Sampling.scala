@@ -475,4 +475,57 @@ object Sampling {
       .withColumn("split", assign)
       .drop("__r", "__rank", "__n")
   }
+
+  /** Deterministic WEIGHTED INTERLEAVE schedule — the data-loader
+    * consumption ORDER for a source mixture, where [[temperatureMixSqrt]]
+    * and [[mixToBudget]] decide how much of each source to take: every
+    * kept row gets a dense global `position` such that any prefix of
+    * the schedule contains sources in proportion to their weights
+    * (while they last), with rows inside a source in seeded-shuffle
+    * order. The standard interleave: a source's r-th row (1-based)
+    * schedules at key r/w — realized as the ppb-quantized integer
+    * `(r * 1e9) div w` so the whole order is integer math, bit-stable
+    * at any parallelism and restatable by any engine (q140's twin).
+    * Zero-weight sources drop from the schedule entirely.
+    *
+    * Scale shape: TWO [[Packing.globalRowNumber]] two-pass scans (one
+    * for per-source shuffle ranks — recovered from a single global
+    * rank by subtracting each source's broadcast min, the
+    * lengthBucketedBatches trick, so no per-source window ever
+    * exists — one for the final position), plus one |sources|-row
+    * broadcast join. No unpartitioned windows, no collect beyond the
+    * per-source minima.
+    *
+    * @param weightsPermille per-source weights (any positive scale;
+    *        ratios are what matter); missing sources use
+    *        `defaultPermille`
+    * @return (idCol, sourceCol, position long dense from 0)
+    */
+  def mixtureSchedule(df: DataFrame, idCol: String, sourceCol: String,
+      weightsPermille: Map[String, Long], defaultPermille: Long,
+      seed: String): DataFrame = {
+    require(defaultPermille >= 0 && weightsPermille.values.forall(_ >= 0),
+      "mixture weights must be non-negative")
+    val weight = weightsPermille.foldLeft(lit(defaultPermille)) {
+      case (acc, (src, w)) =>
+        when(col(sourceCol) === src, lit(w)).otherwise(acc)
+    }
+    val base = df.select(col(idCol), col(sourceCol),
+        weight.cast("long").as("__w"),
+        Dedup.md5Hash60(concat(col(idCol).cast("string"), lit(seed)))
+          .as("__r"))
+      .filter(col("__w") > 0)
+    val ranked = Packing.globalRowNumber(base,
+      Seq(col(sourceCol).asc, col("__r").asc, col(idCol).asc), "__g")
+    val mins = ranked.groupBy(col(sourceCol))
+      .agg(min(col("__g")).as("__min"))
+    val keyed = ranked.join(broadcast(mins), sourceCol :: Nil)
+      .withColumn("__k",
+        expr("((__g - __min + 1L) * 1000000000L) div __w"))
+    Packing.globalRowNumber(
+        keyed.select(col(idCol), col(sourceCol), col("__k")),
+        Seq(col("__k").asc, col(sourceCol).asc, col(idCol).asc),
+        "position")
+      .select(col(idCol), col(sourceCol), col("position"))
+  }
 }

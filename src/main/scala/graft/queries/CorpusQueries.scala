@@ -3661,5 +3661,40 @@ object CorpusQueries extends QueryModule {
              |  CAST(sum(oov) AS BIGINT) AS n_oov
              |FROM mapped GROUP BY doc_id""".stripMargin),
     ),
+
+    // ---- weighted-interleave mixture SCHEDULE (the ORDER counterpart
+    // of q120's temperature sampling): every row gets a dense global
+    // position; any prefix holds sources in weight proportion, rows
+    // within a source in seeded-shuffle order. The key is the ppb-
+    // quantized (rank * 1e9) div weight — integer end to end, so
+    // DuckDB restates the exact permutation (window row_numbers in the
+    // twin, two distributed rank scans on the Spark side).
+    Q(
+      "q140_mixture_schedule",
+      (s, d) => Sampling.mixtureSchedule(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        weightsPermille = Map("src0" -> 300L, "src7" -> 50L),
+        defaultPermille = 100L, seed = "sched7"),
+      Some("""WITH w AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN source = 'src0' THEN 300
+             |         WHEN source = 'src7' THEN 50 ELSE 100 END AS wt,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'sched7'),
+             |      1, 15) AS BIGINT) AS r
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id, source, wt, row_number() OVER (
+             |    PARTITION BY source ORDER BY r ASC, doc_id ASC) AS sr
+             |  FROM w WHERE wt > 0
+             |), k AS (
+             |  SELECT doc_id, source, (sr * 1000000000) // wt AS kk FROM g
+             |)
+             |SELECT doc_id, source,
+             |  CAST(row_number() OVER (
+             |    ORDER BY kk ASC, source ASC, doc_id ASC) - 1 AS BIGINT)
+             |    AS position
+             |FROM k""".stripMargin),
+    ),
   )
 }

@@ -699,4 +699,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(1L) == "alpha beta gamma")
     assert(r(2L) == "beta <unk> alpha")
   }
+
+  test("mixtureSchedule: dense positions, exact prefix proportions, zero-weight drop") {
+    val d = (0 until 20).flatMap(i => Seq(
+        (i * 10L + 0, "a"), (i * 10L + 1, "b"),
+        (i * 10L + 2, "c"), (i * 10L + 3, "junk")))
+      .toDF("doc_id", "source")
+    val sched = Sampling.mixtureSchedule(d, "doc_id", "source",
+        weightsPermille = Map("a" -> 200L, "junk" -> 0L),
+        defaultPermille = 100L, seed = "t")
+      .as[(Long, String, Long)].collect().sortBy(_._3)
+    // zero-weight source gone; positions dense over the remainder
+    assert(sched.length == 60 && !sched.exists(_._2 == "junk"))
+    assert(sched.map(_._3).toSeq == (0L until 60L))
+    // key boundaries make prefix composition EXACT: after key <= k the
+    // schedule holds 2k of a (w=200) and k each of b/c (w=100), so the
+    // first 16 positions are 8/4/4 regardless of the shuffle hashes
+    val prefix = sched.take(16).groupBy(_._2).view.mapValues(_.length).toMap
+    assert(prefix == Map("a" -> 8, "b" -> 4, "c" -> 4))
+  }
 }
