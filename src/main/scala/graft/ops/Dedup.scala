@@ -302,6 +302,9 @@ object Dedup {
     * computation next to it at test scale and pins |est − exact| ≤ tol —
     * the q56/q69 approximate-operator pattern.
     *
+    * Runs Spark jobs eagerly at call time (the per-source signature
+    * materializes — see [[Materialize]] and the note below).
+    *
     * @return (src_a, src_b, est_jaccard) for every unordered source pair,
     *         src_a < src_b */
   def sourceOverlapSketch(df: DataFrame, groupCol: String, textCol: String,

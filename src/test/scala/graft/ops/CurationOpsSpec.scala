@@ -810,6 +810,29 @@ class CurationOpsSpec extends SparkSpec {
 
   // ------------------------------------------------- round-6 operators
 
+  test("register excludes InferFiltersFromGenerate without clobbering prior exclusions") {
+    graft.plans.GraftExtensions.register(spark)
+    val key = "spark.sql.optimizer.excludedRules"
+    val rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    assert(spark.conf.get(key).contains(rule))
+    // idempotent: re-register must not duplicate the entry
+    graft.plans.GraftExtensions.register(spark)
+    assert(spark.conf.get(key).split(",").count(_ == rule) == 1)
+    // the tax this guards against: no synthesized size()>0 filter below
+    // a generate over a COMPUTED array (it would re-evaluate the
+    // array's defining expression a second time, pre-shuffle)
+    val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .repartition(4)
+      .select($"doc_id", split(trim($"text"), "\\s+").as("w"))
+      .select($"doc_id", explode(Dedup.wordNGramsFromWords($"w", 3)).as("g"))
+      .queryExecution.optimizedPlan
+    val inferred = plan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.toString.contains("size(") => f
+    }
+    assert(inferred.isEmpty, s"generate filter re-appeared:\n$plan")
+  }
+
   test("collocations: counts, exact single-division lift, minCount gate") {
     val d = Seq("new york new york city", "the new york times").toDF("text")
     val out = TextAnalysis.collocations(d, "text", minCount = 2L)
