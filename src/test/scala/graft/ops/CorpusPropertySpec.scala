@@ -266,4 +266,57 @@ class CorpusPropertySpec extends SparkSpec {
     assert(totals.max - totals.min <= maxW,
       s"spread ${totals.max - totals.min} > max row $maxW")
   }
+
+  test("mixture schedule: dense, order-preserving, proportional at key boundaries") {
+    val srcGen = Gen.oneOf("a", "b", "c", "d")
+    val rows = samples(srcGen, 400).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    val weights = Map("a" -> 300L, "b" -> 100L, "c" -> 100L, "d" -> 0L)
+    val sched = Sampling.mixtureSchedule(rows.toDF("id", "source"),
+        "id", "source", weights, defaultPermille = 100L, seed = "p7")
+      .as[(Long, String, Long)].collect().sortBy(_._3)
+    val kept = rows.count(_._2 != "d")
+    assert(sched.length == kept && !sched.exists(_._2 == "d"))
+    assert(sched.map(_._3).toSeq == (0L until kept.toLong))
+    // per-source relative order equals the seeded-hash shuffle order
+    for ((src, group) <- sched.groupBy(_._2)) {
+      val inSchedule = group.sortBy(_._3).map(_._1).toSeq
+      val byHash = rows.filter(_._2 == src).map(_._1)
+        .map(id => id -> BigInt(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest((id.toString + "p7").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(15), 16).toLong)
+        .sortBy { case (id, h) => (h, id) }.map(_._1).toSeq
+      assert(inSchedule == byHash, s"source $src order drifted")
+    }
+    // at every integer key boundary k the prefix holds exactly
+    // min(3k, n_a) of a and min(k, n_s) of each weight-100 source
+    val nBySrc = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    for (k <- 1 to 5) {
+      val expect = Seq("a" -> math.min(3 * k, nBySrc("a")),
+        "b" -> math.min(k, nBySrc("b")),
+        "c" -> math.min(k, nBySrc("c"))).toMap
+      val prefix = sched.take(expect.values.sum)
+        .groupBy(_._2).view.mapValues(_.length).toMap
+      assert(prefix == expect, s"prefix at key $k: $prefix vs $expect")
+    }
+  }
+
+  test("bigram LM: ppb bounds, OOV accounting, zero OOV on self-train") {
+    val textGen = Gen.listOfN(8,
+      Gen.oneOf("aa", "bb", "cc", "dd", "ee")).map(_.mkString(" "))
+    val docs = samples(textGen, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val lm = TextAnalysis.trainBigramLm(docs, "text")
+    val scored = TextAnalysis.scoreBigramLm(docs, "doc_id", "text", lm)
+      .as[(Long, Long, Long, Option[Long], Option[Double])].collect()
+    assert(scored.length == 120)
+    scored.foreach { case (_, nBg, nOov, ppb, ppl) =>
+      assert(nBg == 7L)
+      assert(nOov == 0L, "self-trained corpus cannot have OOV bigrams")
+      assert(ppb.exists(p => p > 0L && p <= 1000000000L),
+        s"mean prob ppb out of (0, 1e9]: $ppb")
+      assert(ppl.exists(p => p >= 1.0), s"perplexity below 1: $ppl")
+    }
+  }
 }
