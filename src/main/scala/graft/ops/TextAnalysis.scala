@@ -288,6 +288,28 @@ object TextAnalysis {
     BigramLm(bigrams, unigrams, unigrams.count())
   }
 
+  /** Incremental LM update — fold a new batch's counts into an
+    * existing [[BigramLm]] without re-scanning the old corpus (the
+    * [[updateVocab]] convention for the LM): count tables union-sum
+    * per key, and V recounts from the merged prefix table. Exactly
+    * equivalent to retraining on the concatenated corpus —
+    * `merge(train(A), train(B)) == train(A ∪ B)` (counts are
+    * additive and V is a distinct count over the union; parity-tested)
+    * — so nightly crawl batches fold in at batch cost, not corpus
+    * cost. Eager like [[trainBigramLm]].
+    */
+  def mergeBigramLm(lm: BigramLm, batch: DataFrame,
+      textCol: String): BigramLm = {
+    val inc = trainBigramLm(batch, textCol)
+    def merged(a: DataFrame, b: DataFrame, key: String,
+        cnt: String): DataFrame =
+      a.unionByName(b).groupBy(col(key))
+        .agg(sum(col(cnt)).as(cnt)).materialized
+    val bigrams = merged(lm.bigrams, inc.bigrams, "__bh", "__c12")
+    val unigrams = merged(lm.unigrams, inc.unigrams, "__w1h", "__c1")
+    BigramLm(bigrams, unigrams, unigrams.count())
+  }
+
   /** Score documents against a trained [[BigramLm]] — the model-based
     * quality gate CCNet runs after boilerplate removal. Per bigram
     * occurrence, the add-one-smoothed conditional probability

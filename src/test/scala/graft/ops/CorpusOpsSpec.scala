@@ -700,6 +700,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(2L) == "beta <unk> alpha")
   }
 
+  test("mergeBigramLm(train(A), B) scores identically to train(A union B)") {
+    val a = Seq((1L, "x y x z"), (2L, "y y x")).toDF("doc_id", "text")
+    val b = Seq((3L, "z w x y"), (4L, "w w")).toDF("doc_id", "text")
+    val merged = TextAnalysis.mergeBigramLm(
+      TextAnalysis.trainBigramLm(a, "text"), b, "text")
+    val full = TextAnalysis.trainBigramLm(a.unionByName(b), "text")
+    assert(merged.vocabSize == full.vocabSize)
+    val probe = Seq((10L, "x y z w q"), (11L, "q q")).toDF("doc_id", "text")
+    def score(lm: TextAnalysis.BigramLm) =
+      TextAnalysis.scoreBigramLm(probe, "doc_id", "text", lm)
+        .as[(Long, Long, Long, Option[Long], Option[Double])]
+        .collect().sortBy(_._1).toSeq
+    assert(score(merged) == score(full))
+  }
+
   test("mixtureSchedule: dense positions, exact prefix proportions, zero-weight drop") {
     val d = (0 until 20).flatMap(i => Seq(
         (i * 10L + 0, "a"), (i * 10L + 1, "b"),
