@@ -198,6 +198,56 @@ object Packing {
         col("__c.chunk_tokens"))
   }
 
+  /** FIM (fill-in-the-middle) transformation — the pretraining-
+    * objective data prep of Bavarian et al. 2022 ("Efficient Training
+    * of Language Models to Fill in the Middle"): for a seeded `ratePermille`
+    * fraction of documents, split the token stream at two seeded
+    * points i ≤ j and emit PSM order
+    * `<PRE> prefix <SUF> suffix <MID> middle`, teaching the model to
+    * infill; the rest pass through untouched. Everything is seeded
+    * integer math on the shared md5-60 construction — document
+    * selection AND both split points are reproducible at any
+    * parallelism and restatable by any engine, and the transform is a
+    * pure map riding the corpus scan (no shuffle, no state).
+    *
+    * @param ratePermille documents transformed per 1000 (0..1000)
+    * @return (idCol, fim_text, fim_applied, split_i, split_j);
+    *         untransformed docs carry the original text and null splits */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+      ratePermille: Int, seed: String): DataFrame = {
+    require(ratePermille >= 0 && ratePermille <= 1000,
+      s"ratePermille must be in [0, 1000], got $ratePermille")
+    val words = split(trim(col(textCol)), "\\s+")
+    val n = size(col("__w"))
+    val selected = pmod(graft.ops.Dedup.md5Hash60(
+      concat(col(idCol).cast("string"), lit(seed))), lit(1000L)) <
+      lit(ratePermille.toLong)
+    // i in [0, n], j in [i, n] — both ends inclusive so empty
+    // prefix/middle/suffix are all reachable (the paper's convention)
+    val i = pmod(graft.ops.Dedup.md5Hash60(
+      concat(col(idCol).cast("string"), lit(seed), lit("#i"))),
+      (n + 1).cast("long"))
+    val j = col("__i") + pmod(graft.ops.Dedup.md5Hash60(
+      concat(col(idCol).cast("string"), lit(seed), lit("#j"))),
+      (n - col("__i") + 1).cast("long"))
+    val pre = slice(col("__w"), lit(1), col("__i").cast("int"))
+    val mid = slice(col("__w"), col("__i").cast("int") + 1,
+      (col("__j") - col("__i")).cast("int"))
+    val suf = slice(col("__w"), col("__j").cast("int") + 1,
+      (n - col("__j")).cast("int"))
+    val fim = concat_ws(" ", concat(
+      array(lit("<PRE>")), pre, array(lit("<SUF>")), suf,
+      array(lit("<MID>")), mid))
+    df.select(col(idCol), col(textCol), words.as("__w"))
+      .withColumn("__sel", selected)
+      .withColumn("__i", when(col("__sel"), i))
+      .withColumn("__j", when(col("__sel"), j))
+      .select(col(idCol),
+        when(col("__sel"), fim).otherwise(col(textCol)).as("fim_text"),
+        col("__sel").as("fim_applied"),
+        col("__i").as("split_i"), col("__j").as("split_j"))
+  }
+
   /** LENGTH-BUCKETED batching — the padded-batch counterpart of
     * [[packSequences]]: when documents must NOT straddle examples
     * (fine-tuning, reward modeling, eval), each batch pads to its

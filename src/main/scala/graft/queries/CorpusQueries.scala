@@ -3696,5 +3696,46 @@ object CorpusQueries extends QueryModule {
              |    AS position
              |FROM k""".stripMargin),
     ),
+
+    // ---- FIM transformation (Bavarian et al. 2022): a seeded 30% of
+    // docs reorder to <PRE> prefix <SUF> suffix <MID> middle with two
+    // seeded split points; the rest pass through. Selection and both
+    // splits are md5-60 integer math, so DuckDB re-derives the exact
+    // transformed strings — a drifted slice boundary or selection bit
+    // hash-mismatches.
+    Q(
+      "q141_fim_transform",
+      (s, d) => Packing.fimTransform(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", ratePermille = 300, seed = "fim7"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |    regexp_split_to_array(trim(text), '\s+') AS w
+             |  FROM documents
+             |), s AS (
+             |  SELECT doc_id, text, w, len(w) AS n,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'fim7'),
+             |      1, 15) AS BIGINT) % 1000 < 300 AS sel,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'fim7#i'),
+             |      1, 15) AS BIGINT) AS h1,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'fim7#j'),
+             |      1, 15) AS BIGINT) AS h2
+             |  FROM t
+             |), p AS (
+             |  SELECT doc_id, text, w, n, sel,
+             |    h1 % (n + 1) AS i,
+             |    (h1 % (n + 1)) + (h2 % (n - (h1 % (n + 1)) + 1)) AS j
+             |  FROM s
+             |)
+             |SELECT doc_id,
+             |  CASE WHEN sel THEN array_to_string(
+             |    ['<PRE>'] || w[1:i] || ['<SUF>'] || w[j+1:n] ||
+             |    ['<MID>'] || w[i+1:j], ' ')
+             |  ELSE text END AS fim_text,
+             |  sel AS fim_applied,
+             |  CASE WHEN sel THEN i END AS split_i,
+             |  CASE WHEN sel THEN j END AS split_j
+             |FROM p""".stripMargin),
+    ),
   )
 }

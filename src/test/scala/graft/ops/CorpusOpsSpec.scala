@@ -700,6 +700,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(2L) == "beta <unk> alpha")
   }
 
+  test("fimTransform: sentinel order, token conservation, rate gates") {
+    val d = (1L to 50L).map(i => (i, s"w${i}a w${i}b w${i}c w${i}d"))
+      .toDF("doc_id", "text")
+    val all = Packing.fimTransform(d, "doc_id", "text", 1000, "t")
+      .as[(Long, String, Boolean, Option[Long], Option[Long])].collect()
+    assert(all.forall(_._3), "rate 1000 must transform every doc")
+    all.foreach { case (_, fim, _, i, j) =>
+      val toks = fim.split(" ").toSeq
+      // sentinels in PSM order, original tokens conserved as a multiset
+      assert(toks.indexOf("<PRE>") == 0)
+      assert(toks.indexOf("<PRE>") < toks.indexOf("<SUF>") &&
+        toks.indexOf("<SUF>") < toks.indexOf("<MID>"))
+      assert(i.exists(v => v >= 0 && v <= 4) &&
+        j.exists(v => v >= i.get && v <= 4))
+      assert(toks.filterNot(Set("<PRE>", "<SUF>", "<MID>")).sorted ==
+        toks.filterNot(Set("<PRE>", "<SUF>", "<MID>")).distinct.sorted)
+    }
+    val none = Packing.fimTransform(d, "doc_id", "text", 0, "t")
+      .as[(Long, String, Boolean, Option[Long], Option[Long])].collect()
+    assert(none.forall(r => !r._3 && r._4.isEmpty && r._5.isEmpty))
+    // untouched docs carry the original text byte-for-byte
+    val orig = d.as[(Long, String)].collect().toMap
+    none.foreach { case (id, t, _, _, _) => assert(t == orig(id)) }
+  }
+
   test("mergeBigramLm(train(A), B) scores identically to train(A union B)") {
     val a = Seq((1L, "x y x z"), (2L, "y y x")).toDF("doc_id", "text")
     val b = Seq((3L, "z w x y"), (4L, "w w")).toDF("doc_id", "text")
