@@ -248,6 +248,62 @@ object Packing {
         col("__i").as("split_i"), col("__j").as("split_j"))
   }
 
+  /** SPAN CORRUPTION prep (the T5/UL2 denoising objective's data
+    * shape, Raffel et al. 2020): mask spans of `spanLen` tokens every
+    * `stride` tokens (span starts offset per document by a seeded
+    * hash), emitting the sentinel-compressed input and the
+    * sentinel-prefixed target:
+    * {{{ input:  the cat <X0> on the <X1> mat
+    *     target: <X0> sat <X1> red }}}
+    * The stride form trades T5's sampled span placement for exact
+    * determinism: offsets and span indices are seeded integer math on
+    * the shared md5-60 construction, so the pair is reproducible at
+    * any parallelism and restatable by any engine (q142). ~spanLen/
+    * stride of tokens mask (15% ≈ 2/13). Pure map riding the corpus
+    * scan — no shuffle, no state; compose with [[fimTransform]]-style
+    * seeded selection upstream to corrupt only a fraction of docs.
+    *
+    * @return (idCol, input_text, target_text, n_masked, n_spans) */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+      stride: Int, spanLen: Int, seed: String): DataFrame = {
+    require(stride >= 2 && spanLen >= 1 && spanLen < stride,
+      s"need 1 <= spanLen < stride, got spanLen=$spanLen stride=$stride")
+    val words = split(trim(col(textCol)), "\\s+")
+    val off = pmod(graft.ops.Dedup.md5Hash60(
+      concat(col(idCol).cast("string"), lit(seed))), lit(stride.toLong))
+    // per-position struct; rel < 0 (before the first span start) is
+    // never masked. floor(double) is exact here: rel is a small
+    // integer-valued double and the correctly-rounded quotient cannot
+    // cross an integer boundary (the lengthBucketedBatches rule).
+    val marked = transform(sequence(lit(1), size(col("__w"))), p => {
+      val rel = p.cast("long") - 1 - col("__off")
+      val masked = (rel >= 0) && (pmod(rel, lit(stride.toLong)) <
+        spanLen)
+      val first = (rel >= 0) && (pmod(rel, lit(stride.toLong)) === 0)
+      struct(element_at(col("__w"), p).as("tok"), masked.as("m"),
+        first.as("f"),
+        floor(rel / stride).cast("long").cast("string").as("k"))
+    })
+    val sentinel = (x: Column) =>
+      concat(lit("<X"), x.getField("k"), lit(">"))
+    val inputArr = transform(
+      filter(col("__m"), x => !x.getField("m") || x.getField("f")),
+      x => when(x.getField("f"), sentinel(x)).otherwise(x.getField("tok")))
+    val targetArr = transform(filter(col("__m"), _.getField("m")),
+      x => when(x.getField("f"),
+        concat(sentinel(x), lit(" "), x.getField("tok")))
+        .otherwise(x.getField("tok")))
+    df.select(col(idCol), words.as("__w"), off.as("__off"))
+      .withColumn("__m", marked)
+      .select(col(idCol),
+        concat_ws(" ", inputArr).as("input_text"),
+        concat_ws(" ", targetArr).as("target_text"),
+        size(filter(col("__m"), _.getField("m"))).cast("long")
+          .as("n_masked"),
+        size(filter(col("__m"), _.getField("f"))).cast("long")
+          .as("n_spans"))
+  }
+
   /** LENGTH-BUCKETED batching — the padded-batch counterpart of
     * [[packSequences]]: when documents must NOT straddle examples
     * (fine-tuning, reward modeling, eval), each batch pads to its

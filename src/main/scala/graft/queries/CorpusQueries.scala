@@ -3737,5 +3737,45 @@ object CorpusQueries extends QueryModule {
              |  CASE WHEN sel THEN j END AS split_j
              |FROM p""".stripMargin),
     ),
+
+    // ---- span corruption (T5 denoising prep, q141's sibling): spans
+    // of 2 every 8 tokens, start offset seeded per doc, sentinel-
+    // compressed input + sentinel-prefixed target. All integer math —
+    // DuckDB rebuilds both strings position by position.
+    Q(
+      "q142_span_corrupt",
+      (s, d) => Packing.spanCorrupt(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", stride = 8, spanLen = 2, seed = "sc7"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'sc7'),
+             |      1, 15) AS BIGINT) % 8 AS off
+             |  FROM documents
+             |), pos AS (
+             |  SELECT doc_id, off, unnest(w) AS tok,
+             |    unnest(range(1, len(w) + 1)) AS p
+             |  FROM t
+             |), m AS (
+             |  SELECT doc_id, tok, p,
+             |    (p - 1 - off) >= 0 AND ((p - 1 - off) % 8) < 2 AS masked,
+             |    CASE WHEN (p - 1 - off) >= 0
+             |      THEN (p - 1 - off) // 8 END AS span_idx,
+             |    (p - 1 - off) >= 0 AND ((p - 1 - off) % 8) = 0 AS first
+             |  FROM pos
+             |)
+             |SELECT doc_id,
+             |  array_to_string(list(CASE WHEN NOT masked THEN tok
+             |    WHEN first THEN '<X' || span_idx || '>' END ORDER BY p),
+             |    ' ') AS input_text,
+             |  array_to_string(list(CASE WHEN masked THEN
+             |    CASE WHEN first THEN '<X' || span_idx || '> ' || tok
+             |    ELSE tok END END ORDER BY p), ' ') AS target_text,
+             |  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_masked,
+             |  CAST(sum(CASE WHEN first THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_spans
+             |FROM m GROUP BY doc_id""".stripMargin),
+    ),
   )
 }

@@ -725,6 +725,33 @@ class CorpusOpsSpec extends SparkSpec {
     none.foreach { case (id, t, _, _, _) => assert(t == orig(id)) }
   }
 
+  test("spanCorrupt: splicing targets back into the input recovers the text") {
+    val d = (1L to 30L).map(i =>
+        (i, (1 to (i % 13 + 1).toInt).map(k => s"t$k").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Packing.spanCorrupt(d, "doc_id", "text",
+        stride = 5, spanLen = 2, seed = "s")
+      .as[(Long, String, String, Long, Long)].collect()
+    val orig = d.as[(Long, String)].collect().toMap
+    out.foreach { case (id, input, target, nMasked, nSpans) =>
+      // parse target into span -> tokens, then splice into the input
+      val spans = target.split("<X").filter(_.nonEmpty).map { part =>
+        val Array(k, toks) = part.split(">", 2)
+        k.toInt -> toks.trim
+      }.toMap
+      val rebuilt = input.split(" ").filter(_.nonEmpty).flatMap { t =>
+        if (t.startsWith("<X")) {
+          val sp = spans(t.stripPrefix("<X").stripSuffix(">").toInt)
+          if (sp.isEmpty) Seq.empty else sp.split(" ").toSeq
+        } else Seq(t)
+      }.mkString(" ")
+      assert(rebuilt == orig(id), s"doc $id failed to reconstruct")
+      assert(spans.size == nSpans && spans.keySet == (0 until
+        nSpans.toInt).toSet, "sentinels must be dense from 0")
+      assert(nMasked >= nSpans, "each span has at least one token")
+    }
+  }
+
   test("mergeBigramLm(train(A), B) scores identically to train(A union B)") {
     val a = Seq((1L, "x y x z"), (2L, "y y x")).toDF("doc_id", "text")
     val b = Seq((3L, "z w x y"), (4L, "w w")).toDF("doc_id", "text")
