@@ -724,6 +724,72 @@ object TextAnalysis {
       score.as("quality"))
   }
 
+  /** The DOCUMENT-LEVEL Gopher quality rules ("Scaling Language
+    * Models: ... Gopher", Rae et al. 2021, §A1.1) that
+    * [[repetitionSignals]] doesn't cover — the published web-corpus
+    * filter set next to [[qualityFeatures]]'s generic score:
+    * word-count bounds [50, 100k], mean word length in [3, 10],
+    * symbol-to-word ratio (`#` + `...`) ≤ 0.1, ≤ 90% of lines starting
+    * with a bullet, ≤ 30% of lines ending in an ellipsis, ≥ 80% of
+    * words containing an alphabetic character, and ≥ 2 of the 8
+    * required English stopwords (the/be/to/of/and/that/have/with).
+    *
+    * Emits the raw signals AND per-rule booleans (plus the conjunction)
+    * rather than filtering — curation pipelines publish the per-rule
+    * audit next to the drop decision. Every ratio is one IEEE division
+    * of exact integers and every count is integer math (`...` counts
+    * are non-overlapping replace-deltas, the convention shared with the
+    * oracle), so any engine restates every flag bit-exactly (q145).
+    * Pure map — rides the corpus scan, no shuffle. Null text scores
+    * like empty text.
+    */
+  def gopherRules(textIn: Column): Column = {
+    val text = coalesce(textIn, lit(""))
+    val w = split(trim(text), "\\s+")
+    val nWords = size(w)
+    val meanWordLen =
+      aggregate(w, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+        nWords
+    // non-overlapping occurrence counts via replace-length deltas
+    val nHash = length(text) - length(regexp_replace(text, "#", ""))
+    val nEllipsis =
+      (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = (nHash + nEllipsis).cast("double") / nWords
+    val lines = split(text, "\n")
+    val nLines = size(lines)
+    val bulletLines = size(filter(lines, l =>
+      substring(ltrim(l), 1, 1).isin("-", "*", "•")))
+    val ellipsisLines = size(filter(lines, l =>
+      endswith(rtrim(l), lit("..."))))
+    val alphaWords = size(filter(w, x => x.rlike("[A-Za-z]")))
+    val required = Seq("the", "be", "to", "of", "and", "that", "have",
+      "with")
+    val nRequired = size(array_intersect(
+      array_distinct(transform(w, x => lower(x))),
+      array(required.map(lit): _*)))
+    val bulletRatio = bulletLines.cast("double") / nLines
+    val ellipsisRatio = ellipsisLines.cast("double") / nLines
+    val alphaRatio = alphaWords.cast("double") / nWords
+    val rWordCount = nWords >= 50 && nWords <= 100000
+    val rMeanLen = meanWordLen >= 3.0 && meanWordLen <= 10.0
+    val rSymbol = symbolRatio <= 0.1
+    val rBullet = bulletRatio <= 0.9
+    val rEllipsis = ellipsisRatio <= 0.3
+    val rAlpha = alphaRatio >= 0.8
+    val rStop = nRequired >= 2
+    struct(nWords.as("n_words"), meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletRatio.as("bullet_line_ratio"),
+      ellipsisRatio.as("ellipsis_line_ratio"),
+      alphaRatio.as("alpha_word_ratio"),
+      nRequired.as("n_required_stopwords"),
+      rWordCount.as("r_word_count"), rMeanLen.as("r_mean_word_len"),
+      rSymbol.as("r_symbol_ratio"), rBullet.as("r_bullet_lines"),
+      rEllipsis.as("r_ellipsis_lines"), rAlpha.as("r_alpha_words"),
+      rStop.as("r_stopwords"),
+      (rWordCount && rMeanLen && rSymbol && rBullet && rEllipsis &&
+        rAlpha && rStop).as("passes_gopher"))
+  }
+
   /** Top-k characteristic terms per document by tf·idf with a LOG-FREE
     * idf (`tf · N / df` — linear inverse document frequency): integer
     * products and one IEEE division are exactly rounded, so the scores

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.ops.{Decontamination, Dedup, GraphOps, Packing, Sampling,
-  Scoring, Similarity, SketchStats, SkewOps, TextAnalysis}
+  Scoring, SftPrep, Similarity, SketchStats, SkewOps, TextAnalysis}
 
 /** Training-data-pipeline operators over documents/embeddings (builder
   * brief: dedup, similarity search, text analysis). Oracle SQL uses
@@ -3776,6 +3776,201 @@ object CorpusQueries extends QueryModule {
              |  CAST(sum(CASE WHEN first THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_spans
              |FROM m GROUP BY doc_id""".stripMargin),
+    ),
+
+    // ---- SFT chat-template rendering + loss-mask spans: documents
+    // fold into 8-turn conversations (system/user/assistant by id
+    // math), render to <|role|>\ncontent\n<|end|>\n in turn order, and
+    // every assistant turn's 1-based [content_start, content_end) char
+    // interval is emitted — the ranges an SFT loss masks IN. DuckDB
+    // rebuilds the text with an ordered string_agg and every offset
+    // from a window sum over the same turn order, so a drifted header
+    // length or fold order hash-mismatches.
+    Q(
+      "q143_sft_render",
+      (s, d) => {
+        val turns = Tables.documents(s, d).select(
+          ((col("doc_id") - col("doc_id") % 8) / 8).cast("long")
+            .as("conv_id"),
+          (col("doc_id") % 8).cast("int").as("turn_idx"),
+          when(col("doc_id") % 8 === 0, "system")
+            .when(col("doc_id") % 2 === 1, "user")
+            .otherwise("assistant").as("role"),
+          col("text").as("content"))
+        SftPrep.renderConversations(turns, "conv_id", "turn_idx",
+            "role", "content")
+          .select(col("conv_id"), col("text"), col("n_turns"),
+            col("n_masked_turns"), col("n_mask_chars"),
+            explode(col("mask_spans")).as("sp"))
+          .select(col("conv_id"), col("text"), col("n_turns"),
+            col("n_masked_turns"), col("n_mask_chars"),
+            col("sp.turn_idx").cast("long").as("turn_idx"),
+            col("sp.content_start"), col("sp.content_end"))
+      },
+      Some("""WITH turns AS (
+             |  SELECT CAST((doc_id - doc_id % 8) / 8 AS BIGINT) AS conv_id,
+             |    doc_id % 8 AS turn_idx,
+             |    CASE WHEN doc_id % 8 = 0 THEN 'system'
+             |         WHEN doc_id % 2 = 1 THEN 'user'
+             |         ELSE 'assistant' END AS role,
+             |    text AS content
+             |  FROM documents
+             |), r AS (
+             |  SELECT conv_id, turn_idx, role, content,
+             |    '<|' || role || '|>' || chr(10) AS hdr,
+             |    chr(10) || '<|end|>' || chr(10) AS ftr
+             |  FROM turns
+             |), o AS (
+             |  SELECT *, coalesce(sum(length(hdr) + length(content) +
+             |      length(ftr)) OVER (PARTITION BY conv_id ORDER BY turn_idx
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS off
+             |  FROM r
+             |), conv AS (
+             |  SELECT conv_id,
+             |    string_agg(hdr || content || ftr, '' ORDER BY turn_idx)
+             |      AS text,
+             |    count(*) AS n_turns,
+             |    CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_masked_turns,
+             |    CAST(sum(CASE WHEN role = 'assistant' THEN length(content)
+             |      ELSE 0 END) AS BIGINT) AS n_mask_chars
+             |  FROM o GROUP BY 1
+             |)
+             |SELECT c.conv_id, c.text, c.n_turns, c.n_masked_turns,
+             |  c.n_mask_chars, CAST(o.turn_idx AS BIGINT) AS turn_idx,
+             |  CAST(o.off + length(o.hdr) + 1 AS BIGINT) AS content_start,
+             |  CAST(o.off + length(o.hdr) + 1 + length(o.content) AS BIGINT)
+             |    AS content_end
+             |FROM conv c JOIN o ON c.conv_id = o.conv_id
+             |WHERE o.role = 'assistant'""".stripMargin),
+    ),
+
+    // ---- context-budget truncation (q143's upstream): drop the oldest
+    // droppable turns until the conversation fits 120 tokens, system
+    // turns pinned. The decision is one reverse cumulative sum per
+    // conversation — DuckDB restates every kept flag from the same
+    // window math, so a drifted suffix boundary hash-mismatches.
+    Q(
+      "q144_context_budget",
+      (s, d) => {
+        val turns = Tables.documents(s, d).select(
+          ((col("doc_id") - col("doc_id") % 8) / 8).cast("long")
+            .as("conv_id"),
+          (col("doc_id") % 8).cast("int").as("turn_idx"),
+          when(col("doc_id") % 8 === 0, "system")
+            .when(col("doc_id") % 2 === 1, "user")
+            .otherwise("assistant").as("role"),
+          col("text").as("content"))
+        SftPrep.fitContextBudget(turns, "conv_id", "turn_idx", "role",
+            "content", budgetTokens = 120L, perTurnOverhead = 3)
+          .select(col("conv_id"), col("turn_idx").cast("long")
+            .as("turn_idx"), col("role"), col("n_tokens"), col("kept"))
+      },
+      Some("""WITH turns AS (
+             |  SELECT CAST((doc_id - doc_id % 8) / 8 AS BIGINT) AS conv_id,
+             |    doc_id % 8 AS turn_idx,
+             |    CASE WHEN doc_id % 8 = 0 THEN 'system'
+             |         WHEN doc_id % 2 = 1 THEN 'user'
+             |         ELSE 'assistant' END AS role,
+             |    text AS content
+             |  FROM documents
+             |), tok AS (
+             |  SELECT conv_id, turn_idx, role,
+             |    len(string_split(trim(coalesce(content, '')), ' ')) + 3
+             |      AS n_tokens,
+             |    role = 'system' AS pin
+             |  FROM turns
+             |), w AS (
+             |  SELECT *,
+             |    sum(CASE WHEN pin THEN n_tokens ELSE 0 END)
+             |      OVER (PARTITION BY conv_id) AS pin_total,
+             |    sum(CASE WHEN pin THEN 0 ELSE n_tokens END)
+             |      OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS suffix_tokens
+             |  FROM tok
+             |)
+             |SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
+             |  CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  (pin OR suffix_tokens + pin_total <= 120) AS kept
+             |FROM w""".stripMargin),
+    ),
+
+    // ---- Gopher document-level quality rules (Rae et al. 2021 §A1.1,
+    // the non-repetition half — repetition fractions are q60): raw
+    // signals + per-rule booleans + the conjunction. Every ratio is
+    // one IEEE division of exact integers, so DuckDB restates every
+    // flag bit-exactly from first principles.
+    Q(
+      "q145_gopher_rules",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.gopherRules(col("text")).as("g"))
+        .select(col("doc_id"),
+          col("g.n_words").cast("long").as("n_words"),
+          col("g.mean_word_len"), col("g.symbol_ratio"),
+          col("g.bullet_line_ratio"), col("g.ellipsis_line_ratio"),
+          col("g.alpha_word_ratio"),
+          col("g.n_required_stopwords").cast("long")
+            .as("n_required_stopwords"),
+          col("g.r_word_count"), col("g.r_mean_word_len"),
+          col("g.r_symbol_ratio"), col("g.r_bullet_lines"),
+          col("g.r_ellipsis_lines"), col("g.r_alpha_words"),
+          col("g.r_stopwords"), col("g.passes_gopher")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, coalesce(text, '') AS tx,
+             |    string_split(trim(coalesce(text, '')), ' ') AS w,
+             |    string_split(coalesce(text, ''), chr(10)) AS ls
+             |  FROM documents
+             |), m AS (
+             |  SELECT doc_id,
+             |    len(w) AS n_words,
+             |    CAST(list_sum(list_transform(w, x -> length(x)))
+             |      AS DOUBLE) / len(w) AS mean_word_len,
+             |    (length(tx) - length(replace(tx, '#', ''))) +
+             |      (length(tx) - length(replace(tx, '...', ''))) / 3
+             |      AS n_sym,
+             |    len(list_filter(ls, l ->
+             |      substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS n_bullet,
+             |    len(list_filter(ls, l -> ends_with(rtrim(l), '...')))
+             |      AS n_ell_lines,
+             |    len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+             |      AS n_alpha,
+             |    len(list_intersect(
+             |      list_distinct(list_transform(w, x -> lower(x))),
+             |      ['the','be','to','of','and','that','have','with']))
+             |      AS n_req,
+             |    len(ls) AS n_lines
+             |  FROM t
+             |), r AS (
+             |  SELECT doc_id, n_words, mean_word_len,
+             |    n_sym / n_words AS symbol_ratio,
+             |    CAST(n_bullet AS DOUBLE) / n_lines AS bullet_line_ratio,
+             |    CAST(n_ell_lines AS DOUBLE) / n_lines
+             |      AS ellipsis_line_ratio,
+             |    CAST(n_alpha AS DOUBLE) / n_words AS alpha_word_ratio,
+             |    n_req
+             |  FROM m
+             |)
+             |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+             |  mean_word_len, symbol_ratio, bullet_line_ratio,
+             |  ellipsis_line_ratio, alpha_word_ratio,
+             |  CAST(n_req AS BIGINT) AS n_required_stopwords,
+             |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+             |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+             |    AS r_mean_word_len,
+             |  (symbol_ratio <= 0.1) AS r_symbol_ratio,
+             |  (bullet_line_ratio <= 0.9) AS r_bullet_lines,
+             |  (ellipsis_line_ratio <= 0.3) AS r_ellipsis_lines,
+             |  (alpha_word_ratio >= 0.8) AS r_alpha_words,
+             |  (n_req >= 2) AS r_stopwords,
+             |  (n_words >= 50 AND n_words <= 100000 AND
+             |   mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
+             |   symbol_ratio <= 0.1 AND bullet_line_ratio <= 0.9 AND
+             |   ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.8 AND
+             |   n_req >= 2) AS passes_gopher
+             |FROM r""".stripMargin),
     ),
   )
 }

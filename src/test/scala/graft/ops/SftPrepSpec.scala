@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SFT data prep: chat-template rendering with loss-mask offsets, and
+  * context-budget truncation. */
+class SftPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val turns = Seq(
+    (1L, 0, "system", "be helpful"),
+    (1L, 1, "user", "hi there"),
+    (1L, 2, "assistant", "hello friend"),
+    (1L, 3, "user", "bye"),
+    (1L, 4, "assistant", "goodbye"),
+    (2L, 0, "user", "only a question"),
+  ).toDF("conv_id", "turn_idx", "role", "content")
+
+  test("renderConversations: text is the turn-ordered template and " +
+    "mask spans point exactly at assistant content") {
+    val out = SftPrep.renderConversations(turns, "conv_id", "turn_idx",
+        "role", "content")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val r1 = out(1L)
+    val text = r1.getString(1)
+    val expected =
+      "<|system|>\nbe helpful\n<|end|>\n" +
+        "<|user|>\nhi there\n<|end|>\n" +
+        "<|assistant|>\nhello friend\n<|end|>\n" +
+        "<|user|>\nbye\n<|end|>\n" +
+        "<|assistant|>\ngoodbye\n<|end|>\n"
+    assert(text == expected)
+    assert(r1.getLong(2) == 5L)  // n_turns
+    assert(r1.getLong(3) == 2L)  // n_masked_turns
+    val spans = r1.getSeq[org.apache.spark.sql.Row](4)
+    assert(spans.map(_.getInt(0)) == Seq(2, 4))
+    // 1-based [start, end): substring(start, len) must recover the content
+    spans.foreach { sp =>
+      val s = sp.getLong(1).toInt; val e = sp.getLong(2).toInt
+      val content = text.substring(s - 1, e - 1)
+      assert(content == (if (sp.getInt(0) == 2) "hello friend"
+        else "goodbye"))
+    }
+    assert(r1.getLong(5) == ("hello friend".length + "goodbye".length).toLong)
+
+    // conversation with no assistant turn keeps its row, empty spans
+    val r2 = out(2L)
+    assert(r2.getString(1) == "<|user|>\nonly a question\n<|end|>\n")
+    assert(r2.getSeq[org.apache.spark.sql.Row](4).isEmpty)
+    assert(r2.getLong(5) == 0L)
+  }
+
+  test("renderConversations: null content renders as empty, span is " +
+    "zero-width") {
+    val t = Seq((9L, 0, "assistant", null: String))
+      .toDF("conv_id", "turn_idx", "role", "content")
+    val r = SftPrep.renderConversations(t, "conv_id", "turn_idx",
+      "role", "content").collect().head
+    assert(r.getString(1) == "<|assistant|>\n\n<|end|>\n")
+    val sp = r.getSeq[org.apache.spark.sql.Row](4).head
+    assert(sp.getLong(1) == sp.getLong(2)) // empty content interval
+  }
+
+  test("fitContextBudget: system pinned, oldest droppable turns drop " +
+    "first, suffix property holds") {
+    // tokens: system 2+3=5, each other turn listed below
+    val t = Seq(
+      (1L, 0, "system", "a b"),          // 5, pinned
+      (1L, 1, "user", "w x y z"),        // 7
+      (1L, 2, "assistant", "a b c"),     // 6
+      (1L, 3, "user", "q"),              // 4
+      (1L, 4, "assistant", "r s"),       // 5
+    ).toDF("conv_id", "turn_idx", "role", "content")
+    // budget 21: suffix sums (droppables, from the end): t4=5, t3=9,
+    // t2=15, t1=22; +pin 5 → t1 busts (27 > 21), t2..t4 fit (20 ≤ 21)
+    val kept = SftPrep.fitContextBudget(t, "conv_id", "turn_idx",
+        "role", "content", budgetTokens = 21L)
+      .select($"turn_idx", $"kept").as[(Int, Boolean)].collect().toMap
+    assert(kept == Map(0 -> true, 1 -> false, 2 -> true, 3 -> true,
+      4 -> true))
+  }
+
+  test("fitContextBudget: an oversized late turn drops itself and " +
+    "everything older, but not newer turns") {
+    val big = ("w " * 200).trim
+    val t = Seq(
+      (1L, 0, "user", "a"),      // 4
+      (1L, 1, "user", big),      // 203
+      (1L, 2, "user", "b c"),    // 5
+    ).toDF("conv_id", "turn_idx", "role", "content")
+    val kept = SftPrep.fitContextBudget(t, "conv_id", "turn_idx",
+        "role", "content", budgetTokens = 50L)
+      .select($"turn_idx", $"kept").as[(Int, Boolean)].collect().toMap
+    assert(kept == Map(0 -> false, 1 -> false, 2 -> true))
+  }
+
+  test("gopherRules: per-rule flags fire on the engineered violations") {
+    val good = (Seq.fill(10)("the quick brown fox and that dog have " +
+      "been with us") :+ "of it").mkString(" ") // 91 words, clean prose
+    val docs = Seq(
+      (1L, good),
+      (2L, "short text only"),                    // word count busts
+      (3L, ("# " * 60).trim),                     // symbol ratio + alpha bust
+      (4L, (1 to 60).map(i => s"- item $i").mkString("\n")), // bullets
+    ).toDF("id", "text")
+    val out = docs.select($"id",
+        TextAnalysis.gopherRules($"text").as("g"))
+      .select($"id", $"g.r_word_count", $"g.r_symbol_ratio",
+        $"g.r_bullet_lines", $"g.r_alpha_words", $"g.passes_gopher")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+          r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(out(1L) == ((true, true, true, true, true)))
+    assert(out(2L)._1 == false)          // < 50 words
+    assert(out(2L)._5 == false)
+    assert(out(3L)._2 == false)          // '#' per word ratio 1 > 0.1
+    assert(out(3L)._4 == false)          // no alphabetic words
+    assert(out(4L)._3 == false)          // every line is a bullet
+  }
+
+  test("gopherRules: ellipsis line ratio and required stopwords") {
+    val ellip = (1 to 10).map(i =>
+      if (i <= 4) s"line $i trailing..." else s"line $i is fine")
+      .mkString("\n")
+    val r = Seq((1L, ellip)).toDF("id", "text")
+      .select(TextAnalysis.gopherRules($"text").as("g"))
+      .select($"g.ellipsis_line_ratio", $"g.r_ellipsis_lines",
+        $"g.n_required_stopwords")
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 0.4) < 1e-12)
+    assert(!r.getBoolean(1)) // 0.4 > 0.3
+    assert(r.getInt(2) == 0) // none of the 8 required stopwords appear
+  }
+}
