@@ -298,4 +298,44 @@ object Scoring {
           (col(valCol).cast("long") - col("med")).cast("double") /
             col("mad").cast("double")))
   }
+
+  /** PREFERENCE-PAIR construction for DPO/RLHF reward data — the step
+    * after scoring candidate responses per prompt: within each group
+    * (prompt), pair the best-scored candidate against the worst
+    * (best-vs-worst, the max-margin construction used when K sampled
+    * responses collapse to one training pair), emitting the pair only
+    * when the score gap reaches `minMargin` (near-tied pairs teach
+    * noise). Ties break to the LOWEST id on both sides, so the pair is
+    * deterministic at any parallelism; scores are caller-provided
+    * integers (milli-units — the repo's quantized-score idiom), so any
+    * engine restates every pair and margin exactly (q146).
+    *
+    * Scale shape: ONE map-side-combined aggregation over the group key
+    * — per-group state is two (score, id) extrema, no window, no
+    * per-group sort, no candidate explosion. Groups with a single
+    * candidate (best == worst) drop.
+    *
+    * @param scoreCol integer score column (cast to long internally)
+    * @return (groupCol, chosen_id, rejected_id, chosen_score,
+    *         rejected_score, score_margin) */
+  def preferencePairs(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, minMargin: Long = 1L): DataFrame = {
+    require(minMargin >= 0L, s"minMargin must be >= 0, got $minMargin")
+    val sc = col(scoreCol).cast("long")
+    val id = col(idCol).cast("long")
+    // max over (score, -id): highest score, ties to lowest id;
+    // min over (score, id): lowest score, ties to lowest id
+    val best = max(struct(sc.as("s"), (-id).as("ni")))
+    val worst = min(struct(sc.as("s"), id.as("i")))
+    df.groupBy(col(groupCol))
+      .agg(best.as("__b"), worst.as("__w"))
+      .select(col(groupCol),
+        (-col("__b.ni")).as("chosen_id"),
+        col("__w.i").as("rejected_id"),
+        col("__b.s").as("chosen_score"),
+        col("__w.s").as("rejected_score"),
+        (col("__b.s") - col("__w.s")).as("score_margin"))
+      .filter(col("chosen_id") =!= col("rejected_id") &&
+        col("score_margin") >= minMargin)
+  }
 }

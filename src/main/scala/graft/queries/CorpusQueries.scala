@@ -3972,5 +3972,43 @@ object CorpusQueries extends QueryModule {
              |   n_req >= 2) AS passes_gopher
              |FROM r""".stripMargin),
     ),
+
+    // ---- DPO preference pairs: per prompt group (8 docs), best-vs-
+    // worst by integer token-count score with a 5-token minimum margin,
+    // ties to the lowest id. One extrema aggregation — DuckDB restates
+    // the same pair via rank windows, so a drifted tie-break or margin
+    // filter hash-mismatches.
+    Q(
+      "q146_preference_pairs",
+      (s, d) => Scoring.preferencePairs(
+        Tables.documents(s, d).select(
+          ((col("doc_id") - col("doc_id") % 8) / 8).cast("long")
+            .as("prompt_id"),
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("score")),
+        "prompt_id", "doc_id", "score", minMargin = 5L),
+      Some("""WITH c AS (
+             |  SELECT CAST((doc_id - doc_id % 8) / 8 AS BIGINT)
+             |      AS prompt_id, doc_id,
+             |    len(string_split(trim(text), ' ')) AS score
+             |  FROM documents
+             |), r AS (
+             |  SELECT *,
+             |    row_number() OVER (PARTITION BY prompt_id
+             |      ORDER BY score DESC, doc_id ASC) AS rb,
+             |    row_number() OVER (PARTITION BY prompt_id
+             |      ORDER BY score ASC, doc_id ASC) AS rw
+             |  FROM c
+             |)
+             |SELECT b.prompt_id, b.doc_id AS chosen_id,
+             |  w.doc_id AS rejected_id,
+             |  CAST(b.score AS BIGINT) AS chosen_score,
+             |  CAST(w.score AS BIGINT) AS rejected_score,
+             |  CAST(b.score - w.score AS BIGINT) AS score_margin
+             |FROM (SELECT * FROM r WHERE rb = 1) b
+             |JOIN (SELECT * FROM r WHERE rw = 1) w USING (prompt_id)
+             |WHERE b.doc_id <> w.doc_id AND b.score - w.score >= 5"""
+        .stripMargin),
+    ),
   )
 }

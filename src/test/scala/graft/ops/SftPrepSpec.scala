@@ -133,4 +133,19 @@ class SftPrepSpec extends SparkSpec {
     assert(!r.getBoolean(1)) // 0.4 > 0.3
     assert(r.getInt(2) == 0) // none of the 8 required stopwords appear
   }
+
+  test("preferencePairs: best-vs-worst with lowest-id tie-breaks, " +
+    "margin filter, singleton groups drop") {
+    val cands = Seq(
+      (1L, 10L, 7L), (1L, 11L, 3L), (1L, 12L, 7L),  // tie at best → id 10
+      (2L, 20L, 5L), (2L, 21L, 5L),                 // all tied → no pair
+      (3L, 30L, 9L), (3L, 31L, 7L),                 // margin 2 < 3 → drop
+      (4L, 40L, 4L),                                // singleton → no pair
+    ).toDF("g", "id", "score")
+    val out = Scoring.preferencePairs(cands, "g", "id", "score",
+        minMargin = 3L)
+      .select($"g", $"chosen_id", $"rejected_id", $"score_margin")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L, 11L, 4L)))
+  }
 }
