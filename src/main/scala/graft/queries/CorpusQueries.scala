@@ -4010,5 +4010,67 @@ object CorpusQueries extends QueryModule {
              |WHERE b.doc_id <> w.doc_id AND b.score - w.score >= 5"""
         .stripMargin),
     ),
+
+    // ---- tool-record JSON validation: synthesized function-call
+    // payloads (valid / missing-key / array / truncated / null-valued)
+    // through the key-presence schema gate. Presence is judged on KEYS
+    // so a JSON null value counts as present — the portable semantics
+    // both engines agree on; DuckDB restates every flag and error
+    // class via json_valid/json_keys.
+    Q(
+      "q147_json_validate",
+      (s, d) => {
+        val did = col("doc_id").cast("string")
+        val payload = when(col("doc_id") % 5 === 0,
+            concat(lit("{\"name\":\"tool_"),
+              (col("doc_id") % 7).cast("string"),
+              lit("\",\"args\":{\"q\":\"v\"},\"id\":"), did, lit("}")))
+          .when(col("doc_id") % 5 === 1, lit("{\"name\":\"t\",\"args\":{}}"))
+          .when(col("doc_id") % 5 === 2, lit("[1,2,3]"))
+          .when(col("doc_id") % 5 === 3, lit("{\"name\": oops"))
+          .otherwise(concat(lit("{\"id\":"), did,
+            lit(",\"name\":\"x\",\"args\":null}")))
+        graft.ops.StructuredData.validateJsonRecords(
+          Tables.documents(s, d).select(col("doc_id"),
+            payload.as("payload")),
+          "doc_id", "payload", Seq("name", "args", "id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, CASE doc_id % 5
+             |    WHEN 0 THEN '{"name":"tool_' || CAST(doc_id % 7 AS VARCHAR)
+             |      || '","args":{"q":"v"},"id":' || CAST(doc_id AS VARCHAR)
+             |      || '}'
+             |    WHEN 1 THEN '{"name":"t","args":{}}'
+             |    WHEN 2 THEN '[1,2,3]'
+             |    WHEN 3 THEN '{"name": oops'
+             |    ELSE '{"id":' || CAST(doc_id AS VARCHAR)
+             |      || ',"name":"x","args":null}'
+             |  END AS j
+             |  FROM documents
+             |), v AS (
+             |  SELECT doc_id, j, json_valid(j) AS is_json,
+             |    json_valid(j) AND starts_with(ltrim(j), '{') AS is_object
+             |  FROM p
+             |), k AS (
+             |  SELECT doc_id, is_json, is_object,
+             |    CASE WHEN is_object THEN json_keys(j)
+             |         ELSE []::VARCHAR[] END AS ks
+             |  FROM v
+             |), m AS (
+             |  SELECT doc_id, is_json, is_object, ks,
+             |    len(list_filter(['name', 'args', 'id'],
+             |      f -> NOT list_contains(ks, f))) AS nm
+             |  FROM k
+             |)
+             |SELECT doc_id, is_json, is_object,
+             |  CAST(len(ks) AS BIGINT) AS n_keys,
+             |  CAST(nm AS BIGINT) AS n_missing,
+             |  CASE WHEN NOT is_json THEN 'not_json'
+             |       WHEN NOT is_object THEN 'not_object'
+             |       WHEN nm > 0 THEN 'missing_fields'
+             |       ELSE 'ok' END AS error_class,
+             |  (is_json AND is_object AND nm = 0) AS valid_record
+             |FROM m""".stripMargin),
+    ),
   )
 }

@@ -134,6 +134,28 @@ class SftPrepSpec extends SparkSpec {
     assert(r.getInt(2) == 0) // none of the 8 required stopwords appear
   }
 
+  test("validateJsonRecords: every error class fires on its shape, " +
+    "present-null keys count as present") {
+    val rows = Seq(
+      (1L, """{"name":"t","args":{"q":1},"id":7}"""),  // ok
+      (2L, """{"name":"t","args":null}"""),            // id missing; null present
+      (3L, """[1,2]"""),                               // not_object
+      (4L, """{"name": broken"""),                     // not_json
+      (5L, null: String),                              // null → not_json
+    ).toDF("id", "payload")
+    val out = StructuredData.validateJsonRecords(rows, "id", "payload",
+        Seq("name", "args", "id"))
+      .select($"id", $"error_class", $"n_keys", $"n_missing",
+        $"valid_record")
+      .as[(Long, String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, "ok", 3L, 0L, true)))
+    assert(out(2L) == ((2L, "missing_fields", 2L, 1L, false)))
+    assert(out(3L) == ((3L, "not_object", 0L, 3L, false)))
+    assert(out(4L) == ((4L, "not_json", 0L, 3L, false)))
+    assert(out(5L) == ((5L, "not_json", 0L, 3L, false)))
+  }
+
   test("preferencePairs: best-vs-worst with lowest-id tie-breaks, " +
     "margin filter, singleton groups drop") {
     val cands = Seq(
