@@ -319,4 +319,95 @@ class CorpusPropertySpec extends SparkSpec {
       assert(ppl.exists(p => p >= 1.0), s"perplexity below 1: $ppl")
     }
   }
+
+  test("sft render: mask spans recover assistant contents on random " +
+    "conversations; text length is the sum of rendered turns") {
+    val roleGen = Gen.oneOf("system", "user", "assistant")
+    val contentGen = Gen.listOfN(5, Gen.oneOf("aa", "b", "ccc", ""))
+      .map(_.mkString(" "))
+    val turnGen = Gen.zip(Gen.chooseNum(0L, 29L), roleGen, contentGen)
+    val turns = samples(turnGen, 240).zipWithIndex
+      .map { case ((cid, r, c), i) => (cid, i, r, c) }
+      .toDF("conv_id", "turn_idx", "role", "content")
+    val byConv = turns.as[(Long, Int, String, String)].collect()
+      .groupBy(_._1)
+    val out = SftPrep.renderConversations(turns, "conv_id", "turn_idx",
+        "role", "content")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == byConv.keySet)
+    out.foreach { case (cid, row) =>
+      val text = row.getString(1)
+      val sorted = byConv(cid).sortBy(_._2)
+      val expectedLen = sorted.map { case (_, _, role, c) =>
+        s"<|$role|>\n".length + c.length + "\n<|end|>\n".length }.sum
+      assert(text.length == expectedLen)
+      val spans = row.getSeq[org.apache.spark.sql.Row](4)
+      val assistants = sorted.filter(_._3 == "assistant")
+      assert(spans.length == assistants.length)
+      spans.zip(assistants).foreach { case (sp, (_, ti, _, c)) =>
+        assert(sp.getInt(0) == ti)
+        val s = sp.getLong(1).toInt; val e = sp.getLong(2).toInt
+        assert(s >= 1 && e <= text.length + 1 && s <= e)
+        assert(text.substring(s - 1, e - 1) == c)
+      }
+      assert(row.getLong(5) == assistants.map(_._4.length).sum.toLong)
+    }
+  }
+
+  test("context budget: kept droppables are a suffix and fit the " +
+    "budget with the pinned total, for random conversations") {
+    val roleGen = Gen.frequency(1 -> Gen.const("system"),
+      4 -> Gen.oneOf("user", "assistant"))
+    val contentGen = Gen.chooseNum(0, 40)
+      .map(n => Seq.fill(n)("w").mkString(" "))
+    val turnGen = Gen.zip(Gen.chooseNum(0L, 19L), roleGen, contentGen)
+    val turns = samples(turnGen, 200).zipWithIndex
+      .map { case ((cid, r, c), i) => (cid, i, r, c) }
+      .toDF("conv_id", "turn_idx", "role", "content")
+    val budget = 90L
+    val rows = SftPrep.fitContextBudget(turns, "conv_id", "turn_idx",
+        "role", "content", budget)
+      .select($"conv_id", $"turn_idx", $"role", $"n_tokens", $"kept")
+      .as[(Long, Int, String, Long, Boolean)].collect()
+    rows.groupBy(_._1).foreach { case (_, convRows) =>
+      val ordered = convRows.sortBy(_._2)
+      // pinned always kept
+      ordered.filter(_._3 == "system").foreach(t => assert(t._5))
+      // droppable kept-set is a suffix of the droppables
+      val droppables = ordered.filter(_._3 != "system")
+      val keptFlags = droppables.map(_._5)
+      assert(!keptFlags.zip(keptFlags.drop(1))
+        .exists { case (a, b) => a && !b },
+        s"kept droppables not a suffix: ${keptFlags.mkString(",")}")
+      // if any droppable survived, the kept total fits the budget
+      val pinTotal = ordered.filter(_._3 == "system").map(_._4).sum
+      val keptDrop = droppables.filter(_._5).map(_._4).sum
+      if (droppables.exists(_._5))
+        assert(pinTotal + keptDrop <= budget,
+          s"kept total ${pinTotal + keptDrop} over budget $budget")
+    }
+  }
+
+  test("preference pairs: chosen is the max-score min-id, rejected the " +
+    "min-score min-id, margin honored, for random groups") {
+    val candGen = Gen.zip(Gen.chooseNum(0L, 24L), Gen.chooseNum(0L, 9L))
+    val cands = samples(candGen, 300).zipWithIndex
+      .map { case ((g, sc), i) => (g, i.toLong, sc) }
+      .toDF("g", "id", "score")
+    val local = cands.as[(Long, Long, Long)].collect().groupBy(_._1)
+    val minMargin = 3L
+    val pairs = Scoring.preferencePairs(cands, "g", "id", "score",
+        minMargin)
+      .select($"g", $"chosen_id", $"rejected_id", $"score_margin")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    local.foreach { case (g, rows) =>
+      val maxS = rows.map(_._3).max; val minS = rows.map(_._3).min
+      val chosen = rows.filter(_._3 == maxS).map(_._2).min
+      val rejected = rows.filter(_._3 == minS).map(_._2).min
+      if (chosen != rejected && maxS - minS >= minMargin) {
+        assert(pairs(g) == ((g, chosen, rejected, maxS - minS)))
+      } else assert(!pairs.contains(g))
+    }
+  }
 }

@@ -258,4 +258,60 @@ class ScaleOpsSpec extends SparkSpec {
       plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("renderConversations plan: one shuffle on the conversation key, " +
+      "no window, no cartesian") {
+    val turns = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(($"doc_id" % 50).as("conv_id"), $"doc_id".cast("int")
+        .as("turn_idx"), lit("user").as("role"), $"text".as("content"))
+    val plan = SftPrep.renderConversations(turns, "conv_id", "turn_idx",
+        "role", "content")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      plan)
+    // exactly one hash exchange — the conversation-key shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("fitContextBudget plan: windows are PARTITIONED by the " +
+      "conversation key — no single-partition funnel") {
+    val turns = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(($"doc_id" % 50).as("conv_id"), $"doc_id".cast("int")
+        .as("turn_idx"), lit("user").as("role"), $"text".as("content"))
+    val plan = SftPrep.fitContextBudget(turns, "conv_id", "turn_idx",
+        "role", "content", budgetTokens = 100L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
+  test("preferencePairs plan: aggregation with map-side partials, " +
+      "no window, no sort-per-group blowup") {
+    val cands = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(($"doc_id" % 50).as("g"), $"doc_id".as("id"),
+        length($"text").as("score"))
+    val plan = Scoring.preferencePairs(cands, "g", "id", "score")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial"), plan) // map-side combined extrema
+  }
+
+  test("validateJsonRecords plan: pure map, no Exchange") {
+    val recs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", concat(lit("{\"name\":\"x\",\"id\":"),
+        $"doc_id".cast("string"), lit("}")).as("payload"))
+    val plan = StructuredData.validateJsonRecords(recs, "doc_id",
+        "payload", Seq("name", "id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("gopherRules plan: pure map, no Exchange") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = docs.select($"doc_id",
+        TextAnalysis.gopherRules($"text").as("g"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
