@@ -357,12 +357,28 @@ object Similarity {
     *
     * @return (id, neighbor_id, cosine, rank 1..k) */
   def hardNegativesKernel(df: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, k: Int, numBlocks: Int = 8): DataFrame = {
+      labelCol: String, k: Int, numBlocks: Int = 8): DataFrame =
+    labelNeighborsKernel(df, idCol, vecCol, labelCol, k, numBlocks,
+      sameLabel = false)
+
+  /** Top-k SAME-label neighbors — the positive-mining twin of
+    * [[hardNegativesKernel]] (a contrastive training set pairs each
+    * anchor with its nearest in-class example and its hardest
+    * out-of-class one — q149 composes both). Identical blocked-kernel
+    * shape; anchors whose label has no other member emit nothing. */
+  def nearestPositivesKernel(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, numBlocks: Int = 8): DataFrame =
+    labelNeighborsKernel(df, idCol, vecCol, labelCol, k, numBlocks,
+      sameLabel = true)
+
+  private def labelNeighborsKernel(df: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int, numBlocks: Int,
+      sameLabel: Boolean): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val lbl = when(col(labelCol).isNotNull, col(labelCol).cast("long"))
       .otherwise(raise_error(concat(
-        lit("hardNegativesKernel: null label for "),
+        lit("labelNeighborsKernel: null label for "),
         col(idCol).cast("string"))))
     val packed = df.select(col(idCol).cast("long").as("id"),
         lbl.as("__l"), asDouble(col(vecCol)).as("__v"))
@@ -380,7 +396,8 @@ object Similarity {
         val qa = qv.toArray
         val qn = l2(qa)
         val sims = cs.iterator.collect {
-          case (idb, lb, vb, nb) if idb != qid && lb != ql =>
+          case (idb, lb, vb, nb)
+              if idb != qid && (lb == ql) == sameLabel =>
             (dotP(qa, vb) / (qn * nb), idb)
         }.toArray
         sims.sortBy { case (c, id) =>

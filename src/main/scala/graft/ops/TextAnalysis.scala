@@ -790,6 +790,48 @@ object TextAnalysis {
         rAlpha && rStop).as("passes_gopher"))
   }
 
+  /** CODE-corpus quality flags — the published The Stack / StarCoder
+    * file filters, the code-side sibling of [[gopherRules]]: max line
+    * length ≤ 1000, mean line length ≤ 100, alphanumeric-character
+    * fraction ≥ 0.25, no auto-generation marker, no long base64/hex
+    * data blob (≥ 64 chars — minified data posing as code). Emits raw
+    * signals + per-rule booleans + the conjunction; ratios are exact
+    * integer divisions and the marker/blob probes are fixed regex/
+    * substring tests, so any engine restates every flag (q148).
+    * Pure map riding the corpus scan. Null text scores like empty.
+    */
+  def codeQualityFlags(textIn: Column): Column = {
+    val text = coalesce(textIn, lit(""))
+    val lines = split(text, "\n")
+    val nLines = size(lines)
+    val maxLine = array_max(transform(lines, l => length(l)))
+    val sumLine = aggregate(lines, lit(0L), (acc, l) => acc + length(l))
+    val meanLine = sumLine.cast("double") / nLines
+    val nChars = length(text)
+    val nAlnum = length(regexp_replace(text, "[^A-Za-z0-9]", ""))
+    // guard: empty text has 0 chars — score fraction 0, not NaN
+    val alnumFrac = when(nChars > 0,
+      nAlnum.cast("double") / nChars).otherwise(lit(0.0))
+    val lowered = lower(text)
+    val autogen = Seq("auto-generated", "autogenerated",
+        "automatically generated", "do not edit", "generated by")
+      .map(m => contains(lowered, lit(m))).reduce(_ || _)
+    val dataBlob = text.rlike("[A-Za-z0-9+/=]{64,}")
+    val rMaxLine = maxLine <= 1000
+    val rMeanLine = meanLine <= 100.0
+    val rAlnum = alnumFrac >= 0.25
+    val rNotAutogen = !autogen
+    val rNoBlob = !dataBlob
+    struct(nLines.as("n_lines"), maxLine.as("max_line_len"),
+      meanLine.as("mean_line_len"), alnumFrac.as("alnum_frac"),
+      autogen.as("has_autogen_marker"), dataBlob.as("has_data_blob"),
+      rMaxLine.as("r_max_line"), rMeanLine.as("r_mean_line"),
+      rAlnum.as("r_alnum_frac"), rNotAutogen.as("r_not_autogen"),
+      rNoBlob.as("r_no_data_blob"),
+      (rMaxLine && rMeanLine && rAlnum && rNotAutogen && rNoBlob)
+        .as("passes_code_filters"))
+  }
+
   /** Top-k characteristic terms per document by tf·idf with a LOG-FREE
     * idf (`tf · N / df` — linear inverse document frequency): integer
     * products and one IEEE division are exactly rounded, so the scores

@@ -4072,5 +4072,128 @@ object CorpusQueries extends QueryModule {
              |  (is_json AND is_object AND nm = 0) AS valid_record
              |FROM m""".stripMargin),
     ),
+
+    // ---- The Stack / StarCoder code-file filters over engineered
+    // violations (overlong line, autogen marker, base64 blob): raw
+    // signals + per-rule booleans + conjunction, all exact integer /
+    // fixed-regex math — DuckDB restates every flag bit-exactly.
+    Q(
+      "q148_code_filters",
+      (s, d) => {
+        val aug = when(col("doc_id") % 6 === 0,
+            concat(col("text"), lit("\n"), repeat(lit("x"), 1200)))
+          .when(col("doc_id") % 6 === 1,
+            concat(lit("// auto-generated file, do not edit\n"),
+              col("text")))
+          .when(col("doc_id") % 6 === 2,
+            concat(col("text"), lit("\n"),
+              repeat(lit("QWxhZGRpbjpvcGVuc2VzYW1l"), 4)))
+          .otherwise(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextAnalysis.codeQualityFlags(aug).as("c"))
+          .select(col("doc_id"),
+            col("c.n_lines").cast("long").as("n_lines"),
+            col("c.max_line_len").cast("long").as("max_line_len"),
+            col("c.mean_line_len"), col("c.alnum_frac"),
+            col("c.has_autogen_marker"), col("c.has_data_blob"),
+            col("c.r_max_line"), col("c.r_mean_line"),
+            col("c.r_alnum_frac"), col("c.r_not_autogen"),
+            col("c.r_no_data_blob"), col("c.passes_code_filters"))
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, CASE doc_id % 6
+             |    WHEN 0 THEN text || chr(10) || repeat('x', 1200)
+             |    WHEN 1 THEN '// auto-generated file, do not edit'
+             |      || chr(10) || text
+             |    WHEN 2 THEN text || chr(10)
+             |      || repeat('QWxhZGRpbjpvcGVuc2VzYW1l', 4)
+             |    ELSE text END AS tx
+             |  FROM documents
+             |), m AS (
+             |  SELECT doc_id, tx, string_split(tx, chr(10)) AS ls,
+             |    length(tx) AS nc,
+             |    length(regexp_replace(tx, '[^A-Za-z0-9]', '', 'g')) AS na
+             |  FROM p
+             |), s AS (
+             |  SELECT doc_id, len(ls) AS n_lines,
+             |    list_max(list_transform(ls, l -> length(l)))
+             |      AS max_line_len,
+             |    CAST(list_sum(list_transform(ls, l -> length(l)))
+             |      AS DOUBLE) / len(ls) AS mean_line_len,
+             |    CASE WHEN nc > 0 THEN CAST(na AS DOUBLE) / nc
+             |         ELSE 0.0 END AS alnum_frac,
+             |    (contains(lower(tx), 'auto-generated') OR
+             |     contains(lower(tx), 'autogenerated') OR
+             |     contains(lower(tx), 'automatically generated') OR
+             |     contains(lower(tx), 'do not edit') OR
+             |     contains(lower(tx), 'generated by')) AS has_autogen_marker,
+             |    regexp_matches(tx, '[A-Za-z0-9+/=]{64,}') AS has_data_blob
+             |  FROM m
+             |)
+             |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+             |  CAST(max_line_len AS BIGINT) AS max_line_len,
+             |  mean_line_len, alnum_frac, has_autogen_marker,
+             |  has_data_blob,
+             |  (max_line_len <= 1000) AS r_max_line,
+             |  (mean_line_len <= 100.0) AS r_mean_line,
+             |  (alnum_frac >= 0.25) AS r_alnum_frac,
+             |  (NOT has_autogen_marker) AS r_not_autogen,
+             |  (NOT has_data_blob) AS r_no_data_blob,
+             |  (max_line_len <= 1000 AND mean_line_len <= 100.0 AND
+             |   alnum_frac >= 0.25 AND NOT has_autogen_marker AND
+             |   NOT has_data_blob) AS passes_code_filters
+             |FROM s""".stripMargin),
+    ),
+
+    // ---- contrastive TRIPLET mining (the retrieval-training data
+    // deliverable): each anchor pairs with its nearest SAME-label
+    // vector (positive) and its nearest different-label vector (the
+    // hard negative), margin = pos − neg cosine. Both sides run the
+    // blocked exact kernel; DuckDB brute-forces both searches and the
+    // join, so a drifted tie-break, a missed neighbor, or a cosine
+    // fold divergence hash-mismatches (the q132 convention).
+    Q(
+      "q149_contrastive_triplets",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val pos = Similarity.nearestPositivesKernel(emb, "vec_id",
+            "embedding", "label", k = 1)
+          .select(col("id"), col("neighbor_id").as("pos_id"),
+            col("cosine").as("pos_cosine"))
+        val neg = Similarity.hardNegativesKernel(emb, "vec_id",
+            "embedding", "label", k = 1)
+          .select(col("id"), col("neighbor_id").as("neg_id"),
+            col("cosine").as("neg_cosine"))
+        pos.join(neg, "id")
+          .withColumn("margin", col("pos_cosine") - col("neg_cosine"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings
+             |), sim AS (
+             |  SELECT a.vec_id AS id, b.vec_id AS nb, a.label = b.label
+             |      AS same,
+             |    list_sum(list_transform(list_zip(a.v, b.v),
+             |      p -> p[1] * p[2])) /
+             |      (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+             |       sqrt(list_sum(list_transform(b.v, x -> x * x))))
+             |      AS cosine
+             |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+             |), pos AS (
+             |  SELECT id, nb AS pos_id, cosine AS pos_cosine FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY id
+             |      ORDER BY cosine DESC, nb ASC) AS rn
+             |    FROM sim WHERE same) t WHERE rn = 1
+             |), neg AS (
+             |  SELECT id, nb AS neg_id, cosine AS neg_cosine FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY id
+             |      ORDER BY cosine DESC, nb ASC) AS rn
+             |    FROM sim WHERE NOT same) t WHERE rn = 1
+             |)
+             |SELECT p.id, p.pos_id, p.pos_cosine, n.neg_id, n.neg_cosine,
+             |  p.pos_cosine - n.neg_cosine AS margin
+             |FROM pos p JOIN neg n ON p.id = n.id""".stripMargin),
+    ),
   )
 }

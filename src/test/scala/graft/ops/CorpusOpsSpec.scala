@@ -421,6 +421,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("nearestPositivesKernel: matches brute force over SAME-label " +
+      "neighbors; singleton labels emit nothing") {
+    val rng = new scala.util.Random(11)
+    // label 9 has exactly one member → no positive rows for it
+    val d = ((0L until 24L).map { i =>
+      (i, (i % 3).toInt, Seq.fill(6)(rng.nextDouble()))
+    } :+ ((99L, 9, Seq.fill(6)(rng.nextDouble()))))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity
+      .nearestPositivesKernel(d, "vec_id", "embedding", "label", 2,
+        numBlocks = 4)
+      .select($"id", $"neighbor_id", $"rank").as[(Long, Long, Int)]
+      .collect()
+    val rows = d.select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val brute = rows.flatMap { case (qid, ql, qv) =>
+      rows.filter { case (id, l, _) => id != qid && l == ql }
+        .map { case (id, _, v) => (cos(qv, v), id) }
+        .sortBy { case (c, id) => (-c, id) }.take(2).zipWithIndex
+        .map { case ((_, id), i) => (qid, id, i + 1) }
+    }.toSet
+    assert(out.toSet == brute)
+    assert(!out.exists(_._1 == 99L))
+  }
+
   test("native cosine yields null on length mismatch, like the HOF form") {
     val d = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),
       (Seq(1.0, 0.0), Seq(1.0, 0.0))).toDF("a", "b")

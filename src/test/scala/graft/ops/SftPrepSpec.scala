@@ -134,6 +134,29 @@ class SftPrepSpec extends SparkSpec {
     assert(r.getInt(2) == 0) // none of the 8 required stopwords appear
   }
 
+  test("codeQualityFlags: each Stack/StarCoder rule fires on its " +
+    "engineered violation") {
+    val docs = Seq(
+      (1L, "def f(x):\n  return x + 1\n"),              // clean
+      (2L, "short\n" + ("y" * 1500)),                    // max line
+      (3L, "// AUTO-GENERATED, do not edit\ncode here"), // marker (ci)
+      (4L, "data = \"" + ("Ab3+/" * 20) + "\""),         // 100-char blob
+      (5L, "()[]{};;;\n!!!###\n@@@$$$"),                 // alnum < 0.25
+    ).toDF("id", "text")
+    val out = docs.select($"id",
+        TextAnalysis.codeQualityFlags($"text").as("c"))
+      .select($"id", $"c.r_max_line", $"c.r_not_autogen",
+        $"c.r_no_data_blob", $"c.r_alnum_frac", $"c.passes_code_filters")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, true, true, true, true, true)))
+    assert(!out(2L)._2)
+    assert(!out(3L)._3)
+    assert(!out(4L)._4)
+    assert(!out(5L)._5)
+    assert(Seq(2L, 3L, 4L, 5L).forall(i => !out(i)._6))
+  }
+
   test("validateJsonRecords: every error class fires on its shape, " +
     "present-null keys count as present") {
     val rows = Seq(
