@@ -4195,5 +4195,95 @@ object CorpusQueries extends QueryModule {
              |  p.pos_cosine - n.neg_cosine AS margin
              |FROM pos p JOIN neg n ON p.id = n.id""".stripMargin),
     ),
+
+    // ---- the SFT PIPELINE composed end to end (the q84 convention for
+    // the alignment family): context-budget truncation → chat-template
+    // render → dynamic-padding length buckets, oracle-checked as ONE
+    // unit. DuckDB replays the full chain — window truncation math,
+    // ordered string_agg render, bucket/batch integer assignment — so
+    // any stage interaction drift hash-mismatches.
+    Q(
+      "q150_sft_pipeline",
+      (s, d) => {
+        val turns = Tables.documents(s, d).select(
+          ((col("doc_id") - col("doc_id") % 8) / 8).cast("long")
+            .as("conv_id"),
+          (col("doc_id") % 8).cast("int").as("turn_idx"),
+          when(col("doc_id") % 8 === 0, "system")
+            .when(col("doc_id") % 2 === 1, "user")
+            .otherwise("assistant").as("role"),
+          col("text").as("content"))
+        val fit = SftPrep.fitContextBudget(turns, "conv_id", "turn_idx",
+            "role", "content", budgetTokens = 120L)
+          .filter(col("kept")).select(col("conv_id"), col("turn_idx"))
+        val keptTurns = turns.join(fit, Seq("conv_id", "turn_idx"))
+        val conv = SftPrep.renderConversations(keptTurns, "conv_id",
+            "turn_idx", "role", "content")
+          .select(col("conv_id"), col("n_turns"), col("n_masked_turns"),
+            col("n_mask_chars"),
+            length(col("text")).cast("long").as("text_len"))
+        Packing.lengthBucketedBatches(conv, "conv_id", "text_len",
+            batchSize = 4, boundaries = Seq(200, 500, 1000))
+          .join(conv.select(col("conv_id"), col("n_turns"),
+            col("n_masked_turns"), col("n_mask_chars")), "conv_id")
+          .select(col("conv_id"), col("text_len"), col("bucket"),
+            col("batch"), col("n_turns"), col("n_masked_turns"),
+            col("n_mask_chars"))
+      },
+      Some("""WITH turns AS (
+             |  SELECT CAST((doc_id - doc_id % 8) / 8 AS BIGINT) AS conv_id,
+             |    doc_id % 8 AS turn_idx,
+             |    CASE WHEN doc_id % 8 = 0 THEN 'system'
+             |         WHEN doc_id % 2 = 1 THEN 'user'
+             |         ELSE 'assistant' END AS role,
+             |    text AS content
+             |  FROM documents
+             |), tok AS (
+             |  SELECT conv_id, turn_idx, role, content,
+             |    len(string_split(trim(coalesce(content, '')), ' ')) + 3
+             |      AS n_tokens,
+             |    role = 'system' AS pin
+             |  FROM turns
+             |), w AS (
+             |  SELECT *,
+             |    sum(CASE WHEN pin THEN n_tokens ELSE 0 END)
+             |      OVER (PARTITION BY conv_id) AS pin_total,
+             |    sum(CASE WHEN pin THEN 0 ELSE n_tokens END)
+             |      OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS suffix_tokens
+             |  FROM tok
+             |), keptt AS (
+             |  SELECT conv_id, turn_idx, role, content,
+             |    '<|' || role || '|>' || chr(10) AS hdr,
+             |    chr(10) || '<|end|>' || chr(10) AS ftr
+             |  FROM w
+             |  WHERE pin OR suffix_tokens + pin_total <= 120
+             |), conv AS (
+             |  SELECT conv_id,
+             |    CAST(length(string_agg(hdr || content || ftr, ''
+             |      ORDER BY turn_idx)) AS BIGINT) AS text_len,
+             |    count(*) AS n_turns,
+             |    CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_masked_turns,
+             |    CAST(sum(CASE WHEN role = 'assistant' THEN length(content)
+             |      ELSE 0 END) AS BIGINT) AS n_mask_chars
+             |  FROM keptt GROUP BY 1
+             |), b AS (
+             |  SELECT *,
+             |    (CASE WHEN text_len > 200 THEN 1 ELSE 0 END +
+             |     CASE WHEN text_len > 500 THEN 1 ELSE 0 END +
+             |     CASE WHEN text_len > 1000 THEN 1 ELSE 0 END) AS bucket
+             |  FROM conv
+             |), rk AS (
+             |  SELECT *, row_number() OVER (PARTITION BY bucket
+             |    ORDER BY text_len DESC, conv_id) - 1 AS rn0
+             |  FROM b
+             |)
+             |SELECT conv_id, text_len, bucket,
+             |  CAST(floor(rn0 / 4.0) AS BIGINT) AS batch, n_turns,
+             |  n_masked_turns, n_mask_chars
+             |FROM rk""".stripMargin),
+    ),
   )
 }
