@@ -15,6 +15,8 @@ private[graft] case class DeflateRow(id: Long, n_bytes: Long,
 private[graft] case class LineDedupRow(id: Long, clean_text: String,
     n_lines: Long, n_removed: Long)
 private[graft] case class DecodedDoc(id: Long, decoded_text: String)
+private[graft] case class WordPieceRow(word: String, pieces: Seq[String],
+    n_pieces: Long, is_unk: Boolean, fail_pos: Option[Long])
 
 /** Text-analysis operators for corpus curation (builder brief): language
   * ID, quality scoring, token counting, document fingerprinting. All
@@ -196,6 +198,111 @@ object TextAnalysis {
         }
       }(org.apache.spark.sql.Encoders.product[DecodedDoc])
       .toDF(idCol, "decoded_text")
+  }
+
+  /** WordPiece-style subword VOCABULARY induction — the third
+    * tokenizer family next to the whitespace vocab ([[buildVocab]])
+    * and BPE ([[learnBpeMerges]]): candidate pieces are every
+    * substring (length ≤ `maxPieceLen`) of every distinct corpus
+    * word, word-internal pieces carrying the `##` continuation prefix
+    * (the BERT convention); pieces score by corpus-frequency-weighted
+    * count and the top `maxVocab` win (count desc, piece asc — a
+    * total order, so the vocabulary is engine-exact, q151). The
+    * frequency-weighted-substring objective is the standard
+    * likelihood-free approximation of WordPiece's corpus-likelihood
+    * greedy (learning real WordPiece needs an LM loop; selection by
+    * weighted frequency is the deterministic, restatable form).
+    *
+    * Scale shape: the substring explosion runs over the DISTINCT-word
+    * frequency table (vocabulary-sized, not corpus-sized — the
+    * learnBpeMerges rule), ×O(|word|·maxPieceLen) rows into one
+    * map-side-combined count; the rank is [[Packing.globalRowNumber]]'s
+    * two-pass scan with `maxVocab` as the limit (no unpartitioned
+    * window).
+    *
+    * @return (piece, cnt, piece_id) — piece_id dense from 0 in rank
+    *         order */
+  def learnWordPieceVocab(df: DataFrame, textCol: String,
+      maxPieceLen: Int = 6, maxVocab: Int = 1000): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    val words = df
+      .select(explode(split(trim(coalesce(col(textCol), lit(""))),
+        "\\s+")).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+    val w = col("__w")
+    val pieces = words.select(w, col("__f"), explode(flatten(
+        transform(sequence(lit(1), length(w)), i =>
+          transform(sequence(lit(1),
+              least(lit(maxPieceLen), length(w) - i + 1)), l =>
+            when(i === 1, w.substr(i, l))
+              .otherwise(concat(lit("##"), w.substr(i, l)))))))
+        .as("piece"))
+    val counts = pieces.groupBy(col("piece"))
+      .agg(sum(col("__f")).as("cnt"))
+    Packing.globalRowNumber(counts,
+      Seq(col("cnt").desc, col("piece").asc), "piece_id",
+      limit = maxVocab)
+  }
+
+  /** Greedy longest-match WordPiece SEGMENTATION (BERT's inference
+    * rule): at each position take the longest vocabulary piece
+    * matching (word-initial pieces raw, later positions via their
+    * `##` form); a position with no match makes the word
+    * unsegmentable — `is_unk` with the partial pieces and the 1-based
+    * `fail_pos` kept, exactly the evidence q152's DuckDB twin needs to
+    * replay the walk step by step. Greedy = argmax over match length,
+    * so the walk is deterministic and first-principles restatable (no
+    * RNG, no float).
+    *
+    * Scale shape: the vocabulary is a bounded model artifact
+    * (`maxVocab` pieces) collected once and broadcast as a Set — the
+    * [[encodeTokens]] pattern; segmentation is a pure `mapPartitions`
+    * map over the word frame (callers pass distinct words and join
+    * back, or full token streams). No shuffle.
+    *
+    * @param vocab (piece, …) as produced by [[learnWordPieceVocab]]
+    * @return (wordCol, pieces, n_pieces, is_unk, fail_pos) */
+  def wordPieceSegment(df: DataFrame, wordCol: String,
+      vocab: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    // bounded: maxVocab pieces ≤ ~10⁵ — a model-sized broadcast
+    val set: Set[String] = vocab.select(col("piece").cast("string"))
+      .collect().map(_.getString(0)).toSet
+    val maxRaw = set.iterator.map(_.length).foldLeft(0)(math.max)
+    val bc = spark.sparkContext.broadcast((set, maxRaw))
+    import spark.implicits._
+    df.select(col(wordCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val (voc, maxL) = bc.value
+        it.map { word =>
+          val n = if (word == null) 0 else word.length
+          val pieces = Seq.newBuilder[String]
+          var pos = 0
+          var failed = false
+          var count = 0L
+          while (pos < n && !failed) {
+            var l = math.min(maxL, n - pos)
+            var hit = 0
+            while (l >= 1 && hit == 0) {
+              val sub = word.substring(pos, pos + l)
+              val cand = if (pos == 0) sub else "##" + sub
+              if (voc.contains(cand)) hit = l else l -= 1
+            }
+            if (hit == 0) failed = true
+            else {
+              val sub = word.substring(pos, pos + hit)
+              pieces += (if (pos == 0) sub else "##" + sub)
+              count += 1
+              pos += hit
+            }
+          }
+          WordPieceRow(word, pieces.result(), count, failed,
+            if (failed) Some(pos + 1L) else None)
+        }
+      }(org.apache.spark.sql.Encoders.product[WordPieceRow])
+      .toDF(wordCol, "pieces", "n_pieces", "is_unk", "fail_pos")
   }
 
   /** Corpus-LM "familiarity" score — the integer-exact stand-in for

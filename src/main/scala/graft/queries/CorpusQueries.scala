@@ -4285,5 +4285,141 @@ object CorpusQueries extends QueryModule {
              |  n_masked_turns, n_mask_chars
              |FROM rk""".stripMargin),
     ),
+
+    // ---- WordPiece vocabulary induction (the third tokenizer family
+    // next to q86's whitespace vocab and q115's BPE): frequency-
+    // weighted substring candidates with the ## continuation
+    // convention, top-300 by (cnt desc, piece asc). DuckDB rebuilds
+    // the identical vocabulary from the same double substring
+    // explosion.
+    Q(
+      "q151_wordpiece_vocab",
+      (s, d) => TextAnalysis.learnWordPieceVocab(
+        Tables.documents(s, d), "text", maxPieceLen = 6, maxVocab = 300),
+      Some("""WITH w0 AS (
+             |  SELECT unnest(string_split(trim(text), ' ')) AS w
+             |  FROM documents
+             |), wf AS (
+             |  SELECT w, count(*) AS f FROM w0 WHERE length(w) > 0
+             |  GROUP BY 1
+             |), st AS (
+             |  SELECT w, f, unnest(range(1, length(w) + 1)) AS i FROM wf
+             |), le AS (
+             |  SELECT w, f, i,
+             |    unnest(range(1, least(6, length(w) - i + 1) + 1)) AS l
+             |  FROM st
+             |), cand AS (
+             |  SELECT CASE WHEN i = 1 THEN substr(w, i, l)
+             |              ELSE '##' || substr(w, i, l) END AS piece, f
+             |  FROM le
+             |), vc AS (
+             |  SELECT piece, CAST(sum(f) AS BIGINT) AS cnt FROM cand
+             |  GROUP BY 1
+             |)
+             |SELECT piece, cnt, CAST(rn - 1 AS BIGINT) AS piece_id
+             |FROM (SELECT *, row_number() OVER (
+             |    ORDER BY cnt DESC, piece ASC) AS rn FROM vc)
+             |WHERE rn <= 300""".stripMargin),
+    ),
+
+    // ---- WordPiece greedy longest-match segmentation over the q151
+    // vocabulary, on the distinct corpus words of length ≤ 12 (the
+    // walk is ≤ 12 steps, so the oracle replays it as 12 chained
+    // advance CTEs — the q115 replay-every-round convention). DuckDB
+    // derives the match table (max consumed chars per word position)
+    // from the same vocabulary and walks every word step by step:
+    // pieces, unsegmentable verdicts, and fail positions must all
+    // agree.
+    Q(
+      "q152_wordpiece_segment",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val vocab = TextAnalysis.learnWordPieceVocab(docs, "text",
+          maxPieceLen = 6, maxVocab = 300)
+        val words = docs.select(
+            explode(split(trim(col("text")), "\\s+")).as("word"))
+          .filter(length(col("word")) >= 1 && length(col("word")) <= 12)
+          .distinct()
+        TextAnalysis.wordPieceSegment(words, "word", vocab)
+          .select(col("word"), concat_ws(" ", col("pieces"))
+            .as("piece_str"), col("n_pieces"), col("is_unk"),
+            col("fail_pos"))
+      },
+      Some {
+        val steps = (1 to 12).map { k =>
+          s"""s$k AS (
+             |  SELECT s.word, s.len,
+             |    CASE WHEN s.failed OR s.pos > s.len OR m.consumed IS NULL
+             |         THEN s.pos ELSE s.pos + m.consumed END AS pos,
+             |    CASE WHEN s.pos > s.len THEN s.failed
+             |         WHEN s.failed THEN true
+             |         WHEN m.consumed IS NULL THEN true
+             |         ELSE false END AS failed,
+             |    CASE WHEN s.failed OR s.pos > s.len OR m.consumed IS NULL
+             |         THEN s.pieces
+             |         ELSE list_append(s.pieces, CASE WHEN s.pos = 1
+             |           THEN substr(s.word, CAST(s.pos AS INTEGER),
+             |             CAST(m.consumed AS INTEGER))
+             |           ELSE '##' || substr(s.word, CAST(s.pos AS INTEGER),
+             |             CAST(m.consumed AS INTEGER)) END) END AS pieces,
+             |    CASE WHEN s.failed THEN s.fail_pos
+             |         WHEN s.pos <= s.len AND m.consumed IS NULL
+             |         THEN s.pos END AS fail_pos
+             |  FROM s${k - 1} s
+             |  LEFT JOIN m ON s.word = m.word AND s.pos = m.pos
+             |)"""
+        }.mkString(", ")
+        s"""WITH w0 AS (
+           |  SELECT unnest(string_split(trim(text), ' ')) AS w
+           |  FROM documents
+           |), wf AS (
+           |  SELECT w, count(*) AS f FROM w0 WHERE length(w) > 0
+           |  GROUP BY 1
+           |), st AS (
+           |  SELECT w, f, unnest(range(1, length(w) + 1)) AS i FROM wf
+           |), le AS (
+           |  SELECT w, f, i,
+           |    unnest(range(1, least(6, length(w) - i + 1) + 1)) AS l
+           |  FROM st
+           |), cand AS (
+           |  SELECT CASE WHEN i = 1 THEN substr(w, i, l)
+           |              ELSE '##' || substr(w, i, l) END AS piece, f
+           |  FROM le
+           |), vc AS (
+           |  SELECT piece, CAST(sum(f) AS BIGINT) AS cnt FROM cand
+           |  GROUP BY 1
+           |), vocab AS (
+           |  SELECT piece FROM (SELECT *, row_number() OVER (
+           |      ORDER BY cnt DESC, piece ASC) AS rn FROM vc)
+           |  WHERE rn <= 300
+           |), sub AS (
+           |  SELECT w FROM wf WHERE length(w) <= 12
+           |), posx AS (
+           |  SELECT w, unnest(range(1, length(w) + 1)) AS pos FROM sub
+           |), m AS (
+           |  SELECT p.w AS word, p.pos,
+           |    max(CASE WHEN p.pos = 1 THEN length(v.piece)
+           |             ELSE length(v.piece) - 2 END) AS consumed
+           |  FROM posx p JOIN vocab v ON
+           |    (p.pos = 1 AND
+           |     substr(p.w, 1, CAST(length(v.piece) AS INTEGER)) = v.piece)
+           |    OR (p.pos > 1 AND v.piece LIKE '##%' AND
+           |        length(v.piece) >= 3 AND
+           |        substr(p.w, CAST(p.pos AS INTEGER),
+           |          CAST(length(v.piece) - 2 AS INTEGER))
+           |          = substr(v.piece, 3))
+           |  GROUP BY 1, 2
+           |), s0 AS (
+           |  SELECT w AS word, CAST(length(w) AS BIGINT) AS len,
+           |    CAST(1 AS BIGINT) AS pos, false AS failed,
+           |    []::VARCHAR[] AS pieces, CAST(NULL AS BIGINT) AS fail_pos
+           |  FROM sub
+           |), $steps
+           |SELECT word, array_to_string(pieces, ' ') AS piece_str,
+           |  CAST(len(pieces) AS BIGINT) AS n_pieces, failed AS is_unk,
+           |  CAST(fail_pos AS BIGINT) AS fail_pos
+           |FROM s12""".stripMargin
+      },
+    ),
   )
 }

@@ -134,6 +134,32 @@ class SftPrepSpec extends SparkSpec {
     assert(r.getInt(2) == 0) // none of the 8 required stopwords appear
   }
 
+  test("wordPiece: weighted-substring vocab and greedy longest-match " +
+    "segmentation, including the unsegmentable walk") {
+    val docs = Seq((1L, "ab ab abc xy")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.learnWordPieceVocab(docs, "text",
+      maxPieceLen = 3, maxVocab = 8)
+    val v = vocab.select($"piece", $"cnt", $"piece_id")
+      .as[(String, Long, Long)].collect().sortBy(_._3)
+    // counts: a/ab/##b weigh 3 (ab twice + abc), the rest 1; rank by
+    // (cnt desc, piece asc); top-8 excludes 'xy'
+    assert(v.map(_._1).toSeq == Seq("##b", "a", "ab", "##bc", "##c",
+      "##y", "abc", "x"))
+    assert(v.take(3).forall(_._2 == 3L))
+    val words = Seq("ab", "abc", "xy", "zq").toDF("word")
+    val seg = TextAnalysis.wordPieceSegment(words, "word", vocab)
+      .select($"word", concat_ws(" ", $"pieces").as("ps"), $"n_pieces",
+        $"is_unk", $"fail_pos")
+      .as[(String, String, Long, Boolean, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(seg("ab") == (("ab", "ab", 1L, false, None)))
+    assert(seg("abc") == (("abc", "abc", 1L, false, None)))
+    // 'xy' fell out of the vocab → greedy takes 'x' then '##y'
+    assert(seg("xy") == (("xy", "x ##y", 2L, false, None)))
+    // no piece matches at position 1 → unsegmentable, empty pieces
+    assert(seg("zq") == (("zq", "", 0L, true, Some(1L))))
+  }
+
   test("codeQualityFlags: each Stack/StarCoder rule fires on its " +
     "engineered violation") {
     val docs = Seq(
