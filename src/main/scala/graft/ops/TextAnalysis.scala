@@ -17,6 +17,8 @@ private[graft] case class LineDedupRow(id: Long, clean_text: String,
 private[graft] case class DecodedDoc(id: Long, decoded_text: String)
 private[graft] case class WordPieceRow(word: String, pieces: Seq[String],
     n_pieces: Long, is_unk: Boolean, fail_pos: Option[Long])
+private[graft] case class UnigramRow(word: String, pieces: Seq[String],
+    n_pieces: Long, viterbi_q: Option[Long], is_unk: Boolean)
 
 /** Text-analysis operators for corpus curation (builder brief): language
   * ID, quality scoring, token counting, document fingerprinting. All
@@ -303,6 +305,161 @@ object TextAnalysis {
         }
       }(org.apache.spark.sql.Encoders.product[WordPieceRow])
       .toDF(wordCol, "pieces", "n_pieces", "is_unk", "fail_pos")
+  }
+
+  /** Unigram-LM (SentencePiece-style, Kudo 2018) SEED vocabulary — the
+    * fourth tokenizer family next to [[buildVocab]] (whitespace),
+    * [[learnBpeMerges]] (BPE) and [[learnWordPieceVocab]] (WordPiece).
+    * Candidate pieces are every substring (length ≤ `maxPieceLen`) of
+    * every distinct corpus word — PLAIN substrings, no `##` marker:
+    * unigram pieces carry no position convention, which is what lets
+    * the Viterbi lattice consider every split. Pieces score by
+    * corpus-frequency-weighted occurrence count and the top `maxVocab`
+    * win (count desc, piece asc — a total order, engine-exact).
+    *
+    * Scale shape: identical to [[learnWordPieceVocab]] — the substring
+    * explosion runs over the DISTINCT-word frequency table, one
+    * map-side-combined count, rank via [[Packing.globalRowNumber]]'s
+    * two-pass scan with `maxVocab` as the limit.
+    *
+    * @return (piece, cnt, piece_id) — piece_id dense from 0 */
+  def learnUnigramSeedVocab(df: DataFrame, textCol: String,
+      maxPieceLen: Int = 6, maxVocab: Int = 1000): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    val words = df
+      .select(explode(split(trim(coalesce(col(textCol), lit(""))),
+        "\\s+")).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+    val w = col("__w")
+    val pieces = words.select(w, col("__f"), explode(flatten(
+        transform(sequence(lit(1), length(w)), i =>
+          transform(sequence(lit(1),
+              least(lit(maxPieceLen), length(w) - i + 1)),
+            l => w.substr(i, l)))))
+        .as("piece"))
+    val counts = pieces.groupBy(col("piece"))
+      .agg(sum(col("__f")).as("cnt"))
+    Packing.globalRowNumber(counts,
+      Seq(col("cnt").desc, col("piece").asc), "piece_id",
+      limit = maxVocab)
+  }
+
+  /** Unigram-LM VITERBI segmentation — the max-likelihood split of
+    * each word over a piece vocabulary, the inference rule of the
+    * SentencePiece unigram model: maximize Σ log p(pieceᵢ) with
+    * p = cnt/Σcnt over the vocabulary. Log-probs are quantized to
+    * integer MILLI-NATS — `floor(1000·ln(cnt)) − floor(1000·ln(Σcnt))`
+    * per piece — so the whole lattice DP is exact integer addition and
+    * comparison: scores, piece counts and the chosen segmentation are
+    * engine-independent (the q113 quantized-k-means convention), and a
+    * replaying engine reproduces the DP step by step (q153). Ties
+    * break (score desc, n_pieces asc, split-point asc — prefer fewer,
+    * then longer-final pieces), a total order, so even equal-likelihood
+    * lattices segment identically. A word containing text no piece
+    * covers is unsegmentable → `is_unk`, empty pieces, null score.
+    *
+    * Scale shape: the vocabulary is a bounded model artifact collected
+    * once and broadcast as a hash map (the [[wordPieceSegment]]
+    * pattern); the DP is O(|word|·maxPieceLen) integer ops per word in
+    * one `mapPartitions` — no shuffle, rides the word-frame scan.
+    *
+    * @param vocab (piece, cnt, …) as from [[learnUnigramSeedVocab]]
+    * @return (wordCol, pieces, n_pieces, viterbi_q, is_unk) —
+    *         viterbi_q in milli-nats (negative; null when unk) */
+  def unigramViterbiSegment(df: DataFrame, wordCol: String,
+      vocab: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    // bounded: maxVocab pieces — a model-sized broadcast
+    val cnts: Array[(String, Long)] = vocab
+      .select(col("piece").cast("string"), col("cnt").cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val total = cnts.iterator.map(_._2).sum
+    val qTot = math.floor(1000.0 * math.log(total.toDouble)).toLong
+    val q: Map[String, Long] = cnts.iterator.map { case (p, c) =>
+      p -> (math.floor(1000.0 * math.log(c.toDouble)).toLong - qTot)
+    }.toMap
+    val maxL = q.keysIterator.map(_.length).foldLeft(0)(math.max)
+    val bc = spark.sparkContext.broadcast((q, maxL))
+    import spark.implicits._
+    df.select(col(wordCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val (qv, mL) = bc.value
+        it.map { word =>
+          val n = if (word == null) 0 else word.length
+          val NEG = Long.MinValue / 4
+          val score = Array.fill(n + 1)(NEG)
+          val np = new Array[Long](n + 1)
+          val bp = Array.fill(n + 1)(-1)
+          score(0) = 0L
+          var i = 1
+          while (i <= n) {
+            var j = math.max(0, i - mL)
+            while (j < i) { // j ascending ⇒ first best j wins ties
+              if (score(j) > NEG) {
+                qv.get(word.substring(j, i)) match {
+                  case Some(s) =>
+                    val cand = score(j) + s
+                    val cnp = np(j) + 1
+                    if (cand > score(i) ||
+                        (cand == score(i) && cnp < np(i))) {
+                      score(i) = cand; np(i) = cnp; bp(i) = j
+                    }
+                  case None =>
+                }
+              }
+              j += 1
+            }
+            i += 1
+          }
+          if (n == 0) UnigramRow(word, Seq.empty, 0L, Some(0L), false)
+          else if (score(n) <= NEG)
+            UnigramRow(word, Seq.empty, 0L, None, true)
+          else {
+            val out = List.newBuilder[String]
+            val rev = new Array[String](np(n).toInt)
+            var pos = n; var k = np(n).toInt - 1
+            while (pos > 0) {
+              rev(k) = word.substring(bp(pos), pos)
+              pos = bp(pos); k -= 1
+            }
+            out ++= rev
+            UnigramRow(word, out.result(), np(n), Some(score(n)), false)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.product[UnigramRow])
+      .toDF(wordCol, "pieces", "n_pieces", "viterbi_q", "is_unk")
+  }
+
+  /** Unigram-LM hard-EM M-STEP — piece usage counts under the current
+    * model: each distinct corpus word's [[unigramViterbiSegment]]
+    * pieces, weighted by the word's corpus frequency. This is the
+    * count statistic SentencePiece's EM re-estimates probabilities
+    * from (hard assignment — Viterbi counts instead of lattice
+    * expectations, which keeps every number an integer); pieces the
+    * Viterbi never chooses get no row — exactly the prune set Kudo's
+    * algorithm drops first. Feed the result back as the next vocab to
+    * iterate (the [[updateVocab]] loop shape).
+    *
+    * @param maxWordLen skip words longer than this (SentencePiece's
+    *                   own long-token skip — URLs and hash strings
+    *                   would otherwise dominate the lattice cost)
+    * @return (piece, used_cnt) for pieces with at least one use */
+  def unigramPieceUsage(df: DataFrame, textCol: String,
+      vocab: DataFrame, maxWordLen: Int = Int.MaxValue): DataFrame = {
+    val words = df
+      .select(explode(split(trim(coalesce(col(textCol), lit(""))),
+        "\\s+")).as("__w"))
+      .filter(length(col("__w")) > 0 && length(col("__w")) <= maxWordLen)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+      .materialized // feeds the segment scan AND the usage join
+    val seg = unigramViterbiSegment(words.select(col("__w")), "__w", vocab)
+    seg.filter(!col("is_unk"))
+      .join(words, "__w")
+      .select(explode(col("pieces")).as("piece"), col("__f"))
+      .groupBy(col("piece"))
+      .agg(sum(col("__f")).as("used_cnt"))
   }
 
   /** Corpus-LM "familiarity" score — the integer-exact stand-in for

@@ -4421,5 +4421,154 @@ object CorpusQueries extends QueryModule {
            |FROM s12""".stripMargin
       },
     ),
+
+    // ---- Unigram-LM (SentencePiece) Viterbi segmentation over the
+    // seed vocabulary, on distinct corpus words ≤ 12 chars. The DuckDB
+    // twin replays the WHOLE model: rebuild the top-300 substring
+    // vocabulary, quantize log-probs to integer milli-nats (the shared
+    // floor(1000·ln) — q128's cross-engine ln precedent), run the
+    // lattice DP as 12 chained forward CTEs keeping (score, n_pieces,
+    // backpointer) per position under the identical (score desc, np
+    // asc, split asc) tie-break, then walk the backpointers in 12 more
+    // CTEs to reconstruct the exact piece sequence. MATERIALIZED hints
+    // keep the doubly-referenced DP states from expanding
+    // exponentially in DuckDB's inliner.
+    Q(
+      "q153_unigram_viterbi",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val vocab = TextAnalysis.learnUnigramSeedVocab(docs, "text",
+          maxPieceLen = 6, maxVocab = 300)
+        val words = docs.select(
+            explode(split(trim(col("text")), "\\s+")).as("word"))
+          .filter(length(col("word")) >= 1 && length(col("word")) <= 12)
+          .distinct()
+        TextAnalysis.unigramViterbiSegment(words, "word", vocab)
+          .select(col("word"), concat_ws(" ", col("pieces"))
+            .as("piece_str"), col("n_pieces"), col("viterbi_q"),
+            col("is_unk"))
+      },
+      Some(unigramDpSql + """
+           |SELECT s.w AS word,
+           |  coalesce(array_to_string(list_reverse(r.rev), ' '), '')
+           |    AS piece_str,
+           |  coalesce(f.np, CAST(0 AS BIGINT)) AS n_pieces,
+           |  f.score AS viterbi_q,
+           |  f.word IS NULL AS is_unk
+           |FROM sub s
+           |LEFT JOIN fin f ON f.word = s.w
+           |LEFT JOIN r12 r ON r.word = s.w""".stripMargin),
+    ),
+
+    // ---- Unigram-LM hard-EM M-step: Viterbi piece-usage counts
+    // weighted by corpus word frequency — the statistic SentencePiece
+    // re-estimates probabilities from, and the prune signal (pieces
+    // with no row are the first dropped). Shares q153's full replay;
+    // the twin just unnests the reconstructed pieces against the word
+    // frequency table.
+    Q(
+      "q154_unigram_prune",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val vocab = TextAnalysis.learnUnigramSeedVocab(docs, "text",
+          maxPieceLen = 6, maxVocab = 300)
+        TextAnalysis.unigramPieceUsage(docs, "text", vocab,
+          maxWordLen = 12)
+      },
+      Some(unigramDpSql + """, use AS (
+           |  SELECT unnest(r.rev) AS piece, wf.f AS f
+           |  FROM r12 r JOIN wf ON wf.w = r.word
+           |)
+           |SELECT piece, CAST(sum(f) AS BIGINT) AS used_cnt
+           |FROM use GROUP BY 1""".stripMargin),
+    ),
   )
+
+  /** Shared DuckDB replay of the unigram-LM model (q153/q154): seed
+    * vocabulary → integer milli-nat log-probs → 12-step forward
+    * Viterbi DP → 12-step backpointer reconstruction. Ends mid-WITH so
+    * callers append their final CTEs/SELECT. */
+  private lazy val unigramDpSql: String = {
+    val fwd = (1 to 12).map { k =>
+      s"""c$k AS (
+         |  SELECT d.word, CAST($k AS BIGINT) AS pos,
+         |    d.score + m.q AS score, d.np + 1 AS np, d.pos AS bp,
+         |    row_number() OVER (PARTITION BY d.word
+         |      ORDER BY d.score + m.q DESC, d.np + 1 ASC, d.pos ASC)
+         |      AS rn
+         |  FROM d${k - 1} d
+         |  JOIN mt m ON m.word = d.word AND m.j = d.pos AND m.i = $k
+         |), d$k AS MATERIALIZED (
+         |  SELECT word, pos, score, np, bp FROM d${k - 1}
+         |  UNION ALL
+         |  SELECT word, pos, score, np, bp FROM c$k WHERE rn = 1
+         |)"""
+    }.mkString(", ")
+    val back = (1 to 12).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT r.word,
+         |    CASE WHEN r.pos = 0 THEN r.pos ELSE d.bp END AS pos,
+         |    CASE WHEN r.pos = 0 THEN r.rev
+         |         ELSE list_append(r.rev, substr(r.word,
+         |           CAST(d.bp + 1 AS INTEGER),
+         |           CAST(r.pos - d.bp AS INTEGER))) END AS rev
+         |  FROM r${k - 1} r
+         |  LEFT JOIN d12 d
+         |    ON d.word = r.word AND d.pos = r.pos AND r.pos > 0
+         |)"""
+    }.mkString(", ")
+    s"""WITH w0 AS (
+       |  SELECT unnest(string_split(trim(text), ' ')) AS w
+       |  FROM documents
+       |), wf AS MATERIALIZED (
+       |  SELECT w, count(*) AS f FROM w0 WHERE length(w) > 0
+       |  GROUP BY 1
+       |), st AS (
+       |  SELECT w, f, unnest(range(1, length(w) + 1)) AS i FROM wf
+       |), le AS (
+       |  SELECT w, f, i,
+       |    unnest(range(1, least(6, length(w) - i + 1) + 1)) AS l
+       |  FROM st
+       |), cand AS (
+       |  SELECT substr(w, i, l) AS piece, f FROM le
+       |), vc AS (
+       |  SELECT piece, CAST(sum(f) AS BIGINT) AS cnt FROM cand
+       |  GROUP BY 1
+       |), vocab AS (
+       |  SELECT piece, cnt FROM (SELECT *, row_number() OVER (
+       |      ORDER BY cnt DESC, piece ASC) AS rn FROM vc)
+       |  WHERE rn <= 300
+       |), tot AS (
+       |  SELECT CAST(floor(1000 * ln(CAST(sum(cnt) AS DOUBLE)))
+       |    AS BIGINT) AS qt
+       |  FROM vocab
+       |), qv AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(floor(1000 * ln(CAST(cnt AS DOUBLE))) AS BIGINT)
+       |      - (SELECT qt FROM tot) AS q
+       |  FROM vocab
+       |), sub AS MATERIALIZED (
+       |  SELECT w FROM wf WHERE length(w) <= 12
+       |), px AS (
+       |  SELECT w, unnest(range(0, length(w))) AS j FROM sub
+       |), mt AS MATERIALIZED (
+       |  SELECT p.w AS word, CAST(p.j AS BIGINT) AS j,
+       |    CAST(p.j + length(v.piece) AS BIGINT) AS i, v.q
+       |  FROM px p JOIN qv v
+       |    ON length(v.piece) <= length(p.w) - p.j
+       |   AND substr(p.w, CAST(p.j + 1 AS INTEGER),
+       |         CAST(length(v.piece) AS INTEGER)) = v.piece
+       |), d0 AS MATERIALIZED (
+       |  SELECT w AS word, CAST(0 AS BIGINT) AS pos,
+       |    CAST(0 AS BIGINT) AS score, CAST(0 AS BIGINT) AS np,
+       |    CAST(NULL AS BIGINT) AS bp
+       |  FROM sub
+       |), $fwd, fin AS (
+       |  SELECT word, score, np FROM d12 WHERE pos = length(word)
+       |), r0 AS (
+       |  SELECT word, CAST(length(word) AS BIGINT) AS pos,
+       |    []::VARCHAR[] AS rev
+       |  FROM fin
+       |), $back""".stripMargin
+  }
 }

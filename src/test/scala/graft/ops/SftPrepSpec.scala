@@ -160,6 +160,60 @@ class SftPrepSpec extends SparkSpec {
     assert(seg("zq") == (("zq", "", 0L, true, Some(1L))))
   }
 
+  test("unigram: seed vocab ranks plain substrings; Viterbi picks the " +
+    "max-likelihood split with deterministic tie-breaks; usage counts " +
+    "weight by word frequency") {
+    val docs = Seq((1L, "ab ab ab cd zz")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.learnUnigramSeedVocab(docs, "text",
+      maxPieceLen = 2, maxVocab = 6)
+    val v = vocab.select($"piece", $"cnt", $"piece_id")
+      .as[(String, Long, Long)].collect().sortBy(_._3)
+    // substrings of ab×3: a/b/ab each 3; cd: c/d/cd each 1; zz: z 2,
+    // zz 1 — rank (cnt desc, piece asc), top-6 cuts d/z/zz
+    assert(v.map(_._1).toSeq == Seq("a", "ab", "b", "z", "c", "cd"))
+    assert(v.map(_._2).toSeq == Seq(3L, 3L, 3L, 2L, 1L, 1L))
+
+    val words = Seq("ab", "abab", "cd", "ax", "").toDF("word")
+    val seg = TextAnalysis.unigramViterbiSegment(words, "word", vocab)
+      .select($"word", concat_ws(" ", $"pieces").as("ps"), $"n_pieces",
+        $"viterbi_q", $"is_unk")
+      .as[(String, String, Long, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // total = 3+3+3+2+1+1 = 13; q(p) = floor(1000 ln cnt) - floor(1000 ln 13)
+    val qTot = math.floor(1000 * math.log(13.0)).toLong
+    def q(c: Long) = math.floor(1000 * math.log(c.toDouble)).toLong - qTot
+    // "ab" as one piece (q(3)) beats "a b" (2·q(3)): fewer, likelier
+    assert(seg("ab") == (("ab", "ab", 1L, Some(q(3)), false)))
+    // "abab" → "ab ab" (2 pieces) beats any 1-char mix (3–4 pieces)
+    assert(seg("abab") == (("abab", "ab ab", 2L, Some(2 * q(3)), false)))
+    assert(seg("cd") == (("cd", "cd", 1L, Some(q(1)), false)))
+    // 'x' has no piece → unsegmentable
+    assert(seg("ax") == (("ax", "", 0L, None, true)))
+    assert(seg("") == (("", "", 0L, Some(0L), false)))
+
+    val usage = TextAnalysis.unigramPieceUsage(docs, "text", vocab)
+      .as[(String, Long)].collect().toMap
+    // ab×3 → piece ab used 3; cd×1 → cd 1; zz → "z z" (z survived the
+    // cut at cnt 2) → z used twice in one word × freq 1 = 2; pieces
+    // a/b/c never chosen — the prune set
+    assert(usage == Map("ab" -> 3L, "cd" -> 1L, "z" -> 2L))
+  }
+
+  test("unigram: tie-break prefers fewer pieces, then the earlier " +
+    "split point") {
+    // craft equal counts so "xy" (1 piece, q(c)) vs "x y" (2 pieces)
+    // differ, and two 2-piece splits of "xyz" tie on score: vocab has
+    // xy, z, x, yz all cnt 1 → "xy z" and "x yz" both score 2·q(1);
+    // split-asc tie-break keeps the longer FINAL piece: bp for pos 3
+    // scans j ascending → j=1 ("x"+"yz") wins over j=2 ("xy"+"z")
+    val vocab = Seq(("xy", 1L), ("z", 1L), ("x", 1L), ("yz", 1L))
+      .toDF("piece", "cnt")
+    val seg = TextAnalysis.unigramViterbiSegment(
+        Seq("xyz").toDF("word"), "word", vocab)
+      .select(concat_ws(" ", $"pieces")).as[String].collect().head
+    assert(seg == "x yz")
+  }
+
   test("codeQualityFlags: each Stack/StarCoder rule fires on its " +
     "engineered violation") {
     val docs = Seq(
