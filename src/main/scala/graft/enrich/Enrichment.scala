@@ -38,6 +38,17 @@ object Enrichment {
     * NEVER retried and `breakerThreshold` consecutive 429s open the
     * breaker — every remaining request in the partition fails instantly
     * without touching the network (async_http_processor.py:17-27).
+    *
+    * Client lifecycle knobs (both default-off, preserving one client
+    * per partition):
+    *  - `maxTasksPerClient > 0` recreates the client after that many
+    *    rows (base_async_processor.py:164-167 `_should_recreate_client`
+    *    — connection hygiene, and the release point where a
+    *    [[ProxyPool.rotatingFactory]] rotates proxies);
+    *  - `rotateOnFailure` recreates the client before each transport
+    *    retry — the distributed form of the reference re-enqueueing a
+    *    failed task to a worker holding a DIFFERENT proxy (a rotating
+    *    factory skips proxies it marked unsuccessful).
     */
   def processRequests(requests: Dataset[HttpRequest],
       clientFactory: () => HttpClient,
@@ -45,7 +56,9 @@ object Enrichment {
       maxRetries: Int = 5,
       breakerThreshold: Int = 5,
       interRequestDelayMs: Long = 0L,
-      rateLimitAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      rateLimitAcc: Option[org.apache.spark.util.LongAccumulator] = None,
+      maxTasksPerClient: Int = 0,
+      rotateOnFailure: Boolean = false)
       : Dataset[HttpResponse] = {
     import requests.sparkSession.implicits._
     requests.repartition(math.max(1, maxConcurrent))
@@ -53,7 +66,18 @@ object Enrichment {
         // close a created client when the task finishes (success OR
         // failure) — the seam where a pooled HTTP impl releases sockets
         var created: HttpClient = null
-        lazy val client = { created = clientFactory(); created }
+        var served = 0
+        def discardClient(): Unit = if (created != null) {
+          try created.close() catch { case _: Exception => () }
+          created = null
+          served = 0
+        }
+        def client(): HttpClient = {
+          if (maxTasksPerClient > 0 && served >= maxTasksPerClient)
+            discardClient()
+          if (created == null) created = clientFactory()
+          created
+        }
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit] { _ =>
             if (created != null) created.close()
@@ -70,7 +94,7 @@ object Enrichment {
             var result: HttpResponse = null
             while (result == null) {
               try {
-                val r = client.execute(req)
+                val r = client().execute(req)
                 if (r.status == 429) {
                   consecutive429 += 1
                   if (consecutive429 >= breakerThreshold) breakerOpen = true
@@ -81,12 +105,15 @@ object Enrichment {
                   result = r
                 }
               } catch {
-                case e: Exception if attempt < maxRetries => attempt += 1
+                case e: Exception if attempt < maxRetries =>
+                  attempt += 1
+                  if (rotateOnFailure) discardClient()
                 case e: Exception =>
                   result = HttpResponse(req.requestId, 599, "",
                     Some(s"failed after ${attempt + 1} attempts: ${e.getMessage}"))
               }
             }
+            served += 1
             result
           }
         }

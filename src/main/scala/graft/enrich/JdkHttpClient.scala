@@ -29,14 +29,21 @@ class JdkHttpClient(
     connectTimeoutMs: Long = 10000L,
     requestTimeoutMs: Long = 30000L,
     followRedirects: Boolean = true,
-    defaultHeaders: Map[String, String] = Map.empty) extends HttpClient {
+    defaultHeaders: Map[String, String] = Map.empty,
+    proxyHostPort: Option[(String, Int)] = None) extends HttpClient {
 
   @transient private lazy val client: java.net.http.HttpClient = {
-    val b = java.net.http.HttpClient.newBuilder()
+    var b = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs))
-    (if (followRedirects)
-      b.followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
-    else b).build()
+    if (followRedirects)
+      b = b.followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+    // forward-proxy binding for the ProxyPool surface: requests dial
+    // the proxy and carry the absolute-form URI (RFC 7230 §5.3.2)
+    proxyHostPort.foreach { case (h, p) =>
+      b = b.proxy(java.net.ProxySelector.of(
+        new java.net.InetSocketAddress(h, p)))
+    }
+    b.build()
   }
 
   private def enc(s: String): String =
