@@ -638,6 +638,38 @@ object Dedup {
     *
     * @return (idCol, outCol, n_words_kept, n_words_excised)
     */
+  /** Canonical-copy RESOLUTION for duplicate clusters — the "which
+    * copy survives" policy applied after [[duplicateClusters]]: within
+    * each cluster the row with the highest `scoreCol` wins (keep the
+    * longest / highest-quality copy — the standard web-curation
+    * policy), ties to the lowest id, so the survivor is a
+    * deterministic total-order argmax any engine restates (q155).
+    * Min-id canonicalization ([[duplicateClusters]]' `is_canonical`)
+    * is the degenerate case scoreCol = constant.
+    *
+    * Scale shape: two map-side-combined aggregations on the cluster
+    * key — max-score then min-id-among-max — via one packed
+    * (score, -id) struct max, then a broadcast-free join back on the
+    * cluster key. No windows, no per-cluster state beyond the
+    * aggregate.
+    *
+    * @param df (idCol, clusterCol, scoreCol) — one row per member
+    * @return (idCol, clusterCol, survivor_id, keep) */
+  def resolveClusters(df: DataFrame, idCol: String, clusterCol: String,
+      scoreCol: String): DataFrame = {
+    val sc = col(scoreCol).cast("long")
+    val id = col(idCol).cast("long")
+    // max over (score, -id): highest score, ties to lowest id (the
+    // preferencePairs packing)
+    val survivors = df.groupBy(col(clusterCol))
+      .agg(max(struct(sc.as("s"), (-id).as("ni"))).as("__b"))
+      .select(col(clusterCol), (-col("__b.ni")).as("survivor_id"))
+    df.select(col(idCol), col(clusterCol))
+      .join(survivors, Seq(clusterCol))
+      .select(col(idCol), col(clusterCol), col("survivor_id"),
+        (col(idCol) === col("survivor_id")).as("keep"))
+  }
+
   def exciseRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
       outCol: String = "clean_text", n: Int = 8,
       minDf: Long = 2L): DataFrame = {

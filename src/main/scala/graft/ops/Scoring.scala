@@ -338,4 +338,37 @@ object Scoring {
       .filter(col("chosen_id") =!= col("rejected_id") &&
         col("score_margin") >= minMargin)
   }
+
+  /** CCNet-style per-group QUALITY BUCKETS — the head/middle/tail cut
+    * CCNet applies per language after LM scoring (Wenzek et al. 2020:
+    * rank documents by model score within each language, split into
+    * equal thirds; downstream pipelines keep head+middle or reweight
+    * by bucket). Bucket 0 is the BEST `1/nBuckets` fraction.
+    *
+    * Integer-exact: per-group rank r (score desc, id asc — a total
+    * order) and group size n give bucket = (r·nBuckets) div n, exact
+    * integer math any engine restates (q156).
+    *
+    * Scale shape: NOT a per-group window — groups here are languages
+    * (a handful), so a `Window.partitionBy(lang)` would funnel each
+    * language's whole corpus through one task. Instead the
+    * [[Packing.lengthBucketedBatches]] trick: ONE global
+    * [[Packing.globalRowNumber]] two-pass scan over (group, score
+    * desc, id), the per-group rank recovered by subtracting the
+    * group's min rank from a group-count-sized broadcast aggregate.
+    *
+    * @return input columns + (bucket int, 0 = best fraction) */
+  def qualityBuckets(df: DataFrame, idCol: String, scoreCol: String,
+      groupCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val ranked = Packing.globalRowNumber(df,
+      Seq(col(groupCol).asc, col(scoreCol).desc, col(idCol).asc),
+      "__rank")
+    val stats = ranked.groupBy(col(groupCol))
+      .agg(min(col("__rank")).as("__min"), count(lit(1)).as("__n"))
+    ranked.join(broadcast(stats), groupCol)
+      .withColumn("bucket",
+        expr(s"((__rank - __min) * $nBuckets) div __n").cast("int"))
+      .drop("__rank", "__min", "__n")
+  }
 }

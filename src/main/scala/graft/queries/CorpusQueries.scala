@@ -4482,6 +4482,159 @@ object CorpusQueries extends QueryModule {
            |SELECT piece, CAST(sum(f) AS BIGINT) AS used_cnt
            |FROM use GROUP BY 1""".stripMargin),
     ),
+
+    // ---- canonical-copy resolution over q49's duplicate clusters:
+    // the survivor per cluster is the longest member (token count),
+    // ties to the lowest id — the keep-the-best-copy policy a curation
+    // pipeline applies where q49's min-id canonical is just "a"
+    // representative. DuckDB replays the clustering (recursive
+    // reachability, the q49 twin) and restates the two-step argmax.
+    Q(
+      "q155_cluster_resolution",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, tau = 0.5)
+        val clusters = Dedup.duplicateClusters(pairs)
+          .withColumnRenamed("id", "doc_id")
+        val members = docs.select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long")
+              .as("n_tokens"))
+          .join(clusters, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+            col("n_tokens"))
+        Dedup.resolveClusters(members, "doc_id", "cluster_id",
+          "n_tokens")
+      },
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+             |), g AS (
+             |  SELECT doc_id, list_distinct(
+             |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS t
+             |  FROM toks
+             |), p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.t, b.t)) * 1.0 /
+             |      len(list_distinct(list_concat(a.t, b.t))) >= 0.5
+             |), edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM p
+             |  UNION SELECT id_b, id_a FROM p
+             |), reach AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+             |), comp AS (
+             |  SELECT src AS id, least(src, min(dst)) AS cluster_id
+             |  FROM reach GROUP BY src
+             |), m AS (
+             |  SELECT d.doc_id,
+             |    coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+             |    CAST(len(regexp_split_to_array(trim(d.text), '\s+'))
+             |      AS BIGINT) AS n_tokens
+             |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+             |), b AS (
+             |  SELECT cluster_id, max(n_tokens) AS mx FROM m GROUP BY 1
+             |), sv AS (
+             |  SELECT m.cluster_id, min(m.doc_id) AS survivor_id
+             |  FROM m JOIN b ON m.cluster_id = b.cluster_id
+             |    AND m.n_tokens = b.mx
+             |  GROUP BY 1
+             |)
+             |SELECT m.doc_id, m.cluster_id, sv.survivor_id,
+             |  m.doc_id = sv.survivor_id AS keep
+             |FROM m JOIN sv ON m.cluster_id = sv.cluster_id""".stripMargin),
+    ),
+
+    // ---- CCNet head/middle/tail buckets (Wenzek et al. 2020): rank
+    // every scoreable doc by the q137 bigram-LM signal WITHIN its q28
+    // language, cut into integer-exact thirds — bucket 0 = best. The
+    // per-group rank is NOT a per-language window (a language is a
+    // third of the corpus): it's the one-global-rank-minus-group-min
+    // trick (q114's shape) riding globalRowNumber's two-pass scan.
+    // DuckDB replays LM training, scoring, language ID, and the rank
+    // arithmetic end to end.
+    Q(
+      "q156_ccnet_buckets",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val lm = TextAnalysis.trainBigramLm(
+          docs.filter(col("doc_id") % 10 =!= 0), "text")
+        val scored = TextAnalysis
+          .scoreBigramLm(docs, "doc_id", "text", lm)
+          .filter(col("n_bigrams") > 0)
+          .select(col("doc_id"), col("lm_mean_prob_ppb"))
+        val lang = docs.select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang"))
+        Scoring.qualityBuckets(scored.join(lang, "doc_id"),
+          "doc_id", "lm_mean_prob_ppb", "lang", 3)
+      },
+      Some("""WITH tw AS (
+             |  SELECT string_split(trim(text), ' ') AS ws FROM documents
+             |  WHERE doc_id % 10 <> 0
+             |), tocc AS (
+             |  SELECT
+             |    unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bg,
+             |    unnest([ws[i] for i in range(1, len(ws))]) AS w1
+             |  FROM tw WHERE len(ws) >= 2
+             |), th AS (
+             |  SELECT CAST('0x' || substr(md5(bg), 1, 15) AS BIGINT) AS bh,
+             |    CAST('0x' || substr(md5(w1), 1, 15) AS BIGINT) AS w1h
+             |  FROM tocc
+             |), big AS (SELECT bh, count(*) AS c12 FROM th GROUP BY 1),
+             |uni AS (SELECT w1h, count(*) AS c1 FROM th GROUP BY 1),
+             |v AS (SELECT count(*) AS v FROM uni),
+             |sw AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+             |), socc AS (
+             |  SELECT doc_id,
+             |    unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bg,
+             |    unnest([ws[i] for i in range(1, len(ws))]) AS w1
+             |  FROM sw WHERE len(ws) >= 2
+             |), sh AS (
+             |  SELECT doc_id, CAST('0x' || substr(md5(bg), 1, 15) AS BIGINT) AS bh,
+             |    CAST('0x' || substr(md5(w1), 1, 15) AS BIGINT) AS w1h
+             |  FROM socc
+             |), q AS (
+             |  SELECT doc_id,
+             |    ((coalesce(c12, 0) + 1) * 1000000000)
+             |      // (coalesce(c1, 0) + (SELECT v FROM v)) AS q
+             |  FROM sh LEFT JOIN big USING (bh) LEFT JOIN uni USING (w1h)
+             |), sc AS (
+             |  SELECT doc_id,
+             |    CAST(sum(q) // count(*) AS BIGINT) AS lm_mean_prob_ppb
+             |  FROM q GROUP BY 1
+             |), lt AS (
+             |  SELECT doc_id,
+             |    regexp_split_to_array(trim(text), '\s+') AS toks
+             |  FROM documents
+             |), langs AS (
+             |  SELECT doc_id, CASE
+             |    WHEN greatest(s_en, s_de, s_es) = 0 THEN 'unknown'
+             |    WHEN s_de >= s_en AND s_de >= s_es THEN 'de'
+             |    WHEN s_en >= s_es THEN 'en'
+             |    ELSE 'es' END AS lang
+             |  FROM (
+             |    SELECT doc_id,
+             |      len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS s_en,
+             |      len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+             |      len(list_filter(toks, x -> x IN ('el','la','de','y','es'))) AS s_es
+             |    FROM lt)
+             |), j AS (
+             |  SELECT s.doc_id, s.lm_mean_prob_ppb, l.lang
+             |  FROM sc s JOIN langs l USING (doc_id)
+             |), r AS (
+             |  SELECT doc_id, lm_mean_prob_ppb, lang,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY lm_mean_prob_ppb DESC, doc_id ASC) - 1 AS rn,
+             |    count(*) OVER (PARTITION BY lang) AS n
+             |  FROM j
+             |)
+             |SELECT doc_id, lm_mean_prob_ppb, lang,
+             |  CAST((rn * 3) // n AS INT) AS bucket
+             |FROM r""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the unigram-LM model (q153/q154): seed

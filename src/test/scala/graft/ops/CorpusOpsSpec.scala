@@ -66,6 +66,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!out.contains(99L))
   }
 
+  test("resolveClusters: longest member survives, ties to lowest id, " +
+    "singletons keep themselves") {
+    val members = Seq(
+      (1L, 1L, 10L), (2L, 1L, 30L), (3L, 1L, 30L), // tie at 30 → id 2
+      (9L, 9L, 5L),                                // singleton
+    ).toDF("doc_id", "cluster_id", "n_tokens")
+    val out = Dedup.resolveClusters(members, "doc_id", "cluster_id",
+        "n_tokens")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1L, 2L, false)))
+    assert(out(2L) == ((2L, 1L, 2L, true)))
+    assert(out(3L) == ((3L, 1L, 2L, false)))
+    assert(out(9L) == ((9L, 9L, 9L, true)))
+  }
+
   test("star clustering matches min-label propagation on adversarial graphs") {
     // path (deep diameter — the case star ops exist for), triangle,
     // star, two-node component, and a seeded random graph

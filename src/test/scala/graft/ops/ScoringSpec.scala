@@ -143,4 +143,20 @@ class ScoringSpec extends SparkSpec {
       Scoring.importanceWeights(raw, target, "doc_id", "text", "text", 8)
     }
   }
+
+  test("qualityBuckets: per-group integer thirds, best score = bucket " +
+    "0, score ties broken by id") {
+    // lang A: 6 docs, scores 60..10 → buckets 0,0,1,1,2,2;
+    // lang B: 4 docs with TIED scores → rank falls to id asc:
+    // (7,8,9,10) → rn 0..3 → (0*3)/4=0, 3/4=0, 6/4=1, 9/4=2
+    val df = Seq(
+      (1L, 60L, "A"), (2L, 50L, "A"), (3L, 40L, "A"),
+      (4L, 30L, "A"), (5L, 20L, "A"), (6L, 10L, "A"),
+      (7L, 5L, "B"), (8L, 5L, "B"), (9L, 5L, "B"), (10L, 5L, "B"),
+    ).toDF("id", "score", "lang")
+    val out = Scoring.qualityBuckets(df, "id", "score", "lang", 3)
+      .select($"id", $"bucket").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 2,
+      6L -> 2, 7L -> 0, 8L -> 0, 9L -> 1, 10L -> 2))
+  }
 }
