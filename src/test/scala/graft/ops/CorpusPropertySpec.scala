@@ -410,4 +410,63 @@ class CorpusPropertySpec extends SparkSpec {
       } else assert(!pairs.contains(g))
     }
   }
+
+  test("unigram Viterbi == brute-force enumeration over all " +
+    "segmentations on random words and vocabularies") {
+    // small alphabet so vocab pieces actually match; words ≤ 8 chars
+    // keep the 2^7 composition enumeration cheap
+    val pieceGen = for {
+      n <- Gen.chooseNum(1, 3)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val vocabGen = for {
+      ps <- Gen.listOfN(12, pieceGen)
+      counts <- Gen.listOfN(12, Gen.chooseNum(1L, 500L))
+    } yield ps.distinct.zip(counts)
+    val wordGen = for {
+      n <- Gen.chooseNum(1, 8)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd'))
+    } yield cs.mkString
+    val vocab = samples(vocabGen, 1).head
+    val words = samples(wordGen, 120).distinct
+
+    val total = vocab.map(_._2).sum
+    val qTot = math.floor(1000.0 * math.log(total.toDouble)).toLong
+    val q = vocab.map { case (p, c) =>
+      p -> (math.floor(1000.0 * math.log(c.toDouble)).toLong - qTot)
+    }.toMap
+    // brute force: all compositions of the word into vocab pieces;
+    // best by (score desc, n_pieces asc) — the DP must agree on BOTH
+    def allSegs(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to w.length).flatMap { l =>
+        val h = w.substring(0, l)
+        if (q.contains(h)) allSegs(w.substring(l)).map(h +: _)
+        else Seq.empty
+      }
+    val out = TextAnalysis.unigramViterbiSegment(
+        words.toDF("word"), "word",
+        vocab.toDF("piece", "cnt"))
+      .select($"word", $"pieces", $"n_pieces", $"viterbi_q", $"is_unk")
+      .as[(String, Seq[String], Long, Option[Long], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    words.foreach { w =>
+      val segs = allSegs(w)
+      val (_, _, np, vq, unk) = out(w)
+      if (segs.isEmpty) {
+        assert(unk && vq.isEmpty && np == 0L, s"word $w: expected unk")
+      } else {
+        val scored = segs.map(s => (s.map(q).sum, s.length))
+        val best = scored.maxBy { case (sc, n) => (sc, -n) }
+        assert(!unk, s"word $w: unexpectedly unk")
+        assert(vq.contains(best._1),
+          s"word $w: score ${vq} != brute-force ${best._1}")
+        assert(np == best._2.toLong,
+          s"word $w: n_pieces $np != brute-force ${best._2}")
+        // the emitted pieces must BE a valid best segmentation
+        assert(out(w)._2.mkString("") == w)
+        assert(out(w)._2.forall(q.contains))
+      }
+    }
+  }
 }
