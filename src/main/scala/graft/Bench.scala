@@ -177,13 +177,14 @@ object Bench {
     }
     perfLog.println(ctxLine("end"))
     perfLog.close()
-    // seconds at 2 decimals, clamped to 999.99: a >1000 s query has
+    // seconds at 2 decimals, clamped to 99.99: a >100 s query has
     // already blown the round's budget, and BENCH_PERF.jsonl carries the
     // true f3 value — the clamp keeps the worst-case line width bounded
-    // (13 bytes/query) so the inventory can grow without re-truncating
+    // (12 bytes/query) so the 157-query inventory stays inside the
+    // driver's bounded-tail capture (BenchContractSpec mirrors this)
     def f2c(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f",
-        java.lang.Double.valueOf(math.min(v, 999.99)))
+        java.lang.Double.valueOf(math.min(v, 99.99)))
     val qs = results.map { case (k, v) => "\"" + tiny(k) + "\":" + f2c(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

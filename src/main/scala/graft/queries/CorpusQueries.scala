@@ -4635,6 +4635,109 @@ object CorpusQueries extends QueryModule {
              |  CAST((rn * 3) // n AS INT) AS bucket
              |FROM r""".stripMargin),
     ),
+
+    // ---- the PRETRAIN pipeline composed end to end (the pretraining
+    // sibling of q150's SFT chain, and q54's curation gate extended
+    // all the way to the packed token stream): exact dedup survivors →
+    // structural Gopher gate (the required-stopword rule is
+    // English-specific and dropped, the standard multilingual
+    // adaptation) → language-ID keep → seeded 80% train cut → GPT-style
+    // sequence packing at 512 tokens. Every stage is integer-exact, so
+    // DuckDB replays the whole five-stage chain as one CTE stack —
+    // composition is what's verified, not just each operator alone.
+    Q(
+      "q157_pretrain_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val keep = Dedup.exactDedup(docs, "text", "doc_id")
+          .select(col("doc_id"))
+        val g = TextAnalysis.gopherRules(col("text"))
+        val base = docs.join(keep, "doc_id")
+          .select(col("doc_id"), col("text"),
+            TextAnalysis.langId(col("text")).as("lang"),
+            (g.getField("r_word_count") && g.getField("r_mean_word_len")
+              && g.getField("r_symbol_ratio")
+              && g.getField("r_bullet_lines")
+              && g.getField("r_ellipsis_lines")
+              && g.getField("r_alpha_words")).as("__pass"))
+          .filter(col("__pass") && col("lang") =!= "unknown")
+        val train = graft.ops.Materialize(
+          Sampling.hashSplit(base, "doc_id", "s157")
+            .filter(col("split") === "train")
+            .select(col("doc_id"), col("lang"), col("text")))
+        Packing.chunkAssignments(train, "doc_id",
+            TextAnalysis.tokenCount(col("text")), seqLen = 512)
+          .join(train.select(col("doc_id"), col("lang")), "doc_id")
+      },
+      Some("""WITH t0 AS (
+             |  SELECT doc_id, coalesce(text, '') AS tx,
+             |    string_split(trim(coalesce(text, '')), ' ') AS w,
+             |    string_split(coalesce(text, ''), chr(10)) AS ls,
+             |    regexp_split_to_array(trim(text), '\s+') AS toks
+             |  FROM documents
+             |), keep AS (
+             |  SELECT min(doc_id) AS doc_id FROM documents
+             |  GROUP BY md5(text)
+             |), m AS (
+             |  SELECT doc_id,
+             |    (len(w) >= 50 AND len(w) <= 100000
+             |     AND CAST(list_sum(list_transform(w, x -> length(x)))
+             |       AS DOUBLE) / len(w) >= 3.0
+             |     AND CAST(list_sum(list_transform(w, x -> length(x)))
+             |       AS DOUBLE) / len(w) <= 10.0
+             |     AND ((length(tx) - length(replace(tx, '#', ''))) +
+             |       (length(tx) - length(replace(tx, '...', ''))) / 3)
+             |       / len(w) <= 0.1
+             |     AND CAST(len(list_filter(ls, l ->
+             |       substr(ltrim(l), 1, 1) IN ('-', '*', '•')))
+             |       AS DOUBLE) / len(ls) <= 0.9
+             |     AND CAST(len(list_filter(ls, l ->
+             |       ends_with(rtrim(l), '...'))) AS DOUBLE) / len(ls)
+             |       <= 0.3
+             |     AND CAST(len(list_filter(w, x ->
+             |       regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(w)
+             |       >= 0.8) AS pass
+             |  FROM t0
+             |), langs AS (
+             |  SELECT doc_id, CASE
+             |    WHEN greatest(s_en, s_de, s_es) = 0 THEN 'unknown'
+             |    WHEN s_de >= s_en AND s_de >= s_es THEN 'de'
+             |    WHEN s_en >= s_es THEN 'en'
+             |    ELSE 'es' END AS lang
+             |  FROM (
+             |    SELECT doc_id,
+             |      len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS s_en,
+             |      len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+             |      len(list_filter(toks, x -> x IN ('el','la','de','y','es'))) AS s_es
+             |    FROM t0)
+             |), base AS (
+             |  SELECT t0.doc_id, langs.lang,
+             |    CAST(len(t0.toks) AS BIGINT) AS n_tokens
+             |  FROM t0
+             |  JOIN keep USING (doc_id)
+             |  JOIN m USING (doc_id)
+             |  JOIN langs USING (doc_id)
+             |  WHERE m.pass AND langs.lang <> 'unknown'
+             |), tr AS (
+             |  SELECT * FROM base
+             |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+             |    || 's157'), 1, 15) AS BIGINT) % 10000 < 8000
+             |), c AS (
+             |  SELECT doc_id, lang, n_tokens,
+             |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS token_end
+             |  FROM tr
+             |)
+             |SELECT doc_id, lang, n_tokens, token_end,
+             |  token_end - n_tokens AS token_start,
+             |  CAST(floor((token_end - n_tokens) / 512.0) AS BIGINT)
+             |    AS first_chunk,
+             |  CAST(floor((token_end - 1) / 512.0) AS BIGINT)
+             |    AS last_chunk,
+             |  (token_end - n_tokens) % 512 AS chunk_offset
+             |FROM c""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the unigram-LM model (q153/q154): seed

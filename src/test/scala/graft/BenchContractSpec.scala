@@ -19,10 +19,10 @@ class BenchContractSpec extends AnyFunSuite {
   test("worst-case summary line stays well inside the capture window") {
     val names = SparkEntry.queries.keys.toSeq.sorted
     // worst case mirrors Bench's emission: bare-number keys and f2
-    // values clamped to 999.99 (6 chars) — the clamp is what makes this
+    // values clamped to 99.99 (5 chars) — the clamp is what makes this
     // a true bound rather than a hope
     val line = names.map(n =>
-        "\"" + n.takeWhile(_ != '_').stripPrefix("q") + "\":999.99")
+        "\"" + n.takeWhile(_ != '_').stripPrefix("q") + "\":99.99")
       .mkString(
         """{"metric":"total","value":99999.999,"unit":"sec","queries":{""",
         ",",
