@@ -314,4 +314,44 @@ class ScaleOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("qualityBuckets plan: group stats broadcast back, no per-group " +
+      "window (groups are languages — a window would funnel a third " +
+      "of the corpus through one task)") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", TextAnalysis.tokenCount($"text").as("score"),
+        TextAnalysis.langId($"text").as("lang"))
+    val plan = Scoring.qualityBuckets(docs, "doc_id", "score", "lang", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("unigramViterbiSegment plan: broadcast vocab + one map stage — " +
+      "no Exchange, no join") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val vocab = TextAnalysis.learnUnigramSeedVocab(docs, "text",
+      maxPieceLen = 4, maxVocab = 50)
+    val words = docs
+      .select(explode(split(trim($"text"), "\\s+")).as("word")).distinct()
+    val plan = TextAnalysis.unigramViterbiSegment(words, "word", vocab)
+      .queryExecution.executedPlan.toString
+    // the distinct upstream shuffles; after it the segmentation itself
+    // must add no join — the vocab rides as a broadcast variable, not
+    // a join side
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("resolveClusters plan: map-side combined survivor aggregation, " +
+      "no window, no cartesian") {
+    val members = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 3L, 5L))
+      .toDF("doc_id", "cluster_id", "n_tokens")
+    val plan = Dedup.resolveClusters(members, "doc_id", "cluster_id",
+        "n_tokens")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_"), plan)
+  }
 }
