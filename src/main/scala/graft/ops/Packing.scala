@@ -350,4 +350,88 @@ object Packing {
           .cast("long"))
       .select(col(idCol), col(lenCol), col("bucket"), col("batch"))
   }
+
+  /** NON-STRADDLING bin packing — the third packing discipline next to
+    * [[chunkAssignments]] (concat-then-chunk, documents straddle) and
+    * [[lengthBucketedBatches]] (fixed batch size, pad to longest):
+    * documents are placed WHOLE into bins of `capacity` tokens (SFT /
+    * eval packing where an example must never be cut and padding is
+    * wasted budget — the "packing without cross-contamination"
+    * objective, Krell et al. 2021).
+    *
+    * True first-fit-decreasing is inherently sequential, so the
+    * distributed form is BLOCKED next-fit-decreasing: ONE
+    * [[globalRowNumber]] scan ranks documents (length desc, id asc),
+    * consecutive ranks form blocks of `blockSize`, and within a block
+    * (already length-descending by construction) items fold
+    * sequentially through a next-fit state — open bin takes the item
+    * if it fits, otherwise a new bin opens. Within a block NFD wastes
+    * ≤ 1.691·OPT bins (classical bound); across blocks the cost is at
+    * most one partially-filled bin per block, so `blockSize` is the
+    * waste/parallelism dial. A document longer than `capacity` lands
+    * alone in its own bin with `over_capacity = true` (loud in the
+    * output, not an exception — the caller decides whether oversize
+    * docs were upstream-filtered).
+    *
+    * Scale shape: per-block state is blockSize-bounded (one
+    * `collect_list` + `aggregate` HOF fold — the conversation-fold
+    * pattern), the global bin id is a second two-pass rank over the
+    * DISTINCT (block, bin) frame, and every step is exact integer
+    * math: assignments are reproducible at any parallelism and
+    * restatable by any engine (q160's recursive-CTE twin). Null
+    * lengths fail loudly with the offending id (the q83 null-hygiene
+    * convention).
+    *
+    * @return (idCol, item_len, block, bin_in_block, pack_bin dense
+    *         from 0 in (block, bin) order, over_capacity)
+    */
+  def binPackBlocked(df: DataFrame, idCol: String, lenCol: Column,
+      capacity: Long, blockSize: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    require(blockSize >= 1, s"blockSize must be >= 1, got $blockSize")
+    val base = df.select(col(idCol),
+      coalesce(lenCol.cast("long"),
+        raise_error(concat(lit("binPackBlocked: null length for id "),
+          col(idCol).cast("string")))).as("item_len"))
+    val ranked = globalRowNumber(base,
+      Seq(col("item_len").desc, col(idCol).asc), "__rank")
+    val blocks = ranked.withColumn("__block",
+      floor(col("__rank") / lit(blockSize.toDouble)).cast("long"))
+    // fold carries only (rank, len) — ranks are bigint regardless of
+    // the caller's id type, and the payload re-attaches by rank below
+    val zeroAsn = array()
+      .cast("array<struct<rank:bigint,bin:bigint,over:boolean>>")
+    val folded = blocks
+      .groupBy(col("__block"))
+      .agg(array_sort(collect_list(struct(col("__rank"), col("item_len"))))
+        .as("__items"))
+      .select(col("__block"),
+        aggregate(col("__items"),
+          struct(zeroAsn.as("asn"), lit(-1L).as("bin"), lit(0L).as("used")),
+          (acc, it) => {
+            val len = it.getField("item_len")
+            val fits = (acc.getField("bin") >= 0) &&
+              (acc.getField("used") + len <= capacity)
+            val bin = when(fits, acc.getField("bin"))
+              .otherwise(acc.getField("bin") + 1)
+            val used = when(fits, acc.getField("used") + len)
+              .otherwise(len)
+            struct(
+              concat(acc.getField("asn"), array(struct(
+                it.getField("__rank").as("rank"), bin.as("bin"),
+                (len > capacity).as("over")))).as("asn"),
+              bin.as("bin"), used.as("used"))
+          }).getField("asn").as("__asn"))
+      .select(explode(col("__asn")).as("__a"))
+      .select(col("__a.rank").as("__rank"),
+        col("__a.bin").as("bin_in_block"),
+        col("__a.over").as("over_capacity"))
+    val assigned = blocks.join(folded, "__rank")
+    val binIds = globalRowNumber(
+      assigned.select(col("__block"), col("bin_in_block")).distinct(),
+      Seq(col("__block").asc, col("bin_in_block").asc), "pack_bin")
+    assigned.join(binIds, Seq("__block", "bin_in_block"))
+      .select(col(idCol), col("item_len"), col("__block").as("block"),
+        col("bin_in_block"), col("pack_bin"), col("over_capacity"))
+  }
 }

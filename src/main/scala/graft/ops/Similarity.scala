@@ -1053,4 +1053,44 @@ object Similarity {
     withAssignment(centers)
       .select(col(idCol), col("cluster"), col("dist2"))
   }
+
+  /** PROTOTYPICALITY pruning over the quantized clustering — the
+    * centroid-distance curation step of Sorscher et al. 2022 ("Beyond
+    * neural scaling laws: beating power law scaling via data pruning")
+    * as practiced by cluster-based web curation: assign every embedding
+    * to its [[kmeansQuantized]] cluster, rank members by distance to
+    * the final center (farthest first), and mark the farthest
+    * `prunePermille` of each cluster as outliers (`keep = false`) —
+    * the "prune the least prototypical examples" recipe. Pure-integer
+    * per-mille thresholds (rank·1000 ≤ n·‰, the
+    * [[Sampling.topFractionPerGroup]] arithmetic), so the surviving
+    * set is engine- and cluster-size-independent.
+    *
+    * Rank shape: NOT a per-cluster window (a cluster is 1/k of the
+    * corpus — one task would sort it): ONE [[Packing.globalRowNumber]]
+    * two-pass scan over (cluster asc, dist2 desc, id asc) with the
+    * per-cluster rank recovered by subtracting the cluster's broadcast
+    * min rank (the q156 shape). Everything upstream is
+    * [[kmeansQuantized]]'s exact fixed-point math, so q159's DuckDB
+    * twin restates assignment, ranks, and the keep verdicts bit-exactly.
+    *
+    * @return (idCol, cluster, dist2, cluster_n, keep)
+    */
+  def pruneOutliersByCentroid(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int, prunePermille: Long,
+      scale: Int = 1024): DataFrame = {
+    require(prunePermille >= 0 && prunePermille <= 1000,
+      s"prunePermille must be in [0, 1000], got $prunePermille")
+    val assigned = kmeansQuantized(df, idCol, vecCol, k, iters, scale)
+    val ranked = Packing.globalRowNumber(assigned,
+      Seq(col("cluster").asc, col("dist2").desc, col(idCol).asc), "__gr")
+    val mins = ranked.groupBy(col("cluster"))
+      .agg(min(col("__gr")).as("__min"), count(lit(1)).as("cluster_n"))
+    ranked.join(broadcast(mins), "cluster")
+      .withColumn("keep",
+        !((col("__gr") - col("__min") + 1) * 1000 <=
+          col("cluster_n") * prunePermille))
+      .select(col(idCol), col("cluster"), col("dist2"),
+        col("cluster_n"), col("keep"))
+  }
 }

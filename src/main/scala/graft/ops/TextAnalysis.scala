@@ -1365,6 +1365,98 @@ object TextAnalysis {
         col("dup_word_frac") > 0.8 || col("top_bigram_frac") > 0.18)
   }
 
+  /** FULL Gopher duplicated-n-gram character fractions (Rae et al.
+    * 2021 §A1.1 — the repetition half [[repetitionSignals]]'s
+    * word-level signals don't cover): for n in 2..4 the fraction of
+    * characters contained in the MOST FREQUENT n-gram
+    * (count·chars(gram) / chars(doc)), for n in 5..10 the fraction of
+    * characters covered by ALL duplicated n-grams (Σ over grams with
+    * count ≥ 2 of count·chars(gram) / chars(doc)). Character counts
+    * include the joining spaces, chars(doc) is the whitespace-
+    * normalized length, and OVERLAPPING occurrences double-count —
+    * the deterministic variant (the paper's position-marking coverage
+    * needs per-doc sequential state; this form is exact integer
+    * arithmetic any engine restates, and the standard practical
+    * approximation). Fractions can exceed 1.0 for pathologically
+    * repetitive docs — callers threshold, they don't sum. The top
+    * n-gram contributes only when it actually REPEATS (count ≥ 2):
+    * a fully diverse short doc scores 0, not len(one gram)/len(doc).
+    *
+    * `flagged` = any paper threshold exceeded: top {2,3,4}-gram >
+    * {0.20, 0.18, 0.16}; dup {5..10}-gram > {0.15, 0.14, 0.13, 0.12,
+    * 0.11, 0.10}.
+    *
+    * Scale shape: a two-level explode — (doc × 9 n-values, each row
+    * carrying the words array once) then the per-n gram windows — into
+    * a map-side-combined (doc, n, gram) count, a (doc, n) struct-min
+    * extrema + conditional sum (deterministic top-1, no window), and a
+    * conditional-agg pivot back to doc grain; the only join re-attaches
+    * gram-free docs (single-word/empty). Every fraction is ONE IEEE
+    * division of exact integer sums — bit-identical cross-engine
+    * (q158's DuckDB twin).
+    */
+  def ngramRepetitionSignals(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val base = df
+      .select(col(idCol),
+        split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("__w"))
+      .select(col(idCol), col("__w"),
+        length(concat_ws(" ", col("__w"))).cast("long").as("n_chars_norm"))
+    val byN = base
+      .select(col(idCol), col("n_chars_norm"), col("__w"),
+        explode(sequence(lit(2), lit(10))).as("n"))
+      .filter(size(col("__w")) >= col("n"))
+    val grams = byN.select(col(idCol), col("n_chars_norm"), col("n"),
+      explode(transform(sequence(lit(1), size(col("__w")) - col("n") + 1),
+        i => concat_ws(" ", slice(col("__w"), i, col("n"))))).as("gram"))
+    val counts = grams
+      .groupBy(col(idCol), col("n_chars_norm"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__chars", col("__cnt") * length(col("gram")).cast("long"))
+    // per (doc, n): min over struct(-cnt, gram, chars) = the (highest
+    // count, first gram)'s char mass — deterministic top-1 without a
+    // per-doc window (the repetitionSignals trick)
+    val perN = counts.groupBy(col(idCol), col("n_chars_norm"), col("n"))
+      .agg(
+        min(struct((-col("__cnt")).as("__negn"), col("gram"),
+          col("__chars"))).as("__top"),
+        sum(when(col("__cnt") >= 2, col("__chars")).otherwise(0L))
+          .as("__dup_chars"))
+      // the top gram counts only when it actually REPEATS (count ≥ 2)
+      // — a fully diverse doc scores 0, matching the published filters
+      .select(col(idCol), col("n_chars_norm"), col("n"),
+        when(-col("__top.__negn") >= 2, col("__top.__chars"))
+          .otherwise(0L).as("__top_chars"),
+        col("__dup_chars"))
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val pivotAggs =
+      topNs.map(n => max(when(col("n") === n, col("__top_chars")))
+        .as(s"__t$n")) ++
+      dupNs.map(n => max(when(col("n") === n, col("__dup_chars")))
+        .as(s"__d$n"))
+    val pivoted = perN.groupBy(col(idCol))
+      .agg(pivotAggs.head, pivotAggs.tail: _*)
+    def frac(chars: Column): Column =
+      when(col("n_chars_norm") > 0,
+        coalesce(chars, lit(0L)).cast("double") /
+          col("n_chars_norm").cast("double"))
+        .otherwise(lit(0.0))
+    val thresholds = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16,
+      5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+    val fracCols =
+      topNs.map(n => frac(col(s"__t$n")).as(s"top_${n}gram_frac")) ++
+      dupNs.map(n => frac(col(s"__d$n")).as(s"dup_${n}gram_frac"))
+    val flagged = (topNs.map(n => s"top_${n}gram_frac") ++
+      dupNs.map(n => s"dup_${n}gram_frac")).zip(topNs ++ dupNs)
+      .map { case (c, n) => col(c) > lit(thresholds(n)) }
+      .reduce(_ || _)
+    base.select(col(idCol), col("n_chars_norm"))
+      .join(pivoted, Seq(idCol), "left")
+      .select((col(idCol) +: col("n_chars_norm") +: fracCols): _*)
+      .withColumn("flagged", flagged)
+  }
+
   /** BPE MERGE LEARNING — byte-pair-encoding vocabulary induction
     * (Sennrich et al. 2016, public knowledge), the step that turns a
     * raw corpus into the subword merge table a tokenizer ships with.

@@ -2416,62 +2416,36 @@ object CorpusQueries extends QueryModule {
       "q113_kmeans_quantized",
       (s, d) => Similarity.kmeansQuantized(Tables.embeddings(s, d),
         "vec_id", "embedding", k = 4, iters = 2, scale = 1024),
-      Some("""WITH qv AS (
-             |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1024)
-             |    AS BIGINT) for x in embedding] AS q
-             |  FROM embeddings
-             |), c0 AS (
-             |  SELECT rn - 1 AS cl, q FROM (
-             |    SELECT q, row_number() OVER (ORDER BY vec_id) AS rn
-             |    FROM qv)
-             |  WHERE rn <= 4
-             |), a1 AS (
-             |  SELECT vec_id, q, cl, d FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY vec_id
-             |      ORDER BY d, cl) AS rn
-             |    FROM (SELECT v.vec_id, v.q, c.cl,
-             |        CAST(list_sum([(v.q[i] - c.q[i]) * (v.q[i] - c.q[i])
-             |          for i in range(1, len(v.q) + 1)]) AS BIGINT) AS d
-             |      FROM qv v, c0 c))
-             |  WHERE rn = 1
-             |), c1 AS (
-             |  SELECT cl, list(m ORDER BY i) AS q FROM (
-             |    SELECT cl, i, CAST(floor(CAST(sum(x) AS DOUBLE)
-             |      / count(*)) AS BIGINT) AS m
-             |    FROM (SELECT cl, unnest(q) AS x,
-             |          unnest(range(1, len(q) + 1)) AS i FROM a1)
-             |    GROUP BY cl, i)
-             |  GROUP BY cl
-             |), a2 AS (
-             |  SELECT vec_id, q, cl, d FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY vec_id
-             |      ORDER BY d, cl) AS rn
-             |    FROM (SELECT v.vec_id, v.q, c.cl,
-             |        CAST(list_sum([(v.q[i] - c.q[i]) * (v.q[i] - c.q[i])
-             |          for i in range(1, len(v.q) + 1)]) AS BIGINT) AS d
-             |      FROM qv v, c1 c))
-             |  WHERE rn = 1
-             |), c2 AS (
-             |  SELECT cl, list(m ORDER BY i) AS q FROM (
-             |    SELECT cl, i, CAST(floor(CAST(sum(x) AS DOUBLE)
-             |      / count(*)) AS BIGINT) AS m
-             |    FROM (SELECT cl, unnest(q) AS x,
-             |          unnest(range(1, len(q) + 1)) AS i FROM a2)
-             |    GROUP BY cl, i)
-             |  GROUP BY cl
-             |), a3 AS (
-             |  SELECT vec_id, cl, d FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY vec_id
-             |      ORDER BY d, cl) AS rn
-             |    FROM (SELECT v.vec_id, c.cl,
-             |        CAST(list_sum([(v.q[i] - c.q[i]) * (v.q[i] - c.q[i])
-             |          for i in range(1, len(v.q) + 1)]) AS BIGINT) AS d
-             |      FROM qv v, c2 c))
-             |  WHERE rn = 1
-             |)
+      Some(kmeansReplaySql + """
              |SELECT vec_id, CAST(cl AS INTEGER) AS cluster, d AS dist2
              |FROM a3""".stripMargin),
     ),
+
+    // ---- prototypicality pruning (Sorscher et al. 2022): the q113
+    // clustering plus a per-cluster farthest-permille outlier cut.
+    // The rank is integer math over q113's exact BIGINT distances, so
+    // DuckDB extends the same k-means replay with one rank window and
+    // restates every keep verdict bit-exactly. Spark side avoids the
+    // per-cluster window (a cluster is 1/k of the corpus) via the
+    // one-global-rank-minus-broadcast-min shape.
+    Q(
+      "q159_prototype_prune",
+      (s, d) => Similarity.pruneOutliersByCentroid(Tables.embeddings(s, d),
+        "vec_id", "embedding", k = 4, iters = 2, prunePermille = 100,
+        scale = 1024),
+      Some(kmeansReplaySql + """,
+             |rk AS (
+             |  SELECT vec_id, cl, d,
+             |    row_number() OVER (PARTITION BY cl
+             |      ORDER BY d DESC, vec_id ASC) AS r,
+             |    count(*) OVER (PARTITION BY cl) AS cn
+             |  FROM a3
+             |)
+             |SELECT vec_id, CAST(cl AS INTEGER) AS cluster, d AS dist2,
+             |  cn AS cluster_n, NOT (r * 1000 <= cn * 100) AS keep
+             |FROM rk""".stripMargin),
+    ),
+
 
     // ---- length-bucketed batching: per-batch padding-waste stats over
     // the assignment frame. DuckDB restates the bucket boundaries, the
@@ -4738,7 +4712,224 @@ object CorpusQueries extends QueryModule {
              |  (token_end - n_tokens) % 512 AS chunk_offset
              |FROM c""".stripMargin),
     ),
+
+    // ---- FULL Gopher duplicated-n-gram char fractions (Rae et al.
+    // 2021 §A1.1): top {2,3,4}-gram and dup {5..10}-gram character
+    // mass per doc, every fraction ONE IEEE division of exact integer
+    // sums. DuckDB re-derives all nine fractions and the threshold
+    // conjunction from the same gram windows.
+    Q(
+      "q158_gopher_ngram_repetition",
+      (s, d) => TextAnalysis.ngramRepetitionSignals(
+        Tables.documents(s, d), "doc_id", "text"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS w
+             |  FROM documents
+             |), b AS (
+             |  SELECT doc_id, w,
+             |    CAST(length(array_to_string(w, ' ')) AS BIGINT)
+             |      AS n_chars_norm
+             |  FROM t
+             |), wn AS (
+             |  SELECT doc_id, w, unnest(range(2, 11)) AS n FROM b
+             |), gi AS (
+             |  SELECT doc_id, n, w, unnest(range(1, len(w) - n + 2)) AS i
+             |  FROM wn WHERE len(w) >= n
+             |), g AS (
+             |  SELECT doc_id, n,
+             |    array_to_string(w[i : i + n - 1], ' ') AS gram
+             |  FROM gi
+             |), c AS (
+             |  SELECT doc_id, n, gram, count(*) AS cnt,
+             |    count(*) * CAST(length(gram) AS BIGINT) AS chars
+             |  FROM g GROUP BY 1, 2, 3
+             |), top AS (
+             |  SELECT doc_id, n,
+             |    CASE WHEN cnt >= 2 THEN chars ELSE 0 END AS tchars
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+             |      ORDER BY cnt DESC, gram ASC) AS rn FROM c)
+             |  WHERE rn = 1
+             |), dup AS (
+             |  SELECT doc_id, n,
+             |    CAST(sum(CASE WHEN cnt >= 2 THEN chars ELSE 0 END)
+             |      AS BIGINT) AS dchars
+             |  FROM c GROUP BY 1, 2
+             |), pv AS (
+             |  SELECT du.doc_id,
+             |    max(CASE WHEN du.n = 2 THEN tp.tchars END) AS t2,
+             |    max(CASE WHEN du.n = 3 THEN tp.tchars END) AS t3,
+             |    max(CASE WHEN du.n = 4 THEN tp.tchars END) AS t4,
+             |    max(CASE WHEN du.n = 5 THEN du.dchars END) AS d5,
+             |    max(CASE WHEN du.n = 6 THEN du.dchars END) AS d6,
+             |    max(CASE WHEN du.n = 7 THEN du.dchars END) AS d7,
+             |    max(CASE WHEN du.n = 8 THEN du.dchars END) AS d8,
+             |    max(CASE WHEN du.n = 9 THEN du.dchars END) AS d9,
+             |    max(CASE WHEN du.n = 10 THEN du.dchars END) AS d10
+             |  FROM dup du JOIN top tp
+             |    ON du.doc_id = tp.doc_id AND du.n = tp.n
+             |  GROUP BY 1
+             |), f AS (
+             |  SELECT b.doc_id, b.n_chars_norm,
+             |    CASE WHEN b.n_chars_norm > 0
+             |      THEN CAST(coalesce(pv.t2, 0) AS DOUBLE)
+             |        / CAST(b.n_chars_norm AS DOUBLE)
+             |      ELSE 0.0 END AS top_2gram_frac,
+             |    CASE WHEN b.n_chars_norm > 0
+             |      THEN CAST(coalesce(pv.t3, 0) AS DOUBLE)
+             |        / CAST(b.n_chars_norm AS DOUBLE)
+             |      ELSE 0.0 END AS top_3gram_frac,
+             |    CASE WHEN b.n_chars_norm > 0
+             |      THEN CAST(coalesce(pv.t4, 0) AS DOUBLE)
+             |        / CAST(b.n_chars_norm AS DOUBLE)
+             |      ELSE 0.0 END AS top_4gram_frac,
+             |    CASE WHEN b.n_chars_norm > 0
+             |      THEN CAST(coalesce(pv.d5, 0) AS DOUBLE)
+             |        / CAST(b.n_chars_norm AS DOUBLE)
+             |      ELSE 0.0 END AS dup_5gram_frac,
+             |    CASE WHEN b.n_chars_norm > 0
+             |      THEN CAST(coalesce(pv.d6, 0) AS DOUBLE)
+             |        / CAST(b.n_chars_norm AS DOUBLE)
+             |      ELSE 0.0 END AS dup_6gram_frac,
+             |    CASE WHEN b.n_chars_norm > 0
+             |      THEN CAST(coalesce(pv.d7, 0) AS DOUBLE)
+             |        / CAST(b.n_chars_norm AS DOUBLE)
+             |      ELSE 0.0 END AS dup_7gram_frac,
+             |    CASE WHEN b.n_chars_norm > 0
+             |      THEN CAST(coalesce(pv.d8, 0) AS DOUBLE)
+             |        / CAST(b.n_chars_norm AS DOUBLE)
+             |      ELSE 0.0 END AS dup_8gram_frac,
+             |    CASE WHEN b.n_chars_norm > 0
+             |      THEN CAST(coalesce(pv.d9, 0) AS DOUBLE)
+             |        / CAST(b.n_chars_norm AS DOUBLE)
+             |      ELSE 0.0 END AS dup_9gram_frac,
+             |    CASE WHEN b.n_chars_norm > 0
+             |      THEN CAST(coalesce(pv.d10, 0) AS DOUBLE)
+             |        / CAST(b.n_chars_norm AS DOUBLE)
+             |      ELSE 0.0 END AS dup_10gram_frac
+             |  FROM b LEFT JOIN pv ON b.doc_id = pv.doc_id
+             |)
+             |SELECT doc_id, n_chars_norm, top_2gram_frac, top_3gram_frac,
+             |  top_4gram_frac, dup_5gram_frac, dup_6gram_frac,
+             |  dup_7gram_frac, dup_8gram_frac, dup_9gram_frac,
+             |  dup_10gram_frac,
+             |  (top_2gram_frac > 0.20 OR top_3gram_frac > 0.18
+             |   OR top_4gram_frac > 0.16 OR dup_5gram_frac > 0.15
+             |   OR dup_6gram_frac > 0.14 OR dup_7gram_frac > 0.13
+             |   OR dup_8gram_frac > 0.12 OR dup_9gram_frac > 0.11
+             |   OR dup_10gram_frac > 0.10) AS flagged
+             |FROM f""".stripMargin),
+    ),
+
+    // ---- non-straddling bin packing (blocked next-fit-decreasing):
+    // documents placed WHOLE into 160-token bins. Global rank, block
+    // cut, the per-block sequential next-fit fold, and the dense
+    // global bin id are all exact integer math — DuckDB replays the
+    // fold with a recursive CTE advancing one item per step (depth =
+    // blockSize, all blocks in parallel rows).
+    Q(
+      "q160_bin_packing",
+      (s, d) => Packing.binPackBlocked(Tables.documents(s, d), "doc_id",
+        TextAnalysis.tokenCount(col("text")), capacity = 160,
+        blockSize = 50),
+      Some("""WITH RECURSIVE lens AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+             |      AS BIGINT) AS item_len
+             |  FROM documents
+             |), rk AS (
+             |  SELECT doc_id, item_len,
+             |    row_number() OVER (ORDER BY item_len DESC, doc_id ASC)
+             |      - 1 AS rnk
+             |  FROM lens
+             |), blk AS (
+             |  SELECT doc_id, item_len, rnk,
+             |    CAST(floor(rnk / 50.0) AS BIGINT) AS block,
+             |    rnk % 50 AS idx
+             |  FROM rk
+             |), rec AS (
+             |  SELECT block, idx, doc_id, item_len,
+             |    CAST(0 AS BIGINT) AS bin, item_len AS used
+             |  FROM blk WHERE idx = 0
+             |  UNION ALL
+             |  SELECT b.block, b.idx, b.doc_id, b.item_len,
+             |    CASE WHEN r.used + b.item_len <= 160 THEN r.bin
+             |         ELSE r.bin + 1 END,
+             |    CASE WHEN r.used + b.item_len <= 160
+             |         THEN r.used + b.item_len ELSE b.item_len END
+             |  FROM rec r JOIN blk b
+             |    ON b.block = r.block AND b.idx = r.idx + 1
+             |), binid AS (
+             |  SELECT block, bin,
+             |    dense_rank() OVER (ORDER BY block, bin) - 1 AS pack_bin
+             |  FROM (SELECT DISTINCT block, bin FROM rec)
+             |)
+             |SELECT r.doc_id, r.item_len, r.block,
+             |  r.bin AS bin_in_block, bi.pack_bin,
+             |  r.item_len > 160 AS over_capacity
+             |FROM rec r JOIN binid bi
+             |  ON r.block = bi.block AND r.bin = bi.bin""".stripMargin),
+    ),
   )
+
+  /** Shared DuckDB replay of the quantized k-means run (q113/q159):
+    * fixed-point quantization, init = 4 lowest ids, two Lloyd
+    * iterations, final assignment. Ends after the `a3` CTE so callers
+    * append their final CTEs/SELECT (the unigramDpSql convention). */
+  private lazy val kmeansReplaySql: String =
+    """WITH qv AS (
+             |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1024)
+             |    AS BIGINT) for x in embedding] AS q
+             |  FROM embeddings
+             |), c0 AS (
+             |  SELECT rn - 1 AS cl, q FROM (
+             |    SELECT q, row_number() OVER (ORDER BY vec_id) AS rn
+             |    FROM qv)
+             |  WHERE rn <= 4
+             |), a1 AS (
+             |  SELECT vec_id, q, cl, d FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY d, cl) AS rn
+             |    FROM (SELECT v.vec_id, v.q, c.cl,
+             |        CAST(list_sum([(v.q[i] - c.q[i]) * (v.q[i] - c.q[i])
+             |          for i in range(1, len(v.q) + 1)]) AS BIGINT) AS d
+             |      FROM qv v, c0 c))
+             |  WHERE rn = 1
+             |), c1 AS (
+             |  SELECT cl, list(m ORDER BY i) AS q FROM (
+             |    SELECT cl, i, CAST(floor(CAST(sum(x) AS DOUBLE)
+             |      / count(*)) AS BIGINT) AS m
+             |    FROM (SELECT cl, unnest(q) AS x,
+             |          unnest(range(1, len(q) + 1)) AS i FROM a1)
+             |    GROUP BY cl, i)
+             |  GROUP BY cl
+             |), a2 AS (
+             |  SELECT vec_id, q, cl, d FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY d, cl) AS rn
+             |    FROM (SELECT v.vec_id, v.q, c.cl,
+             |        CAST(list_sum([(v.q[i] - c.q[i]) * (v.q[i] - c.q[i])
+             |          for i in range(1, len(v.q) + 1)]) AS BIGINT) AS d
+             |      FROM qv v, c1 c))
+             |  WHERE rn = 1
+             |), c2 AS (
+             |  SELECT cl, list(m ORDER BY i) AS q FROM (
+             |    SELECT cl, i, CAST(floor(CAST(sum(x) AS DOUBLE)
+             |      / count(*)) AS BIGINT) AS m
+             |    FROM (SELECT cl, unnest(q) AS x,
+             |          unnest(range(1, len(q) + 1)) AS i FROM a2)
+             |    GROUP BY cl, i)
+             |  GROUP BY cl
+             |), a3 AS (
+             |  SELECT vec_id, cl, d FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY d, cl) AS rn
+             |    FROM (SELECT v.vec_id, c.cl,
+             |        CAST(list_sum([(v.q[i] - c.q[i]) * (v.q[i] - c.q[i])
+             |          for i in range(1, len(v.q) + 1)]) AS BIGINT) AS d
+             |      FROM qv v, c2 c))
+             |  WHERE rn = 1
+             |)""".stripMargin
 
   /** Shared DuckDB replay of the unigram-LM model (q153/q154): seed
     * vocabulary → integer milli-nat log-probs → 12-step forward

@@ -1122,4 +1122,101 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(1) == ((2L, "", 0L, 3L)))
     assert(out(2) == ((3L, "n", 1L, 3L)))
   }
+
+  // ------------------------------------- Gopher n-gram char fractions
+
+  test("ngramRepetitionSignals: hand-computed top/dup char fractions; " +
+      "diverse and degenerate docs score 0") {
+    val d = Seq(
+      (1L, "a b a b a b"),  // 6 words, 11 chars normalized
+      (2L, "x y z w"),      // fully diverse — every fraction 0
+      (3L, ""),             // empty
+      (4L, "hello"),        // single word — no grams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramRepetitionSignals(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val a = out(1L)
+    assert(a.getLong(1) == 11L)
+    // top 2-gram "a b"×3 → 3·3/11; top 3-gram tie→"a b a"×2 → 2·5/11;
+    // top 4-gram "a b a b"×2 → 2·7/11 (>1: overlap double-counts)
+    assert(a.getDouble(2) == 9.0 / 11)
+    assert(a.getDouble(3) == 10.0 / 11)
+    assert(a.getDouble(4) == 14.0 / 11)
+    // 5- and 6-grams all unique; 7..10 don't exist → dup fracs all 0
+    assert((5 to 10).forall(i => a.getDouble(i) == 0.0))
+    assert(a.getBoolean(11))
+    val b = out(2L)
+    assert((2 to 10).forall(i => b.getDouble(i) == 0.0))
+    assert(!b.getBoolean(11))
+    val c = out(3L)
+    assert(c.getLong(1) == 0L && !c.getBoolean(11))
+    val e = out(4L)
+    assert(e.getLong(1) == 5L && !e.getBoolean(11))
+  }
+
+  // ------------------------------------------- prototypicality pruning
+
+  test("pruneOutliersByCentroid: farthest per-mille per cluster marked, " +
+      "per-cluster thresholds independent") {
+    val d = Seq(
+      (1L, Seq(0.0f)), (2L, Seq(1.0f)), (3L, Seq(2.0f)), (4L, Seq(3.0f)),
+    ).toDF("vec_id", "embedding")
+    // k=1, iters=0: center = id 1's vector; prune the farthest half
+    val one = Similarity.pruneOutliersByCentroid(d, "vec_id", "embedding",
+        k = 1, iters = 0, prunePermille = 500)
+      .as[(Long, Int, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(one == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
+    // k=2, iters=0: c0=[0], c1=[1024]; cluster 0 = {1} (its single
+    // member survives: 1000 > 1·500), cluster 1 = {2,3,4} (farthest
+    // of three pruned: 1000 ≤ 3·500)
+    val two = Similarity.pruneOutliersByCentroid(d, "vec_id", "embedding",
+        k = 2, iters = 0, prunePermille = 500)
+      .as[(Long, Int, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(two == Map(1L -> true, 2L -> true, 3L -> true, 4L -> false))
+  }
+
+  // ------------------------------------------ non-straddle bin packing
+
+  test("binPackBlocked: next-fit-decreasing within one block, oversize " +
+      "doc isolated and flagged") {
+    val d = Seq((1L, 300L), (2L, 200L), (3L, 200L), (4L, 100L),
+      (5L, 600L)).toDF("doc_id", "n_tok")
+    val out = Packing.binPackBlocked(d, "doc_id", col("n_tok"),
+        capacity = 512, blockSize = 10)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._5, r._6))).toMap
+    // rank order 5(600) 1(300) 2(200) 3(200) 4(100):
+    // bin0={5 over}, bin1={1,2}=500, bin2={3,4}=300
+    assert(out == Map(5L -> ((0L, true)), 1L -> ((1L, false)),
+      2L -> ((1L, false)), 3L -> ((2L, false)), 4L -> ((2L, false))))
+  }
+
+  test("binPackBlocked: blocks cut by global rank; global bin ids dense " +
+      "across blocks") {
+    val d = Seq((1L, 300L), (2L, 200L), (3L, 200L), (4L, 100L),
+      (5L, 600L)).toDF("doc_id", "n_tok")
+    val out = Packing.binPackBlocked(d, "doc_id", col("n_tok"),
+        capacity = 512, blockSize = 2)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    // blocks: {5,1} {2,3} {4}; block0 → bins (0:{5}, 1:{1});
+    // block1 → bin 0:{2,3}=400; block2 → bin 0:{4}
+    assert(out == Map(
+      5L -> ((0L, 0L, 0L)), 1L -> ((0L, 1L, 1L)),
+      2L -> ((1L, 0L, 2L)), 3L -> ((1L, 0L, 2L)),
+      4L -> ((2L, 0L, 3L))))
+  }
+
+  test("binPackBlocked: null length fails loudly with the offending id") {
+    val d = Seq((1L, Some(10L)), (2L, None)).toDF("doc_id", "n_tok")
+    val e = intercept[Exception] {
+      Packing.binPackBlocked(d, "doc_id", col("n_tok"),
+        capacity = 64, blockSize = 4).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("null length")))
+  }
 }
