@@ -501,6 +501,92 @@ object Sampling {
     *        `defaultPermille`
     * @return (idCol, sourceCol, position long dense from 0)
     */
+  /** MULTI-EPOCH token-budget allocation — the data-constrained
+    * scaling plan (Muennighoff et al. 2023, "Scaling Data-Constrained
+    * Language Models": repeating data is worth it up to ~4 epochs):
+    * given a token budget and per-source target shares, each source is
+    * assigned FULL passes over its corpus (capped at `maxEpochs`) plus
+    * a per-mille partial pass covering the remainder — the planner
+    * whose realized selection is [[mixToBudget]]'s hash filter run per
+    * epoch. All arithmetic is integer (`div`, per-mille), so the plan
+    * is engine-restatable (q161) and independent of cluster size.
+    *
+    * Scale shape: ONE map-side-combined per-source token sum (sources
+    * bounded) and pure per-row integer math on the source-sized
+    * result. Output is model-sized: one row per source.
+    *
+    * @param weightsPermille target mixture share per source (‰ of the
+    *        budget); sources absent from the map use `defaultPermille`
+    * @return (sourceCol, n_tokens_total, target_tokens, epochs_full,
+    *         partial_permille, planned_tokens) where planned_tokens =
+    *         epochs_full·T + (partial_permille·T) div 1000 — the token
+    *         mass the per-mille-granular selection actually realizes
+    */
+  def epochAllocation(df: DataFrame, sourceCol: String, tokenCol: Column,
+      budgetTokens: Long, weightsPermille: Map[String, Long],
+      defaultPermille: Long, maxEpochs: Int): DataFrame = {
+    require(budgetTokens > 0,
+      s"budgetTokens must be positive, got $budgetTokens")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    require(defaultPermille >= 0 && weightsPermille.values.forall(_ >= 0),
+      "mixture weights must be non-negative")
+    val wpm = weightsPermille.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPermille)) { case (acc, (s, w)) =>
+        when(col(sourceCol) === s, lit(w)).otherwise(acc)
+      }
+    df.groupBy(col(sourceCol))
+      .agg(sum(tokenCol.cast("long")).as("n_tokens_total"))
+      .withColumn("__wpm", wpm)
+      .withColumn("target_tokens",
+        expr(s"(${budgetTokens}L * __wpm) div 1000"))
+      .withColumn("epochs_full",
+        least(lit(maxEpochs.toLong),
+          when(col("n_tokens_total") > 0,
+            expr("target_tokens div n_tokens_total")).otherwise(lit(0L))))
+      // a source at the epoch cap takes no partial pass (the cap bounds
+      // TOTAL passes); below the cap the remainder thins per-mille
+      .withColumn("partial_permille",
+        when(col("n_tokens_total") > 0 && col("epochs_full") < maxEpochs,
+          expr("((target_tokens - epochs_full * n_tokens_total) * 1000)" +
+            " div n_tokens_total"))
+          .otherwise(lit(0L)))
+      .withColumn("planned_tokens",
+        expr("epochs_full * n_tokens_total + " +
+          "(partial_permille * n_tokens_total) div 1000"))
+      .select(col(sourceCol), col("n_tokens_total"), col("target_tokens"),
+        col("epochs_full"), col("partial_permille"), col("planned_tokens"))
+  }
+
+  /** Deterministic TRAINING ORDER — the data-loader contract at the
+    * very end of the pipeline: a seeded global shuffle of the corpus
+    * (epoch-dependent, so every epoch reshuffles) plus round-robin
+    * worker sharding. order_rank = the [[Packing.globalRowNumber]]
+    * two-pass rank over (md5-60(key ‖ seed ‖ '#' ‖ epoch), key) — the
+    * repo's shared seeded-hash construction, so the permutation is
+    * reproducible at any parallelism and restatable by any engine
+    * (q162); worker = order_rank mod numWorkers and worker_pos =
+    * order_rank div numWorkers give each worker a contiguous position
+    * sequence over an interleaved shard (the standard
+    * distributed-sampler shape).
+    *
+    * @return input columns + (order_rank, worker, worker_pos) */
+  def trainOrder(df: DataFrame, keyCol: String, epoch: Int,
+      numWorkers: Int, seed: String): DataFrame = {
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    require(numWorkers >= 1, s"numWorkers must be >= 1, got $numWorkers")
+    require(!df.columns.contains("__r"),
+      "input must not already carry a __r column")
+    Packing.globalRowNumber(
+      df.withColumn("__r", Dedup.md5Hash60(concat(
+        col(keyCol).cast("string"), lit(seed), lit("#"),
+        lit(epoch.toString)))),
+      Seq(col("__r").asc, col(keyCol).asc), "order_rank")
+      .drop("__r")
+      .withColumn("worker", pmod(col("order_rank"), lit(numWorkers.toLong)))
+      .withColumn("worker_pos",
+        expr(s"order_rank div ${numWorkers}L"))
+  }
+
   def mixtureSchedule(df: DataFrame, idCol: String, sourceCol: String,
       weightsPermille: Map[String, Long], defaultPermille: Long,
       seed: String): DataFrame = {

@@ -4870,6 +4870,77 @@ object CorpusQueries extends QueryModule {
              |FROM rec r JOIN binid bi
              |  ON r.block = bi.block AND r.bin = bi.bin""".stripMargin),
     ),
+
+    // ---- multi-epoch budget allocation (Muennighoff et al. 2023):
+    // per-source full passes + per-mille partial pass from a 20k-token
+    // budget with src0 up-weighted into the epoch cap, src1 landing
+    // 1 full + partial, everything else sub-epoch. All integer `div`
+    // arithmetic — DuckDB restates the whole plan with `//`.
+    Q(
+      "q161_epoch_allocation",
+      (s, d) => Sampling.epochAllocation(Tables.documents(s, d), "source",
+        TextAnalysis.tokenCount(col("text")), budgetTokens = 20000L,
+        weightsPermille = Map("src0" -> 300L, "src1" -> 100L),
+        defaultPermille = 40L, maxEpochs = 3),
+      Some("""WITH t AS (
+             |  SELECT source,
+             |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+             |      AS BIGINT) AS n_tokens_total
+             |  FROM documents GROUP BY 1
+             |), c AS (
+             |  SELECT source, n_tokens_total,
+             |    (20000 * (CASE WHEN source = 'src0' THEN 300
+             |              WHEN source = 'src1' THEN 100
+             |              ELSE 40 END)) // 1000 AS target_tokens
+             |  FROM t
+             |), e AS (
+             |  SELECT source, n_tokens_total, target_tokens,
+             |    least(CAST(3 AS BIGINT),
+             |      CASE WHEN n_tokens_total > 0
+             |        THEN target_tokens // n_tokens_total
+             |        ELSE 0 END) AS epochs_full
+             |  FROM c
+             |), p AS (
+             |  SELECT source, n_tokens_total, target_tokens, epochs_full,
+             |    CASE WHEN n_tokens_total > 0 AND epochs_full < 3
+             |      THEN ((target_tokens - epochs_full * n_tokens_total)
+             |        * 1000) // n_tokens_total
+             |      ELSE 0 END AS partial_permille
+             |  FROM e
+             |)
+             |SELECT source, n_tokens_total, target_tokens, epochs_full,
+             |  partial_permille,
+             |  epochs_full * n_tokens_total +
+             |    (partial_permille * n_tokens_total) // 1000
+             |    AS planned_tokens
+             |FROM p""".stripMargin),
+    ),
+
+    // ---- deterministic training order: seeded epoch-dependent global
+    // shuffle + round-robin worker sharding (the distributed-sampler
+    // contract at the very end of the pipeline). Rank rides the
+    // two-pass scan; DuckDB re-derives the identical permutation from
+    // (key, seed, epoch).
+    Q(
+      "q162_train_order",
+      (s, d) => Sampling.trainOrder(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id",
+        epoch = 1, numWorkers = 4, seed = "tr1"),
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'tr1#1'),
+             |      1, 15) AS BIGINT) AS r
+             |  FROM documents
+             |), o AS (
+             |  SELECT doc_id,
+             |    CAST(row_number() OVER (ORDER BY r ASC, doc_id ASC) - 1
+             |      AS BIGINT) AS order_rank
+             |  FROM h
+             |)
+             |SELECT doc_id, order_rank, order_rank % 4 AS worker,
+             |  order_rank // 4 AS worker_pos
+             |FROM o""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):

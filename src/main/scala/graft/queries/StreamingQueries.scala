@@ -422,5 +422,51 @@ object StreamingQueries extends QueryModule {
              |WHERE len(list_intersect(a.t, b.t)) * 1.0 /
              |    len(list_distinct(list_concat(a.t, b.t))) >= 0.5""".stripMargin),
     ),
+
+    // ---- streaming exact-size sample: documents delivered as two
+    // parity ticks through two AvailableNow runs (shared checkpoint —
+    // run 2 sees only the new file); the published sample after both
+    // runs must equal the BATCH sampleExact over the whole table
+    // (min-n by a total order is associative/commutative, so the
+    // split into batches can't change it). Oracle = q90's seeded-hash
+    // construction with this query's seed.
+    Q(
+      "q163_streaming_sample",
+      (s, d) => {
+        val root = scratch()
+        val inDir = s"$root/in"
+        val samplePath = s"$root/sample"
+        val ckpt = s"$root/ckpt"
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+
+        def tick(batch: DataFrame): Unit = {
+          batch.coalesce(1).write.mode("append").parquet(inDir)
+          StreamOps.sampleExactStream(
+            s.readStream.schema(batch.schema).parquet(inDir),
+            "doc_id", n = 100L, seed = "st1", samplePath, ckpt)
+            .awaitTermination()
+        }
+        tick(docs.filter(col("doc_id") % 2 === 0))
+        tick(docs.filter(col("doc_id") % 2 === 1))
+
+        // rank the published n-row sample (sample-sized frame — the
+        // buildVocab vocab-sized-rank precedent applies, but the
+        // two-pass scan is the house shape anyway)
+        graft.ops.Packing.globalRowNumber(
+          s.read.parquet(samplePath),
+          Seq(col("__r").asc, col("doc_id").asc), "sample_rank")
+          .select(col("doc_id"), col("sample_rank"))
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'st1'),
+             |      1, 15) AS BIGINT) AS r
+             |  FROM documents
+             |)
+             |SELECT doc_id,
+             |  CAST(row_number() OVER (ORDER BY r ASC, doc_id ASC) - 1
+             |    AS BIGINT) AS sample_rank
+             |FROM h QUALIFY sample_rank < 100""".stripMargin),
+    ),
   )
 }

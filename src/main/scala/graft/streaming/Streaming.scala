@@ -287,4 +287,45 @@ object StreamOps {
           .write.mode("append").parquet(outPath)
       }
       .start()
+
+  /** STREAMING exact-size uniform sample —
+    * [[graft.ops.Sampling.sampleExact]] maintained incrementally over
+    * micro-batches: the published table always holds the n lowest
+    * (md5-60(key ‖ seed), key) rows seen so far. Min-n by a total
+    * order is associative and commutative, so the state equals the
+    * batch operator over the union of everything delivered REGARDLESS
+    * of how the stream was split into batches or runs (q163 proves the
+    * two-tick delivery against q90's batch construction), and the
+    * state is SAMPLE-SIZED — n rows per publish, never corpus-sized:
+    * the reservoir property that makes a fixed eval draw maintainable
+    * at ingest time. Each batch unions the published sample with the
+    * new rows' hashes, drops redelivered keys (hash is a function of
+    * the key, so a duplicate delivery can never displace a distinct
+    * row), and republishes the n lowest through
+    * [[graft.io.AtomicParquet]] (S7: a crash mid-publish leaves the
+    * previous sample readable). The n-sized sort-limit is a
+    * TakeOrdered — no global sort shuffle.
+    */
+  def sampleExactStream(stream: DataFrame, keyCol: String, n: Long,
+      seed: String, samplePath: String,
+      checkpointDir: String): StreamingQuery = {
+    require(n >= 1 && n <= Int.MaxValue, s"n must be in [1, 2^31), got $n")
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val hashed = batch.withColumn("__r",
+          graft.ops.Dedup.md5Hash60(concat(
+            col(keyCol).cast("string"), lit(seed))))
+        val prev = graft.io.AtomicParquet.read(spark, samplePath, hashed)
+        graft.io.AtomicParquet.publish(
+          prev.unionByName(hashed)
+            .dropDuplicates(keyCol)
+            .orderBy(col("__r").asc, col(keyCol).asc).limit(n.toInt),
+          samplePath)
+      }
+      .start()
+  }
 }

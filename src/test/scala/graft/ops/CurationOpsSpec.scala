@@ -1209,6 +1209,40 @@ class CurationOpsSpec extends SparkSpec {
       4L -> ((2L, 0L, 3L))))
   }
 
+  // ------------------------------------------- multi-epoch allocation
+
+  test("epochAllocation: cap, full+partial, and sub-epoch branches") {
+    val d = Seq(("a", 100L), ("b", 60L), ("c", 500L))
+      .toDF("source", "n")
+    val out = Sampling.epochAllocation(d, "source", col("n"),
+        budgetTokens = 1000L, weightsPermille = Map("a" -> 300L),
+        defaultPermille = 100L, maxEpochs = 2)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5, r._6))).toMap
+    // a: target 300, T 100 → 3 full passes capped at 2, no partial
+    assert(out("a") == ((300L, 2L, 0L, 200L)))
+    // b: target 100, T 60 → 1 full + 666‰ partial → 60 + 39 = 99
+    assert(out("b") == ((100L, 1L, 666L, 99L)))
+    // c: target 100, T 500 → 0 full + 200‰ partial → 100
+    assert(out("c") == ((100L, 0L, 200L, 100L)))
+  }
+
+  // ------------------------------------------------- training order
+
+  test("trainOrder: dense permutation, round-robin shards, epochs " +
+      "reshuffle") {
+    val d = (1L to 8L).toDF("id")
+    val e1 = Sampling.trainOrder(d, "id", epoch = 1, numWorkers = 2,
+        seed = "s").as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(e1.map(_._2).toSeq == (0L to 7L))
+    assert(e1.map(r => (r._3, r._4)).toSeq ==
+      (0L to 7L).map(r => (r % 2, r / 2)))
+    val e2 = Sampling.trainOrder(d, "id", epoch = 2, numWorkers = 2,
+        seed = "s").as[(Long, Long, Long, Long)].collect()
+    assert(e1.sortBy(_._1).map(_._2).toSeq !=
+      e2.sortBy(_._1).map(_._2).toSeq)
+  }
+
   test("binPackBlocked: null length fails loudly with the offending id") {
     val d = Seq((1L, Some(10L)), (2L, None)).toDF("doc_id", "n_tok")
     val e = intercept[Exception] {

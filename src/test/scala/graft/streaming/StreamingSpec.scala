@@ -191,4 +191,31 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
     assert(got == Set((1L, 10L)))
   }
+
+  test("sampleExactStream: three-tick delivery equals the batch sample; " +
+      "redelivered content cannot displace rows") {
+    val dir = Files.createTempDirectory("graft-ssample").toString
+    val all = (1L to 30L).toDF("id")
+
+    def tick(lo: Long, hi: Long, ckptTag: String = "ckpt"): Unit = {
+      all.filter($"id" >= lo && $"id" <= hi)
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+      StreamOps.sampleExactStream(
+          spark.readStream.schema(all.schema).parquet(s"$dir/in"),
+          "id", n = 5L, seed = "t1", s"$dir/sample", s"$dir/$ckptTag")
+        .awaitTermination()
+    }
+    tick(1, 10); tick(11, 20); tick(21, 30)
+    val got = spark.read.parquet(s"$dir/sample")
+      .select($"id").as[Long].collect().toSet
+    val batch = graft.ops.Sampling.sampleExact(all, "id", 5L, "t1")
+      .select($"id").as[Long].collect().toSet
+    assert(got == batch && got.size == 5)
+    // redeliver already-sampled keys as a NEW file: dedup-by-key keeps
+    // the published sample byte-identical
+    tick(1, 10)
+    val again = spark.read.parquet(s"$dir/sample")
+      .select($"id").as[Long].collect().toSet
+    assert(again == batch)
+  }
 }
