@@ -1457,6 +1457,89 @@ object TextAnalysis {
       .withColumn("flagged", flagged)
   }
 
+  /** RULE-BASED line-wise quality filter — the RefinedWeb/Dolma "line
+    * correction" pass (Penedo et al. 2023 §3.2: remove chrome-like
+    * LINES, then drop the document if the edit removed too much),
+    * complementary to the frequency-based [[stripBoilerplateLines]]
+    * (which needs a corpus pass; this is pure per-doc rules). A
+    * non-blank line drops when it is (a) shorter than `minChars`,
+    * (b) ALL-CAPS (has an ASCII letter and uppercasing is identity —
+    * nav/menu chrome), (c) numeric/date-like (only digits and
+    * `[ .,:%/-]`, at least one digit), or (d) a social counter
+    * (`"12 likes"` — the RefinedWeb example). Blank lines always
+    * survive so paragraph structure does (the [[dedupDocLines]]
+    * convention). `doc_flagged` = removed fraction > `maxRemovedFrac`
+    * — the "document was mostly chrome" verdict.
+    *
+    * Pure map riding the corpus scan (one HOF filter per doc, no
+    * shuffle); every regex is in the Java∩RE2 dialect and the fraction
+    * is ONE IEEE division of exact counts, so q165's DuckDB twin
+    * restates the whole edit byte-for-byte.
+    *
+    * @return (idCol, clean_text, n_lines, n_removed, removed_frac,
+    *         doc_flagged)
+    */
+  def lineQualitySignals(df: DataFrame, idCol: String, textCol: String,
+      minChars: Int = 3, maxRemovedFrac: Double = 0.5): DataFrame = {
+    require(minChars >= 1, s"minChars must be >= 1, got $minChars")
+    val lines = split(coalesce(col(textCol), lit("")), "\n", -1)
+    def dropLine(x: Column): Column = {
+      val t = trim(x)
+      (length(t) > 0) && (
+        (length(t) < minChars) ||
+        (x.rlike("[A-Za-z]") && x === upper(x)) ||
+        (t.rlike("^[0-9 .,:%/-]+$") && t.rlike("[0-9]")) ||
+        t.rlike("(?i)^[0-9]+ (likes|shares|comments|views|points|upvotes)$"))
+    }
+    df.select(col(idCol), lines.as("__ls"))
+      .select(col(idCol), col("__ls"),
+        filter(col("__ls"), x => !dropLine(x)).as("__kept"))
+      .select(col(idCol),
+        array_join(col("__kept"), "\n").as("clean_text"),
+        size(col("__ls")).cast("long").as("n_lines"),
+        (size(col("__ls")) - size(col("__kept"))).cast("long")
+          .as("n_removed"))
+      .withColumn("removed_frac",
+        when(col("n_lines") > 0,
+          col("n_removed").cast("double") / col("n_lines").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("doc_flagged", col("removed_frac") > maxRemovedFrac)
+  }
+
+  /** WORD-BLOCKLIST signals — the C4 "bad words" document filter
+    * (Raffel et al. 2020: drop any page containing a lexicon word):
+    * tokens are lowercased and stripped of leading/trailing
+    * non-alphanumerics (so `"Word!"` matches `word`), then matched
+    * against the caller's lexicon. Emits the hit count, the sorted
+    * distinct matched words (space-joined — deterministic and
+    * hash-comparable), and the drop flag; the caller supplies the
+    * lexicon, the operator is policy-free.
+    *
+    * Scale shape: the lexicon rides as ONE array literal in the
+    * codegen'd filter (lexicon-sized, model-sized at worst) and the
+    * whole operator is a pure map on the scan — no shuffle, no join.
+    * For lexicons too big for a literal, swap the `array_contains`
+    * for a broadcast-set lookup behind the same contract.
+    *
+    * @return (idCol, n_hits, matched_words, flagged)
+    */
+  def blocklistHits(df: DataFrame, idCol: String, textCol: String,
+      words: Seq[String]): DataFrame = {
+    require(words.nonEmpty, "blocklist must be non-empty")
+    val lex = words.map(_.toLowerCase).distinct.sorted
+    val toks = split(trim(coalesce(col(textCol), lit(""))), "\\s+")
+    val norm = transform(toks, x =>
+      regexp_replace(regexp_replace(lower(x), "^[^a-z0-9]+", ""),
+        "[^a-z0-9]+$", ""))
+    val hits = filter(norm, x => array_contains(typedLit(lex), x))
+    df.select(col(idCol), hits.as("__h"))
+      .select(col(idCol),
+        size(col("__h")).cast("long").as("n_hits"),
+        array_join(array_sort(array_distinct(col("__h"))), " ")
+          .as("matched_words"),
+        (size(col("__h")) > 0).as("flagged"))
+  }
+
   /** BPE MERGE LEARNING — byte-pair-encoding vocabulary induction
     * (Sennrich et al. 2016, public knowledge), the step that turns a
     * raw corpus into the subword merge table a tokenizer ships with.

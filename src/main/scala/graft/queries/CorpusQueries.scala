@@ -4941,6 +4941,91 @@ object CorpusQueries extends QueryModule {
              |  order_rank // 4 AS worker_pos
              |FROM o""".stripMargin),
     ),
+
+    // ---- C4-style word-blocklist filter: a lexicon of corpus words
+    // so all three outcomes occur (multi-hit, single-hit, clean).
+    // Token edge-stripping means a matched word can sit next to
+    // punctuation. DuckDB restates the normalization, the lexicon
+    // membership, and the sorted matched-word join.
+    Q(
+      "q164_blocklist_filter",
+      (s, d) => TextAnalysis.blocklistHits(Tables.documents(s, d),
+        "doc_id", "text", Seq("vector", "join", "cursor")),
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t
+             |  FROM documents
+             |), n AS (
+             |  SELECT doc_id, list_transform(t, x ->
+             |    regexp_replace(regexp_replace(lower(x),
+             |      '^[^a-z0-9]+', ''), '[^a-z0-9]+$', '')) AS t
+             |  FROM w
+             |), h AS (
+             |  SELECT doc_id, list_filter(t, x ->
+             |    list_contains(['cursor', 'join', 'vector'], x)) AS hits
+             |  FROM n
+             |)
+             |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,
+             |  coalesce(array_to_string(list_sort(list_distinct(hits)), ' '),
+             |    '') AS matched_words,
+             |  len(hits) > 0 AS flagged
+             |FROM h""".stripMargin),
+    ),
+
+    // ---- RefinedWeb line-wise quality edit: chrome lines planted per
+    // doc_id branch (ALL-CAPS menu, social counter, date-like, short),
+    // the operator removes exactly those lines and flags docs where
+    // the edit removed more than half. DuckDB replays the per-line
+    // rules, the rebuild, and the fraction byte-for-byte.
+    Q(
+      "q165_line_quality",
+      (s, d) => {
+        val id = col("doc_id")
+        val aug = Tables.documents(s, d).select(id,
+          when(id % 7 === 0, concat_ws("\n", lit("MENU HOME ABOUT"),
+            col("text"), lit("12 likes"), lit("2024 - 11 - 05")))
+            .when(id % 7 === 1, concat_ws("\n", col("text"), lit("ok"),
+              lit(""), lit("real second paragraph of prose")))
+            .otherwise(col("text")).as("t"))
+        TextAnalysis.lineQualitySignals(aug, "doc_id", "t")
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, CASE
+             |    WHEN doc_id % 7 = 0 THEN 'MENU HOME ABOUT' || chr(10) ||
+             |      text || chr(10) || '12 likes' || chr(10) ||
+             |      '2024 - 11 - 05'
+             |    WHEN doc_id % 7 = 1 THEN text || chr(10) || 'ok' ||
+             |      chr(10) || chr(10) || 'real second paragraph of prose'
+             |    ELSE text END AS t
+             |  FROM documents
+             |), ls AS (
+             |  SELECT doc_id, string_split(t, chr(10)) AS l FROM aug
+             |), k AS (
+             |  SELECT doc_id, l, list_filter(l, x -> NOT (
+             |    length(trim(x)) > 0 AND (
+             |      length(trim(x)) < 3
+             |      OR (regexp_matches(x, '[A-Za-z]') AND x = upper(x))
+             |      OR (regexp_matches(trim(x), '^[0-9 .,:%/-]+$')
+             |          AND regexp_matches(trim(x), '[0-9]'))
+             |      OR regexp_matches(trim(x),
+             |        '(?i)^[0-9]+ (likes|shares|comments|views|points|upvotes)$')
+             |    ))) AS kept
+             |  FROM ls
+             |)
+             |SELECT doc_id,
+             |  array_to_string(kept, chr(10)) AS clean_text,
+             |  CAST(len(l) AS BIGINT) AS n_lines,
+             |  CAST(len(l) - len(kept) AS BIGINT) AS n_removed,
+             |  CASE WHEN len(l) > 0
+             |    THEN CAST(len(l) - len(kept) AS DOUBLE)
+             |      / CAST(len(l) AS DOUBLE)
+             |    ELSE 0.0 END AS removed_frac,
+             |  (CASE WHEN len(l) > 0
+             |    THEN CAST(len(l) - len(kept) AS DOUBLE)
+             |      / CAST(len(l) AS DOUBLE)
+             |    ELSE 0.0 END) > 0.5 AS doc_flagged
+             |FROM k""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):

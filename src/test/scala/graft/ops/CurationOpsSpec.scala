@@ -1209,6 +1209,46 @@ class CurationOpsSpec extends SparkSpec {
       4L -> ((2L, 0L, 3L))))
   }
 
+  // ------------------------------------------ line-wise quality edit
+
+  test("lineQualitySignals: each rule fires on its line class, blanks " +
+      "survive, mostly-chrome doc flagged") {
+    val d = Seq(
+      (1L, "NAV HOME\nreal prose line here\n12 likes\n2024 - 11 - 05\nok\n\nsecond paragraph\nmore prose"),
+      (2L, "just a normal line"),
+      (3L, "MENU\nA B\n7 views"),   // everything chrome → flagged
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lineQualitySignals(d, "doc_id", "text")
+      .as[(Long, String, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val a = out(1L)
+    assert(a._2 == "real prose line here\n\nsecond paragraph\nmore prose")
+    // removed 4 of 8 — exactly AT the 0.5 threshold, not over → kept
+    assert(a._3 == 8L && a._4 == 4L && !a._6)
+    val b = out(2L)
+    assert(b._2 == "just a normal line" && b._4 == 0L && !b._6)
+    val c = out(3L)
+    assert(c._2 == "" && c._4 == 3L && c._6)
+  }
+
+  // ------------------------------------------------ blocklist filter
+
+  test("blocklistHits: lowercased edge-stripped tokens match; matched " +
+      "words sorted distinct") {
+    val d = Seq(
+      (1L, "Bad! stuff and BAD, words worse"),
+      (2L, "perfectly clean text"),
+      (3L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistHits(d, "doc_id", "text",
+        Seq("worse", "bad"))
+      .as[(Long, Long, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((3L, "bad worse", true)))
+    assert(out(2L) == ((0L, "", false)))
+    assert(out(3L) == ((0L, "", false)))
+  }
+
   // ------------------------------------------- multi-epoch allocation
 
   test("epochAllocation: cap, full+partial, and sub-epoch branches") {
