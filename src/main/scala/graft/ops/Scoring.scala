@@ -358,6 +358,79 @@ object Scoring {
     * group's min rank from a group-count-sized broadcast aggregate.
     *
     * @return input columns + (bucket int, 0 = best fraction) */
+  /** BM25 retrieval scoring (Robertson & Spärck Jones / the Okapi
+    * formula, public knowledge) — score every document of the corpus
+    * against one query: the retrieval primitive behind
+    * retrieval-based decontamination, DSIR-style target selection,
+    * and eval-neighborhood mining. Formula (k1 = k1Permille/1000,
+    * b = bPermille/1000, dl = doc tokens, N docs, T total tokens):
+    * {{{ score = Σ_t idf_t · tf·(1+k1) / (tf + k1·(1−b + b·dl·N/T)) }}}
+    * with idf_t = floor(1000·ln((N − df_t + 0.5)/(df_t + 0.5) + 1))
+    * — the milli-nat integer idf (the unigram-LM convention: ln is
+    * the one libm call; flooring to milli-nats makes a last-ulp libm
+    * difference visible only when the value sits within ~2 ulp of an
+    * integer boundary). Every per-term score is floored to integer
+    * MICRO-units after a PINNED IEEE op sequence over exact integer
+    * inputs — (idf_mn·1000.0)·(tf·(1.0+k1)) / (tf + k1·((1−b) +
+    * b·(dl·N/T))) — so the final per-doc score is an order-free
+    * integer sum any engine restates bit-for-bit (q166).
+    *
+    * Scale shape: ONE corpus stats pass (N, T — a 1-row collect), tf
+    * restricted to the query's terms BEFORE the aggregation (the
+    * explode filters against a query-sized literal, so the shuffle
+    * carries only matching postings), query-sized df/idf stats
+    * broadcast back, and a final key join re-attaching zero-match
+    * docs. Nothing corpus-sized ever reaches the driver.
+    *
+    * @return (idCol, dl, n_matched, score_micro) for EVERY input doc
+    */
+  def bm25Scores(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1Permille: Int = 1200,
+      bPermille: Int = 750): DataFrame = {
+    require(queryTerms.nonEmpty, "query must have at least one term")
+    require(k1Permille >= 0 && bPermille >= 0 && bPermille <= 1000,
+      s"need k1Permille >= 0 and bPermille in [0,1000], " +
+        s"got $k1Permille/$bPermille")
+    val terms = queryTerms.distinct.sorted
+    val toks = df.select(col(idCol),
+      split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("__w"))
+    val dl = toks.select(col(idCol), size(col("__w")).cast("long").as("dl"))
+    // corpus stats: one aggregated row — bounded by construction
+    val st = dl.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("dl")).cast("long").as("t")).collect()(0)
+    val nDocs = st.getLong(0)
+    val tToks = st.getLong(1)
+    val k1 = k1Permille / 1000.0
+    val b = bPermille / 1000.0
+    val tf = toks.select(col(idCol), explode(col("__w")).as("__tok"))
+      .filter(col("__tok").isin(terms: _*))
+      .groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).cast("long").as("__tf"))
+    val idf = tf.groupBy(col("__tok"))
+      .agg(count(lit(1)).cast("long").as("__df"))
+      .withColumn("__idf_mn",
+        floor(lit(1000.0) * log(
+          (lit(nDocs.toDouble) - col("__df") + lit(0.5)) /
+            (col("__df") + lit(0.5)) + lit(1.0))).cast("long"))
+      .select(col("__tok"), col("__idf_mn"))
+    val perTerm = tf
+      .join(broadcast(idf), "__tok")
+      .join(dl, idCol)
+      .withColumn("__m",
+        floor((col("__idf_mn").cast("double") * lit(1000.0)) *
+          (col("__tf").cast("double") * lit(1.0 + k1)) /
+          (col("__tf").cast("double") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * ((col("dl") * nDocs).cast("double") /
+              lit(tToks.toDouble))))).cast("long"))
+    val agged = perTerm.groupBy(col(idCol))
+      .agg(sum(col("__m")).as("__score"),
+        count(lit(1)).cast("long").as("__matched"))
+    dl.join(agged, Seq(idCol), "left")
+      .select(col(idCol), col("dl"),
+        coalesce(col("__matched"), lit(0L)).as("n_matched"),
+        coalesce(col("__score"), lit(0L)).as("score_micro"))
+  }
+
   def qualityBuckets(df: DataFrame, idCol: String, scoreCol: String,
       groupCol: String, nBuckets: Int): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")

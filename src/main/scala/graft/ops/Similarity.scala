@@ -1054,6 +1054,52 @@ object Similarity {
       .select(col(idCol), col("cluster"), col("dist2"))
   }
 
+  /** MATRYOSHKA prefix-dimension ANN (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning": nested embeddings keep
+    * most of their geometry in a prefix of the coordinates — the
+    * adaptive-retrieval recipe is shortlist-at-low-dim, re-rank at
+    * full dim): the shortlist is the exact blocked kernel run over
+    * the FIRST `prefixDims` coordinates (a prefixDims/dim fraction of
+    * the arithmetic and shuffle volume), and the k winners are an
+    * exact full-dimension re-rank of each query's shortlist-bounded
+    * candidate set. With MRL-trained embeddings the shortlist misses
+    * little; the q167 recall gate measures exactly that and flips on
+    * collapse (the q26/q33 verdict convention for approximate
+    * operators).
+    *
+    * Scale shape: the prefix pass inherits [[cosineTopKKernel]]'s
+    * blocked shape (quadratic only inside block pairs, never an
+    * all-pairs shuffle); the refine is two key joins carrying full
+    * vectors for SHORTLIST·n rows only, and the final per-query
+    * window sorts shortlist-bounded groups.
+    *
+    * @return (id, neighbor_id, cosine full-dim, rank 1..k)
+    */
+  def annTopKMatryoshka(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, prefixDims: Int, shortlist: Int,
+      numBlocks: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    require(prefixDims >= 1, s"prefixDims must be >= 1, got $prefixDims")
+    val prefix = df.select(col(idCol),
+      slice(asDouble(col(vecCol)), 1, prefixDims).as("__pv"))
+    val cands = cosineTopKKernel(prefix, idCol, "__pv", shortlist,
+        numBlocks)
+      .select(col("id"), col("neighbor_id"))
+    val full = df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+    val refined = cands
+      .join(full.select(col(idCol).as("id"), col("__v").as("__qv")), "id")
+      .join(full.select(col(idCol).as("neighbor_id"),
+        col("__v").as("__cv")), "neighbor_id")
+      .withColumn("cosine",
+        graft.functions.CosineSimilarity(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    refined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** PROTOTYPICALITY pruning over the quantized clustering — the
     * centroid-distance curation step of Sorscher et al. 2022 ("Beyond
     * neural scaling laws: beating power law scaling via data pruning")

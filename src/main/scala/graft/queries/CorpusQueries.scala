@@ -5026,6 +5026,92 @@ object CorpusQueries extends QueryModule {
              |    ELSE 0.0 END) > 0.5 AS doc_flagged
              |FROM k""".stripMargin),
     ),
+
+    // ---- BM25 retrieval scoring: the whole corpus scored against one
+    // query. idf is the milli-nat integer floor (the unigram-LM ln
+    // convention) and each per-term score is floored to micro-units
+    // after a PINNED IEEE op sequence over exact integers, so DuckDB
+    // re-derives every document's score bit-for-bit — including the
+    // zero-match docs re-attached by the left join.
+    Q(
+      "q166_bm25_scores",
+      (s, d) => Scoring.bm25Scores(Tables.documents(s, d), "doc_id",
+        "text", Seq("hash", "join", "scan")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS w
+             |  FROM documents
+             |), dl AS (
+             |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks
+             |), st AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(dl) AS BIGINT) AS t
+             |  FROM dl
+             |), tf AS (
+             |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
+             |  WHERE tok IN ('hash', 'join', 'scan')
+             |  GROUP BY 1, 2
+             |), idf AS (
+             |  SELECT tok,
+             |    CAST(floor(1000.0 * ln(
+             |      (CAST((SELECT n FROM st) AS DOUBLE) - df + 0.5)
+             |        / (df + 0.5) + 1.0)) AS BIGINT) AS idf_mn
+             |  FROM (SELECT tok, CAST(count(*) AS BIGINT) AS df
+             |        FROM tf GROUP BY 1)
+             |), term AS (
+             |  SELECT tf.doc_id,
+             |    CAST(floor(
+             |      (CAST(idf.idf_mn AS DOUBLE) * 1000.0)
+             |      * (CAST(tf.tf AS DOUBLE) * (1.0 + 1200 / 1000.0))
+             |      / (CAST(tf.tf AS DOUBLE) + (1200 / 1000.0)
+             |         * ((1.0 - 750 / 1000.0) + (750 / 1000.0)
+             |            * (CAST(dl.dl * (SELECT n FROM st) AS DOUBLE)
+             |               / CAST((SELECT t FROM st) AS DOUBLE))))
+             |    ) AS BIGINT) AS m
+             |  FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id)
+             |), agg AS (
+             |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS score_micro,
+             |    CAST(count(*) AS BIGINT) AS n_matched
+             |  FROM term GROUP BY 1
+             |)
+             |SELECT dl.doc_id, dl.dl,
+             |  coalesce(agg.n_matched, 0) AS n_matched,
+             |  coalesce(agg.score_micro, 0) AS score_micro
+             |FROM dl LEFT JOIN agg USING (doc_id)""".stripMargin),
+    ),
+
+    // ---- matryoshka prefix-dim ANN: shortlist at 32 of 64 dims, exact
+    // re-rank at full dim. Same recall-gate form as q26/q33: the
+    // verdict flips (and hash-mismatches) if the prefix shortlist
+    // collapses. The testdata embeddings are NOT MRL-trained (no
+    // front-loaded prefix), so the shortlist is sized generously —
+    // measured recall@3 is 0.89 at sf0.01 and 0.73 at sf0.1; the 0.60
+    // floor sits under both by a jitter margin but flips on a real
+    // break.
+    Q(
+      "q167_matryoshka_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val k = 3
+        val exact = Similarity.cosineTopKKernelForQueries(emb, "vec_id",
+            "embedding", k, col("vec_id") % 3 === 0)
+          .select(col("id"), col("neighbor_id"))
+        val approx = Similarity.annTopKMatryoshka(emb, "vec_id",
+            "embedding", k, prefixDims = 32, shortlist = 64)
+          .filter(col("id") % 3 === 0)
+          .select(col("id"), col("neighbor_id")).withColumn("__hit", lit(1))
+        exact.join(approx, Seq("id", "neighbor_id"), "left")
+          .agg(countDistinct(col("id")).as("n_queries"),
+            (sum(coalesce(col("__hit"), lit(0))) / count(lit(1)))
+              .as("recall"))
+          .select(lit("matryoshka").as("method"), col("n_queries"),
+            (col("recall") >= 0.60).as("meets_floor"))
+      },
+      Some("""SELECT 'matryoshka' AS method, count(*) AS n_queries,
+             |  true AS meets_floor
+             |FROM embeddings WHERE vec_id % 3 = 0""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):

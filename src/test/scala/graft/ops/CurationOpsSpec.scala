@@ -1209,6 +1209,57 @@ class CurationOpsSpec extends SparkSpec {
       4L -> ((2L, 0L, 3L))))
   }
 
+  // ------------------------------------------------- matryoshka ANN
+
+  test("annTopKMatryoshka: full-dim prefix with ample shortlist equals " +
+      "the exact kernel; narrow prefix still returns k ranked rows") {
+    val d = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.1)), (2L, Seq(0.9, 0.1, 0.0, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.2, 0.0)), (4L, Seq(0.0, 0.9, 0.0, 0.3)),
+      (5L, Seq(0.5, 0.5, 0.5, 0.5)), (6L, Seq(0.1, 0.0, 1.0, 0.0)),
+    ).toDF("id", "v")
+    def key(r: (Long, Long, Double, Int)) = (r._1, r._2, r._4)
+    val exact = Similarity.cosineTopKKernel(d, "id", "v", k = 2)
+      .as[(Long, Long, Double, Int)].collect().map(key).toSet
+    val full = Similarity.annTopKMatryoshka(d, "id", "v", k = 2,
+        prefixDims = 4, shortlist = 5)
+      .as[(Long, Long, Double, Int)].collect().map(key).toSet
+    assert(full == exact)
+    val narrow = Similarity.annTopKMatryoshka(d, "id", "v", k = 2,
+        prefixDims = 2, shortlist = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(narrow.map(_._1).distinct.length == 6)
+    assert(narrow.groupBy(_._1).values.forall(_.map(_._4).sorted.toSeq
+      == Seq(1, 2)))
+  }
+
+  // ---------------------------------------------------- BM25 scoring
+
+  test("bm25Scores: matches the pinned IEEE formula; zero-match docs " +
+      "score 0; tf and rarity both raise the score") {
+    val d = Seq((1L, "a b a"), (2L, "b c"), (3L, "c c c c"), (4L, "z z"))
+      .toDF("doc_id", "text")
+    val out = Scoring.bm25Scores(d, "doc_id", "text", Seq("a", "c"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // reference model replaying the documented op sequence exactly
+    val (n, t) = (4L, 11L)
+    def idf(df: Long): Long =
+      math.floor(1000.0 * math.log(
+        (n.toDouble - df + 0.5) / (df + 0.5) + 1.0)).toLong
+    def m(idfMn: Long, tf: Long, dl: Long): Long =
+      math.floor((idfMn.toDouble * 1000.0) * (tf.toDouble * (1.0 + 1.2)) /
+        (tf.toDouble + 1.2 * ((1.0 - 0.75) + 0.75 *
+          ((dl * n).toDouble / t.toDouble)))).toLong
+    val (ia, ic) = (idf(1), idf(2))
+    assert(out(1L) == ((3L, 1L, m(ia, 2, 3))))
+    assert(out(2L) == ((2L, 1L, m(ic, 1, 2))))
+    assert(out(3L) == ((4L, 1L, m(ic, 4, 4))))
+    assert(out(4L) == ((2L, 0L, 0L)))
+    // the rare term ('a', df 1) outweighs the common one at equal tf/dl
+    assert(ia > ic)
+  }
+
   // ------------------------------------------ line-wise quality edit
 
   test("lineQualitySignals: each rule fires on its line class, blanks " +
