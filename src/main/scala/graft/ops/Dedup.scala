@@ -716,4 +716,96 @@ object Dedup {
         (col("__total") - coalesce(col("n_words_kept"), lit(0L)))
           .as("n_words_excised"))
   }
+
+  /** EDIT-DISTANCE near-dup pairs for SHORT text (titles, instructions,
+    * prompts — the Self-Instruct-style pool where a one-character
+    * paraphrase is a duplicate that shingle-based MinHash can't see):
+    * every unordered pair within Levenshtein distance `maxDist`,
+    * exactly — no false negatives, no sampling.
+    *
+    * Candidate generation is the PassJoin segment filter (Li et al.
+    * 2011, "PASS-JOIN: A Partition-based Method for Similarity Joins",
+    * public): split each string into `maxDist + 1` even chunks — at
+    * most `maxDist` edits can touch at most `maxDist` chunks, so for
+    * any true pair some chunk survives VERBATIM in the other string,
+    * shifted by at most `maxDist` positions (each edit shifts the
+    * alignment by ≤ 1). So: probes emit their d+1 chunks keyed by
+    * (own length, chunk index, chunk text); the index side emits, for
+    * each probe length within ±d of its own and each chunk slot, the
+    * substrings at the ±d position window — a CONSTANT
+    * (2d+1)²·(d+1) emissions per string (75 at d = 2), joined by
+    * exact chunk text. Quadratic cost only inside identical-chunk
+    * buckets, never an all-pairs shuffle. Strings shorter than d+1
+    * (where the pigeonhole has no nonempty chunks) pair through a
+    * length-window bucket join instead — bounded by how many near-empty
+    * strings the corpus has. Exact verification runs the capped banded
+    * [[graft.functions.EditDistance]] (O(d·len) per candidate, early
+    * abandon) on candidates only.
+    *
+    * Byte-vs-character caveat: verification distance is UTF-8 byte
+    * distance (the DuckDB `levenshtein` contract — q168's independent
+    * oracle); chunking runs on Spark's codepoint substrings, which is
+    * only a candidate-generation choice and never affects which pairs
+    * verify. Null text = empty text.
+    *
+    * @return (id_a, id_b, dist) with id_a < id_b and dist <= maxDist
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 8,
+      s"maxDist must be in [1,8] (cost grows as (2d+1)^2(d+1)), got $maxDist")
+    val d = maxDist
+    val base = df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("s"))
+      .withColumn("l", length(col("s")).cast("int"))
+    // probes: the d+1 even chunks of every string of length >= d+1
+    val probe = base.filter(col("l") >= d + 1)
+      .select(col("id"), col("s"), col("l"),
+        explode(sequence(lit(0), lit(d))).as("i"))
+      .withColumn("__st", floor(col("i") * col("l") / (d + 1)).cast("int"))
+      .withColumn("__en",
+        floor((col("i") + 1) * col("l") / (d + 1)).cast("int"))
+      .select(col("id"), col("l"), col("i"),
+        expr("substring(s, __st + 1, __en - __st)").as("chunk"))
+    // index: for each targeted probe length (±d) and chunk slot, the
+    // substrings at the ±d position window — constant emissions/string
+    val idx = base
+      .select(col("id").as("id2"), col("s").as("s2"), col("l").as("m"),
+        explode(sequence(lit(-d), lit(d))).as("__dl"))
+      .withColumn("l", (col("m") + col("__dl")).cast("int"))
+      .filter(col("l") >= d + 1)
+      .withColumn("i", explode(sequence(lit(0), lit(d))))
+      .withColumn("__st", floor(col("i") * col("l") / (d + 1)).cast("int"))
+      .withColumn("__ln",
+        (floor((col("i") + 1) * col("l") / (d + 1)) - col("__st")).cast("int"))
+      .withColumn("__w", explode(sequence(lit(-d), lit(d))))
+      .withColumn("__p", col("__w") + col("__st"))
+      .filter(col("__p") >= 0 && col("__p") + col("__ln") <= col("m"))
+      .select(col("id2"), col("l"), col("i"),
+        expr("substring(s2, __p + 1, __ln)").as("chunk"))
+    val candLong = probe.join(idx, Seq("l", "i", "chunk"))
+      .filter(col("id") =!= col("id2"))
+      .select(least(col("id"), col("id2")).as("id_a"),
+        greatest(col("id"), col("id2")).as("id_b"))
+    // tiny strings (len <= d): the pigeonhole needs d+1 nonempty
+    // chunks, so pair these through a length-window bucket instead
+    // (partners are bounded by len <= 2d)
+    val tinyProbe = base.filter(col("l") <= d)
+      .select(col("id"), explode(sequence(
+        greatest(col("l") - d, lit(0)), col("l") + d)).as("m"))
+    val tinyIdx = base.filter(col("l") <= 2 * d)
+      .select(col("id").as("id2"), col("l").as("m"))
+    val candTiny = tinyProbe.join(tinyIdx, "m")
+      .filter(col("id") =!= col("id2"))
+      .select(least(col("id"), col("id2")).as("id_a"),
+        greatest(col("id"), col("id2")).as("id_b"))
+    val cands = candLong.union(candTiny).distinct()
+    cands
+      .join(base.select(col("id").as("id_a"), col("s").as("__sa")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("s").as("__sb")), "id_b")
+      .withColumn("dist",
+        graft.functions.EditDistance(col("__sa"), col("__sb"), d))
+      .filter(col("dist") <= d)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -5112,6 +5112,45 @@ object CorpusQueries extends QueryModule {
              |  true AS meets_floor
              |FROM embeddings WHERE vec_id % 3 = 0""".stripMargin),
     ),
+
+    // ---- edit-distance near-dup over short text: PassJoin segment
+    // blocking + the capped native Levenshtein verify, vs DuckDB's
+    // OWN independent levenshtein over the brute-force pair space —
+    // the strongest oracle form (two unrelated implementations of the
+    // same metric). Input plants substitution / deletion variants of
+    // every 7th doc's 48-char prefix so the expected pair set is rich
+    // at every sf.
+    Q(
+      "q168_edit_distance_pairs",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id").cast("long").as("id"),
+            expr("substring(text, 1, 48)").as("s"))
+        val sub = base.filter(col("id") % 7 === 0)
+          .select((col("id") + 100000).as("id"),
+            concat(lit("X"), expr("substring(s, 2)")).as("s"))
+        val del = base.filter(col("id") % 7 === 0)
+          .select((col("id") + 200000).as("id"),
+            expr("substring(s, 2)").as("s"))
+        Dedup.editDistancePairs(
+          base.union(sub).union(del), "id", "s", maxDist = 2)
+      },
+      Some("""WITH base AS (
+             |  SELECT CAST(doc_id AS BIGINT) AS id,
+             |    substr(text, 1, 48) AS s FROM documents
+             |), u AS (
+             |  SELECT * FROM base
+             |  UNION ALL
+             |  SELECT id + 100000, 'X' || substr(s, 2) FROM base
+             |  WHERE id % 7 = 0
+             |  UNION ALL
+             |  SELECT id + 200000, substr(s, 2) FROM base WHERE id % 7 = 0
+             |)
+             |SELECT a.id AS id_a, b.id AS id_b,
+             |  CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+             |FROM u a JOIN u b ON a.id < b.id
+             |WHERE levenshtein(a.s, b.s) <= 2""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):

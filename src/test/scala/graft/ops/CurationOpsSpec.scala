@@ -1344,4 +1344,40 @@ class CurationOpsSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("null length")))
   }
+
+  // ------------------------------------------- edit-distance near-dup
+
+  test("editDistancePairs: equals brute force on random short strings " +
+      "(no false negatives from PassJoin blocking, tiny path included)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 80L).map { i =>
+      val len = rnd.nextInt(15) // 0..14: exercises the tiny-string path
+      (i, (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    }
+    val df = rows.toDF("id", "s")
+    val got = Dedup.editDistancePairs(df, "id", "s", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      d = graft.functions.EditDistance.dist(
+        sa.getBytes("UTF-8"), sb.getBytes("UTF-8"), -1)
+      if d <= 2
+    } yield (ia, ib, d)).toSet
+    assert(got == brute)
+    assert(brute.nonEmpty) // the alphabet is small enough to collide
+  }
+
+  test("editDistancePairs: planted substitution/deletion variants are " +
+      "found at their exact distances; null text = empty text") {
+    val df = Seq(
+      (1L, "the quick brown fox"), (2L, "Xhe quick brown fox"),
+      (3L, "he quick brown fox"), (4L, "completely different"),
+      (5L, null.asInstanceOf[String]), (6L, ""),
+    ).toDF("id", "s")
+    val got = Dedup.editDistancePairs(df, "id", "s", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    // (2,3) is ONE deletion: dropping the substituted 'X' of id 2
+    // yields id 3's text directly
+    assert(got == Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 1), (5L, 6L, 0)))
+  }
 }
