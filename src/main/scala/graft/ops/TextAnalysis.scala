@@ -515,9 +515,9 @@ object TextAnalysis {
   case class BigramLm(bigrams: DataFrame, unigrams: DataFrame,
       vocabSize: Long)
 
-  /** Per-occurrence bigram rows (idCol?, __bh, __w1h) — bh hashes
-    * "w1 w2", w1h hashes the prefix word (md5-60, the cross-engine
-    * construction). */
+  /** Per-occurrence bigram rows (idCol?, __bh, __w1h, __w2h) — bh
+    * hashes "w1 w2", w1h/w2h hash the prefix/continuation words
+    * (md5-60, the cross-engine construction). */
   private def bigramOcc(df: DataFrame, textCol: String,
       idCol: Option[String]): DataFrame = {
     val words = split(trim(col(textCol)), "\\s+")
@@ -529,9 +529,11 @@ object TextAnalysis {
           i => struct(
             concat(element_at(col("__ws"), i), lit(" "),
               element_at(col("__ws"), i + 1)).as("bg"),
-            element_at(col("__ws"), i).as("w1")))).as("__o"): _*)
+            element_at(col("__ws"), i).as("w1"),
+            element_at(col("__ws"), i + 1).as("w2")))).as("__o"): _*)
       .select(keep ++ Seq(Dedup.md5Hash60(col("__o.bg")).as("__bh"),
-        Dedup.md5Hash60(col("__o.w1")).as("__w1h")): _*)
+        Dedup.md5Hash60(col("__o.w1")).as("__w1h"),
+        Dedup.md5Hash60(col("__o.w2")).as("__w2h")): _*)
   }
 
   /** Train the CCNet/KenLM-style quality-filter LM: add-one-smoothed
@@ -621,6 +623,111 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("n_oov"), lit(0L)).as("n_oov"),
         col("lm_mean_prob_ppb"), col("perplexity"))
+  }
+
+  /** A trained interpolated Kneser–Ney bigram LM (Kneser & Ney 1995;
+    * the Chen & Goodman 1998 interpolated form — the smoothing KenLM
+    * actually ships, where [[trainBigramLm]]'s add-one is the
+    * classroom baseline). Count tables stay DISTRIBUTED like
+    * [[BigramLm]]'s; the continuation table is the KN novelty: how
+    * many DISTINCT predecessors each word has, which is what replaces
+    * raw frequency at the backoff level ("Francisco" is frequent but
+    * only ever follows "San" — KN backs off to type counts, not token
+    * counts).
+    *
+    * @param bigrams       (__bh, __c12) bigram token counts
+    * @param prefixes      (__w1h, __c1, __n1fw): prefix token count +
+    *                      distinct-follower type count N1+(w1,·)
+    * @param continuations (__w2h, __n1pw): distinct-predecessor type
+    *                      count N1+(·,w2)
+    * @param nBigramTypes  B = distinct bigram types (Pcont denominator)
+    * @param vocabSize     V = distinct prefixes (the uniform floor's V)
+    * @param dPermille     the absolute discount D in per-mille (750 =
+    *                      the standard 0.75) */
+  case class KneserNeyLm(bigrams: DataFrame, prefixes: DataFrame,
+      continuations: DataFrame, nBigramTypes: Long, vocabSize: Long,
+      dPermille: Int)
+
+  /** Train the interpolated KN bigram model: one occurrence pass feeds
+    * three map-side-combined hash aggregations (bigram counts; prefix
+    * counts + distinct followers; distinct predecessors). Eager like
+    * [[trainBigramLm]] ("train once, score every batch").
+    */
+  def trainKneserNeyLm(df: DataFrame, textCol: String,
+      dPermille: Int = 750): KneserNeyLm = {
+    require(dPermille >= 0 && dPermille <= 1000,
+      s"dPermille must be in [0,1000], got $dPermille")
+    val occ = bigramOcc(df, textCol, None).materialized
+    val bigrams = occ.groupBy(col("__bh"))
+      .agg(count(lit(1)).as("__c12")).materialized
+    val prefixes = occ.groupBy(col("__w1h"))
+      .agg(count(lit(1)).as("__c1"),
+        count_distinct(col("__bh")).as("__n1fw")).materialized
+    val types = occ.select(col("__bh"), col("__w2h")).distinct().materialized
+    val continuations = types.groupBy(col("__w2h"))
+      .agg(count(lit(1)).as("__n1pw")).materialized
+    KneserNeyLm(bigrams, prefixes, continuations, types.count(),
+      prefixes.count(), dPermille)
+  }
+
+  /** Score documents against a trained [[KneserNeyLm]] — the
+    * perplexity-style gate with the smoothing CCNet's KenLM really
+    * uses. Per bigram occurrence, interpolated KN with an add-one-
+    * uniform floor on the continuation distribution (so every P > 0):
+    * {{{
+    *   Pcont(w2)  = (N1+(·,w2) + 1) / (B + V)
+    *   P(w2|w1)   = max(c12 − D, 0)/c1 + (D·N1+(w1,·)/c1)·Pcont(w2)
+    *   (c1 = 0 →)   Pcont(w2)
+    * }}}
+    * The published signal is ppb-quantized with PURE INTEGER
+    * arithmetic — each term is the integer floor of an exact integer
+    * ratio (D rides as dPermille), so there is NO floating point
+    * anywhere in the compared projection (stronger than the pinned-
+    * IEEE convention; the q137/q52 integer-exactness form):
+    * {{{
+    *   q = (max(1000·c12 − dp, 0) · 10⁹) div (1000·c1)
+    *     + (dp · n1fw · (n1pw+1) · 10⁹) div (1000·c1·(B+V))
+    *   (c1 = 0 →) ((n1pw+1) · 10⁹) div (B+V)
+    * }}}
+    * (exact while dp·n1fw·(n1pw+1) < ~9.2e9 — vocab-type counts, which
+    * at web scale means switching the quantizer to ppm; dp = 0
+    * degrades to the unsmoothed ML floor(c12/c1·10⁹), the unit test's
+    * closed form.) Per doc the q values sum order-free.
+    *
+    * Scale shape: three shuffle joins on 8-byte hash keys (all count
+    * tables data-sized — never broadcast), one map-side-combined
+    * per-doc aggregation, no windows.
+    *
+    * @return (idCol, n_bigrams, n_oov, kn_mean_prob_ppb); docs with
+    *         fewer than two tokens score (0, 0, null) */
+  def scoreKneserNeyLm(df: DataFrame, idCol: String, textCol: String,
+      lm: KneserNeyLm): DataFrame = {
+    val occ = bigramOcc(df, textCol, Some(idCol))
+    val dp = lm.dPermille
+    val bv = lm.nBigramTypes + lm.vocabSize
+    val joined = occ
+      .join(lm.bigrams, Seq("__bh"), "left")
+      .join(lm.prefixes, Seq("__w1h"), "left")
+      .join(lm.continuations, Seq("__w2h"), "left")
+      .select(col(idCol),
+        (coalesce(col("__c12"), lit(0L)) === 0).cast("long").as("__oov"),
+        expr(s"""CASE WHEN coalesce(__c1, 0L) > 0L THEN
+             |  (greatest(1000L * coalesce(__c12, 0L) - ${dp}L, 0L)
+             |    * 1000000000L) div (1000L * __c1)
+             |  + (${dp}L * coalesce(__n1fw, 0L)
+             |      * (coalesce(__n1pw, 0L) + 1L) * 1000000000L)
+             |    div (1000L * __c1 * ${bv}L)
+             |ELSE ((coalesce(__n1pw, 0L) + 1L) * 1000000000L)
+             |  div ${bv}L END""".stripMargin).as("__q"))
+    val scored = joined.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__oov")).as("n_oov"),
+        expr("sum(__q) div count(1)").as("kn_mean_prob_ppb"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        col("kn_mean_prob_ppb"))
   }
 
   /** CCNet-style boilerplate-line removal: a line (newline-separated

@@ -5151,6 +5151,82 @@ object CorpusQueries extends QueryModule {
              |FROM u a JOIN u b ON a.id < b.id
              |WHERE levenshtein(a.s, b.s) <= 2""".stripMargin),
     ),
+
+    // ---- interpolated Kneser–Ney bigram LM (the KenLM smoothing;
+    // q137's add-one model is the baseline): train on 9/10 of the
+    // corpus, score ALL docs. The compared projection is PURE INTEGER
+    // (per-term floors of exact integer ratios, discount as per-mille)
+    // so DuckDB restates the full model — counts, type counts,
+    // continuation table, and every per-occurrence q — with zero FP.
+    Q(
+      "q169_kneser_ney_score",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val lm = TextAnalysis.trainKneserNeyLm(
+          docs.filter(col("doc_id") % 10 =!= 0), "text")
+        TextAnalysis.scoreKneserNeyLm(docs, "doc_id", "text", lm)
+      },
+      Some("""WITH tw AS (
+             |  SELECT string_split(trim(text), ' ') AS ws FROM documents
+             |  WHERE doc_id % 10 <> 0
+             |), tocc AS (
+             |  SELECT
+             |    unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bg,
+             |    unnest([ws[i] for i in range(1, len(ws))]) AS w1,
+             |    unnest([ws[i+1] for i in range(1, len(ws))]) AS w2
+             |  FROM tw WHERE len(ws) >= 2
+             |), th AS (
+             |  SELECT CAST('0x' || substr(md5(bg), 1, 15) AS BIGINT) AS bh,
+             |    CAST('0x' || substr(md5(w1), 1, 15) AS BIGINT) AS w1h,
+             |    CAST('0x' || substr(md5(w2), 1, 15) AS BIGINT) AS w2h
+             |  FROM tocc
+             |), big AS (SELECT bh, count(*) AS c12 FROM th GROUP BY 1),
+             |pre AS (
+             |  SELECT w1h, count(*) AS c1, count(DISTINCT bh) AS n1fw
+             |  FROM th GROUP BY 1
+             |), typ AS (SELECT DISTINCT bh, w2h FROM th),
+             |cont AS (SELECT w2h, count(*) AS n1pw FROM typ GROUP BY 1),
+             |bv AS (
+             |  SELECT (SELECT count(*) FROM typ)
+             |    + (SELECT count(*) FROM pre) AS bv
+             |), sw AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS ws
+             |  FROM documents
+             |), socc AS (
+             |  SELECT doc_id,
+             |    unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bg,
+             |    unnest([ws[i] for i in range(1, len(ws))]) AS w1,
+             |    unnest([ws[i+1] for i in range(1, len(ws))]) AS w2
+             |  FROM sw WHERE len(ws) >= 2
+             |), sh AS (
+             |  SELECT doc_id,
+             |    CAST('0x' || substr(md5(bg), 1, 15) AS BIGINT) AS bh,
+             |    CAST('0x' || substr(md5(w1), 1, 15) AS BIGINT) AS w1h,
+             |    CAST('0x' || substr(md5(w2), 1, 15) AS BIGINT) AS w2h
+             |  FROM socc
+             |), q AS (
+             |  SELECT doc_id,
+             |    CASE WHEN coalesce(c12, 0) = 0 THEN 1 ELSE 0 END AS oov,
+             |    CASE WHEN coalesce(c1, 0) > 0 THEN
+             |      (greatest(1000 * coalesce(c12, 0) - 750, 0)
+             |        * 1000000000) // (1000 * c1)
+             |      + (750 * coalesce(n1fw, 0) * (coalesce(n1pw, 0) + 1)
+             |          * 1000000000)
+             |        // (1000 * c1 * (SELECT bv FROM bv))
+             |    ELSE ((coalesce(n1pw, 0) + 1) * 1000000000)
+             |      // (SELECT bv FROM bv) END AS q
+             |  FROM sh LEFT JOIN big USING (bh)
+             |    LEFT JOIN pre USING (w1h) LEFT JOIN cont USING (w2h)
+             |), sc AS (
+             |  SELECT doc_id, count(*) AS n_bigrams,
+             |    CAST(sum(oov) AS BIGINT) AS n_oov,
+             |    CAST(sum(q) // count(*) AS BIGINT) AS kn_mean_prob_ppb
+             |  FROM q GROUP BY 1
+             |)
+             |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+             |  coalesce(s.n_oov, 0) AS n_oov, s.kn_mean_prob_ppb
+             |FROM documents d LEFT JOIN sc s USING (doc_id)""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):

@@ -1380,4 +1380,39 @@ class CurationOpsSpec extends SparkSpec {
     // yields id 3's text directly
     assert(got == Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 1), (5L, 6L, 0)))
   }
+
+  // ------------------------------------------------ Kneser–Ney LM
+
+  test("scoreKneserNeyLm: hand-computed integer q values; OOV and " +
+      "unseen-prefix backoff paths; short docs score null") {
+    val train = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    // counts: c12 ab=2 ba=1 bc=1; prefixes a:(c1=2,n1fw=1)
+    // b:(c1=2,n1fw=2); B=3 types, V=2 prefixes, B+V=5;
+    // continuations n1pw: a=1 b=1 c=1
+    val lm = TextAnalysis.trainKneserNeyLm(train, "text")
+    assert(lm.nBigramTypes == 3L && lm.vocabSize == 2L)
+    val score = Seq((10L, "a b c x a"), (11L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.scoreKneserNeyLm(score, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    // (a b): (2000-750)*1e9//2000 + 750*1*2*1e9//10000 = 775e6
+    // (b c): 250*1e9//2000 + 750*2*2*1e9//10000       = 425e6
+    // (c x): unseen prefix, x unseen cont -> 1*1e9//5  = 200e6, oov
+    // (x a): unseen prefix -> 2*1e9//5                 = 400e6, oov
+    // mean = 1800e6 // 4 = 450e6
+    assert(out(10L) == ((4L, 2L, 450000000L)))
+    assert(out(11L) == ((0L, 0L, -1L)))
+  }
+
+  test("scoreKneserNeyLm: zero discount degrades to the unsmoothed " +
+      "ML estimate floor(c12/c1 * 1e9)") {
+    val train = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    val lm = TextAnalysis.trainKneserNeyLm(train, "text", dPermille = 0)
+    val out = TextAnalysis.scoreKneserNeyLm(
+        Seq((10L, "a b")).toDF("doc_id", "text"), "doc_id", "text", lm)
+      .collect().head
+    assert(out.getLong(3) == 1000000000L) // P(b|a) = 2/2 = 1
+  }
 }
