@@ -327,4 +327,185 @@ object Multimodal {
     val step = greatest((n / k).cast("long"), lit(1L))
     slice(sequence(lit(0L), greatest(n - 1, lit(0L)), step), 1, k)
   }
+
+  /** Demuxer seam for video containers: frame count + per-frame
+    * grayscale extraction. Real codecs (ffmpeg bindings) are env-bound
+    * in this container — [[GvidCodec]] binds the seam to the GVID
+    * fixture container ([[graft.sources.GvidFixtures]]), which is REAL
+    * byte-level parsing (magic, header, offsets, bounds) minus only
+    * the entropy coding. */
+  trait VideoCodec extends Serializable {
+    def frameCount(bytes: Array[Byte]): Int
+    /** Grayscale frame `idx` as (width, height, w·h bytes). */
+    def frame(bytes: Array[Byte], idx: Int): (Int, Int, Array[Byte])
+  }
+
+  /** GVID container parser: `GVID` magic, big-endian int32
+    * width/height/frames, then raw 8-bit grayscale frames. Loud on
+    * bad magic / truncated payload / out-of-range frame index. */
+  object GvidCodec extends VideoCodec {
+    private def header(bytes: Array[Byte]): (Int, Int, Int) = {
+      require(bytes.length >= 16 &&
+        bytes(0) == 'G' && bytes(1) == 'V' && bytes(2) == 'I' &&
+        bytes(3) == 'D', "not a GVID container (bad magic/short header)")
+      val buf = java.nio.ByteBuffer.wrap(bytes, 4, 12)
+      val w = buf.getInt; val h = buf.getInt; val n = buf.getInt
+      require(bytes.length == 16 + n.toLong * w * h,
+        s"truncated GVID: header says $n frames of ${w}x$h, " +
+          s"payload is ${bytes.length - 16} bytes")
+      (w, h, n)
+    }
+    def frameCount(bytes: Array[Byte]): Int = header(bytes)._3
+    def frame(bytes: Array[Byte], idx: Int): (Int, Int, Array[Byte]) = {
+      val (w, h, n) = header(bytes)
+      require(idx >= 0 && idx < n, s"frame $idx out of range [0,$n)")
+      val sz = w * h
+      val out = new Array[Byte](sz)
+      System.arraycopy(bytes, 16 + idx * sz, out, 0, sz)
+      (w, h, out)
+    }
+  }
+
+  /** Integer-pooled aHash of a grayscale frame — the [[JavaImageIoCodec
+    * .aHash64]] arithmetic (floor-boundary 8×8 blocks, truncated cell
+    * means, `64·cell > total` bits) over raw gray bytes, so frame
+    * hashes share the image fingerprint's cross-engine contract. */
+  private[graft] def grayAHash64(w: Int, h: Int, gray: Array[Byte]): Long = {
+    require(w >= 8 && h >= 8, s"aHash64 needs >= 8x8 pixels, got ${w}x$h")
+    val cells = new Array[Long](64)
+    var by = 0
+    while (by < 8) {
+      val y0 = by * h / 8; val y1 = (by + 1) * h / 8
+      var bx = 0
+      while (bx < 8) {
+        val x0 = bx * w / 8; val x1 = (bx + 1) * w / 8
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += gray(y * w + x) & 0xff; x += 1 }
+          y += 1
+        }
+        cells(bx + 8 * by) = s / ((x1 - x0).toLong * (y1 - y0))
+        bx += 1
+      }
+      by += 1
+    }
+    val total = cells.sum
+    var fp = 0L
+    var i = 0
+    while (i < 64) {
+      if (64L * cells(i) > total) fp |= 1L << i
+      i += 1
+    }
+    fp
+  }
+
+  /** FRAME SAMPLING + per-frame perceptual hash — the video half of
+    * the multimodal brief (decode → frame-sample → fingerprint):
+    * sample up to `k` frames per video at the evenly-spaced indices
+    * `(j·n) div k` (j = 0..k−1, deduped — short videos yield fewer
+    * distinct indices), hash each with the integer-pooled aHash.
+    *
+    * Scale shape: pure `mapPartitions` over the blob scan (the
+    * mapInPandas batch shape) — no shuffle, no explode; each task
+    * holds ONE video's bytes at a time, and emitted rows are 24 bytes
+    * each regardless of video size. The downstream dedup join never
+    * sees pixels.
+    *
+    * @return (idCol, frame_idx, ahash) */
+  def sampleFrameHashes(df: DataFrame, idCol: String, blobCol: String,
+      k: Int, codec: VideoCodec = GvidCodec): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    val out = df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])](enc)
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          require(bytes != null, s"null $blobCol for $idCol=$id")
+          val n = codec.frameCount(bytes)
+          val idxs = (0 until k).map(j => (j.toLong * n / k).toInt)
+            .distinct.filter(_ < n)
+          idxs.map { f =>
+            val (w, h, gray) = codec.frame(bytes, f)
+            (id, f, grayAHash64(w, h, gray))
+          }
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
+        Encoders.scalaLong))
+    out.toDF(idCol, "frame_idx", "ahash")
+  }
+
+  /** Cross-video near-dup from sampled frame hashes: videos sharing
+    * `>= minMatches` DISTINCT frame hashes pair up — the
+    * scene-overlap dedup a video corpus runs after [[
+    * sampleFrameHashes]]. Join is bucketed BY HASH VALUE (the
+    * [[graft.ops.Dedup]] convention — quadratic only inside
+    * identical-hash buckets, never all-pairs), then one
+    * map-side-combined pair count.
+    *
+    * @param frames (idCol, frame_idx, ahash) from [[sampleFrameHashes]]
+    * @return (id_a, id_b, n_matches) with id_a < id_b */
+  def videoOverlapPairs(frames: DataFrame, idCol: String,
+      minMatches: Int): DataFrame = {
+    require(minMatches >= 1, s"minMatches must be >= 1, got $minMatches")
+    val h = frames.select(col(idCol).cast("long").as("id"),
+      col("ahash")).distinct()
+    h.join(h.select(col("id").as("id2"), col("ahash")), "ahash")
+      .filter(col("id") < col("id2"))
+      .groupBy(col("id").as("id_a"), col("id2").as("id_b"))
+      .agg(count(lit(1)).cast("long").as("n_matches"))
+      .filter(col("n_matches") >= minMatches)
+      .select(col("id_a"), col("id_b"), col("n_matches"))
+  }
+
+  /** NEAREST-NEIGHBOR image resize — the resize verb of the
+    * multimodal brief, as a REAL pixel operation (`javax.imageio`
+    * decode → integer source-pixel mapping → lossless PNG re-encode).
+    * Nearest-neighbor by deliberate contract: output pixel (x, y)
+    * copies source pixel `(x·sw div w, y·sh div h)` — pure integer
+    * arithmetic, so the result is bit-reproducible across platforms
+    * where interpolating resamplers (Graphics2D bilinear/bicubic) are
+    * not, and a solid-fill source stays EXACTLY solid (q171's oracle
+    * leans on this: resized fixture means need no tolerance).
+    *
+    * Scale shape: batched `mapPartitions` like [[decodeImageStats]] —
+    * pure map on the scan, one image in memory per row, no shuffle.
+    *
+    * @return (idCol, blob: resized PNG, width, height) */
+  def resizeImages(df: DataFrame, idCol: String, blobCol: String,
+      w: Int, h: Int, batchSize: Int = 256): DataFrame = {
+    require(w >= 1 && h >= 1, s"target dims must be >= 1, got ${w}x$h")
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    val out = df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])](enc)
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            require(bytes != null, s"null $blobCol for $idCol=$id")
+            val src = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            require(src != null, s"undecodable image for $idCol=$id")
+            val (sw, sh) = (src.getWidth, src.getHeight)
+            val dst = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                dst.setRGB(x, y, src.getRGB(x * sw / w, y * sh / h))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            require(javax.imageio.ImageIO.write(dst, "png", bos),
+              "no PNG writer available")
+            (id, bos.toByteArray, w, h)
+          }
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY,
+        Encoders.scalaInt, Encoders.scalaInt))
+    out.toDF(idCol, blobCol, "width", "height")
+  }
 }

@@ -5227,6 +5227,73 @@ object CorpusQueries extends QueryModule {
              |  coalesce(s.n_oov, 0) AS n_oov, s.kn_mean_prob_ppb
              |FROM documents d LEFT JOIN sc s USING (doc_id)""".stripMargin),
     ),
+
+    // ---- video frame-sample → per-frame aHash → scene-overlap dedup:
+    // the Spark side earns every pair through REAL byte-level GVID
+    // container parsing (magic/header/offset extraction) + the
+    // integer-pooled frame hash; DuckDB restates sampled indices,
+    // scene keys, and the overlap join from filename formulas alone
+    // (the q129 fixture convention — if the demuxer or the pooling
+    // breaks, the formulas stop matching).
+    Q(
+      "q170_video_frame_dedup",
+      (s, d) => {
+        val dir = graft.sources.GvidFixtures.write(s, d)
+        val bin = s.read.format("binaryFile").load(s"$dir/*.gvid")
+          .select(
+            regexp_extract(col("path"), "vid_(\\d+)\\.gvid", 1)
+              .cast("long").as("doc_id"),
+            col("content"))
+        val frames = graft.ops.Multimodal.sampleFrameHashes(
+          bin, "doc_id", "content", k = 4)
+        graft.ops.Multimodal.videoOverlapPairs(frames, "doc_id",
+          minMatches = 2)
+      },
+      Some("""WITH f AS (
+             |  SELECT CAST(regexp_extract(file, 'vid_(\d+)\.gvid', 1)
+             |    AS BIGINT) AS id
+             |  FROM glob('/root/repo/target/gvid/sf0.01/*.gvid')
+             |), sc AS (
+             |  SELECT DISTINCT id,
+             |    1 + (id * 5 + ((j * (8 + id % 12)) // 4) * 3) % 62 AS scene
+             |  FROM f, (SELECT unnest([0, 1, 2, 3]) AS j)
+             |)
+             |SELECT a.id AS id_a, b.id AS id_b,
+             |  CAST(count(*) AS BIGINT) AS n_matches
+             |FROM sc a JOIN sc b ON a.scene = b.scene AND a.id < b.id
+             |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
+    ),
+
+    // ---- real image resize (nearest-neighbor, pure integer source
+    // mapping) closing the decode→resize→re-encode→re-decode loop on
+    // the q87 solid-fill fixtures: a solid fill resizes to exactly
+    // itself, so the re-decoded means restate with no tolerance while
+    // the Spark side runs two REAL javax.imageio round-trips.
+    Q(
+      "q171_image_resize",
+      (s, d) => {
+        val dir = graft.sources.PngFixtures.write(s, d)
+        val bin = s.read.format("binaryFile").load(s"$dir/*.png")
+          .select(
+            regexp_extract(col("path"), "img_(\\d+)\\.png", 1)
+              .cast("long").as("doc_id"),
+            col("content"))
+        val resized = graft.ops.Multimodal.resizeImages(
+          bin, "doc_id", "content", w = 12, h = 9)
+        graft.ops.Multimodal.decodeImageStats(resized, "doc_id", "content")
+      },
+      Some("""WITH f AS (
+             |  SELECT CAST(regexp_extract(file, 'img_(\d+)\.png', 1) AS BIGINT)
+             |    AS doc_id
+             |  FROM glob('/root/repo/target/png_fixtures/sf0.01/*.png')
+             |)
+             |SELECT doc_id, 'image/png' AS mime,
+             |  12 AS width, 9 AS height, 3 AS channels,
+             |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+             |  CAST((doc_id * 3) % 256 AS DOUBLE) AS mean_g,
+             |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_b
+             |FROM f""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):

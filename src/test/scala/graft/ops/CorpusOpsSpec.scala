@@ -831,4 +831,94 @@ class CorpusOpsSpec extends SparkSpec {
     val prefix = sched.take(16).groupBy(_._2).view.mapValues(_.length).toMap
     assert(prefix == Map("a" -> 8, "b" -> 4, "c" -> 4))
   }
+
+  // ------------------------------------------------ video frame path
+
+  private def gvid(w: Int, h: Int, frames: Array[Byte]*): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(16 + frames.length * w * h)
+    buf.put("GVID".getBytes("US-ASCII"))
+    buf.putInt(w); buf.putInt(h); buf.putInt(frames.length)
+    frames.foreach(buf.put)
+    buf.array()
+  }
+
+  test("GvidCodec: real byte-level parsing — header, frame extraction, " +
+      "loud on bad magic / truncation / out-of-range index") {
+    val f0 = Array.fill[Byte](64)(10)
+    val f1 = Array.fill[Byte](64)(20)
+    val v = gvid(8, 8, f0, f1)
+    assert(Multimodal.GvidCodec.frameCount(v) == 2)
+    val (w, h, g) = Multimodal.GvidCodec.frame(v, 1)
+    assert(w == 8 && h == 8 && g.toSeq == f1.toSeq)
+    intercept[IllegalArgumentException] {
+      Multimodal.GvidCodec.frameCount("XVID0000000000000".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.GvidCodec.frameCount(v.dropRight(1))
+    }
+    intercept[IllegalArgumentException] { Multimodal.GvidCodec.frame(v, 2) }
+  }
+
+  test("sampleFrameHashes + videoOverlapPairs: fixture hashes match the " +
+      "2^scene - 1 formula; pair counts match the scene-overlap brute force") {
+    val dir = graft.sources.GvidFixtures.write(spark, "/root/testdata/sf0.001")
+    val bin = spark.read.format("binaryFile").load(s"$dir/*.gvid")
+      .select(regexp_extract($"path", "vid_(\\d+)\\.gvid", 1)
+        .cast("long").as("doc_id"), $"content")
+    val frames = Multimodal.sampleFrameHashes(bin, "doc_id", "content", k = 4)
+    val got = frames.as[(Long, Int, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, f, hash) =>
+      val n = graft.sources.GvidFixtures.framesOf(id)
+      assert((0 until 4).map(j => j * n / 4).contains(f))
+      assert(hash == (1L << graft.sources.GvidFixtures.sceneOf(id, f)) - 1,
+        s"vid $id frame $f")
+    }
+    val pairs = Multimodal.videoOverlapPairs(frames, "doc_id", minMatches = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    val scenes = got.groupBy(_._1).view.mapValues(
+      _.map(r => graft.sources.GvidFixtures.sceneOf(r._1, r._2)).toSet).toMap
+    val brute = (for {
+      a <- scenes.keys; b <- scenes.keys if a < b
+      m = (scenes(a) & scenes(b)).size if m >= 1
+    } yield (a, b, m.toLong)).toSet
+    assert(pairs == brute)
+  }
+
+  test("resizeImages: nearest-neighbor is the exact integer mapping " +
+      "(2x2 -> 4x4 block copy), solid fill survives, loud on garbage") {
+    def png(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val colors = Array(Array(0xff0000, 0x00ff00), Array(0x0000ff, 0xffffff))
+    val src = png(2, 2, (x, y) => colors(y)(x))
+    val out = Multimodal.resizeImages(
+        Seq((1L, src)).toDF("doc_id", "blob"), "doc_id", "blob", 4, 4)
+      .as[(Long, Array[Byte], Int, Int)].collect().head
+    assert(out._3 == 4 && out._4 == 4)
+    val dec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out._2))
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert((dec.getRGB(x, y) & 0xffffff) == colors(y / 2)(x / 2),
+        s"pixel $x,$y")
+    // solid fill down-scale stays solid (q171's oracle premise)
+    val solid = png(31, 17, (_, _) => 0x123456)
+    val small = Multimodal.resizeImages(
+        Seq((2L, solid)).toDF("doc_id", "blob"), "doc_id", "blob", 5, 3)
+      .as[(Long, Array[Byte], Int, Int)].collect().head
+    val sdec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(small._2))
+    for (y <- 0 until 3; x <- 0 until 5)
+      assert((sdec.getRGB(x, y) & 0xffffff) == 0x123456)
+    intercept[Exception] {
+      Multimodal.resizeImages(
+        Seq((3L, "junk".getBytes)).toDF("doc_id", "blob"),
+        "doc_id", "blob", 4, 4).collect()
+    }
+  }
 }
