@@ -808,4 +808,82 @@ object Dedup {
       .filter(col("dist") <= d)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** ROUGE-L near-dup pairs — the Self-Instruct dedup gate (Wang et
+    * al. 2022: a generated instruction joins the pool only if its
+    * ROUGE-L F₁ vs every existing instruction stays ≤ 0.7): every
+    * unordered pair with `f1_permille >= minPermille`, where
+    * `f1_permille = (2000·LCS) div (|A|+|B|)` — the ROUGE-L F₁ (its
+    * precision/recall harmonic mean simplifies to 2L/(|A|+|B|)) in
+    * exact integer per-mille, so the verify stage has no FP anywhere.
+    *
+    * Candidate generation is the PREFIX FILTER of set-similarity
+    * joins (Chaudhuri et al. 2006 SSJoin / Bayardo et al. 2007,
+    * public), made valid for LCS through the bag-overlap bound: every
+    * LCS occurrence is a one-to-one token-occurrence match, so
+    * `overlap_bag(A,B) >= L >= ceil(θ·(|A|+|B|)/2) >= ceil(θ·|A|/2)`.
+    * Order every doc's token OCCURRENCES canonically by (global doc
+    * frequency asc, token asc); the rarest matched occurrence then
+    * sits inside both docs' first `len − ceil(θ·len/2) + 1` positions
+    * (the prefix-filter pigeonhole, occurrence-matched), so joining
+    * prefix tokens against prefix tokens misses NO qualifying pair —
+    * exactness is unit-tested against brute force. At θ = 0.7 the
+    * prefix is ~65 % of each doc: the join shuffles rare-token keys
+    * (frequency-ascending order puts stopwords LAST, outside most
+    * prefixes), quadratic only inside same-rare-token buckets.
+    *
+    * Scale shape: one explode for the df table (map-side-combined
+    * count), one doc-sized sort per doc (groupBy collect, no global
+    * window), prefix join on single-token keys, exact [[
+    * graft.functions.LcsLength]] verify (native codegen'd DP) on
+    * distinct candidates only. Docs with zero tokens can never reach
+    * a positive threshold and are dropped up front (also keeps the
+    * F₁ division total).
+    *
+    * @param df        input with an ARRAY<STRING> token column
+    *                  (pre-tokenized — slice/normalize upstream)
+    * @param minPermille ROUGE-L F₁ threshold in per-mille (700 = the
+    *                  Self-Instruct 0.7), must be >= 1
+    * @return (id_a, id_b, lcs_len, f1_permille) with id_a < id_b
+    */
+  def rougeLPairs(df: DataFrame, idCol: String, tokensCol: String,
+      minPermille: Int): DataFrame = {
+    require(minPermille >= 1 && minPermille <= 1000,
+      s"minPermille must be in [1,1000], got $minPermille")
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(tokensCol).as("__toks"))
+      .filter(size(col("__toks")) >= 1)
+    val occ = base.select(col("id"),
+      posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+    val dfreq = occ.select(col("id"), col("__tok")).distinct()
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    // canonical occurrence order (df asc, token asc, pos asc), then
+    // keep the first len - ceil(θ·len/2) + 1 occurrences as the prefix
+    val prefix = occ.join(dfreq, "__tok")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(
+        col("__df"), col("__tok"), col("__pos")))).as("__o"))
+      .select(col("id"), expr(
+        s"""transform(
+           |  slice(__o, 1,
+           |    size(__o) - ((size(__o) * $minPermille + 1999) div 2000)
+           |      + 1),
+           |  x -> x.__tok)""".stripMargin).as("__pre"))
+      .select(col("id"), explode(col("__pre")).as("__tok")).distinct()
+    val cands = prefix
+      .join(prefix.select(col("id").as("id2"), col("__tok")), "__tok")
+      .filter(col("id") < col("id2"))
+      .select(col("id").as("id_a"), col("id2").as("id_b")).distinct()
+    cands
+      .join(base.select(col("id").as("id_a"), col("__toks").as("__ta")),
+        "id_a")
+      .join(base.select(col("id").as("id_b"), col("__toks").as("__tb")),
+        "id_b")
+      .withColumn("lcs_len",
+        graft.functions.LcsLength(col("__ta"), col("__tb")))
+      .withColumn("f1_permille",
+        expr("(2000L * lcs_len) div (size(__ta) + size(__tb))"))
+      .filter(col("f1_permille") >= minPermille)
+      .select(col("id_a"), col("id_b"), col("lcs_len"), col("f1_permille"))
+  }
 }

@@ -5294,6 +5294,77 @@ object CorpusQueries extends QueryModule {
              |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_b
              |FROM f""".stripMargin),
     ),
+
+    // ---- ROUGE-L (LCS) instruction dedup, the Self-Instruct 0.7 gate:
+    // 12-token "instructions" (every third doc) + planted one-token
+    // paraphrases. The Spark side runs the bag-prefix-filter candidate
+    // join + the native LCS DP; DuckDB replays the LCS row recurrence
+    // as 12 chained advance CTEs over the brute-force pair space (the
+    // q152/q153 replay convention) — subsequence semantics, integer
+    // per-mille F1, bit-exact.
+    Q(
+      "q172_rouge_l_pairs",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id").cast("long").as("id"),
+            split(trim(col("text")), "\\s+").as("ws"))
+          .filter(size(col("ws")) >= 12 && col("id") % 3 === 0)
+          .select(col("id"), slice(col("ws"), 1, 12).as("toks"))
+        val variants = docs.filter(col("id") % 21 === 0)
+          .select((col("id") + 300000).as("id"),
+            concat(slice(col("toks"), 1, 3), array(lit("zzz")),
+              slice(col("toks"), 5, 8)).as("toks"))
+        Dedup.rougeLPairs(docs.union(variants), "id", "toks",
+          minPermille = 700)
+      },
+      Some {
+        val steps = (1 to 12).map { k =>
+          s"""s$k AS (
+             |  SELECT id_a, id_b, ta, tb,
+             |    [greatest(dp[j], list_max(
+             |       [(CASE WHEN j2 = 1 THEN 0 ELSE dp[j2 - 1] END)
+             |          + (CASE WHEN ta[$k] = tb[j2] THEN 1 ELSE 0 END)
+             |        for j2 in range(1, 13) if j2 <= j]))
+             |     for j in range(1, 13)] AS dp
+             |  FROM s${k - 1}
+             |)"""
+        }.mkString(", ")
+        s"""WITH b0 AS (
+           |  SELECT CAST(doc_id AS BIGINT) AS id,
+           |    string_split(trim(text), ' ') AS ws
+           |  FROM documents WHERE doc_id % 3 = 0
+           |), b1 AS (
+           |  SELECT id, ws[1:12] AS toks FROM b0 WHERE len(ws) >= 12
+           |), u AS (
+           |  SELECT * FROM b1
+           |  UNION ALL
+           |  SELECT id + 300000, toks[1:3] || ['zzz'] || toks[5:12]
+           |  FROM b1 WHERE id % 21 = 0
+           |), tc AS (
+           |  SELECT id, tok, count(*) AS c
+           |  FROM (SELECT id, unnest(toks) AS tok FROM u) GROUP BY 1, 2
+           |), ov AS (
+           |  -- exact prune before the DP: every LCS occurrence is a
+           |  -- bag-overlap occurrence, and F1 >= 700 at length 12+12
+           |  -- forces LCS >= ceil(0.7*24/2) = 9 — so overlap < 9 can
+           |  -- never qualify (the operator's own bound, restated)
+           |  SELECT a.id AS id_a, b.id AS id_b
+           |  FROM tc a JOIN tc b ON a.tok = b.tok AND a.id < b.id
+           |  GROUP BY 1, 2 HAVING sum(least(a.c, b.c)) >= 9
+           |), p AS (
+           |  SELECT ov.id_a, ov.id_b, ua.toks AS ta, ub.toks AS tb
+           |  FROM ov JOIN u ua ON ua.id = ov.id_a
+           |    JOIN u ub ON ub.id = ov.id_b
+           |), s0 AS (
+           |  SELECT id_a, id_b, ta, tb,
+           |    [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0] AS dp
+           |  FROM p
+           |), $steps
+           |SELECT id_a, id_b, CAST(dp[12] AS INTEGER) AS lcs_len,
+           |  CAST((2000 * dp[12]) // 24 AS BIGINT) AS f1_permille
+           |FROM s12 WHERE (2000 * dp[12]) // 24 >= 700""".stripMargin
+      },
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):

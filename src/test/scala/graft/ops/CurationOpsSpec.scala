@@ -1415,4 +1415,69 @@ class CurationOpsSpec extends SparkSpec {
       .collect().head
     assert(out.getLong(3) == 1000000000L) // P(b|a) = 2/2 = 1
   }
+
+  // ------------------------------------------------- ROUGE-L dedup
+
+  /** Independent reference LCS (plain recurrence, full matrix). */
+  private def refLcs(a: Seq[String], b: Seq[String]): Int = {
+    val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) =
+        if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+        else math.max(dp(i - 1)(j), dp(i)(j - 1))
+    dp(a.length)(b.length)
+  }
+
+  test("LcsLength: classic values, subsequence-not-substring, null " +
+      "array and null elements") {
+    val df = Seq(
+      (Seq("a", "b", "c", "d"), Seq("b", "d")),
+      (Seq("x", "a", "x", "b", "x", "c"), Seq("y", "a", "y", "b", "y", "c")),
+      (Seq.empty[String], Seq("a")),
+      (Seq("a", "a", "a"), Seq("a", "a")),
+    ).toDF("a", "b")
+    assert(df.select(graft.functions.LcsLength($"a", $"b")).as[Int]
+      .collect().toSeq == Seq(2, 3, 0, 2))
+    val nulls = Seq((Seq[String]("a", null, "b"), Seq[String](null, "b")))
+      .toDF("a", "b")
+    // null elements never match (even each other)
+    assert(nulls.select(graft.functions.LcsLength($"a", $"b")).as[Int]
+      .head() == 1)
+    val na = Seq((None: Option[Seq[String]], Some(Seq("a")))).toDF("a", "b")
+    assert(na.select(graft.functions.LcsLength($"a", $"b")).collect()
+      .head.isNullAt(0))
+  }
+
+  test("rougeLPairs: equals brute force on random token lists — the " +
+      "bag-prefix filter drops no qualifying pair") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 60L).map { i =>
+      val len = 1 + rnd.nextInt(10)
+      (i, (0 until len).map(_ => s"t${rnd.nextInt(6)}"))
+    }
+    val df = rows.toDF("id", "toks")
+    val got = Dedup.rougeLPairs(df, "id", "toks", minPermille = 600)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    val brute = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      l = refLcs(ta, tb)
+      f = (2000L * l) / (ta.length + tb.length) if f >= 600
+    } yield (ia, ib, l, f)).toSet
+    assert(got == brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("rougeLPairs: the Self-Instruct gate — one-token paraphrase " +
+      "trips 0.7, disjoint instructions don't; empty docs drop") {
+    val df = Seq(
+      (1L, Seq("sort", "the", "list", "in", "ascending", "order")),
+      (2L, Seq("sort", "the", "list", "in", "descending", "order")),
+      (3L, Seq("write", "a", "poem", "about", "spring")),
+      (4L, Seq.empty[String]),
+    ).toDF("id", "toks")
+    val got = Dedup.rougeLPairs(df, "id", "toks", minPermille = 700)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    // LCS(1,2) = 5, F = 10000/12 = 833
+    assert(got == Set((1L, 2L, 5, 833L)))
+  }
 }
