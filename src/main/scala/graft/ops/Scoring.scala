@@ -444,4 +444,66 @@ object Scoring {
         expr(s"((__rank - __min) * $nBuckets) div __n").cast("int"))
       .drop("__rank", "__min", "__n")
   }
+
+  /** DoReMi-style DOMAIN REWEIGHTING (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    * public): the exponentiated-gradient update over per-step
+    * per-domain excess losses, offline — the proxy-model training
+    * that PRODUCES those losses is a GPU job outside an analytics
+    * engine; this operator is the mixture-math half a pipeline runs
+    * on the measured loss table. In log space the per-step updates
+    * telescope (per-step renormalization is a constant shift softmax
+    * ignores), so the whole run is ONE exact integer:
+    * {{{ lw_micro = (etaPermille · Σ_steps meanExcess_micro) div 1000 }}}
+    * with meanExcess_micro = per-(domain, step) integer-mean of the
+    * row losses (`sum div count`). Those integers plus the (lw desc,
+    * domain asc) rank are the compared projection; `alpha_ppm` — the
+    * smoothed softmax α = (1−s)·softmax(lw) + s/k the trainer would
+    * consume — is a FLOAT TRANSCENDENTAL and therefore a human/
+    * threshold column, never cross-engine hashed (the q137
+    * perplexity convention; its ORDERING is pinned by `rank`, which
+    * IS compared).
+    *
+    * Scale shape: rows aggregate map-side to (domain, step) then to
+    * domain — the output is domain-count-sized, so the final rank
+    * rides [[Packing.globalRowNumber]]'s two-pass scan and the
+    * softmax normalizer is one domain-sized aggregate, not a
+    * collect.
+    *
+    * @param df rows of (domainCol, stepCol, excessCol: long
+    *           micro-nat excess loss, may be negative)
+    * @return (domain, n_steps, sum_excess_micro, lw_micro, rank,
+    *         alpha_ppm) — one row per domain */
+  def domainReweight(df: DataFrame, domainCol: String, stepCol: String,
+      excessCol: String, etaPermille: Int = 100,
+      smoothingPermille: Int = 10): DataFrame = {
+    require(etaPermille >= 1, s"etaPermille must be >= 1, got $etaPermille")
+    require(smoothingPermille >= 0 && smoothingPermille <= 1000,
+      s"smoothingPermille must be in [0,1000], got $smoothingPermille")
+    val perStep = df.groupBy(col(domainCol), col(stepCol))
+      .agg(expr(s"sum($excessCol) div count(1)").as("__mean"))
+    val perDomain = perStep.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_steps"),
+        sum(col("__mean")).as("sum_excess_micro"))
+      .withColumn("lw_micro",
+        expr(s"($etaPermille * sum_excess_micro) div 1000"))
+    val ranked = Packing.globalRowNumber(perDomain,
+      Seq(col("lw_micro").desc, col(domainCol).asc), "__r")
+      .withColumn("rank", (col("__r") + 1).cast("int")).drop("__r")
+    // human/threshold softmax: exp shifted by the max for stability;
+    // k and the normalizer are domain-sized aggregates
+    val stats = ranked.agg(max(col("lw_micro")).as("__mx"),
+      count(lit(1)).as("__k"))
+    val withExp = ranked.crossJoin(broadcast(stats))
+      .withColumn("__e",
+        exp((col("lw_micro") - col("__mx")).cast("double") / 1e6))
+    val z = withExp.agg(sum(col("__e")).as("__z"))
+    withExp.crossJoin(broadcast(z))
+      .withColumn("alpha_ppm",
+        floor(lit(1000000.0) *
+          ((lit(1.0 - smoothingPermille / 1000.0)) * col("__e") / col("__z")
+            + lit(smoothingPermille / 1000.0) / col("__k"))).cast("long"))
+      .select(col(domainCol), col("n_steps"), col("sum_excess_micro"),
+        col("lw_micro"), col("rank"), col("alpha_ppm"))
+  }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.functions.{CosineSimilarity, NormalizeUnicode, SimHash64Expr, SimHashMd5Expr, WinnowingExpr}
+import graft.functions.{CosineSimilarity, EditDistanceExpr, LcsLengthExpr, NormalizeUnicode, SimHash64Expr, SimHashMd5Expr, WinnowingExpr}
 
 /** Library entry point into Catalyst: registers the native expressions
   * as SQL functions and installs [[RewriteHofCosine]], so (a) pure-SQL
@@ -92,6 +92,20 @@ object GraftExtensions {
         require(Set("NFC", "NFD", "NFKC", "NFKD").contains(form),
           s"unknown normalization form $form")
         NormalizeUnicode(args.head, form)
+      }),
+    (FunctionIdentifier("graft_edit_distance"),
+      info("graft_edit_distance", classOf[EditDistanceExpr]),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          "graft_edit_distance(a, b[, cap])")
+        val cap = if (args.length == 3) intLit(args(2), "cap") else -1
+        EditDistanceExpr(args(0), args(1), cap)
+      }),
+    (FunctionIdentifier("graft_lcs_length"),
+      info("graft_lcs_length", classOf[LcsLengthExpr]),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_lcs_length(tokensA, tokensB)")
+        LcsLengthExpr(args(0), args(1))
       }),
   )
 

@@ -5365,6 +5365,44 @@ object CorpusQueries extends QueryModule {
            |FROM s12 WHERE (2000 * dp[12]) // 24 >= 700""".stripMargin
       },
     ),
+
+    // ---- DoReMi domain reweighting (exponentiated-gradient mixture
+    // math over per-step per-domain excess losses): the compared
+    // projection is the exact integer log-weight chain + rank; the
+    // softmax alpha is a float transcendental and stays out (the q137
+    // perplexity convention — its ORDERING is what rank pins).
+    // Losses here are synthesized non-negative (doc length) so Spark's
+    // `div` (trunc) and DuckDB's `//` (floor) agree; the operator
+    // itself is sign-agnostic.
+    Q(
+      "q173_domain_reweight",
+      (s, d) => {
+        val rows = Tables.documents(s, d).select(
+          col("source"), (col("doc_id") % 5).as("step"),
+          length(col("text")).cast("long").as("excess"))
+        Scoring.domainReweight(rows, "source", "step", "excess")
+          .select(col("source"), col("n_steps"),
+            col("sum_excess_micro"), col("lw_micro"), col("rank"))
+      },
+      Some("""WITH r AS (
+             |  SELECT CAST(source AS VARCHAR) AS source,
+             |    doc_id % 5 AS step,
+             |    CAST(length(text) AS BIGINT) AS excess
+             |  FROM documents
+             |), ps AS (
+             |  SELECT source, step, sum(excess) // count(*) AS m
+             |  FROM r GROUP BY 1, 2
+             |), pd AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_steps,
+             |    CAST(sum(m) AS BIGINT) AS sum_excess_micro,
+             |    CAST((100 * sum(m)) // 1000 AS BIGINT) AS lw_micro
+             |  FROM ps GROUP BY 1
+             |)
+             |SELECT source, n_steps, sum_excess_micro, lw_micro,
+             |  CAST(row_number() OVER (ORDER BY lw_micro DESC, source ASC)
+             |    AS INTEGER) AS rank
+             |FROM pd""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):

@@ -30,6 +30,18 @@ class EditDistanceSpec extends SparkSpec {
     assert(gap.select(EditDistance($"a", $"b", 2)).as[Int].head() == 3)
   }
 
+  test("SQL registration: graft_edit_distance and graft_lcs_length " +
+      "evaluate through the function registry") {
+    graft.plans.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT graft_edit_distance('kitten', 'sitting')")
+      .as[Int].head() == 3)
+    assert(spark.sql("SELECT graft_edit_distance('aaaa', 'bbbb', 2)")
+      .as[Int].head() == 3)
+    assert(spark.sql(
+      "SELECT graft_lcs_length(array('a','b','c'), array('b','c','d'))")
+      .as[Int].head() == 2)
+  }
+
   test("EditDistance: capped equals exact wherever exact <= cap " +
       "(randomized cross-check, interpreted + codegen paths)") {
     val rnd = new scala.util.Random(7)

@@ -1480,4 +1480,30 @@ class CurationOpsSpec extends SparkSpec {
     // LCS(1,2) = 5, F = 10000/12 = 833
     assert(got == Set((1L, 2L, 5, 833L)))
   }
+
+  // ---------------------------------------------- DoReMi reweighting
+
+  test("domainReweight: integer log-weight chain (incl. negative " +
+      "excess), rank order, and softmax alpha consistency") {
+    val rows = Seq(
+      ("web", 0L, 2000000L), ("web", 0L, 4000000L), // step mean 3e6
+      ("web", 1L, 1000000L),                        // step mean 1e6
+      ("code", 0L, -500000L),                       // negative excess
+      ("books", 0L, 0L), ("books", 1L, 0L),
+    ).toDF("domain", "step", "excess")
+    val out = Scoring.domainReweight(rows, "domain", "step", "excess",
+        etaPermille = 100, smoothingPermille = 10)
+      .as[(String, Long, Long, Long, Int, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // web: sum 4e6, lw = 100*4e6/1000 = 4e5; code: -5e4; books: 0
+    assert(out("web")._4 == 400000L && out("web")._2 == 2L)
+    assert(out("code")._4 == -50000L)
+    assert(out("books")._4 == 0L)
+    assert(out("web")._5 == 1 && out("books")._5 == 2 && out("code")._5 == 3)
+    // alpha: ordered like lw, sums to ~1e6, floor under the exact sum
+    val alphas = out.values.toSeq.sortBy(_._5).map(_._6)
+    assert(alphas == alphas.sorted.reverse)
+    val total = alphas.sum
+    assert(total > 997000L && total <= 1000000L)
+  }
 }
