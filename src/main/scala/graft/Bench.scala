@@ -177,15 +177,16 @@ object Bench {
     }
     perfLog.println(ctxLine("end"))
     perfLog.close()
-    // seconds at 2 decimals, clamped to 99.99: a >100 s query has
+    // seconds at 1 decimal, clamped to 99.9: a >100 s query has
     // already blown the round's budget, and BENCH_PERF.jsonl carries the
     // true f3 value — the clamp keeps the worst-case line width bounded
-    // (12 bytes/query) so the 157-query inventory stays inside the
-    // driver's bounded-tail capture (BenchContractSpec mirrors this)
-    def f2c(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f",
-        java.lang.Double.valueOf(math.min(v, 99.99)))
-    val qs = results.map { case (k, v) => "\"" + tiny(k) + "\":" + f2c(v) }
+    // (11 bytes/query) so the 173-query inventory stays inside the
+    // driver's bounded-tail capture (BenchContractSpec mirrors this;
+    // the r7 move from 2 decimals bought back ~170 bytes of headroom)
+    def f1c(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f",
+        java.lang.Double.valueOf(math.min(v, 99.9)))
+    val qs = results.map { case (k, v) => "\"" + tiny(k) + "\":" + f1c(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // the summary MUST be the final stdout line (bounded-tail capture)

@@ -5403,6 +5403,33 @@ object CorpusQueries extends QueryModule {
              |    AS INTEGER) AS rank
              |FROM pd""".stripMargin),
     ),
+
+    // ---- WARC (CommonCrawl-shape) ingestion: multi-record .warc
+    // files parsed by Content-Length framing. Payloads are document
+    // text VERBATIM (which can contain header-shaped lines), so only
+    // a spec-conformant parser reproduces them — DuckDB checks
+    // per-record fidelity by md5 against the documents table and
+    // restates every header field from the fixture formulas.
+    Q(
+      "q174_warc_ingest",
+      (s, d) => {
+        val dir = graft.sources.WarcFixtures.write(s, d)
+        val files = s.read.format("binaryFile").load(s"$dir/*.warc")
+        graft.sources.WarcReader.records(files)
+          .select(
+            regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1)
+              .cast("long").as("doc_id"),
+            col("warc_type"), col("target_uri"), col("content_length"),
+            md5(col("payload")).as("payload_md5"))
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  'response' AS warc_type,
+             |  'http://crawl.example/doc/' || doc_id AS target_uri,
+             |  CAST(strlen(coalesce(text, '')) AS BIGINT)
+             |    AS content_length,
+             |  md5(coalesce(text, '')) AS payload_md5
+             |FROM documents WHERE doc_id % 10 = 0""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):

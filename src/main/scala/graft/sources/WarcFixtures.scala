@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Deterministic WARC fixture corpus for the CommonCrawl-shape
+  * ingestion gate (q174): every documents row with `doc_id % 10 == 0`
+  * becomes one WARC/1.0 response record; records pack into FOUR .warc
+  * files by `doc_id % 4` (multiple records per file — the point is
+  * record SPLITTING inside a file, the thing a naive line reader gets
+  * wrong). Fixed-path / driver-glob contract of [[PngFixtures]].
+  *
+  * Records are spec-shaped (ISO 28500, public): version line, named
+  * headers, `Content-Length`-driven payload framing, CRLF CRLF record
+  * separator. The payload is the document's text VERBATIM — including
+  * any text that could look like a header or a version line — so only
+  * a Content-Length-driven parser (not delimiter splitting) reproduces
+  * it; q174's oracle checks payload fidelity by md5 against the
+  * documents table.
+  */
+object WarcFixtures {
+
+  /** Target-URI formula — restated in q174's oracle SQL. */
+  def uriOf(docId: Long): String =
+    s"http://crawl.example/doc/$docId"
+
+  def write(spark: SparkSession, sfDir: String): String = {
+    val sfName = new java.io.File(sfDir).getName
+    val dir = java.nio.file.Paths.get("target", "warc", sfName)
+      .toAbsolutePath
+    java.nio.file.Files.createDirectories(dir)
+    val stale = dir.toFile.listFiles()
+    if (stale != null)
+      stale.filter(_.getName.endsWith(".warc")).foreach(_.delete())
+    val rows = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), coalesce(col("text"), lit("")))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    (0 until 4).foreach { part =>
+      val sb = new java.lang.StringBuilder()
+      rows.filter(_._1 % 4 == part).foreach { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        sb.append("WARC/1.0\r\n")
+          .append("WARC-Type: response\r\n")
+          .append(s"WARC-Record-ID: <urn:graft:$id>\r\n")
+          .append(s"WARC-Target-URI: ${uriOf(id)}\r\n")
+          .append(s"Content-Length: ${payload.length}\r\n")
+          .append("\r\n")
+          .append(text)
+          .append("\r\n\r\n")
+      }
+      java.nio.file.Files.write(dir.resolve(f"crawl_$part%02d.warc"),
+        sb.toString.getBytes("UTF-8"))
+    }
+    dir.toString
+  }
+}
