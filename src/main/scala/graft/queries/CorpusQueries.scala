@@ -5430,6 +5430,42 @@ object CorpusQueries extends QueryModule {
              |  md5(coalesce(text, '')) AS payload_md5
              |FROM documents WHERE doc_id % 10 = 0""".stripMargin),
     ),
+
+    // ---- crawl-to-text funnel: WARC records → HTTP message split
+    // (status / content-type / body, pure codegen'd Columns) → 200 +
+    // text/html filter → tag strip + whitespace normalize. The whole
+    // CommonCrawl front half composed end to end; DuckDB rebuilds the
+    // expected clean text from the documents table and the fixture
+    // chrome formulas, and the 404 records must be gone.
+    Q(
+      "q175_crawl_to_text",
+      (s, d) => {
+        val dir = graft.sources.WarcFixtures.writeHttp(s, d)
+        val files = s.read.format("binaryFile").load(s"$dir/*.warc")
+        val recs = graft.sources.WarcReader.records(files)
+        import graft.sources.HttpMessage
+        recs.select(
+            regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1)
+              .cast("long").as("doc_id"),
+            HttpMessage.statusCode(col("payload")).as("status"),
+            HttpMessage.contentType(col("payload")).as("content_type"),
+            HttpMessage.body(col("payload")).as("__body"))
+          .filter(col("status") === 200 &&
+            col("content_type") === "text/html")
+          .select(col("doc_id"), col("status"), col("content_type"),
+            HttpMessage.stripTags(col("__body")).as("clean_text"))
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  200 AS status, 'text/html' AS content_type,
+             |  trim(regexp_replace(regexp_replace(
+             |    '<html><body><nav>SITE NAV</nav><p>'
+             |      || coalesce(text, '')
+             |      || '</p><footer>(c) 2026 crawl chrome</footer>'
+             |      || '</body></html>',
+             |    '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS clean_text
+             |FROM documents
+             |WHERE doc_id % 10 = 0 AND doc_id % 30 <> 0""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):

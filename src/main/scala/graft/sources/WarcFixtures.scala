@@ -57,4 +57,53 @@ object WarcFixtures {
     }
     dir.toString
   }
+
+  /** Second fixture family for the crawl-to-text funnel (q175):
+    * records whose payloads are full HTTP RESPONSE MESSAGES — status
+    * line + headers + CRLF CRLF + an HTML body wrapping the document
+    * text in shared site chrome. Every 3rd doc (doc_id % 30 == 0,
+    * within the % 10 == 0 record set) is a 404 with a non-HTML body —
+    * the funnel's status filter must drop it. Restated formulas:
+    * status = 404 iff doc_id % 30 = 0 else 200; 200-body =
+    * `<html><body><nav>SITE NAV</nav><p>` text `</p><footer>(c) 2026
+    * crawl chrome</footer></body></html>`. Same fixed-path contract;
+    * written to `target/warc_http/<sf-name>/`. */
+  def writeHttp(spark: SparkSession, sfDir: String): String = {
+    val sfName = new java.io.File(sfDir).getName
+    val dir = java.nio.file.Paths.get("target", "warc_http", sfName)
+      .toAbsolutePath
+    java.nio.file.Files.createDirectories(dir)
+    val stale = dir.toFile.listFiles()
+    if (stale != null)
+      stale.filter(_.getName.endsWith(".warc")).foreach(_.delete())
+    val rows = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), coalesce(col("text"), lit("")))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    (0 until 4).foreach { part =>
+      val sb = new java.lang.StringBuilder()
+      rows.filter(_._1 % 4 == part).foreach { case (id, text) =>
+        val msg = if (id % 30 == 0)
+          "HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\n" +
+            "not found"
+        else
+          "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8" +
+            "\r\n\r\n<html><body><nav>SITE NAV</nav><p>" + text +
+            "</p><footer>(c) 2026 crawl chrome</footer></body></html>"
+        val payload = msg.getBytes("UTF-8")
+        sb.append("WARC/1.0\r\n")
+          .append("WARC-Type: response\r\n")
+          .append(s"WARC-Record-ID: <urn:graft:$id>\r\n")
+          .append(s"WARC-Target-URI: ${uriOf(id)}\r\n")
+          .append(s"Content-Length: ${payload.length}\r\n")
+          .append("\r\n")
+          .append(msg)
+          .append("\r\n\r\n")
+      }
+      java.nio.file.Files.write(dir.resolve(f"crawl_$part%02d.warc"),
+        sb.toString.getBytes("UTF-8"))
+    }
+    dir.toString
+  }
 }

@@ -58,4 +58,21 @@ class WarcReaderSpec extends SparkSpec {
     assert(out.map(_._1).sorted.toSeq == docs.keys.toSeq.sorted)
     out.foreach { case (id, payload, _) => assert(payload == docs(id)) }
   }
+
+  test("HttpMessage: status/content-type/body split and tag strip; " +
+      "malformed payloads degrade to null status, not a throw") {
+    val ok = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8" +
+      "\r\nX-Junk: y\r\n\r\n<p>Hello <b>world</b></p>"
+    val nf = "HTTP/1.1 404 Not Found\r\n\r\nnope"
+    val garbage = "not an http message at all"
+    val df = Seq((1L, ok), (2L, nf), (3L, garbage)).toDF("id", "p")
+      .select($"id", HttpMessage.statusCode($"p").as("st"),
+        HttpMessage.contentType($"p").as("ct"),
+        HttpMessage.stripTags(HttpMessage.body($"p")).as("txt"))
+    val got = df.as[(Long, Option[Int], Option[String], String)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((Some(200), Some("text/html"), "Hello world")))
+    assert(got(2L) == ((Some(404), None, "nope")))
+    assert(got(3L) == ((None, None, "")))
+  }
 }
