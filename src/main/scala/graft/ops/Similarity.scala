@@ -275,6 +275,10 @@ object Similarity {
     val tasks = packed.select(col("__blk").as("qblk"), col("vecs").as("qv"))
       .crossJoin(packed.select(col("__blk").as("cblk"), col("vecs").as("cv")))
       .filter(col("qblk") <= col("cblk"))
+      // spread block pairs across the cluster: the nested-loop join
+      // leaves all pair rows on the few non-empty groupBy partitions
+      // (measured 6 tasks / 26 idle cores on q132's sibling)
+      .repartition(numBlocks * numBlocks)
       .as[(Int, Seq[(Long, Seq[Double])], Int, Seq[(Long, Seq[Double])])]
     tasks.flatMap { case (qblk, qvecs, cblk, cvecs) =>
       val qs = qvecs.map { case (id, v) =>
@@ -332,6 +336,7 @@ object Similarity {
     val packed = packedBlocks(df, idCol, vecCol, numBlocks)
     val tasks = packed.select(col("__blk").as("qblk"), col("vecs").as("qv"))
       .crossJoin(packed.select(col("__blk").as("cblk"), col("vecs").as("cv")))
+      .repartition(numBlocks * numBlocks) // one task per block pair
       .as[(Int, Seq[(Long, Seq[Double])], Int, Seq[(Long, Seq[Double])])]
     val partial = tasks.flatMap { case (_, qvecs, _, cvecs) =>
       blockTopK(qvecs, cvecs, k)
@@ -387,6 +392,7 @@ object Similarity {
         col("__v").as("_3"))).as("vecs"))
     val tasks = packed.select(col("__blk").as("qblk"), col("vecs").as("qv"))
       .crossJoin(packed.select(col("__blk").as("cblk"), col("vecs").as("cv")))
+      .repartition(numBlocks * numBlocks) // one task per block pair
       .as[(Int, Seq[(Long, Long, Seq[Double])],
         Int, Seq[(Long, Long, Seq[Double])])]
     val partial = tasks.flatMap { case (_, qvecs, _, cvecs) =>
@@ -448,6 +454,7 @@ object Similarity {
     val packedQ = packedBlocks(qUnit, "id", "vec", numBlocks)
     val tasks = packedQ.select(col("__blk").as("qblk"), col("vecs").as("qv"))
       .crossJoin(packedC.select(col("__blk").as("cblk"), col("vecs").as("cv")))
+      .repartition(numBlocks * numBlocks) // one task per block pair
       .as[(Int, Seq[(Long, Seq[Double])], Int, Seq[(Long, Seq[Double])])]
     val partial = tasks.flatMap { case (_, qvecs, _, cvecs) =>
       blockTopK(qvecs, cvecs, kAdc)
@@ -490,6 +497,7 @@ object Similarity {
     val packedQ = packedBlocks(df.filter(queryPred), idCol, vecCol, numBlocks)
     val tasks = packedQ.select(col("__blk").as("qblk"), col("vecs").as("qv"))
       .crossJoin(packedC.select(col("__blk").as("cblk"), col("vecs").as("cv")))
+      .repartition(numBlocks * numBlocks) // one task per block pair
       .as[(Int, Seq[(Long, Seq[Double])], Int, Seq[(Long, Seq[Double])])]
     val partial = tasks.flatMap { case (_, qvecs, _, cvecs) =>
       blockTopK(qvecs, cvecs, k)
