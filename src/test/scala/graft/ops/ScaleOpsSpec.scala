@@ -354,4 +354,37 @@ class ScaleOpsSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("partial_"), plan)
   }
+
+  test("editDistancePairs plan: PassJoin candidates are equality joins " +
+      "— no cartesian, no nested-loop") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+      .selectExpr("doc_id AS id", "substring(text, 1, 48) AS s")
+    val plan = Dedup.editDistancePairs(docs, "id", "s", maxDist = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("rougeLPairs plan: prefix-filter candidates are equality joins " +
+      "— no cartesian, no nested-loop, no unpartitioned window") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+      .selectExpr("doc_id AS id",
+        "slice(split(trim(text), '\\\\s+'), 1, 12) AS toks")
+    val plan = Dedup.rougeLPairs(docs, "id", "toks", minPermille = 700)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("bm25Scores plan: the query-term filter sits below the tf " +
+      "aggregation (postings-sized shuffle), aggs map-side combined") {
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Scoring.bm25Scores(docs, "doc_id", "text",
+        Seq("hash", "join", "scan"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("Window"), plan)
+  }
 }
