@@ -89,6 +89,51 @@ object Packing {
       .withColumn("chunk_offset", pmod(start, lit(seqLen.toLong)))
   }
 
+  /** PACKED-SEQUENCE SEGMENT MAP — the attention-mask spec for packed
+    * pretraining batches: document-aware packing (block-diagonal /
+    * "attention masking" in the T5 and Llama data pipelines, public)
+    * needs, for every packed sequence, the list of document spans it
+    * contains with their in-sequence offsets, so the trainer can build
+    * the mask that stops cross-document attention. This is
+    * [[chunkAssignments]] exploded to the (chunk, document) grain:
+    * each document lands in every chunk it straddles with its clipped
+    * `[seg_start, seg_end)` window, and `segment_index` numbers the
+    * documents within a chunk in token order (0-based — the id the
+    * mask/positional-reset logic keys on).
+    *
+    * All integer arithmetic over the same two-pass prefix sum —
+    * nothing new shuffles except the final per-chunk hash agg for the
+    * segment index, whose groups are chunk-sized (≤ seqLen documents
+    * each) by construction. Zero-width docs (null/empty text) emit
+    * nothing — a zero-token doc occupies no span in any sequence.
+    *
+    * @return (chunk, idCol, seg_start, seg_end, segment_index) */
+  def packedSegments(df: DataFrame, idCol: String, tokenCol: Column,
+      seqLen: Int, numPartitions: Int = 0): DataFrame = {
+    val asg = chunkAssignments(df, idCol, tokenCol, seqLen, numPartitions)
+      .filter(col("n_tokens") > 0)
+    val spans = asg.select(col(idCol), col("token_start"), col("token_end"),
+        explode(sequence(col("first_chunk"), col("last_chunk")))
+          .as("chunk"))
+      .select(col("chunk"), col(idCol),
+        greatest(col("token_start") - col("chunk") * seqLen, lit(0L))
+          .as("seg_start"),
+        least(col("token_end") - col("chunk") * seqLen,
+          lit(seqLen.toLong)).as("seg_end"))
+    // within-chunk document order == seg_start order (spans are
+    // disjoint); chunk-sized groups, so a per-chunk sorted collect is
+    // bounded state — no global window
+    val ordered = spans.groupBy(col("chunk"))
+      .agg(sort_array(collect_list(struct(col("seg_start"),
+        col("seg_end"), col(idCol)))).as("__segs"))
+      .select(col("chunk"),
+        posexplode(col("__segs")).as(Seq("segment_index", "__s")))
+      .select(col("chunk"), col(s"__s.$idCol").as(idCol),
+        col("__s.seg_start"), col("__s.seg_end"),
+        col("segment_index").cast("int").as("segment_index"))
+    ordered
+  }
+
   /** Distributed global row number — the rank twin of
     * [[chunkAssignments]]'s prefix sum, for any ranking an unpartitioned
     * `row_number().over(Window.orderBy(...))` would funnel through a

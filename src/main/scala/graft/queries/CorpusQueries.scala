@@ -5466,6 +5466,51 @@ object CorpusQueries extends QueryModule {
              |FROM documents
              |WHERE doc_id % 10 = 0 AND doc_id % 30 <> 0""".stripMargin),
     ),
+
+    // ---- packed-sequence segment map (block-diagonal attention spec):
+    // q52's prefix-sum packing exploded to the (chunk, document)
+    // grain with clipped in-sequence spans + within-chunk segment
+    // ids. All integers off the same running sum — DuckDB restates
+    // every span and index.
+    Q(
+      "q176_packed_segments",
+      (s, d) => Packing.packedSegments(Tables.documents(s, d), "doc_id",
+        TextAnalysis.tokenCount(col("text")), seqLen = 512),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+             |      AS BIGINT) AS n_tokens
+             |  FROM documents
+             |), c AS (
+             |  SELECT doc_id, n_tokens,
+             |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS token_end
+             |  FROM t
+             |), a AS (
+             |  SELECT doc_id, token_end - n_tokens AS token_start,
+             |    token_end,
+             |    CAST(floor((token_end - n_tokens) / 512.0) AS BIGINT)
+             |      AS first_chunk,
+             |    CAST(floor((token_end - 1) / 512.0) AS BIGINT)
+             |      AS last_chunk
+             |  FROM c WHERE n_tokens > 0
+             |), s AS (
+             |  SELECT doc_id, token_start, token_end,
+             |    unnest(range(first_chunk, last_chunk + 1)) AS chunk
+             |  FROM a
+             |), e AS (
+             |  SELECT chunk, doc_id,
+             |    greatest(token_start - chunk * 512, 0) AS seg_start,
+             |    least(token_end - chunk * 512, 512) AS seg_end
+             |  FROM s
+             |)
+             |SELECT chunk, doc_id, seg_start, seg_end,
+             |  CAST(row_number() OVER (PARTITION BY chunk
+             |    ORDER BY seg_start, doc_id) - 1 AS INTEGER)
+             |    AS segment_index
+             |FROM e""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):

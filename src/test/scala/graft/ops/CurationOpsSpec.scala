@@ -1481,6 +1481,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 5, 833L)))
   }
 
+  // ------------------------------------------ packed segment masks
+
+  test("packedSegments: straddling docs clip to chunk windows, " +
+      "segment ids are token-ordered, zero-width docs vanish") {
+    // token counts 3, 5, 1 (empty text = one token under tokenCount's
+    // split semantics), 6, and 0 (NULL text) with seqLen 4:
+    //   doc1 [0,3)  -> chunk0 [0,3)
+    //   doc2 [3,8)  -> chunk0 [3,4) + chunk1 [0,4)
+    //   doc3 [8,9)  -> chunk2 [0,1)
+    //   doc4 [9,15) -> chunk2 [1,4) + chunk3 [0,3)
+    //   doc5 zero-width -> nothing
+    val d = Seq((1L, "a a a"), (2L, "b b b b b"), (3L, ""),
+      (4L, "c c c c c c"), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Packing.packedSegments(d, "doc_id",
+        TextAnalysis.tokenCount(col("text")), seqLen = 4)
+      .as[(Long, Long, Long, Long, Int)].collect().toSet
+    assert(out == Set(
+      (0L, 1L, 0L, 3L, 0), (0L, 2L, 3L, 4L, 1),
+      (1L, 2L, 0L, 4L, 0),
+      (2L, 3L, 0L, 1L, 0), (2L, 4L, 1L, 4L, 1), (3L, 4L, 0L, 3L, 0)))
+  }
+
   // ---------------------------------------------- DoReMi reweighting
 
   test("domainReweight: integer log-weight chain (incl. negative " +
