@@ -468,5 +468,71 @@ object StreamingQueries extends QueryModule {
              |    AS BIGINT) AS sample_rank
              |FROM h QUALIFY sample_rank < 100""".stripMargin),
     ),
+
+    // ---- streaming WARC ingestion: the q174 record parse as a REAL
+    // streaming plan — binaryFile readStream over a watched crawl
+    // directory, two AvailableNow ticks with a shared checkpoint (tick
+    // 2 sees only the two new .warc files — the nightly-crawl-drop
+    // shape), records appended per micro-batch via foreachBatch.
+    // Output projection and oracle are q174's VERBATIM: stream == batch
+    // over any file split (record parsing is per-file, so micro-batch
+    // boundaries can't change it — the q100/q163 stream-equals-batch
+    // convention).
+    Q(
+      "q177_streaming_warc",
+      (s, d) => {
+        val fixtureDir = graft.sources.WarcFixtures.write(s, d)
+        val root = scratch()
+        val inDir = s"$root/in"
+        val outDir = s"$root/records"
+        val ckpt = s"$root/ckpt"
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(inDir))
+
+        def tick(parts: Seq[Int]): Unit = {
+          parts.foreach { p =>
+            val name = f"crawl_$p%02d.warc"
+            java.nio.file.Files.copy(
+              java.nio.file.Paths.get(fixtureDir, name),
+              java.nio.file.Paths.get(inDir, name))
+          }
+          val q = s.readStream.format("binaryFile")
+            .schema(org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("path",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("modificationTime",
+                org.apache.spark.sql.types.TimestampType),
+              org.apache.spark.sql.types.StructField("length",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("content",
+                org.apache.spark.sql.types.BinaryType))))
+            .load(s"$inDir/*.warc")
+            .writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              graft.sources.WarcReader.records(batch)
+                .write.mode("append").parquet(outDir)
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        tick(Seq(0, 1))
+        tick(Seq(2, 3))
+
+        s.read.parquet(outDir).select(
+          regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("warc_type"), col("target_uri"), col("content_length"),
+          md5(col("payload")).as("payload_md5"))
+      },
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             |  'response' AS warc_type,
+             |  'http://crawl.example/doc/' || doc_id AS target_uri,
+             |  CAST(strlen(coalesce(text, '')) AS BIGINT)
+             |    AS content_length,
+             |  md5(coalesce(text, '')) AS payload_md5
+             |FROM documents WHERE doc_id % 10 = 0""".stripMargin),
+    ),
   )
 }
