@@ -1128,16 +1128,24 @@ object Similarity {
     * [[kmeansQuantized]]'s exact fixed-point math, so q159's DuckDB
     * twin restates assignment, ranks, and the keep verdicts bit-exactly.
     *
+    * `dropClosest = true` flips the rank direction: prune the MOST
+    * prototypical (closest-to-centroid) per-mille instead — the
+    * diversification half of D4 (Tirumala et al. 2023, "D4: Improving
+    * LLM Pretraining via Document De-Duplication and
+    * Diversification"), which drops near-centroid redundancy AFTER
+    * semantic dedup (q178 composes both).
+    *
     * @return (idCol, cluster, dist2, cluster_n, keep)
     */
   def pruneOutliersByCentroid(df: DataFrame, idCol: String,
       vecCol: String, k: Int, iters: Int, prunePermille: Long,
-      scale: Int = 1024): DataFrame = {
+      scale: Int = 1024, dropClosest: Boolean = false): DataFrame = {
     require(prunePermille >= 0 && prunePermille <= 1000,
       s"prunePermille must be in [0, 1000], got $prunePermille")
     val assigned = kmeansQuantized(df, idCol, vecCol, k, iters, scale)
+    val distOrd = if (dropClosest) col("dist2").asc else col("dist2").desc
     val ranked = Packing.globalRowNumber(assigned,
-      Seq(col("cluster").asc, col("dist2").desc, col(idCol).asc), "__gr")
+      Seq(col("cluster").asc, distOrd, col(idCol).asc), "__gr")
     val mins = ranked.groupBy(col("cluster"))
       .agg(min(col("__gr")).as("__min"), count(lit(1)).as("cluster_n"))
     ranked.join(broadcast(mins), "cluster")

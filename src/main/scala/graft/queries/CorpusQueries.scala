@@ -5511,6 +5511,74 @@ object CorpusQueries extends QueryModule {
              |    AS segment_index
              |FROM e""".stripMargin),
     ),
+
+    // ---- D4 composition (Tirumala et al. 2023): SemDeDup survivors
+    // (q80's closure, min-id canonical) → quantized k-means over the
+    // SURVIVOR subset → drop the most prototypical 20 % per cluster
+    // (dropClosest — near-centroid redundancy, the diversification
+    // half). DuckDB chains q80's recursive closure into the shared
+    // Lloyd replay parameterized on the survivor set and restates
+    // every keep verdict bit-exactly.
+    Q(
+      "q178_d4_pipeline",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val pairs = Similarity.cosinePairsKernel(emb, "vec_id",
+          "embedding", tau = 0.45)
+        val clusters = Dedup.duplicateClusters(pairs)
+          .withColumnRenamed("id", "vec_id")
+        val survivors = emb.select(col("vec_id"))
+          .join(clusters, Seq("vec_id"), "left")
+          .filter(coalesce(col("cluster_id"), col("vec_id"))
+            === col("vec_id"))
+          .select(col("vec_id"))
+        Similarity.pruneOutliersByCentroid(
+          emb.join(survivors, "vec_id"), "vec_id", "embedding",
+          k = 4, iters = 2, prunePermille = 200, scale = 1024,
+          dropClosest = true)
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings
+             |), p AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |  WHERE list_sum(list_transform(list_zip(a.v, b.v),
+             |      p -> p[1] * p[2])) /
+             |      (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+             |       sqrt(list_sum(list_transform(b.v, x -> x * x))))
+             |    >= 0.45
+             |), edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM p
+             |  UNION SELECT id_b, id_a FROM p
+             |), reach AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e2.dst FROM reach r
+             |  JOIN edges e2 ON r.dst = e2.src
+             |), comp AS (
+             |  SELECT src AS id, least(src, min(dst)) AS cluster_id
+             |  FROM reach GROUP BY src
+             |), surv AS (
+             |  SELECT e.vec_id FROM e LEFT JOIN comp c
+             |    ON e.vec_id = c.id
+             |  WHERE coalesce(c.cluster_id, e.vec_id) = e.vec_id
+             |), qv AS (
+             |  SELECT em.vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1024)
+             |    AS BIGINT) for x in em.embedding] AS q
+             |  FROM embeddings em JOIN surv s ON em.vec_id = s.vec_id
+             |)""".stripMargin + kmeansReplayBodySql + """,
+             |rk AS (
+             |  SELECT vec_id, cl, d,
+             |    row_number() OVER (PARTITION BY cl
+             |      ORDER BY d ASC, vec_id ASC) AS r,
+             |    count(*) OVER (PARTITION BY cl) AS cn
+             |  FROM a3
+             |)
+             |SELECT vec_id, CAST(cl AS INTEGER) AS cluster, d AS dist2,
+             |  cn AS cluster_n, NOT (r * 1000 <= cn * 200) AS keep
+             |FROM rk""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):
@@ -5522,7 +5590,13 @@ object CorpusQueries extends QueryModule {
              |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1024)
              |    AS BIGINT) for x in embedding] AS q
              |  FROM embeddings
-             |), c0 AS (
+             |)""".stripMargin + kmeansReplayBodySql
+
+  /** The replay body from `c0` through `a3`, parameterized on a `qv`
+    * CTE the caller defines (q178 runs the identical Lloyd replay over
+    * the SemDeDup-survivor subset instead of all embeddings). */
+  private lazy val kmeansReplayBodySql: String =
+    """, c0 AS (
              |  SELECT rn - 1 AS cl, q FROM (
              |    SELECT q, row_number() OVER (ORDER BY vec_id) AS rn
              |    FROM qv)

@@ -1481,6 +1481,37 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 5, 833L)))
   }
 
+  // --------------------------------------------- D4 diversification
+
+  test("pruneOutliersByCentroid dropClosest: prunes the near-centroid " +
+      "fraction — the complement direction of the outlier cut") {
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq((i % 2) * 10.0 + (i % 5) * 0.1, (i % 2) * 10.0)))
+      .toDF("id", "v")
+    def run(dropClosest: Boolean) = Similarity.pruneOutliersByCentroid(
+        vecs, "id", "v", k = 2, iters = 2, prunePermille = 250,
+        dropClosest = dropClosest)
+      .as[(Long, Int, Long, Long, Boolean)].collect()
+    val far = run(false)
+    val near = run(true)
+    // same clustering either way; each direction prunes 25% per cluster
+    assert(far.map(r => (r._1, r._2)).toSet == near.map(r => (r._1, r._2)).toSet)
+    Seq(far, near).foreach { o =>
+      o.groupBy(_._2).values.foreach { cl =>
+        assert(cl.count(!_._5) == cl.length / 4)
+      }
+    }
+    // the pruned sets sit at opposite ends of the distance ranking
+    for (cl <- far.map(_._2).distinct) {
+      val fDrop = far.filter(r => r._2 == cl && !r._5).map(_._3).min
+      val nDrop = near.filter(r => r._2 == cl && !r._5).map(_._3).max
+      val fKeepMax = far.filter(r => r._2 == cl && r._5).map(_._3).max
+      val nKeepMin = near.filter(r => r._2 == cl && r._5).map(_._3).min
+      assert(fDrop >= fKeepMax) // far mode drops the largest distances
+      assert(nDrop <= nKeepMin) // near mode drops the smallest
+    }
+  }
+
   // ------------------------------------------ packed segment masks
 
   test("packedSegments: straddling docs clip to chunk windows, " +
