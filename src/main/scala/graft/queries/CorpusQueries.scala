@@ -5579,6 +5579,72 @@ object CorpusQueries extends QueryModule {
              |  cn AS cluster_n, NOT (r * 1000 <= cn * 200) AS keep
              |FROM rk""".stripMargin),
     ),
+
+    // ---- robots.txt (RFC 9309) crawl-politeness gate: per-host
+    // robots files constructed from source formulas, REALLY parsed
+    // into the rules table (groups, comments, case-insensitive keys),
+    // then every planted URL judged for two agents — one with a
+    // specific group (which must SHADOW the * group entirely) and one
+    // falling through to *. DuckDB restates every verdict and winning
+    // rule length from the formulas; if group selection, longest-
+    // match, or the allow-tie breaks, the verdicts stop matching.
+    Q(
+      "q179_robots_txt",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val m = expr("CAST(substring(source, 4, 10) AS INT) % 5")
+        val hosts = docs.select(col("source")).distinct()
+          .withColumn("host", concat(col("source"), lit(".example")))
+          .withColumn("robots", concat(
+            lit("User-agent: *  # general crawlers\n" +
+              "Disallow: /private/\nAllow: /private/ok"),
+            m.cast("string"),
+            lit("/\n\nUser-agent: graftbot\nDisallow: /\n" +
+              "Allow: /doc/\nCrawl-delay: 3\n")))
+        val rules = graft.sources.RobotsTxt.parseRules(
+          hosts, "host", "robots")
+        val id = col("doc_id").cast("string")
+        val urls = docs.select(col("doc_id"),
+          concat(col("source"), lit(".example")).as("host"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("/private/ok"), m.cast("string"), lit("/p"), id))
+            .when(col("doc_id") % 4 === 1,
+              concat(lit("/private/x"), id))
+            .when(col("doc_id") % 4 === 2, concat(lit("/doc/"), id))
+            .otherwise(concat(lit("/pub/"), id)).as("path"))
+        val g = graft.sources.RobotsTxt.isAllowed(urls, "doc_id",
+            "host", "path", rules, "graftbot")
+          .withColumn("agent", lit("graftbot"))
+        val o = graft.sources.RobotsTxt.isAllowed(urls, "doc_id",
+            "host", "path", rules, "otherbot")
+          .withColumn("agent", lit("otherbot"))
+        g.unionByName(o)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source,
+             |    CAST(substr(source, 4) AS INT) % 5 AS m,
+             |    doc_id % 4 AS r
+             |  FROM documents
+             |), u AS (
+             |  SELECT doc_id, source || '.example' AS host,
+             |    CASE WHEN r = 0 THEN '/private/ok' || m || '/p' || doc_id
+             |         WHEN r = 1 THEN '/private/x' || doc_id
+             |         WHEN r = 2 THEN '/doc/' || doc_id
+             |         ELSE '/pub/' || doc_id END AS path, r
+             |  FROM d
+             |)
+             |SELECT doc_id, host, path, r = 2 AS allowed,
+             |  CAST(CASE WHEN r = 2 THEN 5 ELSE 1 END AS BIGINT)
+             |    AS winning_rule_len,
+             |  'graftbot' AS agent
+             |FROM u
+             |UNION ALL
+             |SELECT doc_id, host, path, r <> 1 AS allowed,
+             |  CAST(CASE WHEN r = 0 THEN 13 WHEN r = 1 THEN 9
+             |    ELSE 0 END AS BIGINT) AS winning_rule_len,
+             |  'otherbot' AS agent
+             |FROM u""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):

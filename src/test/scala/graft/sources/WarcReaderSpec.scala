@@ -59,6 +59,58 @@ class WarcReaderSpec extends SparkSpec {
     out.foreach { case (id, payload, _) => assert(payload == docs(id)) }
   }
 
+  test("RobotsTxt.parseOne: groups, comments, case-insensitive keys, " +
+      "stacked user-agents, empty-value rules ignored, wildcards") {
+    val txt = """# top comment
+                |User-Agent: GraftBot
+                |User-agent: other
+                |Disallow: /a/   # inline comment
+                |Allow: /a/b*
+                |Disallow:
+                |
+                |User-agent: *
+                |Disallow: /c$
+                |""".stripMargin
+    val rules = RobotsTxt.parseOne("h", txt)
+    // both stacked agents get both non-empty rules; * gets the anchor
+    assert(rules.map(r => (r.agent, r.rule, r.pattern)).toSet == Set(
+      ("graftbot", "disallow", "/a/"), ("graftbot", "allow", "/a/b*"),
+      ("other", "disallow", "/a/"), ("other", "allow", "/a/b*"),
+      ("*", "disallow", "/c$")))
+    assert("/a/bxyz".matches(
+      rules.find(r => r.agent == "graftbot" && r.rule == "allow").get.rx))
+    val anchor = rules.find(_.agent == "*").get.rx
+    assert("/c".matches(anchor) && !"/cc".matches(anchor))
+  }
+
+  test("RobotsTxt.isAllowed: specific group shadows *, longest match " +
+      "wins, allow wins ties, ruleless hosts allowed") {
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /x/\nAllow: /x/ok/\n" +
+        "User-agent: bot\nDisallow: /\n"),
+      ("b.com", "User-agent: *\nAllow: /p\nDisallow: /p\n"),
+    ).toDF("host", "robots")
+    val rules = RobotsTxt.parseRules(robots, "host", "robots")
+    val urls = Seq(
+      (1L, "a.com", "/x/ok/page"), (2L, "a.com", "/x/secret"),
+      (3L, "a.com", "/open"), (4L, "b.com", "/page"),
+      (5L, "c.com", "/anything"),
+    ).toDF("id", "host", "path")
+    def run(agent: String) = RobotsTxt.isAllowed(urls, "id", "host",
+        "path", rules, agent)
+      .as[(Long, String, String, Boolean, Long)].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+    val star = run("someone")
+    assert(star(1L) == ((true, 6L)))  // /x/ok/ allow beats /x/ disallow
+    assert(star(2L) == ((false, 3L)))
+    assert(star(3L) == ((true, 0L)))  // no matching rule
+    assert(star(4L) == ((true, 2L)))  // equal length: allow wins
+    assert(star(5L) == ((true, 0L)))  // host without robots
+    val bot = run("BOT") // case-insensitive agent match
+    assert(bot(1L) == ((false, 1L)) && bot(2L) == ((false, 1L)))
+    assert(bot(4L) == ((true, 2L)))   // b.com has no bot group -> *
+  }
+
   test("HttpMessage: status/content-type/body split and tag strip; " +
       "malformed payloads degrade to null status, not a throw") {
     val ok = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8" +
