@@ -5645,6 +5645,54 @@ object CorpusQueries extends QueryModule {
              |  'otherbot' AS agent
              |FROM u""".stripMargin),
     ),
+
+    // ---- main-content extraction (jusText/Boilerpipe density rule):
+    // pages built from doc text wrapped in long-and-linky nav, a
+    // short note, and a linky footer. Because the operator is pure
+    // Java∩RE2 Columns, DuckDB replays the ALGORITHM — same block
+    // split, same link-density arithmetic, same thresholds — not just
+    // the expected outcome.
+    Q(
+      "q180_main_content",
+      (s, d) => {
+        val html = concat(
+          lit("<div class=\"nav\"><a href=\"/\">Home</a> " +
+            "<a href=\"/a\">About Us Team</a> " +
+            "<a href=\"/c\">Contact and Support Desk</a></div><p>"),
+          coalesce(col("text"), lit("")),
+          lit("</p><p>short note</p><footer><a href=\"/t\">Terms" +
+            "</a> (c) 2026 site</footer>"))
+        Tables.documents(s, d).select(col("doc_id"),
+          graft.sources.HttpMessage.mainContent(html).as("main_text"))
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    '<div class="nav"><a href="/">Home</a> '
+             |    || '<a href="/a">About Us Team</a> '
+             |    || '<a href="/c">Contact and Support Desk</a></div><p>'
+             |    || coalesce(text, '')
+             |    || '</p><p>short note</p><footer><a href="/t">Terms'
+             |    || '</a> (c) 2026 site</footer>' AS html
+             |  FROM documents
+             |)
+             |SELECT doc_id,
+             |  trim(regexp_replace(array_to_string(
+             |    [trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ',
+             |       'g'), '\s+', ' ', 'g'))
+             |     for x in regexp_split_to_array(html,
+             |       '(?i)</?(?:div|p|td|li|h[1-6]|article|section|nav|footer|header|ul|ol|table|tr|blockquote)\b[^>]*>')
+             |     if len(trim(regexp_replace(regexp_replace(x,
+             |          '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))) >= 25
+             |       AND coalesce(list_sum(
+             |         [len(trim(regexp_replace(regexp_replace(a,
+             |            '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')))
+             |          for a in regexp_extract_all(x,
+             |            '(?is)<a\b[^>]*>(.*?)</a>', 1)]), 0) * 1000
+             |         <= len(trim(regexp_replace(regexp_replace(x,
+             |            '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))) * 300
+             |    ], ' '), '\s+', ' ', 'g')) AS main_text
+             |FROM h""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):

@@ -48,4 +48,46 @@ object HttpMessage {
   def stripTags(html: Column): Column =
     trim(regexp_replace(
       regexp_replace(html, "<[^>]*>", " "), "\\s+", " "))
+
+  private val BlockSplitRe =
+    "(?i)</?(?:div|p|td|li|h[1-6]|article|section|nav|footer|header|" +
+      "ul|ol|table|tr|blockquote)\\b[^>]*>"
+
+  /** MAIN-CONTENT extraction by block text/link density — the
+    * jusText / Boilerpipe family of algorithms (Pomikálek 2011;
+    * Kohlschütter et al. 2010 — public), the step that separates
+    * article text from nav/footer/sidebar chrome in every web-corpus
+    * pipeline: split the page at block-level tag boundaries, score
+    * each fragment by visible-text length and LINK DENSITY (the share
+    * of its text living inside `<a>` — chrome is short and linky,
+    * content is long and flat), keep the content-shaped blocks, and
+    * re-join them in order.
+    *
+    * Deliberately PURE Column expressions over Java∩RE2 regexes and
+    * integer per-mille thresholds — no UDF, no DOM: it rides
+    * whole-stage codegen on the scan, and the ORACLE REPLAYS THE
+    * ALGORITHM ITSELF (same split, same densities, same thresholds)
+    * rather than just predicting outcomes (q180). The trade: no
+    * nested-structure awareness, which the density signal is robust
+    * to in practice and which keeps the operator a pure map at
+    * 100 TB.
+    *
+    * @param minTextLen blocks with fewer visible chars drop
+    * @param maxLinkDensityPermille blocks whose link-text share
+    *        exceeds this (‰) drop
+    */
+  def mainContent(html: Column, minTextLen: Int = 25,
+      maxLinkDensityPermille: Int = 300): Column = {
+    val blocks = split(html, BlockSplitRe)
+    val kept = filter(blocks, b => {
+      val text = stripTags(b)
+      val linkChars = aggregate(
+        regexp_extract_all(b, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)),
+        lit(0), (acc, x) => acc + length(stripTags(x)))
+      length(text) >= minTextLen &&
+        linkChars * 1000 <= length(text) * maxLinkDensityPermille
+    })
+    trim(regexp_replace(
+      array_join(transform(kept, b => stripTags(b)), " "), "\\s+", " "))
+  }
 }

@@ -59,6 +59,27 @@ class WarcReaderSpec extends SparkSpec {
     out.foreach { case (id, payload, _) => assert(payload == docs(id)) }
   }
 
+  test("mainContent: long flat blocks survive; linky nav, linky " +
+      "footer, and short notes drop; empty page yields empty text") {
+    val page = "<div><a href=\"/\">Home</a> <a href=\"/x\">About Us " +
+      "Team</a> <a>Contact and Support Desk</a></div>" +
+      "<p>This paragraph is the actual article content of the page " +
+      "and it is pleasantly long.</p>" +
+      "<p>short note</p>" +
+      "<p>This second content block mentions a <a href=\"/ref\">single " +
+      "reference</a> inside a long passage so its link density stays " +
+      "low and it must survive the cut.</p>" +
+      "<footer><a>Terms</a> (c) site</footer>"
+    val out = Seq((1L, page), (2L, "")).toDF("id", "html")
+      .select($"id", HttpMessage.mainContent($"html").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "This paragraph is the actual article content " +
+      "of the page and it is pleasantly long. This second content " +
+      "block mentions a single reference inside a long passage so " +
+      "its link density stays low and it must survive the cut.")
+    assert(out(2L) == "")
+  }
+
   test("RobotsTxt.parseOne: groups, comments, case-insensitive keys, " +
       "stacked user-agents, empty-value rules ignored, wildcards") {
     val txt = """# top comment
