@@ -94,4 +94,41 @@ object UrlOps {
     flagBlocked(df, idCol, urlCol, blocklist, domainCol)
       .filter(!col("blocked"))
       .drop("host", "blocked_domain", "blocked")
+
+  /** POLITENESS FETCH SCHEDULE — the frontier-planning step between
+    * [[graft.sources.RobotsTxt]]'s verdicts and the worker-pool
+    * fetcher (`enrich/Enrichment`): every crawler owes each host
+    * serialized, delay-spaced requests (the per-host politeness
+    * contract robots.txt's crawl-delay expresses), and a distributed
+    * frontier must guarantee it WITHOUT coordination. Two
+    * deterministic rules do it:
+    *
+    *  - `worker = md5-60(host) mod workers` — ALL of a host's URLs
+    *    land on one worker (the invariant that makes per-host
+    *    serialization local, no locks), engine- and
+    *    cluster-size-independent by the same hash math as
+    *    [[graft.ops.Sampling]]'s splits;
+    *  - `fetch_offset_ms = seq_in_host · perHostDelayMs`, with
+    *    `seq_in_host` the (idCol asc) rank WITHIN the host — a
+    *    per-host window, which is the scale-correct shape here:
+    *    hosts are many and a batch's per-host URL count is bounded,
+    *    so no group funnels the corpus through one task.
+    *
+    * @return (idCol, hostCol, worker, seq_in_host, fetch_offset_ms) */
+  def politenessSchedule(df: DataFrame, idCol: String, hostCol: String,
+      workers: Int, perHostDelayMs: Long): DataFrame = {
+    require(workers >= 1, s"workers must be >= 1, got $workers")
+    require(perHostDelayMs >= 0,
+      s"perHostDelayMs must be >= 0, got $perHostDelayMs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(hostCol)).orderBy(col(idCol).asc)
+    df.select(col(idCol), col(hostCol))
+      .withColumn("worker",
+        pmod(graft.ops.Dedup.md5Hash60(col(hostCol)), lit(workers.toLong))
+          .cast("int"))
+      .withColumn("seq_in_host",
+        (row_number().over(w) - 1).cast("long"))
+      .withColumn("fetch_offset_ms",
+        col("seq_in_host") * perHostDelayMs)
+  }
 }

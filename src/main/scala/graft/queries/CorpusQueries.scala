@@ -5693,6 +5693,80 @@ object CorpusQueries extends QueryModule {
              |    ], ' '), '\s+', ' ', 'g')) AS main_text
              |FROM h""".stripMargin),
     ),
+
+    // ---- sitemap XML parse (sitemaps.org): one sitemap per source
+    // host assembled from doc formulas (attribute noise, stray
+    // whitespace, optional fields), REALLY parsed by the Column
+    // extractor, exploded to url records. Priorities use only
+    // binary-exact decimals (0.0/0.25/0.5/0.75) so the ×1000 floor is
+    // engine-exact. DuckDB restates every field from the formulas.
+    Q(
+      "q181_sitemap_parse",
+      (s, d) => {
+        val id = col("doc_id")
+        val pr = when(id % 4 === 0, "0.0").when(id % 4 === 1, "0.25")
+          .when(id % 4 === 2, "0.5").otherwise("0.75")
+        val rec = concat(
+          lit("<url >\n  <loc> http://"), col("source"),
+          lit(".example/doc/"), id.cast("string"), lit(" </loc>\n"),
+          when(id % 2 === 0, concat(lit("  <lastmod>2026-"),
+            lpad((id % 12 + 1).cast("string"), 2, "0"),
+            lit("-11</lastmod>\n"))).otherwise(lit("")),
+          when(id % 3 === 0, concat(lit("  <priority>"), pr,
+            lit("</priority>\n"))).otherwise(lit("")),
+          when(id % 5 === 0, lit("  <changefreq>daily</changefreq>\n"))
+            .otherwise(lit("")),
+          lit("</url>\n"))
+        val xml = Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(concat(
+            lit("<?xml version=\"1.0\"?><urlset " +
+              "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+            array_join(transform(
+              sort_array(collect_list(struct(id.as("i"), rec.as("r")))),
+              x => x.getField("r")), ""),
+            lit("</urlset>")).as("xml"))
+        xml.select(col("source"),
+            explode(graft.sources.HttpMessage.sitemapUrls(col("xml")))
+              .as("u"))
+          .select(col("source"), col("u.loc"), col("u.lastmod"),
+            col("u.changefreq"), col("u.priority_permille"))
+      },
+      Some("""SELECT CAST(source AS VARCHAR) AS source,
+             |  'http://' || source || '.example/doc/' || doc_id AS loc,
+             |  CASE WHEN doc_id % 2 = 0 THEN '2026-'
+             |    || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+             |    || '-11' END AS lastmod,
+             |  CASE WHEN doc_id % 5 = 0 THEN 'daily' END AS changefreq,
+             |  CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id % 4) * 250
+             |    ELSE 500 END AS INT) AS priority_permille
+             |FROM documents""".stripMargin),
+    ),
+
+    // ---- politeness fetch schedule: host-keyed worker pinning
+    // (md5-60 mod workers — all of a host's URLs on ONE worker, no
+    // coordination) + per-host serialized delay slots. DuckDB
+    // restates the hash assignment, ranks, and offsets exactly.
+    Q(
+      "q182_politeness_schedule",
+      (s, d) => graft.ops.UrlOps.politenessSchedule(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(col("source"), lit(".example")).as("host")),
+        "doc_id", "host", workers = 8, perHostDelayMs = 1500L),
+      Some("""WITH u AS (
+             |  SELECT doc_id, source || '.example' AS host
+             |  FROM documents
+             |)
+             |SELECT doc_id, host,
+             |  CAST(CAST('0x' || substr(md5(host), 1, 15) AS BIGINT) % 8
+             |    AS INT) AS worker,
+             |  CAST(row_number() OVER (PARTITION BY host
+             |    ORDER BY doc_id) - 1 AS BIGINT) AS seq_in_host,
+             |  CAST((row_number() OVER (PARTITION BY host
+             |    ORDER BY doc_id) - 1) * 1500 AS BIGINT)
+             |    AS fetch_offset_ms
+             |FROM u""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):

@@ -90,4 +90,35 @@ object HttpMessage {
     trim(regexp_replace(
       array_join(transform(kept, b => stripTags(b)), " "), "\\s+", " "))
   }
+
+  /** Sitemap XML (sitemaps.org protocol, public — the crawl-discovery
+    * complement of [[RobotsTxt]]): explode a sitemap document into its
+    * `<url>` records with the four standard fields. Pure Java∩RE2
+    * Column expressions (the [[mainContent]] contract — the oracle
+    * replays the extraction itself); absent optional fields surface
+    * as null, and the regex tolerates attribute-bearing tags and
+    * whitespace. Feed the result's `loc` through [[RobotsTxt
+    * .isAllowed]] and the frontier is born.
+    *
+    * @return array of structs (loc, lastmod, changefreq,
+    *         priority_permille int — the protocol's 0.0–1.0 priority
+    *         scaled to exact integer per-mille, 500 = the spec
+    *         default when absent) */
+  def sitemapUrls(xml: Column): Column = {
+    val recs = regexp_extract_all(xml, lit("(?is)<url\\b[^>]*>(.*?)</url>"),
+      lit(1))
+    transform(recs, r => {
+      def field(tag: String) = {
+        val v = trim(regexp_extract(r,
+          s"(?is)<$tag\\b[^>]*>(.*?)</$tag>", 1))
+        when(v === "", lit(null)).otherwise(v)
+      }
+      struct(
+        field("loc").as("loc"),
+        field("lastmod").as("lastmod"),
+        field("changefreq").as("changefreq"),
+        coalesce(floor(field("priority").cast("double") * 1000)
+          .cast("int"), lit(500)).as("priority_permille"))
+    })
+  }
 }

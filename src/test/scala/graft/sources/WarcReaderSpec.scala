@@ -59,6 +59,38 @@ class WarcReaderSpec extends SparkSpec {
     out.foreach { case (id, payload, _) => assert(payload == docs(id)) }
   }
 
+  test("sitemapUrls: records parsed through attribute noise and " +
+      "whitespace; optional fields null; default priority 500") {
+    val xml = """<?xml version="1.0"?><urlset xmlns="x">
+      |<url data-x="1"> <loc> http://h/a </loc>
+      |  <lastmod>2026-02-11</lastmod><priority>0.75</priority>
+      |  <changefreq>daily</changefreq></url>
+      |<url><loc>http://h/b</loc></url></urlset>""".stripMargin
+    val out = Seq(Tuple1(xml)).toDF("xml")
+      .select(explode(HttpMessage.sitemapUrls($"xml")).as("u"))
+      .select("u.loc", "u.lastmod", "u.changefreq", "u.priority_permille")
+      .as[(String, Option[String], Option[String], Int)].collect().toSeq
+    assert(out == Seq(
+      ("http://h/a", Some("2026-02-11"), Some("daily"), 750),
+      ("http://h/b", None, None, 500)))
+  }
+
+  test("politenessSchedule: one worker per host, serialized " +
+      "delay-spaced offsets, dense per-host sequence") {
+    val urls = (0L until 60L).map(i => (i, s"h${i % 7}.com"))
+      .toDF("id", "host")
+    val out = graft.ops.UrlOps.politenessSchedule(urls, "id", "host",
+        workers = 4, perHostDelayMs = 1000L)
+      .as[(Long, String, Int, Long, Long)].collect()
+    out.groupBy(_._2).values.foreach { host =>
+      assert(host.map(_._3).distinct.length == 1)      // one worker
+      assert(host.map(_._4).sorted.toSeq ==
+        (0L until host.length.toLong))                  // dense seq
+      assert(host.forall(r => r._5 == r._4 * 1000L))    // spaced slots
+    }
+    assert(out.map(_._3).forall(w => w >= 0 && w < 4))
+  }
+
   test("mainContent: long flat blocks survive; linky nav, linky " +
       "footer, and short notes drop; empty page yields empty text") {
     val page = "<div><a href=\"/\">Home</a> <a href=\"/x\">About Us " +
