@@ -5767,6 +5767,42 @@ object CorpusQueries extends QueryModule {
              |    AS fetch_offset_ms
              |FROM u""".stripMargin),
     ),
+
+    // ---- compaction + manifest: documents written as a 50-file mess,
+    // compacted to 200-row files through the atomic swap, stamped with
+    // _manifest.json. The manifest's ORDER-FREE content fingerprint
+    // (sum of per-row md5-60) survives fragment → compact → re-read,
+    // and DuckDB recomputes it independently from the source table —
+    // any lost/duplicated/corrupted row breaks the sum.
+    Q(
+      "q183_compaction_manifest",
+      (s, d) => {
+        val root = graft.io.Scratch.dir("graft-compact-")
+        val dir = s"$root/docs"
+        Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(50).write.parquet(dir)
+        val (_, before, after) =
+          graft.io.Compaction.compact(s, dir, targetRowsPerFile = 200L)
+        graft.io.Compaction.writeManifest(s, dir)
+        val (mRows, mSum, mFiles) = graft.io.Compaction.readManifest(dir)
+        s.read.parquet(dir).select(col("doc_id"),
+          lit(mRows).as("manifest_rows"), lit(mSum).as("manifest_sum"),
+          lit(mFiles).as("n_files"), lit(before > after).as("compacted"))
+      },
+      Some("""WITH m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS r,
+             |    CAST(sum(CAST('0x' || substr(md5(
+             |      CAST(doc_id AS VARCHAR) || chr(1)
+             |        || coalesce(text, '')),
+             |      1, 11) AS BIGINT)) AS BIGINT) AS s
+             |  FROM documents
+             |)
+             |SELECT doc_id, (SELECT r FROM m) AS manifest_rows,
+             |  (SELECT s FROM m) AS manifest_sum,
+             |  CAST(((SELECT r FROM m) + 199) // 200 AS INT) AS n_files,
+             |  true AS compacted
+             |FROM documents""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):
