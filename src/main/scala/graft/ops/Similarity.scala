@@ -1155,4 +1155,76 @@ object Similarity {
       .select(col(idCol), col("cluster"), col("dist2"),
         col("cluster_n"), col("keep"))
   }
+
+  /** IN-CONTEXT PRETRAINING document ordering (Shi et al. 2023,
+    * "In-Context Pretraining: Language Modeling Beyond Document
+    * Boundaries", public): long-context training wants RELATED
+    * documents adjacent in the packed stream, so the corpus is
+    * clustered in embedding space and each cluster is linearized by a
+    * greedy nearest-neighbor walk — start somewhere, repeatedly hop to
+    * the most-similar unvisited member. Feed the resulting
+    * (cluster, chain_pos) order into [[graft.ops.Packing]] and packed
+    * sequences carry topically-coherent neighborhoods.
+    *
+    * Determinism contract (what makes q184's replay exact): vectors
+    * quantize by the [[kmeansQuantized]] floor, similarity is the
+    * EXACT INTEGER dot product of quantized vectors (no FP anywhere),
+    * the walk starts at each cluster's minimum id, and ties fall to
+    * the lowest id.
+    *
+    * Scale shape: clustering is the distributed [[kmeansQuantized]];
+    * the walk is per-cluster state via `flatMapGroups` — the paper's
+    * own O(c²) greedy run inside each cluster, so k must be sized to
+    * keep clusters memory-bounded (the per-group-bounded-state caveat
+    * of the document-rebuild ops; for clusters past ~10⁵ members,
+    * compose an ANN-graph walk from [[annTopK]] instead).
+    *
+    * @return (idCol, cluster, chain_pos 0-based) */
+  def greedySimilarityChains(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int, scale: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val assigned = kmeansQuantized(df, idCol, vecCol, k, iters, scale)
+      .select(col(idCol).cast("long").as("id"), col("cluster"))
+    val qv = df.select(col(idCol).cast("long").as("id"),
+      transform(asDouble(col(vecCol)),
+        x => floor(x * lit(scale.toDouble)).cast("long")).as("__q"))
+    val members = assigned.join(qv, "id")
+      .select(col("cluster").cast("int"), col("id"), col("__q"))
+      .as[(Int, Long, Seq[Long])]
+    members.groupByKey(_._1)
+      .flatMapGroups { (cl, it) =>
+        val ms = it.map { case (_, id, q) => (id, q.toArray) }.toArray
+          .sortBy(_._1)
+        val visited = new Array[Boolean](ms.length)
+        val out = new Array[(Long, Int, Int)](ms.length)
+        var cur = 0 // min id = first after sort
+        visited(0) = true
+        out(0) = (ms(0)._1, cl, 0)
+        var pos = 1
+        while (pos < ms.length) {
+          var best = -1
+          var bestDot = Long.MinValue
+          val cq = ms(cur)._2
+          var j = 0
+          while (j < ms.length) {
+            if (!visited(j)) {
+              val oq = ms(j)._2
+              var s = 0L
+              var i = 0
+              while (i < cq.length) { s += cq(i) * oq(i); i += 1 }
+              // strict > : ties fall to the lowest id (ms is id-sorted)
+              if (s > bestDot) { bestDot = s; best = j }
+            }
+            j += 1
+          }
+          visited(best) = true
+          out(pos) = (ms(best)._1, cl, pos)
+          cur = best
+          pos += 1
+        }
+        out.iterator
+      }
+      .toDF(idCol, "cluster", "chain_pos")
+  }
 }

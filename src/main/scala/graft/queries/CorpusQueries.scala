@@ -5803,6 +5803,51 @@ object CorpusQueries extends QueryModule {
              |  true AS compacted
              |FROM documents""".stripMargin),
     ),
+
+    // ---- in-context-pretraining document ordering (Shi et al. 2023):
+    // k-means clusters linearized by a greedy max-integer-dot
+    // nearest-neighbor walk (min-id start, lowest-id ties). DuckDB
+    // chains the shared Lloyd replay into a RECURSIVE walk — one
+    // correlated argmax hop per step — and restates every chain
+    // position exactly (no FP anywhere: quantized integer dots).
+    Q(
+      "q184_incontext_order",
+      (s, d) => Similarity.greedySimilarityChains(
+        Tables.embeddings(s, d), "vec_id", "embedding", k = 4,
+        iters = 2, scale = 1024),
+      Some {
+        "WITH RECURSIVE " + kmeansReplaySql.stripPrefix("WITH ") + """,
+             |mem AS (
+             |  SELECT a3.vec_id AS id, a3.cl, qv.q
+             |  FROM a3 JOIN qv ON a3.vec_id = qv.vec_id
+             |), dots AS (
+             |  SELECT a.cl, a.id AS a, b.id AS b,
+             |    CAST(list_sum([a.q[i] * b.q[i]
+             |      for i in range(1, len(a.q) + 1)]) AS BIGINT) AS dot
+             |  FROM mem a JOIN mem b ON a.cl = b.cl AND a.id <> b.id
+             |), starts AS (SELECT cl, min(id) AS s FROM mem GROUP BY 1),
+             |walk AS (
+             |  SELECT cl, s AS cur, [s] AS visited, 0 AS pos FROM starts
+             |  UNION ALL
+             |  SELECT w.cl,
+             |    (SELECT d.b FROM dots d WHERE d.cl = w.cl
+             |       AND d.a = w.cur AND NOT list_contains(w.visited, d.b)
+             |     ORDER BY d.dot DESC, d.b LIMIT 1),
+             |    list_append(w.visited,
+             |      (SELECT d.b FROM dots d WHERE d.cl = w.cl
+             |         AND d.a = w.cur AND NOT list_contains(w.visited, d.b)
+             |       ORDER BY d.dot DESC, d.b LIMIT 1)),
+             |    w.pos + 1
+             |  FROM walk w
+             |  WHERE (SELECT d.b FROM dots d WHERE d.cl = w.cl
+             |       AND d.a = w.cur AND NOT list_contains(w.visited, d.b)
+             |     ORDER BY d.dot DESC, d.b LIMIT 1) IS NOT NULL
+             |)
+             |SELECT cur AS vec_id, CAST(cl AS INTEGER) AS cluster,
+             |  CAST(pos AS INTEGER) AS chain_pos
+             |FROM walk""".stripMargin
+      },
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):

@@ -1512,6 +1512,37 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  // -------------------------------------- in-context document order
+
+  test("greedySimilarityChains: dense per-cluster positions, each id " +
+      "once, and every hop is the max-integer-dot unvisited neighbor") {
+    val rnd = new scala.util.Random(17)
+    val vecs = (0L until 50L).map(i =>
+      (i, Seq.fill(8)(rnd.nextDouble() - 0.3))).toDF("id", "v")
+    val out = Similarity.greedySimilarityChains(vecs, "id", "v",
+        k = 3, iters = 2).as[(Long, Int, Int)].collect()
+    assert(out.map(_._1).distinct.length == 50)
+    // replicate: same clusters, same quantization, same greedy rule
+    val assigned = Similarity.kmeansQuantized(vecs, "id", "v", 3, 2)
+      .select($"id", $"cluster").as[(Long, Int)].collect().toMap
+    val qs = vecs.select($"id", transform($"v",
+        x => floor(x * 1024d).cast("long")).as("q"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val expected = assigned.groupBy(_._2).flatMap { case (cl, ms) =>
+      val ids = ms.keys.toArray.sorted
+      val chain = scala.collection.mutable.ArrayBuffer(ids.head)
+      val left = scala.collection.mutable.SortedSet(ids.tail: _*)
+      while (left.nonEmpty) {
+        val cq = qs(chain.last)
+        val nxt = left.maxBy(b =>
+          (qs(b).zip(cq).map { case (x, y) => x * y }.sum, -b))
+        chain += nxt; left -= nxt
+      }
+      chain.zipWithIndex.map { case (id, p) => (id, cl, p) }
+    }.toSet
+    assert(out.toSet == expected)
+  }
+
   // ------------------------------------------ packed segment masks
 
   test("packedSegments: straddling docs clip to chunk windows, " +
