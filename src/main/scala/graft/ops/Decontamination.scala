@@ -178,4 +178,34 @@ object Decontamination {
     docs.join(
       contaminationHits(docs, bench, idCol, textCol, benchTextCol, n),
       Seq(idCol), "left_anti")
+
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * n-gram gates above (the frontier-lab eval-hygiene practice: a
+    * paraphrased benchmark question shares no 13-gram with its source
+    * but sits next to it in embedding space): every training vector's
+    * single nearest EVAL vector via the cross-frame blocked kernel,
+    * flagged when the cosine reaches `tauPermille/1000`. Exact (no
+    * ANN) by the same argument as q24/q25 — the blocked kernel is the
+    * exact search — so the contamination decision carries no recall
+    * caveat; compose [[graft.ops.Similarity.annTopKMatryoshka]]
+    * upstream only if the eval set is itself corpus-sized (it never
+    * is).
+    *
+    * Scale shape: the eval frame is benchmark-sized, so the block
+    * cross join is (corpus blocks × eval blocks) with eval blocks
+    * few — one pass over the corpus vectors, shuffle bounded by
+    * corpus × k rows.
+    *
+    * @return (idCol, nearest_eval_id, cosine, contaminated) */
+  def semanticContamination(train: DataFrame, idCol: String,
+      vecCol: String, eval: DataFrame, evalIdCol: String,
+      evalVecCol: String, tauPermille: Int): DataFrame = {
+    require(tauPermille >= 0 && tauPermille <= 1000,
+      s"tauPermille must be in [0,1000], got $tauPermille")
+    Similarity.crossCosineTopK(train, idCol, vecCol,
+        eval, evalIdCol, evalVecCol, k = 1)
+      .select(col("id").as(idCol),
+        col("neighbor_id").as("nearest_eval_id"), col("cosine"),
+        (col("cosine") >= lit(tauPermille / 1000.0)).as("contaminated"))
+  }
 }

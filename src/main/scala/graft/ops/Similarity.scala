@@ -307,14 +307,18 @@ object Similarity {
     * matching Spark SQL's NaN-is-largest ordering in the merge window —
     * Scala's default Double ordering would sort it last and truncate it. */
   private def blockTopK(qvecs: Seq[(Long, Seq[Double])],
-      cvecs: Seq[(Long, Seq[Double])], k: Int): Iterator[(Long, Long, Double)] = {
+      cvecs: Seq[(Long, Seq[Double])], k: Int,
+      excludeSelf: Boolean = true): Iterator[(Long, Long, Double)] = {
+    // excludeSelf = false for CROSS-FRAME searches (crossCosineTopK):
+    // query and candidate ids come from different tables there, and a
+    // numeric collision must not silently drop a true neighbor
     val cs = cvecs.map { case (id, v) =>
       val a = v.toArray; (id, a, l2(a)) }.toArray
     qvecs.iterator.flatMap { case (qid, qv) =>
       val qa = qv.toArray
       val qn = l2(qa)
       val sims = cs.iterator.collect {
-        case (idb, vb, nb) if idb != qid =>
+        case (idb, vb, nb) if !excludeSelf || idb != qid =>
           (dotP(qa, vb) / (qn * nb), idb)
       }.toArray
       sims.sortBy { case (c, id) =>
@@ -1154,6 +1158,36 @@ object Similarity {
           col("cluster_n") * prunePermille))
       .select(col(idCol), col("cluster"), col("dist2"),
         col("cluster_n"), col("keep"))
+  }
+
+  /** CROSS-FRAME exact top-k: every query-frame vector's k nearest
+    * candidate-frame vectors — the two-corpus form of
+    * [[cosineTopKKernel]] (same blocked shape, same FP contract), for
+    * searches where queries and candidates are DIFFERENT tables:
+    * semantic decontamination (train vs eval embeddings, q185),
+    * eval-neighborhood mining, cross-corpus near-dup re-ranking.
+    *
+    * @return (id, neighbor_id, cosine, rank 1..k) */
+  def crossCosineTopK(qDf: DataFrame, qIdCol: String, qVecCol: String,
+      cDf: DataFrame, cIdCol: String, cVecCol: String, k: Int,
+      numBlocks: Int = 8): DataFrame = {
+    val spark = qDf.sparkSession
+    import spark.implicits._
+    val packedQ = packedBlocks(
+      qDf.select(col(qIdCol), col(qVecCol)), qIdCol, qVecCol, numBlocks)
+    val packedC = packedBlocks(
+      cDf.select(col(cIdCol), col(cVecCol)), cIdCol, cVecCol, numBlocks)
+    val tasks = packedQ.select(col("__blk").as("qblk"), col("vecs").as("qv"))
+      .crossJoin(packedC.select(col("__blk").as("cblk"), col("vecs").as("cv")))
+      .repartition(numBlocks * numBlocks) // one task per block pair
+      .as[(Int, Seq[(Long, Seq[Double])], Int, Seq[(Long, Seq[Double])])]
+    val partial = tasks.flatMap { case (_, qvecs, _, cvecs) =>
+      blockTopK(qvecs, cvecs, k, excludeSelf = false)
+    }.toDF("id", "neighbor_id", "cosine")
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    partial.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** IN-CONTEXT PRETRAINING document ordering (Shi et al. 2023,

@@ -5848,6 +5848,44 @@ object CorpusQueries extends QueryModule {
              |FROM walk""".stripMargin
       },
     ),
+
+    // ---- semantic decontamination: every training vector's exact
+    // nearest EVAL vector (cross-frame blocked kernel), flagged at
+    // cosine >= 0.45. The n-gram gates' embedding-space complement —
+    // DuckDB brute-forces the cross search with the q80 list
+    // arithmetic (the proven FP-identical construction) and restates
+    // every neighbor, cosine, and flag.
+    Q(
+      "q185_semantic_decontamination",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Decontamination.semanticContamination(
+          emb.filter(col("vec_id") % 11 =!= 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") % 11 === 0), "vec_id", "embedding",
+          tauPermille = 450)
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings
+             |), q AS (SELECT * FROM e WHERE vec_id % 11 <> 0),
+             |c AS (SELECT * FROM e WHERE vec_id % 11 = 0),
+             |s AS (
+             |  SELECT q.vec_id AS id, c.vec_id AS nid,
+             |    list_sum(list_transform(list_zip(q.v, c.v),
+             |      p -> p[1] * p[2])) /
+             |      (sqrt(list_sum(list_transform(q.v, x -> x * x))) *
+             |       sqrt(list_sum(list_transform(c.v, x -> x * x))))
+             |      AS cos
+             |  FROM q, c
+             |), r AS (
+             |  SELECT id, nid, cos, row_number() OVER (PARTITION BY id
+             |    ORDER BY cos DESC, nid) AS rn
+             |  FROM s
+             |)
+             |SELECT id AS vec_id, nid AS nearest_eval_id, cos AS cosine,
+             |  cos >= 0.45 AS contaminated
+             |FROM r WHERE rn = 1""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):

@@ -1512,6 +1512,46 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------- cross-frame decontamination
+
+  test("crossCosineTopK: matches brute force across frames; colliding " +
+      "numeric ids between frames are NOT self-excluded") {
+    val rnd = new scala.util.Random(23)
+    val qs = (0L until 30L).map(i => (i, Seq.fill(6)(rnd.nextDouble())))
+    val cs = (20L until 45L).map(i => (i, Seq.fill(6)(rnd.nextDouble())))
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val got = Similarity.crossCosineTopK(qs.toDF("id", "v"), "id", "v",
+        cs.toDF("id", "v"), "id", "v", k = 2)
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
+    val brute = qs.map { case (qid, qv) =>
+      qid -> cs.map { case (cid, cv) => (cos(qv, cv), cid) }
+        .sortBy { case (c, id) => (-c, id) }.take(2).map(_._2)
+    }.toMap
+    assert(got == brute)
+    // ids 20..29 exist in BOTH frames: the identical-id candidate must
+    // still be eligible (it's a different row in a different table)
+    assert((20L until 30L).forall(i => got(i).nonEmpty))
+  }
+
+  test("semanticContamination: a planted eval-duplicate flags at " +
+      "cosine 1.0; orthogonal vectors don't") {
+    val train = Seq((1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0)))
+      .toDF("id", "v")
+    val eval = Seq((100L, Seq(2.0, 0.0, 0.0)), (101L, Seq(0.0, 0.0, 5.0)))
+      .toDF("id", "v")
+    val out = Decontamination.semanticContamination(train, "id", "v",
+        eval, "id", "v", tauPermille = 900)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    assert(out(1L) == ((100L, true)))  // same direction as eval q
+    assert(out(2L)._2 == false)
+  }
+
   // -------------------------------------- in-context document order
 
   test("greedySimilarityChains: dense per-cluster positions, each id " +
