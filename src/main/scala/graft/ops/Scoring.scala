@@ -445,6 +445,66 @@ object Scoring {
       .drop("__rank", "__min", "__n")
   }
 
+  /** The NDCG position-discount table in integer ppb:
+    * `w(i) = floor(1e9 / log2(i + 1))`, i = 1..k. Computed ONCE here
+    * (driver-side libm) and injected as literals into both the metric
+    * expression and q186's oracle SQL — the two engines share the
+    * exact integers BY CONSTRUCTION, so no cross-libm log2 ever
+    * enters the compared projection. */
+  def ndcgWeights(k: Int): Seq[Long] =
+    (1 to k).map(i =>
+      math.floor(1e9 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** RETRIEVAL METRICS — MRR and NDCG@k (Järvelin & Kekäläinen 2002,
+    * public), the report card of every search/ANN/BM25 stack in this
+    * file: given per-query rankings with binary relevance and the
+    * per-query relevant-total, emit the standard metrics in EXACT
+    * integer arithmetic — `mrr_ppb = 1e9 div first_rel_rank`,
+    * `ndcg_ppm = (1e6 · dcg) div idcg` over the injected
+    * [[ndcgWeights]] integers (idcg = the prefix sum at
+    * min(k, n_relevant)). Queries with no relevant hit in the top-k
+    * score 0 with null first_rel_rank; queries with n_relevant = 0
+    * score null ndcg (undefined by the metric).
+    *
+    * Scale shape: one map-side-combined per-query aggregation over
+    * the ranking rows ≤ k (element_at against the k-sized literal
+    * weight arrays — no join for the weights), plus one broadcast-free
+    * key join for the totals.
+    *
+    * @param ranked (qCol, rankCol 1-based, relCol boolean)
+    * @param totals (qCol, n_relevant)
+    * @return (qCol, n_relevant, n_hits_at_k, first_rel_rank,
+    *         mrr_ppb, ndcg_ppm) */
+  def retrievalMetrics(ranked: DataFrame, qCol: String, rankCol: String,
+      relCol: String, totals: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = ndcgWeights(k)
+    val cum = w.scanLeft(0L)(_ + _).tail // prefix sums, 1-based
+    val wArr = array(w.map(lit): _*)
+    val hit = col(relCol) && col(rankCol) <= k
+    val perQ = ranked.groupBy(col(qCol))
+      .agg(
+        sum(when(hit, lit(1L)).otherwise(lit(0L))).as("n_hits_at_k"),
+        min(when(col(relCol), col(rankCol).cast("long")))
+          .as("first_rel_rank"),
+        sum(when(hit,
+          element_at(wArr, col(rankCol).cast("int")))
+          .otherwise(lit(0L))).as("__dcg"))
+    totals.join(perQ, Seq(qCol), "left")
+      .select(col(qCol), col("n_relevant").cast("long").as("n_relevant"),
+        coalesce(col("n_hits_at_k"), lit(0L)).as("n_hits_at_k"),
+        col("first_rel_rank"),
+        coalesce(expr("1000000000L div first_rel_rank"), lit(0L))
+          .as("mrr_ppb"),
+        when(col("n_relevant") === 0, lit(null)).otherwise(
+          expr(s"(1000000L * coalesce(__dcg, 0L)) div " +
+            s"element_at(${cumArrSql(cum)}, " +
+            s"CAST(least($k, n_relevant) AS INT))")).as("ndcg_ppm"))
+  }
+
+  private def cumArrSql(cum: Seq[Long]): String =
+    cum.mkString("array(", "L, ", "L)")
+
   /** DoReMi-style DOMAIN REWEIGHTING (Xie et al. 2023, "DoReMi:
     * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
     * public): the exponentiated-gradient update over per-step

@@ -5886,6 +5886,68 @@ object CorpusQueries extends QueryModule {
              |  cos >= 0.45 AS contaminated
              |FROM r WHERE rn = 1""".stripMargin),
     ),
+
+    // ---- retrieval metrics (MRR / NDCG@10): per-source rankings with
+    // pseudo-shuffled positions and %3 relevance. The NDCG discount
+    // integers are computed ONCE in Scala and interpolated into BOTH
+    // the operator and this SQL — no cross-libm log2 anywhere; every
+    // other number is integer division.
+    Q(
+      "q186_retrieval_metrics",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ranked = docs.select(col("source"), col("doc_id"),
+            ((col("doc_id") * 37) % 101).as("__k"),
+            (col("doc_id") % 3 === 0).as("rel"))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("source"))
+              .orderBy(col("__k"), col("doc_id"))))
+        val totals = docs.groupBy(col("source"))
+          .agg(sum(when(col("doc_id") % 3 === 0, 1L).otherwise(0L))
+            .as("n_relevant"))
+        Scoring.retrievalMetrics(ranked, "source", "rank", "rel",
+          totals, k = 10)
+      },
+      Some {
+        val w = Scoring.ndcgWeights(10)
+        val cum = w.scanLeft(0L)(_ + _).tail
+        val wList = w.mkString("[", ", ", "]")
+        val cumList = cum.mkString("[", ", ", "]")
+        s"""WITH q AS (
+           |  SELECT CAST(source AS VARCHAR) AS source, doc_id,
+           |    (doc_id * 37) % 101 AS k2, doc_id % 3 = 0 AS rel
+           |  FROM documents
+           |), r AS (
+           |  SELECT source, doc_id, rel, row_number() OVER (
+           |    PARTITION BY source ORDER BY k2, doc_id) AS rank
+           |  FROM q
+           |), t AS (
+           |  SELECT source, CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_relevant
+           |  FROM q GROUP BY 1
+           |), a AS (
+           |  SELECT source,
+           |    CAST(sum(CASE WHEN rel AND rank <= 10 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_hits_at_k,
+           |    CAST(min(CASE WHEN rel THEN rank END) AS BIGINT)
+           |      AS first_rel_rank,
+           |    sum(CASE WHEN rel AND rank <= 10
+           |      THEN $wList[CAST(rank AS INT)] ELSE 0 END) AS dcg
+           |  FROM r GROUP BY 1
+           |)
+           |SELECT t.source, t.n_relevant,
+           |  coalesce(a.n_hits_at_k, 0) AS n_hits_at_k,
+           |  a.first_rel_rank,
+           |  CAST(coalesce(1000000000 // a.first_rel_rank, 0) AS BIGINT)
+           |    AS mrr_ppb,
+           |  CAST(CASE WHEN t.n_relevant = 0 THEN NULL
+           |    ELSE (1000000 * coalesce(a.dcg, 0))
+           |      // $cumList[CAST(least(10, t.n_relevant) AS INT)]
+           |    END AS BIGINT) AS ndcg_ppm
+           |FROM t LEFT JOIN a USING (source)""".stripMargin
+      },
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):

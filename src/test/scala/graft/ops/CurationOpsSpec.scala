@@ -1512,6 +1512,37 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------ retrieval metrics
+
+  test("retrievalMetrics: hand-computed MRR/NDCG; no-hit and " +
+      "zero-relevant edge cases") {
+    val ranked = Seq(
+      // qA: hits at ranks 1 and 3 (2 relevant total)
+      ("qA", 1, true), ("qA", 2, false), ("qA", 3, true),
+      // qB: first hit at rank 4; one more relevant OUTSIDE top-k
+      ("qB", 1, false), ("qB", 4, true), ("qB", 12, true),
+      // qC: relevant exists but never retrieved in the ranking
+      ("qC", 1, false), ("qC", 2, false),
+      // qD: nothing relevant at all
+      ("qD", 1, false),
+    ).toDF("q", "rank", "rel")
+    val totals = Seq(("qA", 2L), ("qB", 2L), ("qC", 1L), ("qD", 0L))
+      .toDF("q", "n_relevant")
+    val w = Scoring.ndcgWeights(10)
+    val cum = w.scanLeft(0L)(_ + _).tail
+    val out = Scoring.retrievalMetrics(ranked, "q", "rank", "rel",
+        totals, k = 10)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    assert(out("qA") == ((2L, 2L, 1L, 1000000000L,
+      (1000000L * (w(0) + w(2))) / cum(1))))
+    assert(out("qB") == ((2L, 1L, 4L, 250000000L,
+      (1000000L * w(3)) / cum(1))))
+    assert(out("qC") == ((1L, 0L, -1L, 0L, 0L)))
+    assert(out("qD") == ((0L, 0L, -1L, 0L, -1L))) // ndcg undefined
+  }
+
   // ------------------------------------- cross-frame decontamination
 
   test("crossCosineTopK: matches brute force across frames; colliding " +
