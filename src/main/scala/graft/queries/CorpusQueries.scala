@@ -5948,6 +5948,70 @@ object CorpusQueries extends QueryModule {
            |FROM t LEFT JOIN a USING (source)""".stripMargin
       },
     ),
+
+    // ---- the CommonCrawl money path composed end to end: real WARC
+    // record parse → HTTP split + status/type gate → density-based
+    // main-content extraction → exact dedup (min-id survivors) →
+    // GPT-style sequence packing. Every stage is an oracled operator
+    // (q174/q175/q180/q21/q52); DuckDB replays the whole chain —
+    // 404s gone, chrome gone, duplicates collapsed, prefix sums and
+    // chunk spans exact.
+    Q(
+      "q187_crawl_pipeline",
+      (s, d) => {
+        val dir = graft.sources.WarcFixtures.writeHttp(s, d)
+        val recs = graft.sources.WarcReader.records(
+          s.read.format("binaryFile").load(s"$dir/*.warc"))
+        import graft.sources.HttpMessage
+        val pages = recs.select(
+            regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1)
+              .cast("long").as("doc_id"),
+            HttpMessage.statusCode(col("payload")).as("__st"),
+            HttpMessage.contentType(col("payload")).as("__ct"),
+            HttpMessage.body(col("payload")).as("__body"))
+          .filter(col("__st") === 200 && col("__ct") === "text/html")
+          .select(col("doc_id"),
+            HttpMessage.mainContent(col("__body")).as("clean"))
+        val survivors = pages.join(
+          Dedup.exactDedup(pages, "clean", "doc_id")
+            .select(col("doc_id")), Seq("doc_id"))
+        Packing.chunkAssignments(survivors, "doc_id",
+          TextAnalysis.tokenCount(col("clean")), seqLen = 128)
+          .select(col("doc_id"), col("n_tokens"), col("token_start"),
+            col("token_end"), col("first_chunk"), col("last_chunk"),
+            col("chunk_offset"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, trim(regexp_replace(coalesce(text, ''),
+             |    '\s+', ' ', 'g')) AS clean
+             |  FROM documents
+             |  WHERE doc_id % 10 = 0 AND doc_id % 30 <> 0
+             |), ded AS (
+             |  SELECT min(doc_id) AS doc_id FROM base GROUP BY clean
+             |), sur AS (
+             |  SELECT b.doc_id, b.clean FROM base b
+             |  JOIN ded USING (doc_id)
+             |), t AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_split_to_array(trim(clean), '\s+'))
+             |      AS BIGINT) AS n_tokens
+             |  FROM sur
+             |), c AS (
+             |  SELECT doc_id, n_tokens,
+             |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS token_end
+             |  FROM t
+             |)
+             |SELECT doc_id, n_tokens, token_end - n_tokens AS token_start,
+             |  token_end,
+             |  CAST(floor((token_end - n_tokens) / 128.0) AS BIGINT)
+             |    AS first_chunk,
+             |  CAST(floor((token_end - 1) / 128.0) AS BIGINT)
+             |    AS last_chunk,
+             |  (token_end - n_tokens) % 128 AS chunk_offset
+             |FROM c""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):
