@@ -19,10 +19,10 @@ class BenchContractSpec extends AnyFunSuite {
   test("worst-case summary line stays well inside the capture window") {
     val names = SparkEntry.queries.keys.toSeq.sorted
     // worst case mirrors Bench's emission: bare-number keys and f1
-    // values clamped to 99.9 (4 chars) — the clamp is what makes this
-    // a true bound rather than a hope
+    // values display-clamped to 9.9 (3 chars) — the clamp is what
+    // makes this a true bound rather than a hope
     val line = names.map(n =>
-        "\"" + n.takeWhile(_ != '_').stripPrefix("q") + "\":99.9")
+        "\"" + n.takeWhile(_ != '_').stripPrefix("q") + "\":9.9")
       .mkString(
         """{"metric":"total","value":99999.999,"unit":"sec","queries":{""",
         ",",
