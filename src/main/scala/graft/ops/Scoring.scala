@@ -445,6 +445,61 @@ object Scoring {
       .drop("__rank", "__min", "__n")
   }
 
+  /** COPELAND ranking of preference data (Copeland 1951, the
+    * tournament method — public): given pairwise preference judgments
+    * (winner, loser) per prompt group, score every candidate by
+    * `wins − losses` and rank within its group — the exact integer
+    * alternative to Bradley–Terry fitting for preference-data health
+    * checks (which responses dominate, which judgments cycle). Ties
+    * rank together via dense rank on the integer score; a candidate
+    * judged both ways against the same rival accumulates both
+    * outcomes (Copeland over the MULTISET of judgments).
+    *
+    * Scale shape: two map-side-combined counts (wins by winner,
+    * losses by loser) union-summed on the (group, candidate) key, one
+    * group-partitioned dense-rank window (groups are prompt-sized).
+    *
+    * @param prefs (groupCol, winnerCol, loserCol) one row per judgment
+    * @return (groupCol, candidate, wins, losses, copeland, rank) */
+  def copelandRanking(prefs: DataFrame, groupCol: String,
+      winnerCol: String, loserCol: String): DataFrame = {
+    val wins = prefs.groupBy(col(groupCol),
+        col(winnerCol).as("candidate"))
+      .agg(count(lit(1)).as("wins"))
+    val losses = prefs.groupBy(col(groupCol),
+        col(loserCol).as("candidate"))
+      .agg(count(lit(1)).as("losses"))
+    val scored = wins.join(losses, Seq(groupCol, "candidate"), "full")
+      .select(col(groupCol), col("candidate"),
+        coalesce(col("wins"), lit(0L)).as("wins"),
+        coalesce(col("losses"), lit(0L)).as("losses"))
+      .withColumn("copeland", col("wins") - col("losses"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("copeland").desc)
+    scored.withColumn("rank", dense_rank().over(w))
+  }
+
+  /** K-ANONYMITY release gate (Sweeney 2002, public) for aggregate
+    * publishing: a released statistics row whose underlying group has
+    * fewer than `k` members re-identifies its contributors, so it is
+    * SUPPRESSED (dropped) rather than published — the standard
+    * small-cell rule of data cards and statistical releases. Returns
+    * the surviving aggregate plus a suppression audit count so the
+    * release NAMES what it withheld (silent suppression reads as
+    * coverage — the no-silent-caps rule).
+    *
+    * @return (groupCols..., group_n, released boolean) — every group
+    *         present, small ones flagged released = false so callers
+    *         publish `filter(released)` and report the rest */
+  def kAnonymityGate(df: DataFrame, groupCols: Seq[String],
+      k: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"))
+      .withColumn("released", col("group_n") >= k)
+  }
+
   /** The NDCG position-discount table in integer ppb:
     * `w(i) = floor(1e9 / log2(i + 1))`, i = 1..k. Computed ONCE here
     * (driver-side libm) and injected as literals into both the metric

@@ -6012,6 +6012,61 @@ object CorpusQueries extends QueryModule {
              |  (token_end - n_tokens) % 128 AS chunk_offset
              |FROM c""".stripMargin),
     ),
+
+    // ---- Copeland preference ranking: judgments synthesized per doc
+    // (winner/loser candidate formulas, winner ≠ loser by
+    // construction), scored wins − losses, dense-ranked per source.
+    // All integers; DuckDB replays construction, counts, and ranks.
+    Q(
+      "q188_copeland_ranking",
+      (s, d) => {
+        val prefs = Tables.documents(s, d).select(
+          col("source"), (col("doc_id") % 5).as("winner"),
+          ((col("doc_id") % 5 + 1 + col("doc_id") % 4) % 5).as("loser"))
+        Scoring.copelandRanking(prefs, "source", "winner", "loser")
+      },
+      Some("""WITH p AS (
+             |  SELECT CAST(source AS VARCHAR) AS source,
+             |    doc_id % 5 AS winner,
+             |    (doc_id % 5 + 1 + doc_id % 4) % 5 AS loser
+             |  FROM documents
+             |), w AS (
+             |  SELECT source, winner AS candidate,
+             |    CAST(count(*) AS BIGINT) AS wins
+             |  FROM p GROUP BY 1, 2
+             |), l AS (
+             |  SELECT source, loser AS candidate,
+             |    CAST(count(*) AS BIGINT) AS losses
+             |  FROM p GROUP BY 1, 2
+             |), sc AS (
+             |  SELECT coalesce(w.source, l.source) AS source,
+             |    coalesce(w.candidate, l.candidate) AS candidate,
+             |    coalesce(wins, 0) AS wins, coalesce(losses, 0) AS losses
+             |  FROM w FULL JOIN l
+             |    ON w.source = l.source AND w.candidate = l.candidate
+             |)
+             |SELECT source, candidate, wins, losses,
+             |  wins - losses AS copeland,
+             |  CAST(dense_rank() OVER (PARTITION BY source
+             |    ORDER BY wins - losses DESC) AS INTEGER) AS rank
+             |FROM sc""".stripMargin),
+    ),
+
+    // ---- k-anonymity release gate: (source, doc_id % 7) cells at
+    // k = 4 — small cells flagged unreleased, every cell present so
+    // the suppression is NAMED. Pure integer counts.
+    Q(
+      "q189_k_anonymity",
+      (s, d) => Scoring.kAnonymityGate(
+        Tables.documents(s, d)
+          .withColumn("bucket", col("doc_id") % 7),
+        Seq("source", "bucket"), k = 4L),
+      Some("""SELECT CAST(source AS VARCHAR) AS source,
+             |  doc_id % 7 AS bucket,
+             |  CAST(count(*) AS BIGINT) AS group_n,
+             |  count(*) >= 4 AS released
+             |FROM documents GROUP BY 1, 2""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):

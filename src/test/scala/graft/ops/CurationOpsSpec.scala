@@ -1512,6 +1512,36 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------- preference + release ops
+
+  test("copelandRanking: wins-minus-losses, dense tie ranks, " +
+      "never-winning candidates still scored") {
+    val prefs = Seq(
+      ("p1", "a", "b"), ("p1", "a", "c"), ("p1", "b", "c"),
+      ("p1", "c", "b"), // b and c split their rematch -> tie at -...
+      ("p2", "x", "y"),
+    ).toDF("g", "w", "l")
+    val out = Scoring.copelandRanking(prefs, "g", "w", "l")
+      .as[(String, String, Long, Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(out(("p1", "a")) == ((2L, 0L, 2L, 1)))
+    assert(out(("p1", "b")) == ((1L, 2L, -1L, 2)))
+    assert(out(("p1", "c")) == ((1L, 2L, -1L, 2))) // dense tie
+    assert(out(("p2", "x")) == ((1L, 0L, 1L, 1)))
+    assert(out(("p2", "y")) == ((0L, 1L, -1L, 2))) // loser-only row
+  }
+
+  test("kAnonymityGate: small cells flagged unreleased but present") {
+    val d = (Seq.fill(5)("big") ++ Seq.fill(2)("small"))
+      .zipWithIndex.toDF("g", "i")
+    val out = Scoring.kAnonymityGate(d, Seq("g"), k = 4L)
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(out == Set(("big", 5L, true), ("small", 2L, false)))
+    intercept[IllegalArgumentException] {
+      Scoring.kAnonymityGate(d, Seq.empty, 4L)
+    }
+  }
+
   // ------------------------------------------------ retrieval metrics
 
   test("retrievalMetrics: hand-computed MRR/NDCG; no-hit and " +
