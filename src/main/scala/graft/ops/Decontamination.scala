@@ -179,6 +179,55 @@ object Decontamination {
       contaminationHits(docs, bench, idCol, textCol, benchTextCol, n),
       Seq(idCol), "left_anti")
 
+  /** MEMORIZATION / NOVELTY SCAN — [[contaminationHits]] run in the
+    * OTHER direction: instead of protecting evals from the training
+    * corpus, protect generated output from the training corpus. For
+    * each candidate document (model samples, synthetic-data drafts),
+    * count how many of its distinct word n-grams already occur in the
+    * reference corpus and publish the novelty rate in exact integer
+    * ppm — the standard regurgitation check (Carlini et al. 2021's
+    * verbatim-extraction test is this operator at n≈50; data-synthesis
+    * pipelines gate on it before admitting generated text back into
+    * training).
+    *
+    * Scale shape: identical to [[contaminationHits]] with the roles
+    * swapped — and the roles MATTER: the distinct-gram set built here
+    * is the CANDIDATE side (generation batches are GB against a TB
+    * corpus is the wrong way round — so this builds the gram set from
+    * the candidates and streams the CORPUS through the join, keeping
+    * the big side shuffle-free under AQE broadcast). Per-gram seen/not
+    * is a corpus-side aggregation to distinct candidate grams, then
+    * one candidate-sized rollup.
+    *
+    * @param noveltyFloorPpm verdict threshold: candidates whose novel
+    *        fraction is BELOW this are flagged `memorized`
+    * @return (idCol, n_grams distinct, n_seen, novel_ppm —
+    *         null when the candidate is shorter than n words —
+    *         memorized) */
+  def noveltyScan(candidates: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, corpusTextCol: String, n: Int,
+      noveltyFloorPpm: Long): DataFrame = {
+    val grams = docGrams(candidates, idCol, textCol, n)
+      .select(col(idCol), col("__gs"), size(col("__gs")).as("n_grams"))
+      .materialized // feeds the gram-set build AND the per-doc rollup
+    val candGramSet = grams.select(explode(col("__gs")).as("__g")).distinct()
+    // corpus streams through ONE membership semi-join against the
+    // candidate gram set (broadcastable), then collapses to the seen set
+    val seenGrams = corpus
+      .select(split(trim(col(corpusTextCol)), "\\s+").as("__w"))
+      .select(explode(gramHashesFromWords(col("__w"), n)).as("__g"))
+      .join(candGramSet, "__g", "left_semi").distinct()
+    val seen = grams.select(col(idCol), explode(col("__gs")).as("__g"))
+      .join(seenGrams, "__g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_seen"))
+    grams.select(col(idCol), col("n_grams"))
+      .join(seen, Seq(idCol), "left")
+      .withColumn("n_seen", coalesce(col("n_seen"), lit(0L)))
+      .withColumn("novel_ppm", when(col("n_grams") === 0, lit(null))
+        .otherwise(expr("((n_grams - n_seen) * 1000000) div n_grams")))
+      .withColumn("memorized", col("novel_ppm") < lit(noveltyFloorPpm))
+  }
+
   /** SEMANTIC decontamination — the embedding-space complement of the
     * n-gram gates above (the frontier-lab eval-hygiene practice: a
     * paraphrased benchmark question shares no 13-gram with its source

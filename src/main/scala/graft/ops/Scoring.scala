@@ -500,6 +500,84 @@ object Scoring {
       .withColumn("released", col("group_n") >= k)
   }
 
+  /** SEEDED-NOISE COUNT RELEASE — the second half of the release-gate
+    * family ([[kAnonymityGate]] suppresses small cells; this perturbs
+    * the published counts of the surviving cells). Noise is drawn
+    * deterministically per cell from `md5(groupKey || seed)` and is
+    * uniform on the integer range [-bound, +bound] (a randomized-
+    * response-style bounded mechanism — NOT a calibrated Laplace/DP
+    * release; a geometric-tailed sampler would slot into the same
+    * `__noise` column, and the uniform draw here is the honest,
+    * replayable-by-any-engine baseline). Published counts clamp at 0
+    * (a negative count is not a count).
+    *
+    * Determinism is the point: a release is an auditable artifact, so
+    * the noise must be a pure function of (cell, seed) — rerunning the
+    * release, at any parallelism or on any engine that can md5, yields
+    * byte-identical numbers (same construction as the sampling family's
+    * md5-60 ranks).
+    *
+    * Scale shape: one map-side-combined aggregation; the noise is a
+    * per-group scalar expression on the |groups|-sized result.
+    *
+    * @return (groupCols..., group_n true count, noise, released_n
+    *         clamped noisy count, released flag) — callers publish
+    *         `filter(released).select(..., released_n)` and keep the
+    *         full frame as the private audit trail */
+  def seededNoiseRelease(df: DataFrame, groupCols: Seq[String],
+      seed: String, bound: Int, k: Long = 1): DataFrame = {
+    require(bound >= 1, s"bound must be >= 1, got $bound")
+    val gated = kAnonymityGate(df, groupCols, k)
+    val key = concat_ws("",
+      groupCols.map(c => col(c).cast("string")) :+ lit(seed): _*)
+    gated
+      .withColumn("noise",
+        (Dedup.md5Hash60(key) % lit(2 * bound + 1)).cast("long")
+          - lit(bound.toLong))
+      .withColumn("released_n",
+        greatest(col("group_n") + col("noise"), lit(0L)))
+  }
+
+  /** DISTRIBUTION-DRIFT REPORT — the corpus-monitoring twin of the
+    * data card: bucket a numeric column on both sides of a comparison
+    * (yesterday's snapshot vs today's, source A vs source B), publish
+    * per-bucket counts and per-mille shares, and the per-bucket share
+    * gap. `sum(abs_gap_pm) / 2` over the report is total variation
+    * distance in per-mille — the drift alarm threshold — computable by
+    * the consumer with one further aggregate; shares are exact integer
+    * per-mille (`(n · 1000) div total`) so two engines agree bitwise.
+    *
+    * Scale shape: two map-side-combined bucket aggregations (shuffle =
+    * |buckets| rows each) + a full-outer join of two tiny frames. The
+    * full-outer keeps buckets present on only one side (share 0 on the
+    * other) — dropping them would hide exactly the drift being
+    * measured.
+    *
+    * @param bucketWidth integer bucket = `value div bucketWidth`
+    * @return (bucket, n_a, n_b, share_a_pm, share_b_pm, abs_gap_pm) */
+  def histogramDrift(a: DataFrame, b: DataFrame, valueCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    def side(df: DataFrame, n: String): DataFrame = {
+      val bucketed = df
+        .select(expr(s"$valueCol div $bucketWidth").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(n))
+      // total via window-free scalar: |buckets| is tiny, broadcast it
+      bucketed.crossJoin(
+          broadcast(bucketed.agg(sum(col(n)).as(s"__t_$n"))))
+        .withColumn(s"share_${n.stripPrefix("n_")}_pm",
+          expr(s"($n * 1000) div __t_$n"))
+        .drop(s"__t_$n")
+    }
+    side(a, "n_a").join(side(b, "n_b"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("share_a_pm"), lit(0L)).as("share_a_pm"),
+        coalesce(col("share_b_pm"), lit(0L)).as("share_b_pm"))
+      .withColumn("abs_gap_pm", abs(col("share_a_pm") - col("share_b_pm")))
+  }
+
   /** The NDCG position-discount table in integer ppb:
     * `w(i) = floor(1e9 / log2(i + 1))`, i = 1..k. Computed ONCE here
     * (driver-side libm) and injected as literals into both the metric

@@ -1070,6 +1070,44 @@ object TextAnalysis {
           .as("n_lang_unknown"))
   }
 
+  /** TOKENIZER FERTILITY REPORT — the per-language cost card every
+    * tokenizer evaluation publishes (how many subword pieces per word,
+    * how many characters per piece): languages a tokenizer serves
+    * badly (high fertility) pay more sequence length per unit of text,
+    * which skews both training cost and effective mixture weights.
+    * Computed here for the [[tokenCount]] whitespace tokenizer vs the
+    * [[bpeTokenCount]] subword proxy — swap in [[encodeTokens]] counts
+    * for a learned vocab's true fertility. All ratios are exact
+    * integer milli (`(a · 1000) div b`) so any engine replays the same
+    * integers from the same counts.
+    *
+    * Scale shape: ONE map-side-combined aggregation riding the corpus
+    * scan — the counting expressions are codegen'd Columns, shuffle is
+    * |languages| rows.
+    *
+    * @return per langCol: (lang, n_docs, n_words, n_pieces, n_chars,
+    *         pieces_per_word_milli, chars_per_piece_milli,
+    *         chars_per_word_milli) */
+  def fertilityReport(df: DataFrame, langCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(langCol).cast("string").as("lang"),
+        tokenCount(t).cast("long").as("__w"),
+        bpeTokenCount(t).cast("long").as("__p"),
+        length(t).cast("long").as("__c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("n_words"),
+        sum(col("__p")).as("n_pieces"),
+        sum(col("__c")).as("n_chars"))
+      .withColumn("pieces_per_word_milli",
+        expr("(n_pieces * 1000) div n_words"))
+      .withColumn("chars_per_piece_milli",
+        expr("(n_chars * 1000) div n_pieces"))
+      .withColumn("chars_per_word_milli",
+        expr("(n_chars * 1000) div n_words"))
+  }
+
   /** Quality features + a composite score. Formula kept to
     * threshold-terms and single-division ratios so every engine computes
     * identical doubles. */

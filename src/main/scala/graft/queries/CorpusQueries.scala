@@ -6067,6 +6067,146 @@ object CorpusQueries extends QueryModule {
              |  count(*) >= 4 AS released
              |FROM documents GROUP BY 1, 2""".stripMargin),
     ),
+
+    // ---- tokenizer fertility card (pieces/word, chars/piece per
+    // language in exact integer milli): the per-language cost table a
+    // tokenizer evaluation publishes. One map-side-combined agg over
+    // the corpus scan; both tokenizations use the shared ASCII \w
+    // regex classes, so Java-regex Spark and RE2 DuckDB count the
+    // same pieces on every script (CJK chars fall to [^\w\s] in both).
+    Q(
+      "q196_fertility_report",
+      (s, d) => TextAnalysis.fertilityReport(
+        Tables.documents(s, d), "lang", "text"),
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(w) AS BIGINT) AS n_words,
+             |  CAST(sum(p) AS BIGINT) AS n_pieces,
+             |  CAST(sum(c) AS BIGINT) AS n_chars,
+             |  (CAST(sum(p) AS BIGINT) * 1000) // CAST(sum(w) AS BIGINT)
+             |    AS pieces_per_word_milli,
+             |  (CAST(sum(c) AS BIGINT) * 1000) // CAST(sum(p) AS BIGINT)
+             |    AS chars_per_piece_milli,
+             |  (CAST(sum(c) AS BIGINT) * 1000) // CAST(sum(w) AS BIGINT)
+             |    AS chars_per_word_milli
+             |FROM (
+             |  SELECT lang,
+             |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+             |      AS BIGINT) AS w,
+             |    CAST(len(regexp_extract_all(text, '\w+|[^\w\s]'))
+             |      AS BIGINT) AS p,
+             |    CAST(length(text) AS BIGINT) AS c
+             |  FROM documents)
+             |GROUP BY lang""".stripMargin),
+    ),
+
+    // ---- memorization / novelty scan (q66's decontamination run in
+    // reverse): "generated" candidates (doc_id % 17 = 0) scored by how
+    // many of their distinct 8-grams already exist in the rest of the
+    // corpus — the regurgitation gate a synthetic-data loop applies
+    // before admitting model output back into training. Roles matter
+    // at scale: the gram SET is built from the small candidate side
+    // and the big corpus streams through one semi-join against it.
+    Q(
+      "q197_novelty_scan",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Decontamination.noveltyScan(
+          docs.filter(col("doc_id") % 17 === 0),
+          docs.filter(col("doc_id") % 17 =!= 0),
+          "doc_id", "text", "text", n = 8, noveltyFloorPpm = 500000L)
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS w
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id, unnest(list_distinct(
+             |    [array_to_string(w[i:i+7], ' ')
+             |     for i in range(1, len(w) - 6)])) AS gram
+             |  FROM w WHERE len(w) >= 8
+             |), cand AS (
+             |  SELECT doc_id, gram FROM g WHERE doc_id % 17 = 0
+             |), corp AS (
+             |  SELECT DISTINCT gram FROM g WHERE doc_id % 17 <> 0
+             |), tot AS (
+             |  SELECT doc_id, count(*) AS n_grams FROM cand GROUP BY 1
+             |), seen AS (
+             |  SELECT c.doc_id, count(*) AS n_seen
+             |  FROM cand c JOIN corp USING (gram) GROUP BY 1
+             |)
+             |SELECT d.doc_id,
+             |  coalesce(t.n_grams, 0) AS n_grams,
+             |  coalesce(sn.n_seen, 0) AS n_seen,
+             |  CASE WHEN coalesce(t.n_grams, 0) = 0 THEN NULL
+             |    ELSE ((t.n_grams - coalesce(sn.n_seen, 0)) * 1000000)
+             |      // t.n_grams END AS novel_ppm,
+             |  CASE WHEN coalesce(t.n_grams, 0) = 0 THEN NULL
+             |    ELSE ((t.n_grams - coalesce(sn.n_seen, 0)) * 1000000)
+             |      // t.n_grams < 500000 END AS memorized
+             |FROM documents d
+             |LEFT JOIN tot t USING (doc_id)
+             |LEFT JOIN seen sn USING (doc_id)
+             |WHERE d.doc_id % 17 = 0""".stripMargin),
+    ),
+
+    // ---- seeded-noise count release: per-source doc counts behind
+    // the k-gate with deterministic bounded noise from md5(key||seed)
+    // — rerunning the release at any parallelism (or in DuckDB, from
+    // the same md5 math) reproduces byte-identical published numbers.
+    Q(
+      "q198_noise_release",
+      (s, d) => Scoring.seededNoiseRelease(
+        Tables.documents(s, d), Seq("source"),
+        seed = "ns42", bound = 5, k = 20L),
+      Some("""WITH g AS (
+             |  SELECT CAST(source AS VARCHAR) AS source,
+             |    CAST(count(*) AS BIGINT) AS group_n
+             |  FROM documents GROUP BY 1
+             |)
+             |SELECT source, group_n, group_n >= 20 AS released,
+             |  CAST('0x' || substr(md5(source || 'ns42'), 1, 15)
+             |    AS BIGINT) % 11 - 5 AS noise,
+             |  greatest(group_n +
+             |    CAST('0x' || substr(md5(source || 'ns42'), 1, 15)
+             |      AS BIGINT) % 11 - 5, 0) AS released_n
+             |FROM g""".stripMargin),
+    ),
+
+    // ---- distribution-drift report between two corpus snapshots
+    // (even vs odd doc_ids as the stand-in for yesterday/today):
+    // per-bucket counts + exact per-mille shares + the share gap.
+    // Two |buckets|-row aggregations and a tiny full-outer join —
+    // the monitoring query a corpus refresh publishes next to its
+    // data card; sum(abs_gap_pm)/2 is total variation in per-mille.
+    Q(
+      "q199_histogram_drift",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Scoring.histogramDrift(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 =!= 0),
+          "n_chars", bucketWidth = 100L)
+      },
+      Some("""WITH a AS (
+             |  SELECT n_chars // 100 AS bucket, count(*) AS n_a
+             |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+             |), b AS (
+             |  SELECT n_chars // 100 AS bucket, count(*) AS n_b
+             |  FROM documents WHERE doc_id % 2 <> 0 GROUP BY 1
+             |), j AS (
+             |  SELECT coalesce(a.bucket, b.bucket) AS bucket,
+             |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+             |    coalesce((n_a * 1000)
+             |      // CAST((SELECT sum(n_a) FROM a) AS BIGINT), 0)
+             |      AS share_a_pm,
+             |    coalesce((n_b * 1000)
+             |      // CAST((SELECT sum(n_b) FROM b) AS BIGINT), 0)
+             |      AS share_b_pm
+             |  FROM a FULL JOIN b ON a.bucket = b.bucket
+             |)
+             |SELECT bucket, n_a, n_b, share_a_pm, share_b_pm,
+             |  abs(share_a_pm - share_b_pm) AS abs_gap_pm
+             |FROM j""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):

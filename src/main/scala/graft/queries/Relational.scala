@@ -422,5 +422,215 @@ object Relational extends QueryModule {
              |             AND i.ts + INTERVAL 5 MINUTE
              |WHERE p.event_type <> 'purchase'""".stripMargin),
     ),
+
+    // ---- CUBE: all four grouping combinations (status×priority,
+    // status, priority, grand total) in one pass. Spark expands the
+    // grouping sets BEFORE the shuffle and partial-aggregates each, so
+    // the shuffle carries |groups| rows per set, not the fact table —
+    // the same one-pass subtotal shape as q34's ROLLUP. grouping_id
+    // disambiguates a real NULL key from a subtotal row.
+    Q(
+      "q190_cube_subtotals",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(grouping_id().as("gid"),
+            count(lit(1)).as("n"),
+            sum($"o_totalprice".cast("decimal(18,2)")).as("total"))
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  GROUPING(o_orderstatus, o_orderpriority) AS gid,
+             |  count(*) AS n,
+             |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+             |FROM orders
+             |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin),
+    ),
+
+    // ---- PIVOT: long→wide reshape (order status counts as columns
+    // per market segment). Spark's pivot with an EXPLICIT value list —
+    // without one it runs a driver-side distinct scan to discover the
+    // columns, which at 100 TB is a full extra pass; the closed status
+    // domain {F,O,P} is schema knowledge, so declare it. The oracle
+    // restates the reshape as portable FILTER aggregates.
+    Q(
+      "q191_pivot_status",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)),
+            $"o_custkey" === $"c_custkey")
+          .groupBy($"c_mktsegment")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select($"c_mktsegment",
+            coalesce($"F", lit(0L)).as("n_f"),
+            coalesce($"O", lit(0L)).as("n_o"),
+            coalesce($"P", lit(0L)).as("n_p"))
+      },
+      Some("""SELECT c_mktsegment,
+             |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment""".stripMargin),
+    ),
+
+    // ---- top-N per group (the "every dashboard has one" operator):
+    // 3 priciest lineitems per supplier. One hash shuffle on the group
+    // key, then a per-partition sort-and-rank — no global sort; groups
+    // are numerous (|suppliers|) so the window parallelizes across the
+    // cluster. Ties broken by the (orderkey, linenumber) unique key so
+    // both engines pick identical survivors.
+    Q(
+      "q192_topn_per_group",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"l_suppkey")
+          .orderBy($"l_extendedprice".desc, $"l_orderkey".asc,
+            $"l_linenumber".asc)
+        Tables.lineitem(s, d)
+          .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+            $"l_extendedprice")
+          .withColumn("rn", row_number().over(w).cast("int"))
+          .filter($"rn" <= 3)
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             |  CAST(rn AS INT) AS rn
+             |FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY l_suppkey
+             |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+             |    AS rn
+             |  FROM lineitem)
+             |WHERE rn <= 3""".stripMargin),
+    ),
+
+    // ---- ordered conversion funnel (signup → view → click →
+    // purchase): each stage's entry time is the user's first qualifying
+    // event AT OR AFTER the previous stage's entry — the order
+    // constraint that separates a funnel from four independent counts.
+    // Four (filter → per-user min) aggregations chained by broadcast-
+    // sized joins on user_id: each stage frame is ≤ |users| rows, so
+    // after the first events-scan aggregation everything is dimension-
+    // sized; no window over the raw event stream.
+    Q(
+      "q193_funnel",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        def firstAtOrAfter(stage: String, prev: DataFrame,
+            prevTs: String, outTs: String): DataFrame =
+          ev.filter($"event_type" === stage)
+            .join(prev, "user_id")
+            .filter($"ts" >= col(prevTs))
+            .groupBy($"user_id").agg(min($"ts").as(outTs))
+        val s1 = ev.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"ts").as("t1"))
+        val s2 = firstAtOrAfter("view", s1, "t1", "t2")
+        val s3 = firstAtOrAfter("click", s2, "t2", "t3")
+        val s4 = firstAtOrAfter("purchase", s3, "t3", "t4")
+        def stageRow(n: Int, name: String, df: DataFrame): DataFrame =
+          df.agg(count(lit(1)).as("users"))
+            .select(lit(n).as("stage"), lit(name).as("stage_name"),
+              $"users")
+        stageRow(1, "signup", s1)
+          .unionAll(stageRow(2, "view", s2))
+          .unionAll(stageRow(3, "click", s3))
+          .unionAll(stageRow(4, "purchase", s4))
+      },
+      Some("""WITH s1 AS (
+             |  SELECT user_id, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'signup' GROUP BY 1
+             |), s2 AS (
+             |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+             |  JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'view' AND e.ts >= s1.t1 GROUP BY 1
+             |), s3 AS (
+             |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+             |  JOIN s2 USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.ts >= s2.t2 GROUP BY 1
+             |), s4 AS (
+             |  SELECT e.user_id, min(e.ts) AS t4 FROM events e
+             |  JOIN s3 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts >= s3.t3 GROUP BY 1
+             |)
+             |SELECT 1 AS stage, 'signup' AS stage_name,
+             |  (SELECT count(*) FROM s1) AS users
+             |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+             |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+             |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)"""
+        .stripMargin),
+    ),
+
+    // ---- cohort retention: users grouped by first-seen week, counted
+    // in each subsequent activity week. Two aggregations off the same
+    // scan (per-user first event; per-user-week activity) joined on
+    // user_id — the cohort frame is |users|-sized, so the join
+    // broadcasts; distinct-user counts partial-aggregate per
+    // (cohort, offset). Both week anchors are Monday-truncated, so the
+    // day delta is an exact multiple of 7 in both engines.
+    Q(
+      "q194_cohort_retention",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val cohort = ev.groupBy($"user_id")
+          .agg(date_trunc("week", min($"ts")).as("cohort_week"))
+        val active = ev
+          .select($"user_id", date_trunc("week", $"ts").as("week"))
+          .distinct()
+        active.join(broadcast(cohort), "user_id")
+          .groupBy($"cohort_week",
+            (datediff($"week", $"cohort_week") / 7).cast("int")
+              .as("week_offset"))
+          .agg(count(lit(1)).as("users"))
+          .select(date_format($"cohort_week", "yyyy-MM-dd")
+              .as("cohort_week"),
+            $"week_offset", $"users")
+      },
+      Some("""WITH cohort AS (
+             |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+             |  FROM events GROUP BY 1
+             |), active AS (
+             |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+             |  FROM events
+             |)
+             |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+             |  CAST(date_diff('day', cohort_week, week) // 7 AS INT)
+             |    AS week_offset,
+             |  count(*) AS users
+             |FROM active JOIN cohort USING (user_id)
+             |GROUP BY 1, 2""".stripMargin),
+    ),
+
+    // ---- event-type transition matrix (first-order Markov counts):
+    // consecutive event pairs per user, ordered by (ts, event_id) —
+    // the unique-key tiebreak keeps both engines' successor choice
+    // identical when timestamps collide. The lead window partitions by
+    // user_id (many users → cluster-wide parallelism; per-user event
+    // counts are bounded), then one |types|²-row aggregation.
+    Q(
+      "q195_markov_transitions",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"ts".asc, $"event_id".asc)
+        Tables.events(s, d)
+          .select($"user_id", $"event_type", $"ts", $"event_id")
+          .withColumn("next_type", lead($"event_type", 1).over(w))
+          .filter($"next_type".isNotNull)
+          .groupBy($"event_type".as("from_type"),
+            $"next_type".as("to_type"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH t AS (
+             |  SELECT event_type AS from_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS to_type
+             |  FROM events
+             |)
+             |SELECT from_type, to_type, count(*) AS n FROM t
+             |WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin),
+    ),
   )
 }
