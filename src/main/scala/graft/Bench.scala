@@ -96,13 +96,17 @@ object Bench {
       if (pfx.values.toSet.size == names.size) pfx
       else names.map(n => n -> n).toMap
     }
-    // summary-line keys drop the `q` too ("q127" → "127"): at 127+
-    // queries the qNN/f3 form crossed 2 KB and the r4 truncation began
-    // near 2.3 KB (BenchContractSpec guards the budget). BENCH_PERF.jsonl
-    // keeps the qNN key AND the full name per line — the summary key is
-    // recoverable as `"q" + key`.
+    // summary-line keys compress the qNN number to BASE-36 ("q190" →
+    // "5a"): at 127+ queries the qNN/f3 form crossed 2 KB and the r4
+    // truncation began near 2.3 KB; at 199 queries even bare decimal
+    // numbers left only ~20 bytes of headroom (BenchContractSpec
+    // guards the budget). The key is recoverable as
+    // `"q" + Integer.parseInt(key, 36)`, and BENCH_PERF.jsonl keeps
+    // the qNN key AND the full name per line — the durable channel a
+    // reader should join against anyway.
     val tiny: Map[String, String] =
-      short.map { case (n, s) => n -> s.stripPrefix("q") }
+      short.map { case (n, s) =>
+        n -> java.lang.Long.toString(s.stripPrefix("q").toLong, 36) }
     // per-query codegen/JIT warm scale: first execution of a plan with a
     // giant generated method pays 2-8 s of Janino+HotSpot compilation by
     // compile-queue luck (measured on q48 — see SCALING.md). Warm at

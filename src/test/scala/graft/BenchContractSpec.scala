@@ -14,15 +14,21 @@ class BenchContractSpec extends AnyFunSuite {
     val short = names.map(_.takeWhile(_ != '_'))
     assert(short.distinct.size == names.size,
       s"colliding qNN prefixes: ${short.diff(short.distinct).distinct}")
+    // the base-36 summary keys go through toLong, so "q01"/"q1" would
+    // silently merge even though their string prefixes differ
+    val nums = short.map(_.stripPrefix("q").toLong)
+    assert(nums.distinct.size == names.size,
+      s"colliding numeric keys: ${nums.diff(nums.distinct).distinct}")
   }
 
   test("worst-case summary line stays well inside the capture window") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // worst case mirrors Bench's emission: bare-number keys and f1
+    // worst case mirrors Bench's emission: base-36 keys and f1
     // values display-clamped to 9.9 (3 chars) — the clamp is what
     // makes this a true bound rather than a hope
     val line = names.map(n =>
-        "\"" + n.takeWhile(_ != '_').stripPrefix("q") + "\":9.9")
+        "\"" + java.lang.Long.toString(
+          n.takeWhile(_ != '_').stripPrefix("q").toLong, 36) + "\":9.9")
       .mkString(
         """{"metric":"total","value":99999.999,"unit":"sec","queries":{""",
         ",",
