@@ -886,4 +886,64 @@ object Dedup {
       .filter(col("f1_permille") >= minPermille)
       .select(col("id_a"), col("id_b"), col("lcs_len"), col("f1_permille"))
   }
+
+  /** GRAM-CONTAINMENT pairs — Broder's directional containment
+    * C(A,B) = |A∩B| / |A| (Broder 1997 §2, the companion metric to
+    * the resemblance the MinHash family estimates): near-SUBSET
+    * detection, which Jaccard structurally misses (a paragraph quoted
+    * inside a 100× longer page has tiny Jaccard but containment ≈ 1
+    * from the paragraph's side). The quote/excerpt gate between
+    * document-level near-dup and substring-level excision.
+    *
+    * Exact integer output: shared distinct md5-60 gram hashes and both
+    * directions' ppm, `(shared · 10⁶) div |side|`.
+    *
+    * Scale shape: candidate generation is the shared-gram equi-join,
+    * bounded by the document-frequency prune (`maxDf`) — the SSJoin
+    * discipline every pair generator here follows: a gram in d docs
+    * fans out C(d,2) pairs, so boilerplate grams must not join.
+    * Honesty note: `shared` counts only grams with df ≤ maxDf while
+    * the denominators count ALL grams, so reported containment is a
+    * LOWER BOUND under pruning; callers that need exactness at
+    * fixture scale pass maxDf ≥ corpus size (the q-suite twin does,
+    * so the oracle pins the exact semantics).
+    *
+    * @return (id_a, id_b, shared, n_a, n_b, containment_a_ppm,
+    *         containment_b_ppm) for pairs where either direction
+    *         reaches tauPpm */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDf: Long, tauPpm: Long): DataFrame = {
+    require(n >= 1 && maxDf >= 2 && tauPpm >= 0,
+      s"need n >= 1, maxDf >= 2, tauPpm >= 0; got $n/$maxDf/$tauPpm")
+    import graft.ops.Materialize.MaterializeOps
+    // feeds the df-prune, both sizes, and both join sides — once
+    val grams = df
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
+      .select(col(idCol),
+        explode(Decontamination.gramHashesFromWords(col("__w"), n))
+          .as("__g"))
+      .materialized
+    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+    val keep = grams.join(
+      grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select(col("__g")),
+      "__g")
+    val shared = keep.select(col(idCol).as("id_a"), col("__g"))
+      .join(keep.select(col(idCol).as("id_b"), col("__g")), "__g")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col(idCol).as("id_a"), col("__sz").as("n_a")),
+        "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("__sz").as("n_b")),
+        "id_b")
+      .withColumn("containment_a_ppm", expr("(shared * 1000000) div n_a"))
+      .withColumn("containment_b_ppm", expr("(shared * 1000000) div n_b"))
+      .filter(greatest(col("containment_a_ppm"),
+        col("containment_b_ppm")) >= tauPpm)
+      // the USING-joins above moved their keys first; pin the order
+      .select(col("id_a"), col("id_b"), col("shared"), col("n_a"),
+        col("n_b"), col("containment_a_ppm"), col("containment_b_ppm"))
+  }
 }

@@ -538,6 +538,76 @@ object Scoring {
         greatest(col("group_n") + col("noise"), lit(0L)))
   }
 
+  /** COHEN'S KAPPA — chance-corrected agreement between two label
+    * columns (two annotators, or model vs human, on the same rows):
+    * the QA statistic every labeling/preference pipeline publishes
+    * before trusting its annotations (Cohen 1960; Artstein & Poesio
+    * 2008 survey). Exact integer end to end via the cross-multiplied
+    * form κ = (n·n_agree − Σ_c r_c·s_c) / (n² − Σ_c r_c·s_c) — the
+    * marginal products Σ r·s computed from two label-count aggregates
+    * joined on the label; the one-row final formula runs in
+    * decimal(38,0) (n² overflows long past ~3·10⁹ rows) and publishes
+    * ppm. Rows where either side is null are excluded (unlabeled, not
+    * disagreement); κ is null when the denominator is 0 (both sides
+    * constant and identical — agreement is undefined, not perfect).
+    *
+    * Scale shape: three map-side-combined aggregations over one scan
+    * shape + a |labels|-sized join; everything after is one row.
+    *
+    * @return one row: (n, n_agree, sum_marginal, kappa_ppm) */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val labeled = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    val totals = labeled.agg(count(lit(1)).as("n"),
+      sum((col(aCol) === col(bCol)).cast("long")).as("n_agree"))
+    val ra = labeled.groupBy(col(aCol).cast("string").as("__l"))
+      .agg(count(lit(1)).as("__ra"))
+    val rb = labeled.groupBy(col(bCol).cast("string").as("__l"))
+      .agg(count(lit(1)).as("__rb"))
+    // inner join: a label missing on either side contributes 0
+    val marg = ra.join(rb, "__l")
+      .agg(coalesce(sum(col("__ra") * col("__rb")), lit(0L))
+        .as("sum_marginal"))
+    totals.crossJoin(marg)
+      .withColumn("kappa_ppm", expr(
+        """CASE WHEN CAST(n AS DECIMAL(38,0)) * n - sum_marginal = 0
+          |  THEN NULL
+          |  ELSE CAST((1000000 * (CAST(n AS DECIMAL(38,0)) * n_agree
+          |      - sum_marginal))
+          |    div (CAST(n AS DECIMAL(38,0)) * n - sum_marginal)
+          |    AS BIGINT)
+          |END""".stripMargin))
+  }
+
+  /** PERCENTILE RANK within a group — rank-based score calibration
+    * (the first half of quantile normalization): a raw score becomes
+    * its exact position in the group's order, in integer per-mille
+    * `((rank − 1) · 1000) div (n_group − 1)`, so scores from sources
+    * with incomparable scales become comparable before mixing or
+    * thresholding. Ties broken by the unique `idCol` (two engines
+    * must agree on every rank). Singleton groups sit at 0 by the
+    * formula's convention.
+    *
+    * Scale shape: one window partitioned by the group key — groups are
+    * numerous (sources, languages), so the sort parallelizes; for a
+    * GLOBAL percentile use [[SketchStats.globalNtile]]'s two-pass rank
+    * instead of an unpartitioned window.
+    *
+    * @return input + (group_rank long 1-based, pct_pm long 0..1000) */
+  def percentileRankByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    df.withColumn("group_rank", row_number().over(w).cast("long"))
+      .withColumn("__ng", count(lit(1)).over(wAll))
+      .withColumn("pct_pm",
+        when(col("__ng") === 1, lit(0L))
+          .otherwise(expr("((group_rank - 1) * 1000) div (__ng - 1)")))
+      .drop("__ng")
+  }
+
   /** DISTRIBUTION-DRIFT REPORT — the corpus-monitoring twin of the
     * data card: bucket a numeric column on both sides of a comparison
     * (yesterday's snapshot vs today's, source A vs source B), publish

@@ -217,4 +217,124 @@ object SketchStats {
     }
     states
   }
+
+  /** GLOBAL NTILE — equi-depth bucket assignment over a total order,
+    * without the single-partition window a naive
+    * `ntile(k) OVER (ORDER BY …)` plans (the r5 scale-killer class):
+    * the global rank comes from [[Packing.globalRowNumber]]'s two-pass
+    * range-partitioned scan, the total count is one aggregate, and the
+    * tile is pure integer math replaying SQL NTILE's contract exactly
+    * (first `n mod k` tiles get `ceil(n/k)` rows, the rest
+    * `floor(n/k)`). Ties must be broken by a unique key in `order` or
+    * two engines may disagree on boundary rows — same rule as every
+    * rank consumer here.
+    *
+    * @return input columns + (outCol int tile in [1, k]) */
+  def globalNtile(df: DataFrame, order: Seq[Column], k: Int,
+      outCol: String = "tile"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ranked = Packing.globalRowNumber(df, order, "__r")
+    val total = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(total))
+      // integer `div` throughout — Spark's `/` on Columns is ALWAYS
+      // double division, a silent fraction bug in tile math
+      .withColumn(outCol, expr(
+        s"""CAST(CASE
+           |  WHEN __r < (__n % $k) * ((__n div $k) + 1)
+           |    THEN __r div ((__n div $k) + 1) + 1
+           |  ELSE (__n % $k)
+           |    + (__r - (__n % $k) * ((__n div $k) + 1)) div (__n div $k)
+           |    + 1
+           |END AS INT)""".stripMargin))
+      .drop("__r", "__n")
+  }
+
+  /** Per-group ORDINARY LEAST SQUARES (slope + intercept) from exact
+    * sufficient statistics: Σx, Σy, Σxy, Σx² accumulate in scale-0
+    * decimal (order-free exact addition — double sums differ in the
+    * last ulp between Spark's aggregation tree and a serial engine),
+    * and only the final closed-form division runs in IEEE double, a
+    * fixed expression any engine replays bit-for-bit. INPUTS MUST BE
+    * INTEGER-SCALED (cents, micro-units — see the in-body note on why
+    * fractional decimal scales break cross-engine double casts);
+    * slope/intercept come back in the scaled units and the caller
+    * divides once. Groups with < 2 points or zero x-variance yield
+    * null slope (the formula is undefined, not zero). Precision
+    * envelope: |x|,|y| < ~10⁹ scaled units keeps Σx·y sums inside
+    * decimal(38,0) to ~10¹⁹ rows.
+    *
+    * Scale shape: one map-side-combined aggregation; |groups| rows out.
+    *
+    * @return (groupCol, n, slope, intercept) */
+  def groupedOls(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    // INTEGER-SCALED inputs by contract (cents, micro-units — the
+    // caller pre-scales; slope is scale-covariant and r-style ratios
+    // are scale-invariant, so natural units come back with one final
+    // division). Why scale 0: a decimal with fractional scale reaches
+    // DOUBLE through value/10^s — DuckDB evaluates that as int128→
+    // double THEN the division, a double rounding that really is off
+    // by 1 ulp on this testdata (Σx² = 51213411 exactly arrived as
+    // …411.00000001) — while a scale-0 decimal is ONE int→double
+    // rounding, identical in every engine. decimal(19,0) operands keep
+    // the product path in int128 on the DuckDB side too.
+    val x = col(xCol).cast("decimal(19,0)")
+    val y = col(yCol).cast("decimal(19,0)")
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * y).as("__sxy"), sum(x * x).as("__sxx"))
+    // exact integer sums → double once, then a fixed IEEE formula both
+    // engines replay operation-for-operation
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    agg
+      .withColumn("__den", nD * d("__sxx") - d("__sx") * d("__sx"))
+      .withColumn("slope",
+        when(col("n") >= 2 && col("__den") =!= 0.0,
+          (nD * d("__sxy") - d("__sx") * d("__sy")) / col("__den")))
+      .withColumn("intercept",
+        when(col("slope").isNotNull,
+          (d("__sy") - col("slope") * d("__sx")) / nD))
+      .select(col(groupCol), col("n"), col("slope"), col("intercept"))
+  }
+
+  /** PEARSON CORRELATION for every pair of the given numeric columns —
+    * the feature-correlation matrix of a data-quality report, via the
+    * same integer-scaled exact sufficient statistics as [[groupedOls]]
+    * (callers pre-scale to whole units — r is scale-invariant so
+    * nothing comes back to convert; ONE
+    * scan accumulates all pairs' sums; `corr()` built-ins stream
+    * doubles and lose cross-engine bit equality). The final
+    * r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) runs in IEEE
+    * double with correctly-rounded sqrt — deterministic everywhere.
+    * Zero-variance columns yield null r.
+    *
+    * @return (var_a, var_b, n, r) for a < b in the given order */
+  def pearsonPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got $cols")
+    // same integer-scaled / final-double discipline as groupedOls —
+    // Pearson r is scale-invariant, so pre-scaling costs nothing
+    val dec = cols.map(c => col(c).cast("decimal(19,0)"))
+    val aggs = cols.indices.flatMap { i =>
+      Seq(sum(dec(i)).as(s"__s$i"),
+        sum(dec(i) * dec(i)).as(s"__q$i")) } ++
+      cols.indices.flatMap { i => cols.indices.drop(i + 1).map { j =>
+        sum(dec(i) * dec(j)).as(s"__p${i}_$j") } }
+    val stats = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val nD = col("__n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val pairRows = cols.indices.flatMap { i =>
+      cols.indices.drop(i + 1).map { j =>
+        val vx = nD * d(s"__q$i") - d(s"__s$i") * d(s"__s$i")
+        val vy = nD * d(s"__q$j") - d(s"__s$j") * d(s"__s$j")
+        val cov = nD * d(s"__p${i}_$j") - d(s"__s$i") * d(s"__s$j")
+        struct(lit(cols(i)).as("var_a"), lit(cols(j)).as("var_b"),
+          col("__n").as("n"),
+          when(vx > 0.0 && vy > 0.0,
+            cov / (sqrt(vx) * sqrt(vy))).as("r"))
+      } }
+    stats.select(explode(array(pairRows: _*)).as("__pr"))
+      .select(col("__pr.var_a").as("var_a"), col("__pr.var_b").as("var_b"),
+        col("__pr.n").as("n"), col("__pr.r").as("r"))
+  }
 }

@@ -171,4 +171,40 @@ object TemporalJoins {
       .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop("__bin")
   }
+
+  /** MAX CONCURRENCY per group — the classic sweep-line reduction of
+    * "how many intervals overlap at the peak" (active sessions,
+    * simultaneous downloads, in-flight requests): explode every
+    * interval into a +1 boundary at `start` and a −1 at `end`, running
+    * sum in boundary order, take the max. Half-open [start, end)
+    * semantics: at an equal timestamp the −1 sorts first (`__d` asc),
+    * so an interval ending exactly when another starts never counts as
+    * overlap. The running sum uses the default RANGE window frame —
+    * peers at the same (t, d) aggregate together — so the result is
+    * deterministic without a unique tiebreak.
+    *
+    * Scale shape: the window partitions by the group key (many groups
+    * → cluster-wide parallelism; per-group boundary counts bounded by
+    * the group's interval count). A GLOBAL sweep at corpus scale
+    * should range-partition by time and stitch partition prefix sums —
+    * the [[Packing.globalRowNumber]] two-pass shape — before windowing.
+    *
+    * @return (groupCol, max_concurrent long) — groups whose intervals
+    *         are all null-bounded drop (no boundaries), matching the
+    *         rangeJoin null-interval convention */
+  def maxConcurrency(df: DataFrame, groupCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val b = df
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull)
+      .select(col(groupCol), explode(array(
+        struct(col(startCol).as("__t"), lit(1).as("__d")),
+        struct(col(endCol).as("__t"), lit(-1).as("__d")))).as("__b"))
+      .select(col(groupCol), col("__b.__t").as("__t"),
+        col("__b.__d").as("__d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__t").asc, col("__d").asc)
+    b.withColumn("__run", sum(col("__d")).over(w))
+      .groupBy(col(groupCol))
+      .agg(max(col("__run")).as("max_concurrent"))
+  }
 }

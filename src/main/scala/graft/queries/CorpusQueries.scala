@@ -6207,6 +6207,125 @@ object CorpusQueries extends QueryModule {
              |  abs(share_a_pm - share_b_pm) AS abs_gap_pm
              |FROM j""".stripMargin),
     ),
+
+    // ---- gram-containment pairs (Broder's directional C(A,B) =
+    // |A∩B|/|A|): the near-SUBSET detector Jaccard structurally misses
+    // — a quoted paragraph inside a longer page. maxDf=1000 ≥ |docs|
+    // at sf0.01, so no gram is pruned and the oracle pins the EXACT
+    // containment semantics (at corpus scale the df prune bounds the
+    // shared-gram join's fanout and the result becomes a documented
+    // lower bound). 25 pairs at 10%, including a full 1.0 subset.
+    Q(
+      "q204_containment_pairs",
+      (s, d) => Dedup.containmentPairs(Tables.documents(s, d),
+        "doc_id", "text", n = 5, maxDf = 1000L, tauPpm = 100000L),
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS w
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id, unnest(list_distinct(
+             |    [array_to_string(w[i:i+4], ' ')
+             |     for i in range(1, len(w) - 3)])) AS gram
+             |  FROM w WHERE len(w) >= 5
+             |), sz AS (
+             |  SELECT doc_id, count(*) AS sz FROM g GROUP BY 1
+             |), keep AS (
+             |  SELECT g.doc_id, g.gram FROM g JOIN (
+             |    SELECT gram FROM g GROUP BY gram HAVING count(*) <= 1000
+             |  ) dfp USING (gram)
+             |), sh AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    count(*) AS shared
+             |  FROM keep a JOIN keep b USING (gram)
+             |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+             |)
+             |SELECT id_a, id_b, shared, sa.sz AS n_a, sb.sz AS n_b,
+             |  (shared * 1000000) // sa.sz AS containment_a_ppm,
+             |  (shared * 1000000) // sb.sz AS containment_b_ppm
+             |FROM sh
+             |JOIN sz sa ON sa.doc_id = id_a
+             |JOIN sz sb ON sb.doc_id = id_b
+             |WHERE greatest((shared * 1000000) // sa.sz,
+             |  (shared * 1000000) // sb.sz) >= 100000""".stripMargin),
+    ),
+
+    // ---- Cohen's kappa between the LABELED language column and our
+    // q28 langId heuristic — a real chance-corrected accuracy audit of
+    // an in-repo classifier, exact integer end to end (the one-row
+    // final formula runs in decimal because n² overflows long at
+    // ~3·10⁹ rows). DuckDB re-derives the predictions AND the kappa.
+    Q(
+      "q205_cohen_kappa",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Scoring.cohenKappa(
+          docs.select(col("lang").as("a"),
+            TextAnalysis.langId(col("text")).as("b")),
+          "a", "b")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang,
+             |    regexp_split_to_array(trim(text), '\s+') AS toks
+             |  FROM documents
+             |), p AS (
+             |  SELECT lang AS a, CASE
+             |    WHEN greatest(s_en, s_de, s_es) = 0 THEN 'unknown'
+             |    WHEN s_de >= s_en AND s_de >= s_es THEN 'de'
+             |    WHEN s_en >= s_es THEN 'en'
+             |    ELSE 'es' END AS b
+             |  FROM (
+             |    SELECT lang,
+             |      len(list_filter(toks,
+             |        x -> x IN ('the','a','of','and','is'))) AS s_en,
+             |      len(list_filter(toks,
+             |        x -> x IN ('der','die','das','und','ist'))) AS s_de,
+             |      len(list_filter(toks,
+             |        x -> x IN ('el','la','de','y','es'))) AS s_es
+             |    FROM t)
+             |), tot AS (
+             |  SELECT count(*) AS n,
+             |    sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS n_agree
+             |  FROM p
+             |), ra AS (SELECT a AS l, count(*) AS ra FROM p GROUP BY 1),
+             |rb AS (SELECT b AS l, count(*) AS rb FROM p GROUP BY 1),
+             |m AS (
+             |  SELECT coalesce(sum(ra * rb), 0) AS sum_marginal
+             |  FROM ra JOIN rb USING (l)
+             |)
+             |SELECT CAST(n AS BIGINT) AS n,
+             |  CAST(n_agree AS BIGINT) AS n_agree,
+             |  CAST(sum_marginal AS BIGINT) AS sum_marginal,
+             |  CASE WHEN n * n - sum_marginal = 0 THEN NULL ELSE
+             |    CAST(CASE
+             |      WHEN 1000000 * (n * n_agree - sum_marginal) >= 0
+             |      THEN (1000000 * (n * n_agree - sum_marginal))
+             |        // (n * n - sum_marginal)
+             |      ELSE -((-(1000000 * (n * n_agree - sum_marginal)))
+             |        // (n * n - sum_marginal))
+             |    END AS BIGINT)
+             |  END AS kappa_ppm
+             |FROM tot, m""".stripMargin),
+    ),
+
+    // ---- per-language percentile rank of document length (rank-based
+    // score calibration): exact integer per-mille position inside the
+    // group's order, tie-broken by doc_id so every rank is pinned.
+    Q(
+      "q206_percentile_rank",
+      (s, d) => Scoring.percentileRankByGroup(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          col("n_chars")),
+        "lang", "n_chars", "doc_id"),
+      Some("""SELECT doc_id, lang, n_chars,
+             |  row_number() OVER (PARTITION BY lang
+             |    ORDER BY n_chars, doc_id) AS group_rank,
+             |  CASE WHEN count(*) OVER (PARTITION BY lang) = 1 THEN 0
+             |    ELSE ((row_number() OVER (PARTITION BY lang
+             |        ORDER BY n_chars, doc_id) - 1) * 1000)
+             |      // (count(*) OVER (PARTITION BY lang) - 1)
+             |  END AS pct_pm
+             |FROM documents""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):

@@ -632,5 +632,167 @@ object Relational extends QueryModule {
              |SELECT from_type, to_type, count(*) AS n FROM t
              |WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin),
     ),
+
+    // ---- global NTILE (price deciles): equi-depth bucketing over a
+    // TOTAL order without the single-partition window `ntile(10) OVER
+    // (ORDER BY …)` would plan — the rank comes from the two-pass
+    // range-partitioned scan and the tile is integer math replaying
+    // SQL NTILE's first-buckets-get-the-remainder contract. The
+    // oracle runs DuckDB's real ntile() — equal output proves the
+    // distributed restatement is exactly NTILE.
+    Q(
+      "q200_global_ntile",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.SketchStats.globalNtile(
+          Tables.lineitem(s, d)
+            .select($"l_orderkey", $"l_linenumber", $"l_extendedprice"),
+          Seq($"l_extendedprice".asc, $"l_orderkey".asc,
+            $"l_linenumber".asc),
+          k = 10)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice,
+             |  CAST(ntile(10) OVER (ORDER BY l_extendedprice,
+             |    l_orderkey, l_linenumber) AS INT) AS tile
+             |FROM lineitem""".stripMargin),
+    ),
+
+    // ---- per-group OLS (price vs quantity slope per supplier): exact
+    // decimal sufficient statistics (order-free addition — double sums
+    // differ in the last ulp between Spark's agg tree and a serial
+    // engine), one final fixed IEEE formula both engines replay
+    // operation for operation.
+    Q(
+      "q201_grouped_ols",
+      (s, d) => {
+        import s.implicits._
+        // integer-scaled inputs by the op's contract: quantity is
+        // already integral, price goes to cents via the exact (18,2)
+        // money cast; slope/intercept come back in cents and one final
+        // /100.0 (replayed identically by the oracle) restores units
+        val scaled = Tables.lineitem(s, d).select($"l_suppkey",
+          $"l_quantity".as("x"),
+          ($"l_extendedprice".cast("decimal(18,2)") * 100)
+            .cast("long").as("y_cents"))
+        graft.ops.SketchStats.groupedOls(scaled, "l_suppkey", "x",
+            "y_cents")
+          .select($"l_suppkey", $"n", ($"slope" / 100.0).as("slope"),
+            ($"intercept" / 100.0).as("intercept"))
+      },
+      Some("""WITH b AS (
+             |  SELECT l_suppkey, CAST(l_quantity AS DECIMAL(19,0)) AS x,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+             |      AS DECIMAL(19,0)) AS y
+             |  FROM lineitem
+             |), s AS (
+             |  SELECT l_suppkey, count(*) AS n, sum(x) AS sx,
+             |    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+             |  FROM b GROUP BY 1
+             |), v AS (
+             |  SELECT l_suppkey, n, CAST(n AS DOUBLE) AS nd,
+             |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+             |    CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd
+             |  FROM s
+             |), o AS (
+             |  SELECT l_suppkey, n,
+             |    CASE WHEN n >= 2 AND nd * sxxd - sxd * sxd <> 0
+             |      THEN (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+             |    END AS slope_c,
+             |    nd, sxd, syd FROM v
+             |)
+             |SELECT l_suppkey, n, slope_c / 100.0 AS slope,
+             |  CASE WHEN slope_c IS NOT NULL
+             |    THEN ((syd - slope_c * sxd) / nd) / 100.0 END AS intercept
+             |FROM o""".stripMargin),
+    ),
+
+    // ---- Pearson correlation matrix over three measures in ONE scan
+    // (the data-quality feature-correlation card): integer-scaled
+    // sufficient statistics (quantity as-is, price/discount in cents —
+    // r is scale-invariant), final fixed IEEE formula; sqrt is
+    // correctly rounded so r matches bitwise cross-engine.
+    Q(
+      "q202_pearson_matrix",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.SketchStats.pearsonPairs(
+          Tables.lineitem(s, d).select(
+            $"l_quantity",
+            ($"l_extendedprice".cast("decimal(18,2)") * 100)
+              .cast("long").as("l_extendedprice"),
+            ($"l_discount".cast("decimal(18,2)") * 100)
+              .cast("long").as("l_discount")),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+      },
+      Some("""WITH b AS (
+             |  SELECT CAST(l_quantity AS DECIMAL(19,0)) AS x0,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+             |      AS DECIMAL(19,0)) AS x1,
+             |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+             |      AS DECIMAL(19,0)) AS x2
+             |  FROM lineitem
+             |), s AS (
+             |  SELECT count(*) AS n,
+             |    sum(x0) AS s0, sum(x0 * x0) AS q0,
+             |    sum(x1) AS s1, sum(x1 * x1) AS q1,
+             |    sum(x2) AS s2, sum(x2 * x2) AS q2,
+             |    sum(x0 * x1) AS p01, sum(x0 * x2) AS p02,
+             |    sum(x1 * x2) AS p12
+             |  FROM b
+             |), v AS (
+             |  SELECT n, CAST(n AS DOUBLE) AS nd,
+             |    CAST(s0 AS DOUBLE) AS s0, CAST(q0 AS DOUBLE) AS q0,
+             |    CAST(s1 AS DOUBLE) AS s1, CAST(q1 AS DOUBLE) AS q1,
+             |    CAST(s2 AS DOUBLE) AS s2, CAST(q2 AS DOUBLE) AS q2,
+             |    CAST(p01 AS DOUBLE) AS p01, CAST(p02 AS DOUBLE) AS p02,
+             |    CAST(p12 AS DOUBLE) AS p12
+             |  FROM s
+             |)
+             |SELECT 'l_quantity' AS var_a, 'l_extendedprice' AS var_b, n,
+             |  CASE WHEN nd*q0 - s0*s0 > 0 AND nd*q1 - s1*s1 > 0
+             |    THEN (nd*p01 - s0*s1)
+             |      / (sqrt(nd*q0 - s0*s0) * sqrt(nd*q1 - s1*s1)) END AS r
+             |FROM v
+             |UNION ALL
+             |SELECT 'l_quantity', 'l_discount', n,
+             |  CASE WHEN nd*q0 - s0*s0 > 0 AND nd*q2 - s2*s2 > 0
+             |    THEN (nd*p02 - s0*s2)
+             |      / (sqrt(nd*q0 - s0*s0) * sqrt(nd*q2 - s2*s2)) END
+             |FROM v
+             |UNION ALL
+             |SELECT 'l_extendedprice', 'l_discount', n,
+             |  CASE WHEN nd*q1 - s1*s1 > 0 AND nd*q2 - s2*s2 > 0
+             |    THEN (nd*p12 - s1*s2)
+             |      / (sqrt(nd*q1 - s1*s1) * sqrt(nd*q2 - s2*s2)) END
+             |FROM v""".stripMargin),
+    ),
+
+    // ---- peak concurrency per event type (sweep line): every event
+    // opens a 10-minute [ts, ts+10m) interval; the +1/−1 boundary
+    // walk's running max is the load-planning number. Half-open
+    // semantics pinned by the (t, d) sort — an interval ending exactly
+    // when another starts never overlaps.
+    Q(
+      "q203_max_concurrency",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.TemporalJoins.maxConcurrency(
+          Tables.events(s, d).select($"event_type", $"ts".as("start_ts"),
+            ($"ts" + expr("INTERVAL 10 MINUTES")).as("end_ts")),
+          "event_type", "start_ts", "end_ts")
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type, ts AS t, 1 AS d FROM events
+             |  UNION ALL
+             |  SELECT event_type, ts + INTERVAL 10 MINUTE, -1 FROM events
+             |), r AS (
+             |  SELECT event_type,
+             |    sum(d) OVER (PARTITION BY event_type ORDER BY t, d)
+             |      AS run
+             |  FROM b
+             |)
+             |SELECT event_type, CAST(max(run) AS BIGINT) AS max_concurrent
+             |FROM r GROUP BY 1""".stripMargin),
+    ),
   )
 }
