@@ -534,5 +534,54 @@ object StreamingQueries extends QueryModule {
              |  md5(coalesce(text, '')) AS payload_md5
              |FROM documents WHERE doc_id % 10 = 0""".stripMargin),
     ),
+
+    // ---- TRUE stream-stream interval join (Spark's symmetric
+    // watermarked join — BOTH sides are readStream sources buffering
+    // state against each other, unlike q93's single-stream keyed-state
+    // as-of): non-purchase events ⋈ purchases on user within ±5 min.
+    // Inner-join matches emit without waiting on the watermark, so one
+    // AvailableNow batch per side over complete inputs equals the
+    // batch interval join — q72's attribution shape, which the oracle
+    // restates as the bare quadratic BETWEEN.
+    Q(
+      "q207_streaming_interval_join",
+      (s, d) => {
+        val root = scratch()
+        val ev = Tables.events(s, d)
+        val left = ev.filter(col("event_type") =!= "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val right = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+        left.coalesce(1).write.parquet(s"$root/left")
+        right.coalesce(1).write.parquet(s"$root/right")
+        val joined = StreamOps.intervalJoinStreams(
+          s.readStream.schema(left.schema).parquet(s"$root/left"),
+          s.readStream.schema(right.schema).parquet(s"$root/right"),
+          keyExpr = "user_id = p_user_id",
+          leftTsCol = "ts", rightTsCol = "p_ts",
+          lowerSec = 300L, upperSec = 300L)
+        val sinkTable = "graft_stream_ij_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = joined.select(col("event_id"), col("purchase_id"))
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("memory")
+          .queryName(sinkTable)
+          .start()
+        q.awaitTermination()
+        s.table(sinkTable)
+      },
+      Some("""SELECT p.event_id, i.event_id AS purchase_id
+             |FROM events p
+             |JOIN (SELECT event_id, user_id, ts FROM events
+             |      WHERE event_type = 'purchase') i
+             |  ON p.user_id = i.user_id
+             | AND p.ts BETWEEN i.ts - INTERVAL 5 MINUTE
+             |             AND i.ts + INTERVAL 5 MINUTE
+             |WHERE p.event_type <> 'purchase'""".stripMargin),
+    ),
   )
 }

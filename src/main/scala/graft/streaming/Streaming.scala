@@ -189,6 +189,47 @@ object StreamOps {
     *        (side int — 0 right / 1 left, event_id long, user_id long,
     *        ts timestamp, value double)
     */
+  /** TRUE stream-STREAM interval join — Spark's symmetric watermarked
+    * join (both sides are unbounded streams; each buffers state and
+    * probes the other as micro-batches arrive), vs [[asOfJoinStream]]
+    * which folds a single tagged stream through keyed state. This is
+    * the S-family's missing native operator: attribution joins
+    * (click↔purchase within ±N minutes) where BOTH sides keep flowing.
+    *
+    * Both sides carry a watermark and the join condition carries the
+    * time bound — together they let Spark expire buffered rows: a left
+    * row older than `rightTs + upper` past the watermark can never
+    * match again and is dropped from state (Structured Streaming
+    * docs, stream-stream joins). Without the time bound the state
+    * grows forever; this operator REQUIRES it by construction.
+    *
+    * Inner join semantics: matches emit as soon as both rows have
+    * arrived — no watermark wait (only outer joins hold rows back), so
+    * a single AvailableNow batch over complete inputs reproduces the
+    * batch interval join exactly (q207 shares q72's oracle shape).
+    *
+    * Column names must be disjoint across the two sides (the caller
+    * aliases); `keyExpr` is the equi-key condition (e.g.
+    * `"user_id = p_user_id"`) — keep it an equality so the join plans
+    * as a hash join on the key, never a cross product.
+    *
+    * @return left ⋈ right where keyExpr holds and
+    *         leftTs ∈ [rightTs − lowerSec, rightTs + upperSec] */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame,
+      keyExpr: String, leftTsCol: String, rightTsCol: String,
+      lowerSec: Long, upperSec: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    require(lowerSec >= 0 && upperSec >= 0,
+      s"interval bounds must be >= 0, got $lowerSec/$upperSec")
+    val l = left.withWatermark(leftTsCol, watermark)
+    val r = right.withWatermark(rightTsCol, watermark)
+    l.join(r, expr(
+      s"""$keyExpr
+         |AND $leftTsCol >= $rightTsCol - INTERVAL $lowerSec SECONDS
+         |AND $leftTsCol <= $rightTsCol + INTERVAL $upperSec SECONDS"""
+        .stripMargin))
+  }
+
   def asOfJoinStream(tagged: DataFrame): Dataset[AsOfOut] = {
     import tagged.sparkSession.implicits._
     tagged.as[(Int, Long, Long, java.sql.Timestamp, Double)]

@@ -218,4 +218,43 @@ class StreamingSpec extends SparkSpec {
       .select($"id").as[Long].collect().toSet
     assert(again == batch)
   }
+
+  test("intervalJoinStreams: matches emit across micro-batches " +
+      "(left buffered in state until the right side arrives)") {
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream-ij").toString
+    val lStream = MemoryStream[(Long, Long, String)]
+    val rStream = MemoryStream[(Long, Long, String)]
+    val left = lStream.toDF().toDF("event_id", "user_id", "ts_s")
+      .select($"event_id", $"user_id", $"ts_s".cast("timestamp").as("ts"))
+    val right = rStream.toDF().toDF("purchase_id", "p_user_id", "p_ts_s")
+      .select($"purchase_id", $"p_user_id",
+        $"p_ts_s".cast("timestamp").as("p_ts"))
+    val joined = StreamOps.intervalJoinStreams(left, right,
+      keyExpr = "user_id = p_user_id", leftTsCol = "ts",
+      rightTsCol = "p_ts", lowerSec = 300L, upperSec = 300L)
+    val sink = "ij_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.select($"event_id", $"purchase_id")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .format("memory").queryName(sink).start()
+    try {
+      // batch 1: ONLY left rows — nothing can match yet
+      lStream.addData((1L, 7L, "2026-01-01 10:00:00"),
+        (2L, 7L, "2026-01-01 12:00:00"), // outside every window
+        (3L, 8L, "2026-01-01 10:02:00"))
+      q.processAllAvailable()
+      assert(spark.table(sink).count() == 0)
+      // batch 2: right rows arrive — buffered left joins now;
+      // user 7's 10:00 event is within ±5m of the 10:04 purchase,
+      // the 12:00 event is not; user 9 has no left at all
+      rStream.addData((101L, 7L, "2026-01-01 10:04:00"),
+        (102L, 9L, "2026-01-01 10:00:00"))
+      q.processAllAvailable()
+      val got = spark.table(sink)
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 101L)))
+    } finally q.stop()
+  }
 }
