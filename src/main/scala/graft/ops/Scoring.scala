@@ -538,6 +538,197 @@ object Scoring {
         greatest(col("group_n") + col("noise"), lit(0L)))
   }
 
+  /** BRADLEY–TERRY strengths via the MM algorithm (Hunter 2004), the
+    * model-based companion to [[copelandRanking]]'s tournament counts:
+    * p_i' = W_i / Σ_j n_ij/(p_i + p_j), run a FIXED number of
+    * iterations in integer milli-strengths with truncating division —
+    * the quantized-k-means convention (q113): not the float fixpoint,
+    * but a deterministic integer recurrence any engine replays
+    * bit-for-bit, converging to the same ordering in practice (rank
+    * gates, not raw strengths, are what downstream consumes).
+    *
+    * Scale shape: pair stats are one map-side-combined aggregation off
+    * the judgment stream; each iteration is candidate×opponent-sized
+    * joins over MODEL-SIZED frames (candidate sets are prompt-sized —
+    * the q188 contract), materialized per round so lineage stays O(1).
+    * The final rank is 1 + |{j : p_j > p_i}| (SQL rank() semantics)
+    * from a broadcast self-comparison — no unpartitioned window.
+    *
+    * Zero-win candidates reach strength 0; a pair of zero-strength
+    * opponents divides by greatest(p_i+p_j, 1) so the recurrence never
+    * nulls.
+    *
+    * @return (candidate, wins, games, strength_milli, rank) */
+  def bradleyTerry(prefs: DataFrame, winnerCol: String, loserCol: String,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters must be in [1,8], got $iters")
+    import Materialize.MaterializeOps
+    val pairs = prefs.select(
+        least(col(winnerCol), col(loserCol)).as("lo"),
+        greatest(col(winnerCol), col(loserCol)).as("hi"))
+      .groupBy(col("lo"), col("hi")).agg(count(lit(1)).as("n_games"))
+      .materialized // reused every iteration
+    val dir = pairs
+      .select(col("lo").as("cand"), col("hi").as("opp"), col("n_games"))
+      .unionByName(pairs
+        .select(col("hi").as("cand"), col("lo").as("opp"),
+          col("n_games")))
+    val wins = prefs.groupBy(col(winnerCol).as("cand"))
+      .agg(count(lit(1)).as("wins"))
+    val games = dir.groupBy(col("cand")).agg(sum(col("n_games")).as("games"))
+    var p = prefs.select(col(winnerCol).as("cand"))
+      .unionByName(prefs.select(col(loserCol).as("cand"))).distinct()
+      .join(wins, Seq("cand"), "left")
+      .select(col("cand"), coalesce(col("wins"), lit(0L)).as("wins"),
+        lit(1000L).as("p"))
+      .materialized
+    for (_ <- 1 to iters) {
+      val d = dir
+        .join(p.select(col("cand"), col("p")), "cand")
+        .join(p.select(col("cand").as("opp"), col("p").as("p_opp")),
+          "opp")
+        .withColumn("__t",
+          expr("(n_games * 1000000) div greatest(p + p_opp, 1)"))
+        .groupBy(col("cand")).agg(sum(col("__t")).as("__d"))
+      p = p.drop("p").join(d, Seq("cand"), "left")
+        .withColumn("p", expr(
+          "CASE WHEN __d IS NULL OR __d = 0 THEN 0" +
+            " ELSE (wins * 1000000) div __d END"))
+        .drop("__d")
+        .materialized
+    }
+    val strengths = p.join(games, Seq("cand"), "left")
+      .select(col("cand").as("candidate"), col("wins"),
+        coalesce(col("games"), lit(0L)).as("games"),
+        col("p").as("strength_milli"))
+    // rank() semantics without an unpartitioned window: candidates are
+    // model-sized by contract, so the comparison side broadcasts
+    val cmp = broadcast(strengths
+      .select(col("strength_milli").as("__p2")))
+    strengths.join(cmp, col("__p2") > col("strength_milli"), "left")
+      .groupBy(col("candidate"), col("wins"), col("games"),
+        col("strength_milli"))
+      .agg((count(col("__p2")) + 1).cast("int").as("rank"))
+  }
+
+  /** Position-decay weight table in integer ppb:
+    * `w(j) = floor(10⁹ · α · (1−α)^j)`, j = 0..k−1 — computed ONCE
+    * driver-side and injected as literals into both the scoring
+    * expression and the oracle SQL (the [[ndcgWeights]] convention:
+    * the engines share exact integers BY CONSTRUCTION, no cross-libm
+    * pow in the compared projection). */
+  def decayWeights(k: Int, alphaPermille: Int): Seq[Long] = {
+    require(k >= 1 && alphaPermille >= 1 && alphaPermille <= 1000,
+      s"need k >= 1, alphaPermille in [1,1000]; got $k/$alphaPermille")
+    val a = alphaPermille / 1000.0
+    (0 until k).map(j => math.floor(1e9 * a * math.pow(1 - a, j)).toLong)
+  }
+
+  /** EXPONENTIALLY-DECAYED engagement score over each key's most
+    * recent k events — the recency-weighted feature every ranking /
+    * user-model pipeline derives (EWMA truncated at k so the result is
+    * exact and replayable: the infinite-tail EWMA is an
+    * order-dependent float fold that no second engine restates
+    * bit-for-bit). Events rank newest-first by (tsCol, tieCol) — the
+    * unique tiebreak pins rank j, weight [[decayWeights]](j) rides in
+    * as a literal array, and the score is the exact integer
+    * Σ value_scaled(j)·w(j) (`decayed_num`, value-scaled·ppb) with a
+    * convenience `decayed_milli = decayed_num div 10⁶`
+    * (value-scaled·milli).
+    *
+    * Scale shape: one window partitioned by the key (keys numerous),
+    * filter to k rows, one map-side-combined sum.
+    *
+    * @param valueScaledCol integer-scaled value (cents — the
+    *        [[groupedOls]] contract)
+    * @return (keyCol, n_used, decayed_num, decayed_milli) */
+  def decayedScore(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueScaledCol: String, k: Int,
+      alphaPermille: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    val wt = decayWeights(k, alphaPermille)
+    val wArr = array(wt.map(lit): _*)
+    df.withColumn("__j", row_number().over(w))
+      .filter(col("__j") <= k)
+      .withColumn("__wt", element_at(wArr, col("__j")))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_used"),
+        sum(col(valueScaledCol).cast("long") * col("__wt"))
+          .as("decayed_num"))
+      .withColumn("decayed_milli", expr("decayed_num div 1000000"))
+  }
+
+  /** GINI CONCENTRATION of a positive size column — "how concentrated
+    * is the corpus across sources" in one exact integer: with sizes
+    * sorted ascending and 1-based rank i,
+    * `G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)`, published in ppm. The rank
+    * is [[Packing.globalRowNumber]]'s two-pass distributed scan
+    * (tie-broken by the id column so every engine ranks identically);
+    * sums accumulate in decimal(38,0).
+    *
+    * @return one row (n, total, gini_ppm) — null gini on an empty or
+    *         zero-total frame (undefined, not zero) */
+  def giniConcentration(df: DataFrame, valueCol: String,
+      idCol: String): DataFrame = {
+    val ranked = Packing.globalRowNumber(
+      df.select(col(valueCol).cast("decimal(38,0)").as("__x"),
+        col(idCol).as("__id")),
+      Seq(col("__x").asc, col("__id").asc), "__r")
+    ranked
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("total"),
+        sum((col("__r") + 1) * col("__x")).as("__ix"))
+      .withColumn("gini_ppm", expr(
+        """CASE WHEN n = 0 OR total = 0 THEN NULL
+          |ELSE CAST((1000000 * (2 * __ix - (n + 1) * total))
+          |  div (n * total) AS BIGINT) END""".stripMargin))
+      .select(col("n"), col("total").cast("long").as("total"),
+        col("gini_ppm"))
+  }
+
+  /** CHI-SQUARE INDEPENDENCE cells for two label columns — the
+    * distribution-shift / association audit next to [[cohenKappa]]
+    * (kappa asks "do they agree", χ² asks "are they independent").
+    * Emitted PER CELL in exact integer ppm —
+    * `contrib = (O·n − r·c)² / (n·r·c)` — over the FULL label cross
+    * product (zero-observed cells included: their contribution is
+    * exactly r·c/n², and dropping them understates the statistic);
+    * the consumer sums `chi2_ppm` for the total. Per-cell rows stay
+    * exact where a float Σ over cells would be order-dependent.
+    * Precision envelope: (O·n)² inside decimal(38,0) needs n ≲ 10⁹
+    * rows; beyond that publish the cells and finish in wider
+    * arithmetic.
+    *
+    * @return (aCol, bCol, observed, r_total, c_total, expected_milli,
+    *         chi2_ppm) */
+  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val labeled = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+    val obs = labeled.groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("observed"))
+    val ra = labeled.groupBy(col("__a")).agg(count(lit(1)).as("r_total"))
+    val rb = labeled.groupBy(col("__b")).agg(count(lit(1)).as("c_total"))
+    val n = labeled.agg(count(lit(1)).as("__n"))
+    ra.crossJoin(rb) // full label cross product — zero cells included
+      .join(obs, Seq("__a", "__b"), "left")
+      .withColumn("observed", coalesce(col("observed"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .withColumn("expected_milli",
+        expr("(1000 * r_total * c_total) div __n"))
+      .withColumn("chi2_ppm", expr(
+        """CAST((1000000 * CAST(observed * __n - r_total * c_total
+          |    AS DECIMAL(38,0))
+          |  * CAST(observed * __n - r_total * c_total AS DECIMAL(38,0)))
+          |  div (CAST(__n AS DECIMAL(38,0)) * r_total * c_total)
+          |  AS BIGINT)""".stripMargin))
+      .select(col("__a").as(aCol), col("__b").as(bCol), col("observed"),
+        col("r_total"), col("c_total"), col("expected_milli"),
+        col("chi2_ppm"))
+  }
+
   /** COHEN'S KAPPA — chance-corrected agreement between two label
     * columns (two annotators, or model vs human, on the same rows):
     * the QA statistic every labeling/preference pipeline publishes

@@ -6307,6 +6307,158 @@ object CorpusQueries extends QueryModule {
              |FROM tot, m""".stripMargin),
     ),
 
+    // ---- Bradley–Terry strengths (Hunter 2004 MM, 2 fixed integer
+    // iterations — the quantized-k-means replay convention) over the
+    // same synthetic judgment stream as q188's Copeland counts: the
+    // model-based strength next to the tournament count, both exactly
+    // replayed by DuckDB from the same integer recurrence.
+    Q(
+      "q208_bradley_terry",
+      (s, d) => Scoring.bradleyTerry(
+        Tables.documents(s, d).select(
+          (col("doc_id") % 5).as("winner"),
+          ((col("doc_id") % 5 + 1 + col("doc_id") % 4) % 5).as("loser")),
+        "winner", "loser", iters = 2),
+      Some("""WITH p0 AS (
+             |  SELECT doc_id % 5 AS winner,
+             |    (doc_id % 5 + 1 + doc_id % 4) % 5 AS loser
+             |  FROM documents
+             |), pair AS (
+             |  SELECT least(winner, loser) AS lo,
+             |    greatest(winner, loser) AS hi,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM p0 GROUP BY 1, 2
+             |), dir AS (
+             |  SELECT lo AS cand, hi AS opp, n FROM pair
+             |  UNION ALL SELECT hi, lo, n FROM pair
+             |), w AS (
+             |  SELECT winner AS cand, CAST(count(*) AS BIGINT) AS wins
+             |  FROM p0 GROUP BY 1
+             |), g AS (
+             |  SELECT cand, CAST(sum(n) AS BIGINT) AS games
+             |  FROM dir GROUP BY 1
+             |), c0 AS (
+             |  SELECT cand, coalesce(wins, 0) AS wins,
+             |    CAST(1000 AS BIGINT) AS p
+             |  FROM (SELECT winner AS cand FROM p0
+             |        UNION SELECT loser FROM p0) cs
+             |  LEFT JOIN w USING (cand)
+             |), it1 AS (
+             |  SELECT d.cand, sum((d.n * 1000000)
+             |    // greatest(pa.p + pb.p, 1)) AS dd
+             |  FROM dir d JOIN c0 pa ON pa.cand = d.cand
+             |  JOIN c0 pb ON pb.cand = d.opp GROUP BY 1
+             |), c1 AS (
+             |  SELECT c0.cand, c0.wins,
+             |    CAST(CASE WHEN dd IS NULL OR dd = 0 THEN 0
+             |      ELSE (c0.wins * 1000000) // dd END AS BIGINT) AS p
+             |  FROM c0 LEFT JOIN it1 USING (cand)
+             |), it2 AS (
+             |  SELECT d.cand, sum((d.n * 1000000)
+             |    // greatest(pa.p + pb.p, 1)) AS dd
+             |  FROM dir d JOIN c1 pa ON pa.cand = d.cand
+             |  JOIN c1 pb ON pb.cand = d.opp GROUP BY 1
+             |), c2 AS (
+             |  SELECT c1.cand, c1.wins,
+             |    CAST(CASE WHEN dd IS NULL OR dd = 0 THEN 0
+             |      ELSE (c1.wins * 1000000) // dd END AS BIGINT) AS p
+             |  FROM c1 LEFT JOIN it2 USING (cand)
+             |)
+             |SELECT c2.cand AS candidate, c2.wins,
+             |  coalesce(g.games, 0) AS games,
+             |  c2.p AS strength_milli,
+             |  CAST(1 + (SELECT count(*) FROM c2 x WHERE x.p > c2.p)
+             |    AS INT) AS rank
+             |FROM c2 LEFT JOIN g USING (cand)""".stripMargin),
+    ),
+
+    // ---- exponentially-decayed engagement over each user's last 8
+    // events (α = ½ → exact power-of-two ppb weights, injected as
+    // literals into BOTH engines — the q186 discount-table
+    // convention): the truncated-EWMA recency feature, exact where
+    // the infinite-tail float fold is order-dependent.
+    Q(
+      "q209_decayed_score",
+      (s, d) => Scoring.decayedScore(
+        Tables.events(s, d).select(col("user_id"), col("ts"),
+          col("event_id"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents")),
+        "user_id", "ts", "event_id", "cents", k = 8,
+        alphaPermille = 500),
+      Some("""WITH v AS (
+             |  SELECT user_id,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS cents,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts DESC, event_id DESC) AS j
+             |  FROM events
+             |)
+             |SELECT user_id, count(*) AS n_used,
+             |  CAST(sum(cents * ([500000000, 250000000, 125000000,
+             |    62500000, 31250000, 15625000, 7812500, 3906250])[j])
+             |    AS BIGINT) AS decayed_num,
+             |  CAST(sum(cents * ([500000000, 250000000, 125000000,
+             |    62500000, 31250000, 15625000, 7812500, 3906250])[j])
+             |    AS BIGINT) // 1000000 AS decayed_milli
+             |FROM v WHERE j <= 8 GROUP BY 1""".stripMargin),
+    ),
+
+    // ---- Gini concentration of per-user event volume: the corpus-
+    // concentration number a data card publishes next to the drift
+    // report; rank via the two-pass distributed scan, exact ppm.
+    Q(
+      "q210_gini_concentration",
+      (s, d) => Scoring.giniConcentration(
+        Tables.events(s, d).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events")),
+        "n_events", "user_id"),
+      Some("""WITH s AS (
+             |  SELECT user_id, count(*) AS c FROM events GROUP BY 1
+             |), r AS (
+             |  SELECT c, row_number() OVER (ORDER BY c, user_id) AS i
+             |  FROM s
+             |)
+             |SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS total,
+             |  CASE WHEN count(*) = 0 OR sum(c) = 0 THEN NULL
+             |    ELSE CAST((1000000 * (2 * sum(i * c)
+             |        - (count(*) + 1) * sum(c)))
+             |      // (count(*) * sum(c)) AS BIGINT)
+             |  END AS gini_ppm
+             |FROM r""".stripMargin),
+    ),
+
+    // ---- chi-square independence cells: labeled language × source —
+    // per-cell exact ppm contributions over the FULL label cross
+    // product (zero-observed cells included — dropping them
+    // understates the statistic); the consumer sums chi2_ppm, which
+    // stays exact where a float Σ over cells is order-dependent.
+    Q(
+      "q212_chi_square_cells",
+      (s, d) => Scoring.chiSquareCells(
+        Tables.documents(s, d), "lang", "source"),
+      Some("""WITH o AS (
+             |  SELECT lang, source, CAST(count(*) AS BIGINT) AS observed
+             |  FROM documents GROUP BY 1, 2
+             |), ra AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS r_total
+             |  FROM documents GROUP BY 1
+             |), rb AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS c_total
+             |  FROM documents GROUP BY 1
+             |), n AS (SELECT count(*) AS nn FROM documents)
+             |SELECT ra.lang, rb.source,
+             |  coalesce(o.observed, 0) AS observed, r_total, c_total,
+             |  (1000 * r_total * c_total) // nn AS expected_milli,
+             |  CAST((1000000
+             |      * (coalesce(o.observed, 0) * nn - r_total * c_total)
+             |      * (coalesce(o.observed, 0) * nn - r_total * c_total))
+             |    // (nn * r_total * c_total) AS BIGINT) AS chi2_ppm
+             |FROM ra CROSS JOIN rb CROSS JOIN n
+             |LEFT JOIN o ON o.lang = ra.lang AND o.source = rb.source"""
+        .stripMargin),
+    ),
+
     // ---- per-language percentile rank of document length (rank-based
     // score calibration): exact integer per-mille position inside the
     // group's order, tie-broken by doc_id so every rank is pinned.

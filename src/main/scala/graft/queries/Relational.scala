@@ -794,5 +794,42 @@ object Relational extends QueryModule {
              |SELECT event_type, CAST(max(run) AS BIGINT) AS max_concurrent
              |FROM r GROUP BY 1""".stripMargin),
     ),
+
+    // ---- rolling 3-event window per user (ROWS BETWEEN 2 PRECEDING):
+    // the moving-average smoother, kept exact — cents in the window
+    // sum, integer avg — so both engines agree bitwise. Window
+    // partitions by user (many users); the frame is row-based, so
+    // boundary rows average over fewer events by SQL's own contract.
+    Q(
+      "q211_rolling_avg",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"ts".asc, $"event_id".asc)
+          .rowsBetween(-2, 0)
+        Tables.events(s, d)
+          .select($"user_id", $"event_id", $"ts",
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents"))
+          .withColumn("w_n", count(lit(1)).over(w))
+          .withColumn("w_sum_cents", sum($"cents").over(w))
+          .withColumn("w_avg_cents", expr("w_sum_cents div w_n"))
+          .drop("ts")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, event_id, ts,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS cents
+             |  FROM events
+             |)
+             |SELECT user_id, event_id, cents,
+             |  CAST(count(*) OVER w AS BIGINT) AS w_n,
+             |  CAST(sum(cents) OVER w AS BIGINT) AS w_sum_cents,
+             |  CAST(sum(cents) OVER w AS BIGINT)
+             |    // CAST(count(*) OVER w AS BIGINT) AS w_avg_cents
+             |FROM v
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin),
+    ),
   )
 }
