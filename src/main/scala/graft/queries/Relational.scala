@@ -831,5 +831,80 @@ object Relational extends QueryModule {
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin),
     ),
+
+    // ---- funnel conversion latency: signup → first purchase delay in
+    // whole seconds, EXACT p50/p90 via the histogram-refinement
+    // distributed selection (SketchStats.exactQuantilesLong — no
+    // single-partition sort, ≤ ~7 passes at any scale). Seconds come
+    // from unix_timestamp (floor) on both engines — q35's epoch/floor
+    // convention.
+    Q(
+      "q213_funnel_latency",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val s1 = ev.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"ts").as("t1"))
+        val s4 = ev.filter($"event_type" === "purchase")
+          .join(s1, "user_id").filter($"ts" >= $"t1")
+          .groupBy($"user_id").agg(min($"ts").as("t4"))
+        val delays = s4.join(s1, "user_id")
+          .select((unix_timestamp($"t4") - unix_timestamp($"t1"))
+            .as("delay_s"))
+        graft.ops.SketchStats.exactQuantilesLong(delays, "delay_s",
+          Seq(0.5, 0.9))
+      },
+      Some("""WITH s1 AS (
+             |  SELECT user_id, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'signup' GROUP BY 1
+             |), s4 AS (
+             |  SELECT e.user_id, min(e.ts) AS t4 FROM events e
+             |  JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts >= s1.t1
+             |  GROUP BY 1
+             |), dl AS (
+             |  SELECT CAST(floor(epoch(t4)) AS BIGINT)
+             |    - CAST(floor(epoch(t1)) AS BIGINT) AS delay_s
+             |  FROM s4 JOIN s1 USING (user_id)
+             |), r AS (
+             |  SELECT delay_s, row_number() OVER (ORDER BY delay_s) AS rn
+             |  FROM dl
+             |), n AS (SELECT count(*) AS c FROM dl)
+             |SELECT 0.5 AS p, (SELECT delay_s FROM r, n
+             |  WHERE rn = CAST(ceil(0.5 * c) AS BIGINT)) AS value
+             |UNION ALL
+             |SELECT 0.9, (SELECT delay_s FROM r, n
+             |  WHERE rn = CAST(ceil(0.9 * c) AS BIGINT))""".stripMargin),
+    ),
+
+    // ---- bag-semantics set operators (INTERSECT ALL / EXCEPT ALL):
+    // the multiplicity-aware algebra the join-based set ops (G5–G7)
+    // don't cover — Spark plans both as an aggregate of signed
+    // multiplicities + generate (one shuffle each side, no join
+    // explosion), and DuckDB's native bag operators pin the
+    // semantics: min(m_a, m_b) copies / max(m_a − m_b, 0) copies.
+    Q(
+      "q214_bag_set_ops",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val a = li.filter($"l_returnflag" === "R").select($"l_partkey")
+        val b = li.filter($"l_linestatus" === "F").select($"l_partkey")
+        a.intersectAll(b)
+          .select(lit("intersect_all").as("op"), $"l_partkey")
+          .unionAll(a.exceptAll(b)
+            .select(lit("except_all").as("op"), $"l_partkey"))
+      },
+      Some("""SELECT 'intersect_all' AS op, l_partkey FROM (
+             |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+             |  INTERSECT ALL
+             |  SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F')
+             |UNION ALL
+             |SELECT 'except_all', l_partkey FROM (
+             |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+             |  EXCEPT ALL
+             |  SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F')"""
+        .stripMargin),
+    ),
   )
 }
