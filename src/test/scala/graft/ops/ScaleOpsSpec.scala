@@ -387,4 +387,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("Window"), plan)
   }
+
+  // q214's scale claim: Spark rewrites INTERSECT ALL / EXCEPT ALL as
+  // signed-multiplicity aggregates + generate — one shuffle per side,
+  // never a row-by-row join that could explode on duplicate-heavy keys.
+  test("bag set ops plan: INTERSECT ALL / EXCEPT ALL are aggregate+" +
+      "generate, no join operator in either plan") {
+    import spark.implicits._
+    val a = Seq(1, 1, 1, 2, 3).toDF("k")
+    val b = Seq(1, 1, 2, 2, 4).toDF("k")
+    for (df <- Seq(a.intersectAll(b), a.exceptAll(b))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+        plan)
+      assert(plan.contains("Generate") && plan.contains("HashAggregate"),
+        plan)
+    }
+    // and the multiplicity semantics the DuckDB oracle pins:
+    // min(m_a, m_b) copies / max(m_a - m_b, 0) copies
+    assert(a.intersectAll(b).as[Int].collect().sorted.toSeq == Seq(1, 1, 2))
+    assert(a.exceptAll(b).as[Int].collect().sorted.toSeq == Seq(1, 3))
+  }
 }
