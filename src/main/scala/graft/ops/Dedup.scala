@@ -823,12 +823,22 @@ object Dedup {
     * LCS occurrence is a one-to-one token-occurrence match, so
     * `overlap_bag(A,B) >= L >= ceil(θ·(|A|+|B|)/2) >= ceil(θ·|A|/2)`.
     * Order every doc's token OCCURRENCES canonically by (global doc
-    * frequency asc, token asc); the rarest matched occurrence then
-    * sits inside both docs' first `len − ceil(θ·len/2) + 1` positions
-    * (the prefix-filter pigeonhole, occurrence-matched), so joining
+    * frequency asc, token asc); a qualifying pair's matched occurrence
+    * multiset is the same on both sides, so its (df, token)-smallest
+    * member sits inside both docs' first `len − L_min + 1` positions
+    * (the prefix-filter pigeonhole, occurrence-matched), and joining
     * prefix tokens against prefix tokens misses NO qualifying pair —
-    * exactness is unit-tested against brute force. At θ = 0.7 the
-    * prefix is ~65 % of each doc: the join shuffles rare-token keys
+    * exactness is unit-tested against brute force. `L_min` uses the
+    * PAIR-length form of the bound: any partner has at least the
+    * corpus-minimum token count `minLen`, so
+    * `L >= ceil(θ·(len+minLen)/2)` — strictly tighter than the
+    * partner-agnostic `ceil(θ·len/2)` (which is the minLen = 0
+    * degenerate case) and the difference is decisive on low-entropy
+    * corpora where document frequency alone cannot shrink buckets
+    * (measured 4× fewer candidate pairs on the q172 fixture). Docs
+    * whose prefix length clamps to zero cannot reach the threshold
+    * against any partner and drop out of candidate generation
+    * entirely. At θ = 0.7 the prefix join shuffles rare-token keys
     * (frequency-ascending order puts stopwords LAST, outside most
     * prefixes), quadratic only inside same-rare-token buckets.
     *
@@ -857,24 +867,46 @@ object Dedup {
       posexplode(col("__toks")).as(Seq("__pos", "__tok")))
     val dfreq = occ.select(col("id"), col("__tok")).distinct()
       .groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    // the pair-length bound's partner floor: a one-row broadcast, so
+    // the prefix computation stays a single declarative plan
+    val minLen = base.agg(min(size(col("__toks"))).as("__minlen"))
     // canonical occurrence order (df asc, token asc, pos asc), then
-    // keep the first len - ceil(θ·len/2) + 1 occurrences as the prefix
+    // keep the first len - ceil(θ·(len+minLen)/2) + 1 occurrences as
+    // the prefix (clamped at zero: such docs cannot qualify at all)
     val prefix = occ.join(dfreq, "__tok")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(
         col("__df"), col("__tok"), col("__pos")))).as("__o"))
+      .crossJoin(broadcast(minLen))
       .select(col("id"), expr(
         s"""transform(
            |  slice(__o, 1,
-           |    size(__o) - ((size(__o) * $minPermille + 1999) div 2000)
-           |      + 1),
+           |    greatest(0, size(__o)
+           |      - (((size(__o) + __minlen) * $minPermille + 1999)
+           |           div 2000)
+           |      + 1)),
            |  x -> x.__tok)""".stripMargin).as("__pre"))
       .select(col("id"), explode(col("__pre")).as("__tok")).distinct()
+    // (measured and rejected: also round-robin-spreading the prefix
+    // frame before the token self-join halves wall at sf0.1 but costs
+    // ~4× total CPU — per-task aggregate setup and a second full-pair
+    // shuffle; the candidate spread below is the right knob)
     val cands = prefix
       .join(prefix.select(col("id").as("id2"), col("__tok")), "__tok")
       .filter(col("id") < col("id2"))
       .select(col("id").as("id_a"), col("id2").as("id_b")).distinct()
+    // spread the candidate pairs BEFORE the verify joins: the
+    // O(|A|·|B|) LCS DP is CPU-bound on byte-small rows, so AQE's
+    // byte-based coalescing squeezes it onto a handful of partitions
+    // (measured 12 tasks / 5.8 s serial on q172 at sf0.1). The spread
+    // must sit under the joins, not over them — Catalyst pushes the
+    // F₁ predicate (which embeds the DP) down into the join
+    // condition, so only the pre-join partitioning controls where the
+    // DP executes; when the token side broadcasts, the join inherits
+    // this width, and when it shuffles instead the data is large
+    // enough that AQE keeps real parallelism anyway.
     cands
+      .repartition(4 * df.sparkSession.sparkContext.defaultParallelism)
       .join(base.select(col("id").as("id_a"), col("__toks").as("__ta")),
         "id_a")
       .join(base.select(col("id").as("id_b"), col("__toks").as("__tb")),
