@@ -322,7 +322,20 @@ object SketchStats {
         sum(dec(i) * dec(j)).as(s"__p${i}_$j") } }
     val stats = df.agg(count(lit(1)).as("__n"), aggs: _*)
     val nD = col("__n").cast("double")
-    def d(c: String) = col(c).cast("double")
+    // exact-sum → double through an explicit 2^32 hi/lo split, NOT the
+    // engine-native big-decimal cast: once a squared-sum crosses 2^53
+    // (measured: Σprice_cents² ≈ 2.2e19 at sf0.1) the native
+    // conversions disagree by 1 ulp across engines. hi and lo are both
+    // exactly representable, so the only roundings left are one IEEE
+    // multiply and one IEEE add — correctly rounded and therefore
+    // bit-identical everywhere; the DuckDB twin replays the same
+    // split. Valid to ~2^85, i.e. any realistic corpus.
+    def d(c: String): Column = {
+      val hi = expr(s"abs($c) div 4294967296").cast("double")
+      val lo = (abs(col(c)) % lit(4294967296L)).cast("double")
+      when(col(c) < 0, -1.0).otherwise(1.0) *
+        (hi * lit(4294967296.0) + lo)
+    }
     val pairRows = cols.indices.flatMap { i =>
       cols.indices.drop(i + 1).map { j =>
         val vx = nD * d(s"__q$i") - d(s"__s$i") * d(s"__s$i")

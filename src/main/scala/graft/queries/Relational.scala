@@ -740,12 +740,20 @@ object Relational extends QueryModule {
              |    sum(x1 * x2) AS p12
              |  FROM b
              |), v AS (
+             |  -- exact sums reach DOUBLE through the same 2^32 hi/lo
+             |  -- split as the Spark side: past 2^53 the native
+             |  -- big-decimal casts disagree by 1 ulp across engines,
+             |  -- while the split leaves only IEEE-correct mul/add
              |  SELECT n, CAST(n AS DOUBLE) AS nd,
-             |    CAST(s0 AS DOUBLE) AS s0, CAST(q0 AS DOUBLE) AS q0,
-             |    CAST(s1 AS DOUBLE) AS s1, CAST(q1 AS DOUBLE) AS q1,
-             |    CAST(s2 AS DOUBLE) AS s2, CAST(q2 AS DOUBLE) AS q2,
-             |    CAST(p01 AS DOUBLE) AS p01, CAST(p02 AS DOUBLE) AS p02,
-             |    CAST(p12 AS DOUBLE) AS p12
+             |    (CASE WHEN s0 < 0 THEN -1 ELSE 1 END) * (CAST(CAST(abs(s0) AS HUGEINT) // 4294967296 AS DOUBLE) * 4294967296.0 + CAST(CAST(abs(s0) AS HUGEINT) % 4294967296 AS DOUBLE)) AS s0,
+             |    (CASE WHEN q0 < 0 THEN -1 ELSE 1 END) * (CAST(CAST(abs(q0) AS HUGEINT) // 4294967296 AS DOUBLE) * 4294967296.0 + CAST(CAST(abs(q0) AS HUGEINT) % 4294967296 AS DOUBLE)) AS q0,
+             |    (CASE WHEN s1 < 0 THEN -1 ELSE 1 END) * (CAST(CAST(abs(s1) AS HUGEINT) // 4294967296 AS DOUBLE) * 4294967296.0 + CAST(CAST(abs(s1) AS HUGEINT) % 4294967296 AS DOUBLE)) AS s1,
+             |    (CASE WHEN q1 < 0 THEN -1 ELSE 1 END) * (CAST(CAST(abs(q1) AS HUGEINT) // 4294967296 AS DOUBLE) * 4294967296.0 + CAST(CAST(abs(q1) AS HUGEINT) % 4294967296 AS DOUBLE)) AS q1,
+             |    (CASE WHEN s2 < 0 THEN -1 ELSE 1 END) * (CAST(CAST(abs(s2) AS HUGEINT) // 4294967296 AS DOUBLE) * 4294967296.0 + CAST(CAST(abs(s2) AS HUGEINT) % 4294967296 AS DOUBLE)) AS s2,
+             |    (CASE WHEN q2 < 0 THEN -1 ELSE 1 END) * (CAST(CAST(abs(q2) AS HUGEINT) // 4294967296 AS DOUBLE) * 4294967296.0 + CAST(CAST(abs(q2) AS HUGEINT) % 4294967296 AS DOUBLE)) AS q2,
+             |    (CASE WHEN p01 < 0 THEN -1 ELSE 1 END) * (CAST(CAST(abs(p01) AS HUGEINT) // 4294967296 AS DOUBLE) * 4294967296.0 + CAST(CAST(abs(p01) AS HUGEINT) % 4294967296 AS DOUBLE)) AS p01,
+             |    (CASE WHEN p02 < 0 THEN -1 ELSE 1 END) * (CAST(CAST(abs(p02) AS HUGEINT) // 4294967296 AS DOUBLE) * 4294967296.0 + CAST(CAST(abs(p02) AS HUGEINT) % 4294967296 AS DOUBLE)) AS p02,
+             |    (CASE WHEN p12 < 0 THEN -1 ELSE 1 END) * (CAST(CAST(abs(p12) AS HUGEINT) // 4294967296 AS DOUBLE) * 4294967296.0 + CAST(CAST(abs(p12) AS HUGEINT) % 4294967296 AS DOUBLE)) AS p12
              |  FROM s
              |)
              |SELECT 'l_quantity' AS var_a, 'l_extendedprice' AS var_b, n,
