@@ -249,6 +249,25 @@ object SketchStats {
       .drop("__r", "__n")
   }
 
+  /** Exact-integer-sum → DOUBLE through an explicit 2^32 hi/lo split,
+    * NOT the engine-native big-decimal cast: once a sum crosses 2^53
+    * (measured: Σprice_cents² ≈ 2.2e19 on the sf0.1 sweep) the native
+    * conversions disagree by 1 ulp across engines. hi and lo are both
+    * exactly representable doubles, so the only roundings left are one
+    * IEEE multiply and one IEEE add — correctly rounded and therefore
+    * bit-identical everywhere; DuckDB twins replay the same split
+    * (`CAST(abs(x) AS HUGEINT) // 2^32`, `% 2^32` — DuckDB's `//` on
+    * DECIMAL goes through DOUBLE, hence the HUGEINT hop). Valid to
+    * ~2^85, i.e. any realistic corpus. This is the bridge every
+    * operator here uses when an IEEE value (r, slope) is the output
+    * contract but the inputs are exact integer sufficient statistics. */
+  private def splitToDouble(c: String): Column = {
+    val hi = expr(s"abs($c) div 4294967296").cast("double")
+    val lo = (abs(col(c)) % lit(4294967296L)).cast("double")
+    when(col(c) < 0, -1.0).otherwise(1.0) *
+      (hi * lit(4294967296.0) + lo)
+  }
+
   /** Per-group ORDINARY LEAST SQUARES (slope + intercept) from exact
     * sufficient statistics: Σx, Σy, Σxy, Σx² accumulate in scale-0
     * decimal (order-free exact addition — double sums differ in the
@@ -275,18 +294,21 @@ object SketchStats {
     // DOUBLE through value/10^s — DuckDB evaluates that as int128→
     // double THEN the division, a double rounding that really is off
     // by 1 ulp on this testdata (Σx² = 51213411 exactly arrived as
-    // …411.00000001) — while a scale-0 decimal is ONE int→double
-    // rounding, identical in every engine. decimal(19,0) operands keep
-    // the product path in int128 on the DuckDB side too.
+    // …411.00000001) — while a scale-0 decimal needs no division, and
+    // [[splitToDouble]] makes even its int→double step engine-exact
+    // past 2^53. decimal(19,0) operands keep the product path in
+    // int128 on the DuckDB side too.
     val x = col(xCol).cast("decimal(19,0)")
     val y = col(yCol).cast("decimal(19,0)")
     val agg = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"), sum(x).as("__sx"), sum(y).as("__sy"),
         sum(x * y).as("__sxy"), sum(x * x).as("__sxx"))
-    // exact integer sums → double once, then a fixed IEEE formula both
-    // engines replay operation-for-operation
+    // exact integer sums → double once (via the deterministic split —
+    // per-group sums are usually well under 2^53, but the operator
+    // contract shouldn't hinge on group size), then a fixed IEEE
+    // formula both engines replay operation-for-operation
     val nD = col("n").cast("double")
-    def d(c: String) = col(c).cast("double")
+    def d(c: String) = splitToDouble(c)
     agg
       .withColumn("__den", nD * d("__sxx") - d("__sx") * d("__sx"))
       .withColumn("slope",
@@ -322,20 +344,7 @@ object SketchStats {
         sum(dec(i) * dec(j)).as(s"__p${i}_$j") } }
     val stats = df.agg(count(lit(1)).as("__n"), aggs: _*)
     val nD = col("__n").cast("double")
-    // exact-sum → double through an explicit 2^32 hi/lo split, NOT the
-    // engine-native big-decimal cast: once a squared-sum crosses 2^53
-    // (measured: Σprice_cents² ≈ 2.2e19 at sf0.1) the native
-    // conversions disagree by 1 ulp across engines. hi and lo are both
-    // exactly representable, so the only roundings left are one IEEE
-    // multiply and one IEEE add — correctly rounded and therefore
-    // bit-identical everywhere; the DuckDB twin replays the same
-    // split. Valid to ~2^85, i.e. any realistic corpus.
-    def d(c: String): Column = {
-      val hi = expr(s"abs($c) div 4294967296").cast("double")
-      val lo = (abs(col(c)) % lit(4294967296L)).cast("double")
-      when(col(c) < 0, -1.0).otherwise(1.0) *
-        (hi * lit(4294967296.0) + lo)
-    }
+    def d(c: String) = splitToDouble(c)
     val pairRows = cols.indices.flatMap { i =>
       cols.indices.drop(i + 1).map { j =>
         val vx = nD * d(s"__q$i") - d(s"__s$i") * d(s"__s$i")

@@ -689,9 +689,13 @@ object Relational extends QueryModule {
              |    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
              |  FROM b GROUP BY 1
              |), v AS (
+             |  -- same deterministic 2^32 hi/lo split as the Spark side
+             |  -- (see SketchStats.splitToDouble)
              |  SELECT l_suppkey, n, CAST(n AS DOUBLE) AS nd,
-             |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
-             |    CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd
+             |    (CASE WHEN sx < 0 THEN -1 ELSE 1 END) * (CAST(CAST(abs(sx) AS HUGEINT) // 4294967296 AS DOUBLE) * 4294967296.0 + CAST(CAST(abs(sx) AS HUGEINT) % 4294967296 AS DOUBLE)) AS sxd,
+             |    (CASE WHEN sy < 0 THEN -1 ELSE 1 END) * (CAST(CAST(abs(sy) AS HUGEINT) // 4294967296 AS DOUBLE) * 4294967296.0 + CAST(CAST(abs(sy) AS HUGEINT) % 4294967296 AS DOUBLE)) AS syd,
+             |    (CASE WHEN sxy < 0 THEN -1 ELSE 1 END) * (CAST(CAST(abs(sxy) AS HUGEINT) // 4294967296 AS DOUBLE) * 4294967296.0 + CAST(CAST(abs(sxy) AS HUGEINT) % 4294967296 AS DOUBLE)) AS sxyd,
+             |    (CASE WHEN sxx < 0 THEN -1 ELSE 1 END) * (CAST(CAST(abs(sxx) AS HUGEINT) // 4294967296 AS DOUBLE) * 4294967296.0 + CAST(CAST(abs(sxx) AS HUGEINT) % 4294967296 AS DOUBLE)) AS sxxd
              |  FROM s
              |), o AS (
              |  SELECT l_suppkey, n,
