@@ -918,5 +918,77 @@ object Relational extends QueryModule {
              |  SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F')"""
         .stripMargin),
     ),
+
+    // ---- UNPIVOT / melt, the inverse of q191's PIVOT: wide measure
+    // columns to (measure, value) rows via Spark's native
+    // Dataset.unpivot (plans as a Generate/Expand riding the scan —
+    // pure map-side, ×|measures| rows, no shuffle) vs DuckDB's native
+    // UNPIVOT. Measures pre-cast to the exact money decimal so both
+    // engines emit identical values.
+    Q(
+      "q215_unpivot_measures",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_linenumber",
+            $"l_quantity".cast("decimal(18,2)").as("l_quantity"),
+            $"l_extendedprice".cast("decimal(18,2)")
+              .as("l_extendedprice"),
+            $"l_discount".cast("decimal(18,2)").as("l_discount"))
+          .unpivot(
+            Array($"l_orderkey", $"l_linenumber"),
+            Array($"l_quantity", $"l_extendedprice", $"l_discount"),
+            "measure", "value")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, measure, value FROM (
+             |  SELECT l_orderkey, l_linenumber,
+             |    CAST(l_quantity AS DECIMAL(18,2)) AS l_quantity,
+             |    CAST(l_extendedprice AS DECIMAL(18,2))
+             |      AS l_extendedprice,
+             |    CAST(l_discount AS DECIMAL(18,2)) AS l_discount
+             |  FROM lineitem)
+             |UNPIVOT (value FOR measure
+             |  IN (l_quantity, l_extendedprice, l_discount))"""
+        .stripMargin),
+    ),
+
+    // ---- time-RANGE window frame (trailing one hour per user), the
+    // value-based sibling of q211's row-based frame: RANGE includes
+    // ALL peers of the current ordering value, so the result is
+    // deterministic under same-second ties without any tie-break
+    // column — both engines frame on the same floor-seconds key
+    // (q35's epoch/floor convention). Exact cents sum; the window
+    // partitions by user (bounded per-key history, cluster-wide
+    // parallelism, never an unpartitioned frame).
+    Q(
+      "q216_time_range_window",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"sec")
+          .rangeBetween(-3600, Window.currentRow)
+        Tables.events(s, d)
+          .select($"user_id", $"event_id", $"ts".cast("long").as("sec"),
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents"))
+          .withColumn("hour_sum_cents", sum($"cents").over(w))
+          .withColumn("hour_n", count(lit(1)).over(w))
+          .drop("cents")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, event_id,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS cents
+             |  FROM events
+             |)
+             |SELECT user_id, event_id, sec,
+             |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY sec
+             |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS hour_sum_cents,
+             |  count(*) OVER (PARTITION BY user_id ORDER BY sec
+             |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+             |    AS hour_n
+             |FROM v""".stripMargin),
+    ),
   )
 }
