@@ -261,7 +261,7 @@ object SketchStats {
     * ~2^85, i.e. any realistic corpus. This is the bridge every
     * operator here uses when an IEEE value (r, slope) is the output
     * contract but the inputs are exact integer sufficient statistics. */
-  private def splitToDouble(c: String): Column = {
+  private[ops] def splitToDouble(c: String): Column = {
     val hi = expr(s"abs($c) div 4294967296").cast("double")
     val lo = (abs(col(c)) % lit(4294967296L)).cast("double")
     when(col(c) < 0, -1.0).otherwise(1.0) *

@@ -126,4 +126,36 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out(4L) == ((4L, 1000L)))
     assert(out(9L) == ((1L, 0L))) // singleton group
   }
+
+  test("splitToDouble: exact below 2^53, sign-symmetric, and within " +
+      "1 ulp of the correctly-rounded value past 2^53") {
+    val rng = new scala.util.Random(41)
+    val cases: Seq[BigInt] =
+      Seq[BigInt](0, 1, -1, (BigInt(1) << 53) - 1, BigInt(1) << 53,
+        (BigInt(1) << 53) + 1, BigInt(1) << 64, (BigInt(1) << 80) - 7) ++
+        (1 to 40).map(_ => BigInt(70, rng) - (BigInt(1) << 69))
+    val df = cases.map(_.toString).toDF("s")
+      .select(col("s").cast("decimal(38,0)").as("v"))
+    val got = df.select(SketchStats.splitToDouble("v").as("d"))
+      .collect().map(_.getDouble(0))
+    cases.zip(got).foreach { case (v, d) =>
+      val exact = new java.math.BigDecimal(v.bigInteger).doubleValue()
+      if (v.abs < (BigInt(1) << 53))
+        assert(d == exact, s"$v must convert exactly, got $d")
+      else {
+        // double-rounding through hi*2^32 + lo can differ from the
+        // correctly-rounded cast by at most one ulp — what matters is
+        // that BOTH engines replay the same split, but the result must
+        // still be essentially the value
+        assert(math.abs(d - exact) <= math.ulp(exact),
+          s"$v: $d vs correctly-rounded $exact")
+      }
+    }
+    // sign symmetry: split(-v) == -split(v) for every case
+    val neg = cases.map(v => (-v).toString).toDF("s")
+      .select(col("s").cast("decimal(38,0)").as("v"))
+      .select(SketchStats.splitToDouble("v").as("d"))
+      .collect().map(_.getDouble(0))
+    got.zip(neg).foreach { case (p, n) => assert(n == -p) }
+  }
 }
