@@ -104,6 +104,16 @@ object Bench {
     // `"q" + Integer.parseInt(key, 36)`, and BENCH_PERF.jsonl keeps
     // the qNN key AND the full name per line — the durable channel a
     // reader should join against anyway.
+    //
+    // BUDGET STATUS at 216 queries: worst-case line = 1998 B of the
+    // 2000 B guard — the inventory is display-full. The next query
+    // addition must reclaim bytes first; cheapest levers, in order:
+    // (a) shorten the "sf" suffix to its basename ("sf0.1", ~16 B);
+    // (b) drop the "unit" pair if the driver tolerates it (~13 B);
+    // (c) emit query values > 0.95 s with %.0f (saves 2 B on each
+    //     such query but makes the worst-case bound data-dependent —
+    //     pair it with a realistic-bound contract test).
+    // BENCH_PERF.jsonl always carries full precision regardless.
     val tiny: Map[String, String] =
       short.map { case (n, s) =>
         n -> java.lang.Long.toString(s.stripPrefix("q").toLong, 36) }
