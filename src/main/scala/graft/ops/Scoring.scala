@@ -639,6 +639,10 @@ object Scoring {
     * Scale shape: one window partitioned by the key (keys numerous),
     * filter to k rows, one map-side-combined sum.
     *
+    * Events with a null ts or null value drop before ranking (see the
+    * in-body note — n_used and decayed_num must describe the same
+    * rows).
+    *
     * @param valueScaledCol integer-scaled value (cents — the
     *        [[groupedOls]] contract)
     * @return (keyCol, n_used, decayed_num, decayed_milli) */
@@ -650,7 +654,12 @@ object Scoring {
       .orderBy(col(tsCol).desc, col(tieCol).desc)
     val wt = decayWeights(k, alphaPermille)
     val wArr = array(wt.map(lit): _*)
-    df.withColumn("__j", row_number().over(w))
+    // a null ts or value would otherwise occupy one of the k recency
+    // slots while contributing nothing to the sum (sum skips nulls,
+    // row_number does not) — n_used and decayed_num must describe the
+    // same rows
+    df.filter(col(tsCol).isNotNull && col(valueScaledCol).isNotNull)
+      .withColumn("__j", row_number().over(w))
       .filter(col("__j") <= k)
       .withColumn("__wt", element_at(wArr, col("__j")))
       .groupBy(col(keyCol))
@@ -669,12 +678,17 @@ object Scoring {
     * sums accumulate in decimal(38,0).
     *
     * @return one row (n, total, gini_ppm) — null gini on an empty or
-    *         zero-total frame (undefined, not zero) */
+    *         zero-total frame (undefined, not zero); null sizes drop
+    *         before ranking (see the in-body note) */
   def giniConcentration(df: DataFrame, valueCol: String,
       idCol: String): DataFrame = {
+    // null sizes would take ranks (nulls-first in the asc sort) while
+    // the sums skip them, skewing the rank-weighted identity — a null
+    // size is "unmeasured", not a size, so it drops before ranking
     val ranked = Packing.globalRowNumber(
-      df.select(col(valueCol).cast("decimal(38,0)").as("__x"),
-        col(idCol).as("__id")),
+      df.filter(col(valueCol).isNotNull)
+        .select(col(valueCol).cast("decimal(38,0)").as("__x"),
+          col(idCol).as("__id")),
       Seq(col("__x").asc, col("__id").asc), "__r")
     ranked
       .agg(count(lit(1)).as("n"),
@@ -776,7 +790,9 @@ object Scoring {
     * with incomparable scales become comparable before mixing or
     * thresholding. Ties broken by the unique `idCol` (two engines
     * must agree on every rank). Singleton groups sit at 0 by the
-    * formula's convention.
+    * formula's convention. Null scores are KEPT: they sort first
+    * (asc nulls-first) and take the lowest ranks deterministically —
+    * filter upstream if null means "unscored" rather than "worst".
     *
     * Scale shape: one window partitioned by the group key — groups are
     * numerous (sources, languages), so the sort parallelizes; for a

@@ -278,7 +278,9 @@ object SketchStats {
     * fractional decimal scales break cross-engine double casts);
     * slope/intercept come back in the scaled units and the caller
     * divides once. Groups with < 2 points or zero x-variance yield
-    * null slope (the formula is undefined, not zero). Precision
+    * null slope (the formula is undefined, not zero). Rows with a
+    * null x or y are dropped as PAIRS before counting (the
+    * SQL-standard regr_* semantic — see the in-body note). Precision
     * envelope: |x|,|y| < ~10⁹ scaled units keeps Σx·y sums inside
     * decimal(38,0) to ~10¹⁹ rows.
     *
@@ -300,7 +302,12 @@ object SketchStats {
     // int128 on the DuckDB side too.
     val x = col(xCol).cast("decimal(19,0)")
     val y = col(yCol).cast("decimal(19,0)")
-    val agg = df.groupBy(col(groupCol))
+    // complete-case: a null x or y must drop the whole PAIR before n is
+    // counted — `sum` skips nulls but `count(lit(1))` would not, and an
+    // n inconsistent with its sums silently skews the fit (the
+    // SQL-standard regr_* aggregates define exactly this pair-drop)
+    val agg = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"), sum(x).as("__sx"), sum(y).as("__sy"),
         sum(x * y).as("__sxy"), sum(x * x).as("__sxx"))
     // exact integer sums → double once (via the deterministic split —
@@ -329,7 +336,9 @@ object SketchStats {
     * doubles and lose cross-engine bit equality). The final
     * r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) runs in IEEE
     * double with correctly-rounded sqrt — deterministic everywhere.
-    * Zero-variance columns yield null r.
+    * Zero-variance columns yield null r. Rows with a null in ANY of
+    * the given columns are dropped (listwise deletion — the one
+    * shared n must be consistent with every pair's sums).
     *
     * @return (var_a, var_b, n, r) for a < b in the given order */
   def pearsonPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
@@ -342,7 +351,14 @@ object SketchStats {
         sum(dec(i) * dec(i)).as(s"__q$i")) } ++
       cols.indices.flatMap { i => cols.indices.drop(i + 1).map { j =>
         sum(dec(i) * dec(j)).as(s"__p${i}_$j") } }
-    val stats = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    // listwise deletion: one shared n must be consistent with EVERY
+    // pair's sums, so any null in any correlated column drops the row
+    // before counting (pairwise-complete semantics would need a
+    // per-pair n and break the one-scan shape; callers wanting it run
+    // per-pair). Without this, nulls skew r silently — sum skips them,
+    // count(lit(1)) would not.
+    val complete = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    val stats = complete.agg(count(lit(1)).as("__n"), aggs: _*)
     val nD = col("__n").cast("double")
     def d(c: String) = splitToDouble(c)
     val pairRows = cols.indices.flatMap { i =>

@@ -158,4 +158,30 @@ class AnalyticsOpsSpec extends SparkSpec {
       .collect().map(_.getDouble(0))
     got.zip(neg).foreach { case (p, n) => assert(n == -p) }
   }
+
+  test("groupedOls / pearsonPairs: null inputs drop as complete pairs " +
+      "— n stays consistent with the sums") {
+    // g1 carries a null-y row that must NOT count toward n: with it
+    // dropped, the remaining points sit exactly on y = 3x + 10
+    val df = Seq(
+      ("g1", Some(1L), Some(13L)), ("g1", Some(2L), Some(16L)),
+      ("g1", Some(3L), None: Option[Long]), ("g1", Some(4L), Some(22L)),
+      ("g1", None: Option[Long], Some(99L)),
+    ).toDF("g", "x", "y")
+    val ols = SketchStats.groupedOls(df, "g", "x", "y").collect().head
+    assert(ols.getAs[Long]("n") == 3L)
+    assert(ols.getAs[Double]("slope") == 3.0)
+    assert(ols.getAs[Double]("intercept") == 10.0)
+    // pearson: the null row is deleted listwise; the remaining three
+    // (x, y) points are perfectly correlated -> r == 1.0 exactly
+    val pp = Seq((Some(1L), Some(2L)), (Some(2L), Some(4L)),
+        (None: Option[Long], Some(7L)), (Some(3L), Some(6L)))
+      .toDF("a", "b")
+    val r = SketchStats.pearsonPairs(pp, Seq("a", "b")).collect().head
+    assert(r.getAs[Long]("n") == 3L)
+    // perfect correlation up to sqrt rounding (the formula does not
+    // guarantee exactly 1.0; with the null row COUNTED, r would be
+    // wildly off, which is what this guards)
+    assert(math.abs(r.getAs[Double]("r") - 1.0) < 1e-12)
+  }
 }

@@ -93,4 +93,31 @@ class PreferenceStatsSpec extends SparkSpec {
     assert(out.values.map(_.getAs[Long]("chi2_ppm")).sum == 4000000L)
     assert(out(("x", "p")).getAs[Long]("expected_milli") == 1000L)
   }
+
+  test("decayedScore / giniConcentration: null ts/value rows drop " +
+      "before ranking — counts stay consistent with sums") {
+    import spark.implicits._
+    // u1: a null-value event is newer than everything — it must NOT
+    // consume the k=2 recency slot (else the real newest event slides
+    // to weight rank 2 and one real event falls out entirely)
+    val ev = Seq(
+      ("u1", Some(3L), 30L, None: Option[Long]),
+      ("u1", Some(2L), 20L, Some(100L)),
+      ("u1", Some(1L), 10L, Some(200L)),
+      ("u1", None: Option[Long], 5L, Some(900L)),
+    ).toDF("k", "ts", "tie", "v")
+    val ds = Scoring.decayedScore(ev, "k", "ts", "tie", "v",
+      k = 2, alphaPermille = 500).collect().head
+    assert(ds.getAs[Long]("n_used") == 2L)
+    // weights (α=.5, k=2): 500000000, 250000000 ppb over values 100, 200
+    assert(ds.getAs[Long]("decayed_num") ==
+      100L * 500000000L + 200L * 250000000L)
+    // gini: the null size must not take the lowest rank
+    val g = Scoring.giniConcentration(
+      Seq((Some(5L), "a"), (None: Option[Long], "b"), (Some(5L), "c"))
+        .toDF("size", "id"),
+      "size", "id").collect().head
+    assert(g.getAs[Long]("n") == 2L)
+    assert(g.getAs[Long]("gini_ppm") == 0L) // uniform over the 2 real rows
+  }
 }
