@@ -556,13 +556,19 @@ object Scoring {
     *
     * Zero-win candidates reach strength 0; a pair of zero-strength
     * opponents divides by greatest(p_i+p_j, 1) so the recurrence never
-    * nulls.
+    * nulls. Malformed judgments drop up front: a null winner or loser
+    * would otherwise collapse into a phantom self-game (`least`/
+    * `greatest` skip nulls, so (null, A) becomes the pair (A, A)),
+    * and an explicit winner == loser row is equally meaningless to
+    * the model.
     *
     * @return (candidate, wins, games, strength_milli, rank) */
-  def bradleyTerry(prefs: DataFrame, winnerCol: String, loserCol: String,
-      iters: Int = 2): DataFrame = {
+  def bradleyTerry(rawPrefs: DataFrame, winnerCol: String,
+      loserCol: String, iters: Int = 2): DataFrame = {
     require(iters >= 1 && iters <= 8, s"iters must be in [1,8], got $iters")
     import Materialize.MaterializeOps
+    val prefs = rawPrefs.filter(col(winnerCol).isNotNull &&
+      col(loserCol).isNotNull && col(winnerCol) =!= col(loserCol))
     val pairs = prefs.select(
         least(col(winnerCol), col(loserCol)).as("lo"),
         greatest(col(winnerCol), col(loserCol)).as("hi"))

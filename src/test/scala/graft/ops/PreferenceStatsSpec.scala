@@ -120,4 +120,23 @@ class PreferenceStatsSpec extends SparkSpec {
     assert(g.getAs[Long]("n") == 2L)
     assert(g.getAs[Long]("gini_ppm") == 0L) // uniform over the 2 real rows
   }
+
+  test("bradleyTerry: null-sided and self-game judgments drop instead " +
+      "of collapsing into phantom pairs") {
+    import spark.implicits._
+    // least/greatest skip nulls, so without the guard (null, A) would
+    // become the self-pair (A, A) and inflate A's games
+    val prefs = Seq(
+      (Some("A"), Some("B")), (Some("A"), Some("B")),
+      (None: Option[String], Some("A")), (Some("B"), None),
+      (Some("A"), Some("A")),
+    ).toDF("w", "l")
+    val out = Scoring.bradleyTerry(prefs, "w", "l")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("A", "B"))
+    assert(out("A").getAs[Long]("wins") == 2L)
+    assert(out("A").getAs[Long]("games") == 2L)
+    assert(out("B").getAs[Long]("games") == 2L)
+    assert(out("A").getAs[Int]("rank") == 1)
+  }
 }
