@@ -1465,6 +1465,28 @@ class CurationOpsSpec extends SparkSpec {
     } yield (ia, ib, l, f)).toSet
     assert(got == brute)
     assert(brute.nonEmpty)
+    // uniform-length low-entropy corpus — the q172 shape, where the
+    // pair-length bound L >= ceil(θ·(len+minLen)/2) shrinks the prefix
+    // from 8 to 4 of 12 tokens: the filter must STILL drop no
+    // qualifying pair
+    val base12 = (0L until 40L).map { i =>
+      (i, (0 until 12).map(_ => s"w${rnd.nextInt(8)}"))
+    }
+    // planted one-token paraphrases guarantee qualifying pairs
+    // (LCS = 11 of 12, F1 = 916), so the recall half isn't vacuous
+    val rows12 = base12 ++ base12.take(5).map { case (i, t) =>
+      (i + 100L, t.updated(6, "zzz"))
+    }
+    val got12 = Dedup.rougeLPairs(rows12.toDF("id", "toks"), "id",
+        "toks", minPermille = 700)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    val brute12 = (for {
+      (ia, ta) <- rows12; (ib, tb) <- rows12 if ia < ib
+      l = refLcs(ta, tb)
+      f = (2000L * l) / 24 if f >= 700
+    } yield (ia, ib, l, f)).toSet
+    assert(got12 == brute12)
+    assert(brute12.size >= 5) // the planted paraphrases all qualify
   }
 
   test("rougeLPairs: the Self-Instruct gate — one-token paraphrase " +
