@@ -28,6 +28,20 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(tiny == Map(1L -> 1, 2L -> 2))
   }
 
+  test("globalNtile: null ordering values rank first (asc nulls-first), " +
+      "tile sizes keep the NTILE contract") {
+    val df = Seq((Some(5L), 1L), (None: Option[Long], 2L), (Some(1L), 3L),
+      (None: Option[Long], 4L), (Some(3L), 5L), (Some(2L), 6L),
+      (Some(4L), 7L)).toDF("v", "id")
+    val out = SketchStats.globalNtile(df,
+        Seq(col("v").asc, col("id").asc), k = 3)
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    // n=7, k=3 → sizes 3,2,2; nulls (ids 2,4) sort first → tile 1
+    assert(out(2L) == 1 && out(4L) == 1 && out(3L) == 1) // null,null,v=1
+    assert(out(6L) == 2 && out(5L) == 2)                 // v=2,3
+    assert(out(1L) == 3 && out(7L) == 3)                 // v=4,5 hi tile
+  }
+
   test("groupedOls: exact fit on a planted line, degenerate groups null") {
     // g1: y = 3x + 10 exactly; g2: single point; g3: zero x-variance
     val df = Seq(
