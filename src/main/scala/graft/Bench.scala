@@ -105,10 +105,10 @@ object Bench {
     // the qNN key AND the full name per line — the durable channel a
     // reader should join against anyway.
     //
-    // BUDGET STATUS at 216 queries: worst-case line = 1998 B of the
-    // 2000 B guard — the inventory is display-full. The next query
-    // addition must reclaim bytes first; cheapest levers, in order:
-    // (a) shorten the "sf" suffix to its basename ("sf0.1", ~16 B);
+    // BUDGET STATUS at 216 queries: worst-case line = 1982 B of the
+    // 2000 B guard after cashing in lever (a) below — room for 2 more
+    // queries. Remaining levers when that runs out:
+    // (a) DONE — "sf" emits its basename ("sf0.1"), not the full path;
     // (b) drop the "unit" pair if the driver tolerates it (~13 B);
     // (c) emit query values > 0.95 s with %.0f (saves 2 B on each
     //     such query but makes the worst-case bound data-dependent —
@@ -205,7 +205,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // the summary MUST be the final stdout line (bounded-tail capture)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // sf as its basename ("sf0.1") — lever (a) of the byte budget
+    // above, cashed in at 216 queries so the next inventory growth has
+    // headroom; BENCH_PERF.jsonl's ctx lines keep the full sf_dir path
+    val sfName = sfDir.stripSuffix("/").split('/').last
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
     Console.out.flush()
     spark.stop()
   }

@@ -32,7 +32,9 @@ class BenchContractSpec extends AnyFunSuite {
       .mkString(
         """{"metric":"total","value":99999.999,"unit":"sec","queries":{""",
         ",",
-        """},"sf":"/root/testdata/sf0.1"}""")
+        // Bench emits sf as its basename — mirror that exactly, the
+        // bound is only honest if the template matches the emission
+        """},"sf":"sf0.1"}""")
     assert(line.length < 2000,
       s"summary line would be ${line.length} bytes — the r4 truncation " +
         "started near 2.3 KB; shorten keys or split the line")
