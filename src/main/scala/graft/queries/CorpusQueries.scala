@@ -6157,17 +6157,22 @@ object CorpusQueries extends QueryModule {
       (s, d) => Scoring.seededNoiseRelease(
         Tables.documents(s, d), Seq("source"),
         seed = "ns42", bound = 5, k = 20L),
+      // the noise key null-coalesces to '<null>' on BOTH engines (a
+      // bare `source || 'ns42'` null-propagates in SQL while Spark's
+      // concat_ws silently skips nulls — divergent AND colliding);
+      // no-op on this fixture's non-null sources
       Some("""WITH g AS (
              |  SELECT CAST(source AS VARCHAR) AS source,
              |    CAST(count(*) AS BIGINT) AS group_n
              |  FROM documents GROUP BY 1
              |)
              |SELECT source, group_n, group_n >= 20 AS released,
-             |  CAST('0x' || substr(md5(source || 'ns42'), 1, 15)
-             |    AS BIGINT) % 11 - 5 AS noise,
+             |  CAST('0x' || substr(md5(coalesce(source, '<null>')
+             |    || 'ns42'), 1, 15) AS BIGINT) % 11 - 5 AS noise,
              |  greatest(group_n +
-             |    CAST('0x' || substr(md5(source || 'ns42'), 1, 15)
-             |      AS BIGINT) % 11 - 5, 0) AS released_n
+             |    CAST('0x' || substr(md5(coalesce(source, '<null>')
+             |      || 'ns42'), 1, 15) AS BIGINT) % 11 - 5, 0)
+             |    AS released_n
              |FROM g""".stripMargin),
     ),
 
@@ -6386,6 +6391,9 @@ object CorpusQueries extends QueryModule {
             .as("cents")),
         "user_id", "ts", "event_id", "cents", k = 8,
         alphaPermille = 500),
+      // decayed_milli's division is sign-guarded (q205's CASE): Spark
+      // `div` truncates toward zero, DuckDB `//` floors — latent on
+      // this strictly-positive fixture, pinned anyway
       Some("""WITH v AS (
              |  SELECT user_id,
              |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
@@ -6393,15 +6401,18 @@ object CorpusQueries extends QueryModule {
              |    row_number() OVER (PARTITION BY user_id
              |      ORDER BY ts DESC, event_id DESC) AS j
              |  FROM events
+             |), a AS (
+             |  SELECT user_id, count(*) AS n_used,
+             |    CAST(sum(cents * ([500000000, 250000000, 125000000,
+             |      62500000, 31250000, 15625000, 7812500, 3906250])[j])
+             |      AS BIGINT) AS decayed_num
+             |  FROM v WHERE j <= 8 GROUP BY 1
              |)
-             |SELECT user_id, count(*) AS n_used,
-             |  CAST(sum(cents * ([500000000, 250000000, 125000000,
-             |    62500000, 31250000, 15625000, 7812500, 3906250])[j])
-             |    AS BIGINT) AS decayed_num,
-             |  CAST(sum(cents * ([500000000, 250000000, 125000000,
-             |    62500000, 31250000, 15625000, 7812500, 3906250])[j])
-             |    AS BIGINT) // 1000000 AS decayed_milli
-             |FROM v WHERE j <= 8 GROUP BY 1""".stripMargin),
+             |SELECT user_id, n_used, decayed_num,
+             |  CASE WHEN decayed_num >= 0 THEN decayed_num // 1000000
+             |       ELSE -((-decayed_num) // 1000000)
+             |  END AS decayed_milli
+             |FROM a""".stripMargin),
     ),
 
     // ---- Gini concentration of per-user event volume: the corpus-

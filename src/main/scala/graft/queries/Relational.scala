@@ -437,12 +437,16 @@ object Relational extends QueryModule {
           .cube($"o_orderstatus", $"o_orderpriority")
           .agg(grouping_id().as("gid"),
             count(lit(1)).as("n"),
-            sum($"o_totalprice".cast("decimal(18,2)")).as("total"))
+            // exact decimal internally, DOUBLE at the output (the :104
+            // convention) — DECIMAL(28,2) vs DuckDB's float rendering
+            // hash-mismatched on trailing zeros (r7 q190 red row)
+            sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+              .as("total"))
       },
       Some("""SELECT o_orderstatus, o_orderpriority,
              |  GROUPING(o_orderstatus, o_orderpriority) AS gid,
              |  count(*) AS n,
-             |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM orders
              |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin),
     ),
@@ -828,20 +832,27 @@ object Relational extends QueryModule {
           .withColumn("w_avg_cents", expr("w_sum_cents div w_n"))
           .drop("ts")
       },
+      // the division is sign-guarded on the oracle side (q205's CASE):
+      // Spark `div` truncates toward zero while DuckDB `//` floors, so
+      // a negative window sum would otherwise diverge by one cent —
+      // latent on this strictly-positive fixture, pinned anyway
       Some("""WITH v AS (
              |  SELECT user_id, event_id, ts,
              |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
              |      AS cents
              |  FROM events
+             |), f AS (
+             |  SELECT user_id, event_id, cents,
+             |    CAST(count(*) OVER w AS BIGINT) AS w_n,
+             |    CAST(sum(cents) OVER w AS BIGINT) AS w_sum_cents
+             |  FROM v
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
              |)
-             |SELECT user_id, event_id, cents,
-             |  CAST(count(*) OVER w AS BIGINT) AS w_n,
-             |  CAST(sum(cents) OVER w AS BIGINT) AS w_sum_cents,
-             |  CAST(sum(cents) OVER w AS BIGINT)
-             |    // CAST(count(*) OVER w AS BIGINT) AS w_avg_cents
-             |FROM v
-             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-             |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin),
+             |SELECT user_id, event_id, cents, w_n, w_sum_cents,
+             |  CASE WHEN w_sum_cents >= 0 THEN w_sum_cents // w_n
+             |       ELSE -((-w_sum_cents) // w_n) END AS w_avg_cents
+             |FROM f""".stripMargin),
     ),
 
     // ---- funnel conversion latency: signup → first purchase delay in
@@ -939,8 +950,14 @@ object Relational extends QueryModule {
             Array($"l_orderkey", $"l_linenumber"),
             Array($"l_quantity", $"l_extendedprice", $"l_discount"),
             "measure", "value")
+          // decimal pre-cast fixes the VALUES on both engines; double
+          // post-cast fixes the RENDERING (DECIMAL(18,2) trailing
+          // zeros hash-mismatched 71,793 cells in r7 despite zero
+          // numeric differences — the :104 convention)
+          .withColumn("value", $"value".cast("double"))
       },
-      Some("""SELECT l_orderkey, l_linenumber, measure, value FROM (
+      Some("""SELECT l_orderkey, l_linenumber, measure,
+             |  CAST(value AS DOUBLE) AS value FROM (
              |  SELECT l_orderkey, l_linenumber,
              |    CAST(l_quantity AS DECIMAL(18,2)) AS l_quantity,
              |    CAST(l_extendedprice AS DECIMAL(18,2))

@@ -26,7 +26,16 @@ object WarcFixtures {
   def uriOf(docId: Long): String =
     s"http://crawl.example/doc/$docId"
 
-  def write(spark: SparkSession, sfDir: String): String = {
+  private val written =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Memoized per (sfDir) for the JVM: the fixture is deterministic,
+    * and re-collecting the documents table on every bench invocation
+    * of q174/q177 was pure harness build_sec (r7 brief item 3). */
+  def write(spark: SparkSession, sfDir: String): String =
+    written.computeIfAbsent(sfDir, _ => writeOnce(spark, sfDir))
+
+  private def writeOnce(spark: SparkSession, sfDir: String): String = {
     val sfName = new java.io.File(sfDir).getName
     val dir = java.nio.file.Paths.get("target", "warc", sfName)
       .toAbsolutePath

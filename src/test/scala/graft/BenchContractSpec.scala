@@ -21,23 +21,21 @@ class BenchContractSpec extends AnyFunSuite {
       s"colliding numeric keys: ${nums.diff(nums.distinct).distinct}")
   }
 
-  test("worst-case summary line stays well inside the capture window") {
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    // worst case mirrors Bench's emission: base-36 keys and f1
-    // values display-clamped to 9.9 (3 chars) — the clamp is what
-    // makes this a true bound rather than a hope
-    val line = names.map(n =>
-        "\"" + java.lang.Long.toString(
-          n.takeWhile(_ != '_').stripPrefix("q").toLong, 36) + "\":9.9")
-      .mkString(
-        """{"metric":"total","value":99999.999,"unit":"sec","queries":{""",
-        ",",
-        // Bench emits sf as its basename — mirror that exactly, the
-        // bound is only honest if the template matches the emission
-        """},"sf":"sf0.1"}""")
-    assert(line.length < 2000,
-      s"summary line would be ${line.length} bytes — the r4 truncation " +
-        "started near 2.3 KB; shorten keys or split the line")
+  test("final summary line is tiny and query-count-independent") {
+    // r7: the combined total+map line (1,982 B at 216 queries) lost
+    // its HEAD once sbt's ~70 B [success] epilogue shared the
+    // bounded-tail window, and the round's bench total went
+    // unparsed. Since r8 the FINAL line carries only the total —
+    // worst-case template mirrored here — and must stay far inside
+    // the window even alongside the epilogue. Its size must not
+    // depend on the query inventory at all.
+    val finalLine =
+      """{"metric":"total","value":99999.999,"unit":"sec","sf":"sf0.001"}"""
+    assert(finalLine.length < 120,
+      s"final line would be ${finalLine.length} bytes — it must stay " +
+        "fixed-size; never put per-query data back on it")
+    assert(!finalLine.contains("queries"),
+      "the final line must not carry the per-query map (r4/r7 clipping)")
   }
 
   test("every query has an oracle (the driver gate sees no no_oracle rows)") {
