@@ -160,6 +160,14 @@ object Bench {
       // operators may persist() intermediates; drop them so successive
       // queries measure from a clean heap
       spark.catalog.clearCache()
+      // the streaming harness queries sink through UUID-named memory
+      // tables whose rows live on the DRIVER heap; without dropping
+      // them every invocation's full result rides along for the rest
+      // of the suite — one attributed source of the r6/r7
+      // suite-pressure drift
+      spark.catalog.listTables().collect()
+        .filter(t => t.isTemporary && t.name.startsWith("graft_stream"))
+        .foreach(t => spark.catalog.dropTempView(t.name))
       // listener delivery is async — settle briefly so this query's task
       // metrics land in its own delta, not the next one's
       tracker.awaitQuiesce(stableMs = 50, timeoutMs = 2000)

@@ -1712,7 +1712,10 @@ object TextAnalysis {
     * adjacent pairs, hash agg), a 1-row TakeOrdered argmax, and a pure
     * codegen'd rewrite map, with the frame re-materialized per round so
     * round cost stays O(1) passes (the iterative-clustering pattern).
-    * Only `numMerges` rows ever reach the driver.
+    * Only `numMerges` rows ever reach the driver. At real vocab sizes
+    * the one-job-per-merge loop IS the bottleneck (32k merges = 32k
+    * sequential jobs) — [[learnBpeMergesBatched]] is the scale path,
+    * promoting up to B symbol-disjoint merges per round.
     *
     * @return (merge_rank from 1, lhs, rhs, merged, pair_count) —
     *         fewer than numMerges rows when the pair space dries up
@@ -1723,6 +1726,82 @@ object TextAnalysis {
     val merges = learnBpeMergesLocal(df, textCol, numMerges)
     import spark.implicits._
     merges.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** BATCHED BPE learning — the scale path of [[learnBpeMerges]]: the
+    * sequential trainer runs one pair-count aggregation + one rewrite
+    * per MERGE (a real 32k-merge vocab = 32k sequential Spark jobs —
+    * the r7 watch item), while this variant promotes up to `batchSize`
+    * merges per ROUND, so round count ≈ numMerges / accepted-per-round
+    * and a 32k vocab trains in a few hundred passes.
+    *
+    * Within a round, the top-`batchSize` pairs by (count desc, l, r)
+    * are filtered GREEDILY to a symbol-disjoint prefix set: a pair is
+    * accepted only if none of {lhs, rhs, lhs+rhs} was touched by an
+    * already-accepted pair this round. Disjointness makes the round
+    * sound: replacing ' l r ' for one accepted pair cannot create,
+    * destroy, or consume an adjacency of any other (no shared symbol
+    * ⇒ no shared or flanking position), so every accepted pair's
+    * pre-round count is still exact when its rewrite applies, and the
+    * chained replaces commute. Batching is still an APPROXIMATION of
+    * the strict greedy order — a merge may spawn a new pair whose
+    * count exceeds a later-accepted pair's (new-pair count ≤ the
+    * spawning pair's count, but not ≤ the next accepted one's) — the
+    * same exact-baseline/scale-path split as brute-force vs IVF ANN.
+    * `batchSize = 1` degenerates to [[learnBpeMerges]] exactly
+    * (spec-pinned), and q217 pins one full B=4 round cross-engine.
+    *
+    * Worst case (all top-B pairs share symbols) accepts 1 pair/round
+    * — the sequential bound, never worse.
+    *
+    * @return (merge_rank from 1, round from 1, lhs, rhs, merged,
+    *         pair_count) — merge_rank preserves in-round acceptance
+    *         order, so dropping `round` yields a [[bpeSegment]]-ready
+    *         merge table */
+  def learnBpeMergesBatched(df: DataFrame, textCol: String,
+      numMerges: Int, batchSize: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val spark = df.sparkSession
+    var cur = wordSymbols(df, textCol).materialized
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, String, String, String, Long)]
+    var rank = 1
+    var round = 1
+    var dry = false
+    while (rank <= numMerges && !dry) {
+      val want = math.min(batchSize, numMerges - rank + 1)
+      val top = symbolPairCounts(cur)
+        .orderBy(col("__cnt").desc, col("__l").asc, col("__r").asc)
+        .limit(want).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        top.foreach { row =>
+          val (l, r, c) =
+            (row.getString(0), row.getString(1), row.getLong(2))
+          val syms = Seq(l, r, l + r)
+          if (syms.forall(s => !used.contains(s))) {
+            used ++= syms
+            accepted += ((l, r, c))
+          }
+        }
+        accepted.foreach { case (l, r, c) =>
+          out += ((rank, round, l, r, l + r, c))
+          rank += 1
+        }
+        cur = accepted.foldLeft(cur) { case (df0, (l, r, _)) =>
+          df0.withColumn("__sym", call_function("replace", col("__sym"),
+            lit(s" $l $r "), lit(s" $l$r ")))
+        }.materialized
+        round += 1
+      }
+    }
+    import spark.implicits._
+    out.toSeq
+      .toDF("merge_rank", "round", "lhs", "rhs", "merged", "pair_count")
   }
 
   private[ops] def learnBpeMergesLocal(df: DataFrame, textCol: String,

@@ -2554,6 +2554,94 @@ object CorpusQueries extends QueryModule {
              |UNION ALL SELECT 3, l, r, l || r, cnt FROM b3""".stripMargin),
     ),
 
+    // ---- BATCHED BPE learning (the scale path of q115's sequential
+    // trainer — r7 watch item: 32k merges = 32k sequential jobs): one
+    // round promotes up to 4 merges at once, filtered greedily to a
+    // symbol-disjoint set so every accepted pair's pre-round count is
+    // still exact when its rewrite applies. The oracle restates ONE
+    // full round from first principles: pair counts, top-4 by
+    // (cnt desc, l, r), then the greedy disjointness chain (candidate
+    // k accepted iff {l,r,merged} avoids every ACCEPTED earlier
+    // candidate's {l,r,merged}) unrolled as explicit boolean algebra.
+    Q(
+      "q217_bpe_learn_batched",
+      (s, d) => TextAnalysis.learnBpeMergesBatched(
+          Tables.documents(s, d), "text", numMerges = 4, batchSize = 4)
+        .filter(col("round") === 1),
+      Some("""WITH wf AS (
+             |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+             |    SELECT unnest(string_split(trim(text), ' ')) AS word
+             |    FROM documents)
+             |  WHERE length(word) > 0 GROUP BY 1
+             |), s0 AS (
+             |  SELECT word, freq, ' ' || array_to_string(
+             |    [word[i] for i in range(1, length(word) + 1)], ' ')
+             |    || ' ' AS sym
+             |  FROM wf
+             |), p1 AS (
+             |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+             |    SELECT freq, ss[i] AS l, ss[i + 1] AS r
+             |    FROM (SELECT freq, ss, unnest(range(1, len(ss))) AS i
+             |          FROM (SELECT freq, string_split(trim(sym), ' ')
+             |                  AS ss FROM s0)))
+             |  GROUP BY 1, 2
+             |), c AS (
+             |  SELECT l, r, l || r AS m, cnt,
+             |    row_number() OVER (ORDER BY cnt DESC, l, r) AS rk
+             |  FROM p1 QUALIFY rk <= 4
+             |), w AS (
+             |  SELECT
+             |    max(CASE WHEN rk = 1 THEN l END) AS l1,
+             |    max(CASE WHEN rk = 1 THEN r END) AS r1,
+             |    max(CASE WHEN rk = 1 THEN m END) AS m1,
+             |    max(CASE WHEN rk = 1 THEN cnt END) AS c1,
+             |    max(CASE WHEN rk = 2 THEN l END) AS l2,
+             |    max(CASE WHEN rk = 2 THEN r END) AS r2,
+             |    max(CASE WHEN rk = 2 THEN m END) AS m2,
+             |    max(CASE WHEN rk = 2 THEN cnt END) AS c2,
+             |    max(CASE WHEN rk = 3 THEN l END) AS l3,
+             |    max(CASE WHEN rk = 3 THEN r END) AS r3,
+             |    max(CASE WHEN rk = 3 THEN m END) AS m3,
+             |    max(CASE WHEN rk = 3 THEN cnt END) AS c3,
+             |    max(CASE WHEN rk = 4 THEN l END) AS l4,
+             |    max(CASE WHEN rk = 4 THEN r END) AS r4,
+             |    max(CASE WHEN rk = 4 THEN m END) AS m4,
+             |    max(CASE WHEN rk = 4 THEN cnt END) AS c4
+             |  FROM c
+             |), f AS (
+             |  SELECT *,
+             |    (l2 NOT IN (l1, r1, m1) AND r2 NOT IN (l1, r1, m1)
+             |      AND m2 NOT IN (l1, r1, m1)) AS a2
+             |  FROM w
+             |), f2 AS (
+             |  SELECT *,
+             |    (l3 NOT IN (l1, r1, m1) AND r3 NOT IN (l1, r1, m1)
+             |      AND m3 NOT IN (l1, r1, m1)
+             |      AND (NOT a2 OR (l3 NOT IN (l2, r2, m2)
+             |        AND r3 NOT IN (l2, r2, m2)
+             |        AND m3 NOT IN (l2, r2, m2)))) AS a3
+             |  FROM f
+             |), f3 AS (
+             |  SELECT *,
+             |    (l4 NOT IN (l1, r1, m1) AND r4 NOT IN (l1, r1, m1)
+             |      AND m4 NOT IN (l1, r1, m1)
+             |      AND (NOT a2 OR (l4 NOT IN (l2, r2, m2)
+             |        AND r4 NOT IN (l2, r2, m2)
+             |        AND m4 NOT IN (l2, r2, m2)))
+             |      AND (NOT a3 OR (l4 NOT IN (l3, r3, m3)
+             |        AND r4 NOT IN (l3, r3, m3)
+             |        AND m4 NOT IN (l3, r3, m3)))) AS a4
+             |  FROM f2
+             |)
+             |SELECT 1 AS merge_rank, 1 AS round, l1 AS lhs, r1 AS rhs,
+             |  m1 AS merged, c1 AS pair_count FROM f3
+             |UNION ALL SELECT 2, 1, l2, r2, m2, c2 FROM f3 WHERE a2
+             |UNION ALL SELECT 2 + CAST(a2 AS INT), 1, l3, r3, m3, c3
+             |  FROM f3 WHERE a3
+             |UNION ALL SELECT 2 + CAST(a2 AS INT) + CAST(a3 AS INT),
+             |  1, l4, r4, m4, c4 FROM f3 WHERE a4""".stripMargin),
+    ),
+
     // ---- BPE segmentation: the learned 3-merge table applied to every
     // distinct corpus word (rank order, same pinned replace semantics).
     // DuckDB re-learns the merges (q115's CTE chain) and re-applies

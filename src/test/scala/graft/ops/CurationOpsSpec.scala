@@ -928,6 +928,66 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == Seq((1, "a", "b", "ab", 8L), (2, "a", "b", "ab", 3L)))
   }
 
+  test("learnBpeMergesBatched: batchSize=1 degenerates to the " +
+      "sequential trainer exactly") {
+    val d = Seq("abab abab abab ab ab", "cat cat dog").toDF("text")
+    val seq0 = TextAnalysis.learnBpeMerges(d, "text", numMerges = 4)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val bat = TextAnalysis
+      .learnBpeMergesBatched(d, "text", numMerges = 4, batchSize = 1)
+      .select("merge_rank", "lhs", "rhs", "merged", "pair_count")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(bat == seq0)
+    // batch=1 rounds are singletons: round == merge_rank
+    val rounds = TextAnalysis
+      .learnBpeMergesBatched(d, "text", numMerges = 4, batchSize = 1)
+      .select("merge_rank", "round").as[(Int, Int)].collect().toSeq
+    assert(rounds.forall { case (rk, rd) => rk == rd })
+  }
+
+  test("learnBpeMergesBatched: disjoint top pairs land in ONE round; " +
+      "a symbol-sharing candidate defers to the next") {
+    // ab(2), cd(3): pairs (c,d)=3, (a,b)=2 share no symbol → both
+    // accepted in round 1, rank order = count order
+    val disj = Seq("ab ab cd cd cd").toDF("text")
+    val out1 = TextAnalysis
+      .learnBpeMergesBatched(disj, "text", numMerges = 2, batchSize = 2)
+      .as[(Int, Int, String, String, String, Long)].collect().toSeq
+    assert(out1 == Seq(
+      (1, 1, "c", "d", "cd", 3L), (2, 1, "a", "b", "ab", 2L)))
+    // ab(3), bc(2): (b,c) shares 'b' with the accepted (a,b) → it is
+    // REJECTED from round 1 (its count would be stale after the
+    // rewrite) and wins round 2 instead
+    val conf = Seq("ab ab ab bc bc").toDF("text")
+    val out2 = TextAnalysis
+      .learnBpeMergesBatched(conf, "text", numMerges = 2, batchSize = 2)
+      .as[(Int, Int, String, String, String, Long)].collect().toSeq
+    assert(out2 == Seq(
+      (1, 1, "a", "b", "ab", 3L), (2, 2, "b", "c", "bc", 2L)))
+  }
+
+  test("learnBpeMergesBatched: the MERGED symbol also blocks — a " +
+      "candidate built from an accepted pair's output waits a round") {
+    // abc(2): round-1 candidates (a,b)=2 and (b,c)=2 (tie → lhs 'a'
+    // wins); (b,c) shares 'b' → deferred. Round 2 over 'ab c' has
+    // exactly (ab,c)=2 — the pair whose lhs IS round 1's merged
+    // symbol, only countable after that rewrite landed
+    val d = Seq("abc abc").toDF("text")
+    val out = TextAnalysis
+      .learnBpeMergesBatched(d, "text", numMerges = 2, batchSize = 2)
+      .as[(Int, Int, String, String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1, 1, "a", "b", "ab", 2L), (2, 2, "ab", "c", "abc", 2L)))
+    // and the batched merge table (round dropped) segments identically
+    // to the sequential table it approximates on this fixture
+    val seg = TextAnalysis.bpeSegment(d, "text",
+        TextAnalysis
+          .learnBpeMergesBatched(d, "text", numMerges = 2, batchSize = 2)
+          .drop("round"))
+      .select("word", "segments").as[(String, String)].collect().toSet
+    assert(seg == Set(("abc", "abc")))
+  }
+
   test("bpe replace semantics pinned: runs of identical symbols " +
       "under-merge within a round (scan resumes after the replacement)") {
     val d = Seq("aaaa bb").toDF("text")
