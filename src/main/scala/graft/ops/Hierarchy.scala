@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Hierarchical (recursive) queries over parent-pointer tables — the
+  * shape chat-conversation TREES arrive in (OpenAssistant/ShareGPT
+  * publish message trees as (id, parent_id) rows; SFT prep needs every
+  * root-to-node path to render each conversation branch), and equally
+  * the category-tree / reporting-chain rollup classic OLAP asks for.
+  *
+  * Spark-first: Spark 4 ships SQL:2023 recursive CTEs natively (the
+  * `UnionLoop` logical operator — each recursion level is one
+  * distributed join of the frontier against the child table, planned
+  * by Catalyst, level-synchronous like the Pregel ops here), so this
+  * is `WITH RECURSIVE` handed to the engine rather than a hand-rolled
+  * driver loop. Depth is data-bounded; Spark guards runaways with
+  * `spark.sql.cteRecursionLevelLimit` (default 100) — raise it for
+  * deeper hierarchies rather than looping manually.
+  *
+  * Scale shape: level-synchronous joins on the parent key — work per
+  * level is |frontier| · join, total Σ|level| = |tree|; no driver
+  * materialization. A skewed fan-out node is an ordinary skewed join
+  * key (AQE handles it).
+  */
+object Hierarchy {
+
+  /** Enumerate every root-to-node path: roots are rows with a NULL
+    * parent; each row extends its parent's path. Orphans (non-null
+    * parent that never appears as an id) are unreachable and emit
+    * nothing — surface them with an anti-join upstream if they must
+    * fail loudly.
+    *
+    * @return (node_id, depth from 1 at the root, path — '>'-joined ids
+    *         root→node) */
+  def rootToNodePaths(df: DataFrame, idCol: String,
+      parentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val v = "graft_tree_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    df.createOrReplaceTempView(v)
+    // sql() analyzes eagerly, inlining the view into the returned
+    // plan — dropping the view immediately after is safe and keeps
+    // the catalog clean across repeated calls
+    try spark.sql(
+      s"""WITH RECURSIVE __p AS (
+         |  SELECT $idCol AS node_id, 1 AS depth,
+         |    CAST($idCol AS STRING) AS path
+         |  FROM $v WHERE $parentCol IS NULL
+         |  UNION ALL
+         |  SELECT c.$idCol, p.depth + 1,
+         |    concat(p.path, '>', CAST(c.$idCol AS STRING))
+         |  FROM $v c JOIN __p p ON c.$parentCol = p.node_id
+         |) SELECT node_id, depth, path FROM __p""".stripMargin)
+    finally spark.catalog.dropTempView(v)
+  }
+
+  /** Leaf paths only — the SFT-rendering view of a message tree: one
+    * row per complete conversation branch (a leaf is a node no other
+    * row points to as parent). */
+  def rootToLeafPaths(df: DataFrame, idCol: String,
+      parentCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val paths = rootToNodePaths(df, idCol, parentCol)
+    val parents = df.select(col(parentCol).as("__pp"))
+      .filter(col("__pp").isNotNull).distinct()
+    paths.join(parents, paths("node_id") === parents("__pp"),
+        "left_anti")
+  }
+}

@@ -380,6 +380,65 @@ object Similarity {
     labelNeighborsKernel(df, idCol, vecCol, labelCol, k, numBlocks,
       sameLabel = true)
 
+  /** MARGIN-BASED BITEXT MINING (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings",
+    * ACL; the ccMatrix/LASER alignment step): candidate translation
+    * pairs between two embedding sides scored by the RATIO margin
+    *   margin(x, y) = cos(x, y) / ((avgₖ(x) + avgₖ(y)) / 2)
+    * where avgₖ(z) is the mean cosine of z's k nearest OTHER-side
+    * neighbors. Raw cosine over-pairs "hub" sentences that are close
+    * to everything; dividing by both ends' neighborhood density is
+    * what makes mined pairs precise — the published insight this
+    * operator encodes.
+    *
+    * Built on [[hardNegativesKernel]] with the side column as the
+    * label (different-side = cross-lingual), so BOTH directions' k-NN
+    * lists come from ONE blocked-kernel pass — never all-pairs. The
+    * k-cosine mean folds in rank order via a sorted-array aggregate
+    * (float addition is order-dependent; the fixed fold order is what
+    * lets a second engine reproduce the exact doubles — the q25
+    * summation-order precedent). Pairs emit from the `srcSideValue`
+    * side only (each candidate once, directed); `mutual_top1` marks
+    * forward-backward agreement — the high-precision extraction gate.
+    *
+    * Scale shape: one blocked kernel (B² block-pair tasks), then
+    * k-bounded joins on id — candidate volume is |src|·k rows, never
+    * |src|·|tgt|.
+    *
+    * @return (src_id, tgt_id, cosine, rank 1..k by cosine desc,
+    *         margin, mutual_top1) */
+  def bitextMarginPairs(df: DataFrame, idCol: String, vecCol: String,
+      sideCol: String, srcSideValue: Long, k: Int,
+      numBlocks: Int = 8): DataFrame = {
+    val nn = hardNegativesKernel(df, idCol, vecCol, sideCol, k, numBlocks)
+      .materialized // reused three times: denominators, top-1, pairs
+    val denom = nn.groupBy(col("id"))
+      .agg(sort_array(collect_list(
+        struct(col("rank").as("r"), col("cosine").as("c")))).as("cs"))
+      .select(col("id"),
+        (aggregate(col("cs"), lit(0.0d),
+          (acc, x) => acc + x.getField("c")) / size(col("cs")))
+          .as("knn_avg"))
+    val top1 = nn.filter(col("rank") === 1)
+      .select(col("id").as("tgt_id"), col("neighbor_id").as("t1_nn"))
+    val srcIds = df.select(col(idCol).cast("long").as("src_id"),
+        col(sideCol).cast("long").as("__side"))
+      .filter(col("__side") === srcSideValue).drop("__side")
+    nn.select(col("id").as("src_id"), col("neighbor_id").as("tgt_id"),
+        col("cosine"), col("rank"))
+      .join(srcIds, "src_id") // broadcast-friendly id projection
+      .join(denom.select(col("id").as("src_id"),
+        col("knn_avg").as("a_src")), "src_id")
+      .join(denom.select(col("id").as("tgt_id"),
+        col("knn_avg").as("a_tgt")), "tgt_id")
+      .join(top1, Seq("tgt_id"), "left")
+      .select(col("src_id"), col("tgt_id"), col("cosine"), col("rank"),
+        (col("cosine") / ((col("a_src") + col("a_tgt")) / lit(2.0d)))
+          .as("margin"),
+        coalesce(col("rank") === 1 && col("t1_nn") === col("src_id"),
+          lit(false)).as("mutual_top1"))
+  }
+
   private def labelNeighborsKernel(df: DataFrame, idCol: String,
       vecCol: String, labelCol: String, k: Int, numBlocks: Int,
       sameLabel: Boolean): DataFrame = {

@@ -3484,6 +3484,180 @@ object CorpusQueries extends QueryModule {
              |SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_ppb FROM r3""".stripMargin),
     ),
 
+    // ---- HITS hub/authority (Kleinberg 1999) over the SAME earned
+    // link graph as q134 — the centrality signal that separates "links
+    // to good content" from "is good content" (link-farm/directory
+    // detection). Two L1-normalized integer iterations in ppb BIGINTs;
+    // DuckDB restates both iterations from the filename-derived link
+    // formula (DISTINCT edges — HITS is 0/1-adjacency), so a dropped
+    // normalization, a multigraph leak, or a swapped update order all
+    // mismatch. All divisions are non-negative, so `div` == `//`.
+    Q(
+      "q218_hits_scores",
+      (s, d) => {
+        val dir = graft.sources.HtmlFixtures.write(s, d)
+        val pages = s.read.format("graft-html").load(dir)
+          .select(regexp_extract(col("name"), "doc_(\\d+)\\.html", 1)
+            .cast("long").as("doc_id"), col("html"))
+        val edges = GraphOps.extractLinkEdges(pages, "doc_id", "html")
+        GraphOps.hitsInt(edges, iters = 2)
+          .select(col("node").as("doc_id"),
+            col("authority_ppb"), col("hub_ppb"))
+      },
+      Some("""WITH f AS (
+             |  SELECT CAST(regexp_extract(file, 'doc_(\d+)\.html', 1) AS BIGINT)
+             |    AS doc_id
+             |  FROM glob('/root/repo/target/html_fixtures/sf0.01/*.html')
+             |), pos AS (
+             |  SELECT doc_id,
+             |    CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS j,
+             |    CAST(count(*) OVER () AS BIGINT) AS n
+             |  FROM f
+             |), e AS (
+             |  SELECT DISTINCT src, dst FROM (
+             |    SELECT a.doc_id AS src, b.doc_id AS dst
+             |    FROM pos a JOIN pos b ON b.j = (a.j + 1) % a.n
+             |    UNION ALL
+             |    SELECT a.doc_id, b.doc_id
+             |    FROM pos a JOIN pos b ON b.j = (2 * a.j + 1) % a.n
+             |    UNION ALL
+             |    SELECT a.doc_id, b.doc_id
+             |    FROM pos a JOIN pos b ON b.j = (7 * a.j + 3) % a.n)
+             |), nodes AS (
+             |  SELECT src AS node FROM e UNION SELECT dst FROM e
+             |), cnt AS (SELECT count(*) AS n FROM nodes),
+             |s0 AS (
+             |  SELECT node, 1000000000 // n AS h FROM nodes, cnt
+             |), a1r AS (
+             |  SELECT nd.node,
+             |    coalesce(sum(s0.h), 0) AS v
+             |  FROM nodes nd
+             |  LEFT JOIN e ON e.dst = nd.node
+             |  LEFT JOIN s0 ON s0.node = e.src
+             |  GROUP BY nd.node
+             |), a1t AS (SELECT sum(v) AS t FROM a1r),
+             |a1 AS (
+             |  SELECT node, CASE WHEN t <= 0 THEN 0
+             |    ELSE (v * 1000000000) // t END AS a FROM a1r, a1t
+             |), h1r AS (
+             |  SELECT nd.node, coalesce(sum(a1.a), 0) AS v
+             |  FROM nodes nd
+             |  LEFT JOIN e ON e.src = nd.node
+             |  LEFT JOIN a1 ON a1.node = e.dst
+             |  GROUP BY nd.node
+             |), h1t AS (SELECT sum(v) AS t FROM h1r),
+             |h1 AS (
+             |  SELECT node, CASE WHEN t <= 0 THEN 0
+             |    ELSE (v * 1000000000) // t END AS h FROM h1r, h1t
+             |), a2r AS (
+             |  SELECT nd.node, coalesce(sum(h1.h), 0) AS v
+             |  FROM nodes nd
+             |  LEFT JOIN e ON e.dst = nd.node
+             |  LEFT JOIN h1 ON h1.node = e.src
+             |  GROUP BY nd.node
+             |), a2t AS (SELECT sum(v) AS t FROM a2r),
+             |a2 AS (
+             |  SELECT node, CASE WHEN t <= 0 THEN 0
+             |    ELSE (v * 1000000000) // t END AS a FROM a2r, a2t
+             |), h2r AS (
+             |  SELECT nd.node, coalesce(sum(a2.a), 0) AS v
+             |  FROM nodes nd
+             |  LEFT JOIN e ON e.src = nd.node
+             |  LEFT JOIN a2 ON a2.node = e.dst
+             |  GROUP BY nd.node
+             |), h2t AS (SELECT sum(v) AS t FROM h2r),
+             |h2 AS (
+             |  SELECT node, CASE WHEN t <= 0 THEN 0
+             |    ELSE (v * 1000000000) // t END AS h FROM h2r, h2t
+             |)
+             |SELECT a2.node AS doc_id,
+             |  CAST(a2.a AS BIGINT) AS authority_ppb,
+             |  CAST(h2.h AS BIGINT) AS hub_ppb
+             |FROM a2 JOIN h2 ON a2.node = h2.node""".stripMargin),
+    ),
+
+    // ---- margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    // ccMatrix/LASER parallel-corpus step): even/odd vec_ids stand in
+    // for the two language sides; each even-side vector's top-3
+    // other-side neighbors score by ratio margin = cos / (mean of
+    // both ends' 3-NN cosines / … see operator doc), with the
+    // forward-backward top-1 agreement flag. The k-cosine means fold
+    // in RANK order on both engines (float addition is order-
+    // dependent — the q25 summation-order precedent extended to a
+    // second aggregation level), so the margins must match bitwise.
+    Q(
+      "q219_bitext_margin",
+      (s, d) => Similarity.bitextMarginPairs(
+        Tables.embeddings(s, d)
+          .withColumn("side", col("vec_id") % 2),
+        "vec_id", "embedding", "side", srcSideValue = 0L, k = 3),
+      Some("""WITH e AS (
+             |  SELECT vec_id, vec_id % 2 AS side,
+             |    CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings
+             |), p AS (
+             |  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+             |    list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
+             |      (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+             |       sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cosine
+             |  FROM e a JOIN e b ON a.side <> b.side
+             |), r AS (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+             |  FROM p
+             |), nn AS (SELECT * FROM r WHERE rk <= 3),
+             |d AS (
+             |  SELECT id, list_sum(list(cosine ORDER BY rk)) / count(*)
+             |    AS knn_avg
+             |  FROM nn GROUP BY id
+             |), t1 AS (
+             |  SELECT id AS tid, neighbor_id AS t1_nn FROM nn WHERE rk = 1
+             |)
+             |SELECT f.id AS src_id, f.neighbor_id AS tgt_id, f.cosine,
+             |  CAST(f.rk AS INT) AS rank,
+             |  f.cosine / ((ds.knn_avg + dt.knn_avg) / 2) AS margin,
+             |  coalesce(f.rk = 1 AND t1.t1_nn = f.id, FALSE) AS mutual_top1
+             |FROM nn f
+             |JOIN d ds ON ds.id = f.id
+             |JOIN d dt ON dt.id = f.neighbor_id
+             |LEFT JOIN t1 ON t1.tid = f.neighbor_id
+             |WHERE f.id % 2 = 0""".stripMargin),
+    ),
+
+    // ---- RECURSIVE thread flattening — Spark 4's native WITH
+    // RECURSIVE (UnionLoop) vs DuckDB's: the chat-tree prep shape
+    // (OpenAssistant/ShareGPT message trees → one row per
+    // conversation branch). Events 1..1023 form a binary message tree
+    // (parent = id div 2, id 1 the root — dense ids make every parent
+    // present); ~10 level-synchronous frontier joins enumerate every
+    // root-to-node path. Both engines run a REAL recursive fixpoint —
+    // a depth-limit clip, a lost level, or a path built child-first
+    // all mismatch.
+    Q(
+      "q220_thread_paths",
+      (s, d) => graft.ops.Hierarchy.rootToNodePaths(
+        Tables.events(s, d)
+          .filter(col("event_id").between(1, 1023))
+          .select(col("event_id").as("msg_id"),
+            when(col("event_id") === 1, lit(null))
+              .otherwise(expr("event_id div 2")).as("parent_id")),
+        "msg_id", "parent_id"),
+      Some("""WITH RECURSIVE m AS (
+             |  SELECT event_id FROM events
+             |  WHERE event_id BETWEEN 1 AND 1023
+             |), p AS (
+             |  SELECT event_id AS node_id, 1 AS depth,
+             |    CAST(event_id AS VARCHAR) AS path
+             |  FROM m WHERE event_id = 1
+             |  UNION ALL
+             |  SELECT c.event_id, p.depth + 1,
+             |    p.path || '>' || CAST(c.event_id AS VARCHAR)
+             |  FROM m c JOIN p ON c.event_id // 2 = p.node_id
+             |  WHERE c.event_id <> 1
+             |)
+             |SELECT node_id, depth, path FROM p""".stripMargin),
+    ),
+
     // ---- full IVF-PQ composition (the faiss index): cells assigned
     // from ORIGINAL vectors (assignment error never compounds
     // quantization error), members stored as PQ reconstructions (the

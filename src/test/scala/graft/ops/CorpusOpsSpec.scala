@@ -437,6 +437,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("bitextMarginPairs: hand-computed margins, mutual-top1 flags, " +
+      "pairs emit from the source side only") {
+    // side 0: v0=(1,0), v2=(0,1); side 1: v1=(1,0), v3=(0,1) —
+    // cross cosines are exactly 1 (aligned) or 0 (orthogonal), every
+    // id's 2-NN mean is (1+0)/2 = 0.5, so an aligned pair's margin is
+    // 1 / ((0.5+0.5)/2) = 2.0 and both aligned pairs are mutual top-1
+    val d = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.0, 1.0)), (3L, Seq(0.0, 1.0)),
+    ).toDF("vec_id", "embedding").withColumn("side", $"vec_id" % 2)
+    val out = Similarity
+      .bitextMarginPairs(d, "vec_id", "embedding", "side",
+        srcSideValue = 0L, k = 2, numBlocks = 2)
+      .select($"src_id", $"tgt_id", $"cosine", $"rank", $"margin",
+        $"mutual_top1")
+      .as[(Long, Long, Double, Int, Double, Boolean)].collect().toSet
+    assert(out == Set(
+      (0L, 1L, 1.0, 1, 2.0, true),
+      (0L, 3L, 0.0, 2, 0.0, false),
+      (2L, 3L, 1.0, 1, 2.0, true),
+      (2L, 1L, 0.0, 2, 0.0, false)))
+    // no pair originates from the target side
+    assert(out.forall { case (s, t, _, _, _, _) =>
+      s % 2 == 0 && t % 2 == 1 })
+  }
+
   test("nearestPositivesKernel: matches brute force over SAME-label " +
       "neighbors; singleton labels emit nothing") {
     val rng = new scala.util.Random(11)

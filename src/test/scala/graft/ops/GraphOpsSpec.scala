@@ -46,4 +46,30 @@ class GraphOpsSpec extends SparkSpec {
       GraphOps.pageRankInt(edges, iters = 0)
     }
   }
+
+  test("hitsInt: hand-computed two iterations, duplicate edges " +
+      "collapse (0/1 adjacency), deterministic across partitioning") {
+    // 1 → 3, 2 → 3, 3 → 1 (plus a duplicate 1 → 3 that must NOT
+    // double node 3's endorsement); n = 3, total 9e8 → h0 = 3e8 each.
+    // iter1: a' = (1:3e8, 2:0, 3:6e8), Σ=9e8 → a unchanged;
+    //        h' = (1:6e8, 2:6e8, 3:3e8), Σ=15e8 →
+    //        h = (3.6e8, 3.6e8, 1.8e8)
+    // iter2: a' = (1:1.8e8, 2:0, 3:7.2e8), Σ=9e8 → a unchanged;
+    //        h' = (7.2e8, 7.2e8, 1.8e8), Σ=16.2e8 → (4e8, 4e8, 1e8)
+    val edges = Seq((1L, 3L), (1L, 3L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val out = GraphOps.hitsInt(edges, iters = 2, totalPpb = 900000000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 180000000L, 400000000L),
+      (2L, 0L, 400000000L),
+      (3L, 720000000L, 100000000L)))
+    val again = GraphOps
+      .hitsInt(edges.repartition(7), iters = 2, totalPpb = 900000000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == out)
+    intercept[IllegalArgumentException] {
+      GraphOps.hitsInt(edges, iters = 0)
+    }
+  }
 }
