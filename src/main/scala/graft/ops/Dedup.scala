@@ -978,4 +978,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("shared"), col("n_a"),
         col("n_b"), col("containment_a_ppm"), col("containment_b_ppm"))
   }
+
+  // ------------------------------------------------------- LSH planning
+
+  /** LSH BANDING PLANNER — chooses (bands b, rows-per-band r) for the
+    * MinHash family above given a similarity threshold, instead of
+    * hand-picking: with b·r = numHashes, a pair of Jaccard s collides
+    * with probability p(s) = 1 − (1 − sʳ)ᵇ (Broder banding S-curve;
+    * Leskovec/Rajaraman/Ullman, MMDS §3.4.2), and the datasketch-style
+    * objective scores each divisor pair by
+    *   error(τ) = Σ_{s ≤ τ} p(s) + Σ_{s > τ} (1 − p(s))
+    * over a fixed similarity grid — false-positive mass below the
+    * threshold plus false-negative mass above it; the minimizing pair
+    * (ties → fewer bands) is the banding to deploy.
+    *
+    * Everything is integer ppm: the powers fold with truncating
+    * division per step ((acc · x) div 10⁶, non-negative so Spark
+    * `div` == DuckDB `//`), making the whole table a deterministic
+    * integer recurrence both engines replay bit-for-bit (q221) — the
+    * quantized-k-means convention applied to planner math. The frame
+    * is |divisors(numHashes)| × |taus| rows of nested higher-order
+    * folds: model-sized, no shuffle beyond the final per-τ rank.
+    *
+    * @param tausPpm target Jaccard thresholds, ppm
+    * @return (tau_ppm, bands, rows_per_band, error_sum, chosen) —
+    *         full table, one `chosen=true` row per τ */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession, numHashes: Int,
+      tausPpm: Seq[Long]): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    require(tausPpm.nonEmpty, "need at least one tau")
+    import org.apache.spark.sql.expressions.Window
+    val pairs = spark.range(1, numHashes + 1L)
+      .filter(lit(numHashes) % col("id") === 0)
+      .select(col("id").as("bands"),
+        (lit(numHashes.toLong) / col("id")).cast("long")
+          .as("rows_per_band"))
+    val taus = tausPpm.map(t =>
+        spark.range(1).select(lit(t).as("tau_ppm")))
+      .reduce(_.unionByName(_))
+    // SQL-lambda folds (the DSL has no integral `div` inside HOF
+    // lambdas): s^r then (1-s^r)^b, each power a truncating-ppm fold
+    def coll(sRef: String): String =
+      s"(1000000L - aggregate(sequence(1L, bands), 1000000L, " +
+        s"(accb, xb) -> (accb * (1000000L - " +
+        s"aggregate(sequence(1L, rows_per_band), 1000000L, " +
+        s"(accr, xr) -> (accr * $sRef) div 1000000L))) div 1000000L))"
+    val scored = pairs.crossJoin(taus)
+      .withColumn("error_sum", expr(
+        "aggregate(sequence(50000L, 1000000L, 50000L), 0L, " +
+          s"(acc, s) -> acc + (CASE WHEN s <= tau_ppm THEN ${coll("s")} " +
+          s"ELSE 1000000L - ${coll("s")} END))"))
+    val w = Window.partitionBy(col("tau_ppm"))
+      .orderBy(col("error_sum").asc, col("bands").asc)
+    scored
+      .withColumn("chosen", row_number().over(w) === 1)
+      .select(col("tau_ppm"), col("bands"), col("rows_per_band"),
+        col("error_sum"), col("chosen"))
+  }
 }

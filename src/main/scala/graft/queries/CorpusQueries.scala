@@ -3658,6 +3658,56 @@ object CorpusQueries extends QueryModule {
              |SELECT node_id, depth, path FROM p""".stripMargin),
     ),
 
+    // ---- LSH banding planner: (bands, rows) selection for the
+    // MinHash family (q22/q77) from the banding S-curve
+    // p(s) = 1 − (1 − sʳ)ᵇ, scored by false-positive + false-negative
+    // mass around each target threshold (the datasketch objective).
+    // All powers are truncating-ppm integer folds — Spark nested SQL
+    // aggregate() lambdas vs DuckDB nested list_reduce — so the whole
+    // 24-row plan table matches bitwise, and the `chosen` row per τ
+    // is the banding the dedup family should deploy at that
+    // threshold. No input table: planner math, but REAL cross-engine
+    // arithmetic (a drifted fold order or a float pow sneaks in →
+    // mismatch).
+    Q(
+      "q221_lsh_plan",
+      (s, _) => graft.ops.Dedup.lshPlan(s, numHashes = 128,
+        tausPpm = Seq(300000L, 500000L, 700000L)),
+      Some("""WITH pairs AS (
+             |  SELECT CAST(b AS BIGINT) AS bands,
+             |    CAST(128 // b AS BIGINT) AS rows_per_band
+             |  FROM (SELECT unnest(range(1, 129)) AS b)
+             |  WHERE 128 % b = 0
+             |), taus AS (
+             |  SELECT CAST(unnest([300000, 500000, 700000]) AS BIGINT)
+             |    AS tau_ppm
+             |), grid AS (
+             |  SELECT CAST(unnest(range(50000, 1000001, 50000)) AS BIGINT)
+             |    AS s
+             |), p AS (
+             |  SELECT bands, rows_per_band, s,
+             |    1000000 - list_reduce(
+             |      [CAST(1000000 AS BIGINT)] ||
+             |      [CAST(1000000 AS BIGINT) - list_reduce(
+             |         [CAST(1000000 AS BIGINT)] ||
+             |           [s for i in range(1, rows_per_band + 1)],
+             |         (a, x) -> (a * x) // 1000000)
+             |       for j in range(1, bands + 1)],
+             |      (a, x) -> (a * x) // 1000000) AS coll
+             |  FROM pairs, grid
+             |), err AS (
+             |  SELECT tau_ppm, bands, rows_per_band,
+             |    sum(CASE WHEN s <= tau_ppm THEN coll
+             |        ELSE 1000000 - coll END) AS error_sum
+             |  FROM p, taus GROUP BY 1, 2, 3
+             |)
+             |SELECT tau_ppm, bands, rows_per_band,
+             |  CAST(error_sum AS BIGINT) AS error_sum,
+             |  row_number() OVER (PARTITION BY tau_ppm
+             |    ORDER BY error_sum, bands) = 1 AS chosen
+             |FROM err""".stripMargin),
+    ),
+
     // ---- full IVF-PQ composition (the faiss index): cells assigned
     // from ORIGINAL vectors (assignment error never compounds
     // quantization error), members stored as PQ reconstructions (the

@@ -582,6 +582,104 @@ object StreamingQueries extends QueryModule {
              |FROM documents WHERE doc_id % 10 = 0""".stripMargin),
     ),
 
+    // ---- watermark LATE-DATA DROP across runs (the S5 semantic the
+    // null-skip queries don't reach): tick 1 (even event_ids) runs the
+    // watermarked hourly rollup and CHECKPOINTS its watermark
+    // (max ts − 1 h); tick 2 (odd ids, uncorrelated with ts, so many
+    // are far older) replays against that persisted watermark and
+    // Spark drops every row whose hour-window closed at or before it.
+    // Update-mode memory sinks are per-run, so each run's emissions
+    // land in their own table and union with a `run` tag: run 1 =
+    // rollup over tick 1; run 2 = cumulative rollup rows ONLY for
+    // windows a SURVIVING tick-2 row touched (update mode re-emits
+    // changed groups only). The oracle restates the watermark, the
+    // strict window_end > wm survival rule, and both emission sets —
+    // a lost checkpoint, a boundary off-by-one, or an unchanged-group
+    // re-emission all mismatch.
+    Q(
+      "q222_streaming_late_drop",
+      (s, d) => {
+        val root = scratch()
+        val inDir = s"$root/in"
+        val ckpt = s"$root/ckpt"
+        val src = staged("q222", d) { dir =>
+          val e = Tables.events(s, d)
+          e.filter(col("event_id") % 2 === 0)
+            .select(col("ts"), col("event_type"), col("value"))
+            .coalesce(1).write.parquet(s"$dir/t0")
+          e.filter(col("event_id") % 2 === 1)
+            .select(col("ts"), col("event_type"), col("value"))
+            .coalesce(1).write.parquet(s"$dir/t1")
+        }
+        val schema = s.read.parquet(s"$src/t0").schema
+
+        // memory sinks refuse checkpoint recovery (run 2 must resume
+        // run 1's watermark), so each run's update emissions land in
+        // their own parquet dir via foreachBatch — the q41 pattern
+        def tick(tickDir: String, outDir: String): Unit = {
+          graft.io.Scratch.deliver(tickDir, inDir)
+          val q = StreamOps
+            .hourlyRollup(s.readStream.schema(schema).parquet(inDir),
+              watermark = "1 hour")
+            .writeStream
+            .outputMode("update")
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.write.mode("append").parquet(outDir)
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        tick(s"$src/t0", s"$root/out1")
+        tick(s"$src/t1", s"$root/out2")
+
+        def shape(dir: String, run: Int) = s.read.parquet(dir).select(
+          lit(run).as("run"),
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("hour"),
+          col("event_type"), col("n"),
+          col("total_value").cast("double").as("total_value"))
+        shape(s"$root/out1", 1).unionByName(shape(s"$root/out2", 2))
+      },
+      Some("""WITH t0 AS (
+             |  SELECT ts, event_type, value FROM events
+             |  WHERE event_id % 2 = 0
+             |), t1 AS (
+             |  SELECT ts, event_type, value FROM events
+             |  WHERE event_id % 2 = 1
+             |), wm AS (
+             |  SELECT max(ts) - INTERVAL 1 HOUR AS w FROM t0
+             |), r1 AS (
+             |  SELECT 1 AS run,
+             |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             |      AS hour,
+             |    event_type, count(*) AS n,
+             |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             |      AS total_value
+             |  FROM t0 GROUP BY 2, 3
+             |), surv AS (
+             |  SELECT t1.* FROM t1, wm
+             |  WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR > w
+             |), touched AS (
+             |  SELECT DISTINCT date_trunc('hour', ts) AS h, event_type
+             |  FROM surv
+             |), allr AS (
+             |  SELECT * FROM t0 UNION ALL SELECT * FROM surv
+             |), r2 AS (
+             |  SELECT 2 AS run,
+             |    strftime(tch.h, '%Y-%m-%d %H:%M:%S') AS hour,
+             |    tch.event_type, count(*) AS n,
+             |    CAST(sum(CAST(a.value AS DECIMAL(18,2))) AS DOUBLE)
+             |      AS total_value
+             |  FROM touched tch JOIN allr a
+             |    ON date_trunc('hour', a.ts) = tch.h
+             |   AND a.event_type = tch.event_type
+             |  GROUP BY 2, 3
+             |)
+             |SELECT * FROM r1 UNION ALL SELECT * FROM r2""".stripMargin),
+    ),
+
     // ---- TRUE stream-stream interval join (Spark's symmetric
     // watermarked join — BOTH sides are readStream sources buffering
     // state against each other, unlike q93's single-stream keyed-state

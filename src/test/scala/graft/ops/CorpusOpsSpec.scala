@@ -947,4 +947,22 @@ class CorpusOpsSpec extends SparkSpec {
         "doc_id", "blob", 4, 4).collect()
     }
   }
+
+  test("lshPlan: every divisor pair scored, one chosen per tau, the " +
+      "τ=0.5/H=128 choice is the textbook (16 bands, 8 rows)") {
+    val plan = Dedup.lshPlan(spark, numHashes = 128,
+        tausPpm = Seq(500000L))
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(plan.size == 8) // divisors of 128
+    assert(plan.forall { case (_, b, r, _, _) => b * r == 128 })
+    val chosen = plan.filter(_._5)
+    assert(chosen.size == 1)
+    assert((chosen.head._2, chosen.head._3) == ((16L, 8L)))
+    // a LOWER threshold wants MORE bands (catch lower-similarity
+    // pairs → steeper-left S-curve): the planner must move b up
+    val lo = Dedup.lshPlan(spark, 128, Seq(300000L))
+      .filter($"chosen").as[(Long, Long, Long, Long, Boolean)]
+      .collect().head
+    assert(lo._2 > 16L)
+  }
 }
