@@ -969,6 +969,60 @@ object Relational extends QueryModule {
         .stripMargin),
     ),
 
+    // ---- SCD2 history build (Kimball slowly-changing-dimension type
+    // 2): each user's event_type stream collapses to CHANGE POINTS
+    // with validity intervals — valid_from at the change, valid_to at
+    // the next change (NULL + is_current on the open row). The CDC→
+    // warehouse-history materialization every dimension table needs;
+    // two windows partitioned by the key (users numerous — no global
+    // window), change detection via lag, interval close via lead OVER
+    // THE FILTERED change-point frame (lead over the raw frame would
+    // close intervals at non-changes). Ties pin on event_id.
+    Q(
+      "q223_scd2_history",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"ts".asc, $"event_id".asc)
+        val changes = Tables.events(s, d)
+          .select($"user_id", $"event_type", $"ts", $"event_id")
+          .withColumn("__prev", lag($"event_type", 1).over(w))
+          .filter($"__prev".isNull || $"__prev" =!= $"event_type")
+        val w2 = Window.partitionBy($"user_id")
+          .orderBy($"ts".asc, $"event_id".asc)
+        changes
+          .withColumn("change_seq", row_number().over(w2))
+          .withColumn("valid_to_ts", lead($"ts", 1).over(w2))
+          .select($"user_id", $"event_type",
+            date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+            date_format($"valid_to_ts", "yyyy-MM-dd HH:mm:ss")
+              .as("valid_to"),
+            $"valid_to_ts".isNull.as("is_current"),
+            $"change_seq")
+      },
+      Some("""WITH marked AS (
+             |  SELECT user_id, event_type, ts, event_id,
+             |    lag(event_type) OVER w AS prev
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |), changes AS (
+             |  SELECT user_id, event_type, ts, event_id FROM marked
+             |  WHERE prev IS NULL OR prev <> event_type
+             |), iv AS (
+             |  SELECT user_id, event_type, ts,
+             |    CAST(row_number() OVER w2 AS INT) AS change_seq,
+             |    lead(ts) OVER w2 AS valid_to_ts
+             |  FROM changes
+             |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |)
+             |SELECT user_id, event_type,
+             |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+             |  strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S') AS valid_to,
+             |  valid_to_ts IS NULL AS is_current,
+             |  change_seq
+             |FROM iv""".stripMargin),
+    ),
+
     // ---- time-RANGE window frame (trailing one hour per user), the
     // value-based sibling of q211's row-based frame: RANGE includes
     // ALL peers of the current ordering value, so the result is

@@ -415,4 +415,54 @@ class ScaleOpsSpec extends SparkSpec {
     assert(a.intersectAll(b).as[Int].collect().sorted.toSeq == Seq(1, 1, 2))
     assert(a.exceptAll(b).as[Int].collect().sorted.toSeq == Seq(1, 3))
   }
+
+  test("hitsInt plan: equality joins keyed by node, map-side combined " +
+      "contribution sums, no cartesian") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val plan = GraphOps.hitsInt(edges, iters = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // lineage-cut rounds: the final plan reads the last round's
+    // materialized blocks, not a 2·iters-deep join tree
+    assert(plan.count(_ == '\n') < 40, plan)
+  }
+
+  test("bitextMarginPairs plan: k-bounded equality joins after the " +
+      "kernel — no cartesian beyond the intentional block-pair grid") {
+    val d = (0L until 16L).map(i =>
+        (i, Seq(math.sin(i.toDouble), math.cos(i.toDouble))))
+      .toDF("vec_id", "embedding")
+      .withColumn("side", $"vec_id" % 2)
+    val plan = Similarity
+      .bitextMarginPairs(d, "vec_id", "embedding", "side", 0L, k = 2,
+        numBlocks = 2)
+      .queryExecution.executedPlan.toString
+    // the ONLY non-equality join allowed is the B×B packed-block grid
+    // (each side ≤ numBlocks rows of packed vectors); everything after
+    // the kernel must be equality-keyed
+    val crossJoins = "CartesianProduct|BroadcastNestedLoopJoin".r
+      .findAllIn(plan).size
+    assert(crossJoins <= 1, plan)
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("lshPlan: per-tau chosen rank rides a Window over the " +
+      "model-sized plan frame") {
+    val df = Dedup.lshPlan(spark, 64, Seq(500000L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan) // the per-tau chosen rank
+    assert(df.count() == 7) // divisors of 64
+  }
+
+  test("rootToNodePaths plan: native UnionLoop recursion — no driver " +
+      "loop materialization") {
+    val tree = Seq((1L, None: Option[Long]), (2L, Some(1L)))
+      .toDF("msg_id", "parent_id")
+    val plan = Hierarchy.rootToNodePaths(tree, "msg_id", "parent_id")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("UnionLoop"), plan)
+  }
 }
