@@ -1061,5 +1061,39 @@ object Relational extends QueryModule {
              |    AS hour_n
              |FROM v""".stripMargin),
     ),
+
+    // ---- explicit GROUPING SETS (mixed arity + grand total),
+    // completing the grouping-set family next to q34's ROLLUP and
+    // q190's CUBE: unlike CUBE it enumerates ONLY the requested sets,
+    // so the expand factor is |sets| (here 3), not 2^k — the shape to
+    // reach for at 100 TB when a dashboard needs two specific
+    // subtotal levels, not every combination. Same one-pass expand +
+    // partial-aggregate plan as q190: the shuffle carries |groups|
+    // rows per set. grouping_id() disambiguates subtotal rows from
+    // real NULL keys; money stays exact decimal internally, DOUBLE at
+    // the output (the :104 convention).
+    Q(
+      "q224_grouping_sets",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .groupingSets(
+            Seq(Seq($"o_orderstatus"),
+              Seq($"o_orderstatus", $"o_orderpriority"),
+              Seq.empty),
+            $"o_orderstatus", $"o_orderpriority")
+          .agg(grouping_id().as("gid"),
+            count(lit(1)).as("n"),
+            sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+              .as("total"))
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  GROUPING(o_orderstatus, o_orderpriority) AS gid,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus),
+             |  (o_orderstatus, o_orderpriority), ())""".stripMargin),
+    ),
   )
 }
