@@ -156,4 +156,72 @@ object GraphOps {
     }
     scores.select(col("node"), col("authority_ppb"), col("hub_ppb"))
   }
+
+  /** Per-node triangle counts over an undirected edge multiset, via
+    * the degree-ordered node-iterator (Schank & Wagner 2005; the
+    * MapReduce restatement is Suri & Vassilvitskii's "Counting
+    * Triangles and the Curse of the Last Reducer", WWW 2011). Naive
+    * wedge enumeration explodes on hub nodes — a degree-10⁶ node owns
+    * 10¹² wedges. Orienting every edge from the (degree, id)-smaller
+    * endpoint to the larger makes each triangle countable exactly once
+    * at its smallest corner and bounds every node's oriented
+    * out-degree by O(√m), so the wedge join is O(m^{3/2}) worst-case
+    * TOTAL, independent of skew — the curse of the last reducer is the
+    * exact failure this orientation exists to kill. Plan: dedup to the
+    * canonical (a<b) simple edge set, one degree aggregation, one
+    * self-join to enumerate oriented wedges, one semi-ish inner join
+    * against the oriented edge set to close them, then explode each
+    * found triangle to its three corners and count per node. All
+    * joins are shuffle hash/sort-merge on node keys — no broadcast of
+    * anything graph-sized, no driver materialization.
+    *
+    * Self-loops drop (a triangle is three DISTINCT nodes); duplicate
+    * edges collapse (counts are on the simple graph, the Kleinberg
+    * 0/1-adjacency convention [[hitsInt]] uses).
+    *
+    * @param edges (src, dst) columns, any direction, multigraph ok
+    * @return (node, n_triangles) for every node of the simple graph,
+    *         zeros included */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // canonical simple edges a < b
+    val e = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().materialized
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient from (deg, id)-smaller to larger: total order, so the
+    // oriented graph is a DAG with out-degree ≤ O(√m)
+    val da = deg.select(col("node").as("a"), col("deg").as("__da"))
+    val db = deg.select(col("node").as("b"), col("deg").as("__db"))
+    val oriented = e.join(da, "a").join(db, "b")
+      .select(
+        when(col("__da") < col("__db")
+          || (col("__da") === col("__db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("lo"),
+        when(col("__da") < col("__db")
+          || (col("__da") === col("__db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("hi"))
+      .materialized
+    // wedges at the (deg,id)-smallest corner: two oriented out-edges
+    // lo→x, lo→y, deduped to x < y by id; the closing x–y edge is
+    // looked up in the canonical simple edge set e itself (already
+    // id-ordered a < b). Every triangle has exactly one corner that is
+    // the (deg,id)-minimum of its three, so it's counted exactly once.
+    val w1 = oriented.select(col("lo"), col("hi").as("x"))
+    val w2 = oriented.select(col("lo"), col("hi").as("y"))
+    val wedges = w1.join(w2, "lo").filter(col("x") < col("y"))
+    val tris = wedges.join(e,
+      col("x") === col("a") && col("y") === col("b"))
+      .select(col("lo"), col("x"), col("y"))
+    val perNode = tris
+      .select(explode(array(col("lo"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.select(col("node"))
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.Sketch  // md5_60: the one shared 60-bit hash def
+import graft.ops.Materialize.MaterializeOps
 
 // Top-level encoder row shapes — see the note in Multimodal.scala
 // (Janino can't resolve object-nested classes from generated
@@ -987,5 +988,54 @@ object Scoring {
             + lit(smoothingPermille / 1000.0) / col("__k"))).cast("long"))
       .select(col(domainCol), col("n_steps"), col("sum_excess_micro"),
         col("lw_micro"), col("rank"), col("alpha_ppm"))
+  }
+
+  /** Quantile normalization across groups: replace each row's value
+    * with the GLOBAL distribution's value at the same within-group
+    * rank fraction, so every group's scores land on one common scale.
+    * The cross-source calibration step before a single quality
+    * threshold is applied to heterogeneous sources — a length-quality
+    * score from a forum dump and one from curated news are not
+    * comparable until both are mapped onto the pooled distribution
+    * (Bolstad et al. 2003's microarray trick, applied corpus-side).
+    *
+    * Exactness: everything is integer rank arithmetic. Within-group
+    * rank r ∈ [1..n] (ties broken by the id column — bit-stable), the
+    * target global rank is 1 + ((r−1)·(N−1)) div (n−1) for n > 1 (the
+    * endpoints map to the global min/max; n = 1 maps to the global
+    * median rank (N+1) div 2), and the normalized value is the global
+    * order statistic AT that rank — an equi-join against the globally
+    * ranked frame, no interpolation, no floats.
+    *
+    * Scale shape: the within-group rank is a window partitioned by the
+    * group key; the global ranking is [[Packing.globalRowNumber]]'s
+    * two-pass range-partitioned scan (never a single-partition
+    * window); the final lookup is a shuffle join on the integer rank.
+    *
+    * @return input columns + group_rank, group_n, normalized (long) */
+  def quantileNormalize(df: DataFrame, groupCol: String, valCol: String,
+      idCol: String): DataFrame = {
+    val ranked = Packing.globalRowNumber(df,
+      Seq(col(valCol).asc, col(idCol).asc), "__g")
+      .withColumn("__grank", col("__g") + 1).drop("__g")
+      .materialized
+    val n = ranked.agg(count(lit(1))).head().getLong(0)
+    val byGroup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(valCol).asc, col(idCol).asc)
+    val withRanks = ranked
+      .withColumn("group_rank", row_number().over(byGroup).cast("long"))
+      .withColumn("group_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol))))
+      .withColumn("__target",
+        when(col("group_n") === 1L, lit((n + 1) / 2))
+          .otherwise(lit(1L) + expr(
+            s"((group_rank - 1) * ${n - 1}L) div (group_n - 1)")))
+    val lookup = ranked
+      .select(col("__grank").as("__target"),
+        col(valCol).as("normalized"))
+    withRanks.join(lookup, "__target")
+      .drop("__target", "__grank")
   }
 }

@@ -207,4 +207,43 @@ object TemporalJoins {
       .groupBy(col(groupCol))
       .agg(max(col("__run")).as("max_concurrent"))
   }
+
+  /** Gaps-and-islands: merge each group's overlapping-or-touching
+    * intervals into maximal covered islands. The classic two-window
+    * shape — a running max of interval ends over the per-group
+    * start-ordered history marks an island boundary wherever a start
+    * exceeds every end seen before it; a running sum of those marks
+    * numbers the islands; one group-by per (group, island) emits the
+    * merged bounds. Cost: two windows + one aggregation, all
+    * partitioned by the group key — per-key history is bounded
+    * (sessions/leases per user), cluster-wide parallelism across keys,
+    * never an unpartitioned frame. The sibling of [[maxConcurrency]]:
+    * that one counts the overlap depth, this one erases it.
+    *
+    * Interval columns must be non-null longs (epoch seconds — the q35
+    * floor convention keeps both engines on exact integers); rows with
+    * a null bound are dropped like rangeJoin's null-interval rule.
+    * Touching intervals (next.start == prev.end) merge: coverage is a
+    * closed union, and the zero-length gap carries no uncovered time.
+    *
+    * @return one row per island: (groupCol, island_seq, island_start,
+    *         island_end, n_merged) */
+  def mergeIntervals(df: DataFrame, groupCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val byStart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(startCol).asc, col(endCol).asc)
+    val prevMaxEnd = max(col(endCol))
+      .over(byStart.rowsBetween(Window.unboundedPreceding, -1))
+    df.filter(col(startCol).isNotNull && col(endCol).isNotNull)
+      .withColumn("__new_island",
+        when(prevMaxEnd.isNull || col(startCol) > prevMaxEnd, 1L)
+          .otherwise(0L))
+      .withColumn("__island",
+        sum(col("__new_island")).over(byStart))
+      .groupBy(col(groupCol), col("__island").as("island_seq"))
+      .agg(min(col(startCol)).as("island_start"),
+        max(col(endCol)).as("island_end"),
+        count(lit(1)).as("n_merged"))
+  }
 }

@@ -6801,6 +6801,65 @@ object CorpusQueries extends QueryModule {
              |  END AS pct_pm
              |FROM documents""".stripMargin),
     ),
+
+    // ---- quantile normalization across sources (Scoring
+    // .quantileNormalize): each document's length score is replaced by
+    // the GLOBAL distribution's order statistic at the same
+    // within-source rank fraction, putting heterogeneous sources on
+    // one comparable scale before any global threshold. All integer
+    // rank arithmetic — within-source window rank, the two-pass
+    // globalRowNumber scan for the pooled order, one equi-join on the
+    // target rank; q206's rank-calibration sibling that also REMAPS
+    // the value, not just the position.
+    Q(
+      "q228_quantile_normalize",
+      (s, d) => Scoring.quantileNormalize(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "source", "n_chars", "doc_id"),
+      Some("""WITH r AS (
+             |  SELECT n_chars,
+             |    row_number() OVER (ORDER BY n_chars, doc_id) AS grank
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id, source, n_chars,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY n_chars, doc_id) AS group_rank,
+             |    count(*) OVER (PARTITION BY source) AS group_n
+             |  FROM documents
+             |), n AS (SELECT count(*) AS nn FROM documents)
+             |SELECT g.doc_id, g.source, g.n_chars,
+             |  CAST(g.group_rank AS BIGINT) AS group_rank,
+             |  CAST(g.group_n AS BIGINT) AS group_n,
+             |  r.n_chars AS normalized
+             |FROM g CROSS JOIN n
+             |JOIN r ON r.grank = CASE WHEN g.group_n = 1
+             |    THEN (n.nn + 1) // 2
+             |    ELSE 1 + ((g.group_rank - 1) * (n.nn - 1))
+             |      // (g.group_n - 1) END""".stripMargin),
+    ),
+
+    // ---- ZCA whitening of the embedding table (LinAlg
+    // .whitenVerdict): covariance sufficient statistics in one
+    // treeAggregate pass (the MLlib Gramian shape — O(d²) per
+    // partition, never per row), deterministic Jacobi eigen on the
+    // d×d DRIVER-side matrix, the projection broadcast back, and a
+    // second pass proving the whitened covariance is identity within
+    // tolerance. Float sums are partition-order dependent, so the
+    // oracle pins THRESHOLDED invariants + exact integer facts (the
+    // q56 recall-floor convention).
+    Q(
+      "q229_zca_whitening",
+      (s, d) => graft.ops.LinAlg.whitenVerdict(
+        Tables.embeddings(s, d), "vec_id", "embedding", dim = 64),
+      Some("""WITH n AS (SELECT count(*) AS nn FROM embeddings)
+             |SELECT 'cov_is_identity' AS check, true AS pass,
+             |  nn AS detail FROM n
+             |UNION ALL SELECT 'dim', true, 64 FROM n
+             |UNION ALL SELECT 'eigvals_nonneg', true, nn FROM n
+             |UNION ALL SELECT 'mean_is_zero', true, nn FROM n
+             |UNION ALL SELECT 'n_vectors', true, nn FROM n""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):

@@ -1095,5 +1095,134 @@ object Relational extends QueryModule {
              |GROUP BY GROUPING SETS ((o_orderstatus),
              |  (o_orderstatus, o_orderpriority), ())""".stripMargin),
     ),
+
+    // ---- gaps-and-islands: each event opens a 10-minute activity
+    // lease; overlapping-or-touching leases per user merge into
+    // maximal covered islands (TemporalJoins.mergeIntervals — two
+    // per-user windows + one aggregation; the coverage complement of
+    // q203's concurrency depth). Epoch-seconds integers end to end
+    // (the q35 floor convention), so island bounds hash identically.
+    Q(
+      "q225_interval_coverage",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.TemporalJoins.mergeIntervals(
+          Tables.events(s, d).select($"user_id",
+            $"ts".cast("long").as("lease_start"),
+            ($"ts".cast("long") + 600L).as("lease_end")),
+          "user_id", "lease_start", "lease_end")
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             |    CAST(floor(epoch(ts)) AS BIGINT) + 600 AS e
+             |  FROM events
+             |), m AS (
+             |  SELECT user_id, s, e,
+             |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS pmax
+             |  FROM iv
+             |), f AS (
+             |  SELECT user_id, s, e,
+             |    CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END
+             |      AS brk
+             |  FROM m
+             |), g AS (
+             |  SELECT user_id, s, e,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY s, e)
+             |      AS island_seq
+             |  FROM f
+             |)
+             |SELECT user_id, CAST(island_seq AS BIGINT) AS island_seq,
+             |  min(s) AS island_start, max(e) AS island_end,
+             |  count(*) AS n_merged
+             |FROM g GROUP BY 1, 2""".stripMargin),
+    ),
+
+    // ---- triangle counting on the co-purchase graph (parts sharing
+    // an order), via GraphOps.triangleCounts' degree-ordered node
+    // iterator: every edge orients from its (deg, id)-smaller
+    // endpoint, bounding any node's oriented out-degree by O(√m), so
+    // the wedge join is O(m^{3/2}) TOTAL regardless of hub skew — the
+    // shape that survives a power-law degree distribution at 100 TB,
+    // where naive wedge enumeration dies on the last reducer. The
+    // oracle restates the count as the canonical a<b<c three-way
+    // self-join.
+    Q(
+      "q226_triangle_count",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey")
+        val edges = li.as("x").join(li.as("y"),
+            $"x.l_orderkey" === $"y.l_orderkey"
+              && $"x.l_partkey" < $"y.l_partkey")
+          .select($"x.l_partkey".as("src"), $"y.l_partkey".as("dst"))
+        graft.ops.GraphOps.triangleCounts(edges)
+      },
+      Some("""WITH e0 AS (
+             |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+             |  FROM lineitem x JOIN lineitem y
+             |    ON x.l_orderkey = y.l_orderkey
+             |   AND x.l_partkey < y.l_partkey
+             |), nodes AS (
+             |  SELECT a AS node FROM e0 UNION SELECT b FROM e0
+             |), tri AS (
+             |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |  FROM e0 e1
+             |  JOIN e0 e2 ON e2.a = e1.b
+             |  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+             |), corners AS (
+             |  SELECT x AS node FROM tri
+             |  UNION ALL SELECT y FROM tri
+             |  UNION ALL SELECT z FROM tri
+             |)
+             |SELECT n.node, count(c.node) AS n_triangles
+             |FROM nodes n LEFT JOIN corners c ON c.node = n.node
+             |GROUP BY 1""".stripMargin),
+    ),
+
+    // ---- event-sequence pattern match (the MATCH_RECOGNIZE shape):
+    // per user, the ts-ordered event-type string is scanned for the
+    // browse-to-buy pattern `v[vc]*p` — a view, any further
+    // views/clicks, then a purchase. Per-user state is ONE bounded
+    // string (events of one user), built by sort_array over a
+    // collect_list — partitioned by user across the cluster, never a
+    // global sort; the regex scan itself is leftmost, non-overlapping
+    // in both engines (no alternation ambiguity in the pattern, so
+    // backtracking [Java] and automaton [RE2] semantics coincide).
+    Q(
+      "q227_event_pattern",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select($"user_id",
+            struct($"ts", $"event_id",
+              substring($"event_type", 1, 1).as("c")).as("ev"))
+          .groupBy($"user_id")
+          .agg(array_join(
+            expr("transform(sort_array(collect_list(ev)), e -> e.c)"),
+            "").as("seq"))
+          .select($"user_id",
+            length($"seq").as("n_events"),
+            regexp_count($"seq", lit("v[vc]*p")).cast("long")
+              .as("n_funnels"),
+            regexp_extract($"seq", "v[vc]*p", 0).as("first_funnel"))
+      },
+      Some("""WITH s AS (
+             |  SELECT user_id,
+             |    string_agg(substr(event_type, 1, 1), ''
+             |      ORDER BY ts, event_id) AS seq
+             |  FROM events GROUP BY 1
+             |)
+             |SELECT user_id,
+             |  CAST(length(seq) AS INTEGER) AS n_events,
+             |  CAST(len(regexp_extract_all(seq, 'v[vc]*p')) AS BIGINT)
+             |    AS n_funnels,
+             |  coalesce(regexp_extract(seq, 'v[vc]*p', 0), '')
+             |    AS first_funnel
+             |FROM s""".stripMargin),
+    ),
   )
 }

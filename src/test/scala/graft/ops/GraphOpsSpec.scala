@@ -72,4 +72,38 @@ class GraphOpsSpec extends SparkSpec {
       GraphOps.hitsInt(edges, iters = 0)
     }
   }
+
+  test("triangleCounts: K4 plus a pendant — per-node counts, zeros " +
+      "included, duplicates/reversals/self-loops ignored") {
+    // K4 on {1,2,3,4} has 4 triangles, each node in exactly 3;
+    // node 5 hangs off node 1 (degree 1, 0 triangles); noise rows:
+    // a reversed duplicate, an exact duplicate, and a self-loop.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L),
+      (3L, 2L),  // reversed duplicate of (2,3)
+      (1L, 2L),  // exact duplicate
+      (4L, 4L),  // self-loop
+    ).toDF("src", "dst")
+    val out = GraphOps.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L))
+    // total triangles = Σ per-node / 3
+    assert(out.values.sum / 3 == 4L)
+    // deterministic under partitioning
+    val again = GraphOps.triangleCounts(edges.repartition(7))
+      .as[(Long, Long)].collect().toMap
+    assert(again == out)
+  }
+
+  test("triangleCounts: a square (4-cycle) has none; a hub star has " +
+      "none — the degree orientation doesn't invent wedges") {
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    assert(GraphOps.triangleCounts(square)
+      .as[(Long, Long)].collect().forall(_._2 == 0L))
+    val star = (2L to 20L).map(i => (1L, i)).toDF("src", "dst")
+    assert(GraphOps.triangleCounts(star)
+      .as[(Long, Long)].collect().forall(_._2 == 0L))
+  }
 }

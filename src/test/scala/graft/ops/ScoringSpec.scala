@@ -159,4 +159,44 @@ class ScoringSpec extends SparkSpec {
     assert(out == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 2,
       6L -> 2, 7L -> 0, 8L -> 0, 9L -> 1, 10L -> 2))
   }
+
+  test("quantileNormalize maps group ranks onto global order statistics, " +
+      "endpoints exact, singleton group to the global median") {
+    // global sorted values (value, id): 1,2,3,4,5,6,7 → N=7
+    // group A = {1,3,5,7} (n=4): ranks 1..4 → global ranks
+    //   1+(r-1)*6//3 = 1,3,5,7 → normalized 1,3,5,7 (already uniform)
+    // group B = {2,6} (n=2): ranks 1,2 → global ranks 1,7 → 1,7
+    // group C = {4} (n=1): → global rank (7+1)//2 = 4 → 4
+    val df = Seq(
+      (1L, "A", 1L), (3L, "A", 3L), (5L, "A", 5L), (7L, "A", 7L),
+      (2L, "B", 2L), (6L, "B", 6L),
+      (4L, "C", 4L),
+    ).toDF("id", "g", "v")
+    val out = Scoring.quantileNormalize(df, "g", "v", "id")
+      .select($"id", $"group_rank", $"group_n", $"normalized")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      1L -> ((1L, 4L, 1L)), 3L -> ((2L, 4L, 3L)),
+      5L -> ((3L, 4L, 5L)), 7L -> ((4L, 4L, 7L)),
+      2L -> ((1L, 2L, 1L)), 6L -> ((2L, 2L, 7L)),
+      4L -> ((1L, 1L, 4L))))
+    // every input row survives exactly once with its columns intact
+    assert(Scoring.quantileNormalize(df, "g", "v", "id")
+      .select($"id", $"g", $"v").as[(Long, String, Long)]
+      .collect().toSet == df.as[(Long, String, Long)].collect().toSet)
+  }
+
+  test("quantileNormalize pulls two skewed groups onto one scale") {
+    // group "lo" has values 0..9, group "hi" has 1000..1009: after
+    // normalization both land on the same pooled order statistics
+    val df = ((0 until 10).map(i => (i.toLong, "lo", i.toLong)) ++
+      (0 until 10).map(i => (100L + i, "hi", 1000L + i)))
+      .toDF("id", "g", "v")
+    val out = Scoring.quantileNormalize(df, "g", "v", "id")
+    val byGroup = out.select($"g", $"normalized")
+      .as[(String, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byGroup("lo") == byGroup("hi"), byGroup)
+  }
 }

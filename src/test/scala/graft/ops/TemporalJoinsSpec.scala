@@ -198,4 +198,47 @@ class TemporalJoinsSpec extends SparkSpec {
     // NULL-bounded intervals 9 and 10 are dropped; the closed one matches
     assert(out.toSeq == Seq((1L, 11L)))
   }
+
+  test("mergeIntervals: overlap and touch merge, gaps split, nulls drop, " +
+      "duplicates count") {
+    val iv = Seq(
+      // user 1: [0,10] + [5,20] overlap; [20,30] touches → one island;
+      //         [40,50] after a gap → second island
+      (1L, Some(0L), Some(10L)),
+      (1L, Some(5L), Some(20L)),
+      (1L, Some(20L), Some(30L)),
+      (1L, Some(40L), Some(50L)),
+      // user 2: identical duplicate intervals merge into one island of 2
+      (2L, Some(100L), Some(110L)),
+      (2L, Some(100L), Some(110L)),
+      // user 3: null-bounded rows drop entirely
+      (3L, Some(1L), Option.empty[Long]),
+      (3L, Option.empty[Long], Some(2L)),
+      // user 4: a contained interval [12,14] inside [10,20] must NOT
+      // split the island even though its end regresses
+      (4L, Some(10L), Some(20L)),
+      (4L, Some(12L), Some(14L)),
+      (4L, Some(19L), Some(25L)),
+    ).toDF("user_id", "s", "e")
+    val out = TemporalJoins.mergeIntervals(iv, "user_id", "s", "e")
+      .select($"user_id", $"island_seq", $"island_start", $"island_end",
+        $"n_merged")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, 0L, 30L, 3L),
+      (1L, 2L, 40L, 50L, 1L),
+      (2L, 1L, 100L, 110L, 2L),
+      (4L, 1L, 10L, 25L, 3L)))
+  }
+
+  test("mergeIntervals plan: per-group windows only — no SinglePartition " +
+      "funnel") {
+    val iv = graft.model.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"user_id", $"ts".cast("long").as("s"),
+        ($"ts".cast("long") + 600L).as("e"))
+    val plan = TemporalJoins.mergeIntervals(iv, "user_id", "s", "e")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
 }
