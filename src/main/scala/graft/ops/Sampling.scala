@@ -614,4 +614,55 @@ object Sampling {
         "position")
       .select(col(idCol), col(sourceCol), col("position"))
   }
+
+  /** Horvitz–Thompson per-group total estimation from the
+    * deterministic hash sample: every key lands in the sample with
+    * inclusion probability π = samplePermille/1000 (the [[hashBucket]]
+    * membership rule, so the "random" sample is reproducible and
+    * engine-portable), and the estimated group total is the sampled
+    * sum divided by π — unbiased (Horvitz & Thompson 1952), exact
+    * integer arithmetic throughout. This is the survey-sampling shape
+    * of approximate query processing: at 100 TB the dashboard scans
+    * the 1%-sample table (π is a property of the KEY, so the sample is
+    * a once-materialized consistent subset usable by every query), and
+    * the estimate's integer math matches any engine bit for bit.
+    *
+    * One full-scan pass here computes BOTH the estimate and the exact
+    * total via conditional aggregation — the exact side is the audit
+    * column a correctness gate wants; a production estimate-only call
+    * reads just the sample table and skips it. err_pm is the signed
+    * estimate error in per-mille of the exact total (0 when exact
+    * is 0), with the q205 sign-symmetric division so a negative-sum
+    * group divides identically in Spark (`div` truncates) and DuckDB
+    * (`//` floors).
+    *
+    * @param valCol integer (cents-style) measure column
+    * @return (groupCol, n_total, n_sampled, exact_cents, est_cents,
+    *         err_pm) */
+  def htGroupEstimate(df: DataFrame, groupCol: String, valCol: String,
+      idCol: String, seed: String, samplePermille: Int): DataFrame = {
+    require(samplePermille >= 1 && samplePermille <= 1000,
+      s"samplePermille must be in [1, 1000], got $samplePermille")
+    val in = when(
+      hashBucket(col(idCol), seed, 1000) < samplePermille, 1L)
+      .otherwise(0L)
+    df.withColumn("__in", in)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("__in")).as("n_sampled"),
+        sum(col(valCol)).as("exact_cents"),
+        sum(col(valCol) * col("__in")).as("__sampled_cents"))
+      .withColumn("est_cents",
+        expr(s"(__sampled_cents * 1000L) div ${samplePermille}L"))
+      .withColumn("__diff_pm", (col("est_cents") - col("exact_cents"))
+        * lit(1000L))
+      .withColumn("err_pm",
+        when(col("exact_cents") === 0L, lit(0L))
+          .otherwise(expr(
+            """CASE WHEN __diff_pm >= 0
+              | THEN __diff_pm div abs(exact_cents)
+              | ELSE -((-__diff_pm) div abs(exact_cents)) END""".stripMargin)))
+      .select(col(groupCol), col("n_total"), col("n_sampled"),
+        col("exact_cents"), col("est_cents"), col("err_pm"))
+  }
 }

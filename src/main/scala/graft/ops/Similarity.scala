@@ -1320,4 +1320,106 @@ object Similarity {
       }
       .toDF(idCol, "cluster", "chain_pos")
   }
+
+  /** Multi-vector (late-interaction) MaxSim retrieval, the ColBERT
+    * scoring rule (Khattab & Zaharia, SIGIR 2020): each id's embedding
+    * is treated as `chunks` contiguous token sub-vectors, and
+    * score(q, d) = Σ_{i∈q} max_{j∈d} ⟨qᵢ, dⱼ⟩ — every query token
+    * matches its best document token, so a long document can't dilute
+    * a strong local match the way single-vector cosine does.
+    *
+    * Exactness: each token dot product is the sequential left fold
+    * (the object-doc convention), each per-query-token best is a max
+    * (order-free), and the per-token bests are floored to MICRO-INT
+    * before the final sum — so the cross-token sum is associative
+    * integer addition and the (score desc, doc asc) ranking hashes
+    * identically in any engine.
+    *
+    * Scale shape: the query side is the serving batch — model-sized by
+    * contract (require-capped), collected once and BROADCAST; scoring
+    * is then one pass over the document scan (m·n·chunks² dots, the
+    * irreducible exact-MaxSim cost), each task emitting its partial
+    * top-k so the merge window sees ≤ partitions·k rows per query,
+    * never the full m·n score matrix. The ANN variants (IVF shortlist
+    * then exact MaxSim re-rank) compose from [[annSearchIvf]] upstream.
+    *
+    * @param queryPred predicate selecting the query subset of `df`
+    * @return (qid, doc_id, score_micro, rank) — self-pairs excluded */
+  def maxSimTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, chunks: Int, k: Int,
+      maxQueries: Int = 100000): DataFrame = {
+    require(chunks >= 1, s"chunks must be >= 1, got $chunks")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).cast("long"),
+        col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+    val qRows = vecs.filter(queryPred).collect()
+    require(qRows.nonEmpty, "query predicate selected no rows")
+    require(qRows.length <= maxQueries,
+      s"query side has ${qRows.length} rows > maxQueries=$maxQueries — " +
+        "broadcast scoring needs a bounded serving batch")
+    val dim = qRows.head._2.length
+    require(dim % chunks == 0, s"dim $dim not divisible by $chunks chunks")
+    val sub = dim / chunks
+    val bcQ = spark.sparkContext.broadcast(
+      qRows.map { case (id, v) => (id, v.toArray) })
+    val partial = vecs.mapPartitions { it =>
+      val qs = bcQ.value
+      // per-partition partial top-k: a bounded (score asc, id desc)
+      // min-heap per query, so the task emits ≤ |queries|·k rows and
+      // the merge window sees ≤ partitions·k per query — never m·n
+      val heaps = qs.map { case (qid, _) =>
+        qid -> collection.mutable.PriorityQueue.empty[(Long, Long)](
+          // reverse of the output order: the heap head is the WORST
+          // kept pair, evicted first
+          Ordering.by[(Long, Long), (Long, Long)] {
+            case (score, did) => (-score, did)
+          })
+      }.toMap
+      it.foreach { case (did, dvSeq) =>
+        val dv = dvSeq.toArray
+        qs.foreach { case (qid, qv) =>
+          if (qid != did) {
+            var scoreMicro = 0L
+            var i = 0
+            while (i < chunks) {
+              var best = Double.NegativeInfinity
+              var j = 0
+              while (j < chunks) {
+                var dot = 0.0
+                var t = 0
+                while (t < sub) {
+                  dot += qv(i * sub + t) * dv(j * sub + t)
+                  t += 1
+                }
+                if (dot > best) best = dot
+                j += 1
+              }
+              scoreMicro += math.floor(best * 1e6).toLong
+              i += 1
+            }
+            val h = heaps(qid)
+            if (h.size < k) h.enqueue((scoreMicro, did))
+            else {
+              val (ws, wd) = h.head
+              // strictly better than the worst kept: higher score, or
+              // equal score with smaller doc id (the output tie-break)
+              if (scoreMicro > ws || (scoreMicro == ws && did < wd)) {
+                h.dequeue(); h.enqueue((scoreMicro, did))
+              }
+            }
+          }
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.iterator.map { case (s, d) => (qid, d, s) }
+      }
+    }.toDF("qid", "doc_id", "score_micro")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    partial.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -6860,6 +6860,138 @@ object CorpusQueries extends QueryModule {
              |UNION ALL SELECT 'mean_is_zero', true, nn FROM n
              |UNION ALL SELECT 'n_vectors', true, nn FROM n""".stripMargin),
     ),
+
+    // ---- Horvitz–Thompson group totals from the 10% hash sample
+    // (Sampling.htGroupEstimate): approximate query processing with a
+    // REPRODUCIBLE sample — inclusion is a property of the key's
+    // md5₆₀ bucket, so any engine derives the identical sample and the
+    // identical integer estimate. exact_cents rides along from the
+    // same conditional-aggregation pass as the audit column; err_pm is
+    // the sign-guarded per-mille error (q205's division convention).
+    Q(
+      "q230_ht_group_estimate",
+      (s, d) => Sampling.htGroupEstimate(
+        Tables.events(s, d).select(col("event_type"), col("event_id"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents")),
+        "event_type", "cents", "event_id", seed = "ht42",
+        samplePermille = 100),
+      Some("""WITH v AS (
+             |  SELECT event_type,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS cents,
+             |    CASE WHEN CAST('0x' || substr(md5(
+             |        CAST(event_id AS VARCHAR) || 'ht42'), 1, 15)
+             |        AS BIGINT) % 1000 < 100
+             |      THEN 1 ELSE 0 END AS inn
+             |  FROM events
+             |), a AS (
+             |  SELECT event_type, count(*) AS n_total,
+             |    CAST(sum(inn) AS BIGINT) AS n_sampled,
+             |    CAST(sum(cents) AS BIGINT) AS exact_cents,
+             |    CAST(sum(cents * inn) AS BIGINT) AS sampled
+             |  FROM v GROUP BY 1
+             |)
+             |SELECT event_type, n_total, n_sampled, exact_cents,
+             |  CAST((sampled * 1000) // 100 AS BIGINT) AS est_cents,
+             |  CAST(CASE WHEN exact_cents = 0 THEN 0
+             |    WHEN ((sampled * 1000) // 100 - exact_cents) >= 0
+             |    THEN (((sampled * 1000) // 100 - exact_cents) * 1000)
+             |      // abs(exact_cents)
+             |    ELSE -((-(((sampled * 1000) // 100 - exact_cents))
+             |      * 1000) // abs(exact_cents))
+             |  END AS BIGINT) AS err_pm
+             |FROM a""".stripMargin),
+    ),
+
+    // ---- rendezvous-hashing movement report (Placement
+    // .rendezvousMovement): grow the shard fleet 8 → 10 and prove the
+    // minimal-movement property in data — every moved key lands on one
+    // of the two NEW shards (mod-sharding would scatter ~9/10 of all
+    // keys). Assignment is a pure codegen'd argmax over an unrolled
+    // shard-literal array — no shuffle, no shard table join; the
+    // report is a shard²-bounded aggregate.
+    Q(
+      "q231_rendezvous_shards",
+      (s, d) => graft.ops.Placement.rendezvousMovement(
+        Tables.documents(s, d).select(col("doc_id")),
+        "doc_id",
+        before = (0 until 8).map(i => s"s$i"),
+        after = (0 until 10).map(i => s"s$i"),
+        seed = "rv42"),
+      Some("""WITH ks AS (SELECT doc_id FROM documents),
+             |sb AS (SELECT unnest([
+             |  's0','s1','s2','s3','s4','s5','s6','s7']) AS sh),
+             |sa AS (SELECT unnest(['s0','s1','s2','s3','s4','s5','s6',
+             |  's7','s8','s9']) AS sh),
+             |ab AS (
+             |  SELECT doc_id, sh, CAST('0x' || substr(md5(
+             |      CAST(doc_id AS VARCHAR) || ':' || sh || 'rv42'),
+             |      1, 15) AS BIGINT) AS score
+             |  FROM ks CROSS JOIN sb
+             |), pb AS (
+             |  SELECT doc_id, sh AS shard_before FROM (
+             |    SELECT doc_id, sh, row_number() OVER (
+             |      PARTITION BY doc_id ORDER BY score DESC, sh DESC)
+             |      AS rn FROM ab) t WHERE rn = 1
+             |), aa AS (
+             |  SELECT doc_id, sh, CAST('0x' || substr(md5(
+             |      CAST(doc_id AS VARCHAR) || ':' || sh || 'rv42'),
+             |      1, 15) AS BIGINT) AS score
+             |  FROM ks CROSS JOIN sa
+             |), pa AS (
+             |  SELECT doc_id, sh AS shard_after FROM (
+             |    SELECT doc_id, sh, row_number() OVER (
+             |      PARTITION BY doc_id ORDER BY score DESC, sh DESC)
+             |      AS rn FROM aa) t WHERE rn = 1
+             |)
+             |SELECT shard_before, shard_after, count(*) AS n_keys,
+             |  shard_before <> shard_after AS moved
+             |FROM pb JOIN pa USING (doc_id)
+             |GROUP BY 1, 2""".stripMargin),
+    ),
+
+    // ---- ColBERT-style MaxSim late-interaction retrieval (Similarity
+    // .maxSimTopK): the 64-dim embedding is read as 4 token
+    // sub-vectors; score(q,d) = Σᵢ maxⱼ ⟨qᵢ,dⱼ⟩ with the per-token
+    // best floored to micro-ints before the cross-token sum, so the
+    // ranking is associative-integer exact. Queries are the 1-in-29
+    // serving batch, broadcast; each task emits a bounded per-query
+    // partial top-k (heap), never the m·n score matrix.
+    Q(
+      "q232_maxsim_topk",
+      (s, d) => Similarity.maxSimTopK(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        queryPred = col("vec_id") % 29 === 0, chunks = 4, k = 3),
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings
+             |), tok AS (SELECT unnest([0, 1, 2, 3]) AS i),
+             |qt AS (
+             |  SELECT vec_id AS qid, i,
+             |    v[i*16+1 : (i+1)*16] AS tv
+             |  FROM e CROSS JOIN tok WHERE vec_id % 29 = 0
+             |), dt AS (
+             |  SELECT vec_id AS did, i AS j,
+             |    v[i*16+1 : (i+1)*16] AS tv
+             |  FROM e CROSS JOIN tok
+             |), dots AS (
+             |  SELECT qid, did, qt.i,
+             |    max(list_sum(list_transform(list_zip(qt.tv, dt.tv),
+             |      p -> p[1] * p[2]))) AS best
+             |  FROM qt JOIN dt ON qid <> did
+             |  GROUP BY 1, 2, 3
+             |), sc AS (
+             |  SELECT qid, did,
+             |    CAST(sum(CAST(floor(best * 1e6) AS BIGINT)) AS BIGINT)
+             |      AS score_micro
+             |  FROM dots GROUP BY 1, 2
+             |)
+             |SELECT qid, did AS doc_id, score_micro, rank FROM (
+             |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+             |    ORDER BY score_micro DESC, did ASC) AS INT) AS rank
+             |  FROM sc) t WHERE rank <= 3""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):

@@ -743,5 +743,55 @@ object StreamingQueries extends QueryModule {
              |             AND i.ts + INTERVAL 5 MINUTE
              |WHERE p.event_type = 'click'""".stripMargin),
     ),
+
+    // ---- stream-static dimension join: the streaming event feed is
+    // enriched against a BATCH dimension table (customer segment) with
+    // an explicit broadcast, then aggregated — the canonical streaming
+    // star-join. Spark re-plans the static side per micro-batch, and
+    // the broadcast means NO shuffle of the stream: at 100 TB/day of
+    // events the per-batch cost is a map-side hash probe, while a
+    // shuffle join would re-partition every batch by key. Update-mode
+    // aggregation without watermark is exact for the AvailableNow
+    // single batch (the state is the full group table — bounded at
+    // |segments|·|event types|).
+    Q(
+      "q233_streaming_dim_join",
+      (s, d) => {
+        val root = scratch()
+        val inDir = s"$root/in"
+        val ckpt = s"$root/ckpt"
+        val src = staged("q233", d) { dir =>
+          Tables.events(s, d)
+            .select(col("ts"), col("user_id"), col("event_type"),
+              col("value"))
+            .coalesce(1).write.parquet(s"$dir/t0")
+        }
+        val schema = s.read.parquet(s"$src/t0").schema
+        graft.io.Scratch.deliver(s"$src/t0", inDir)
+        val dim = broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment")))
+        val q = s.readStream.schema(schema).parquet(inDir)
+          .withColumn("cents",
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .join(dim, col("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+          .writeStream
+          .outputMode("update")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(s"$root/out")
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$root/out")
+      },
+      Some("""SELECT c_mktsegment, event_type, count(*) AS n,
+             |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+             |    AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY 1, 2""".stripMargin),
+    ),
   )
 }

@@ -965,4 +965,50 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().head
     assert(lo._2 > 16L)
   }
+
+  test("maxSimTopK matches a hand-rolled MaxSim on a small corpus, " +
+      "excludes self, deterministic under partitioning") {
+    // 8-dim vectors read as 2 token sub-vectors of 4 dims
+    val vecs = (0L until 20L).map { i =>
+      (i, (0 until 8).map(j =>
+        math.sin(i * 3.7 + j * 1.3) * (1 + (j % 3))))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.maxSimTopK(df, "vec_id", "embedding",
+        queryPred = col("vec_id") % 7 === 0, chunks = 2, k = 3)
+      .as[(Long, Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(
+        _.sortBy(_._4).map(t => (t._2, t._3)).toSeq).toMap
+    // reference computation
+    def chunk(v: Seq[Double], c: Int) = v.slice(c * 4, c * 4 + 4)
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    def maxSim(q: Seq[Double], d: Seq[Double]): Long =
+      (0 until 2).map { i =>
+        math.floor((0 until 2).map(j =>
+          dot(chunk(q, i), chunk(d, j))).max * 1e6).toLong
+      }.sum
+    val queries = vecs.filter(_._1 % 7 == 0)
+    for ((qid, qv) <- queries) {
+      val expected = vecs.filter(_._1 != qid)
+        .map { case (did, dv) => (did, maxSim(qv, dv)) }
+        .sortBy { case (did, s) => (-s, did) }.take(3)
+      assert(out(qid) == expected, s"query $qid")
+    }
+    // deterministic under partitioning
+    val again = Similarity.maxSimTopK(df.repartition(7), "vec_id",
+        "embedding", col("vec_id") % 7 === 0, 2, 3)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(again == Similarity.maxSimTopK(df, "vec_id", "embedding",
+      col("vec_id") % 7 === 0, 2, 3)
+      .as[(Long, Long, Long, Int)].collect().toSet)
+    intercept[IllegalArgumentException] {
+      Similarity.maxSimTopK(df, "vec_id", "embedding",
+        col("vec_id") % 7 === 0, chunks = 3, k = 3) // 8 % 3 != 0
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.maxSimTopK(df, "vec_id", "embedding",
+        col("vec_id") < 0, chunks = 2, k = 3) // empty query side
+    }
+  }
 }

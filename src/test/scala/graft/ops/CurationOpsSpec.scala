@@ -1774,4 +1774,83 @@ class CurationOpsSpec extends SparkSpec {
     val total = alphas.sum
     assert(total > 997000L && total <= 1000000L)
   }
+
+  test("htGroupEstimate: estimate = sampled sum / pi exactly, audit " +
+      "columns exact, full sample degenerates to exact") {
+    val rows = (1L to 400L).map(i =>
+      (if (i % 2 == 0) "a" else "b", i, 10L)).toDF("g", "id", "cents")
+    val out = Sampling.htGroupEstimate(rows, "g", "cents", "id",
+        seed = "t1", samplePermille = 250)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    for (g <- Seq("a", "b")) {
+      val (_, nTotal, nSampled, exact, est, errPm) = out(g)
+      assert(nTotal == 200L && exact == 2000L)
+      // estimate is exactly sampled*4 (pi = 1/4), err matches by hand
+      assert(est == nSampled * 10L * 4L)
+      assert(errPm == (est - exact) * 1000L / exact)
+      // the hash sample is near its expected size (binomial, 200 draws)
+      assert(nSampled > 20L && nSampled < 80L, s"$g sampled $nSampled")
+    }
+    // samplePermille = 1000 → everything sampled → estimate IS exact
+    val full = Sampling.htGroupEstimate(rows, "g", "cents", "id",
+        seed = "t1", samplePermille = 1000)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(full.forall(r => r._5 == r._4 && r._6 == 0L))
+    intercept[IllegalArgumentException] {
+      Sampling.htGroupEstimate(rows, "g", "cents", "id", "t1", 0)
+    }
+  }
+
+  test("htGroupEstimate plan: ONE scan with map-side partial " +
+      "aggregation — the audit column costs no extra pass") {
+    val rows = graft.model.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    val plan = Sampling.htGroupEstimate(rows, "event_type", "cents",
+        "event_id", "s", 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial"), plan)
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("rendezvousAssign is stable per key and balanced-ish; movement " +
+      "on grow-by-two goes ONLY to the new shards") {
+    val keys = (1L to 2000L).toDF("k")
+    val before = (0 until 8).map(i => s"s$i")
+    val after = (0 until 10).map(i => s"s$i")
+    val counts = Placement.rendezvousAssign(keys, "k", before, "rv")
+      .groupBy("shard").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet.subsetOf(before.toSet))
+    // 2000 keys over 8 shards: each within a loose 3x band of fair
+    assert(counts.values.forall(c => c > 80L && c < 750L), counts)
+    val mv = Placement.rendezvousMovement(keys, "k", before, after, "rv")
+      .as[(String, String, Long, Boolean)].collect()
+    val moved = mv.filter(_._4)
+    // every move lands on a NEW shard — the minimal-movement property
+    assert(moved.nonEmpty)
+    assert(moved.forall(m => Set("s8", "s9")(m._2)), moved.toSeq)
+    // expected movement ≈ 2/10 of keys; allow a wide band
+    val movedN = moved.map(_._3).sum
+    assert(movedN > 200L && movedN < 700L, movedN)
+    // shrinking back re-homes ONLY the removed shards' keys
+    val back = Placement.rendezvousMovement(keys, "k", after, before, "rv")
+      .as[(String, String, Long, Boolean)].collect().filter(_._4)
+    assert(back.forall(m => Set("s8", "s9")(m._1)), back.toSeq)
+    intercept[IllegalArgumentException] {
+      Placement.rendezvousAssign(keys, "k", Seq("a", "a"), "rv")
+    }
+  }
+
+  test("rendezvousAssign plan: pure codegen'd map — no shuffle, no " +
+      "join against a shard table") {
+    val keys = graft.model.Tables.documents(spark,
+      "/root/testdata/sf0.001").select(col("doc_id"))
+    val plan = Placement.rendezvousAssign(keys, "doc_id",
+        (0 until 8).map(i => s"s$i"), "rv")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }
