@@ -88,6 +88,60 @@ object GraphOps {
     r
   }
 
+  /** Personalized PageRank with an integer-exact seed restart — the
+    * TrustRank shape (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004):
+    * instead of teleporting uniformly, ALL restart mass returns to a
+    * trusted seed set, so rank measures proximity-to-trust and decays
+    * with link distance from the seeds — the standard counter to link
+    * farms that accumulate uniform-teleport PageRank from spam
+    * cliques. Same ppb-integer arithmetic, shuffle pattern, and
+    * dangling-mass convention as [[pageRankInt]]; the only change is
+    * WHERE the (1−d) restart lands: split evenly (integer div) over
+    * the seeds, zero elsewhere, and the t=0 mass starts entirely on
+    * the seeds.
+    *
+    * @param seeds one `node` column; must intersect the graph
+    * @return (node, rank_ppb) for every node appearing as src or dst */
+  def personalizedPageRankInt(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 2, dampingPermille: Long = 850L,
+      totalPpb: Long = 1000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
+    require(dampingPermille >= 0L && dampingPermille <= 1000L,
+      s"dampingPermille must be in [0, 1000], got $dampingPermille")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).materialized
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().materialized
+    val sd = seeds.select(col("node").cast("long").as("node")).distinct()
+    val seeded = nodes.join(sd, Seq("node"), "left_semi").materialized
+    val k = seeded.count()
+    require(k > 0, "seed set does not intersect the graph")
+    val flag = nodes.join(
+      seeded.withColumn("__is_seed", lit(true)), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("__is_seed"), lit(false)).as("__is_seed"))
+      .materialized
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val base = (totalPpb - totalPpb * dampingPermille / 1000L) / k
+    var r = flag.withColumn("rank_ppb",
+      when(col("__is_seed"), lit(totalPpb / k)).otherwise(lit(0L)))
+    var it = 0
+    while (it < iters) {
+      val contrib = e.join(r, e("src") === r("node"))
+        .join(outdeg, "src")
+        .select(col("dst"), expr("rank_ppb div __deg").as("__c"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__in"))
+      r = flag.join(contrib, flag("node") === contrib("dst"), "left")
+        .select(flag("node"), col("__is_seed"),
+          (when(col("__is_seed"), lit(base)).otherwise(lit(0L)) + expr(
+            s"($dampingPermille * coalesce(__in, 0L)) div 1000"))
+            .as("rank_ppb"))
+        .materialized
+      it += 1
+    }
+    r.select(col("node"), col("rank_ppb"))
+  }
+
   /** HITS hub/authority scores (Kleinberg 1999, JACM 46(5)) over an
     * (src, dst) edge multiset — the OTHER graph-centrality quality
     * signal web curation uses: PageRank rewards being linked FROM

@@ -1013,6 +1013,38 @@ object Scoring {
     * window); the final lookup is a shuffle join on the integer rank.
     *
     * @return input columns + group_rank, group_n, normalized (long) */
+  /** Right-to-be-forgotten propagation report: given a tombstone list
+    * of subject keys, count per table how many rows the purge removes
+    * and how many survive — the audit a deletion pipeline publishes
+    * BEFORE the destructive anti-join runs (and the same frame the
+    * post-purge run re-emits with n_purged = 0 as proof of
+    * completion). One job: every table contributes only its (name,
+    * key) projection to a union, the tombstone set broadcasts (a
+    * deletion batch is model-sized by nature), and the counts
+    * aggregate map-side — no table is scanned twice, no full rows
+    * move.
+    *
+    * @param tables (table name, frame, subject-key column) triples
+    * @return (table_name, n_before, n_purged, n_after) */
+  def deletionPropagation(tables: Seq[(String, DataFrame, String)],
+      tombstones: DataFrame, tombKeyCol: String): DataFrame = {
+    require(tables.nonEmpty, "need at least one table")
+    require(tables.map(_._1).distinct.size == tables.size,
+      "duplicate table names")
+    val keys = tables.map { case (name, df, kc) =>
+      df.select(lit(name).as("table_name"),
+        col(kc).cast("long").as("__k"))
+    }.reduce(_ unionByName _)
+    val tomb = broadcast(tombstones
+      .select(col(tombKeyCol).cast("long").as("__k"))
+      .distinct().withColumn("__dead", lit(1L)))
+    keys.join(tomb, Seq("__k"), "left")
+      .groupBy(col("table_name"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(coalesce(col("__dead"), lit(0L))).as("n_purged"))
+      .withColumn("n_after", col("n_before") - col("n_purged"))
+  }
+
   def quantileNormalize(df: DataFrame, groupCol: String, valCol: String,
       idCol: String): DataFrame = {
     val ranked = Packing.globalRowNumber(df,

@@ -6992,6 +6992,157 @@ object CorpusQueries extends QueryModule {
              |    ORDER BY score_micro DESC, did ASC) AS INT) AS rank
              |  FROM sc) t WHERE rank <= 3""".stripMargin),
     ),
+
+    // ---- TrustRank: personalized PageRank whose restart mass returns
+    // ONLY to a trusted seed set (every 10th doc), over the q134 link
+    // graph — rank measures link-distance-to-trust, the spam-farm
+    // counter (uniform-teleport PageRank is farmable; seed-teleport
+    // is not). Two ppb-integer iterations; the oracle replays both
+    // from the fixture link formula, so a wrong restart split, a
+    // seed-set leak into non-seeds, or a normalization drift all
+    // mismatch.
+    Q(
+      "q234_trustrank",
+      (s, d) => {
+        val dir = graft.sources.HtmlFixtures.write(s, d)
+        val pages = s.read.format("graft-html").load(dir)
+          .select(regexp_extract(col("name"), "doc_(\\d+)\\.html", 1)
+            .cast("long").as("doc_id"), col("html"))
+        val edges = GraphOps.extractLinkEdges(pages, "doc_id", "html")
+        val seeds = pages.select(col("doc_id").as("node"))
+          .filter(col("node") % 10 === 0)
+        GraphOps.personalizedPageRankInt(edges, seeds, iters = 2)
+          .select(col("node").as("doc_id"), col("rank_ppb"))
+      },
+      Some("""WITH f AS (
+             |  SELECT CAST(regexp_extract(file, 'doc_(\d+)\.html', 1)
+             |    AS BIGINT) AS doc_id
+             |  FROM glob('/root/repo/target/html_fixtures/sf0.01/*.html')
+             |), pos AS (
+             |  SELECT doc_id,
+             |    CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+             |      AS j,
+             |    CAST(count(*) OVER () AS BIGINT) AS n
+             |  FROM f
+             |), e AS (
+             |  SELECT a.doc_id AS src, b.doc_id AS dst
+             |  FROM pos a JOIN pos b ON b.j = (a.j + 1) % a.n
+             |  UNION ALL
+             |  SELECT a.doc_id, b.doc_id
+             |  FROM pos a JOIN pos b ON b.j = (2 * a.j + 1) % a.n
+             |  UNION ALL
+             |  SELECT a.doc_id, b.doc_id
+             |  FROM pos a JOIN pos b ON b.j = (7 * a.j + 3) % a.n
+             |), deg AS (
+             |  SELECT src, count(*) AS d FROM e GROUP BY 1
+             |), k AS (
+             |  SELECT count(*) AS k FROM pos WHERE doc_id % 10 = 0
+             |), r0 AS (
+             |  SELECT doc_id AS node,
+             |    CASE WHEN doc_id % 10 = 0
+             |      THEN 1000000000 // (SELECT k FROM k) ELSE 0 END AS r
+             |  FROM pos
+             |), r1 AS (
+             |  SELECT p.doc_id AS node,
+             |    (CASE WHEN p.doc_id % 10 = 0
+             |       THEN 150000000 // (SELECT k FROM k) ELSE 0 END)
+             |    + ((850 * COALESCE(s.inflow, 0)) // 1000) AS r
+             |  FROM pos p LEFT JOIN (
+             |    SELECT e.dst, sum(r.r // d.d) AS inflow
+             |    FROM e JOIN r0 r ON e.src = r.node
+             |    JOIN deg d ON e.src = d.src
+             |    GROUP BY 1) s ON p.doc_id = s.dst
+             |), r2 AS (
+             |  SELECT p.doc_id AS node,
+             |    (CASE WHEN p.doc_id % 10 = 0
+             |       THEN 150000000 // (SELECT k FROM k) ELSE 0 END)
+             |    + ((850 * COALESCE(s.inflow, 0)) // 1000) AS r
+             |  FROM pos p LEFT JOIN (
+             |    SELECT e.dst, sum(r.r // d.d) AS inflow
+             |    FROM e JOIN r1 r ON e.src = r.node
+             |    JOIN deg d ON e.src = d.src
+             |    GROUP BY 1) s ON p.doc_id = s.dst
+             |)
+             |SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_ppb
+             |FROM r2""".stripMargin),
+    ),
+
+    // ---- right-to-be-forgotten propagation audit (Scoring
+    // .deletionPropagation): a tombstone list of subjects (every 13th
+    // customer key) is checked against every subject-keyed table in
+    // ONE job — each table contributes only its (name, key)
+    // projection, the tombstones broadcast, counts aggregate map-side.
+    // The report a deletion pipeline publishes before (and re-publishes
+    // after, with n_purged = 0) the destructive anti-joins run.
+    Q(
+      "q235_deletion_propagation",
+      (s, d) => Scoring.deletionPropagation(
+        Seq(
+          ("customer", Tables.customer(s, d), "c_custkey"),
+          ("events", Tables.events(s, d), "user_id"),
+          ("orders", Tables.orders(s, d), "o_custkey")),
+        Tables.customer(s, d).select(col("c_custkey"))
+          .filter(col("c_custkey") % 13 === 0),
+        "c_custkey"),
+      Some("""SELECT 'customer' AS table_name, count(*) AS n_before,
+             |  CAST(sum(CASE WHEN c_custkey % 13 = 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_purged,
+             |  count(*) - CAST(sum(CASE WHEN c_custkey % 13 = 0
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+             |FROM customer
+             |UNION ALL
+             |SELECT 'events', count(*),
+             |  CAST(sum(CASE WHEN user_id % 13 = 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT),
+             |  count(*) - CAST(sum(CASE WHEN user_id % 13 = 0
+             |    THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM events
+             |UNION ALL
+             |SELECT 'orders', count(*),
+             |  CAST(sum(CASE WHEN o_custkey % 13 = 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT),
+             |  count(*) - CAST(sum(CASE WHEN o_custkey % 13 = 0
+             |    THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM orders""".stripMargin),
+    ),
+
+    // ---- schema evolution on read: two parquet snapshots written
+    // with DIFFERENT schemas (v1 predates the cents column) are read
+    // back through one mergeSchema scan — the lakehouse contract that
+    // old files stay readable after a column is added, with the
+    // missing column null-filled. The aggregate proves the fill: only
+    // v2 rows carry cents. At 100 TB the alternative — rewriting every
+    // historical file on schema change — is the thing this exists to
+    // avoid; mergeSchema pays one footer read per file, data pages
+    // untouched.
+    Q(
+      "q236_schema_evolution",
+      (s, d) => {
+        val root = graft.io.Scratch.dir("graft-schema-")
+        val ev = Tables.events(s, d)
+        ev.filter(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("event_type"))
+          .write.mode("overwrite").parquet(s"$root/v1")
+        ev.filter(col("event_id") % 2 === 1)
+          .select(col("event_id"), col("event_type"),
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents"))
+          .write.mode("overwrite").parquet(s"$root/v2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$root/v1", s"$root/v2")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_total"),
+            count(col("cents")).as("n_with_cents"),
+            sum(coalesce(col("cents"), lit(0L))).as("sum_cents"))
+      },
+      Some("""SELECT event_type, count(*) AS n_total,
+             |  CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_with_cents,
+             |  CAST(sum(CASE WHEN event_id % 2 = 1
+             |    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |    ELSE 0 END) AS BIGINT) AS sum_cents
+             |FROM events GROUP BY 1""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):

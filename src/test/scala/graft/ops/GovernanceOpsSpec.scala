@@ -99,4 +99,34 @@ class GovernanceOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("chars_per_piece_milli") == 9000 / 5)
     assert(r.getAs[Long]("chars_per_word_milli") == 9000 / 4)
   }
+
+  test("deletionPropagation: per-table purge counts, duplicate " +
+      "tombstones collapse, unmatched tombstones are inert") {
+    val t1 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (1L, "d"))
+      .toDF("uid", "x")
+    val t2 = Seq((2L, 7L), (4L, 8L)).toDF("uid", "y")
+    // tombstone 1 twice (dedup), 2 once, 99 matches nothing
+    val tomb = Seq(1L, 1L, 2L, 99L).toDF("subject")
+    val out = Scoring.deletionPropagation(
+        Seq(("t1", t1, "uid"), ("t2", t2, "uid")), tomb, "subject")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("t1") == ((4L, 3L, 1L))) // uid 1 (twice) + uid 2
+    assert(out("t2") == ((2L, 1L, 1L)))
+    intercept[IllegalArgumentException] {
+      Scoring.deletionPropagation(
+        Seq(("t1", t1, "uid"), ("t1", t2, "uid")), tomb, "subject")
+    }
+  }
+
+  test("deletionPropagation plan: one union job, broadcast tombstones, " +
+      "map-side partials") {
+    val ev = graft.model.Tables.events(spark, "/root/testdata/sf0.001")
+    val plan = Scoring.deletionPropagation(
+        Seq(("e1", ev, "user_id"), ("e2", ev, "user_id")),
+        ev.select($"user_id").filter($"user_id" % 5 === 0), "user_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("partial"), plan)
+  }
 }

@@ -96,6 +96,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("personalizedPageRankInt: restart lands ONLY on seeds, matches " +
+      "a hand-computed iteration, rejects disjoint seeds") {
+    // path 1 → 2 → 3, seed {1}; T = 1e9, d = 850‰, base = 15e7
+    // r0 = (1e9, 0, 0)
+    // iter1: inflow 2 ← 1e9, 3 ← 0
+    //   r1(1) = 15e7, r1(2) = 0 + 850*1e9/1000 = 85e7, r1(3) = 0
+    // iter2: inflow 2 ← 15e7, 3 ← 85e7
+    //   r2(1) = 15e7, r2(2) = 850*15e7 div 1000 = 1275e5,
+    //   r2(3) = 850*85e7 div 1000 = 7225e5
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val out = GraphOps.personalizedPageRankInt(edges, seeds, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 150000000L, 2L -> 127500000L,
+      3L -> 722500000L))
+    // a non-seed sink node never receives restart mass: node 3 rank
+    // is pure inflow (asserted above); disjoint seeds throw
+    intercept[IllegalArgumentException] {
+      GraphOps.personalizedPageRankInt(edges,
+        Seq(99L).toDF("node"), iters = 2)
+    }
+    // deterministic under partitioning
+    val again = GraphOps.personalizedPageRankInt(
+      edges.repartition(5), seeds, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(again == out)
+  }
+
   test("triangleCounts: a square (4-cycle) has none; a hub star has " +
       "none — the degree orientation doesn't invent wedges") {
     val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
