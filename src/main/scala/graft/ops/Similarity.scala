@@ -1345,6 +1345,32 @@ object Similarity {
     *
     * @param queryPred predicate selecting the query subset of `df`
     * @return (qid, doc_id, score_micro, rank) — self-pairs excluded */
+  /** score(q, d) = Σᵢ maxⱼ ⟨qᵢ, dⱼ⟩ in micro-ints — the one MaxSim
+    * definition [[maxSimTopK]] and [[maxSimRerank]] both call, so the
+    * exhaustive and re-rank paths can never drift. */
+  private def maxSimMicro(qv: Array[Double], dv: Array[Double],
+      chunks: Int, sub: Int): Long = {
+    var scoreMicro = 0L
+    var i = 0
+    while (i < chunks) {
+      var best = Double.NegativeInfinity
+      var j = 0
+      while (j < chunks) {
+        var dot = 0.0
+        var t = 0
+        while (t < sub) {
+          dot += qv(i * sub + t) * dv(j * sub + t)
+          t += 1
+        }
+        if (dot > best) best = dot
+        j += 1
+      }
+      scoreMicro += math.floor(best * 1e6).toLong
+      i += 1
+    }
+    scoreMicro
+  }
+
   def maxSimTopK(df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, chunks: Int, k: Int,
       maxQueries: Int = 100000): DataFrame = {
@@ -1382,24 +1408,7 @@ object Similarity {
         val dv = dvSeq.toArray
         qs.foreach { case (qid, qv) =>
           if (qid != did) {
-            var scoreMicro = 0L
-            var i = 0
-            while (i < chunks) {
-              var best = Double.NegativeInfinity
-              var j = 0
-              while (j < chunks) {
-                var dot = 0.0
-                var t = 0
-                while (t < sub) {
-                  dot += qv(i * sub + t) * dv(j * sub + t)
-                  t += 1
-                }
-                if (dot > best) best = dot
-                j += 1
-              }
-              scoreMicro += math.floor(best * 1e6).toLong
-              i += 1
-            }
+            val scoreMicro = maxSimMicro(qv, dv, chunks, sub)
             val h = heaps(qid)
             if (h.size < k) h.enqueue((scoreMicro, did))
             else {
@@ -1420,6 +1429,48 @@ object Similarity {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score_micro").desc, col("doc_id").asc)
     partial.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Exact-MaxSim RE-RANK of a candidate shortlist — the second stage
+    * of the amortized late-interaction pipeline: a cheap first stage
+    * ([[annSearchIvf]] over the concatenated vectors) proposes
+    * candidates, and only those (qid, doc_id) pairs pay the chunks²
+    * MaxSim cost. Per pair the work is row-local after two hash joins
+    * attach the vectors — no broadcast, no query-side collect, so the
+    * query side may be arbitrarily large here (it's the shortlist
+    * that bounds the work, |q|·k' pairs instead of m·n).
+    *
+    * Same [[maxSimMicro]] scoring as [[maxSimTopK]] (shared def —
+    * can't drift); same (score desc, doc asc) ranking.
+    *
+    * @param pairs (qid, doc_id) candidate shortlist
+    * @return (qid, doc_id, score_micro, rank ≤ k) */
+  def maxSimRerank(pairs: DataFrame, df: DataFrame, idCol: String,
+      vecCol: String, chunks: Int, k: Int): DataFrame = {
+    require(chunks >= 1 && k >= 1, s"need chunks/k >= 1, got $chunks/$k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).cast("long").as("__vid"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val scored = pairs
+      .select(col("qid").cast("long"), col("doc_id").cast("long"))
+      .filter(col("qid") =!= col("doc_id"))
+      .join(vecs.select(col("__vid").as("qid"), col("__v").as("__qv")),
+        "qid")
+      .join(vecs.select(col("__vid").as("doc_id"), col("__v").as("__dv")),
+        "doc_id")
+      .as[(Long, Long, Seq[Double], Seq[Double])]
+      .map { case (did, qid, qv, dv) =>
+        val qa = qv.toArray
+        require(qa.length % chunks == 0,
+          s"dim ${qa.length} not divisible by $chunks chunks")
+        (qid, did, maxSimMicro(qa, dv.toArray, chunks, qa.length / chunks))
+      }
+      .toDF("qid", "doc_id", "score_micro")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
   }
 }

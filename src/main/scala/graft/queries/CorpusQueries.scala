@@ -7143,6 +7143,56 @@ object CorpusQueries extends QueryModule {
              |    ELSE 0 END) AS BIGINT) AS sum_cents
              |FROM events GROUP BY 1""".stripMargin),
     ),
+
+    // ---- two-stage late-interaction retrieval, the ColBERT serving
+    // split (Khattab & Zaharia 2020 §3.6): stage 1 retrieves PER QUERY
+    // TOKEN — each of the 4 chunk sub-vectors gets its own IVF index
+    // and contributes a per-chunk cosine shortlist, unioned — and
+    // stage 2 re-ranks only the union with exact MaxSim (q232's
+    // scoring, shared def), so the chunks² cost is paid on the
+    // shortlist, never m·n. Retrieving on the CONCATENATED vector
+    // instead was measured at 0.14 recall at sf0.1 (a MaxSim neighbor
+    // needs only ONE aligned chunk, which full-vector cosine washes
+    // out) vs 0.50 for the per-chunk union — the design difference IS
+    // the paper's point. Approximate by nature → recall-floor VERDICT
+    // against exhaustive q232 (the q56 pattern); the 0.40 floor sits
+    // ~5σ under the measured 0.50/0.67 on these structure-free random
+    // fixtures (real token embeddings cluster; random vectors are the
+    // worst case). n_queries is recounted by DuckDB from the data.
+    Q(
+      "q239_ivf_maxsim_rerank",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val pred = col("vec_id") % 29 === 0
+        val exact = Similarity.maxSimTopK(emb, "vec_id", "embedding",
+            pred, chunks = 4, k = 3)
+          .select(col("qid"), col("doc_id")).localCheckpoint()
+        val shortlist = (0 until 4).map { i =>
+          val chunked = emb.select(col("vec_id"),
+            expr(s"slice(embedding, ${i * 16 + 1}, 16)").as("embedding"))
+          val idx = Similarity.buildIvfIndex(chunked, "vec_id",
+            "embedding", numCentroids = 16)
+          Similarity.annSearchIvf(chunked.filter(pred), idx,
+              "vec_id", "embedding", k = 60, nProbe = 10)
+            .select(col("id").as("qid"), col("neighbor_id").as("doc_id"))
+        }.reduce(_ unionByName _).distinct()
+        val reranked = Similarity.maxSimRerank(shortlist, emb,
+            "vec_id", "embedding", chunks = 4, k = 3)
+          .select(col("qid"), col("doc_id"))
+          .withColumn("__hit", lit(1))
+        exact.join(reranked, Seq("qid", "doc_id"), "left")
+          .agg(
+            (sum(coalesce(col("__hit"), lit(0))) / count(lit(1)))
+              .as("__recall"),
+            countDistinct(col("qid")).as("n_queries"))
+          .select(lit("ivf_maxsim").as("method"), col("n_queries"),
+            (col("__recall") >= 0.40).as("meets_floor"))
+      },
+      Some("""SELECT 'ivf_maxsim' AS method,
+             |  (SELECT count(*) FROM embeddings WHERE vec_id % 29 = 0)
+             |    AS n_queries,
+             |  true AS meets_floor""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):

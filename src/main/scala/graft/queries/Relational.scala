@@ -1224,5 +1224,114 @@ object Relational extends QueryModule {
              |    AS first_funnel
              |FROM s""".stripMargin),
     ),
+
+    // ---- rolling anomaly flags, INTEGER-EXACT: each event is tested
+    // against the mean ± 2σ band of its user's previous 8 events
+    // without ever computing a float mean or a square root — the
+    // z-score inequality (x−μ)² > 4σ² multiplies out to
+    // (n·x − S)² > 4·(n·Q − S²) with S = Σcents, Q = Σcents², all
+    // BIGINT, so the flag is bit-identical in any engine (a float
+    // μ/σ version would flip boundary rows between engines). The
+    // trailing frame EXCLUDES the current row — an outlier must not
+    // vote on its own baseline. Windows partition by user: bounded
+    // per-key history, cluster-wide parallelism.
+    Q(
+      "q237_rolling_anomaly",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"ts".asc, $"event_id".asc)
+          .rowsBetween(-8, -1)
+        Tables.events(s, d)
+          .select($"user_id", $"event_id",
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents"), $"ts")
+          .withColumn("w_n", count(lit(1)).over(w))
+          .withColumn("w_sum", coalesce(sum($"cents").over(w), lit(0L)))
+          .withColumn("w_sumsq",
+            coalesce(sum($"cents" * $"cents").over(w), lit(0L)))
+          .withColumn("is_anomaly",
+            $"w_n" >= 4 &&
+              ($"w_n" * $"cents" - $"w_sum")
+                * ($"w_n" * $"cents" - $"w_sum")
+              > lit(4L) * ($"w_n" * $"w_sumsq" - $"w_sum" * $"w_sum"))
+          .drop("ts")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, event_id, ts,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS cents
+             |  FROM events
+             |), f AS (
+             |  SELECT user_id, event_id, cents,
+             |    CAST(count(*) OVER w AS BIGINT) AS w_n,
+             |    CAST(coalesce(sum(cents) OVER w, 0) AS BIGINT) AS w_sum,
+             |    CAST(coalesce(sum(cents * cents) OVER w, 0) AS BIGINT)
+             |      AS w_sumsq
+             |  FROM v
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+             |)
+             |SELECT user_id, event_id, cents, w_n, w_sum, w_sumsq,
+             |  w_n >= 4 AND
+             |    (w_n * cents - w_sum) * (w_n * cents - w_sum)
+             |      > 4 * (w_n * w_sumsq - w_sum * w_sum) AS is_anomaly
+             |FROM f""".stripMargin),
+    ),
+
+    // ---- multi-touch attribution: every purchase splits 1000 milli
+    // of credit EVENLY (integer div; the remainder stays unassigned —
+    // documented, not silently dropped) across the user's view/click
+    // touches in the preceding 30 minutes. The join is equi on user
+    // plus a time-range predicate — sort-merge on the user key with
+    // the range as residual, bounded by per-user activity; at
+    // pathological per-user volumes the binned
+    // [[graft.ops.TemporalJoins.rangeJoin]] shape applies. Exact
+    // integers end to end.
+    Q(
+      "q238_attribution",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_id", $"event_type",
+            $"ts".cast("long").as("sec"))
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id".as("purchase_id"),
+            $"sec".as("p_sec"))
+        val touches = ev
+          .filter($"event_type" === "view" || $"event_type" === "click")
+          .select($"user_id", $"event_id".as("touch_id"),
+            $"event_type".as("touch_type"), $"sec".as("t_sec"))
+        val joined = purchases.join(touches, Seq("user_id"))
+          .filter($"t_sec" >= $"p_sec" - 1800 && $"t_sec" < $"p_sec")
+        val n = Window.partitionBy($"purchase_id")
+        joined
+          .withColumn("n_touches", count(lit(1)).over(n))
+          .withColumn("credit_milli", expr("1000L div n_touches"))
+          .select($"user_id", $"purchase_id", $"touch_id",
+            $"touch_type", $"n_touches", $"credit_milli")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+             |  FROM events
+             |), p AS (
+             |  SELECT user_id, event_id AS purchase_id, sec AS p_sec
+             |  FROM e WHERE event_type = 'purchase'
+             |), t AS (
+             |  SELECT user_id, event_id AS touch_id,
+             |    event_type AS touch_type, sec AS t_sec
+             |  FROM e WHERE event_type IN ('view', 'click')
+             |), j AS (
+             |  SELECT p.user_id, purchase_id, touch_id, touch_type,
+             |    CAST(count(*) OVER (PARTITION BY purchase_id)
+             |      AS BIGINT) AS n_touches
+             |  FROM p JOIN t ON p.user_id = t.user_id
+             |   AND t.t_sec >= p.p_sec - 1800 AND t.t_sec < p.p_sec
+             |)
+             |SELECT user_id, purchase_id, touch_id, touch_type,
+             |  n_touches, 1000 // n_touches AS credit_milli
+             |FROM j""".stripMargin),
+    ),
   )
 }

@@ -1011,4 +1011,36 @@ class CorpusOpsSpec extends SparkSpec {
         col("vec_id") < 0, chunks = 2, k = 3) // empty query side
     }
   }
+
+  test("maxSimRerank over the full pair space equals maxSimTopK " +
+      "(shared scoring def); a pruned shortlist only removes rows") {
+    val vecs = (0L until 15L).map { i =>
+      (i, (0 until 8).map(j => math.cos(i * 2.1 + j * 0.9) * (1 + j % 2)))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val exact = Similarity.maxSimTopK(df, "vec_id", "embedding",
+        col("vec_id") % 5 === 0, 2, 3)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val allPairs = vecs.filter(_._1 % 5 == 0).flatMap { case (q, _) =>
+      vecs.map { case (d2, _) => (q, d2) }
+    }.toDF("qid", "doc_id")
+    val rr = Similarity.maxSimRerank(allPairs, df, "vec_id",
+        "embedding", 2, 3)
+      .select($"qid", $"doc_id", $"score_micro", $"rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(rr == exact)
+    // a shortlist missing a true neighbor yields a subset ranking,
+    // never an invented score: feed only self+2 fixed candidates
+    val tiny = Seq((0L, 3L), (0L, 4L), (0L, 0L)).toDF("qid", "doc_id")
+    val pruned = Similarity.maxSimRerank(tiny, df, "vec_id",
+        "embedding", 2, 3)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(pruned.length == 2) // the self-pair dropped
+    val full = exact.filter(_._1 == 0L).map(r => r._2 -> r._3).toMap
+    pruned.foreach { case (_, did, s2, _) =>
+      // scores come from the same def: any candidate that also
+      // appears in the exhaustive top-3 carries the identical score
+      full.get(did).foreach(sc => assert(sc == s2))
+    }
+  }
 }
