@@ -246,4 +246,49 @@ object TemporalJoins {
         max(col(endCol)).as("island_end"),
         count(lit(1)).as("n_merged"))
   }
+
+  /** Hourly gap filling: densify each key's sparse event history into
+    * a contiguous hour grid from its first to its last event, zero-
+    * filling silent hours — the resample step before any
+    * rolling-window model (a trailing mean over sparse rows silently
+    * skips the silence; forecasting and anomaly baselines need the
+    * zeros to exist as rows). One aggregation for per-key bounds, one
+    * codegen'd `sequence` explode for the grid (rows are BORN
+    * distributed on the key — never a driver loop), one left join of
+    * the observed hourly rollup back onto the grid.
+    *
+    * The explode is the footgun at scale: a key whose history spans
+    * years emits every hour of it. `maxHoursPerKey` guards with a
+    * codegen'd `raise_error` — loud, per-row, no extra pass — rather
+    * than silently clamping (a truncated grid looks complete and
+    * poisons the downstream model).
+    *
+    * @param tsCol timestamp column
+    * @param valCol integer measure column (cents convention)
+    * @return (keyCol, hour: long epoch-hours, n_events, sum_val) */
+  def fillHourlyGaps(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, maxHoursPerKey: Long = 100000L): DataFrame = {
+    require(maxHoursPerKey >= 1,
+      s"maxHoursPerKey must be >= 1, got $maxHoursPerKey")
+    val hours = df.select(col(keyCol),
+      expr(s"CAST($tsCol AS LONG) div 3600").as("__h"),
+      col(valCol).as("__v"))
+    val observed = hours.groupBy(col(keyCol), col("__h").as("hour"))
+      .agg(count(lit(1)).as("n_events"), sum(col("__v")).as("sum_val"))
+    // the guard lives INSIDE the sequence bound (assert_true yields
+    // NULL when it passes, coalesced to +0) so column pruning can
+    // never optimize it away
+    val grid = hours.groupBy(col(keyCol))
+      .agg(min(col("__h")).as("__h0"), max(col("__h")).as("__h1"))
+      .select(col(keyCol),
+        explode(expr(
+          s"""sequence(__h0, __h1 + CAST(coalesce(assert_true(
+             |  __h1 - __h0 < ${maxHoursPerKey}L,
+             |  'fillHourlyGaps: a key spans >= $maxHoursPerKey hours'
+             |), 0) AS BIGINT))""".stripMargin)).as("hour"))
+    grid.join(observed, Seq(keyCol, "hour"), "left")
+      .select(col(keyCol), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_val"), lit(0L)).as("sum_val"))
+  }
 }

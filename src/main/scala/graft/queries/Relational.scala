@@ -1333,5 +1333,114 @@ object Relational extends QueryModule {
              |  n_touches, 1000 // n_touches AS credit_milli
              |FROM j""".stripMargin),
     ),
+
+    // ---- hourly gap filling (TemporalJoins.fillHourlyGaps): each
+    // user's sparse event history densifies into a contiguous hour
+    // grid with zero-filled silent hours — the resample rows every
+    // rolling baseline needs to exist. Grid rows are born distributed
+    // via a codegen'd sequence explode on the per-key bounds; a
+    // span-guard assert_true lives inside the sequence bound so
+    // column pruning can't drop it.
+    Q(
+      "q240_gap_fill",
+      (s, d) => {
+        import s.implicits._
+        graft.ops.TemporalJoins.fillHourlyGaps(
+          Tables.events(s, d).select($"user_id", $"ts",
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents")),
+          "user_id", "ts", "cents")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id,
+             |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS cents
+             |  FROM events
+             |), bounds AS (
+             |  SELECT user_id, min(h) AS h0, max(h) AS h1
+             |  FROM v GROUP BY 1
+             |), grid AS (
+             |  SELECT user_id, unnest(range(h0, h1 + 1)) AS hour
+             |  FROM bounds
+             |), obs AS (
+             |  SELECT user_id, h AS hour, count(*) AS n_events,
+             |    CAST(sum(cents) AS BIGINT) AS sum_val
+             |  FROM v GROUP BY 1, 2
+             |)
+             |SELECT g.user_id, g.hour,
+             |  coalesce(o.n_events, 0) AS n_events,
+             |  coalesce(o.sum_val, 0) AS sum_val
+             |FROM grid g LEFT JOIN obs o
+             |  ON o.user_id = g.user_id AND o.hour = g.hour"""
+        .stripMargin),
+    ),
+
+    // ---- k-core peel at k=100 over the co-purchase graph (GraphOps
+    // .kCorePeel): four explicit peel rounds drop every part whose
+    // surviving co-purchase degree is under 100, cascading — the
+    // density filter that separates genuinely well-connected nodes
+    // from ones propped up by since-peeled neighbors. The `converged`
+    // flag is part of the output contract (round-3 vs round-4 survivor
+    // counts), so a bounded peel can never silently pose as the exact
+    // core. The oracle replays all four rounds as chained CTEs.
+    Q(
+      "q241_kcore",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey")
+        val edges = li.as("x").join(li.as("y"),
+            $"x.l_orderkey" === $"y.l_orderkey"
+              && $"x.l_partkey" < $"y.l_partkey")
+          .select($"x.l_partkey".as("src"), $"y.l_partkey".as("dst"))
+        graft.ops.GraphOps.kCorePeel(edges, k = 100, rounds = 4)
+      },
+      Some("""WITH e0 AS (
+             |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+             |  FROM lineitem x JOIN lineitem y
+             |    ON x.l_orderkey = y.l_orderkey
+             |   AND x.l_partkey < y.l_partkey
+             |), n0 AS (
+             |  SELECT a AS node FROM e0 UNION SELECT b FROM e0
+             |), s1 AS (
+             |  SELECT node FROM (
+             |    SELECT node, count(*) AS d FROM (
+             |      SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0
+             |    ) GROUP BY 1) WHERE d >= 100
+             |), e1 AS (
+             |  SELECT a, b FROM e0
+             |  WHERE a IN (SELECT node FROM s1)
+             |    AND b IN (SELECT node FROM s1)
+             |), s2 AS (
+             |  SELECT node FROM (
+             |    SELECT node, count(*) AS d FROM (
+             |      SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1
+             |    ) GROUP BY 1) WHERE d >= 100
+             |), e2 AS (
+             |  SELECT a, b FROM e1
+             |  WHERE a IN (SELECT node FROM s2)
+             |    AND b IN (SELECT node FROM s2)
+             |), s3 AS (
+             |  SELECT node FROM (
+             |    SELECT node, count(*) AS d FROM (
+             |      SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2
+             |    ) GROUP BY 1) WHERE d >= 100
+             |), e3 AS (
+             |  SELECT a, b FROM e2
+             |  WHERE a IN (SELECT node FROM s3)
+             |    AND b IN (SELECT node FROM s3)
+             |), s4 AS (
+             |  SELECT node FROM (
+             |    SELECT node, count(*) AS d FROM (
+             |      SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3
+             |    ) GROUP BY 1) WHERE d >= 100
+             |)
+             |SELECT n0.node,
+             |  n0.node IN (SELECT node FROM s4) AS in_core,
+             |  (SELECT count(*) FROM s3) = (SELECT count(*) FROM s4)
+             |    AS converged
+             |FROM n0""".stripMargin),
+    ),
   )
 }

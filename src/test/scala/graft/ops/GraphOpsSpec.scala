@@ -96,6 +96,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("kCorePeel: pendant chain cascades off a triangle, converged " +
+      "flag reports the fixpoint, bounded rounds report not-converged") {
+    // triangle {1,2,3} (each deg 2) + chain 3-4-5: deg(4)=2 but both
+    // neighbors peel-dependent — at k=2: round 1 drops 5 (deg 1),
+    // round 2 drops 4 (its surviving deg fell to 1), triangle stays.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val out = GraphOps.kCorePeel(edges, k = 2, rounds = 4)
+      .as[(Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.view.mapValues(_._1).toMap == Map(
+      1L -> true, 2L -> true, 3L -> true, 4L -> false, 5L -> false))
+    assert(out.values.forall(_._2), "4 rounds reach the fixpoint")
+    // a 1-round peel is NOT converged (round 2 still drops node 4)
+    val bounded = GraphOps.kCorePeel(edges, k = 2, rounds = 1)
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(bounded.forall(!_._3), "round 1 must report not-converged")
+    assert(bounded.filter(_._1 == 4L).head._2, "4 survives round 1")
+    // k above the max degree empties the graph and converges
+    val empty = GraphOps.kCorePeel(edges, k = 10, rounds = 3)
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(empty.forall(r => !r._2 && r._3))
+  }
+
   test("personalizedPageRankInt: restart lands ONLY on seeds, matches " +
       "a hand-computed iteration, rejects disjoint seeds") {
     // path 1 → 2 → 3, seed {1}; T = 1e9, d = 850‰, base = 15e7

@@ -231,6 +231,30 @@ class TemporalJoinsSpec extends SparkSpec {
       (4L, 1L, 10L, 25L, 3L)))
   }
 
+  test("fillHourlyGaps: zero rows exist for silent hours, observed " +
+      "hours aggregate, span guard fires loudly") {
+    // user 1: events in hours 100 and 103 → grid 100..103 with two
+    // zero-filled hours; user 2: single hour
+    def at(h: Long, plus: Long) = new Timestamp((h * 3600 + plus) * 1000)
+    val ev = Seq(
+      (1L, at(100, 5), 10L), (1L, at(100, 9), 7L), (1L, at(103, 1), 3L),
+      (2L, at(500, 0), 1L),
+    ).toDF("user_id", "ts", "cents")
+    val out = TemporalJoins.fillHourlyGaps(ev, "user_id", "ts", "cents")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 100L, 2L, 17L), (1L, 101L, 0L, 0L), (1L, 102L, 0L, 0L),
+      (1L, 103L, 1L, 3L), (2L, 500L, 1L, 1L)))
+    val e = intercept[Exception] {
+      TemporalJoins.fillHourlyGaps(ev, "user_id", "ts", "cents",
+        maxHoursPerKey = 3L).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("fillHourlyGaps")))
+  }
+
   test("mergeIntervals plan: per-group windows only — no SinglePartition " +
       "funnel") {
     val iv = graft.model.Tables.events(spark, "/root/testdata/sf0.001")
