@@ -1910,6 +1910,46 @@ object TextAnalysis {
     *
     * @return topK rows of (w1, w2, c_pair, c_w1, c_w2, lift)
     */
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    * PageRank over the word-adjacency graph — a word is important if
+    * important words stand next to it, the unsupervised keyphrase
+    * baseline that needs no training data. This is deliberately a
+    * COMPOSITION: the adjacency bigrams are [[collocations]]' pair
+    * derivation, the graph walk is [[GraphOps.pageRankInt]]'s
+    * ppb-integer Pregel rounds (same exactness argument — float rank
+    * sums are partition-order-dependent, integer sums are not), with
+    * the 0/1 undirected adjacency the paper specifies (both directions
+    * of each distinct pair, self-adjacency dropped). Word → node ids
+    * go through the shared md5₆₀ (collision odds 2⁻⁶⁰, the corpus-wide
+    * convention); the final global top-K is TakeOrderedAndProject —
+    * per-partition partial top-K merged on the driver, never a
+    * single-partition ranking window over the vocabulary.
+    *
+    * @return (word, rank_ppb), the topK by (rank desc, word asc) */
+  def textRankKeywords(df: DataFrame, textCol: String, iters: Int = 2,
+      topK: Int = 30): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val words = split(trim(col(textCol)), "\\s+")
+    val adj = df.select(words.as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__w")) - 1),
+        i => struct(element_at(col("__w"), i).as("w1"),
+          element_at(col("__w"), i + 1).as("w2")))).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    val und = adj.union(adj.select(col("w2").as("w1"), col("w1").as("w2")))
+      .distinct()
+    val ids = und.select(col("w1").as("word")).distinct()
+      .withColumn("node", Dedup.md5Hash60(col("word")))
+    val edges = und.select(Dedup.md5Hash60(col("w1")).as("src"),
+      Dedup.md5Hash60(col("w2")).as("dst"))
+    GraphOps.pageRankInt(edges, iters)
+      .join(ids, "node")
+      .select(col("word"), col("rank_ppb"))
+      .orderBy(col("rank_ppb").desc, col("word").asc)
+      .limit(topK)
+  }
+
   def collocations(df: DataFrame, textCol: String, minCount: Long = 5L,
       topK: Int = 1000): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")

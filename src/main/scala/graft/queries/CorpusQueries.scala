@@ -7193,6 +7193,67 @@ object CorpusQueries extends QueryModule {
              |    AS n_queries,
              |  true AS meets_floor""".stripMargin),
     ),
+
+    // ---- TextRank keywords (TextAnalysis.textRankKeywords): PageRank
+    // over the word-adjacency graph — the unsupervised keyphrase
+    // extractor, composed from the q111 bigram derivation and q134's
+    // ppb-integer Pregel rounds (word ids via the shared md5₆₀). The
+    // oracle replays the graph build AND both integer iterations, so
+    // a direction leak, a self-adjacency, or a normalization drift
+    // all mismatch; all divisions non-negative (`div` == `//`).
+    Q(
+      "q244_textrank_keywords",
+      (s, d) => TextAnalysis.textRankKeywords(
+        Tables.documents(s, d), "text", iters = 2, topK = 30),
+      Some("""WITH w AS (
+             |  SELECT string_split(trim(text), ' ') AS w FROM documents
+             |), adj AS (
+             |  SELECT w[i] AS w1, w[i + 1] AS w2
+             |  FROM (SELECT w, unnest(range(1, len(w))) AS i
+             |        FROM w WHERE len(w) >= 2)
+             |  WHERE w[i] <> w[i + 1]
+             |), und AS (
+             |  SELECT DISTINCT w1, w2 FROM (
+             |    SELECT w1, w2 FROM adj
+             |    UNION ALL SELECT w2, w1 FROM adj)
+             |), ids AS (
+             |  SELECT DISTINCT w1 AS word,
+             |    CAST('0x' || substr(md5(w1), 1, 15) AS BIGINT) AS node
+             |  FROM und
+             |), e AS (
+             |  SELECT CAST('0x' || substr(md5(w1), 1, 15) AS BIGINT)
+             |      AS src,
+             |    CAST('0x' || substr(md5(w2), 1, 15) AS BIGINT) AS dst
+             |  FROM und
+             |), deg AS (
+             |  SELECT src, count(*) AS d FROM e GROUP BY 1
+             |), nn AS (SELECT count(*) AS n FROM ids),
+             |r0 AS (
+             |  SELECT node, 1000000000 // (SELECT n FROM nn) AS r
+             |  FROM ids
+             |), r1 AS (
+             |  SELECT i.node,
+             |    (150000000 // (SELECT n FROM nn))
+             |    + ((850 * COALESCE(s.inflow, 0)) // 1000) AS r
+             |  FROM ids i LEFT JOIN (
+             |    SELECT e.dst, sum(r.r // d.d) AS inflow
+             |    FROM e JOIN r0 r ON e.src = r.node
+             |    JOIN deg d ON e.src = d.src
+             |    GROUP BY 1) s ON i.node = s.dst
+             |), r2 AS (
+             |  SELECT i.node,
+             |    (150000000 // (SELECT n FROM nn))
+             |    + ((850 * COALESCE(s.inflow, 0)) // 1000) AS r
+             |  FROM ids i LEFT JOIN (
+             |    SELECT e.dst, sum(r.r // d.d) AS inflow
+             |    FROM e JOIN r1 r ON e.src = r.node
+             |    JOIN deg d ON e.src = d.src
+             |    GROUP BY 1) s ON i.node = s.dst
+             |)
+             |SELECT i.word, CAST(r2.r AS BIGINT) AS rank_ppb
+             |FROM r2 JOIN ids i ON i.node = r2.node
+             |ORDER BY rank_ppb DESC, word ASC LIMIT 30""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):

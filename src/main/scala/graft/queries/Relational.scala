@@ -1442,5 +1442,138 @@ object Relational extends QueryModule {
              |    AS converged
              |FROM n0""".stripMargin),
     ),
+
+    // ---- RFM segmentation: each user's recency / frequency /
+    // monetary metric lands in its equi-depth quintile via three
+    // passes of the distributed NTILE (SketchStats.globalNtile — the
+    // two-pass ranked scan, never `ntile() OVER (ORDER BY …)`'s
+    // single-partition window). Tile 1 = best (most recent / most
+    // active / highest spend); ties pinned by user_id. The oracle runs
+    // DuckDB's real ntile() three times — equality proves each
+    // distributed pass replays SQL NTILE exactly, composed.
+    Q(
+      "q242_rfm_segments",
+      (s, d) => {
+        import s.implicits._
+        val m = Tables.events(s, d)
+          .select($"user_id", $"ts".cast("long").as("sec"),
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents"))
+          .groupBy($"user_id")
+          .agg(max($"sec").as("recency_sec"),
+            count(lit(1)).as("frequency"),
+            sum($"cents").as("monetary_cents"))
+        val withR = graft.ops.SketchStats.globalNtile(m,
+          Seq($"recency_sec".desc, $"user_id".asc), 5, "r_tile")
+        val withF = graft.ops.SketchStats.globalNtile(withR,
+          Seq($"frequency".desc, $"user_id".asc), 5, "f_tile")
+        val withM = graft.ops.SketchStats.globalNtile(withF,
+          Seq($"monetary_cents".desc, $"user_id".asc), 5, "m_tile")
+        withM.withColumn("rfm_code",
+          ($"r_tile" * 100 + $"f_tile" * 10 + $"m_tile").cast("int"))
+      },
+      Some("""WITH m AS (
+             |  SELECT user_id,
+             |    max(CAST(floor(epoch(ts)) AS BIGINT)) AS recency_sec,
+             |    count(*) AS frequency,
+             |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS BIGINT) AS monetary_cents
+             |  FROM events GROUP BY 1
+             |)
+             |SELECT user_id, recency_sec, frequency, monetary_cents,
+             |  CAST(ntile(5) OVER (ORDER BY recency_sec DESC, user_id)
+             |    AS INT) AS r_tile,
+             |  CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id)
+             |    AS INT) AS f_tile,
+             |  CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, user_id)
+             |    AS INT) AS m_tile,
+             |  r_tile * 100 + f_tile * 10 + m_tile AS rfm_code
+             |FROM m""".stripMargin),
+    ),
+
+    // ---- Fellegi–Sunter record linkage (EntityResolution.linkage):
+    // customers link to suppliers within a NATION block (pairs exist
+    // only inside equal block keys — one equi-join, never n×m), each
+    // pair scored by an integer milli log-odds agreement vector over
+    // three field comparators. Weights are inputs (fit offline via
+    // EM); the per-pair score is an associative integer sum. The
+    // fixture fields are synthetic, so the comparators derive
+    // deterministic features both engines restate (balance bucket,
+    // name-suffix residue, address-length parity).
+    Q(
+      "q243_record_linkage",
+      (s, d) => {
+        import s.implicits._
+        import graft.ops.EntityResolution.{Comparator, linkage}
+        // abs() before the bucket div: acctbal can be negative, and
+        // Spark `div` truncates where DuckDB `//` floors — on the
+        // non-negative magnitude the two agree (q205's convention)
+        val cust = Tables.customer(s, d).select(
+          $"c_custkey", $"c_nationkey",
+          expr("abs(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100"
+            + " AS BIGINT)) div 100000").as("c_bal_bucket"),
+          expr("CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT)"
+            + " % 97").as("c_suffix"),
+          expr("CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT)"
+            + " % 2").as("c_addr_parity"))
+        val supp = Tables.supplier(s, d).select(
+          $"s_suppkey", $"s_nationkey",
+          expr("abs(CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100"
+            + " AS BIGINT)) div 100000").as("s_bal_bucket"),
+          expr("CAST(regexp_extract(s_name, '([0-9]+)$', 1) AS BIGINT)"
+            + " % 97").as("s_suffix"),
+          expr("CAST(regexp_extract(s_name, '([0-9]+)$', 1) AS BIGINT)"
+            + " % 2").as("s_addr_parity"))
+        linkage(
+          cust.withColumnRenamed("c_nationkey", "nation"),
+          supp.withColumnRenamed("s_nationkey", "nation"),
+          blockCol = "nation",
+          leftIdCol = "c_custkey", rightIdCol = "s_suppkey",
+          comparators = Seq(
+            Comparator("bal", (a, b) => a === b,
+              "c_bal_bucket", "s_bal_bucket", 2400L, -300L),
+            Comparator("suffix", (a, b) => a === b,
+              "c_suffix", "s_suffix", 3600L, -200L),
+            Comparator("parity", (a, b) => a === b,
+              "c_addr_parity", "s_addr_parity", 700L, -700L)),
+          thresholdMilli = 3000L)
+      },
+      Some("""WITH c AS (
+             |  SELECT c_custkey AS left_id, c_nationkey AS block,
+             |    abs(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) // 100000 AS bal,
+             |    CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT)
+             |      % 97 AS suffix,
+             |    CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT)
+             |      % 2 AS parity
+             |  FROM customer
+             |), su AS (
+             |  SELECT s_suppkey AS right_id, s_nationkey AS block,
+             |    abs(CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) // 100000 AS bal,
+             |    CAST(regexp_extract(s_name, '([0-9]+)$', 1) AS BIGINT)
+             |      % 97 AS suffix,
+             |    CAST(regexp_extract(s_name, '([0-9]+)$', 1) AS BIGINT)
+             |      % 2 AS parity
+             |  FROM supplier
+             |), p AS (
+             |  SELECT c.left_id, su.right_id, c.block,
+             |    c.bal = su.bal AS agree_bal,
+             |    c.suffix = su.suffix AS agree_suffix,
+             |    c.parity = su.parity AS agree_parity
+             |  FROM c JOIN su ON c.block = su.block
+             |)
+             |SELECT left_id, right_id, block,
+             |  agree_bal, agree_suffix, agree_parity,
+             |  CAST((CASE WHEN agree_bal THEN 2400 ELSE -300 END)
+             |    + (CASE WHEN agree_suffix THEN 3600 ELSE -200 END)
+             |    + (CASE WHEN agree_parity THEN 700 ELSE -700 END)
+             |    AS BIGINT) AS score_milli
+             |FROM p
+             |WHERE (CASE WHEN agree_bal THEN 2400 ELSE -300 END)
+             |    + (CASE WHEN agree_suffix THEN 3600 ELSE -200 END)
+             |    + (CASE WHEN agree_parity THEN 700 ELSE -700 END)
+             |  >= 3000""".stripMargin),
+    ),
   )
 }

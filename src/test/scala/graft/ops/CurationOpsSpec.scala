@@ -1843,6 +1843,40 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("linkage: pairs only within blocks, agreement vector scores " +
+      "with integer weights, null fields disagree, threshold filters") {
+    import graft.ops.EntityResolution.{Comparator, linkage}
+    val left = Seq(
+      (1L, "b1", Some(10L), "x"),   // matches r1 on both fields
+      (2L, "b1", Some(20L), "x"),   // field2 agrees, field1 doesn't
+      (3L, "b2", Some(10L), "x"),   // other block: never meets r1
+      (4L, "b1", Option.empty[Long], "x"), // null field1 → disagree
+    ).toDF("lid", "blk", "f1", "f2")
+    val right = Seq((101L, "b1", Some(10L), "x"))
+      .toDF("rid", "blk", "g1", "g2")
+    val out = linkage(left, right, "blk", "lid", "rid",
+        Seq(
+          Comparator("f1", (a, b) => a === b, "f1", "g1", 1000L, -500L),
+          Comparator("f2", (a, b) => a === b, "f2", "g2", 800L, -400L)),
+        thresholdMilli = 300L)
+      .select($"left_id", $"right_id", $"agree_f1", $"agree_f2",
+        $"score_milli")
+      .as[(Long, Long, Boolean, Boolean, Long)].collect().toSet
+    // lid 1: 1000+800 = 1800 ✓; lid 2: -500+800 = 300 ✓ (boundary);
+    // lid 3: other block — no pair; lid 4: -500+800 = 300 ✓ with
+    // agree_f1 = false from the null
+    assert(out == Set(
+      (1L, 101L, true, true, 1800L),
+      (2L, 101L, false, true, 300L),
+      (4L, 101L, false, true, 300L)))
+    intercept[IllegalArgumentException] {
+      Comparator("bad", (a, b) => a === b, "f1", "g1", -1L, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      linkage(left, right, "blk", "lid", "rid", Seq.empty, 0L)
+    }
+  }
+
   test("rendezvousAssign plan: pure codegen'd map — no shuffle, no " +
       "join against a shard table") {
     val keys = graft.model.Tables.documents(spark,
