@@ -291,4 +291,43 @@ object TemporalJoins {
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         coalesce(col("sum_val"), lit(0L)).as("sum_val"))
   }
+
+  /** Linear interpolation over a [[fillHourlyGaps]]-shaped dense grid:
+    * silent rows (`nCol` = 0) get the straight line between the
+    * nearest observed values on either side, INTEGER-EXACT — the
+    * interpolated value is prev + ((next−prev)·Δt) div span with the
+    * q205 sign-guarded division, so a falling segment (negative
+    * numerator) truncates identically in Spark (`div`, toward zero)
+    * and DuckDB (`//`, floor). Two ignore-nulls windows per key
+    * (running last observed / upcoming first observed) — bounded
+    * per-key frames, no shuffle beyond the key partitioning the grid
+    * already has. Grid endpoints are observed by construction
+    * (fillHourlyGaps spans first→last event), so prev/next always
+    * exist on interior silent rows.
+    *
+    * @return grid columns + interp_val (= valCol on observed rows) */
+  def interpolateLinear(grid: DataFrame, keyCol: String, hourCol: String,
+      valCol: String, nCol: String): DataFrame = {
+    val byHour = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(hourCol).asc)
+    val wPrev = byHour.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = byHour.rowsBetween(0, Window.unboundedFollowing)
+    val obsVal = when(col(nCol) > 0, col(valCol))
+    val obsHour = when(col(nCol) > 0, col(hourCol))
+    grid
+      .withColumn("__pv", last(obsVal, ignoreNulls = true).over(wPrev))
+      .withColumn("__ph", last(obsHour, ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", first(obsVal, ignoreNulls = true).over(wNext))
+      .withColumn("__nh", first(obsHour, ignoreNulls = true).over(wNext))
+      .withColumn("interp_val",
+        when(col(nCol) > 0, col(valCol)).otherwise(expr(
+          s"""__pv + CASE
+             |  WHEN (__nv - __pv) * ($hourCol - __ph) >= 0
+             |    THEN ((__nv - __pv) * ($hourCol - __ph))
+             |      div (__nh - __ph)
+             |  ELSE -((-((__nv - __pv) * ($hourCol - __ph)))
+             |      div (__nh - __ph))
+             |END""".stripMargin)))
+      .drop("__pv", "__ph", "__nv", "__nh")
+  }
 }

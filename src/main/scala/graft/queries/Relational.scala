@@ -1575,5 +1575,70 @@ object Relational extends QueryModule {
              |    + (CASE WHEN agree_parity THEN 700 ELSE -700 END)
              |  >= 3000""".stripMargin),
     ),
+
+    // ---- linear interpolation over the q240 grid (TemporalJoins
+    // .interpolateLinear): silent hours get the integer-exact straight
+    // line between their nearest observed neighbors — two ignore-nulls
+    // windows per user, the sign-guarded division for falling
+    // segments. The gap-fill zeros become honest estimates; observed
+    // rows pass through untouched.
+    Q(
+      "q246_interpolate",
+      (s, d) => {
+        import s.implicits._
+        val grid = graft.ops.TemporalJoins.fillHourlyGaps(
+          Tables.events(s, d).select($"user_id", $"ts",
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents")),
+          "user_id", "ts", "cents")
+        graft.ops.TemporalJoins.interpolateLinear(grid,
+          "user_id", "hour", "sum_val", "n_events")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id,
+             |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS cents
+             |  FROM events
+             |), bounds AS (
+             |  SELECT user_id, min(h) AS h0, max(h) AS h1
+             |  FROM v GROUP BY 1
+             |), grid AS (
+             |  SELECT user_id, unnest(range(h0, h1 + 1)) AS hour
+             |  FROM bounds
+             |), obs AS (
+             |  SELECT user_id, h AS hour, count(*) AS n_events,
+             |    CAST(sum(cents) AS BIGINT) AS sum_val
+             |  FROM v GROUP BY 1, 2
+             |), g AS (
+             |  SELECT gr.user_id, gr.hour,
+             |    coalesce(o.n_events, 0) AS n_events,
+             |    coalesce(o.sum_val, 0) AS sum_val,
+             |    CASE WHEN o.n_events > 0 THEN o.sum_val END AS ov,
+             |    CASE WHEN o.n_events > 0 THEN gr.hour END AS oh
+             |  FROM grid gr LEFT JOIN obs o
+             |    ON o.user_id = gr.user_id AND o.hour = gr.hour
+             |), w AS (
+             |  SELECT user_id, hour, n_events, sum_val,
+             |    last_value(ov IGNORE NULLS) OVER wp AS pv,
+             |    last_value(oh IGNORE NULLS) OVER wp AS ph,
+             |    first_value(ov IGNORE NULLS) OVER wn AS nv,
+             |    first_value(oh IGNORE NULLS) OVER wn AS nh
+             |  FROM g
+             |  WINDOW wp AS (PARTITION BY user_id ORDER BY hour
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |  wn AS (PARTITION BY user_id ORDER BY hour
+             |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             |)
+             |SELECT user_id, hour, n_events, sum_val,
+             |  CASE WHEN n_events > 0 THEN sum_val
+             |    ELSE pv + CASE
+             |      WHEN (nv - pv) * (hour - ph) >= 0
+             |        THEN ((nv - pv) * (hour - ph)) // (nh - ph)
+             |      ELSE -((-((nv - pv) * (hour - ph))) // (nh - ph))
+             |    END
+             |  END AS interp_val
+             |FROM w""".stripMargin),
+    ),
   )
 }

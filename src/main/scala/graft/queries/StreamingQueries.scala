@@ -793,5 +793,82 @@ object StreamingQueries extends QueryModule {
              |FROM events JOIN customer ON user_id = c_custkey
              |GROUP BY 1, 2""".stripMargin),
     ),
+
+    // ---- stateful quota gate (StreamOps.quotaGate): at most 2 events
+    // per user per event-time DAY pass; the rest flag rejected. Two
+    // AvailableNow ticks (even event_ids, then odd) prove the per-day
+    // counters carry ACROSS batches: a tick-2 event's position in its
+    // day continues where tick 1 stopped. The oracle restates exactly
+    // that arrival contract — tick-1 sequence = rank among evens,
+    // tick-2 sequence = that day's even count + rank among odds —
+    // so a state reset between batches, a re-sort across batches, or
+    // an off-by-one at the cap all mismatch.
+    Q(
+      "q245_streaming_quota",
+      (s, d) => {
+        val root = scratch()
+        val inDir = s"$root/in"
+        val ckpt = s"$root/ckpt"
+        val src = staged("q245", d) { dir =>
+          val e = Tables.events(s, d)
+            .select(col("ts"), col("user_id"), col("event_id"))
+          e.filter(col("event_id") % 2 === 0)
+            .coalesce(1).write.parquet(s"$dir/t0")
+          e.filter(col("event_id") % 2 === 1)
+            .coalesce(1).write.parquet(s"$dir/t1")
+        }
+        val schema = s.read.parquet(s"$src/t0").schema
+        def tick(tickDir: String, outDir: String): Unit = {
+          graft.io.Scratch.deliver(tickDir, inDir)
+          val q = StreamOps
+            .quotaGate(s.readStream.schema(schema).parquet(inDir),
+              perDay = 2)
+            .writeStream
+            .outputMode("append")
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[StreamOps.QuotaOut],
+                  _: Long) =>
+                b.write.mode("append").parquet(outDir)
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        tick(s"$src/t0", s"$root/out1")
+        tick(s"$src/t1", s"$root/out2")
+        def shape(dir: String, run: Int) = s.read.parquet(dir)
+          .withColumn("run", lit(run))
+        shape(s"$root/out1", 1).unionByName(shape(s"$root/out2", 2))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, ts,
+             |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             |    event_id % 2 = 0 AS even
+             |  FROM events
+             |), t1 AS (
+             |  SELECT user_id, event_id, day,
+             |    CAST(row_number() OVER (PARTITION BY user_id, day
+             |      ORDER BY ts, event_id) AS INT) AS seq_in_day,
+             |    1 AS run
+             |  FROM e WHERE even
+             |), c1 AS (
+             |  SELECT user_id, day, count(*) AS n1
+             |  FROM e WHERE even GROUP BY 1, 2
+             |), t2 AS (
+             |  SELECT e.user_id, e.event_id, e.day,
+             |    CAST(coalesce(c1.n1, 0) + row_number() OVER (
+             |      PARTITION BY e.user_id, e.day ORDER BY e.ts,
+             |      e.event_id) AS INT) AS seq_in_day,
+             |    2 AS run
+             |  FROM e LEFT JOIN c1
+             |    ON c1.user_id = e.user_id AND c1.day = e.day
+             |  WHERE NOT e.even
+             |)
+             |SELECT user_id, event_id, day, seq_in_day,
+             |  seq_in_day <= 2 AS accepted, run
+             |FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2)"""
+        .stripMargin),
+    ),
   )
 }

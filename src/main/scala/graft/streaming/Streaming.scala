@@ -164,6 +164,55 @@ object StreamOps {
       }
   }
 
+  case class QuotaState(counts: Map[Long, Int])
+  case class QuotaOut(user_id: Long, event_id: Long, day: Long,
+      seq_in_day: Int, accepted: Boolean)
+
+  /** Stateful per-key quota gate: each user may pass at most
+    * `perDay` events per event-time day; the rest are flagged
+    * rejected (flagged, not dropped — the downstream sink decides).
+    * The rate-limiter shape every ingestion front end needs, run as
+    * keyed state (`flatMapGroupsWithState`): the state is the user's
+    * per-day counter map, carried ACROSS micro-batches — an event
+    * arriving in a later batch continues the day's count where the
+    * earlier batch left it (q245 proves this with a two-tick replay).
+    *
+    * Ordering contract: within one batch a user's events are counted
+    * in (ts, event_id) order (the [[lifecycleEventTime]] sort
+    * convention); across batches, ARRIVAL order governs — an
+    * out-of-order late event consumes quota at its arrival position,
+    * not its event-time position (re-ordering history would mean
+    * un-rejecting an already-rejected event; document, don't
+    * pretend). State stays bounded by pruning day counters older
+    * than `retainDays` behind the newest day seen for the key.
+    */
+  def quotaGate(events: DataFrame, perDay: Int,
+      retainDays: Long = 48L): Dataset[QuotaOut] = {
+    import events.sparkSession.implicits._
+    require(perDay >= 1, s"perDay must be >= 1, got $perDay")
+    events
+      .selectExpr("user_id", "event_id",
+        "CAST(ts AS LONG) div 86400 AS day", "ts")
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[QuotaState, QuotaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[QuotaState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._4, r._2))
+          var counts = state.getOption.map(_.counts)
+            .getOrElse(Map.empty[Long, Int])
+          val out = sorted.map { case (_, eventId, day, _) =>
+            val seq = counts.getOrElse(day, 0) + 1
+            counts = counts.updated(day, seq)
+            QuotaOut(user, eventId, day, seq, seq <= perDay)
+          }
+          val newest = counts.keys.max
+          state.update(QuotaState(
+            counts.filter { case (d, _) => d >= newest - retainDays }))
+          out.iterator
+      }
+  }
+
   case class AsOfState(ts: java.sql.Timestamp, value: Double)
   case class AsOfOut(event_id: Long, user_id: Long,
       ts: java.sql.Timestamp, value: Double,

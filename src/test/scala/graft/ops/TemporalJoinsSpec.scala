@@ -255,6 +255,32 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("fillHourlyGaps")))
   }
 
+  test("interpolateLinear: rising and falling segments integer-exact, " +
+      "observed rows untouched") {
+    // key 1 grid: hours 0..4; observed 0→(1 ev, 100) and 4→(2 ev, 20):
+    // falling segment, span 4, delta -80 → hour1: 100 + (-80*1) div 4
+    // = 80 (exact); hour2: 60; hour3: 40. Both engines' truncation
+    // agrees through the sign guard.
+    val grid = Seq(
+      (1L, 0L, 1L, 100L), (1L, 1L, 0L, 0L), (1L, 2L, 0L, 0L),
+      (1L, 3L, 0L, 0L), (1L, 4L, 2L, 20L),
+      // key 2: non-divisible rising segment 0→(10), 3→(11): delta 1
+      // over span 3 → hours 1, 2 interp to 10 (truncated)
+      (2L, 0L, 1L, 10L), (2L, 1L, 0L, 0L), (2L, 2L, 0L, 0L),
+      (2L, 3L, 1L, 11L),
+    ).toDF("user_id", "hour", "n_events", "sum_val")
+    val out = TemporalJoins.interpolateLinear(grid, "user_id", "hour",
+        "sum_val", "n_events")
+      .select($"user_id", $"hour", $"interp_val")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == Map(
+      (1L, 0L) -> 100L, (1L, 1L) -> 80L, (1L, 2L) -> 60L,
+      (1L, 3L) -> 40L, (1L, 4L) -> 20L,
+      (2L, 0L) -> 10L, (2L, 1L) -> 10L, (2L, 2L) -> 10L,
+      (2L, 3L) -> 11L))
+  }
+
   test("mergeIntervals plan: per-group windows only — no SinglePartition " +
       "funnel") {
     val iv = graft.model.Tables.events(spark, "/root/testdata/sf0.001")

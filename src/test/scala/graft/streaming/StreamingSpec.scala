@@ -257,4 +257,40 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set((1L, 101L)))
     } finally q.stop()
   }
+
+  test("quotaGate: per-user-day cap, counters carry across batches, " +
+      "arrival order governs late events") {
+    implicit val sq = spark.sqlContext
+    def ts(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-0$d $h%02d:00:00")
+    val stream = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val out = StreamOps.quotaGate(
+      stream.toDS().toDF("ts", "user_id", "event_id"), perDay = 2)
+    val sink = "quota_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-quota").toString)
+      .format("memory").queryName(sink).start()
+    try {
+      // batch 1: user 1 files two events on day d (both accepted);
+      // user 2 one event
+      stream.addData((ts(1, 3), 1L, 10L), (ts(1, 5), 1L, 11L),
+        (ts(1, 1), 2L, 20L))
+      q.processAllAvailable()
+      // batch 2: user 1's third event of the SAME day — over quota
+      // even though its event time (02:00) precedes batch 1's events:
+      // arrival order governs. A new day resets the count.
+      stream.addData((ts(1, 2), 1L, 12L), (ts(2, 9), 1L, 13L))
+      q.processAllAvailable()
+      val rows = spark.table(sink)
+        .select($"event_id", $"seq_in_day", $"accepted")
+        .as[(Long, Int, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(rows(10L) == ((1, true)) && rows(11L) == ((2, true)))
+      assert(rows(20L) == ((1, true)))
+      assert(rows(12L) == ((3, false)), "cross-batch counter must carry")
+      assert(rows(13L) == ((1, true)), "new day resets")
+    } finally q.stop()
+  }
 }
