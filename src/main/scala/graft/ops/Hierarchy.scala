@@ -54,6 +54,51 @@ object Hierarchy {
     finally spark.catalog.dropTempView(v)
   }
 
+  /** Multi-source BFS hop distances via the native recursive CTE:
+    * every node reachable from the seed set within `maxDepth` directed
+    * hops, with its MINIMUM hop count — link-distance-from-trust as a
+    * discrete feature (the companion to [[GraphOps
+    * .personalizedPageRankInt]]'s continuous one), crawl-frontier
+    * depth labeling, same shape.
+    *
+    * The recursion enumerates PATH visits and takes min(dist) at the
+    * end — correct because UNION ALL + the depth bound keep the
+    * enumeration finite, and deliberately simple because Spark's
+    * UnionLoop dedups nothing. The cost model is explicit: visits ≤
+    * |seeds| · (max out-degree)^maxDepth, fine for sparse link graphs
+    * at small depths (out-degree 3, depth 4 → ≤ 81 visits/seed); on a
+    * dense graph or deeper horizon use a Pregel min-label loop (the
+    * [[graft.ops.Dedup.duplicateClusters]] shape) that dedups per
+    * round instead.
+    *
+    * @param edges (src, dst) directed; seeds one `node` column
+    * @return (node, dist) — reached nodes only, dist in [0, maxDepth] */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+      maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0 && maxDepth <= 12,
+      s"maxDepth must be in [0, 12] (path enumeration, no dedup), " +
+        s"got $maxDepth")
+    val spark = edges.sparkSession
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val ev = s"graft_bfs_e_$sfx"
+    val sv = s"graft_bfs_s_$sfx"
+    edges.createOrReplaceTempView(ev)
+    seeds.createOrReplaceTempView(sv)
+    try spark.sql(
+      s"""WITH RECURSIVE __b AS (
+         |  SELECT node, 0 AS dist FROM $sv
+         |  UNION ALL
+         |  SELECT e.dst AS node, b.dist + 1
+         |  FROM $ev e JOIN __b b ON e.src = b.node
+         |  WHERE b.dist < $maxDepth
+         |) SELECT node, CAST(min(dist) AS BIGINT) AS dist
+         |FROM __b GROUP BY node""".stripMargin)
+    finally {
+      spark.catalog.dropTempView(ev)
+      spark.catalog.dropTempView(sv)
+    }
+  }
+
   /** Leaf paths only — the SFT-rendering view of a message tree: one
     * row per complete conversation branch (a leaf is a node no other
     * row points to as parent). */

@@ -7254,6 +7254,57 @@ object CorpusQueries extends QueryModule {
              |FROM r2 JOIN ids i ON i.node = r2.node
              |ORDER BY rank_ppb DESC, word ASC LIMIT 30""".stripMargin),
     ),
+
+    // ---- multi-source BFS hop distance from the trust seeds
+    // (Hierarchy.bfsDistances): the discrete companion to q234's
+    // TrustRank — every doc within 4 directed link hops of a seed,
+    // labeled with its minimum hop count, via the NATIVE recursive
+    // CTE (UnionLoop; path enumeration bounded by out-degree 3 ^
+    // depth 4, min(dist) folds the multiplicity). The oracle runs the
+    // identical WITH RECURSIVE in DuckDB.
+    Q(
+      "q247_bfs_distance",
+      (s, d) => {
+        val dir = graft.sources.HtmlFixtures.write(s, d)
+        val pages = s.read.format("graft-html").load(dir)
+          .select(regexp_extract(col("name"), "doc_(\\d+)\\.html", 1)
+            .cast("long").as("doc_id"), col("html"))
+        val edges = GraphOps.extractLinkEdges(pages, "doc_id", "html")
+        val seeds = pages.select(col("doc_id").as("node"))
+          .filter(col("node") % 10 === 0)
+        graft.ops.Hierarchy.bfsDistances(edges, seeds, maxDepth = 4)
+          .select(col("node").as("doc_id"), col("dist"))
+      },
+      Some("""WITH RECURSIVE f AS (
+             |  SELECT CAST(regexp_extract(file, 'doc_(\d+)\.html', 1)
+             |    AS BIGINT) AS doc_id
+             |  FROM glob('/root/repo/target/html_fixtures/sf0.01/*.html')
+             |), pos AS (
+             |  SELECT doc_id,
+             |    CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+             |      AS j,
+             |    CAST(count(*) OVER () AS BIGINT) AS n
+             |  FROM f
+             |), e AS (
+             |  SELECT a.doc_id AS src, b.doc_id AS dst
+             |  FROM pos a JOIN pos b ON b.j = (a.j + 1) % a.n
+             |  UNION ALL
+             |  SELECT a.doc_id, b.doc_id
+             |  FROM pos a JOIN pos b ON b.j = (2 * a.j + 1) % a.n
+             |  UNION ALL
+             |  SELECT a.doc_id, b.doc_id
+             |  FROM pos a JOIN pos b ON b.j = (7 * a.j + 3) % a.n
+             |), bfs AS (
+             |  SELECT doc_id AS node, 0 AS dist FROM pos
+             |  WHERE doc_id % 10 = 0
+             |  UNION ALL
+             |  SELECT e.dst, b.dist + 1
+             |  FROM e JOIN bfs b ON e.src = b.node
+             |  WHERE b.dist < 4
+             |)
+             |SELECT node AS doc_id, CAST(min(dist) AS BIGINT) AS dist
+             |FROM bfs GROUP BY 1""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):

@@ -38,4 +38,23 @@ class HierarchySpec extends SparkSpec {
       (1L, 1, "1"), (2L, 2, "1>2"),
       (10L, 1, "10"), (11L, 2, "10>11"), (12L, 3, "10>11>12")))
   }
+
+  test("bfsDistances: min hop wins over a longer path, depth bound " +
+      "truncates, unreachable nodes absent, seed distance 0") {
+    // 1 → 2 → 3 → 4 → 5 plus shortcut 1 → 3; 9 → 1 points INTO the
+    // seed (unreached upstream); 7 isolated target of nothing
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L),
+      (9L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val out = Hierarchy.bfsDistances(edges, seeds, maxDepth = 4)
+      .as[(Long, Long)].collect().toMap
+    // 3 via the shortcut is 1 hop, not 2; 9 never reached
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+    val shallow = Hierarchy.bfsDistances(edges, seeds, maxDepth = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(shallow == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    intercept[IllegalArgumentException] {
+      Hierarchy.bfsDistances(edges, seeds, maxDepth = 13)
+    }
+  }
 }
