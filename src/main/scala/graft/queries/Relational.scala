@@ -1640,5 +1640,68 @@ object Relational extends QueryModule {
              |  END AS interp_val
              |FROM w""".stripMargin),
     ),
+
+    // ---- data-contract report (Expectations.validate): the orders
+    // table publishes its own quality gate — null checks, a cents
+    // range, a status-domain regex, key uniqueness, and referential
+    // integrity against customer. Row-local rules fold into ONE
+    // conditional-aggregation scan; uniqueness pays one group-by,
+    // the FK one broadcast anti-join. The fixture is clean, so every
+    // rule passes with 0 violations — the point the oracle pins is
+    // that both engines COUNT the same way, not that the data is
+    // dirty (violation arithmetic is covered by the spec's planted
+    // dirty frame).
+    Q(
+      "q248_data_contract",
+      (s, d) => {
+        import graft.ops.Expectations._
+        val orders = Tables.orders(s, d).withColumn("price_cents",
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+            + " AS BIGINT)"))
+        validate(orders, Seq(
+          NotNull("o_custkey"),
+          InRange("price_cents", 0L, 100000000L),
+          Matches("o_orderstatus", "[FOP]"),
+          Unique(Seq("o_orderkey")),
+          ForeignKey("o_custkey", Tables.customer(s, d), "c_custkey")))
+      },
+      Some("""WITH o AS (
+             |  SELECT *, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             |    AS BIGINT) AS price_cents
+             |  FROM orders
+             |), n AS (SELECT count(*) AS n_rows FROM o),
+             |v AS (
+             |  SELECT 'not_null:o_custkey' AS rule,
+             |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0
+             |      END) AS BIGINT) AS n_violations
+             |  FROM o
+             |  UNION ALL
+             |  SELECT 'in_range:price_cents',
+             |    CAST(sum(CASE WHEN price_cents IS NULL
+             |      OR price_cents < 0 OR price_cents > 100000000
+             |      THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM o
+             |  UNION ALL
+             |  SELECT 'matches:o_orderstatus',
+             |    CAST(sum(CASE WHEN o_orderstatus IS NULL
+             |      OR NOT regexp_full_match(o_orderstatus, '(?:[FOP])')
+             |      THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM o
+             |  UNION ALL
+             |  SELECT 'unique:o_orderkey',
+             |    CAST(coalesce((SELECT sum(c) FROM (
+             |      SELECT count(*) AS c FROM o GROUP BY o_orderkey
+             |      HAVING count(*) > 1)), 0) AS BIGINT)
+             |  UNION ALL
+             |  SELECT 'foreign_key:o_custkey',
+             |    CAST((SELECT count(*) FROM o
+             |      WHERE o_custkey IS NOT NULL
+             |        AND o_custkey NOT IN
+             |          (SELECT c_custkey FROM customer)) AS BIGINT)
+             |)
+             |SELECT v.rule, n.n_rows, v.n_violations,
+             |  v.n_violations = 0 AS pass
+             |FROM v CROSS JOIN n""".stripMargin),
+    ),
   )
 }

@@ -119,6 +119,44 @@ class GovernanceOpsSpec extends SparkSpec {
     }
   }
 
+  test("Expectations.validate counts every violation class on a " +
+      "planted dirty frame; clean frame passes all") {
+    import graft.ops.Expectations._
+    val dim = Seq(1L, 2L).toDF("k")
+    val dirty = Seq(
+      // (id, key, price, status, fk)
+      (1L, 10L, Some(50L), Some("F"), Some(1L)),   // clean
+      (2L, 11L, Some(-5L), Some("O"), Some(2L)),   // range low
+      (3L, 11L, Some(999L), Some("X"), Some(9L)),  // dup key + bad
+                                                   // status + orphan fk
+      (4L, 12L, Option.empty[Long], Option.empty[String],
+        Option.empty[Long]),                        // nulls everywhere
+    ).toDF("id", "key", "price", "status", "fk")
+    val out = validate(dirty, Seq(
+        NotNull("status"),
+        InRange("price", 0L, 100L),
+        Matches("status", "[FOP]"),
+        Unique(Seq("key")),
+        ForeignKey("fk", dim, "k")))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("not_null:status") == ((4L, 1L, false)))
+    // range: -5 out, 999 out, null violates → 3
+    assert(out("in_range:price") == ((4L, 3L, false)))
+    // matches: 'X' and null violate → 2
+    assert(out("matches:status") == ((4L, 2L, false)))
+    // unique: key 11 twice → both rows count → 2
+    assert(out("unique:key") == ((4L, 2L, false)))
+    // fk: 9 orphaned; NULL fk is not an orphan (NotNull's job) → 1
+    assert(out("foreign_key:fk") == ((4L, 1L, false)))
+    val clean = validate(dirty.filter($"id" === 1L), Seq(
+        NotNull("status"), Unique(Seq("key")),
+        ForeignKey("fk", dim, "k")))
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(clean.forall(r => r._3 == 0L && r._4))
+    intercept[IllegalArgumentException] { validate(dirty, Seq.empty) }
+  }
+
   test("deletionPropagation plan: one union job, broadcast tombstones, " +
       "map-side partials") {
     val ev = graft.model.Tables.events(spark, "/root/testdata/sf0.001")
