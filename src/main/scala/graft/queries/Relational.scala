@@ -545,15 +545,15 @@ object Relational extends QueryModule {
       Some("""WITH s1 AS (
              |  SELECT user_id, min(ts) AS t1 FROM events
              |  WHERE event_type = 'signup' GROUP BY 1
-             |), s2 AS (
+             |), s2 AS MATERIALIZED (
              |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
              |  JOIN s1 USING (user_id)
              |  WHERE e.event_type = 'view' AND e.ts >= s1.t1 GROUP BY 1
-             |), s3 AS (
+             |), s3 AS MATERIALIZED (
              |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
              |  JOIN s2 USING (user_id)
              |  WHERE e.event_type = 'click' AND e.ts >= s2.t2 GROUP BY 1
-             |), s4 AS (
+             |), s4 AS MATERIALIZED (
              |  SELECT e.user_id, min(e.ts) AS t4 FROM events e
              |  JOIN s3 USING (user_id)
              |  WHERE e.event_type = 'purchase' AND e.ts >= s3.t3 GROUP BY 1
@@ -1396,19 +1396,19 @@ object Relational extends QueryModule {
           .select($"x.l_partkey".as("src"), $"y.l_partkey".as("dst"))
         graft.ops.GraphOps.kCorePeel(edges, k = 100, rounds = 4)
       },
-      Some("""WITH e0 AS (
+      Some("""WITH e0 AS MATERIALIZED (
              |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
              |  FROM lineitem x JOIN lineitem y
              |    ON x.l_orderkey = y.l_orderkey
              |   AND x.l_partkey < y.l_partkey
              |), n0 AS (
              |  SELECT a AS node FROM e0 UNION SELECT b FROM e0
-             |), s1 AS (
+             |), s1 AS MATERIALIZED (
              |  SELECT node FROM (
              |    SELECT node, count(*) AS d FROM (
              |      SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0
              |    ) GROUP BY 1) WHERE d >= 100
-             |), e1 AS (
+             |), e1 AS MATERIALIZED (
              |  SELECT a, b FROM e0
              |  WHERE a IN (SELECT node FROM s1)
              |    AND b IN (SELECT node FROM s1)
@@ -1417,7 +1417,7 @@ object Relational extends QueryModule {
              |    SELECT node, count(*) AS d FROM (
              |      SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1
              |    ) GROUP BY 1) WHERE d >= 100
-             |), e2 AS (
+             |), e2 AS MATERIALIZED (
              |  SELECT a, b FROM e1
              |  WHERE a IN (SELECT node FROM s2)
              |    AND b IN (SELECT node FROM s2)
@@ -1426,7 +1426,7 @@ object Relational extends QueryModule {
              |    SELECT node, count(*) AS d FROM (
              |      SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2
              |    ) GROUP BY 1) WHERE d >= 100
-             |), e3 AS (
+             |), e3 AS MATERIALIZED (
              |  SELECT a, b FROM e2
              |  WHERE a IN (SELECT node FROM s3)
              |    AND b IN (SELECT node FROM s3)
