@@ -1703,5 +1703,156 @@ object Relational extends QueryModule {
              |  v.n_violations = 0 AS pass
              |FROM v CROSS JOIN n""".stripMargin),
     ),
+
+    // ---- per-user feature extraction (the feature-store row): one
+    // pass over events builds the classic activity features — totals,
+    // a trailing-7-day count anchored on the corpus max timestamp
+    // (deterministic, no wall clock), active-day count, mean
+    // inter-event gap (integer div over the span), and the modal
+    // event type via ONE struct-max (count desc, type asc ties) — no
+    // window, no second scan; the per-user aggregation is map-side
+    // combined.
+    Q(
+      "q249_user_features",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_type", $"ts".cast("long").as("sec"),
+            expr("CAST(ts AS LONG) div 86400").as("day"))
+        val anchor = ev.agg(max($"sec").as("__mx"))
+        // modal type via ONE struct-max — count ties break to the
+        // lexicographically largest type (struct ordering); the
+        // oracle restates the same rule with a rank window
+        val byType = ev.groupBy($"user_id", $"event_type")
+          .agg(count(lit(1)).as("__c"))
+          .groupBy($"user_id")
+          .agg(max(struct($"__c".as("c"), $"event_type".as("t")))
+            .as("__m"))
+          .select($"user_id", $"__m.t".as("top_type_raw"),
+            $"__m.c".as("top_type_n"))
+        ev.crossJoin(broadcast(anchor))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when($"sec" >= $"__mx" - 7L * 86400L, 1L).otherwise(0L))
+              .as("n_events_7d"),
+            countDistinct($"day").as("n_active_days"),
+            min($"sec").as("first_sec"), max($"sec").as("last_sec"))
+          .withColumn("mean_gap_sec",
+            when($"n_events" > 1,
+              expr("(last_sec - first_sec) div (n_events - 1)"))
+              .otherwise(lit(0L)))
+          .join(byType, "user_id")
+          .select($"user_id", $"n_events", $"n_events_7d",
+            $"n_active_days", $"mean_gap_sec",
+            $"top_type_raw".as("top_type"), $"top_type_n")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+             |  FROM events
+             |), mx AS (SELECT max(sec) AS m FROM e),
+             |tt AS (
+             |  SELECT user_id, event_type AS top_type,
+             |    CAST(c AS BIGINT) AS top_type_n
+             |  FROM (
+             |    SELECT user_id, event_type, count(*) AS c,
+             |      row_number() OVER (PARTITION BY user_id
+             |        ORDER BY count(*) DESC, event_type DESC) AS rn
+             |    FROM e GROUP BY 1, 2
+             |  ) WHERE rn = 1
+             |)
+             |SELECT e.user_id, count(*) AS n_events,
+             |  CAST(sum(CASE WHEN sec >= (SELECT m FROM mx) - 7 * 86400
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_events_7d,
+             |  count(DISTINCT day) AS n_active_days,
+             |  CASE WHEN count(*) > 1
+             |    THEN (max(sec) - min(sec)) // (count(*) - 1)
+             |    ELSE 0 END AS mean_gap_sec,
+             |  any_value(tt.top_type) AS top_type,
+             |  any_value(tt.top_type_n) AS top_type_n
+             |FROM e JOIN tt ON tt.user_id = e.user_id
+             |GROUP BY 1""".stripMargin),
+    ),
+
+    // ---- table profile (ANALYZE-style column statistics): one
+    // conditional-aggregation SCAN computes every column's null count
+    // plus min/max rendered to strings, and one multi-column
+    // count-distinct pass the exact cardinalities — the catalog stats
+    // a cost-based planner (or a data-quality dashboard) reads.
+    // Numeric/timestamp renderings are pinned (cents, yyyy-MM-dd
+    // HH:mm:ss) so both engines print identical strings. At 100 TB
+    // swap the exact distinct pass for approx_count_distinct behind
+    // the q69 sketch-gate pattern; the scan pass is already one job.
+    Q(
+      "q250_table_profile",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d).withColumn("price_cents",
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+            + " AS BIGINT)"))
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "price_cents", "o_orderpriority")
+        def render(c: String) = col(c).cast("string")
+        val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+            min(render(c)).as(s"__min_$c"),
+            max(render(c)).as(s"__max_$c"),
+            countDistinct(col(c)).as(s"__nd_$c"))
+        }
+        val r = o.agg(aggs.head, aggs.tail: _*).head()
+        val nRows = r.getLong(0)
+        cols.map { c =>
+          (c, nRows, r.getAs[Long](s"__null_$c"),
+            r.getAs[Long](s"__nd_$c"),
+            r.getAs[String](s"__min_$c"), r.getAs[String](s"__max_$c"))
+        }.toDF("column_name", "n_rows", "n_null", "n_distinct",
+          "min_str", "max_str")
+      },
+      Some("""WITH o AS (
+             |  SELECT *, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             |    AS BIGINT) AS price_cents
+             |  FROM orders
+             |)
+             |SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_null,
+             |  count(DISTINCT o_orderkey) AS n_distinct,
+             |  CAST(min(CAST(o_orderkey AS VARCHAR)) AS VARCHAR)
+             |    AS min_str,
+             |  CAST(max(CAST(o_orderkey AS VARCHAR)) AS VARCHAR)
+             |    AS max_str
+             |FROM o
+             |UNION ALL
+             |SELECT 'o_custkey', count(*),
+             |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT),
+             |  count(DISTINCT o_custkey),
+             |  min(CAST(o_custkey AS VARCHAR)),
+             |  max(CAST(o_custkey AS VARCHAR))
+             |FROM o
+             |UNION ALL
+             |SELECT 'o_orderstatus', count(*),
+             |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0
+             |    END) AS BIGINT),
+             |  count(DISTINCT o_orderstatus),
+             |  min(o_orderstatus), max(o_orderstatus)
+             |FROM o
+             |UNION ALL
+             |SELECT 'price_cents', count(*),
+             |  CAST(sum(CASE WHEN price_cents IS NULL THEN 1 ELSE 0
+             |    END) AS BIGINT),
+             |  count(DISTINCT price_cents),
+             |  min(CAST(price_cents AS VARCHAR)),
+             |  max(CAST(price_cents AS VARCHAR))
+             |FROM o
+             |UNION ALL
+             |SELECT 'o_orderpriority', count(*),
+             |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0
+             |    END) AS BIGINT),
+             |  count(DISTINCT o_orderpriority),
+             |  min(o_orderpriority), max(o_orderpriority)
+             |FROM o""".stripMargin),
+    ),
   )
 }
