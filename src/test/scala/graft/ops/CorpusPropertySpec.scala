@@ -469,4 +469,98 @@ class CorpusPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("triangleCounts == brute force on random graphs; corner sum " +
+      "divisible by 3") {
+    val edges = samples(
+      Gen.zip(Gen.chooseNum(0L, 24L), Gen.chooseNum(0L, 24L)), 400)
+    val df = edges.toDF("src", "dst")
+    val out = GraphOps.triangleCounts(df)
+      .as[(Long, Long)].collect().toMap
+    // brute force on the canonical simple graph
+    val simple = edges.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = simple.flatMap(e => Set(e._1, e._2))
+    val byNode = nodes.map { v =>
+      val nb = simple.collect {
+        case (a, b) if a == v => b
+        case (a, b) if b == v => a
+      }
+      v -> nb.toSeq.combinations(2).count {
+        case Seq(x, y) =>
+          simple((math.min(x, y), math.max(x, y)))
+        case _ => false
+      }.toLong
+    }.toMap
+    assert(out == byNode)
+    assert(out.values.sum % 3 == 0)
+  }
+
+  test("mergeIntervals: islands are disjoint, ordered, and cover " +
+      "exactly the interval union for random inputs") {
+    val iv = samples(Gen.zip(Gen.chooseNum(1L, 4L),
+      Gen.chooseNum(0L, 300L), Gen.chooseNum(1L, 40L)), 250)
+      .map { case (k, s, len) => (k, s, s + len) }
+    val df = iv.toDF("k", "s", "e")
+    val out = TemporalJoins.mergeIntervals(df, "k", "s", "e")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(r => (r._3, r._4, r._5)).toSeq)
+      .toMap
+    for ((k, islands) <- out) {
+      // strictly separated (touching would have merged), island_seq
+      // dense from 1, n_merged sums to the key's row count
+      islands.sliding(2).foreach {
+        case Seq(a, b) => assert(b._1 > a._2,
+          s"key $k islands $a, $b must be separated by a real gap")
+        case _ => ()
+      }
+      val expectedCovered = iv.filter(_._1 == k)
+        .flatMap { case (_, s, e) => s until e }.toSet
+      val gotCovered = islands
+        .flatMap { case (s, e, _) => s until e }.toSet
+      assert(gotCovered == expectedCovered, s"key $k coverage")
+      assert(islands.map(_._3).sum == iv.count(_._1 == k).toLong)
+    }
+  }
+
+  test("quantileNormalize: normalized values come from the global " +
+      "multiset and group ranks are a dense 1..n") {
+    val rows = samples(Gen.zip(Gen.oneOf("a", "b", "c"),
+      Gen.chooseNum(0L, 100L)), 120)
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+    val df = rows.toDF("id", "g", "v")
+    val out = Scoring.quantileNormalize(df, "g", "v", "id")
+      .select($"id", $"g", $"group_rank", $"group_n", $"normalized")
+      .as[(Long, String, Long, Long, Long)].collect()
+    val globalVals = rows.map(_._3).toSet
+    out.foreach { case (_, _, _, _, nv) =>
+      assert(globalVals.contains(nv))
+    }
+    out.groupBy(_._2).foreach { case (g, rs) =>
+      val n = rows.count(_._2 == g).toLong
+      assert(rs.forall(_._4 == n))
+      assert(rs.map(_._3).sorted.toSeq == (1L to n))
+      // monotone: higher group rank never maps to a smaller value
+      val byRank = rs.sortBy(_._3).map(_._5)
+      assert(byRank.sliding(2).forall {
+        case Array(x, y) => x <= y; case _ => true
+      })
+    }
+  }
+
+  test("rendezvousAssign: deterministic, total, and stable under " +
+      "shard-list order for random keys") {
+    val keys = samples(Gen.chooseNum(0L, 100000L), 200).distinct
+    val df = keys.toDF("k")
+    val shards = Seq("sA", "sB", "sC", "sD", "sE")
+    val a1 = Placement.rendezvousAssign(df, "k", shards, "p")
+      .as[(Long, String)].collect().toMap
+    assert(a1.size == keys.size)
+    // shard-list ORDER is irrelevant (argmax over a set)
+    val a2 = Placement
+      .rendezvousAssign(df.repartition(5), "k", shards.reverse, "p")
+      .as[(Long, String)].collect().toMap
+    assert(a2 == a1)
+  }
 }
