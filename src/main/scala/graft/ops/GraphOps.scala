@@ -334,4 +334,59 @@ object GraphOps {
         coalesce(col("__in"), lit(false)).as("in_core"),
         lit(converged).as("converged"))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) with the
+    * deterministic min-label tie rule: every node starts as its own
+    * label; each round it adopts the label most frequent among its
+    * neighbors, ties to the SMALLEST label — the async random-order
+    * variant of the paper is irreproducible by construction, so this
+    * is the synchronous determinization an oracle can replay. The
+    * cheap community detector between connected components (too
+    * coarse — everything touching is one component) and modularity
+    * methods (too expensive at 100 TB): the label-spam/link-farm
+    * triage pass.
+    *
+    * Rounds are bounded and part of the contract (synchronous LPA can
+    * oscillate on bipartite structures — a fixpoint is NOT
+    * guaranteed); the `converged` flag compares the last two label
+    * assignments so the caller knows which they got. Per round: one
+    * neighbor-label count aggregation + one argmax struct-max (count
+    * desc, label asc — no window), lineage-cut — the Pregel shape.
+    *
+    * @param edges (src, dst), any direction; self-loops dropped
+    * @return (node, label, converged) */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 50,
+      s"rounds must be in [1, 50], got $rounds")
+    val e = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .materialized
+    val nodes = und.select(col("a").as("node")).distinct().materialized
+    var labels = nodes.withColumn("lab", col("node"))
+    var prev = labels
+    var r = 0
+    while (r < rounds) {
+      prev = labels
+      val counts = und
+        .join(labels.select(col("node").as("b"), col("lab")), "b")
+        .groupBy(col("a").as("node"), col("lab"))
+        .agg(count(lit(1)).as("__c"))
+      labels = counts
+        .groupBy(col("node"))
+        .agg(max(struct(col("__c").as("c"), (-col("lab")).as("nl")))
+          .as("__m"))
+        .select(col("node"), (-col("__m.nl")).as("lab"))
+        .materialized
+      r += 1
+    }
+    val changed = labels.as("x")
+      .join(prev.select(col("node"), col("lab").as("__pl")), "node")
+      .filter(col("lab") =!= col("__pl")).count()
+    labels.select(col("node"), col("lab").as("label"),
+      lit(changed == 0L).as("converged"))
+  }
 }

@@ -7305,6 +7305,82 @@ object CorpusQueries extends QueryModule {
              |SELECT node AS doc_id, CAST(min(dist) AS BIGINT) AS dist
              |FROM bfs GROUP BY 1""".stripMargin),
     ),
+
+    // ---- synchronous label propagation over the q134 link graph
+    // (GraphOps.labelPropagation): three deterministic min-label-tie
+    // rounds — the cheap community triage between connected
+    // components and modularity methods; rounds + the converged flag
+    // are the contract (synchronous LPA may oscillate). The oracle
+    // replays every round's neighbor-count argmax from the fixture
+    // formulas, each stage MATERIALIZED (the q241 lesson — round CTEs
+    // are referenced twice).
+    Q(
+      "q251_label_propagation",
+      (s, d) => {
+        val dir = graft.sources.HtmlFixtures.write(s, d)
+        val pages = s.read.format("graft-html").load(dir)
+          .select(regexp_extract(col("name"), "doc_(\\d+)\\.html", 1)
+            .cast("long").as("doc_id"), col("html"))
+        val edges = GraphOps.extractLinkEdges(pages, "doc_id", "html")
+        GraphOps.labelPropagation(edges, rounds = 3)
+          .select(col("node").as("doc_id"), col("label"),
+            col("converged"))
+      },
+      Some("""WITH f AS (
+             |  SELECT CAST(regexp_extract(file, 'doc_(\d+)\.html', 1)
+             |    AS BIGINT) AS doc_id
+             |  FROM glob('/root/repo/target/html_fixtures/sf0.01/*.html')
+             |), pos AS (
+             |  SELECT doc_id,
+             |    CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+             |      AS j,
+             |    CAST(count(*) OVER () AS BIGINT) AS n
+             |  FROM f
+             |), e0 AS (
+             |  SELECT a.doc_id AS src, b.doc_id AS dst
+             |  FROM pos a JOIN pos b ON b.j = (a.j + 1) % a.n
+             |  UNION ALL
+             |  SELECT a.doc_id, b.doc_id
+             |  FROM pos a JOIN pos b ON b.j = (2 * a.j + 1) % a.n
+             |  UNION ALL
+             |  SELECT a.doc_id, b.doc_id
+             |  FROM pos a JOIN pos b ON b.j = (7 * a.j + 3) % a.n
+             |), es AS MATERIALIZED (
+             |  SELECT DISTINCT least(src, dst) AS a,
+             |    greatest(src, dst) AS b
+             |  FROM e0 WHERE src <> dst
+             |), und AS MATERIALIZED (
+             |  SELECT a, b FROM es UNION ALL SELECT b, a FROM es
+             |), l0 AS MATERIALIZED (
+             |  SELECT DISTINCT a AS node, a AS lab FROM und
+             |), l1 AS MATERIALIZED (
+             |  SELECT node, lab FROM (
+             |    SELECT u.a AS node, l.lab, count(*) AS c,
+             |      row_number() OVER (PARTITION BY u.a
+             |        ORDER BY count(*) DESC, l.lab ASC) AS rn
+             |    FROM und u JOIN l0 l ON l.node = u.b
+             |    GROUP BY 1, 2) t WHERE rn = 1
+             |), l2 AS MATERIALIZED (
+             |  SELECT node, lab FROM (
+             |    SELECT u.a AS node, l.lab, count(*) AS c,
+             |      row_number() OVER (PARTITION BY u.a
+             |        ORDER BY count(*) DESC, l.lab ASC) AS rn
+             |    FROM und u JOIN l1 l ON l.node = u.b
+             |    GROUP BY 1, 2) t WHERE rn = 1
+             |), l3 AS MATERIALIZED (
+             |  SELECT node, lab FROM (
+             |    SELECT u.a AS node, l.lab, count(*) AS c,
+             |      row_number() OVER (PARTITION BY u.a
+             |        ORDER BY count(*) DESC, l.lab ASC) AS rn
+             |    FROM und u JOIN l2 l ON l.node = u.b
+             |    GROUP BY 1, 2) t WHERE rn = 1
+             |)
+             |SELECT l3.node AS doc_id, l3.lab AS label,
+             |  ((SELECT count(*) FROM l3 x JOIN l2 y
+             |     ON x.node = y.node AND x.lab <> y.lab) = 0)
+             |    AS converged
+             |FROM l3""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):

@@ -1854,5 +1854,70 @@ object Relational extends QueryModule {
              |  min(o_orderpriority), max(o_orderpriority)
              |FROM o""".stripMargin),
     ),
+
+    // ---- period-over-period report: weekly revenue per market
+    // segment with the week-over-week change in basis points. The lag
+    // window runs over the AGGREGATED (segment, week) frame —
+    // |segments|·|weeks| rows, never the fact table — so the
+    // "dashboard window" costs nothing at any fact scale; the change
+    // division is sign-guarded (q205) since a revenue DROP makes the
+    // numerator negative. First weeks and zero-base weeks report a
+    // null change rather than a fake 0 — absence of a comparison is
+    // not a 0% change.
+    Q(
+      "q252_period_over_period",
+      (s, d) => {
+        import s.implicits._
+        val weekly = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)),
+            $"o_custkey" === $"c_custkey")
+          .groupBy($"c_mktsegment",
+            // o_orderdate is TIMESTAMP_NTZ off the scan; the NTZ →
+            // TIMESTAMP hop is value-preserving under the session's
+            // required UTC (Tables.scala:32)
+            expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG)"
+              + " div 604800").as("week"))
+          .agg(sum(expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .as("revenue_cents"))
+        val w = Window.partitionBy($"c_mktsegment").orderBy($"week".asc)
+        weekly
+          .withColumn("prev_revenue_cents", lag($"revenue_cents", 1).over(w))
+          .withColumn("change_bps",
+            when($"prev_revenue_cents".isNull
+              || $"prev_revenue_cents" === 0L, lit(null))
+              .otherwise(expr(
+                """CASE WHEN (revenue_cents - prev_revenue_cents) >= 0
+                  | THEN ((revenue_cents - prev_revenue_cents) * 10000)
+                  |   div abs(prev_revenue_cents)
+                  | ELSE -((-(revenue_cents - prev_revenue_cents)
+                  |   * 10000) div abs(prev_revenue_cents))
+                  |END""".stripMargin)))
+      },
+      Some("""WITH weekly AS (
+             |  SELECT c_mktsegment,
+             |    CAST(floor(epoch(o_orderdate)) AS BIGINT) // 604800
+             |      AS week,
+             |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+             |      * 100 AS BIGINT)) AS BIGINT) AS revenue_cents
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY 1, 2
+             |)
+             |SELECT c_mktsegment, week, revenue_cents,
+             |  lag(revenue_cents, 1) OVER w AS prev_revenue_cents,
+             |  CASE WHEN lag(revenue_cents, 1) OVER w IS NULL
+             |      OR lag(revenue_cents, 1) OVER w = 0 THEN NULL
+             |    WHEN (revenue_cents - lag(revenue_cents, 1) OVER w)
+             |      >= 0
+             |    THEN ((revenue_cents - lag(revenue_cents, 1) OVER w)
+             |      * 10000) // abs(lag(revenue_cents, 1) OVER w)
+             |    ELSE -((-((revenue_cents
+             |      - lag(revenue_cents, 1) OVER w)) * 10000)
+             |      // abs(lag(revenue_cents, 1) OVER w))
+             |  END AS change_bps
+             |FROM weekly
+             |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY week)"""
+        .stripMargin),
+    ),
   )
 }

@@ -96,6 +96,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("labelPropagation: two bridged triangles settle into two " +
+      "min-label communities; a lone edge oscillates and reports it") {
+    // triangles {1,2,3} and {4,5,6} bridged by 3–4: hand-replayed
+    // synchronous rounds converge by round 4 to labels 1 and 3
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val out = GraphOps.labelPropagation(edges, rounds = 4)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.view.mapValues(_._1).toMap == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+    assert(out.values.forall(_._2), "round 4 == round 3 here")
+    // synchronous LPA on a single edge swaps labels forever — the
+    // converged flag must say so instead of pretending
+    val osc = GraphOps.labelPropagation(
+      Seq((7L, 8L)).toDF("src", "dst"), rounds = 3)
+      .as[(Long, Long, Boolean)].collect()
+    assert(osc.forall(!_._3))
+    // deterministic under partitioning
+    val again = GraphOps.labelPropagation(edges.repartition(7), 4)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again == out)
+  }
+
   test("kCorePeel: pendant chain cascades off a triangle, converged " +
       "flag reports the fixpoint, bounded rounds report not-converged") {
     // triangle {1,2,3} (each deg 2) + chain 3-4-5: deg(4)=2 but both
