@@ -20,6 +20,7 @@ object SparkEntry {
     ParseQueries,
     PipelineQueries,
     StreamingQueries,
+    AnalyticsQueries,
   )
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)

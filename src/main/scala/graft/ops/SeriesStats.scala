@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Inference-style statistics over distributed data: Welch's unequal-
+  * variance t-test, the Benford first-digit audit, and series
+  * autocorrelation — all in the repo's exact-sufficient-statistics
+  * discipline (see [[SketchStats.groupedOls]]): every aggregation is
+  * an exact BIGINT/decimal sum (order-independent, map-side
+  * combinable), and each emitted double is ONE fixed-shape IEEE
+  * formula over those exact sums, so results are bit-identical across
+  * engines and across cluster sizes. `sqrt` is IEEE-correctly-rounded
+  * everywhere, so it is safe in final formulas (unlike `ln`/`exp`,
+  * whose last ulp is libm-specific — the same reasoning as
+  * [[TextAnalysis.collocations]]' factored-out log).
+  */
+object SeriesStats {
+
+  /** Welch's two-sample t-test per group (the A/B-test statistic for
+    * unequal variances, with the Welch–Satterthwaite dof).
+    *
+    * Scale shape: one hash aggregation of (group, side) partial sums
+    * — six exact numbers per side — then a tiny per-group formula.
+    * No window, no sort, no second scan; at 100 TB this is the
+    * minimal one-shuffle plan.
+    *
+    * @param df        input rows
+    * @param groupCol  experiment/metric key (one test per value)
+    * @param sideCol   boolean-ish column: false/0 = side A, true/1 = B
+    * @param centsCol  BIGINT measurement in fixed-point hundredths
+    *                  (exact; the caller converts doubles via
+    *                  decimal(18,2), never via double math)
+    * @return per group: n_a, n_b, mean/var per side (value units),
+    *         t_stat, dof — groups need >= 2 samples per side.
+    */
+  def welchTTest(df: DataFrame, groupCol: String, sideCol: String,
+      centsCol: String): DataFrame = {
+    val g = col(groupCol)
+    val b = col(sideCol).cast("boolean")
+    val x = col(centsCol)
+    df.groupBy(g)
+      .agg(
+        count(when(!b, 1)).as("n_a"),
+        coalesce(sum(when(!b, x)), lit(0L)).as("s_a"),
+        coalesce(sum(when(!b, x * x)), lit(0L)).as("q_a"),
+        count(when(b, 1)).as("n_b"),
+        coalesce(sum(when(b, x)), lit(0L)).as("s_b"),
+        coalesce(sum(when(b, x * x)), lit(0L)).as("q_b"),
+      )
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+      // each formula is written ONCE as SQL text shared verbatim with
+      // the DuckDB oracle — op order (and so every last ulp) is pinned
+      // by construction.
+      .withColumn("mean_a", expr(MeanSql("s_a", "n_a")))
+      .withColumn("mean_b", expr(MeanSql("s_b", "n_b")))
+      .withColumn("var_a", expr(VarSql("s_a", "q_a", "n_a")))
+      .withColumn("var_b", expr(VarSql("s_b", "q_b", "n_b")))
+      .withColumn("se2", expr("var_a / n_a + var_b / n_b"))
+      .withColumn("t_stat", expr("(mean_a - mean_b) / sqrt(se2)"))
+      .withColumn("dof", expr(
+        """se2 * se2 / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+          | + (var_b / n_b) * (var_b / n_b) / (n_b - 1))""".stripMargin))
+      .drop("s_a", "q_a", "s_b", "q_b", "se2")
+  }
+
+  /** mean in value units from a cents sum: shared Spark/DuckDB text. */
+  def MeanSql(s: String, n: String): String =
+    s"CAST($s AS DOUBLE) / ($n * 100.0)"
+
+  /** unbiased sample variance in value units² from exact cents sums:
+    * (Q - S²/n) / (n-1) / 100². Shared Spark/DuckDB text. */
+  def VarSql(s: String, q: String, n: String): String =
+    s"(CAST($q AS DOUBLE) - CAST($s AS DOUBLE) * CAST($s AS DOUBLE)" +
+      s" / $n) / ($n - 1) / 10000.0"
+
+  /** Benford's-law first-digit audit of a positive money column — the
+    * classic fraud/data-quality screen. Emits one row per leading
+    * digit 1–9 with the observed count, observed fraction, the Benford
+    * expectation log10(1+1/d) (embedded as shortest-round-trip DOUBLE
+    * literals — both engines parse decimal literals to the same
+    * nearest double; computing log10 at runtime would be libm-ulp-
+    * dependent), and the chi-square contribution.
+    *
+    * The digit is taken from the decimal string of the value's exact
+    * cents (first character) — a string cast of a BIGINT, identical in
+    * any engine, with no float formatting involved.
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = BenfordP.toSeq.toDF("digit", "p_benford")
+    val digits = df
+      .select(expr(s"CAST(CAST($valueCol AS DECIMAL(18,2)) * 100" +
+        " AS BIGINT)").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val total = digits.agg(sum(col("n_obs")).as("n_total"))
+    broadcast(expected)
+      .join(digits, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(total))
+      .withColumn("frac_obs", expr("CAST(n_obs AS DOUBLE) / n_total"))
+      .withColumn("chisq_term", expr(
+        "(n_obs - n_total * p_benford) * (n_obs - n_total * p_benford)" +
+          " / (n_total * p_benford)"))
+      .select("digit", "n_obs", "n_total", "frac_obs", "p_benford",
+        "chisq_term")
+  }
+
+  /** log10(1+1/d) for d=1..9, shortest-round-trip literals (python
+    * repr of math.log10). The SQL mirror embeds the same strings. */
+  val BenfordP: Seq[(Int, Double)] = Seq(
+    1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+    3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+    5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+    7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+    9 -> 0.04575749056067514)
+
+  /** Autocorrelation of an integer-valued series at lags 1..maxLag,
+    * gap-aware (a pair only exists when both t and t+k are present).
+    *
+    * @param series one row per integer time index: (tCol, xCol) with
+    *               xCol BIGINT (caller pre-aggregates to the time
+    *               axis, e.g. daily whole-dollar revenue — the axis
+    *               is small even when the raw table is 100 TB)
+    * @return per lag k: n_pairs and acf_k computed with the global-
+    *         mean/global-variance normalization (the standard
+    *         stationary estimator): every Σ exact BIGINT, one final
+    *         IEEE formula.
+    */
+  def autocorrelation(series: DataFrame, tCol: String, xCol: String,
+      maxLag: Int): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val s = series.select(col(tCol).cast("long").as("t"),
+      col(xCol).cast("long").as("x"))
+    val glob = s.agg(count(lit(1)).as("n"), sum(col("x")).as("sx_all"),
+      sum(col("x") * col("x")).as("qx_all"))
+    val lags = (1 to maxLag).toDF("lag")
+    // one self-equi-join on the (tiny) time axis covers all lags: the
+    // left side fans out to (t + k, k) probes.
+    val probes = s.crossJoin(broadcast(lags))
+      .select((col("t") + col("lag")).as("t"), col("lag"),
+        col("x").as("x_lhs"))
+    val paired = probes.join(s, Seq("t"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x_lhs") * col("x")).as("sxy"),
+        sum(col("x_lhs")).as("sx"),
+        sum(col("x")).as("sy"))
+    paired.crossJoin(broadcast(glob))
+      .withColumn("mean_all", expr("CAST(sx_all AS DOUBLE) / n"))
+      .withColumn("acf", expr(
+        """(CAST(sxy AS DOUBLE) - mean_all * (sx + sy)
+          | + CAST(n_pairs AS DOUBLE) * mean_all * mean_all)
+          | / (CAST(qx_all AS DOUBLE)
+          |    - CAST(sx_all AS DOUBLE) * CAST(sx_all AS DOUBLE) / n)"""
+          .stripMargin))
+      .select(col("lag"), col("n_pairs"), col("acf"))
+  }
+}

@@ -330,4 +330,37 @@ object TemporalJoins {
              |END""".stripMargin)))
       .drop("__pv", "__ph", "__nv", "__nh")
   }
+
+  /** Trailing-window COUNT DISTINCT per time bucket — "7-day active
+    * keys as of each day", the metric a plain windowed
+    * `count(distinct)` cannot express (Spark rejects DISTINCT in
+    * window frames, and a collect_set frame would hold every key in
+    * memory per row).
+    *
+    * Shape: reduce to the distinct (key, bucket) PRESENCE relation
+    * (one hash shuffle, map-side combinable), fan each presence out
+    * to the `windowLen` window-ends it is visible in, and dedupe
+    * (key, window_end) before counting — a second hash aggregation.
+    * Cost is |presence|·windowLen rows through one shuffle, linear in
+    * data and window length, independent of per-bucket key counts; at
+    * 100 TB both aggregations partition on composite keys with no hot
+    * single-reducer stage. Only window-ends that exist as real
+    * activity buckets are emitted (no trailing phantom windows).
+    *
+    * All-integer (bucket ids are exact longs), so any engine agrees.
+    */
+  def slidingDistinct(df: DataFrame, keyCol: String, bucketCol: String,
+      windowLen: Int): DataFrame = {
+    require(windowLen >= 1, "windowLen must be >= 1")
+    val presence = df.select(col(keyCol).as("k"),
+      col(bucketCol).cast("long").as("b")).distinct()
+    val realBuckets = presence.select(col("b").as("window_end")).distinct()
+    val fanned = presence
+      .select(col("k"), explode(expr(
+        s"sequence(b, b + ${windowLen - 1})")).as("window_end"))
+      .distinct()
+    fanned.join(realBuckets, Seq("window_end"), "left_semi")
+      .groupBy(col("window_end"))
+      .agg(count(lit(1)).as("n_distinct"))
+  }
 }

@@ -1,0 +1,309 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.ops.{Association, GeoOps, SeriesStats, Survival, TemporalJoins}
+
+/** Round-8 analytics wave: association rules, survival analysis,
+  * inference statistics, spatial self-join, sliding distinct counts.
+  * Each query pairs a Spark-first distributed shape with a DuckDB
+  * restatement; doubles follow the exact-sufficient-statistics
+  * discipline (see [[graft.ops.SeriesStats]]) so hashes are stable.
+  */
+object AnalyticsQueries extends QueryModule {
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- market-basket association rules (Apriori 2-itemset pass as
+    // relational algebra — ops/Association.scala): pair counts from a
+    // basket-key self-join (fan-out bounded by basket size, never n²),
+    // support/confidence/lift as single IEEE divisions over exact
+    // counts. DuckDB restates the same joins.
+    Q(
+      "q253_market_basket",
+      (s, d) => Association.pairRules(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minPairCount = 2L),
+      Some("""WITH it AS (
+             |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+             |  FROM lineitem
+             |), nb AS (
+             |  SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets
+             |  FROM it
+             |), ic AS (
+             |  SELECT item, CAST(count(*) AS BIGINT) AS c_item
+             |  FROM it GROUP BY 1
+             |), p AS (
+             |  SELECT a.item AS item1, b.item AS item2,
+             |    CAST(count(*) AS BIGINT) AS c_pair
+             |  FROM it a JOIN it b
+             |    ON a.basket = b.basket AND a.item < b.item
+             |  GROUP BY 1, 2 HAVING count(*) >= 2
+             |)
+             |SELECT item1, item2, n_baskets, c_pair,
+             |  c1.c_item AS c_item1, c2.c_item AS c_item2,
+             |  CAST(c_pair AS DOUBLE) / n_baskets AS support,
+             |  CAST(c_pair AS DOUBLE) / c1.c_item AS conf_1_to_2,
+             |  CAST(c_pair AS DOUBLE) / c2.c_item AS conf_2_to_1,
+             |  CAST(c_pair AS DOUBLE) * n_baskets
+             |    / (c1.c_item * c2.c_item) AS lift
+             |FROM p JOIN ic c1 ON p.item1 = c1.item
+             |       JOIN ic c2 ON p.item2 = c2.item, nb"""
+        .stripMargin),
+    ),
+
+    // ---- Kaplan–Meier survival curve (ops/Survival.scala): order
+    // "lifetime" = days from order to last shipment, observed when the
+    // order is fulfilled ('F'), right-censored otherwise. The subject
+    // table reduces to the tiny timepoint axis before any serial work;
+    // the survival product is a PINNED-ORDER serial fold (see module
+    // scaladoc — DuckDB's windowed product() would diverge), restated
+    // by the oracle with list_reduce over the t-ordered factor list.
+    Q(
+      "q254_kaplan_meier",
+      (s, d) => {
+        import s.implicits._
+        val lastShip = Tables.lineitem(s, d)
+          .groupBy($"l_orderkey")
+          .agg(max($"l_shipdate").as("last_ship"))
+        val dur = Tables.orders(s, d)
+          .join(lastShip, $"o_orderkey" === $"l_orderkey")
+          .select(
+            datediff(to_date($"last_ship"), to_date($"o_orderdate"))
+              .as("t"),
+            ($"o_orderstatus" === "F").cast("int").as("ev"))
+        Survival.kaplanMeier(dur, "t", "ev")
+      },
+      Some("""WITH dur AS (
+             |  SELECT o.o_orderkey,
+             |    date_diff('day', CAST(o.o_orderdate AS DATE),
+             |      CAST(max(l.l_shipdate) AS DATE)) AS t,
+             |    CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev
+             |  FROM orders o JOIN lineitem l
+             |    ON l.l_orderkey = o.o_orderkey
+             |  GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderstatus
+             |), per AS (
+             |  SELECT t, count(*) AS c_all, sum(ev) AS d
+             |  FROM dur GROUP BY 1
+             |), risk AS (
+             |  SELECT CAST(t AS BIGINT) AS t,
+             |    CAST(d AS BIGINT) AS d_events,
+             |    CAST(sum(c_all) OVER (ORDER BY t DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS n_risk
+             |  FROM per
+             |), fac AS (
+             |  SELECT t, n_risk, d_events,
+             |    CAST(n_risk - d_events AS DOUBLE) / n_risk AS f
+             |  FROM risk WHERE d_events > 0
+             |)
+             |SELECT a.t, a.n_risk, a.d_events,
+             |  CAST(a.d_events AS DOUBLE) / a.n_risk AS hazard,
+             |  (SELECT list_reduce(list(b.f ORDER BY b.t),
+             |     (x, y) -> x * y)
+             |   FROM fac b WHERE b.t <= a.t) AS survival
+             |FROM fac a""".stripMargin),
+    ),
+
+    // ---- Welch's two-sample t-test per event type (A/B sides =
+    // user-id parity): six exact per-side sums through ONE hash
+    // aggregation, then t and the Welch–Satterthwaite dof as fixed-
+    // shape formulas whose SQL text is SHARED verbatim between the
+    // Spark plan and this oracle (op order, hence every ulp, pinned).
+    Q(
+      "q255_welch_ttest",
+      (s, d) => SeriesStats.welchTTest(
+        Tables.events(s, d)
+          .select(col("event_type"),
+            (col("user_id") % 2 === 1).as("side_b"),
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents")),
+        "event_type", "side_b", "cents"),
+      Some(s"""WITH v AS (
+              |  SELECT event_type, user_id % 2 = 1 AS b,
+              |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+              |      AS x
+              |  FROM events
+              |), a AS (
+              |  SELECT event_type,
+              |    CAST(count(*) FILTER (WHERE NOT b) AS BIGINT) AS n_a,
+              |    CAST(coalesce(sum(x) FILTER (WHERE NOT b), 0)
+              |      AS BIGINT) AS s_a,
+              |    CAST(coalesce(sum(x * x) FILTER (WHERE NOT b), 0)
+              |      AS BIGINT) AS q_a,
+              |    CAST(count(*) FILTER (WHERE b) AS BIGINT) AS n_b,
+              |    CAST(coalesce(sum(x) FILTER (WHERE b), 0)
+              |      AS BIGINT) AS s_b,
+              |    CAST(coalesce(sum(x * x) FILTER (WHERE b), 0)
+              |      AS BIGINT) AS q_b
+              |  FROM v GROUP BY 1
+              |), f AS (
+              |  SELECT *,
+              |    ${SeriesStats.MeanSql("s_a", "n_a")} AS mean_a,
+              |    ${SeriesStats.MeanSql("s_b", "n_b")} AS mean_b,
+              |    ${SeriesStats.VarSql("s_a", "q_a", "n_a")} AS var_a,
+              |    ${SeriesStats.VarSql("s_b", "q_b", "n_b")} AS var_b
+              |  FROM a WHERE n_a >= 2 AND n_b >= 2
+              |), g AS (
+              |  SELECT *, var_a / n_a + var_b / n_b AS se2 FROM f
+              |)
+              |SELECT event_type, n_a, n_b, mean_a, mean_b, var_a,
+              |  var_b,
+              |  (mean_a - mean_b) / sqrt(se2) AS t_stat,
+              |  se2 * se2 / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+              |    + (var_b / n_b) * (var_b / n_b) / (n_b - 1)) AS dof
+              |FROM g""".stripMargin),
+    ),
+
+    // ---- Benford first-digit audit of order totals: digits from the
+    // decimal string of exact cents (no float formatting), Benford
+    // expectations as shortest-round-trip literals shared with the
+    // oracle, chi-square terms per digit (no cross-row double sum).
+    Q(
+      "q256_benford_audit",
+      (s, d) => SeriesStats.benfordAudit(Tables.orders(s, d),
+        "o_totalprice"),
+      Some {
+        val values = SeriesStats.BenfordP
+          .map { case (dg, p) => s"($dg, $p)" }.mkString(", ")
+        s"""WITH c AS (
+           |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+           |    AS BIGINT) AS cents
+           |  FROM orders
+           |), dig AS (
+           |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT)
+           |      AS digit,
+           |    CAST(count(*) AS BIGINT) AS n_obs
+           |  FROM c WHERE cents > 0 GROUP BY 1
+           |), tot AS (
+           |  SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM dig
+           |), exp AS (
+           |  SELECT digit, CAST(p_benford AS DOUBLE) AS p_benford
+           |  FROM (VALUES $values) e(digit, p_benford)
+           |), j AS (
+           |  SELECT e.digit, e.p_benford,
+           |    CAST(coalesce(g.n_obs, 0) AS BIGINT) AS n_obs, t.n_total
+           |  FROM exp e LEFT JOIN dig g ON e.digit = g.digit, tot t
+           |)
+           |SELECT digit, n_obs, n_total,
+           |  CAST(n_obs AS DOUBLE) / n_total AS frac_obs, p_benford,
+           |  (n_obs - n_total * p_benford)
+           |    * (n_obs - n_total * p_benford)
+           |    / (n_total * p_benford) AS chisq_term
+           |FROM j""".stripMargin
+      },
+    ),
+
+    // ---- grid-cell spatial self-join (ops/GeoOps.scala): all user
+    // pairs within planar distance 60 on a deterministic synthetic
+    // coordinate field (md5-mixed, NOT a linear map — a·u mod m puts
+    // points on a sparse lattice whose minimum pair distance exceeds
+    // any useful radius). Spark buckets into r-cells and equi-joins
+    // the 3×3 neighborhood (linear in points for bounded density);
+    // the oracle brute-forces the n² predicate — same exact-int d².
+    Q(
+      "q257_grid_distance_join",
+      (s, d) => GeoOps.radiusPairs(
+        Tables.events(s, d).select(col("user_id")).distinct()
+          .select(col("user_id").as("id"),
+            (conv(substring(md5(concat(col("user_id").cast("string"),
+              lit("gx"))), 1, 6), 16, 10).cast("long") % 1500).as("x"),
+            (conv(substring(md5(concat(col("user_id").cast("string"),
+              lit("gy"))), 1, 6), 16, 10).cast("long") % 1500).as("y")),
+        "id", "x", "y", r = 60L),
+      Some("""WITH u AS (
+             |  SELECT DISTINCT user_id FROM events
+             |), p AS (
+             |  SELECT user_id AS id,
+             |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+             |      || 'gx'), 1, 6) AS BIGINT) % 1500 AS x,
+             |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+             |      || 'gy'), 1, 6) AS BIGINT) % 1500 AS y
+             |  FROM u
+             |)
+             |SELECT a.id AS id1, b.id AS id2, a.x AS x1, a.y AS y1,
+             |  b.x AS x2, b.y AS y2,
+             |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             |    AS d2
+             |FROM p a JOIN p b ON a.id < b.id
+             |WHERE (a.x - b.x) * (a.x - b.x)
+             |  + (a.y - b.y) * (a.y - b.y) <= 3600""".stripMargin),
+    ),
+
+    // ---- autocorrelation of the daily-revenue series at lags 1..7
+    // (ops/SeriesStats.autocorrelation): the 100-TB fact table reduces
+    // to the tiny day axis by ONE exact hash aggregation (whole-dollar
+    // BIGINT, so every Σ including cross-products stays exact); all
+    // lags share a single self-equi-join on the axis; each acf is one
+    // fixed-shape IEEE formula. DuckDB restates axis, join, formula.
+    Q(
+      "q259_acf",
+      (s, d) => SeriesStats.autocorrelation(
+        Tables.lineitem(s, d)
+          .groupBy(datediff(to_date(col("l_shipdate")),
+            lit("1970-01-01")).as("day"))
+          .agg(expr("sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))" +
+            " * 100 AS BIGINT)) div 100").as("dollars")),
+        "day", "dollars", maxLag = 7),
+      Some("""WITH s AS (
+             |  SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+             |      AS BIGINT) AS t,
+             |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             |      * 100 AS BIGINT)) // 100 AS BIGINT) AS x
+             |  FROM lineitem GROUP BY 1
+             |), gstats AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx_all,
+             |    CAST(sum(x * x) AS BIGINT) AS qx_all
+             |  FROM s
+             |), pair AS (
+             |  SELECT CAST(l.lag AS INTEGER) AS lag,
+             |    CAST(count(*) AS BIGINT) AS n_pairs,
+             |    CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+             |    CAST(sum(a.x) AS BIGINT) AS sx,
+             |    CAST(sum(b.x) AS BIGINT) AS sy
+             |  FROM s a
+             |  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+             |  JOIN s b ON b.t = a.t + l.lag
+             |  GROUP BY 1
+             |), g2 AS (
+             |  SELECT *, CAST(sx_all AS DOUBLE) / n AS mean_all
+             |  FROM gstats
+             |)
+             |SELECT lag, n_pairs,
+             |  (CAST(sxy AS DOUBLE) - mean_all * (sx + sy)
+             |   + CAST(n_pairs AS DOUBLE) * mean_all * mean_all)
+             |   / (CAST(qx_all AS DOUBLE)
+             |      - CAST(sx_all AS DOUBLE) * CAST(sx_all AS DOUBLE)
+             |        / n) AS acf
+             |FROM pair, g2""".stripMargin),
+    ),
+
+    // ---- trailing 7-day distinct active users per day
+    // (ops/TemporalJoins.slidingDistinct): presence fan-out + dedupe
+    // instead of the inexpressible windowed COUNT DISTINCT; the
+    // oracle brute-forces the day-range join. All-integer day axis.
+    Q(
+      "q258_sliding_distinct",
+      (s, d) => TemporalJoins.slidingDistinct(
+        Tables.events(s, d)
+          .select(col("user_id"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).as("day")),
+        "user_id", "day", windowLen = 7),
+      Some("""WITH pr AS (
+             |  SELECT DISTINCT user_id AS k,
+             |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+             |      AS b
+             |  FROM events
+             |), days AS (
+             |  SELECT DISTINCT b AS window_end FROM pr
+             |)
+             |SELECT d.window_end,
+             |  CAST(count(DISTINCT p.k) AS BIGINT) AS n_distinct
+             |FROM days d JOIN pr p
+             |  ON p.b BETWEEN d.window_end - 6 AND d.window_end
+             |GROUP BY 1""".stripMargin),
+    ),
+  )
+}

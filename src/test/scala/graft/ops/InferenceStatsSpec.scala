@@ -1,0 +1,129 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-8 analytics wave: association rules, Kaplan–Meier, Welch t,
+  * Benford audit, autocorrelation, grid radius join, sliding distinct.
+  * Every expectation below is hand-computed on paper-sized inputs.
+  */
+class InferenceStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pairRules: counts, set semantics, support/confidence/lift") {
+    // b4 carries a duplicate (4,1) row — set semantics must dedupe it
+    val rows = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+      (3L, 2L), (3L, 3L), (4L, 1L), (4L, 1L), (4L, 2L))
+    val out = Association.pairRules(rows.toDF("b", "i"), "b", "i",
+      minPairCount = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(out.keySet == Set((1L, 2L), (2L, 3L)))
+    val p12 = out((1L, 2L))
+    assert(p12.getLong(2) == 4L) // n_baskets
+    assert(p12.getLong(3) == 3L) // c_pair: b1, b2, b4
+    assert(p12.getLong(4) == 3L && p12.getLong(5) == 4L)
+    assert(p12.getDouble(6) == 0.75) // support
+    assert(p12.getDouble(7) == 1.0) // conf 1->2 = 3/3
+    assert(p12.getDouble(8) == 0.75) // conf 2->1 = 3/4
+    assert(p12.getDouble(9) == 1.0) // lift = 3*4/(3*4)
+    val p23 = out((2L, 3L))
+    assert(p23.getLong(3) == 2L && p23.getDouble(6) == 0.5)
+    assert(p23.getDouble(9) == 1.0) // 2*4/(4*2)
+  }
+
+  test("kaplanMeier: censoring, at-risk suffix counts, serial product") {
+    val subj = Seq((1, 1), (2, 0), (3, 1), (3, 1), (5, 0))
+    val out = Survival.kaplanMeier(subj.toDF("t", "ev"), "t", "ev")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // censored-only timepoints (t=2, t=5) are not event rows
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L) == ((5L, 1L, 1.0 / 5, 4.0 / 5)))
+    // at t=3: at-risk {3,3,5}, two events; S = 0.8 * (1/3)
+    val (n3, d3, h3, s3) = out(3L)
+    assert(n3 == 3L && d3 == 2L)
+    assert(h3 == 2.0 / 3)
+    assert(s3 == (4.0 / 5) * (1.0 / 3))
+  }
+
+  test("welchTTest: exact sums, t and Welch–Satterthwaite dof") {
+    val rows = Seq(("g", false, 100L), ("g", false, 200L),
+      ("g", false, 300L), ("g", true, 400L), ("g", true, 600L),
+      // below-minimum side: group must be filtered out
+      ("tiny", false, 100L), ("tiny", true, 100L))
+    val out = SeriesStats.welchTTest(rows.toDF("g", "b", "cents"),
+      "g", "b", "cents").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "g")
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L) // n_a, n_b
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 5.0) // means
+    assert(r.getDouble(5) == 1.0 && r.getDouble(6) == 2.0) // vars
+    val se2 = 1.0 / 3 + 2.0 / 2
+    assert(r.getDouble(7) == (2.0 - 5.0) / math.sqrt(se2)) // t
+    assert(math.abs(r.getDouble(8) - 32.0 / 19) < 1e-12) // dof
+  }
+
+  test("welchTTest emits exactly the oracle's column contract") {
+    val df = SeriesStats.welchTTest(
+      Seq(("g", false, 1L), ("g", true, 2L)).toDF("g", "b", "c"),
+      "g", "b", "c")
+    assert(df.columns.toSet == Set("g", "n_a", "n_b", "mean_a",
+      "mean_b", "var_a", "var_b", "t_stat", "dof"))
+  }
+
+  test("benfordAudit: digit from exact cents string, zero-filled digits") {
+    val vals = Seq(1.00, 1.50, 2.00, 9.99, 0.0, 19.99)
+    val out = SeriesStats.benfordAudit(vals.toDF("v"), "v")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out.keySet == (1 to 9).toSet)
+    assert(out(1).getLong(1) == 3L) // 100, 150, 1999 cents
+    assert(out(2).getLong(1) == 1L && out(9).getLong(1) == 1L)
+    assert(out(3).getLong(1) == 0L) // absent digit present as zero row
+    assert(out(1).getLong(2) == 5L) // zero value excluded from total
+    assert(out(1).getDouble(3) == 0.6)
+    // chi-square term recomputes from the emitted pieces exactly
+    val r1 = out(1)
+    val exp = r1.getLong(2) * r1.getDouble(4)
+    assert(r1.getDouble(5) == (r1.getLong(1) - exp) * (r1.getLong(1) - exp) / exp)
+  }
+
+  test("autocorrelation: linear ramp lags, gap-aware pairing") {
+    val s = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val out = SeriesStats.autocorrelation(s.toDF("t", "x"), "t", "x", 2)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out(1) == ((4L, 0.4)))
+    assert(out(2) == ((3L, -0.1)))
+    // drop t=2: lag-1 pairs only (0,1) and (3,4)
+    val gap = SeriesStats.autocorrelation(
+      s.filter(_._1 != 2L).toDF("t", "x"), "t", "x", 1)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(gap(1) == 2L)
+  }
+
+  test("radiusPairs: boundary d2 == r², cross-cell neighbors, no dups") {
+    val pts = Seq((1L, 0L, 0L), (2L, 3L, 4L), (3L, 9L, 0L),
+      (4L, 0L, 4L), (5L, 4L, 0L), (6L, 6L, 3L))
+    val out = GeoOps.radiusPairs(pts.toDF("id", "x", "y"),
+      "id", "x", "y", r = 5L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(6)).toMap
+    assert(out.get((1L, 2L)).contains(25L)) // exactly on the boundary
+    assert(out.get((5L, 6L)).contains(13L)) // cells (0,0) vs (1,0)
+    assert(out.get((2L, 6L)).contains(10L))
+    // exact full pair set (hand-enumerated), each exactly once
+    assert(out.keySet == Set((1L, 2L), (1L, 4L), (1L, 5L), (2L, 4L),
+      (2L, 5L), (2L, 6L), (3L, 5L), (3L, 6L), (5L, 6L)))
+    assert(out.keySet.forall { case (a, b) => a < b })
+  }
+
+  test("slidingDistinct: trailing window, only real buckets emitted") {
+    val pres = Seq((1L, 0L), (1L, 3L), (2L, 3L), (2L, 3L), (3L, 10L))
+    val out = TemporalJoins.slidingDistinct(pres.toDF("u", "d"),
+      "u", "d", windowLen = 7).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // phantom window-ends (1,2,4..9 etc.) must not appear
+    assert(out == Map(0L -> 1L, 3L -> 2L, 10L -> 1L))
+  }
+}
