@@ -161,4 +161,101 @@ object SeriesStats {
           .stripMargin))
       .select(col("lag"), col("n_pairs"), col("acf"))
   }
+
+  /** Two-sided CUSUM changepoint detector over an integer series,
+    * INTEGER-EXACT: deviations are scaled by n (e_i = n·x_i − total)
+    * so the reference level never becomes a float mean, and the
+    * allowance/threshold are floor-divisions of the integer mean —
+    * every accumulator is BIGINT, so alarms are bit-identical in any
+    * engine (a float-mean CUSUM would flip boundary days).
+    *
+    * The recursion S⁺_i = max(0, S⁺_{i-1} + e_i − nk) resets at 0 and
+    * is therefore NOT a prefix sum — it needs an ordered fold. The
+    * series here is a pre-aggregated time axis (days), tiny relative
+    * to the fact table, so the fold is one `aggregate()` HOF over the
+    * sorted axis; the 100-TB work (building the axis) stays a
+    * distributed hash aggregation. The DuckDB oracle replays the same
+    * recursion with a sequential recursive CTE.
+    *
+    * @param kDiv allowance k = mean div kDiv (slack per step)
+    * @param hDiv alarm threshold h = mean div hDiv
+    * @return per t: x, s_pos, s_neg (scaled by n), alarm_hi/alarm_lo
+    */
+  def cusumInt(series: DataFrame, tCol: String, xCol: String,
+      kDiv: Int, hDiv: Int): DataFrame = {
+    require(kDiv > 0 && hDiv > 0, "kDiv/hDiv must be positive")
+    val s = series.select(col(tCol).cast("long").as("t"),
+      col(xCol).cast("long").as("x"))
+    val g = s.agg(count(lit(1)).as("n"), sum(col("x")).as("total"))
+    s.crossJoin(broadcast(g))
+      .select(col("t"), col("x"),
+        (col("n") * col("x") - col("total")).as("e"),
+        expr(s"n * ((total div n) div $kDiv)").as("nk"),
+        expr(s"n * ((total div n) div $hDiv)").as("nh"))
+      .agg(sort_array(collect_list(struct(col("t"), col("x"), col("e"),
+        col("nk"), col("nh")))).as("pts"))
+      .select(explode(expr(
+        """aggregate(pts,
+          |  struct(CAST(0 AS BIGINT) AS sp, CAST(0 AS BIGINT) AS sn,
+          |    CAST(array() AS ARRAY<STRUCT<t: BIGINT, x: BIGINT,
+          |      sp: BIGINT, sn: BIGINT, nh: BIGINT>>) AS out),
+          |  (acc, e) -> struct(
+          |    greatest(CAST(0 AS BIGINT), acc.sp + e.e - e.nk) AS sp,
+          |    least(CAST(0 AS BIGINT), acc.sn + e.e + e.nk) AS sn,
+          |    array_append(acc.out, struct(e.t AS t, e.x AS x,
+          |      greatest(CAST(0 AS BIGINT), acc.sp + e.e - e.nk) AS sp,
+          |      least(CAST(0 AS BIGINT), acc.sn + e.e + e.nk) AS sn,
+          |      e.nh AS nh)) AS out),
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.t").as("t"), col("r.x").as("x"),
+        col("r.sp").as("s_pos"), col("r.sn").as("s_neg"),
+        (col("r.sp") > col("r.nh")).as("alarm_hi"),
+        (col("r.sn") < -col("r.nh")).as("alarm_lo"))
+  }
+
+  /** Per-key integer EWMA: s_1 = x_1, s_i = s_{i-1} +
+    * (x_i − s_{i-1}) div `den` with sign-symmetric truncation (Spark
+    * `div` truncates toward zero, DuckDB `//` floors — the guarded
+    * form makes both engines agree on negative deltas, the same
+    * divergence [[TemporalJoins.interpolateLinear]] guards).
+    *
+    * Scale shape: the fold runs per key via one `aggregate()` HOF over
+    * the key's sorted event array — keys fan out across the cluster,
+    * per-key state is one BIGINT, and a hot key degrades to a
+    * sequential scan, not a shuffle explosion. Exact integers end to
+    * end: any engine replaying the recursion gets identical rows.
+    *
+    * @param orderCols total per-key order (include a unique tiebreak)
+    * @return keyCol, rn (1-based per key), order columns, x, ewma
+    */
+  def ewmaInt(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valCol: String, den: Int): DataFrame = {
+    require(den >= 2, "den must be >= 2 (den=1 is the identity)")
+    val ordStruct = struct(orderCols.map(col) :+
+      col(valCol).cast("long").as("__x"): _*)
+    df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(ordStruct)).as("evs"))
+      .select(col(keyCol), explode(expr(
+        s"""aggregate(evs,
+           |  struct(CAST(0 AS BIGINT) AS s, CAST(0 AS INT) AS rn,
+           |    CAST(array() AS ARRAY<STRUCT<rn: INT, x: BIGINT,
+           |      ewma: BIGINT>>) AS out),
+           |  (acc, e) -> struct(
+           |    CASE WHEN acc.rn = 0 THEN e.__x
+           |      WHEN e.__x - acc.s >= 0
+           |        THEN acc.s + (e.__x - acc.s) div $den
+           |      ELSE acc.s - ((acc.s - e.__x) div $den)
+           |    END AS s,
+           |    acc.rn + 1 AS rn,
+           |    array_append(acc.out, struct(acc.rn + 1 AS rn,
+           |      e.__x AS x,
+           |      CASE WHEN acc.rn = 0 THEN e.__x
+           |        WHEN e.__x - acc.s >= 0
+             |        THEN acc.s + (e.__x - acc.s) div $den
+           |        ELSE acc.s - ((acc.s - e.__x) div $den)
+           |      END AS ewma)) AS out),
+           |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col(keyCol), col("r.rn").as("rn"), col("r.x").as("x"),
+        col("r.ewma").as("ewma"))
+  }
 }

@@ -280,6 +280,183 @@ object AnalyticsQueries extends QueryModule {
              |FROM pair, g2""".stripMargin),
     ),
 
+    // ---- two-sided CUSUM changepoint scan over daily revenue
+    // (ops/SeriesStats.cusumInt): deviations scaled by n so the
+    // reference level stays integer; the max(0,·) reset recursion is
+    // an ordered fold over the tiny day axis (the distributed work is
+    // the axis build). DuckDB replays the recursion with a sequential
+    // recursive CTE — bit-identical because everything is BIGINT.
+    Q(
+      "q260_cusum_changepoint",
+      (s, d) => SeriesStats.cusumInt(
+        Tables.lineitem(s, d)
+          .groupBy(datediff(to_date(col("l_shipdate")),
+            lit("1970-01-01")).as("day"))
+          .agg(expr("sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))" +
+            " * 100 AS BIGINT)) div 100").as("dollars")),
+        "day", "dollars", kDiv = 20, hDiv = 2),
+      Some("""WITH RECURSIVE s AS (
+             |  SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+             |      AS BIGINT) AS t,
+             |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             |      * 100 AS BIGINT)) // 100 AS BIGINT) AS x
+             |  FROM lineitem GROUP BY 1
+             |), g AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS total
+             |  FROM s
+             |), b AS (
+             |  SELECT t, x, row_number() OVER (ORDER BY t) AS rn,
+             |    n * x - total AS e,
+             |    n * ((total // n) // 20) AS nk,
+             |    n * ((total // n) // 2) AS nh
+             |  FROM s, g
+             |), r AS (
+             |  SELECT rn, t, x, GREATEST(0, e - nk) AS sp,
+             |    LEAST(0, e + nk) AS sn, nh
+             |  FROM b WHERE rn = 1
+             |  UNION ALL
+             |  SELECT b.rn, b.t, b.x,
+             |    GREATEST(0, r.sp + b.e - b.nk),
+             |    LEAST(0, r.sn + b.e + b.nk), b.nh
+             |  FROM r JOIN b ON b.rn = r.rn + 1
+             |)
+             |SELECT t, x, CAST(sp AS BIGINT) AS s_pos,
+             |  CAST(sn AS BIGINT) AS s_neg,
+             |  sp > nh AS alarm_hi, sn < -nh AS alarm_lo
+             |FROM r""".stripMargin),
+    ),
+
+    // ---- per-user integer EWMA of event values
+    // (ops/SeriesStats.ewmaInt, α = 1/8 with sign-guarded integer
+    // division): the fold is per key, so the cluster parallelism is
+    // |users| and per-key state is one BIGINT. DuckDB replays the
+    // same recursion with a keyed recursive CTE.
+    Q(
+      "q261_ewma",
+      (s, d) => SeriesStats.ewmaInt(
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents")),
+        "user_id", Seq("ts", "event_id"), "cents", den = 8),
+      Some("""WITH RECURSIVE v AS (
+             |  SELECT user_id, event_id, ts,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS x
+             |  FROM events
+             |), b AS (
+             |  SELECT user_id, x,
+             |    CAST(row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS INTEGER) AS rn
+             |  FROM v
+             |), r AS (
+             |  SELECT user_id, rn, x, x AS ewma FROM b WHERE rn = 1
+             |  UNION ALL
+             |  SELECT b.user_id, b.rn, b.x,
+             |    CASE WHEN b.x - r.ewma >= 0
+             |      THEN r.ewma + (b.x - r.ewma) // 8
+             |      ELSE r.ewma - ((r.ewma - b.x) // 8) END
+             |  FROM r JOIN b
+             |    ON b.user_id = r.user_id AND b.rn = r.rn + 1
+             |)
+             |SELECT user_id, rn, x, CAST(ewma AS BIGINT) AS ewma
+             |FROM r""".stripMargin),
+    ),
+
+    // ---- reciprocal-rank fusion of two part rankings (by revenue,
+    // by shipped quantity): rank lists from two exact aggregations,
+    // RRF terms as INTEGER-scaled 10⁹/(60+rank) divisions (a double
+    // 1/(k+r) sum would be partial-aggregation-order-sensitive; the
+    // integer form is exact), deterministic top-100.
+    Q(
+      "q262_rrf_fusion",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+        val agg = Tables.lineitem(s, d)
+          .groupBy($"l_partkey")
+          .agg(
+            expr("sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))" +
+              " * 100 AS BIGINT))").as("rev_c"),
+            expr("sum(CAST(CAST(l_quantity AS DECIMAL(18,2))" +
+              " * 100 AS BIGINT))").as("qty_c"))
+          .withColumn("rank_rev", row_number().over(
+            w.orderBy($"rev_c".desc, $"l_partkey".asc)))
+          .withColumn("rank_qty", row_number().over(
+            w.orderBy($"qty_c".desc, $"l_partkey".asc)))
+          .withColumn("rrf_score", expr(
+            "1000000000 div (60 + rank_rev)" +
+              " + 1000000000 div (60 + rank_qty)"))
+        agg.orderBy($"rrf_score".desc, $"l_partkey".asc)
+          .select($"l_partkey", $"rank_rev", $"rank_qty", $"rrf_score")
+          .limit(100)
+      },
+      Some("""WITH a AS (
+             |  SELECT l_partkey,
+             |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             |      * 100 AS BIGINT)) AS BIGINT) AS rev_c,
+             |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+             |      * 100 AS BIGINT)) AS BIGINT) AS qty_c
+             |  FROM lineitem GROUP BY 1
+             |), rk AS (
+             |  SELECT l_partkey,
+             |    CAST(row_number() OVER (ORDER BY rev_c DESC,
+             |      l_partkey ASC) AS INTEGER) AS rank_rev,
+             |    CAST(row_number() OVER (ORDER BY qty_c DESC,
+             |      l_partkey ASC) AS INTEGER) AS rank_qty
+             |  FROM a
+             |)
+             |SELECT l_partkey, rank_rev, rank_qty,
+             |  CAST(1000000000 // (60 + rank_rev)
+             |    + 1000000000 // (60 + rank_qty) AS BIGINT)
+             |    AS rrf_score
+             |FROM rk
+             |ORDER BY rrf_score DESC, l_partkey ASC LIMIT 100"""
+        .stripMargin),
+    ),
+
+    // ---- empirical-Bayes rate shrinkage: per-supplier return rates
+    // pulled toward the pooled rate with prior strength 20 (the
+    // beta-prior posterior-mean form). One hash aggregation for the
+    // per-supplier counts, a broadcast scalar for the pool, and one
+    // fixed-shape formula — no per-group float sums anywhere.
+    Q(
+      "q263_eb_shrinkage",
+      (s, d) => {
+        import s.implicits._
+        val per = Tables.lineitem(s, d)
+          .groupBy($"l_suppkey")
+          .agg(count(lit(1)).as("n"),
+            sum(($"l_returnflag" === "R").cast("long")).as("r"))
+        val pool = Tables.lineitem(s, d)
+          .agg(count(lit(1)).as("n_tot"),
+            sum(($"l_returnflag" === "R").cast("long")).as("r_tot"))
+        per.crossJoin(broadcast(pool))
+          .withColumn("raw_rate", expr("CAST(r AS DOUBLE) / n"))
+          .withColumn("shrunk_rate", expr(
+            "(r + 20.0 * (CAST(r_tot AS DOUBLE) / n_tot)) / (n + 20)"))
+          .select($"l_suppkey", $"n", $"r", $"raw_rate",
+            $"shrunk_rate")
+      },
+      Some("""WITH per AS (
+             |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+             |      END) AS BIGINT) AS r
+             |  FROM lineitem GROUP BY 1
+             |), pool AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_tot,
+             |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+             |      END) AS BIGINT) AS r_tot
+             |  FROM lineitem
+             |)
+             |SELECT l_suppkey, n, r,
+             |  CAST(r AS DOUBLE) / n AS raw_rate,
+             |  (r + 20.0 * (CAST(r_tot AS DOUBLE) / n_tot)) / (n + 20)
+             |    AS shrunk_rate
+             |FROM per, pool""".stripMargin),
+    ),
+
     // ---- trailing 7-day distinct active users per day
     // (ops/TemporalJoins.slidingDistinct): presence fan-out + dedupe
     // instead of the inexpressible windowed COUNT DISTINCT; the

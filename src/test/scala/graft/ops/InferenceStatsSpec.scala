@@ -118,6 +118,33 @@ class InferenceStatsSpec extends SparkSpec {
     assert(out.keySet.forall { case (a, b) => a < b })
   }
 
+  test("cusumInt: scaled integer recursion, resets, two-sided alarms") {
+    // n=4, total=60 → mean 15; kDiv=20 → k=0, nk=0; hDiv=2 → nh=28
+    val s = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 30L))
+    val out = SeriesStats.cusumInt(s.toDF("t", "x"), "t", "x",
+      kDiv = 20, hDiv = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5))).toMap
+    // e = 4x - 60 = [-20,-20,-20,+60]
+    assert(out(1L) == ((0L, -20L, false, false)))
+    assert(out(2L) == ((0L, -40L, false, true)))
+    assert(out(3L) == ((0L, -60L, false, true)))
+    assert(out(4L) == ((60L, 0L, true, false))) // reset to 0 via min
+  }
+
+  test("ewmaInt: seeded first value, sign-guarded truncating division") {
+    val rows = Seq(("u", 1L, 16L), ("u", 2L, 0L), ("u", 3L, 100L),
+      ("v", 1L, 16L), ("v", 2L, 1L))
+    val out = SeriesStats.ewmaInt(rows.toDF("k", "o", "x"),
+      "k", Seq("o"), "x", den = 8).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(out(("u", 1)) == 16L) // s1 = x1
+    assert(out(("u", 2)) == 14L) // 16 + (-16 div 8) = 14
+    assert(out(("u", 3)) == 24L) // 14 + (86 div 8) = 14 + 10
+    // negative delta truncates toward zero (NOT floor): -15/8 → -1
+    assert(out(("v", 2)) == 15L)
+  }
+
   test("slidingDistinct: trailing window, only real buckets emitted") {
     val pres = Seq((1L, 0L), (1L, 3L), (2L, 3L), (2L, 3L), (3L, 10L))
     val out = TemporalJoins.slidingDistinct(pres.toDF("u", "d"),
