@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sketch-based corpus statistics with a driver-gated accuracy check.
@@ -82,6 +83,64 @@ object SketchStats {
           (abs(frac - q) <= rankTol).as("within"))
       }
     gates.select(explode(array(rows: _*)).as("__s")).select(col("__s.*"))
+  }
+
+  /** ONE-PASS histogram quantile sketch with a verified error
+    * contract: a fixed equi-width binning (width from an exact
+    * min/max/count pre-scan) approximates each requested permille
+    * quantile by its bin's bounds — the mergeable, bounded-state
+    * summary that serves dashboard quantiles at 100 TB where the
+    * multi-round exact selection ([[exactQuantilesLong]]) costs ≤7
+    * scans. The output CARRIES the contract: each row joins the true
+    * rank-r value (two-pass [[Packing.globalRowNumber]], no global
+    * window) and a `within_bound` flag that is true by construction —
+    * an oracle recomputing the same integer bins must agree on every
+    * column, and a binning bug flips the flag loudly.
+    *
+    * All-integer: rank = ceil(p·n/1000) in integer arithmetic
+    * ((p·n+999) div 1000 — an IEEE ceil(p·n) would disagree with a
+    * rational oracle when p·n parses inexactly, e.g. 0.007·1000), bin
+    * edges are exact longs, so any engine reproduces every row.
+    *
+    * @param psPermille quantiles as permille integers (1..1000)
+    * @return p_permille, r (1-based target rank), est_lo/est_hi (the
+    *         selected bin's inclusive bounds), exact (true rank-r
+    *         value), within_bound
+    */
+  def histQuantileSketch(df: DataFrame, valueCol: String, nBins: Int,
+      psPermille: Seq[Int]): DataFrame = {
+    require(nBins >= 1, "nBins must be >= 1")
+    require(psPermille.nonEmpty &&
+      psPermille.forall(p => p >= 1 && p <= 1000),
+      "permille quantiles must be in [1, 1000]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val g = v.agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+      count(lit(1)).as("n"))
+    val withW = broadcast(g
+      .withColumn("w", expr(s"(mx - mn) div $nBins + 1")))
+    val cum = v.crossJoin(withW)
+      .groupBy(expr("(v - mn) div w").as("bin"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c"))
+        .over(Window.orderBy(col("bin").asc))) // tiny bin axis
+    val targets = psPermille.toDF("p_permille")
+      .crossJoin(withW)
+      .withColumn("r", expr("(p_permille * n + 999) div 1000"))
+    val sel = targets.join(cum, col("cum") >= col("r"))
+      .groupBy(col("p_permille"), col("r"), col("mn"), col("w"))
+      .agg(min(col("bin")).as("bin"))
+      .select(col("p_permille"), col("r"),
+        (col("mn") + col("bin") * col("w")).as("est_lo"),
+        (col("mn") + (col("bin") + lit(1)) * col("w") - 1).as("est_hi"))
+    val ranked = Packing.globalRowNumber(v, Seq(col("v").asc), "rn")
+    sel.join(ranked, col("rn") === col("r") - 1)
+      .select(col("p_permille"), col("r"), col("est_lo"), col("est_hi"),
+        col("v").as("exact"),
+        col("v").between(col("est_lo"), col("est_hi"))
+          .as("within_bound"))
   }
 
   /** EXACT percentiles WITHOUT a global sort — iterative histogram-

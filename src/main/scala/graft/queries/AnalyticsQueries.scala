@@ -1,8 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.functions.JaroWinkler
 import graft.model.Tables
-import graft.ops.{Association, GeoOps, SeriesStats, Survival, TemporalJoins}
+import graft.ops.{Association, GeoOps, SeriesStats, SketchStats, Skyline, Survival, TemporalJoins}
 
 /** Round-8 analytics wave: association rules, survival analysis,
   * inference statistics, spatial self-join, sliding distinct counts.
@@ -481,6 +482,119 @@ object AnalyticsQueries extends QueryModule {
              |FROM days d JOIN pr p
              |  ON p.b BETWEEN d.window_end - 6 AND d.window_end
              |GROUP BY 1""".stripMargin),
+    ),
+
+    // ---- Jaro–Winkler name similarity over blocked part pairs: the
+    // native codegen'd expression (functions/JaroWinkler.scala) whose
+    // double output is BIT-compatible with DuckDB's builtin (pinned by
+    // a 5,000-case differential test — empty-string and 0.7 boost
+    // threshold semantics included), so the oracle hash-compares raw
+    // similarity doubles. Blocking = (brand, size) equi-join: the
+    // linkage pattern that keeps the pair space far under n² at scale.
+    Q(
+      "q264_jaro_winkler",
+      (s, d) => {
+        val p = Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"),
+            col("p_name"))
+        val a = p.select(col("p_brand"), col("p_size"),
+          col("p_partkey").as("p1"), col("p_name").as("n1"))
+        val b = p.select(col("p_brand"), col("p_size"),
+          col("p_partkey").as("p2"), col("p_name").as("n2"))
+        a.join(b, Seq("p_brand", "p_size"))
+          .filter(col("p1") < col("p2"))
+          .select(col("p1"), col("p2"),
+            JaroWinkler(col("n1"), col("n2")).as("jw"))
+      },
+      Some("""SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+             |  jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+             |FROM part a JOIN part b
+             |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+             |  AND a.p_partkey < b.p_partkey""".stripMargin),
+    ),
+
+    // ---- 2-D skyline / Pareto frontier of parts (cheapest price,
+    // largest size — ops/Skyline.scala): salted local-frontier pass +
+    // tiny global pass, one sort and zero joins instead of the n²
+    // NOT-EXISTS nested loop the oracle brute-forces. Comparison-only
+    // semantics: equal frontier duplicates all survive on both sides.
+    Q(
+      "q265_skyline",
+      (s, d) => Skyline.skyline2d(
+        Tables.part(s, d)
+          .select(col("p_partkey"),
+            expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100" +
+              " AS BIGINT)").as("price_c"),
+            col("p_size").cast("long").as("size")),
+        "p_partkey", "price_c", "size")
+        .select(col("id").as("p_partkey"), col("minv").as("price_c"),
+          col("maxv").as("size")),
+      Some("""WITH t AS (
+             |  SELECT p_partkey,
+             |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT) AS price_c,
+             |    CAST(p_size AS BIGINT) AS size
+             |  FROM part
+             |)
+             |SELECT p_partkey, price_c, size FROM t a
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM t b
+             |  WHERE b.price_c <= a.price_c AND b.size >= a.size
+             |    AND (b.price_c < a.price_c OR b.size > a.size))"""
+        .stripMargin),
+    ),
+
+    // ---- histogram quantile sketch with a carried error contract
+    // (ops/SketchStats.histQuantileSketch): equi-width integer bins
+    // approximate the p500/p900/p990 order totals; each emitted row
+    // joins the TRUE rank-r value (two-pass global row number) and a
+    // within-bound flag that a binning bug would flip loudly. The
+    // oracle rebuilds bins, ranks, and the exact selection in SQL.
+    Q(
+      "q266_hist_quantile_sketch",
+      (s, d) => SketchStats.histQuantileSketch(
+        Tables.orders(s, d)
+          .select(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2))" +
+            " * 100 AS BIGINT)").as("cents")),
+        "cents", nBins = 64, psPermille = Seq(500, 900, 990)),
+      Some("""WITH v AS (
+             |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             |    AS BIGINT) AS v
+             |  FROM orders
+             |), g AS (
+             |  SELECT CAST(min(v) AS BIGINT) AS mn,
+             |    CAST(max(v) AS BIGINT) AS mx,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST((max(v) - min(v)) // 64 + 1 AS BIGINT) AS w
+             |  FROM v
+             |), b AS (
+             |  SELECT (v - mn) // w AS bin, count(*) AS c
+             |  FROM v, g GROUP BY 1
+             |), cumt AS (
+             |  SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM b
+             |), ps AS (
+             |  SELECT CAST(unnest([500, 900, 990]) AS INTEGER)
+             |    AS p_permille
+             |), tgt AS (
+             |  SELECT p_permille,
+             |    CAST((p_permille * n + 999) // 1000 AS BIGINT) AS r,
+             |    mn, w
+             |  FROM ps, g
+             |), sel AS (
+             |  SELECT p_permille, r, mn, w,
+             |    CAST(min(bin) AS BIGINT) AS bin
+             |  FROM tgt JOIN cumt ON cum >= r
+             |  GROUP BY 1, 2, 3, 4
+             |), rv AS (
+             |  SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v
+             |)
+             |SELECT p_permille, r,
+             |  mn + bin * w AS est_lo,
+             |  mn + (bin + 1) * w - 1 AS est_hi,
+             |  rv.v AS exact,
+             |  rv.v BETWEEN mn + bin * w AND mn + (bin + 1) * w - 1
+             |    AS within_bound
+             |FROM sel JOIN rv ON rv.rn = sel.r""".stripMargin),
     ),
   )
 }

@@ -145,6 +145,51 @@ class InferenceStatsSpec extends SparkSpec {
     assert(out(("v", 2)) == 15L)
   }
 
+  test("JaroWinkler: textbook values, DuckDB edge semantics") {
+    import graft.functions.JaroWinkler
+    def jw(a: String, b: String): Double =
+      JaroWinkler.sim(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    assert(jw("martha", "marhta") == 0.9611111111111111)
+    assert(jw("dixon", "dicksonx") == 0.8133333333333332)
+    assert(jw("", "") == 0.0) // DuckDB: empty similar to nothing
+    assert(jw("a", "") == 0.0 && jw("", "abc") == 0.0)
+    assert(jw("same", "same") == 1.0)
+    // below the 0.7 boost threshold the shared prefix must NOT boost
+    assert(jw("abd", "ac") == 0.611111111111111)
+    // interpreted vs codegen parity through a real plan
+    val df = Seq(("martha", "marhta"), ("abd", "ac")).toDF("a", "b")
+    val got = df.select(JaroWinkler(col("a"), col("b"))).collect()
+      .map(_.getDouble(0)).toSeq
+    assert(got == Seq(0.9611111111111111, 0.611111111111111))
+  }
+
+  test("skyline2d: dominance incl. peer ties and exact duplicates") {
+    // (id, price minimize, size maximize)
+    val pts = Seq((1L, 100L, 10L), (2L, 100L, 8L), (3L, 50L, 5L),
+      (4L, 200L, 20L), (5L, 50L, 5L), (6L, 60L, 4L))
+    val out = Skyline.skyline2d(pts.toDF("id", "p", "s"),
+      "id", "p", "s", salts = 4).collect().map(_.getLong(0)).toSet
+    // 2 loses to 1 (equal price, smaller size); 6 loses to 3/5;
+    // exact duplicates 3 and 5 BOTH survive (neither strict)
+    assert(out == Set(1L, 3L, 4L, 5L))
+    // single-salt path agrees
+    val one = Skyline.skyline2d(pts.toDF("id", "p", "s"),
+      "id", "p", "s", salts = 1).collect().map(_.getLong(0)).toSet
+    assert(one == out)
+  }
+
+  test("histQuantileSketch: integer bins, exact rank join, bound flag") {
+    val df = (1L to 100L).toDF("v")
+    val out = SketchStats.histQuantileSketch(df, "v", nBins = 10,
+      psPermille = Seq(500, 990)).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    // width = 99 div 10 + 1 = 10; p500 → r=50, bin 4 = [41,50]
+    assert(out(500) == ((50L, 41L, 50L, 50L, true)))
+    // p990 → r=99, bin 9 = [91,100]
+    assert(out(990) == ((99L, 91L, 100L, 99L, true)))
+  }
+
   test("slidingDistinct: trailing window, only real buckets emitted") {
     val pres = Seq((1L, 0L), (1L, 3L), (2L, 3L), (2L, 3L), (3L, 10L))
     val out = TemporalJoins.slidingDistinct(pres.toDF("u", "d"),
