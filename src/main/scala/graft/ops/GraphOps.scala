@@ -389,4 +389,40 @@ object GraphOps {
     labels.select(col("node"), col("lab").as("label"),
       lit(changed == 0L).as("converged"))
   }
+
+  /** Bounded-hop single-source-set WEIGHTED shortest paths — the
+    * Bellman–Ford/Pregel rounds form ([[pageRankInt]]'s shape): each
+    * round relaxes every edge once (one equi-join on `src` + one
+    * min-aggregation), so after `maxHops` rounds `dist` is the exact
+    * minimum weight over all paths of ≤ maxHops edges from any seed.
+    * Plan depth is O(maxHops) with lineage cut per round; the frontier
+    * never enumerates paths (the recursive-CTE enumeration the oracle
+    * uses is exponential in hops and fine only at test scale —
+    * [[graft.ops.Hierarchy.bfsDistances]] documents the same split
+    * for the unweighted case).
+    *
+    * Exact BIGINT weights; unreachable-within-bound nodes are absent
+    * (callers outer-join if they want infinities).
+    */
+  def shortestPathsBounded(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 50,
+      s"maxHops must be in [0, 50], got $maxHops")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"),
+      col("w").cast("long").as("w")).materialized
+    var dist = seeds.select(col("node").cast("long").as("node"))
+      .distinct()
+      .withColumn("dist", lit(0L)).materialized
+    var hop = 0
+    while (hop < maxHops) {
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .select(e("dst").as("node"), (dist("dist") + e("w")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .materialized
+      hop += 1
+    }
+    dist
+  }
 }

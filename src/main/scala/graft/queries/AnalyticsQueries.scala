@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.functions.JaroWinkler
 import graft.model.Tables
-import graft.ops.{Association, GeoOps, SeriesStats, SketchStats, Skyline, Survival, TemporalJoins}
+import graft.ops.{Association, GeoOps, GraphOps, SeriesStats, SketchStats, Skyline, Survival, TemporalJoins}
 
 /** Round-8 analytics wave: association rules, survival analysis,
   * inference statistics, spatial self-join, sliding distinct counts.
@@ -595,6 +595,56 @@ object AnalyticsQueries extends QueryModule {
              |  rv.v BETWEEN mn + bin * w AND mn + (bin + 1) * w - 1
              |    AS within_bound
              |FROM sel JOIN rv ON rv.rn = sel.r""".stripMargin),
+    ),
+
+    // ---- bounded-hop WEIGHTED shortest paths from a seed set
+    // (ops/GraphOps.shortestPathsBounded): Bellman–Ford rounds — one
+    // edge-relax join + min-agg per hop, O(maxHops) plan depth, no
+    // path enumeration. The oracle enumerates weighted paths ≤ 4 hops
+    // in a recursive CTE and min-folds — exponential, test-scale-only
+    // (the same scale split Hierarchy.bfsDistances documents). Graph
+    // and integer weights are derived deterministically from supplier
+    // keys, identical formulas on both sides.
+    Q(
+      "q268_shortest_path",
+      (s, d) => {
+        val sup = Tables.supplier(s, d)
+          .select(col("s_suppkey").cast("long").as("a"))
+        val e1 = sup.select(col("a").as("src"),
+          expr("(a * 2) % 100 + 1").as("dst"))
+        val e2 = sup.select(col("a").as("src"),
+          expr("(a + 37) % 100 + 1").as("dst"))
+        val e3 = sup.filter(expr("a % 3 = 0"))
+          .select(col("a").as("src"),
+            expr("(a * 5 + 11) % 100 + 1").as("dst"))
+        val edges = e1.union(e2).union(e3)
+          .withColumn("w", expr("(src * 7 + dst * 11) % 20 + 1"))
+        val seeds = sup.filter(expr("a % 10 = 0"))
+          .select(col("a").as("node"))
+        GraphOps.shortestPathsBounded(edges, seeds, maxHops = 4)
+      },
+      Some("""WITH RECURSIVE sup AS (
+             |  SELECT CAST(s_suppkey AS BIGINT) AS a FROM supplier
+             |), e AS (
+             |  SELECT a AS src, (a * 2) % 100 + 1 AS dst FROM sup
+             |  UNION ALL
+             |  SELECT a, (a + 37) % 100 + 1 FROM sup
+             |  UNION ALL
+             |  SELECT a, (a * 5 + 11) % 100 + 1 FROM sup
+             |  WHERE a % 3 = 0
+             |), ew AS (
+             |  SELECT src, dst, (src * 7 + dst * 11) % 20 + 1 AS w
+             |  FROM e
+             |), sp AS (
+             |  SELECT a AS node, CAST(0 AS BIGINT) AS dist, 0 AS hops
+             |  FROM sup WHERE a % 10 = 0
+             |  UNION ALL
+             |  SELECT ew.dst, sp.dist + ew.w, sp.hops + 1
+             |  FROM ew JOIN sp ON ew.src = sp.node
+             |  WHERE sp.hops < 4
+             |)
+             |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+             |FROM sp GROUP BY 1""".stripMargin),
     ),
   )
 }

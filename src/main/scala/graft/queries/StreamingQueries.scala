@@ -744,6 +744,68 @@ object StreamingQueries extends QueryModule {
              |WHERE p.event_type = 'click'""".stripMargin),
     ),
 
+    // ---- LEFT OUTER stream-stream interval join: q207's shape plus
+    // null-extended unmatched clicks. Outer emission is watermark-
+    // gated, so the harness stages a far-future SENTINEL row on each
+    // side (join keys that match nothing) with a 0-second watermark
+    // delay — the trailing no-data batch advances the watermark past
+    // every real row and flushes ALL real unmatched lefts exactly
+    // once; the result then equals the batch LEFT JOIN the oracle
+    // runs (sentinels filtered out). See
+    // StreamOps.intervalJoinStreamsLeftOuter's scaladoc for why a
+    // production deployment instead holds back the trailing window.
+    Q(
+      "q267_streaming_outer_interval",
+      (s, d) => {
+        val root = scratch()
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val ev = Tables.events(s, d)
+          val far = lit("2100-01-01 00:00:00").cast("timestamp")
+          val left = ev.filter(col("event_type") === "click")
+            .select(col("event_id"), col("user_id"), col("ts"))
+            .union(s.range(1).select(lit(-1L).as("event_id"),
+              lit(-1L).as("user_id"), far.as("ts")))
+          val right = ev.filter(col("event_type") === "purchase")
+            .select(col("event_id").as("purchase_id"),
+              col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+            .union(s.range(1).select(lit(-2L).as("purchase_id"),
+              lit(-2L).as("p_user_id"), far.as("p_ts")))
+          val src = staged("q267", d) { dir =>
+            left.coalesce(1).write.parquet(s"$dir/left")
+            right.coalesce(1).write.parquet(s"$dir/right")
+          }
+          val joined = StreamOps.intervalJoinStreamsLeftOuter(
+            s.readStream.schema(left.schema).parquet(s"$src/left"),
+            s.readStream.schema(right.schema).parquet(s"$src/right"),
+            keyExpr = "user_id = p_user_id",
+            leftTsCol = "ts", rightTsCol = "p_ts",
+            lowerSec = 300L, upperSec = 300L)
+          val sinkTable = "graft_stream_oij_" +
+            java.util.UUID.randomUUID().toString.replace("-", "")
+          val q = joined.select(col("event_id"), col("purchase_id"))
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .format("memory")
+            .queryName(sinkTable)
+            .start()
+          q.awaitTermination()
+          s.table(sinkTable).filter(col("event_id") >= 0)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      },
+      Some("""SELECT c.event_id, p.event_id AS purchase_id
+             |FROM events c
+             |LEFT JOIN (SELECT event_id, user_id, ts FROM events
+             |           WHERE event_type = 'purchase') p
+             |  ON c.user_id = p.user_id
+             | AND c.ts BETWEEN p.ts - INTERVAL 5 MINUTE
+             |             AND p.ts + INTERVAL 5 MINUTE
+             |WHERE c.event_type = 'click'""".stripMargin),
+    ),
+
     // ---- stream-static dimension join: the streaming event feed is
     // enriched against a BATCH dimension table (customer segment) with
     // an explicit broadcast, then aggregated — the canonical streaming

@@ -304,6 +304,55 @@ object StreamOps {
       .drop("__lbin", "__rbin")
   }
 
+  /** LEFT OUTER stream-stream interval join — [[intervalJoinStreams]]
+    * plus null-extended rows for left events that never met a match.
+    *
+    * Outer semantics are where streaming diverges from batch: an
+    * unmatched left row can only emit once the watermark PROVES no
+    * matching right row can still arrive, so rows younger than
+    * (final watermark − window) stay buffered forever under a finite
+    * input. The deterministic harness recipe (q267): stage a far-
+    * future SENTINEL row on BOTH sides under a join key that matches
+    * nothing and a 0-second watermark delay — the trailing no-data
+    * micro-batch then advances the global watermark past every real
+    * row, flushing ALL real unmatched-left rows exactly once, and the
+    * result equals the batch LEFT JOIN (sentinels filtered). A real
+    * deployment instead accepts the trailing-window holdback as the
+    * price of correctness.
+    *
+    * The binned state key is safe under LEFT outer: every left row
+    * carries exactly ONE bin replica, so the null-extension for an
+    * unmatched left row is emitted once (the exploded side is the
+    * right/buffered side only — a RIGHT outer over the exploded form
+    * would duplicate nulls per replica and is deliberately not
+    * offered).
+    */
+  def intervalJoinStreamsLeftOuter(left: DataFrame, right: DataFrame,
+      keyExpr: String, leftTsCol: String, rightTsCol: String,
+      lowerSec: Long, upperSec: Long,
+      watermark: String = "0 seconds"): DataFrame = {
+    require(lowerSec >= 0 && upperSec >= 0,
+      s"interval bounds must be >= 0, got $lowerSec/$upperSec")
+    require(lowerSec + upperSec >= 1, "window must span at least 1 s")
+    val binSec = lowerSec + upperSec
+    val l = left.withWatermark(leftTsCol, watermark)
+      .withColumn("__lbin",
+        expr(s"floor(unix_timestamp($leftTsCol) / $binSec)"))
+    val r = right.withWatermark(rightTsCol, watermark)
+      .withColumn("__rbin", explode(expr(
+        s"""sequence(
+           |  floor((unix_timestamp($rightTsCol) - $lowerSec) / $binSec),
+           |  floor((unix_timestamp($rightTsCol) + $upperSec) / $binSec))"""
+          .stripMargin)))
+    l.join(r, expr(
+      s"""$keyExpr
+         |AND __lbin = __rbin
+         |AND $leftTsCol >= $rightTsCol - INTERVAL $lowerSec SECONDS
+         |AND $leftTsCol <= $rightTsCol + INTERVAL $upperSec SECONDS"""
+        .stripMargin), "left_outer")
+      .drop("__lbin", "__rbin")
+  }
+
   def asOfJoinStream(tagged: DataFrame): Dataset[AsOfOut] = {
     import tagged.sparkSession.implicits._
     tagged.as[(Int, Long, Long, java.sql.Timestamp, Double)]

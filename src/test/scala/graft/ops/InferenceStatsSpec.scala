@@ -190,6 +190,19 @@ class InferenceStatsSpec extends SparkSpec {
     assert(out(990) == ((99L, 91L, 100L, 99L, true)))
   }
 
+  test("shortestPathsBounded: relaxation beats direct edge, hop bound") {
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L),
+      (3L, 4L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val full = GraphOps.shortestPathsBounded(edges, seeds, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 7L))
+    val one = GraphOps.shortestPathsBounded(edges, seeds, maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one hop: the direct (weight 10) edge wins; node 4 unreachable
+    assert(one == Map(1L -> 0L, 2L -> 5L, 3L -> 10L))
+  }
+
   test("slidingDistinct: trailing window, only real buckets emitted") {
     val pres = Seq((1L, 0L), (1L, 3L), (2L, 3L), (2L, 3L), (3L, 10L))
     val out = TemporalJoins.slidingDistinct(pres.toDF("u", "d"),
