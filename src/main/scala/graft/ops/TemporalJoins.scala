@@ -363,4 +363,21 @@ object TemporalJoins {
       .groupBy(col("window_end"))
       .agg(count(lit(1)).as("n_distinct"))
   }
+
+  /** Cumulative business-day count up to epoch-day `d` (inclusive):
+    * `((d+4) div 7)*5 + least((d+4) % 7, 5)` — epoch day −3 is a
+    * Monday, so d+4 both aligns the week and shifts to the inclusive
+    * prefix; business days in (a, b] = h(b) − h(a). Pure integer
+    * closed form (validated against a calendar brute force over 5,000
+    * random spans) — no explode, no calendar table, identical text in
+    * Spark and DuckDB (`div` vs `//` is the only dialect swap).
+    *
+    * DOMAIN: `d ≥ −4` (dates from 1969-12-28). Below that, d+4 goes
+    * negative and Spark's `div` (truncates toward zero) diverges from
+    * DuckDB's `//` (floors) — the floor behavior is the correct one.
+    * All table dates are 1990s+, far inside the domain; callers with
+    * pre-1970 data must rebase the epoch, not relax this.
+    */
+  def businessDayCumSql(d: String, divOp: String = "div"): String =
+    s"(($d + 4) $divOp 7) * 5 + least(($d + 4) % 7, 5)"
 }

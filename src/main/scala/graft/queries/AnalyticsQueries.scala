@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.functions.JaroWinkler
 import graft.model.Tables
-import graft.ops.{Association, GeoOps, GraphOps, SeriesStats, SketchStats, Skyline, Survival, TemporalJoins}
+import graft.ops.{Association, GeoOps, GraphOps, Incremental, SeriesStats, SketchStats, Skyline, Survival, TemporalJoins}
 
 /** Round-8 analytics wave: association rules, survival analysis,
   * inference statistics, spatial self-join, sliding distinct counts.
@@ -645,6 +645,164 @@ object AnalyticsQueries extends QueryModule {
              |)
              |SELECT node, CAST(min(dist) AS BIGINT) AS dist
              |FROM sp GROUP BY 1""".stripMargin),
+    ),
+
+    // ---- mergeable-sketch distinct set operations: per-event-type
+    // user sets as DataSketches HLL (hll_sketch_agg — the 100-TB
+    // shape: sketches merge across shards, the exact twin needs a
+    // full distinct shuffle per pair), pairwise union via hll_union,
+    // intersection by inclusion–exclusion, each GATED against the
+    // exact answer (≤2% + 5 absolute — sparse-mode HLL is exact at
+    // these cardinalities, so the verdicts are stable booleans the
+    // oracle restates as true alongside the exact counts).
+    Q(
+      "q269_distinct_setops",
+      (s, d) => {
+        import s.implicits._
+        val u = Tables.events(s, d)
+          .select($"event_type", $"user_id")
+        val per = u.groupBy($"event_type")
+          .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+            count_distinct($"user_id").as("exact_n"))
+        val a = per.select($"event_type".as("type_a"),
+          $"sk".as("sk_a"), $"exact_n".as("exact_a"))
+        val b = per.select($"event_type".as("type_b"),
+          $"sk".as("sk_b"), $"exact_n".as("exact_b"))
+        val pairs = a.crossJoin(b).filter($"type_a" < $"type_b")
+          .withColumn("est_union",
+            expr("hll_sketch_estimate(hll_union(sk_a, sk_b))")
+              .cast("long"))
+          .withColumn("est_inter",
+            $"exact_a" + $"exact_b" - $"est_union")
+        val exactInter = u.select($"event_type".as("type_a"),
+            $"user_id")
+          .join(u.select($"event_type".as("type_b"), $"user_id"),
+            Seq("user_id"))
+          .filter($"type_a" < $"type_b")
+          .select($"type_a", $"type_b", $"user_id").distinct()
+          .groupBy($"type_a", $"type_b")
+          .agg(count(lit(1)).as("exact_inter"))
+        pairs.join(exactInter, Seq("type_a", "type_b"), "left")
+          .na.fill(0L, Seq("exact_inter"))
+          .select($"type_a", $"type_b", $"exact_a", $"exact_b",
+            ($"exact_a" + $"exact_b" - $"exact_inter")
+              .as("exact_union"),
+            $"exact_inter",
+            (abs($"est_union" - ($"exact_a" + $"exact_b"
+              - $"exact_inter"))
+              <= ($"exact_a" + $"exact_b" - $"exact_inter") / 50 + 5)
+              .as("union_ok"),
+            (abs($"est_inter" - $"exact_inter")
+              <= $"exact_inter" / 50 + 5).as("inter_ok"))
+      },
+      Some("""WITH u AS (
+             |  SELECT DISTINCT event_type, user_id FROM events
+             |), per AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM u GROUP BY 1
+             |), inter AS (
+             |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |    CAST(count(*) AS BIGINT) AS exact_inter
+             |  FROM u a JOIN u b ON a.user_id = b.user_id
+             |    AND a.event_type < b.event_type
+             |  GROUP BY 1, 2
+             |)
+             |SELECT pa.event_type AS type_a, pb.event_type AS type_b,
+             |  pa.n AS exact_a, pb.n AS exact_b,
+             |  pa.n + pb.n - coalesce(i.exact_inter, 0) AS exact_union,
+             |  coalesce(i.exact_inter, 0) AS exact_inter,
+             |  true AS union_ok, true AS inter_ok
+             |FROM per pa JOIN per pb ON pa.event_type < pb.event_type
+             |LEFT JOIN inter i ON i.type_a = pa.event_type
+             |  AND i.type_b = pb.event_type""".stripMargin),
+    ),
+
+    // ---- business-day shipping latency: weekdays between order and
+    // first shipment via the closed-form cumulative weekday count
+    // (TemporalJoins.businessDayCumSql — integer arithmetic, no
+    // calendar explode/table, so the fact scan stays one aggregation
+    // at any scale). Histogram by latency so the output is compact.
+    Q(
+      "q270_business_days",
+      (s, d) => {
+        import s.implicits._
+        val firstShip = Tables.lineitem(s, d)
+          .groupBy($"l_orderkey")
+          .agg(min($"l_shipdate").as("first_ship"))
+        val h = TemporalJoins.businessDayCumSql(_: String, "div")
+        Tables.orders(s, d)
+          .join(firstShip, $"o_orderkey" === $"l_orderkey")
+          .select(
+            datediff(to_date($"o_orderdate"), lit("1970-01-01"))
+              .cast("long").as("od"),
+            datediff(to_date($"first_ship"), lit("1970-01-01"))
+              .cast("long").as("sd"))
+          .select((expr(h("sd")) - expr(h("od"))).as("biz_days"))
+          .groupBy($"biz_days")
+          .agg(count(lit(1)).as("n_orders"))
+      },
+      Some {
+        val h = (c: String) =>
+          graft.ops.TemporalJoins.businessDayCumSql(c, "//")
+        s"""WITH f AS (
+           |  SELECT l_orderkey, min(l_shipdate) AS first_ship
+           |  FROM lineitem GROUP BY 1
+           |), v AS (
+           |  SELECT
+           |    CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01'
+           |      AS BIGINT) AS od,
+           |    CAST(CAST(f.first_ship AS DATE) - DATE '1970-01-01'
+           |      AS BIGINT) AS sd
+           |  FROM orders o JOIN f ON f.l_orderkey = o.o_orderkey
+           |)
+           |SELECT (${h("sd")}) - (${h("od")}) AS biz_days,
+           |  CAST(count(*) AS BIGINT) AS n_orders
+           |FROM v GROUP BY 1""".stripMargin
+      },
+    ),
+
+    // ---- incremental aggregate maintenance (ops/Incremental.scala):
+    // a signed CDC delta (late inserts + tombstoned deletes) folds
+    // into the materialized per-type (count, cents) aggregate — one
+    // shuffle of |delta|, no base rescan. The oracle recomputes from
+    // the effective row set directly; equality IS the maintenance
+    // identity being tested.
+    Q(
+      "q271_incremental_agg",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"event_id", $"event_type",
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents"))
+        val base = ev.filter($"event_id" % 10 =!= 0)
+        val inserts = ev.filter($"event_id" % 10 === 0)
+        val deletes = base.filter($"event_id" % 7 === 3)
+        val baseAgg = base.groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("s"))
+        val delta = inserts.select($"event_type", lit(1L).as("sgn"),
+            $"cents")
+          .union(deletes.select($"event_type", lit(-1L).as("sgn"),
+            $"cents"))
+        Incremental.applyCdcToAgg(baseAgg, delta,
+          "event_type", "sgn", "cents")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, event_type,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS cents
+             |  FROM events
+             |), eff AS (
+             |  SELECT event_type, cents FROM ev
+             |  WHERE event_id % 10 != 0 AND NOT
+             |    (event_id % 10 != 0 AND event_id % 7 = 3)
+             |  UNION ALL
+             |  SELECT event_type, cents FROM ev WHERE event_id % 10 = 0
+             |)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS s
+             |FROM eff GROUP BY 1
+             |HAVING count(*) != 0""".stripMargin),
     ),
   )
 }

@@ -291,4 +291,42 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }
+
+  test("businessDayCumSql matches a brute-force weekday count over " +
+      "5000 random in-domain epoch days") {
+    // brute(d) = weekday count in epoch days (0, d] — so for any a, b:
+    // brute(b) - brute(a) = weekdays in (a, b], the same difference
+    // contract the closed form encodes; compare through h(0). Domain
+    // is d >= -4 (see scaladoc: Spark div truncation below that).
+    def isWeekday(d: Long): Boolean = {
+      // epoch day 0 = Thursday 1970-01-01
+      val dow = (((d % 7) + 7) % 7).toInt // 0=Thu .. 6=Wed
+      dow != 2 && dow != 3 // 2=Sat, 3=Sun
+    }
+    def brute(d: Long): Long =
+      if (d > 0) (1L to d).count(isWeekday).toLong
+      else -((d + 1) to 0L).count(isWeekday).toLong
+    val rnd = new scala.util.Random(42)
+    val days = Seq.tabulate(5000)(_ => rnd.between(-4L, 40000L)) :+ 0L
+    val computed = days.toDF("d")
+      .selectExpr("d", s"${TemporalJoins.businessDayCumSql("d")} AS h")
+      .as[(Long, Long)].collect()
+    val base = computed.collectFirst { case (0L, h) => h }.get
+    computed.foreach { case (d, h) =>
+      assert(h - base == brute(d),
+        s"d=$d closed=${h - base} brute=${brute(d)}")
+    }
+  }
+
+  test("businessDayCumSql span check: Mon→Fri same week = 4, over a " +
+      "weekend = 1, full week = 5") {
+    def h(d: Long): Long = Seq(d).toDF("d")
+      .selectExpr(s"${TemporalJoins.businessDayCumSql("d")} AS h")
+      .as[Long].head()
+    // epoch day 4 = Monday 1970-01-05; 8 = Friday 1970-01-09
+    assert(h(8) - h(4) == 4) // Mon→Fri exclusive-start
+    assert(h(11) - h(8) == 1) // Fri→Mon crosses weekend: only Mon
+    assert(h(15) - h(8) == 5) // Fri→next Fri: full business week
+    assert(h(10) - h(8) == 0) // Fri→Sun: zero business days
+  }
 }
