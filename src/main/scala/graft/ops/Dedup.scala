@@ -1035,4 +1035,67 @@ object Dedup {
       .select(col("tau_ppm"), col("bands"), col("rows_per_band"),
         col("error_sum"), col("chosen"))
   }
+
+  /** CANONICAL-DOCUMENT selection by Jaccard medoid: after
+    * [[ngramJaccardPairs]] + [[duplicateClusters]] labels near-dup
+    * groups, pick each cluster's medoid — the member minimizing the
+    * sum of exact n-gram Jaccard DISTANCES (1000 − 1000·|∩| div |∪|,
+    * integer per-mille) to every other member, ties by smallest id.
+    * The medoid is the principled keep-one choice where min-id
+    * (q49's `is_canonical`) is only the cheap one: it keeps the most
+    * REPRESENTATIVE variant, not an arbitrary one.
+    *
+    * Scale shape: the pairwise distance join is keyed on cluster_id,
+    * so its cost is Σ|cluster|² — bounded by the near-dup clusters
+    * themselves (tiny by construction; a pathological mega-cluster is
+    * already a data-quality signal [[resolveClusters]] surfaces), never
+    * corpus². Distances ride the same 64-bit gram-hash arrays the
+    * verify stage uses; set sizes are invariant under the injective
+    * hash, so an engine replaying string grams matches exactly.
+    *
+    * @return (cluster_id, medoid_id, n_members, sum_dist_milli) —
+    *         singletons (docs in no cluster) appear with themselves as
+    *         medoid and sum 0 */
+  def clusterMedoids(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tau: Double = 0.5,
+      numHashes: Int = 128, bandRows: Int = 2): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol, n, tau,
+      numHashes, bandRows)
+    val clusters = duplicateClusters(pairs)
+    val grams = df
+      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("__w"))
+      .select(col("id"), wordNGramsFromWords(col("__w"), n).as("grams"))
+      .select(col("id"),
+        array_distinct(transform(col("grams"), g => xxhash64(g)))
+          .as("__gh"))
+    val members = clusters.join(grams, Seq("id")).materialized
+    val a = members.select(col("cluster_id"), col("id").as("ida"),
+      col("__gh").as("ga"))
+    val b = members.select(col("cluster_id"), col("id").as("idb"),
+      col("__gh").as("gb"))
+    val dists = a.join(b, Seq("cluster_id"))
+      .filter(col("ida") < col("idb"))
+      .withColumn("inter",
+        size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("uni",
+        size(array_union(col("ga"), col("gb"))).cast("long"))
+      .withColumn("d", lit(1000L) - expr("(1000 * inter) div uni"))
+      .select(col("cluster_id"), col("ida"), col("idb"), col("d"))
+    val contrib = dists
+      .select(col("cluster_id"), col("ida").as("id"), col("d"))
+      .unionByName(dists
+        .select(col("cluster_id"), col("idb").as("id"), col("d")))
+    val sums = contrib.groupBy(col("cluster_id"), col("id"))
+      .agg(sum(col("d")).as("sum_dist_milli"))
+    val medoids = sums.groupBy(col("cluster_id"))
+      .agg(min(struct(col("sum_dist_milli"), col("id"))).as("__m"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("__m.id").as("medoid_id"),
+        col("n_members"), col("__m.sum_dist_milli").as("sum_dist_milli"))
+    val singles = df.select(col(idCol).as("id"))
+      .join(clusters, Seq("id"), "left_anti")
+      .select(col("id").as("cluster_id"), col("id").as("medoid_id"),
+        lit(1L).as("n_members"), lit(0L).as("sum_dist_milli"))
+    medoids.unionByName(singles)
+  }
 }

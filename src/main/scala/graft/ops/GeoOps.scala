@@ -62,4 +62,65 @@ object GeoOps {
       .filter(col("d2") <= lit(r * r))
       .select("id1", "id2", "x1", "y1", "x2", "y2", "d2")
   }
+
+  /** Grid-blocked DBSCAN: density clustering from [[radiusPairs]]'
+    * linear-in-points neighbor join (never the n² theta join).
+    *
+    *   - core:   ≥ minPts points within r, COUNTING ITSELF
+    *             (|N_ε(p)| ≥ minPts, the textbook rule)
+    *   - border: non-core with ≥ 1 core neighbor — attached to the
+    *             SMALLEST cluster id among its core neighbors (the
+    *             deterministic tie-break for the border ambiguity the
+    *             original algorithm leaves order-dependent)
+    *   - noise:  everything else, cluster_id = −1
+    *
+    * Clusters are connected components over CORE–CORE edges
+    * ([[Dedup.duplicateClusters]]' min-label propagation, O(log n)
+    * rounds), so cluster_id = the component's minimum core id — a pure
+    * function of the point set, engine-restatable. An isolated core
+    * (minPts = 1 edge case) forms its own singleton cluster.
+    *
+    * Scale shape: the only superlinear risk is the neighbor join's
+    * per-cell density, inherited (and documented) from [[radiusPairs]];
+    * everything after is hash aggregation + the bounded-round closure.
+    *
+    * @return (id, role ∈ 'core'|'border'|'noise', cluster_id) */
+  def dbscanGrid(points: DataFrame, idCol: String, xCol: String,
+      yCol: String, r: Long, minPts: Int): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val pts = points.select(col(idCol).cast("long").as("id"))
+    val pairs = radiusPairs(points, idCol, xCol, yCol, r)
+      .select(col("id1"), col("id2"))
+    val sym = pairs.unionByName(
+      pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    val deg = sym.groupBy(col("id1").as("id"))
+      .agg(count(lit(1)).as("__nbrs"))
+    val flagged = pts.join(deg, Seq("id"), "left")
+      .na.fill(0L, Seq("__nbrs"))
+      .withColumn("__core", col("__nbrs") + 1 >= minPts)
+    val coreIds = flagged.filter(col("__core")).select(col("id"))
+    val coreEdges = sym
+      .join(coreIds.select(col("id").as("id1")), "id1")
+      .join(coreIds.select(col("id").as("id2")), "id2")
+    val comps = Dedup.duplicateClusters(coreEdges, "id1", "id2")
+    val coreClusters = coreIds.join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id"))
+        .as("__cl"))
+    // border: min cluster over core neighbors (sym: id1 = the point,
+    // id2 = the neighbor — keep only core neighbors)
+    val borderAttach = sym
+      .join(coreClusters.select(col("id").as("id2"),
+        col("__cl").as("__ncl")), "id2")
+      .groupBy(col("id1").as("id")).agg(min(col("__ncl")).as("__bcl"))
+    flagged
+      .join(coreClusters.select(col("id"), col("__cl")), Seq("id"), "left")
+      .join(borderAttach, Seq("id"), "left")
+      .select(col("id"),
+        when(col("__core"), "core")
+          .when(col("__bcl").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        when(col("__core"), col("__cl"))
+          .when(col("__bcl").isNotNull, col("__bcl"))
+          .otherwise(lit(-1L)).as("cluster_id"))
+  }
 }

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Rank-based (non-parametric) statistics with integer-exact rank
+  * arithmetic: Mann–Whitney U and Spearman correlation.
+  *
+  * Ties use AVERAGE ranks, kept integer by DOUBLING them:
+  * `2·avgrank = 2·minrank + cnt − 1` where `minrank` is the 1-based
+  * min-rank of the tied value and `cnt` its multiplicity — so every
+  * rank sum is exact BIGINT and any engine replaying the definition
+  * hashes identically; only the final test statistic touches IEEE
+  * doubles, computed from the exact sums with formula text shared
+  * verbatim with the oracle (the [[SketchStats.groupedOls]] /
+  * Welch-t convention).
+  *
+  * Scale shape: global min-ranks ride [[Packing.globalRowNumber]]'s
+  * two-pass range-partitioned scan (never a single-partition window);
+  * per-value multiplicities are one hash aggregation on the value; the
+  * join back to rows is value-keyed. Everything downstream of ranking
+  * is map-side-combinable sufficient sums.
+  */
+object RankStats {
+
+  /** Per-row doubled average rank of `valCol` (ascending), appended as
+    * `outCol`: 2·minrank + cnt − 1, BIGINT. `uidCol` breaks row-number
+    * ties inside equal values — it affects nothing observable (min-rank
+    * per value is order-independent) but makes the underlying scan
+    * deterministic. */
+  def avgRankX2(df: DataFrame, valCol: String, uidCol: String,
+      outCol: String): DataFrame = {
+    val rn = Packing.globalRowNumber(df,
+      Seq(col(valCol).asc, col(uidCol).asc), "__rn")
+    val perValue = rn.groupBy(col(valCol).as("__v"))
+      .agg(min(col("__rn")).as("__minrn"), count(lit(1)).as("__cnt"))
+    rn.join(perValue, col(valCol) === col("__v"))
+      // minrank 1-based = __minrn + 1 (globalRowNumber is 0-based)
+      .withColumn(outCol,
+        lit(2L) * (col("__minrn") + lit(1L)) + col("__cnt") - lit(1L))
+      .drop("__rn", "__v", "__minrn", "__cnt")
+  }
+
+  /** Mann–Whitney U (doubled, tie-averaged): one row per group with
+    * n, the doubled rank sum R·2, and U·2 = R·2 − n(n+1). The caller's
+    * test decision compares min(U) against its critical value; both
+    * groups' rows are emitted so the identity U1 + U2 = n1·n2 is
+    * checkable downstream. Exactly two distinct groups required. */
+  def mannWhitneyUx2(df: DataFrame, grpCol: String, valCol: String,
+      uidCol: String): DataFrame = {
+    val ranked = avgRankX2(
+      df.select(col(grpCol), col(valCol).cast("long").as(valCol),
+        col(uidCol)),
+      valCol, uidCol, "__rx2")
+    val perGroup = ranked.groupBy(col(grpCol))
+      .agg(count(lit(1)).as("n"), sum(col("__rx2")).as("r_x2"))
+    val sizes = perGroup.agg(count(lit(1)).as("k")).head().getLong(0)
+    require(sizes == 2L, s"need exactly 2 groups, got $sizes")
+    perGroup.select(col(grpCol), col("n"), col("r_x2"),
+      (col("r_x2") - col("n") * (col("n") + lit(1L))).as("u_x2"))
+  }
+
+  /** Spearman rank correlation over (xCol, yCol): both variables'
+    * doubled average ranks, exact BIGINT sufficient sums, and rho as
+    * the Pearson formula over the rank sums — every operand cast to
+    * double at the same point the oracle casts, so the final IEEE
+    * value is bit-identical across engines. Returns one row:
+    * n, sx, sy, sxx, syy, sxy (exact), rho (double).
+    *
+    * Overflow bound: sums of squared doubled ranks grow as 4n³ — exact
+    * in BIGINT to n ≈ 1.3M rows; beyond that lift the sums to
+    * DECIMAL(38,0) (the formula is unchanged). */
+  def spearman(df: DataFrame, xCol: String, yCol: String,
+      uidCol: String): DataFrame = {
+    val base = df.select(col(xCol).cast("long").as(xCol),
+      col(yCol).cast("long").as(yCol), col(uidCol))
+    val rx = avgRankX2(base, xCol, uidCol, "rx2")
+    val rxy = avgRankX2(rx, yCol, uidCol, "ry2")
+    rxy.agg(
+        count(lit(1)).as("n"), sum(col("rx2")).as("sx"),
+        sum(col("ry2")).as("sy"),
+        sum(col("rx2") * col("rx2")).as("sxx"),
+        sum(col("ry2") * col("ry2")).as("syy"),
+        sum(col("rx2") * col("ry2")).as("sxy"))
+      .withColumn("rho", expr(rhoFormula))
+  }
+
+  /** The shared rho text — identical in Spark and DuckDB (both parse
+    * CAST/sqrt the same way), evaluated over the exact BIGINT sums. */
+  val rhoFormula: String =
+    """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      | / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""
+      .stripMargin
+}

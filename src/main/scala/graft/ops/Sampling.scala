@@ -665,4 +665,81 @@ object Sampling {
       .select(col(groupCol), col("n_total"), col("n_sampled"),
         col("exact_cents"), col("est_cents"), col("err_pm"))
   }
+
+  /** Largest-remainder (Hamilton) apportionment: split an integer
+    * `total` across groups proportional to an exact weight sum, with
+    * Σalloc == total GUARANTEED — the property `div`-based allocation
+    * ([[epochAllocation]]'s per-mille plan) deliberately trades away.
+    * base_g = (total·w_g) div W; the Σbase shortfall (< #groups units)
+    * goes +1 each to the groups with the largest remainders
+    * (total·w_g) mod W, ties broken by group key ascending so the
+    * split is a pure function of the weights.
+    *
+    * Scale shape: one map-side-combined per-group weight sum; the
+    * remainder ranking is a window over the GROUP-sized result (one
+    * row per group — model-sized, not row-sized), so the single
+    * partition it funnels through holds #groups rows, never data.
+    *
+    * @return (groupCol, weight, alloc), Σalloc = total */
+  def largestRemainder(df: DataFrame, groupCol: String,
+      weightCol: Column, total: Long): DataFrame = {
+    require(total >= 0, s"total must be >= 0, got $total")
+    import org.apache.spark.sql.expressions.Window
+    val w = df.groupBy(col(groupCol))
+      .agg(sum(weightCol.cast("long")).as("weight"))
+    val base = w.crossJoin(
+        broadcast(w.agg(sum(col("weight")).as("__tw"))))
+      .withColumn("__base", expr(s"(${total}L * weight) div __tw"))
+      .withColumn("__rem", expr(s"(${total}L * weight) % __tw"))
+    val extra = base.crossJoin(
+      broadcast(base.agg((lit(total) - sum(col("__base")))
+        .as("__extra"))))
+    val win = Window.orderBy(col("__rem").desc, col(groupCol).asc)
+    extra.withColumn("__rank", row_number().over(win))
+      .select(col(groupCol), col("weight"),
+        (col("__base") +
+          when(col("__rank") <= col("__extra"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
+  /** Poisson(1) bootstrap — confidence intervals WITHOUT resampling
+    * data movement: each row joins every replica with an i.i.d.-ish
+    * Poisson(1) weight drawn from a seeded md5 hash (the classic
+    * large-scale approximation to multinomial resampling: n draws of
+    * n rows ≈ independent Poisson(1) multiplicities), so B replica
+    * means come out of ONE scan + one map-side-combined aggregation —
+    * no per-replica shuffles, no driver-side sample materialization.
+    * CI = empirical quantiles of the returned replica means.
+    *
+    * Weights invert the Poisson(1) CDF at 1e−6 granularity (fixed
+    * integer thresholds, capped at 8 — P(X > 8) < 1.1e−6); the hash is
+    * the portable 60-bit md5 ([[Dedup.md5Hash60]]), so any engine
+    * restates every weight, sum, and mean bit-exactly.
+    *
+    * @return one row per replica: (rep, n = Σw, s = Σw·v,
+    *         mean_c = s div n sign-guarded, NULL when n = 0) */
+  def poissonBootstrap(df: DataFrame, idCol: String, valCol: String,
+      reps: Int, seed: String): DataFrame = {
+    require(reps >= 1 && reps <= 1024, s"reps out of range: $reps")
+    val spark = df.sparkSession
+    val r = spark.range(reps).select(col("id").as("rep"))
+    val h = Dedup.md5Hash60(concat(col(idCol).cast("string"),
+      lit("|" + seed + "|"), col("rep").cast("string"))) % 1000000L
+    // Poisson(1) CDF × 1e6: 367879, 735759, 919699, 981012, 996340,
+    // 999406, 999917, 999990 (then cap 8)
+    val w = when(h < 367879L, 0L).when(h < 735759L, 1L)
+      .when(h < 919699L, 2L).when(h < 981012L, 3L)
+      .when(h < 996340L, 4L).when(h < 999406L, 5L)
+      .when(h < 999917L, 6L).when(h < 999990L, 7L).otherwise(8L)
+    df.select(col(idCol), col(valCol).cast("long").as("__v"))
+      .crossJoin(broadcast(r))
+      .withColumn("__w", w)
+      .groupBy(col("rep"))
+      .agg(sum(col("__w")).as("n"),
+        sum(col("__w") * col("__v")).as("s"))
+      .withColumn("mean_c", expr(
+        """CASE WHEN n = 0 THEN NULL
+          |  WHEN s >= 0 THEN s div n
+          |  ELSE -((-s) div n) END""".stripMargin))
+  }
 }

@@ -258,4 +258,60 @@ object SeriesStats {
       .select(col(keyCol), col("r.rn").as("rn"), col("r.x").as("x"),
         col("r.ewma").as("ewma"))
   }
+
+  /** Per-key integer Holt linear (double-exponential) smoothing —
+    * [[ewmaInt]]'s recursion extended with a trend term, so a ramping
+    * series forecasts the ramp instead of lagging it:
+    *
+    *   l_1 = x_1, b_1 = 0, f_1 = x_1
+    *   f_i = l_{i−1} + b_{i−1}                       (one-step forecast)
+    *   l_i = f_i + sdiv(x_i − f_i, denL)             (level update)
+    *   b_i = b_{i−1} + sdiv(l_i − l_{i−1} − b_{i−1}, denT)
+    *
+    * where sdiv is the sign-symmetric truncating division both engines
+    * agree on (Spark `div` truncates, DuckDB `//` floors — guarded
+    * exactly as [[ewmaInt]] does; trend deltas are routinely negative,
+    * so the guard is live here, not defensive).
+    *
+    * Scale shape: identical to [[ewmaInt]] — one `aggregate()` fold
+    * over each key's sorted event array; per-key state is two BIGINTs;
+    * keys fan out, a hot key degrades to a sequential scan. Exact
+    * integers end to end.
+    *
+    * @return keyCol, rn (1-based), x, level, trend, forecast */
+  def holtInt(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valCol: String, denL: Int, denT: Int): DataFrame = {
+    require(denL >= 2 && denT >= 2, "denL/denT must be >= 2")
+    def sdiv(a: String, d: Int): String =
+      s"(CASE WHEN ($a) >= 0 THEN ($a) div $d ELSE -((-($a)) div $d) END)"
+    val f = "(acc.l + acc.b)"
+    val lNew = s"($f + ${sdiv(s"e.__x - $f", denL)})"
+    val bNew = s"(acc.b + ${sdiv(s"$lNew - acc.l - acc.b", denT)})"
+    val ordStruct = struct(orderCols.map(col) :+
+      col(valCol).cast("long").as("__x"): _*)
+    df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(ordStruct)).as("evs"))
+      .select(col(keyCol), explode(expr(
+        s"""aggregate(evs,
+           |  struct(CAST(0 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+           |    CAST(0 AS INT) AS rn,
+           |    CAST(array() AS ARRAY<STRUCT<rn: INT, x: BIGINT,
+           |      level: BIGINT, trend: BIGINT, forecast: BIGINT>>) AS out),
+           |  (acc, e) -> struct(
+           |    CASE WHEN acc.rn = 0 THEN e.__x ELSE $lNew END AS l,
+           |    CASE WHEN acc.rn = 0 THEN CAST(0 AS BIGINT)
+           |      ELSE $bNew END AS b,
+           |    acc.rn + 1 AS rn,
+           |    array_append(acc.out, struct(acc.rn + 1 AS rn,
+           |      e.__x AS x,
+           |      CASE WHEN acc.rn = 0 THEN e.__x ELSE $lNew END AS level,
+           |      CASE WHEN acc.rn = 0 THEN CAST(0 AS BIGINT)
+           |        ELSE $bNew END AS trend,
+           |      CASE WHEN acc.rn = 0 THEN e.__x ELSE $f END
+           |        AS forecast)) AS out),
+           |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col(keyCol), col("r.rn").as("rn"), col("r.x").as("x"),
+        col("r.level").as("level"), col("r.trend").as("trend"),
+        col("r.forecast").as("forecast"))
+  }
 }

@@ -434,4 +434,47 @@ object SketchStats {
       .select(col("__pr.var_a").as("var_a"), col("__pr.var_b").as("var_b"),
         col("__pr.n").as("n"), col("__pr.r").as("r"))
   }
+
+  /** Count–Min point-frequency gate: build ONE mergeable CMS over a
+    * long key column with Spark's built-in `count_min_sketch` aggregate
+    * (map-side partial sketches union in the combiner — the 100-TB
+    * shape: a KB-sized summary answers per-key frequency for ANY key,
+    * where [[HeavyHitters]]' Misra–Gries tracks only the top k), then
+    * verify its two deterministic guarantees on the exact top-k keys:
+    * estimates never undercount, and overcount is bounded by ε·N
+    * (ε = eps, N = total rows; fixed seed makes both booleans stable
+    * across runs, so the oracle restates them alongside exact counts —
+    * the q69/q269 sketch-gate convention).
+    *
+    * The sketch binary is collected once (model-sized: d·w counters)
+    * and estimates run through a closure over the exact top-k rows
+    * only — k rows through a scalar function, not a data-path UDF.
+    *
+    * @return top-k by exact count: (key, exact_n, overest_ok, bound_ok) */
+  def cmsPointGate(df: DataFrame, keyCol: String, k: Int,
+      eps: Double, conf: Double, seed: Int): DataFrame = {
+    require(k >= 1 && eps > 0 && conf > 0 && conf < 1,
+      s"bad cms params k=$k eps=$eps conf=$conf")
+    val keyed = df.select(col(keyCol).cast("long").as("__k"))
+    val skRow = keyed.agg(
+      expr(s"count_min_sketch(__k, CAST($eps AS DOUBLE), " +
+        s"CAST($conf AS DOUBLE), $seed)").as("sk"),
+      count(lit(1)).as("n")).head()
+    val skBytes = skRow.getAs[Array[Byte]](0)
+    val total = skRow.getLong(1)
+    val bound = math.ceil(eps * total).toLong
+    val estimate = udf { (key: Long) =>
+      // deserialize per call is fine: called k (= model-sized) times
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(skBytes))
+        .estimateCount(key)
+    }
+    keyed.groupBy(col("__k")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("__k").asc)
+      .limit(k)
+      .withColumn("__est", estimate(col("__k")))
+      .select(col("__k").as(keyCol), col("exact_n"),
+        (col("__est") >= col("exact_n")).as("overest_ok"),
+        (col("__est") <= col("exact_n") + lit(bound)).as("bound_ok"))
+  }
 }

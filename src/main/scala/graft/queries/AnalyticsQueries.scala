@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.functions.JaroWinkler
 import graft.model.Tables
-import graft.ops.{Association, GeoOps, GraphOps, Incremental, SeriesStats, SketchStats, Skyline, Survival, TemporalJoins}
+import graft.ops.{Association, Dedup, GeoOps, GraphOps, Incremental, RankStats, Sampling, SeriesStats, SketchStats, Skyline, Survival, TemporalJoins}
 
 /** Round-8 analytics wave: association rules, survival analysis,
   * inference statistics, spatial self-join, sliding distinct counts.
@@ -803,6 +803,590 @@ object AnalyticsQueries extends QueryModule {
              |  CAST(sum(cents) AS BIGINT) AS s
              |FROM eff GROUP BY 1
              |HAVING count(*) != 0""".stripMargin),
+    ),
+
+    // ---- incremental JOIN maintenance (Incremental.joinDelta): CDC
+    // on BOTH join sides (late orders + lineitem corrections) folds
+    // into a materialized revenue-per-customer aggregate via the IVM
+    // identity Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB with signed
+    // multiplicities — the base⋈base term (quadratic in history at
+    // 100 TB) never recomputes. The oracle rebuilds the view from the
+    // effective row sets; equality IS the identity under test.
+    Q(
+      "q272_join_delta_ivm",
+      (s, d) => {
+        import s.implicits._
+        val ordersAll = Tables.orders(s, d)
+          .select($"o_orderkey", $"o_custkey")
+        val liAll = Tables.lineitem(s, d).select(
+          $"l_orderkey".as("o_orderkey"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100" +
+            " AS BIGINT)").as("cents"),
+          $"l_linenumber")
+        val aOld = ordersAll.filter($"o_orderkey" % 10 =!= 5)
+        val dA = ordersAll.filter($"o_orderkey" % 10 === 5)
+          .withColumn("sgn", lit(1L))
+          .unionByName(aOld.filter($"o_orderkey" % 9 === 2)
+            .withColumn("sgn", lit(-1L)))
+        val bBase = liAll.filter($"l_linenumber" % 4 =!= 0)
+        val bOld = bBase.drop("l_linenumber")
+        val dB = liAll.filter($"l_linenumber" % 4 === 0)
+          .drop("l_linenumber").withColumn("sgn", lit(1L))
+          .unionByName(bBase
+            .filter(($"o_orderkey" + $"l_linenumber") % 7 === 3)
+            .drop("l_linenumber").withColumn("sgn", lit(-1L)))
+        val vOld = aOld.join(bOld, "o_orderkey").groupBy($"o_custkey")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("s"))
+        val dJ = Incremental
+          .joinDelta(aOld, dA, bOld, dB, "o_orderkey", "sgn")
+          .select($"o_custkey", $"sgn", $"cents")
+        Incremental.applyCdcToAgg(vOld, dJ, "o_custkey", "sgn", "cents")
+      },
+      Some("""WITH li AS (
+             |  SELECT l_orderkey AS o_orderkey,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT) AS cents,
+             |    l_linenumber
+             |  FROM lineitem
+             |), a_new AS (
+             |  SELECT o_orderkey, o_custkey FROM orders
+             |  WHERE (o_orderkey % 10 != 5 AND o_orderkey % 9 != 2)
+             |     OR o_orderkey % 10 = 5
+             |), b_new AS (
+             |  SELECT o_orderkey, cents FROM li
+             |  WHERE (l_linenumber % 4 != 0
+             |      AND (o_orderkey + l_linenumber) % 7 != 3)
+             |     OR l_linenumber % 4 = 0
+             |)
+             |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS s
+             |FROM a_new JOIN b_new USING (o_orderkey)
+             |GROUP BY 1""".stripMargin),
+    ),
+
+    // ---- Count–Min point-frequency gate (SketchStats.cmsPointGate):
+    // one KB-sized mergeable sketch answers per-key frequency for ANY
+    // key (Misra–Gries q83 tracks only the top k); the exact top-20
+    // keys carry the sketch's two deterministic guarantees — never
+    // undercounts, overcount ≤ ε·N — as stable booleans the oracle
+    // restates beside the exact counts (the q69/q269 convention).
+    Q(
+      "q273_cms_point_freq",
+      (s, d) => SketchStats.cmsPointGate(
+        Tables.events(s, d), "user_id",
+        k = 20, eps = 0.001, conf = 0.99, seed = 42),
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n,
+             |  true AS overest_ok, true AS bound_ok
+             |FROM events GROUP BY 1
+             |ORDER BY exact_n DESC, user_id LIMIT 20""".stripMargin),
+    ),
+
+    // ---- Mann–Whitney U between two market segments' account
+    // balances (RankStats.mannWhitneyUx2): tie-averaged ranks kept
+    // integer by doubling (2·minrank + cnt − 1), global min-ranks via
+    // the two-pass range-partitioned scan — never a single-partition
+    // window. U·2 = R·2 − n(n+1), all BIGINT; DuckDB restates with
+    // its native rank()/count() windows.
+    Q(
+      "q274_mann_whitney",
+      (s, d) => {
+        import s.implicits._
+        RankStats.mannWhitneyUx2(
+          Tables.customer(s, d)
+            .filter($"c_mktsegment".isin("BUILDING", "AUTOMOBILE"))
+            .select($"c_mktsegment".as("grp"),
+              expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100" +
+                " AS BIGINT)").as("bal_c"),
+              $"c_custkey"),
+          "grp", "bal_c", "c_custkey")
+      },
+      Some("""WITH s AS (
+             |  SELECT c_mktsegment AS grp,
+             |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS v,
+             |    c_custkey
+             |  FROM customer
+             |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+             |), r AS (
+             |  SELECT grp,
+             |    2 * rank() OVER (ORDER BY v)
+             |      + count(*) OVER (PARTITION BY v) - 1 AS rx2
+             |  FROM s
+             |)
+             |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(rx2) AS BIGINT) AS r_x2,
+             |  CAST(sum(rx2) - count(*) * (count(*) + 1) AS BIGINT)
+             |    AS u_x2
+             |FROM r GROUP BY 1""".stripMargin),
+    ),
+
+    // ---- Spearman rank correlation between part price and size
+    // (RankStats.spearman): both variables' doubled average ranks,
+    // exact BIGINT sufficient sums, rho as the Pearson-on-ranks
+    // formula with text SHARED verbatim with the oracle so the one
+    // IEEE double is bit-identical across engines.
+    Q(
+      "q275_spearman",
+      (s, d) => {
+        import s.implicits._
+        RankStats.spearman(
+          Tables.part(s, d).select(
+            expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100" +
+              " AS BIGINT)").as("price_c"),
+            $"p_size".cast("long").as("size_l"),
+            $"p_partkey"),
+          "price_c", "size_l", "p_partkey")
+      },
+      Some(s"""WITH s AS (
+              |  SELECT
+              |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+              |      AS BIGINT) AS x,
+              |    CAST(p_size AS BIGINT) AS y,
+              |    p_partkey
+              |  FROM part
+              |), r AS (
+              |  SELECT
+              |    2 * rank() OVER (ORDER BY x)
+              |      + count(*) OVER (PARTITION BY x) - 1 AS rx2,
+              |    2 * rank() OVER (ORDER BY y)
+              |      + count(*) OVER (PARTITION BY y) - 1 AS ry2
+              |  FROM s
+              |), a AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(rx2) AS BIGINT) AS sx,
+              |    CAST(sum(ry2) AS BIGINT) AS sy,
+              |    CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+              |    CAST(sum(ry2 * ry2) AS BIGINT) AS syy,
+              |    CAST(sum(rx2 * ry2) AS BIGINT) AS sxy
+              |  FROM r
+              |)
+              |SELECT n, sx, sy, sxx, syy, sxy,
+              |  ${RankStats.rhoFormula} AS rho
+              |FROM a""".stripMargin),
+    ),
+
+    // ---- per-type Holt linear smoothing of daily revenue
+    // (SeriesStats.holtInt): q261's EWMA recursion extended with a
+    // trend term (level+trend state, both BIGINT, sign-guarded `div`),
+    // so ramping series forecast the ramp instead of lagging it.
+    // DuckDB replays the recursion with a keyed recursive CTE.
+    Q(
+      "q276_holt_linear",
+      (s, d) => SeriesStats.holtInt(
+        Tables.events(s, d)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+          .agg(expr("sum(CAST(CAST(value AS DECIMAL(18,2)) * 100" +
+            " AS BIGINT))").as("cents")),
+        "event_type", Seq("day"), "cents", denL = 4, denT = 8),
+      Some {
+        def sdiv(a: String, dd: Int): String =
+          s"(CASE WHEN ($a) >= 0 THEN ($a) // $dd" +
+            s" ELSE -((-($a)) // $dd) END)"
+        val f = "(r.level + r.trend)"
+        val lNew = s"($f + ${sdiv(s"b.x - $f", 4)})"
+        val bNew = s"(r.trend + ${sdiv(s"$lNew - r.level - r.trend", 8)})"
+        s"""WITH RECURSIVE s AS (
+           |  SELECT event_type,
+           |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+           |      AS day,
+           |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+           |      AS BIGINT)) AS BIGINT) AS x
+           |  FROM events GROUP BY 1, 2
+           |), b AS (
+           |  SELECT event_type, x,
+           |    CAST(row_number() OVER (PARTITION BY event_type
+           |      ORDER BY day) AS INTEGER) AS rn
+           |  FROM s
+           |), r AS (
+           |  SELECT event_type, rn, x, x AS level,
+           |    CAST(0 AS BIGINT) AS trend, x AS forecast
+           |  FROM b WHERE rn = 1
+           |  UNION ALL
+           |  SELECT b.event_type, b.rn, b.x, $lNew, $bNew,
+           |    (r.level + r.trend)
+           |  FROM r JOIN b ON b.event_type = r.event_type
+           |    AND b.rn = r.rn + 1
+           |)
+           |SELECT event_type, rn, x, CAST(level AS BIGINT) AS level,
+           |  CAST(trend AS BIGINT) AS trend,
+           |  CAST(forecast AS BIGINT) AS forecast
+           |FROM r""".stripMargin
+      },
+    ),
+
+    // ---- largest-remainder (Hamilton) apportionment of a 10,007-unit
+    // budget across event types by exact revenue share
+    // (Sampling.largestRemainder): Σalloc == total GUARANTEED — the
+    // property pure-div allocation trades away; remainder ranking runs
+    // over the GROUP-sized result (one row per group), so the single
+    // partition holds #groups rows, never data.
+    Q(
+      "q277_largest_remainder",
+      (s, d) => Sampling.largestRemainder(
+        Tables.events(s, d).select(col("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents")),
+        "event_type", col("cents"), total = 10007L),
+      Some("""WITH w AS (
+             |  SELECT event_type,
+             |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS BIGINT) AS weight
+             |  FROM events GROUP BY 1
+             |), t AS (
+             |  SELECT sum(weight) AS tw FROM w
+             |), b AS (
+             |  SELECT event_type, weight,
+             |    (10007 * weight) // tw AS base,
+             |    (10007 * weight) % tw AS rem
+             |  FROM w, t
+             |), e AS (
+             |  SELECT 10007 - sum(base) AS extra FROM b
+             |), r AS (
+             |  SELECT event_type, weight, base,
+             |    row_number() OVER (ORDER BY rem DESC, event_type)
+             |      AS rk
+             |  FROM b
+             |)
+             |SELECT event_type, weight,
+             |  CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END
+             |    AS BIGINT) AS alloc
+             |FROM r, e""".stripMargin),
+    ),
+
+    // ---- incremental DISTINCT maintenance with HLL sketch state:
+    // the holistic-aggregate counterpart of q271/q272 (exact distinct
+    // cannot fold a delta — the Incremental scaladoc's caveat made
+    // operational): keep a per-type sketch, union the delta
+    // partition's sketch in, and the merged estimate equals a sketch
+    // built over everything — gated ≤2%+5 vs the exact recompute.
+    Q(
+      "q278_hll_maintenance",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"event_type", $"user_id", $"event_id")
+        val old = ev.filter($"event_id" % 5 =!= 0)
+        val delta = ev.filter($"event_id" % 5 === 0)
+        val skOld = old.groupBy($"event_type")
+          .agg(expr("hll_sketch_agg(user_id, 12)").as("sk_old"))
+        val skDelta = delta.groupBy($"event_type")
+          .agg(expr("hll_sketch_agg(user_id, 12)").as("sk_delta"))
+        val est = skOld.join(skDelta, Seq("event_type"), "full_outer")
+          .withColumn("est_all",
+            when($"sk_old".isNull,
+              expr("hll_sketch_estimate(sk_delta)"))
+              .when($"sk_delta".isNull,
+                expr("hll_sketch_estimate(sk_old)"))
+              .otherwise(
+                expr("hll_sketch_estimate(hll_union(sk_old, sk_delta))"))
+              .cast("long"))
+        val exact = ev.select($"event_type", $"user_id").distinct()
+          .groupBy($"event_type").agg(count(lit(1)).as("exact_all"))
+        est.join(exact, "event_type")
+          .select($"event_type", $"exact_all",
+            (abs($"est_all" - $"exact_all") <= $"exact_all" / 50 + 5)
+              .as("merge_ok"))
+      },
+      Some("""SELECT event_type,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_all,
+             |  true AS merge_ok
+             |FROM events GROUP BY 1""".stripMargin),
+    ),
+
+    // ---- one-way ANOVA F across event types on value cents: exact
+    // BIGINT per-group sufficient sums; the one order-sensitive double
+    // reduction (Σ s_g²/n_g over groups) runs as a SERIAL fold in
+    // event_type order on the group-sized array — Spark aggregate()
+    // and DuckDB list_reduce fold identically (the q254 Kaplan–Meier
+    // convention), so ssb/ssw/f are bit-identical IEEE.
+    Q(
+      "q279_anova_f",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select($"event_type",
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        val g = ev.groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("s"),
+            sum($"cents" * $"cents").as("ss"))
+        g.agg(count(lit(1)).as("k"), sum($"n").as("nn"),
+            sum($"s").as("stot"), sum($"ss").as("sstot"),
+            expr("""aggregate(
+              |  sort_array(collect_list(struct(event_type, n, s))),
+              |  CAST(0.0 AS DOUBLE),
+              |  (acc, e) -> acc + CAST(e.s AS DOUBLE)
+              |    * CAST(e.s AS DOUBLE) / CAST(e.n AS DOUBLE))"""
+              .stripMargin).as("sb"))
+          .withColumn("ssb", expr("sb - CAST(stot AS DOUBLE)" +
+            " * CAST(stot AS DOUBLE) / CAST(nn AS DOUBLE)"))
+          .withColumn("ssw", expr("CAST(sstot AS DOUBLE) - sb"))
+          .withColumn("f", expr("(ssb / CAST(k - 1 AS DOUBLE))" +
+            " / (ssw / CAST(nn - k AS DOUBLE))"))
+          .select($"k", $"nn".as("n"), $"ssb", $"ssw", $"f")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS cents
+             |  FROM events
+             |), g AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(cents) AS BIGINT) AS s,
+             |    CAST(sum(cents * cents) AS BIGINT) AS ss
+             |  FROM ev GROUP BY 1
+             |), t AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS k,
+             |    CAST(sum(n) AS BIGINT) AS nn,
+             |    CAST(sum(s) AS BIGINT) AS stot,
+             |    CAST(sum(ss) AS BIGINT) AS sstot,
+             |    list_reduce(
+             |      list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             |        / CAST(n AS DOUBLE) ORDER BY event_type),
+             |      (a, b) -> a + b) AS sb
+             |  FROM g
+             |), u AS (
+             |  SELECT k, nn,
+             |    sb - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+             |      / CAST(nn AS DOUBLE) AS ssb,
+             |    CAST(sstot AS DOUBLE) - sb AS ssw
+             |  FROM t
+             |)
+             |SELECT k, nn AS n, ssb, ssw,
+             |  (ssb / CAST(k - 1 AS DOUBLE))
+             |    / (ssw / CAST(nn - k AS DOUBLE)) AS f
+             |FROM u""".stripMargin),
+    ),
+
+    // ---- Poisson(1) bootstrap over event values
+    // (Sampling.poissonBootstrap): 32 replica means from ONE scan +
+    // one map-side-combined aggregation — no per-replica shuffles, no
+    // resampled data movement; CI = quantiles of the replica means.
+    // Weights invert the Poisson CDF at fixed integer thresholds over
+    // the portable 60-bit md5 hash, so DuckDB restates every weight
+    // and mean bit-exactly.
+    Q(
+      "q280_bootstrap_ci",
+      (s, d) => Sampling.poissonBootstrap(
+        Tables.events(s, d).select(col("event_id"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents")),
+        "event_id", "cents", reps = 32, seed = "bs42"),
+      Some("""WITH r AS (
+             |  SELECT range AS rep FROM range(32)
+             |), ev AS (
+             |  SELECT event_id,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS v
+             |  FROM events
+             |), h AS (
+             |  SELECT rep, v,
+             |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+             |      || '|bs42|' || CAST(rep AS VARCHAR)), 1, 15)
+             |      AS BIGINT) % 1000000 AS u
+             |  FROM ev, r
+             |), w AS (
+             |  SELECT rep, v,
+             |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+             |      WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+             |      WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+             |      WHEN u < 999917 THEN 6 WHEN u < 999990 THEN 7
+             |      ELSE 8 END AS wt
+             |  FROM h
+             |)
+             |SELECT CAST(rep AS BIGINT) AS rep,
+             |  CAST(sum(wt) AS BIGINT) AS n,
+             |  CAST(sum(wt * v) AS BIGINT) AS s,
+             |  CAST(CASE WHEN sum(wt) = 0 THEN NULL
+             |    WHEN sum(wt * v) >= 0 THEN sum(wt * v) // sum(wt)
+             |    ELSE -((-sum(wt * v)) // sum(wt)) END AS BIGINT)
+             |    AS mean_c
+             |FROM w GROUP BY 1""".stripMargin),
+    ),
+
+    // ---- winsorized per-type mean: clamp event cents at the global
+    // exact p05/p95 (SketchStats.exactQuantilesLong — the ≤7-round
+    // histogram-refinement selection, rank convention "value at row
+    // ceil(p·n) ascending" restated literally by the oracle), then one
+    // hash aggregation — the robust-mean recipe that kills outlier
+    // sensitivity without a sort.
+    Q(
+      "q281_winsorized_mean",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select($"event_type",
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        val q = SketchStats.exactQuantilesLong(ev, "cents",
+          Seq(0.05, 0.95))
+        val lohi = q.agg(
+          min(when($"p" === 0.05, $"value")).as("lo"),
+          min(when($"p" === 0.95, $"value")).as("hi"))
+        ev.crossJoin(broadcast(lohi))
+          .withColumn("w", greatest($"lo", least($"hi", $"cents")))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"w").as("s_w"))
+          .withColumn("mean_w_c", expr("s_w div n"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS cents
+             |  FROM events
+             |), c AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS cnt FROM ev
+             |), srt AS (
+             |  SELECT cents, row_number() OVER (ORDER BY cents) AS rn
+             |  FROM ev
+             |), lo AS (
+             |  SELECT cents AS lo FROM srt, c
+             |  WHERE rn = CAST(ceil(0.05 * cnt) AS BIGINT)
+             |), hi AS (
+             |  SELECT cents AS hi FROM srt, c
+             |  WHERE rn = CAST(ceil(0.95 * cnt) AS BIGINT)
+             |)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(greatest(lo, least(hi, cents))) AS BIGINT)
+             |    AS s_w,
+             |  CAST(sum(greatest(lo, least(hi, cents)))
+             |    // count(*) AS BIGINT) AS mean_w_c
+             |FROM ev, lo, hi GROUP BY 1""".stripMargin),
+    ),
+
+    // ---- grid-blocked DBSCAN over q257's deterministic synthetic
+    // coordinate field (GeoOps.dbscanGrid): core/border/noise roles and
+    // min-core-id clusters from the linear-in-points neighbor join +
+    // the O(log n)-round component closure — never n², never a global
+    // sort. The oracle brute-forces neighbors and replays the closure
+    // as a recursive CTE (the q49 pattern in 2-D).
+    Q(
+      "q282_dbscan_grid",
+      (s, d) => GeoOps.dbscanGrid(
+        Tables.events(s, d).select(col("user_id")).distinct()
+          .select(col("user_id").as("id"),
+            (conv(substring(md5(concat(col("user_id").cast("string"),
+              lit("gx"))), 1, 6), 16, 10).cast("long") % 1500).as("x"),
+            (conv(substring(md5(concat(col("user_id").cast("string"),
+              lit("gy"))), 1, 6), 16, 10).cast("long") % 1500).as("y")),
+        "id", "x", "y", r = 100L, minPts = 3),
+      Some("""WITH RECURSIVE u AS (
+             |  SELECT DISTINCT user_id FROM events
+             |), p AS (
+             |  SELECT user_id AS id,
+             |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+             |      || 'gx'), 1, 6) AS BIGINT) % 1500 AS x,
+             |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+             |      || 'gy'), 1, 6) AS BIGINT) % 1500 AS y
+             |  FROM u
+             |), e AS (
+             |  SELECT a.id AS src, b.id AS dst FROM p a JOIN p b
+             |  ON a.id != b.id
+             |    AND (a.x - b.x) * (a.x - b.x)
+             |      + (a.y - b.y) * (a.y - b.y) <= 10000
+             |), deg AS (
+             |  SELECT src AS id, count(*) AS nbrs FROM e GROUP BY 1
+             |), core AS (
+             |  SELECT p.id FROM p LEFT JOIN deg ON p.id = deg.id
+             |  WHERE coalesce(deg.nbrs, 0) + 1 >= 3
+             |), ce AS (
+             |  SELECT src, dst FROM e
+             |  WHERE src IN (SELECT id FROM core)
+             |    AND dst IN (SELECT id FROM core)
+             |), reach AS (
+             |  SELECT src, dst FROM ce
+             |  UNION
+             |  SELECT r.src, c.dst FROM reach r JOIN ce c
+             |    ON r.dst = c.src
+             |), comp AS (
+             |  SELECT src AS id, least(src, min(dst)) AS cl
+             |  FROM reach GROUP BY src
+             |), corecl AS (
+             |  SELECT c.id, coalesce(m.cl, c.id) AS cl
+             |  FROM core c LEFT JOIN comp m ON m.id = c.id
+             |), border AS (
+             |  SELECT e.src AS id, min(k.cl) AS bcl
+             |  FROM e JOIN corecl k ON e.dst = k.id
+             |  WHERE e.src NOT IN (SELECT id FROM core)
+             |  GROUP BY 1
+             |)
+             |SELECT p.id,
+             |  CASE WHEN cc.id IS NOT NULL THEN 'core'
+             |    WHEN b.id IS NOT NULL THEN 'border'
+             |    ELSE 'noise' END AS role,
+             |  CAST(CASE WHEN cc.id IS NOT NULL THEN cc.cl
+             |    WHEN b.id IS NOT NULL THEN b.bcl
+             |    ELSE -1 END AS BIGINT) AS cluster_id
+             |FROM p LEFT JOIN corecl cc ON p.id = cc.id
+             |LEFT JOIN border b ON p.id = b.id""".stripMargin),
+    ),
+
+    // ---- canonical-document selection by Jaccard medoid
+    // (Dedup.clusterMedoids): within each q49 near-dup cluster, keep
+    // the member minimizing total integer per-mille Jaccard distance
+    // to the others — the representative variant, not the min-id one.
+    // Pairwise work is cluster_id-keyed (Σ|cluster|², bounded by the
+    // clusters themselves). DuckDB replays closure + gram-set
+    // distances.
+    Q(
+      "q283_cluster_medoids",
+      (s, d) => Dedup.clusterMedoids(
+        Tables.documents(s, d), "doc_id", "text", n = 3, tau = 0.5),
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS w
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id, list_distinct(
+             |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |      for i in range(1, len(w) - 1)]) AS t
+             |  FROM toks
+             |), pr AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.t, b.t)) * 1.0 /
+             |      len(list_distinct(list_concat(a.t, b.t))) >= 0.5
+             |), edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pr
+             |  UNION SELECT id_b, id_a FROM pr
+             |), reach AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e
+             |    ON r.dst = e.src
+             |), comp AS (
+             |  SELECT src AS id, least(src, min(dst)) AS cluster_id
+             |  FROM reach GROUP BY src
+             |), mem AS (
+             |  SELECT comp.id, comp.cluster_id, g.t
+             |  FROM comp JOIN g ON g.doc_id = comp.id
+             |), dd AS (
+             |  SELECT a.cluster_id, a.id AS ida, b.id AS idb,
+             |    1000 - ((1000 * len(list_intersect(a.t, b.t)))
+             |      // len(list_distinct(list_concat(a.t, b.t)))) AS d
+             |  FROM mem a JOIN mem b
+             |    ON a.cluster_id = b.cluster_id AND a.id < b.id
+             |), cb AS (
+             |  SELECT cluster_id, ida AS id, d FROM dd
+             |  UNION ALL SELECT cluster_id, idb, d FROM dd
+             |), sm AS (
+             |  SELECT cluster_id, id,
+             |    CAST(sum(d) AS BIGINT) AS sum_dist_milli
+             |  FROM cb GROUP BY 1, 2
+             |), mz AS (
+             |  SELECT cluster_id, id AS medoid_id, sum_dist_milli,
+             |    row_number() OVER (PARTITION BY cluster_id
+             |      ORDER BY sum_dist_milli, id) AS rk,
+             |    count(*) OVER (PARTITION BY cluster_id) AS nm
+             |  FROM sm
+             |)
+             |SELECT cluster_id, medoid_id,
+             |  CAST(nm AS BIGINT) AS n_members, sum_dist_milli
+             |FROM mz WHERE rk = 1
+             |UNION ALL
+             |SELECT doc_id, doc_id, CAST(1 AS BIGINT),
+             |  CAST(0 AS BIGINT)
+             |FROM documents
+             |WHERE doc_id NOT IN (SELECT id FROM comp)"""
+        .stripMargin),
     ),
   )
 }

@@ -1,0 +1,111 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Rank statistics, Holt smoothing, apportionment, CMS gate — every
+  * expectation hand-computed on paper-sized inputs. */
+class RankAllocSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("avgRankX2: doubled average ranks with ties, 2·minrank+cnt−1") {
+    // values 1, 2, 2, 3 → avg ranks 1, 2.5, 2.5, 4 → doubled 2, 5, 5, 8
+    val df = Seq((1L, 10L), (2L, 11L), (2L, 12L), (3L, 13L))
+      .toDF("v", "uid")
+    val out = RankStats.avgRankX2(df, "v", "uid", "rx2")
+      .select($"uid", $"rx2").as[(Long, Long)].collect().toMap
+    assert(out == Map(10L -> 2L, 11L -> 5L, 12L -> 5L, 13L -> 8L))
+  }
+
+  test("mannWhitneyUx2: hand case, U1+U2 = 2·n1·n2 identity") {
+    // A: [1, 2]  B: [2, 3] → doubled ranks 2,5 | 5,8
+    // R_A·2 = 7, U_A·2 = 7 − 2·3 = 1; R_B·2 = 13, U_B·2 = 13 − 6 = 7
+    val df = Seq(("A", 1L, 1L), ("A", 2L, 2L), ("B", 2L, 3L),
+      ("B", 3L, 4L)).toDF("grp", "v", "uid")
+    val out = RankStats.mannWhitneyUx2(df, "grp", "v", "uid")
+      .select($"grp", $"n", $"r_x2", $"u_x2")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("A") == ((2L, 7L, 1L)))
+    assert(out("B") == ((2L, 13L, 7L)))
+    // U1 + U2 = n1·n2 (doubled: ·2)
+    assert(out("A")._3 + out("B")._3 == 2L * 2L * 2L)
+  }
+
+  test("mannWhitneyUx2 refuses != 2 groups") {
+    val df = Seq(("A", 1L, 1L), ("B", 2L, 2L), ("C", 3L, 3L))
+      .toDF("grp", "v", "uid")
+    intercept[IllegalArgumentException] {
+      RankStats.mannWhitneyUx2(df, "grp", "v", "uid")
+    }
+  }
+
+  test("spearman: perfect monotone → 1, mirrored with ties → −1, " +
+      "exact integer sufficient sums") {
+    val up = Seq((1L, 10L, 1L), (2L, 20L, 2L), (3L, 30L, 3L))
+      .toDF("x", "y", "uid")
+    val r1 = RankStats.spearman(up, "x", "y", "uid")
+      .select($"rho").as[Double].head()
+    assert(math.abs(r1 - 1.0) < 1e-12, r1)
+    // x=[1,2,2,4], y=10−x → doubled ranks (2,5,5,8) vs (8,5,5,2)
+    val down = Seq((1L, 9L, 1L), (2L, 8L, 2L), (2L, 8L, 3L),
+      (4L, 6L, 4L)).toDF("x", "y", "uid")
+    val row = RankStats.spearman(down, "x", "y", "uid")
+      .select($"n", $"sx", $"sy", $"sxx", $"syy", $"sxy", $"rho")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].head()
+    assert(row._1 == 4L && row._2 == 20L && row._3 == 20L)
+    assert(row._4 == 118L && row._5 == 118L && row._6 == 82L)
+    assert(math.abs(row._7 + 1.0) < 1e-12, row._7)
+  }
+
+  test("holtInt: ramp tracked through the trend term, seeded state") {
+    // x=[10,14,18], denL=2, denT=2:
+    //   i=1: l=10 b=0 f=10
+    //   i=2: f=10, l=10+(4 div 2)=12, b=0+((12−10−0) div 2)=1
+    //   i=3: f=13, l=13+(5 div 2)=15, b=1+((15−12−1) div 2)=2
+    val df = Seq(("k", 1L, 10L), ("k", 2L, 14L), ("k", 3L, 18L))
+      .toDF("key", "o", "x")
+    val out = SeriesStats.holtInt(df, "key", Seq("o"), "x", 2, 2)
+      .select($"rn", $"level", $"trend", $"forecast")
+      .as[(Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1) == ((10L, 0L, 10L)))
+    assert(out(2) == ((12L, 1L, 10L)))
+    assert(out(3) == ((15L, 2L, 13L)))
+  }
+
+  test("holtInt: negative delta truncates toward zero (sign guard)") {
+    // x=[10,0], denL=4: l2 = 10 + sdiv(−10,4) = 10 − 2 = 8 (floor
+    // would give 7); b2 = 0 + sdiv(−2,4) = 0
+    val df = Seq(("k", 1L, 10L), ("k", 2L, 0L)).toDF("key", "o", "x")
+    val out = SeriesStats.holtInt(df, "key", Seq("o"), "x", 4, 4)
+      .select($"rn", $"level", $"trend").as[(Int, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(2) == ((8L, 0L)))
+  }
+
+  test("largestRemainder: Σalloc == total, remainder order, key tie") {
+    // weights 5,3,2 total 7: bases 3,2,1 (Σ6), rems 5,1,4 → a +1
+    val df = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("g", "w")
+    val out = Sampling.largestRemainder(df, "g", col("w"), 7L)
+      .select($"g", $"alloc").as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    // all-equal weights: remainder tie broken by key ascending
+    val eq = Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("g", "w")
+    val out2 = Sampling.largestRemainder(eq, "g", col("w"), 10L)
+      .select($"g", $"alloc").as[(String, Long)].collect().toMap
+    assert(out2 == Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+    assert(out2.values.sum == 10L)
+  }
+
+  test("cmsPointGate: exact top-k, never undercounts, bound holds " +
+      "across partitions") {
+    val rows = Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L)
+    val df = rows.toDF("k").repartition(4)
+    val out = SketchStats
+      .cmsPointGate(df, "k", k = 2, eps = 0.01, conf = 0.99, seed = 7)
+      .as[(Long, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(1L -> ((5L, true, true)), 2L -> ((3L, true, true))))
+  }
+}
