@@ -435,6 +435,68 @@ object SketchStats {
         col("__pr.n").as("n"), col("__pr.r").as("r"))
   }
 
+  /** WEIGHTED exact quantiles: the smallest value whose cumulative
+    * weight reaches ceil(p·W) — token-weighted length percentiles,
+    * byte-weighted latency percentiles, anywhere "half the TOKENS"
+    * matters instead of "half the DOCUMENTS".
+    *
+    * Scale shape: per-distinct-value weight sums (one hash agg), then
+    * the [[Packing.globalRowNumber]] two-pass discipline applied to
+    * PREFIX WEIGHTS — range-partition the value axis, per-partition
+    * partial sums to the driver (one scalar per partition), running
+    * sums inside each partition under a partition-local window (keyed
+    * by the materialized partition id — never a single-partition
+    * funnel). Rows with w ≤ 0 are dropped (zero-weight rows cannot
+    * move a weighted rank; negative weights have no quantile meaning).
+    *
+    * Rank convention mirrors [[exactQuantilesLong]]: target = ceil(p·W)
+    * with p·W evaluated in IEEE double on both sides.
+    *
+    * @return one row per p: (p double, value long) */
+  def weightedQuantilesLong(df: DataFrame, valCol: String,
+      weightCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"quantiles must be in (0, 1]: $ps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.ops.Materialize.MaterializeOps
+    val perValue = df
+      .select(col(valCol).cast("long").as("__v"),
+        col(weightCol).cast("long").as("__w"))
+      .filter(col("__w") > 0)
+      .groupBy(col("__v")).agg(sum(col("__w")).as("__wv"))
+    val p = spark.sessionState.conf.numShufflePartitions
+    val parted = perValue.repartitionByRange(p, col("__v").asc)
+      .sortWithinPartitions(col("__v").asc)
+      .withColumn("__pid", spark_partition_id())
+      .materialized
+    val partSums = parted.groupBy(col("__pid"))
+      .agg(sum(col("__wv")).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      (0 until p).map { i =>
+        val o = i -> acc; acc += partSums.getOrElse(i, 0L); o
+      }.toMap
+    }
+    val total = offsets.getOrElse(p - 1, 0L) + partSums.getOrElse(p - 1, 0L)
+    require(total > 0, "no positive-weight rows")
+    val offCol = partSums.keys.toSeq.sorted.foldLeft(lit(0L)) {
+      (acc, pid) => when(col("__pid") === pid,
+        lit(offsets(pid))).otherwise(acc)
+    }
+    val win = Window.partitionBy(col("__pid")).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = parted
+      .withColumn("__cum", offCol + sum(col("__wv")).over(win))
+    val targets = ps.map(pp =>
+      (pp, math.ceil(pp * total.toDouble).toLong))
+      .toDF("p", "__target")
+    cum.crossJoin(broadcast(targets))
+      .filter(col("__cum") >= col("__target"))
+      .groupBy(col("p")).agg(min(col("__v")).as("value"))
+  }
+
   /** Count–Min point-frequency gate: build ONE mergeable CMS over a
     * long key column with Spark's built-in `count_min_sketch` aggregate
     * (map-side partial sketches union in the combiner — the 100-TB

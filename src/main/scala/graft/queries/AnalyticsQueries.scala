@@ -1388,5 +1388,180 @@ object AnalyticsQueries extends QueryModule {
              |WHERE doc_id NOT IN (SELECT id FROM comp)"""
         .stripMargin),
     ),
+
+    // ---- decile lift table (the ML-eval gains chart): per user,
+    // score = mean cents of the FIRST half of their event history,
+    // outcome = second-half mean above the population median
+    // (exactQuantilesLong) — does past spend rank future spend?
+    // Deciles ride globalNtile's two-pass rank (never a
+    // single-partition ntile window); every mean is a positive-integer
+    // division both engines truncate identically.
+    Q(
+      "q284_decile_lift",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val ev = Tables.events(s, d).select($"user_id", $"ts",
+          $"event_id",
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        val r = ev.withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"user_id")))
+          .filter($"cnt" >= 4)
+        val first = r.filter(expr("rn <= cnt div 2")).groupBy($"user_id")
+          .agg(expr("sum(cents) div count(*)").as("score_c"))
+        val second = r.filter(expr("rn > cnt div 2")).groupBy($"user_id")
+          .agg(expr("sum(cents) div count(*)").as("fut_c"))
+        val users = first.join(second, "user_id")
+        val med = SketchStats.exactQuantilesLong(users, "fut_c",
+          Seq(0.5)).select($"value".as("med_fut"))
+        val lab = users.crossJoin(broadcast(med))
+          .withColumn("label", ($"fut_c" > $"med_fut").cast("long"))
+        SketchStats.globalNtile(lab,
+            Seq($"score_c".asc, $"user_id".asc), 10, "decile")
+          .groupBy($"decile")
+          .agg(count(lit(1)).as("n_users"),
+            expr("sum(score_c) div count(*)").as("mean_score_c"),
+            expr("(1000 * sum(label)) div count(*)").as("pos_pm"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, ts, event_id,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS cents
+             |  FROM events
+             |), r AS (
+             |  SELECT user_id, cents,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS rn,
+             |    count(*) OVER (PARTITION BY user_id) AS cnt
+             |  FROM ev
+             |), f AS (
+             |  SELECT user_id,
+             |    CAST(sum(cents) // count(*) AS BIGINT) AS score_c
+             |  FROM r WHERE cnt >= 4 AND rn <= cnt // 2 GROUP BY 1
+             |), s2 AS (
+             |  SELECT user_id,
+             |    CAST(sum(cents) // count(*) AS BIGINT) AS fut_c
+             |  FROM r WHERE cnt >= 4 AND rn > cnt // 2 GROUP BY 1
+             |), u AS (
+             |  SELECT f.user_id, score_c, fut_c
+             |  FROM f JOIN s2 ON f.user_id = s2.user_id
+             |), nn AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS c FROM u
+             |), srt AS (
+             |  SELECT fut_c, row_number() OVER (ORDER BY fut_c) AS rnk
+             |  FROM u
+             |), med AS (
+             |  SELECT fut_c AS m FROM srt, nn
+             |  WHERE rnk = CAST(ceil(0.5 * c) AS BIGINT)
+             |), lab AS (
+             |  SELECT u.user_id, u.score_c,
+             |    CASE WHEN u.fut_c > med.m THEN 1 ELSE 0 END AS label
+             |  FROM u, med
+             |), t AS (
+             |  SELECT score_c, label, CAST(ntile(10) OVER (
+             |    ORDER BY score_c, user_id) AS INT) AS decile
+             |  FROM lab
+             |)
+             |SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+             |  CAST(sum(score_c) // count(*) AS BIGINT) AS mean_score_c,
+             |  CAST((1000 * sum(label)) // count(*) AS BIGINT) AS pos_pm
+             |FROM t GROUP BY 1""".stripMargin),
+    ),
+
+    // ---- median/MAD robust outlier flags: global exact median of
+    // event cents, MAD = exact median of absolute deviations (two
+    // exactQuantilesLong passes, rank convention restated by the
+    // oracle), outlier = dev > 3·MAD — the robust z-score that a
+    // heavy-tailed value column doesn't poison the way mean/stddev
+    // flags do. Pure integer compares after two quantile scalars.
+    Q(
+      "q285_mad_outliers",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select($"event_type",
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        val med = SketchStats.exactQuantilesLong(ev, "cents", Seq(0.5))
+          .select($"value".as("med_c"))
+        val dev = ev.crossJoin(broadcast(med))
+          .withColumn("dev", abs($"cents" - $"med_c"))
+        val mad = SketchStats.exactQuantilesLong(dev, "dev", Seq(0.5))
+          .select($"value".as("mad_c"))
+        dev.crossJoin(broadcast(mad))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(($"dev" > lit(3L) * $"mad_c").cast("long"))
+              .as("n_outliers"),
+            max($"med_c").as("med_c"), max($"mad_c").as("mad_c"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS cents
+             |  FROM events
+             |), nn AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS c FROM ev
+             |), s1 AS (
+             |  SELECT cents, row_number() OVER (ORDER BY cents) AS rn
+             |  FROM ev
+             |), med AS (
+             |  SELECT cents AS med_c FROM s1, nn
+             |  WHERE rn = CAST(ceil(0.5 * c) AS BIGINT)
+             |), dv AS (
+             |  SELECT event_type, abs(cents - med_c) AS dev, med_c
+             |  FROM ev, med
+             |), s2 AS (
+             |  SELECT dev, row_number() OVER (ORDER BY dev) AS rn
+             |  FROM dv
+             |), mad AS (
+             |  SELECT dev AS mad_c FROM s2, nn
+             |  WHERE rn = CAST(ceil(0.5 * c) AS BIGINT)
+             |)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN dev > 3 * mad_c THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_outliers,
+             |  CAST(max(med_c) AS BIGINT) AS med_c,
+             |  CAST(max(mad_c) AS BIGINT) AS mad_c
+             |FROM dv, mad GROUP BY 1""".stripMargin),
+    ),
+
+    // ---- token-WEIGHTED document-length percentiles
+    // (SketchStats.weightedQuantilesLong): "half the TOKENS live in
+    // docs shorter than X" — the curriculum/packing planner's
+    // question, which row-counted percentiles answer wrongly on
+    // skewed corpora. Prefix weights ride the two-pass
+    // range-partitioned discipline; the oracle restates the cumulative
+    // rule with a window.
+    Q(
+      "q286_weighted_quantiles",
+      (s, d) => SketchStats.weightedQuantilesLong(
+        Tables.documents(s, d).select(
+          length(col("text")).cast("long").as("n_chars"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tokens")),
+        "n_chars", "n_tokens", Seq(0.5, 0.9, 0.99)),
+      Some("""WITH dd AS (
+             |  SELECT CAST(length(text) AS BIGINT) AS v,
+             |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+             |      AS BIGINT) AS w
+             |  FROM documents
+             |), f AS (
+             |  SELECT v, sum(w) AS wv FROM dd WHERE w > 0 GROUP BY 1
+             |), c AS (
+             |  SELECT v, sum(wv) OVER (ORDER BY v) AS cum FROM f
+             |), t AS (
+             |  SELECT CAST(sum(w) AS BIGINT) AS tot FROM dd WHERE w > 0
+             |), ps AS (
+             |  SELECT unnest([0.5, 0.9, 0.99]) AS p
+             |)
+             |SELECT p, CAST(min(v) AS BIGINT) AS value
+             |FROM c, t, ps
+             |WHERE cum >= CAST(ceil(p * tot) AS BIGINT)
+             |GROUP BY p""".stripMargin),
+    ),
   )
 }

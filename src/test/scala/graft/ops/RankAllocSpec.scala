@@ -98,6 +98,27 @@ class RankAllocSpec extends SparkSpec {
     assert(out2.values.sum == 10L)
   }
 
+  test("weightedQuantilesLong: cumulative-weight rank, duplicate " +
+      "values merge, non-positive weights dropped") {
+    // per-value weights after merge: v1→1, v2→3, v3→6; W=10
+    val df = Seq((1L, 1L), (2L, 1L), (2L, 2L), (3L, 6L), (0L, 0L),
+      (9L, -5L)).toDF("v", "w")
+    val out = SketchStats.weightedQuantilesLong(df, "v", "w",
+      Seq(0.1, 0.4, 0.5, 1.0))
+      .as[(Double, Long)].collect().toMap
+    // targets ceil(p·10): 1→v1, 4→v2, 5→v3 (cum 1,4,10), 10→v3
+    assert(out == Map(0.1 -> 1L, 0.4 -> 2L, 0.5 -> 3L, 1.0 -> 3L))
+  }
+
+  test("weightedQuantilesLong matches row-counted quantiles when all " +
+      "weights are 1") {
+    val vals = (1L to 100L).map(v => (v, 1L))
+    val df = vals.toDF("v", "w").repartition(7)
+    val out = SketchStats.weightedQuantilesLong(df, "v", "w",
+      Seq(0.25, 0.5, 0.99)).as[(Double, Long)].collect().toMap
+    assert(out == Map(0.25 -> 25L, 0.5 -> 50L, 0.99 -> 99L))
+  }
+
   test("cmsPointGate: exact top-k, never undercounts, bound holds " +
       "across partitions") {
     val rows = Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L)
