@@ -435,6 +435,36 @@ object SketchStats {
         col("__pr.n").as("n"), col("__pr.r").as("r"))
   }
 
+  /** Per-group Shannon entropy of a categorical mix, in DETERMINISTIC
+    * milli-nats: H = ln(n) − (Σ_c cnt_c·ln cnt_c)/n, with every ln
+    * floored to an integer milli-nat BEFORE summation
+    * (floor(1000·ln x) — the q88-vocab convention), so the sum is
+    * order-free BIGINT and any engine replays it bit-exactly; the one
+    * libm call reaches the hash compare only through the floor. The
+    * systematic error is < 1 milli-nat per category — a measurement
+    * convention, not an approximation of record.
+    *
+    * The mix-diversity gate every curation pipeline wants (is this
+    * user/source/shard dominated by one category?): 0 = pure,
+    * ln(k)·1000 = uniform over k categories.
+    *
+    * Scale shape: two hash aggregations, the second group-sized.
+    *
+    * @return (groupCol, n, h_milli) */
+  def groupEntropyMilli(df: DataFrame, groupCol: String,
+      catCol: String): DataFrame = {
+    df.groupBy(col(groupCol), col(catCol))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n"),
+        sum(col("__c") *
+          floor(lit(1000.0) * log(col("__c").cast("double")))
+            .cast("long")).as("__t"))
+      .select(col(groupCol), col("n"),
+        (floor(lit(1000.0) * log(col("n").cast("double"))).cast("long")
+          - expr("__t div n")).as("h_milli"))
+  }
+
   /** WEIGHTED exact quantiles: the smallest value whose cumulative
     * weight reaches ceil(p·W) — token-weighted length percentiles,
     * byte-weighted latency percentiles, anywhere "half the TOKENS"

@@ -44,4 +44,28 @@ object SkewOps {
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** EXACT equi-join output-size prediction WITHOUT running the join:
+    * |A ⋈ B| = Σ_k cA(k)·cB(k), computed by joining the two per-key
+    * COUNT tables — a |distinct keys|-sized join, not a |rows|-sized
+    * one. This is what a planner consults before committing to a
+    * strategy at 100 TB: a predicted blow-up (hot key × hot key)
+    * argues for salting ([[saltedJoin]]) or a pre-aggregation;
+    * `max_key_product` names the single worst key's contribution —
+    * the reducer that would melt.
+    *
+    * Scale shape: two map-side-combined count aggregations + one
+    * key-table join + one scalar fold. Nothing touches a payload
+    * column; with column pruning the scans read only the key.
+    *
+    * @return one row: (predicted_rows, max_key_product) */
+  def joinSizeEstimate(a: DataFrame, b: DataFrame,
+      key: String): DataFrame = {
+    val ca = a.groupBy(col(key)).agg(count(lit(1)).as("__ca"))
+    val cb = b.groupBy(col(key)).agg(count(lit(1)).as("__cb"))
+    ca.join(cb, key)
+      .select((col("__ca") * col("__cb")).as("__p"))
+      .agg(coalesce(sum(col("__p")), lit(0L)).as("predicted_rows"),
+        coalesce(max(col("__p")), lit(0L)).as("max_key_product"))
+  }
 }

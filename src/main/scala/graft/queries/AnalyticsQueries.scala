@@ -1563,5 +1563,167 @@ object AnalyticsQueries extends QueryModule {
              |WHERE cum >= CAST(ceil(p * tot) AS BIGINT)
              |GROUP BY p""".stripMargin),
     ),
+
+    // ---- join-size prediction without running the join
+    // (SkewOps.joinSizeEstimate): |A⋈B| = Σ cA(k)·cB(k) from the two
+    // per-key COUNT tables — a |distinct keys| join, not a |rows| one;
+    // what a planner consults before committing to a strategy at
+    // 100 TB. The query also RUNS the join and proves the prediction
+    // exact (predicted == actual is the output contract, not a gate).
+    Q(
+      "q287_join_size_estimate",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d).select($"o_orderkey")
+        val l = Tables.lineitem(s, d)
+          .select($"l_orderkey".as("o_orderkey"))
+        val est = graft.ops.SkewOps.joinSizeEstimate(o, l, "o_orderkey")
+        val actual = o.join(l, "o_orderkey")
+          .agg(count(lit(1)).as("actual_rows"))
+        est.crossJoin(actual)
+          .select($"predicted_rows", $"actual_rows",
+            $"max_key_product",
+            ($"predicted_rows" === $"actual_rows").as("exact"))
+      },
+      Some("""WITH ca AS (
+             |  SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+             |  FROM orders GROUP BY 1
+             |), cb AS (
+             |  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+             |  FROM lineitem GROUP BY 1
+             |), p AS (
+             |  SELECT CAST(coalesce(sum(ca.c * cb.c), 0) AS BIGINT)
+             |      AS predicted_rows,
+             |    CAST(coalesce(max(ca.c * cb.c), 0) AS BIGINT)
+             |      AS max_key_product
+             |  FROM ca JOIN cb ON ca.k = cb.k
+             |), a AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS actual_rows
+             |  FROM orders o JOIN lineitem l
+             |    ON o.o_orderkey = l.l_orderkey
+             |)
+             |SELECT predicted_rows, actual_rows, max_key_product,
+             |  predicted_rows = actual_rows AS exact
+             |FROM p, a""".stripMargin),
+    ),
+
+    // ---- inter-arrival burstiness (Goh–Barabási B = (σ−μ)/(σ+μ))
+    // per user: gap sums stay exact BIGINT (gaps in MINUTES — the
+    // seconds-squared sum would cross 2^53 at sf0.1; documented
+    // bound), σ/μ/B as one fixed IEEE formula from the exact sums,
+    // text shared with the oracle (the Welch-t convention). B → −1
+    // regular, 0 Poisson, +1 bursty.
+    Q(
+      "q288_burstiness",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val gaps = Tables.events(s, d)
+          .select($"user_id", $"ts", $"event_id",
+            $"ts".cast("long").as("sec"))
+          .withColumn("gap_min",
+            expr("(sec - lag(sec) OVER (PARTITION BY user_id" +
+              " ORDER BY ts, event_id)) div 60"))
+          .filter($"gap_min".isNotNull)
+        gaps.groupBy($"user_id")
+          .agg(count(lit(1)).as("n_gaps"),
+            sum($"gap_min").as("sg"),
+            sum($"gap_min" * $"gap_min").as("sg2"))
+          .filter($"n_gaps" >= 4)
+          .withColumn("b", expr(
+            """CASE WHEN sg = 0 AND sg2 = 0 THEN CAST(NULL AS DOUBLE)
+              |ELSE (sqrt(CAST(sg2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+              |    - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+              |      * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+              |  - CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+              | / (sqrt(CAST(sg2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+              |    - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+              |      * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+              |  + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+              |END""".stripMargin))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id,
+             |    (CAST(floor(epoch(ts)) AS BIGINT)
+             |      - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+             |        PARTITION BY user_id ORDER BY ts, event_id)) // 60
+             |      AS gap_min
+             |  FROM events
+             |), a AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             |    CAST(sum(gap_min) AS BIGINT) AS sg,
+             |    CAST(sum(gap_min * gap_min) AS BIGINT) AS sg2
+             |  FROM g WHERE gap_min IS NOT NULL GROUP BY 1
+             |  HAVING count(*) >= 4
+             |)
+             |SELECT user_id, n_gaps, sg, sg2,
+             |  CASE WHEN sg = 0 AND sg2 = 0 THEN CAST(NULL AS DOUBLE)
+             |  ELSE (sqrt(CAST(sg2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+             |      - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+             |        * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+             |    - CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+             |   / (sqrt(CAST(sg2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+             |      - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+             |        * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+             |    + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+             |  END AS b
+             |FROM a""".stripMargin),
+    ),
+
+    // ---- per-user event-type mix entropy in deterministic milli-nats
+    // (SketchStats.groupEntropyMilli): every ln floored to integer
+    // milli BEFORE the order-free BIGINT sum — the diversity gate
+    // (0 = single-type user, 1000·ln k = uniform over k types).
+    Q(
+      "q289_mix_entropy",
+      (s, d) => SketchStats.groupEntropyMilli(
+        Tables.events(s, d).select(col("user_id"), col("event_type")),
+        "user_id", "event_type"),
+      Some("""WITH c AS (
+             |  SELECT user_id, event_type,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1, 2
+             |), a AS (
+             |  SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n,
+             |    CAST(sum(cnt * CAST(floor(1000.0
+             |      * ln(CAST(cnt AS DOUBLE))) AS BIGINT)) AS BIGINT)
+             |      AS t
+             |  FROM c GROUP BY 1
+             |)
+             |SELECT user_id, n,
+             |  CAST(CAST(floor(1000.0 * ln(CAST(n AS DOUBLE)))
+             |    AS BIGINT) - t // n AS BIGINT) AS h_milli
+             |FROM a""".stripMargin),
+    ),
+
+    // ---- keyword-in-context concordance: ±24 chars around the first
+    // 'merge' occurrence per doc — the inspection window a curation
+    // review pipeline extracts at corpus scale (pure codegen'd
+    // substring map, zero shuffle). Both engines share the 1-based
+    // substring/locate semantics and the boundary clamp.
+    Q(
+      "q290_kwic",
+      (s, d) => {
+        import s.implicits._
+        val kw = "merge"
+        Tables.documents(s, d)
+          .select($"doc_id", locate(kw, $"text").as("pos"),
+            $"text")
+          .filter($"pos" > 0)
+          .select($"doc_id", $"pos".cast("long").as("pos"),
+            expr(s"substring(text, greatest(1, pos - 24), " +
+              s"(pos + ${kw.length} + 24) - greatest(1, pos - 24))")
+              .as("snippet"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(strpos(text, 'merge') AS BIGINT) AS pos,
+             |  substring(text,
+             |    greatest(1, strpos(text, 'merge') - 24),
+             |    (strpos(text, 'merge') + 5 + 24)
+             |      - greatest(1, strpos(text, 'merge') - 24)) AS snippet
+             |FROM documents
+             |WHERE strpos(text, 'merge') > 0""".stripMargin),
+    ),
   )
 }

@@ -119,6 +119,35 @@ class RankAllocSpec extends SparkSpec {
     assert(out == Map(0.25 -> 25L, 0.5 -> 50L, 0.99 -> 99L))
   }
 
+  test("joinSizeEstimate: sum of per-key count products, empty " +
+      "intersection gives 0, hot key named") {
+    val a = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")
+    val b = Seq(1L, 1L, 2L, 9L).toDF("k")
+    // products: k1 → 3·2 = 6, k2 → 1·1 = 1 → predicted 7, max 6
+    val row = SkewOps.joinSizeEstimate(a, b, "k")
+      .as[(Long, Long)].head()
+    assert(row == ((7L, 6L)))
+    assert(row._1 == a.join(b, "k").count())
+    val none = Seq(5L).toDF("k")
+    assert(SkewOps.joinSizeEstimate(a, none, "k")
+      .as[(Long, Long)].head() == ((0L, 0L)))
+  }
+
+  test("groupEntropyMilli: pure group → 0, uniform over 2 → " +
+      "floor(1000·ln 2), convention matches a by-hand replay") {
+    val df = Seq(("u1", "a"), ("u1", "a"), ("u1", "a"),
+      ("u2", "a"), ("u2", "b"),
+      ("u3", "a"), ("u3", "a"), ("u3", "b")).toDF("g", "c")
+    val out = SketchStats.groupEntropyMilli(df, "g", "c")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("u1") == ((3L, 0L))) // one category: ln3 − (3·ln3)/3 = 0
+    assert(out("u2") == ((2L, 693L))) // uniform 2: floor(1000·ln2)
+    // u3: floor(1000·ln3) − (2·floor(1000·ln2) + 1·0) div 3
+    //   = 1098 − (1386 div 3) = 1098 − 462 = 636
+    assert(out("u3") == ((3L, 636L)))
+  }
+
   test("cmsPointGate: exact top-k, never undercounts, bound holds " +
       "across partitions") {
     val rows = Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L)
