@@ -561,10 +561,16 @@ object SketchStats {
         .readFrom(new java.io.ByteArrayInputStream(skBytes))
         .estimateCount(key)
     }
-    keyed.groupBy(col("__k")).agg(count(lit(1)).as("exact_n"))
+    import graft.ops.Materialize.MaterializeOps
+    // materialize the top-k BEFORE the estimate projection: with the
+    // UDF project in between, Catalyst cannot fuse sort+limit into
+    // TakeOrderedAndProject and plans a GLOBAL range sort of every
+    // distinct key instead (measured; asserted in ScaleOpsSpec)
+    val topk = keyed.groupBy(col("__k")).agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("__k").asc)
       .limit(k)
-      .withColumn("__est", estimate(col("__k")))
+      .materialized
+    topk.withColumn("__est", estimate(col("__k")))
       .select(col("__k").as(keyCol), col("exact_n"),
         (col("__est") >= col("exact_n")).as("overest_ok"),
         (col("__est") <= col("exact_n") + lit(bound)).as("bound_ok"))

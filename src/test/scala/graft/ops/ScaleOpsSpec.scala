@@ -465,4 +465,62 @@ class ScaleOpsSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("UnionLoop"), plan)
   }
+
+  test("joinDelta plan: every term equality-keyed — no cartesian, no " +
+      "nested loop") {
+    val a = Seq((1L, 10L)).toDF("k", "pa")
+    val da = Seq((2L, 20L, 1L)).toDF("k", "pa", "sgn")
+    val b = Seq((1L, 30L)).toDF("k", "pb")
+    val db = Seq((1L, 40L, -1L)).toDF("k", "pb", "sgn")
+    val plan = Incremental.joinDelta(a, da, b, db, "k", "sgn")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("weightedQuantilesLong plan: partition-local window only — no " +
+      "SinglePartition funnel, no global sort") {
+    val df = graft.model.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select($"l_extendedprice".cast("long").as("v"),
+        $"l_quantity".cast("long").as("w"))
+    val plan = SketchStats.weightedQuantilesLong(df, "v", "w", Seq(0.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(plan.contains("Window"), plan) // the per-pid running sum
+  }
+
+  test("dbscanGrid plan: equality-keyed joins throughout — no " +
+      "cartesian (the 9-row offset replication broadcasts)") {
+    val pts = Seq((1L, 0L, 0L), (2L, 5L, 5L)).toDF("id", "x", "y")
+    val plan = GeoOps.dbscanGrid(pts, "id", "x", "y", 10L, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
+  test("cmsPointGate plan: estimate UDF runs over the MATERIALIZED " +
+      "k-row top-k only — no sort, no shuffle in the final stage") {
+    // without the materialize barrier the UDF project blocks the
+    // sort+limit → TakeOrderedAndProject fusion and Catalyst plans a
+    // GLOBAL range sort of every distinct key (measured) — the cut
+    // keeps the heavy stage a plain agg+TakeOrdered and the UDF stage
+    // k-row local
+    val df = graft.model.Tables.events(spark, "/root/testdata/sf0.001")
+    val out = SketchStats.cmsPointGate(df, "user_id", 5, 0.01, 0.9, 1)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Sort"), plan)
+    assert(out.count() == 5)
+  }
+
+  test("poissonBootstrap plan: replica table broadcast, ONE hash " +
+      "shuffle (the per-rep aggregation)") {
+    val df = Seq((1L, 5L), (2L, 7L)).toDF("id", "v")
+    val plan = Sampling.poissonBootstrap(df, "id", "v", 4, "s")
+      .queryExecution.executedPlan.toString
+    val hashShuffles = plan.split("\n")
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashShuffles == 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
