@@ -1725,5 +1725,149 @@ object AnalyticsQueries extends QueryModule {
              |FROM documents
              |WHERE strpos(text, 'merge') > 0""".stripMargin),
     ),
+
+    // ---- first-order Markov transition matrix over each user's
+    // event-type sequence: per-user LEAD pairs (keyed windows — users
+    // numerous, never a global frame), exact transition counts, and
+    // row-stochastic probabilities as integer per-mille divisions.
+    // The behavioral-model estimation step (next-action prediction,
+    // anomaly scoring) at its 100-TB shape: one window + two hash
+    // aggregations.
+    Q(
+      "q291_markov_transitions",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val trans = Tables.events(s, d)
+          .select($"user_id", $"event_type", $"ts", $"event_id")
+          .withColumn("next_type", lead($"event_type", 1).over(w))
+          .filter($"next_type".isNotNull)
+          .groupBy($"event_type".as("from_type"),
+            $"next_type".as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val rowTot = trans.groupBy($"from_type")
+          .agg(sum($"n").as("row_n"))
+        trans.join(rowTot, "from_type")
+          .select($"from_type", $"to_type", $"n",
+            expr("(1000 * n) div row_n").as("p_pm"))
+      },
+      Some("""WITH t AS (
+             |  SELECT event_type AS from_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS to_type
+             |  FROM events
+             |), c AS (
+             |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2
+             |), r AS (
+             |  SELECT from_type, CAST(sum(n) AS BIGINT) AS row_n
+             |  FROM c GROUP BY 1
+             |)
+             |SELECT c.from_type, c.to_type, c.n,
+             |  CAST((1000 * c.n) // r.row_n AS BIGINT) AS p_pm
+             |FROM c JOIN r ON c.from_type = r.from_type"""
+        .stripMargin),
+    ),
+
+    // ---- l-diversity audit (Machanavajjhala et al.) — the
+    // k-anonymity (q186) companion: a quasi-identifier group is safe
+    // only if its SENSITIVE attribute takes ≥ l distinct values (a
+    // k-large group that's all the same diagnosis still leaks).
+    // Quasi-identifiers (nation, segment); sensitive = account-balance
+    // band. Two hash aggregations, release gate as a stable boolean.
+    Q(
+      "q292_l_diversity",
+      (s, d) => {
+        import s.implicits._
+        Tables.customer(s, d)
+          .select($"c_nationkey".cast("long").as("nation"),
+            $"c_mktsegment".as("segment"),
+            expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100" +
+              " AS BIGINT) div 100000").as("bal_band"))
+          .groupBy($"nation", $"segment")
+          .agg(count(lit(1)).as("n"),
+            count_distinct($"bal_band").as("n_sensitive"),
+            (count_distinct($"bal_band") >= 3).as("l_ok"))
+      },
+      Some("""WITH v AS (
+             |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+             |    c_mktsegment AS segment,
+             |    CASE WHEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+             |        AS BIGINT) >= 0
+             |      THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+             |        AS BIGINT) // 100000
+             |      ELSE -((-CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+             |        AS BIGINT)) // 100000) END AS bal_band
+             |  FROM customer
+             |)
+             |SELECT nation, segment, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(DISTINCT bal_band) AS BIGINT) AS n_sensitive,
+             |  count(DISTINCT bal_band) >= 3 AS l_ok
+             |FROM v GROUP BY 1, 2""".stripMargin),
+    ),
+
+    // ---- functional-dependency discovery (profiling beyond q250's
+    // per-column stats): does A determine B? A candidate FD holds iff
+    // no A-group sees two distinct Bs — one hash aggregation per
+    // candidate, violations COUNTED (not just flagged) so a
+    // nearly-holding FD ranks above a random pair. Candidates here:
+    // orderkey→orderdate (holds), partkey→suppkey (fails),
+    // orderkey→shipdate (fails).
+    Q(
+      "q293_fd_discovery",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        def fd(name: String, df: org.apache.spark.sql.DataFrame,
+            a: String, b: String) = df
+          .groupBy(col(a)).agg(count_distinct(col(b)).as("__nb"))
+          .agg(lit(name).as("fd"), count(lit(1)).as("n_groups"),
+            sum(when(col("__nb") > 1, 1L).otherwise(0L))
+              .as("n_violating"))
+          .withColumn("holds", $"n_violating" === 0L)
+        val c1 = fd("orderkey->orderdate",
+          li.join(o, $"l_orderkey" === $"o_orderkey")
+            .select($"l_orderkey".as("a"),
+              $"o_orderdate".cast("string").as("b")), "a", "b")
+        val c2 = fd("partkey->suppkey",
+          li.select($"l_partkey".as("a"), $"l_suppkey".as("b")),
+          "a", "b")
+        val c3 = fd("orderkey->shipdate",
+          li.select($"l_orderkey".as("a"),
+            $"l_shipdate".cast("string").as("b")), "a", "b")
+        c1.unionByName(c2).unionByName(c3)
+      },
+      Some("""WITH c1 AS (
+             |  SELECT 'orderkey->orderdate' AS fd,
+             |    CAST(count(*) AS BIGINT) AS n_groups,
+             |    CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_violating
+             |  FROM (
+             |    SELECT l.l_orderkey,
+             |      count(DISTINCT CAST(o.o_orderdate AS VARCHAR)) AS nb
+             |    FROM lineitem l JOIN orders o
+             |      ON l.l_orderkey = o.o_orderkey
+             |    GROUP BY 1)
+             |), c2 AS (
+             |  SELECT 'partkey->suppkey',
+             |    CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS nb
+             |    FROM lineitem GROUP BY 1)
+             |), c3 AS (
+             |  SELECT 'orderkey->shipdate',
+             |    CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM (SELECT l_orderkey,
+             |      count(DISTINCT CAST(l_shipdate AS VARCHAR)) AS nb
+             |    FROM lineitem GROUP BY 1)
+             |)
+             |SELECT fd, n_groups, n_violating,
+             |  n_violating = 0 AS holds
+             |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+             |  UNION ALL SELECT * FROM c3)""".stripMargin),
+    ),
   )
 }
