@@ -1869,5 +1869,107 @@ object AnalyticsQueries extends QueryModule {
              |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2
              |  UNION ALL SELECT * FROM c3)""".stripMargin),
     ),
+
+    // ---- time-weighted average value (TWAP) per user: each event's
+    // value holds until the next event; TWAP = Σ vᵢ·Δtᵢ div Σ Δtᵢ —
+    // the telemetry/pricing mean a row-weighted average gets wrong
+    // whenever sampling is irregular. Keyed LEAD window + exact BIGINT
+    // sums (cents·seconds ≤ ~1.5e15 at sf0.1; lift to DECIMAL beyond —
+    // documented); one positive integer division both engines
+    // truncate identically.
+    Q(
+      "q294_twap",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"sec", $"event_id")
+        Tables.events(s, d)
+          .select($"user_id", $"event_id",
+            $"ts".cast("long").as("sec"),
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents"))
+          .withColumn("next_sec", lead($"sec", 1).over(w))
+          .filter($"next_sec".isNotNull && $"next_sec" > $"sec")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_steps"),
+            sum($"next_sec" - $"sec").as("dur_s"),
+            sum($"cents" * ($"next_sec" - $"sec")).as("vt"))
+          .withColumn("twap_c", expr("vt div dur_s"))
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, event_id,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS cents
+             |  FROM events
+             |), st AS (
+             |  SELECT user_id, cents, sec,
+             |    lead(sec) OVER (PARTITION BY user_id
+             |      ORDER BY sec, event_id) AS next_sec
+             |  FROM v
+             |)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_steps,
+             |  CAST(sum(next_sec - sec) AS BIGINT) AS dur_s,
+             |  CAST(sum(cents * (next_sec - sec)) AS BIGINT) AS vt,
+             |  CAST(sum(cents * (next_sec - sec))
+             |    // sum(next_sec - sec) AS BIGINT) AS twap_c
+             |FROM st WHERE next_sec IS NOT NULL AND next_sec > sec
+             |GROUP BY 1""".stripMargin),
+    ),
+
+    // ---- Lorenz / Pareto concentration table ("the top decile of
+    // users drives X‰ of revenue"): users ranked by exact revenue
+    // DESC through globalNtile's two-pass rank, per-decile sums, and
+    // the cumulative share as integer per-mille over the 10-row
+    // decile frame (the documented model-sized window exception) —
+    // the table form of the q195 Gini scalar.
+    Q(
+      "q295_lorenz_deciles",
+      (s, d) => {
+        import s.implicits._
+        val perUser = Tables.events(s, d)
+          .groupBy($"user_id")
+          .agg(expr("sum(CAST(CAST(value AS DECIMAL(18,2)) * 100" +
+            " AS BIGINT))").as("cents"))
+        val tiled = SketchStats.globalNtile(perUser,
+          Seq($"cents".desc, $"user_id".asc), 10, "decile")
+        val perTile = tiled.groupBy($"decile")
+          .agg(count(lit(1)).as("n_users"), sum($"cents").as("cents"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"decile".asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions
+            .Window.currentRow)
+        perTile
+          .crossJoin(broadcast(
+            perTile.agg(sum($"cents").as("__tot"))))
+          .withColumn("cum_pm",
+            expr("(1000 * sum(cents) OVER (ORDER BY decile" +
+              " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))" +
+              " div __tot"))
+          .select($"decile", $"n_users", $"cents", $"cum_pm")
+      },
+      Some("""WITH pu AS (
+             |  SELECT user_id,
+             |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS BIGINT) AS cents
+             |  FROM events GROUP BY 1
+             |), t AS (
+             |  SELECT cents, CAST(ntile(10) OVER (
+             |    ORDER BY cents DESC, user_id) AS INT) AS decile
+             |  FROM pu
+             |), pt AS (
+             |  SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+             |    CAST(sum(cents) AS BIGINT) AS cents
+             |  FROM t GROUP BY 1
+             |), tot AS (
+             |  SELECT CAST(sum(cents) AS BIGINT) AS tt FROM pt
+             |)
+             |SELECT decile, n_users, cents,
+             |  CAST((1000 * sum(cents) OVER (ORDER BY decile
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |    // tt AS BIGINT) AS cum_pm
+             |FROM pt, tot""".stripMargin),
+    ),
   )
 }
