@@ -1070,4 +1070,77 @@ object Scoring {
     withRanks.join(lookup, "__target")
       .drop("__target", "__grank")
   }
+
+  /** Multinomial NAIVE BAYES with Laplace smoothing, every
+    * log-probability a deterministic integer milli-nat
+    * (floor(1000·ln x), the q88/q289 convention — one libm call per
+    * COUNT, reaching the argmax only through the floor, so training
+    * and scoring are engine-restatable bit for bit):
+    *
+    *   score(d, c) = prior_c + Σ_{t ∈ d} [ m(cnt_{c,t} + 1)
+    *                                        − m(ctot_c + V) ]
+    *   prior_c    = m(docs_c) − m(docs_total),   m(x) = ⌊1000·ln x⌋
+    *
+    * The classical text classifier at its distributed shape: training
+    * is two hash aggregations (class×token counts, class totals);
+    * the likelihood grid is (classes × vocab) — MODEL-sized, broadcast
+    * to score; scoring fans each test token out × classes (classes
+    * bounded) and argmaxes per doc with a deterministic (−score,
+    * class) tie-break. Returns the CONFUSION MATRIX over the held-out
+    * split — the end-to-end train/score/eval loop in one plan.
+    *
+    * Split: md5-60(id+seed) % 5 == 0 → test (the [[Sampling]] hash
+    * convention). Tokens are the \s+ convention.
+    *
+    * @return (actual, predicted, n) */
+  def naiveBayesConfusionMilli(df: DataFrame, idCol: String,
+      textCol: String, labelCol: String, seed: String): DataFrame = {
+    def m(c: org.apache.spark.sql.Column) =
+      floor(lit(1000.0) * log(c.cast("double"))).cast("long")
+    val split = pmod(Dedup.md5Hash60(
+      concat(col(idCol).cast("string"), lit(seed))), lit(5L))
+    val toks = df
+      .select(col(idCol), col(labelCol).as("__lbl"), split.as("__s"),
+        explode(split_part_tokens(col(textCol))).as("__t"))
+    val train = toks.filter(col("__s") =!= 0L)
+    val test = toks.filter(col("__s") === 0L)
+    val classCounts = train.groupBy(col("__lbl").as("__c"))
+      .agg(count(lit(1)).as("__ctot"),
+        count_distinct(col(idCol)).as("__cdocs"))
+    val vocab = train.select(col("__t")).distinct()
+    val vSize = vocab.count()
+    val totDocs = train.select(col(idCol)).distinct().count()
+    val ctCounts = train.groupBy(col("__lbl").as("__c"), col("__t"))
+      .agg(count(lit(1)).as("__n"))
+    // model-sized likelihood grid: classes × vocab, zero counts kept
+    val grid = classCounts.crossJoin(vocab)
+      .join(ctCounts, Seq("__c", "__t"), "left")
+      .na.fill(0L, Seq("__n"))
+      .select(col("__c"), col("__t"),
+        (m(col("__n") + 1) - m(col("__ctot") + lit(vSize)))
+          .as("__l"))
+    val priors = classCounts.select(col("__c"),
+      (m(col("__cdocs")) - m(lit(totDocs))).as("__prior"),
+      (-m(col("__ctot") + lit(vSize))).as("__oov"))
+    val scored = test
+      .crossJoin(broadcast(priors.select(col("__c"), col("__oov"))))
+      .join(broadcast(grid), Seq("__c", "__t"), "left")
+      .select(col(idCol), col("__lbl"), col("__c"),
+        coalesce(col("__l"), col("__oov")).as("__l"))
+      .groupBy(col(idCol), col("__lbl"), col("__c"))
+      .agg(sum(col("__l")).as("__ls"))
+      .join(broadcast(priors.select(col("__c"), col("__prior"))),
+        "__c")
+      .withColumn("__score", col("__ls") + col("__prior"))
+    scored.groupBy(col(idCol), col("__lbl"))
+      .agg(min(struct((-col("__score")).as("__neg"),
+        col("__c"))).as("__best"))
+      .groupBy(col("__lbl").as("actual"),
+        col("__best.__c").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The \s+ token split every text op here shares. */
+  private def split_part_tokens(c: org.apache.spark.sql.Column) =
+    split(trim(c), "\\s+")
 }

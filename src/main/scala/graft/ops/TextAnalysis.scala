@@ -1976,4 +1976,49 @@ object TextAnalysis {
       .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
       .limit(topK)
   }
+
+  /** SymSpell-style spell-candidate lookup (Garbe's deletion index):
+    * instead of edit-distance-joining queries against the whole
+    * vocabulary (PassJoin territory, [[Dedup.editDistancePairs]]),
+    * both sides expand to their 1-DELETION neighborhoods and meet on
+    * an EQUI-join — a word of length L emits L+1 keys, the candidate
+    * space is hash-bucket-bounded, and the (cheap, superset) key match
+    * is verified by one exact edit-distance predicate. Guarantees
+    * every candidate within edit distance `1` is found (delete-delete
+    * covers substitute/transpose-at-distance-1 via the shared
+    * deletion); distance-2 needs 2-deletion expansion — out of scope
+    * here, the index idea is the deliverable.
+    *
+    * Scale shape: explode ×(L+1) on both sides, one equi-join on the
+    * deletion key, native codegen'd edit-distance verify. No n² — the
+    * classic trade of index space for join fan-in.
+    *
+    * @param vocab (wordCol, freqCol) dictionary
+    * @param queries (queryCol) lookup strings
+    * @return (query, candidate, freq, ed ≤ 1), distinct */
+  def symspellCandidates(vocab: DataFrame, wordCol: String,
+      freqCol: String, queries: DataFrame,
+      queryCol: String): DataFrame = {
+    def delKeys(c: Column): Column = array_union(array(c),
+      transform(sequence(lit(0), length(c) - 1),
+        i => concat(c.substr(lit(1), i),
+          c.substr(i + lit(2), length(c)))))
+    // normalize names FIRST: aliasing a column to its own name in the
+    // same select that explodes it trips Spark's lateral-column-alias
+    // resolution (INTERNAL_ERROR LateralColumnAliasReference)
+    val vKeys = vocab
+      .select(col(wordCol).as("__w"), col(freqCol).cast("long")
+        .as("freq"))
+      .select(col("__w").as("cand"), col("freq"),
+        explode(delKeys(col("__w"))).as("__k"))
+    val qKeys = queries.select(col(queryCol).as("__q"))
+      .select(col("__q").as("query"),
+        explode(delKeys(col("__q"))).as("__k"))
+    qKeys.join(vKeys, "__k")
+      .select(col("query"), col("cand"), col("freq"),
+        graft.functions.EditDistance(col("query"), col("cand"), 1)
+          .as("ed"))
+      .filter(col("ed") <= 1) // cap=1 saturates non-matches at 2
+      .distinct()
+  }
 }

@@ -1971,5 +1971,135 @@ object AnalyticsQueries extends QueryModule {
              |    // tt AS BIGINT) AS cum_pm
              |FROM pt, tot""".stripMargin),
     ),
+
+    // ---- multinomial Naive Bayes train/score/eval in one plan
+    // (Scoring.naiveBayesConfusionMilli): Laplace-smoothed
+    // log-likelihoods as deterministic integer milli-nats, a
+    // model-sized classes×vocab grid broadcast to score the held-out
+    // hash split, deterministic argmax, confusion matrix out. The
+    // fixture's sources are near-uniform (the matrix shows it) — the
+    // oracled deliverable is the classifier machinery, not the
+    // accuracy.
+    Q(
+      "q296_naive_bayes",
+      (s, d) => graft.ops.Scoring.naiveBayesConfusionMilli(
+        Tables.documents(s, d), "doc_id", "text", "source",
+        seed = "nb8"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source AS lbl,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+             |      || 'nb8'), 1, 15) AS BIGINT) % 5 AS s,
+             |    unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+             |  FROM documents
+             |), train AS (
+             |  SELECT * FROM toks WHERE s != 0
+             |), test AS (
+             |  SELECT * FROM toks WHERE s = 0
+             |), cc AS (
+             |  SELECT lbl AS c, CAST(count(*) AS BIGINT) AS ctot,
+             |    CAST(count(DISTINCT doc_id) AS BIGINT) AS cdocs
+             |  FROM train GROUP BY 1
+             |), vocab AS (
+             |  SELECT DISTINCT t FROM train
+             |), vs AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS v FROM vocab
+             |), td AS (
+             |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+             |  FROM train
+             |), ct AS (
+             |  SELECT lbl AS c, t, CAST(count(*) AS BIGINT) AS n
+             |  FROM train GROUP BY 1, 2
+             |), grid AS (
+             |  SELECT cc.c, vocab.t,
+             |    CAST(floor(1000.0 * ln(CAST(coalesce(ct.n, 0) + 1
+             |        AS DOUBLE))) AS BIGINT)
+             |      - CAST(floor(1000.0 * ln(CAST(cc.ctot + vs.v
+             |        AS DOUBLE))) AS BIGINT) AS l
+             |  FROM cc CROSS JOIN vocab CROSS JOIN vs
+             |  LEFT JOIN ct ON ct.c = cc.c AND ct.t = vocab.t
+             |), priors AS (
+             |  SELECT cc.c,
+             |    CAST(floor(1000.0 * ln(CAST(cdocs AS DOUBLE)))
+             |        AS BIGINT)
+             |      - CAST(floor(1000.0 * ln(CAST(td.n AS DOUBLE)))
+             |        AS BIGINT) AS prior,
+             |    -CAST(floor(1000.0 * ln(CAST(ctot + vs.v AS DOUBLE)))
+             |      AS BIGINT) AS oov
+             |  FROM cc, vs, td
+             |), sc AS (
+             |  SELECT te.doc_id, te.lbl, p.c, p.prior,
+             |    sum(coalesce(g.l, p.oov)) + p.prior AS score
+             |  FROM test te CROSS JOIN priors p
+             |  LEFT JOIN grid g ON g.c = p.c AND g.t = te.t
+             |  GROUP BY 1, 2, 3, 4
+             |), best AS (
+             |  SELECT doc_id, lbl, c, row_number() OVER (
+             |    PARTITION BY doc_id ORDER BY score DESC, c ASC) AS rk
+             |  FROM sc
+             |)
+             |SELECT lbl AS actual, c AS predicted,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM best WHERE rk = 1 GROUP BY 1, 2""".stripMargin),
+    ),
+
+    // ---- SymSpell deletion-index spell candidates
+    // (TextAnalysis.symspellCandidates): typos planted by deleting a
+    // hash-picked character from each ≥4-char vocabulary word; both
+    // sides expand to 1-deletion neighborhoods, meet on an EQUI-join
+    // (never an n² distance join), and the superset is verified by
+    // the native capped edit distance. DuckDB replays deletions with
+    // list comprehensions and its levenshtein builtin.
+    Q(
+      "q297_symspell",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select(explode(split(trim($"text"), "\\s+")).as("w"))
+        val vocab = toks.groupBy($"w").agg(count(lit(1)).as("freq"))
+        val typos = vocab.filter(length($"w") >= 4)
+          .select($"w", pmod(graft.ops.Dedup.md5Hash60(
+            concat($"w", lit("ty"))),
+            length($"w").cast("long")).cast("int").as("p"))
+          .select(concat($"w".substr(lit(1), $"p"),
+            $"w".substr($"p" + lit(2), length($"w")))
+            .as("query"))
+          .distinct()
+        graft.ops.TextAnalysis.symspellCandidates(
+            vocab, "w", "freq", typos, "query")
+          .select($"query", $"cand", $"freq", $"ed".cast("int").as("ed"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+             |    AS w
+             |  FROM documents
+             |), vocab AS (
+             |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+             |  FROM toks GROUP BY 1
+             |), typos AS (
+             |  SELECT DISTINCT substr(w, 1, p) || substr(w, p + 2)
+             |    AS query
+             |  FROM (
+             |    SELECT w, CAST(CAST('0x' || substr(md5(w || 'ty'),
+             |      1, 15) AS BIGINT) % length(w) AS INT) AS p
+             |    FROM vocab WHERE length(w) >= 4)
+             |), vk AS (
+             |  SELECT w AS cand, freq,
+             |    unnest(list_append(
+             |      [substr(w, 1, i - 1) || substr(w, i + 1)
+             |        for i in range(1, length(w) + 1)], w)) AS k
+             |  FROM vocab
+             |), qk AS (
+             |  SELECT query,
+             |    unnest(list_append(
+             |      [substr(query, 1, i - 1) || substr(query, i + 1)
+             |        for i in range(1, length(query) + 1)], query))
+             |      AS k
+             |  FROM typos
+             |)
+             |SELECT DISTINCT query, cand, freq,
+             |  CAST(levenshtein(query, cand) AS INT) AS ed
+             |FROM qk JOIN vk USING (k)
+             |WHERE levenshtein(query, cand) <= 1""".stripMargin),
+    ),
   )
 }

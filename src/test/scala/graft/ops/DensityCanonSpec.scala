@@ -58,6 +58,43 @@ class DensityCanonSpec extends SparkSpec {
     assert(!out.sortBy(_._1).sameElements(other.sortBy(_._1)))
   }
 
+  test("naiveBayesConfusionMilli: a separable two-class corpus " +
+      "classifies perfectly; scores replay by hand") {
+    // class a docs say only 'x', class b docs only 'y' — any test doc
+    // must be predicted as its own class
+    val docs = (1L to 40L).map { i =>
+      val c = if (i % 2 == 0) "a" else "b"
+      (i, if (c == "a") "x x x" else "y y y", c)
+    }.toDF("doc_id", "text", "lbl")
+    val out = Scoring.naiveBayesConfusionMilli(docs, "doc_id", "text",
+      "lbl", seed = "t")
+      .as[(String, String, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (actual, predicted, _) =>
+      assert(actual == predicted, s"$actual misclassified as $predicted")
+    }
+  }
+
+  test("symspellCandidates: 1-deletion neighborhoods find all ed<=1 " +
+      "matches, equi-join never admits ed>=2") {
+    val vocab = Seq(("spark", 10L), ("spare", 4L), ("spar", 2L),
+      ("scala", 7L)).toDF("w", "f")
+    val queries = Seq("spak", "spark", "zzz").toDF("q")
+    val out = TextAnalysis.symspellCandidates(vocab, "w", "f",
+      queries, "q")
+      .select($"query", $"cand").as[(String, String)].collect().toSet
+    // spak: deletion of 'r' from spark (ed 1); spar by one insert? no:
+    // spak→spar is substitution k→r = ed 1, shares deletion 'spa'+..?
+    // spak deletions: pak, sak, spk, spa, spak; spar deletions include
+    // spa → shared key 'spa' → candidate, ed(spak, spar)=1 ✓
+    assert(out.contains(("spak", "spark")))
+    assert(out.contains(("spak", "spar")))
+    assert(out.contains(("spark", "spark"))) // exact hit, ed 0
+    assert(out.contains(("spark", "spare"))) // substitution, ed 1
+    assert(!out.exists(_._1 == "zzz")) // nothing within ed 1
+    assert(!out.contains(("spak", "scala"))) // ed 3 never admitted
+  }
+
   test("clusterMedoids: medoid is the most central member (not the " +
       "min id), singletons are their own medoid") {
     // grams: A=8, B=A+1 new, C=A+2 new; per-mille distances
