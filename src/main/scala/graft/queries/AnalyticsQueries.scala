@@ -2101,5 +2101,249 @@ object AnalyticsQueries extends QueryModule {
              |FROM qk JOIN vk USING (k)
              |WHERE levenshtein(query, cand) <= 1""".stripMargin),
     ),
+
+    // ---- weight-of-evidence / information-value feature binning
+    // (the credit-scoring feature screen): cents deciles via
+    // globalNtile, per-bin positive/negative shares in exact
+    // per-million, WoE = ln(pos_share/neg_share) as the DIFFERENCE of
+    // two milli-nat floors (order-free integers; zero cells clamp to
+    // 1 ppm — documented), IV contribution per bin as a pure integer
+    // product. label = purchase events.
+    Q(
+      "q298_woe_iv",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select($"event_id",
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"),
+          ($"event_type" === "purchase").cast("long").as("pos"))
+        val binned = SketchStats.globalNtile(ev,
+          Seq($"cents".asc, $"event_id".asc), 10, "bin")
+        val per = binned.groupBy($"bin")
+          .agg(count(lit(1)).as("n"), sum($"pos").as("n_pos"),
+            (count(lit(1)) - sum($"pos")).as("n_neg"))
+        val tot = per.agg(sum($"n_pos").as("__tp"),
+          sum($"n_neg").as("__tn"))
+        per.crossJoin(broadcast(tot))
+          .withColumn("pos_ppm",
+            greatest(lit(1L), expr("(1000000 * n_pos) div __tp")))
+          .withColumn("neg_ppm",
+            greatest(lit(1L), expr("(1000000 * n_neg) div __tn")))
+          .withColumn("woe_milli",
+            floor(lit(1000.0) * log($"pos_ppm".cast("double")))
+              .cast("long")
+              - floor(lit(1000.0) * log($"neg_ppm".cast("double")))
+              .cast("long"))
+          .withColumn("iv_contrib",
+            ($"pos_ppm" - $"neg_ppm") * $"woe_milli")
+          .select($"bin", $"n", $"n_pos", $"n_neg", $"pos_ppm",
+            $"neg_ppm", $"woe_milli", $"iv_contrib")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS cents,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+             |      AS pos
+             |  FROM events
+             |), b AS (
+             |  SELECT pos, CAST(ntile(10) OVER (
+             |    ORDER BY cents, event_id) AS INT) AS bin
+             |  FROM ev
+             |), per AS (
+             |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(pos) AS BIGINT) AS n_pos,
+             |    CAST(count(*) - sum(pos) AS BIGINT) AS n_neg
+             |  FROM b GROUP BY 1
+             |), tot AS (
+             |  SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
+             |    CAST(sum(n_neg) AS BIGINT) AS tn
+             |  FROM per
+             |), w AS (
+             |  SELECT bin, n, n_pos, n_neg,
+             |    greatest(1, (1000000 * n_pos) // tp) AS pos_ppm,
+             |    greatest(1, (1000000 * n_neg) // tn) AS neg_ppm
+             |  FROM per, tot
+             |)
+             |SELECT bin, n, n_pos, n_neg,
+             |  CAST(pos_ppm AS BIGINT) AS pos_ppm,
+             |  CAST(neg_ppm AS BIGINT) AS neg_ppm,
+             |  CAST(CAST(floor(1000.0 * ln(CAST(pos_ppm AS DOUBLE)))
+             |      AS BIGINT)
+             |    - CAST(floor(1000.0 * ln(CAST(neg_ppm AS DOUBLE)))
+             |      AS BIGINT) AS BIGINT) AS woe_milli,
+             |  CAST((pos_ppm - neg_ppm)
+             |    * (CAST(floor(1000.0 * ln(CAST(pos_ppm AS DOUBLE)))
+             |        AS BIGINT)
+             |      - CAST(floor(1000.0 * ln(CAST(neg_ppm AS DOUBLE)))
+             |        AS BIGINT)) AS BIGINT) AS iv_contrib
+             |FROM w""".stripMargin),
+    ),
+
+    // ---- difference-in-differences: treatment = even user_id
+    // (synthetic assignment), period split at the exact median day
+    // (exactQuantilesLong), the four cell means as truncated integer
+    // divisions and DiD = (T_post−T_pre) − (C_post−C_pre) — the
+    // basic causal-inference estimate as exact relational algebra.
+    Q(
+      "q299_diff_in_diff",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select(
+          ($"user_id" % 2 === 0).cast("long").as("treated"),
+          datediff(to_date($"ts"), lit("1970-01-01")).cast("long")
+            .as("day"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        val med = SketchStats.exactQuantilesLong(ev, "day", Seq(0.5))
+          .select($"value".as("med_day"))
+        val cells = ev.crossJoin(broadcast(med))
+          .withColumn("post", ($"day" > $"med_day").cast("long"))
+          .groupBy($"treated", $"post")
+          .agg(count(lit(1)).as("n"),
+            expr("sum(cents) div count(*)").as("mean_c"))
+        val p = cells.groupBy()
+          .pivot(concat($"treated", lit("_"), $"post"),
+            Seq("1_1", "1_0", "0_1", "0_0"))
+          .agg(first($"mean_c"))
+        cells.crossJoin(broadcast(p))
+          .select($"treated", $"post", $"n", $"mean_c",
+            (($"1_1" - $"1_0") - ($"0_1" - $"0_0")).as("did_c"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END
+             |      AS treated,
+             |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+             |      AS day,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS cents
+             |  FROM events
+             |), nn AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS c FROM ev
+             |), srt AS (
+             |  SELECT day, row_number() OVER (ORDER BY day) AS rn
+             |  FROM ev
+             |), med AS (
+             |  SELECT day AS med_day FROM srt, nn
+             |  WHERE rn = CAST(ceil(0.5 * c) AS BIGINT)
+             |), cells AS (
+             |  SELECT treated,
+             |    CASE WHEN day > med_day THEN 1 ELSE 0 END AS post,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(cents) // count(*) AS BIGINT) AS mean_c
+             |  FROM ev, med GROUP BY 1, 2
+             |), did AS (
+             |  SELECT
+             |    CAST(max(CASE WHEN treated = 1 AND post = 1
+             |        THEN mean_c END)
+             |      - max(CASE WHEN treated = 1 AND post = 0
+             |        THEN mean_c END)
+             |      - (max(CASE WHEN treated = 0 AND post = 1
+             |        THEN mean_c END)
+             |        - max(CASE WHEN treated = 0 AND post = 0
+             |          THEN mean_c END)) AS BIGINT) AS did_c
+             |  FROM cells
+             |)
+             |SELECT treated, post, n, mean_c, did_c
+             |FROM cells, did""".stripMargin),
+    ),
+
+    // ---- CUPED variance reduction (Deng et al. 2013): per user,
+    // pre = first-half spend mean, post = second-half mean (q284's
+    // split); θ = cov(pre,post)/var(pre) from exact BIGINT sufficient
+    // sums; adjusted group means computed ALGEBRAICALLY from the sums
+    // (mean_adj_g = mean_post_g − θ·(mean_pre_g − mean_pre_all)) so
+    // no order-sensitive double accumulation ever happens — the
+    // A/B-metric denoiser at its exact-relational shape.
+    Q(
+      "q300_cuped",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val ev = Tables.events(s, d).select($"user_id", $"ts",
+          $"event_id",
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        val r = ev.withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"user_id")))
+          .filter($"cnt" >= 4)
+        val pre = r.filter(expr("rn <= cnt div 2")).groupBy($"user_id")
+          .agg(expr("sum(cents) div count(*)").as("x"))
+        val post = r.filter(expr("rn > cnt div 2")).groupBy($"user_id")
+          .agg(expr("sum(cents) div count(*)").as("y"))
+        val u = pre.join(post, "user_id")
+          .withColumn("g", ($"user_id" % 2 === 0).cast("long"))
+        val g = u.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+          sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
+          sum($"x" * $"y").as("sxy"))
+        val per = u.groupBy($"g").agg(count(lit(1)).as("ng"),
+          sum($"x").as("sxg"), sum($"y").as("syg"))
+        per.crossJoin(broadcast(g))
+          .withColumn("theta", expr(
+            "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)" +
+              " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+              " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+              " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"))
+          .withColumn("mean_post", expr(
+            "CAST(syg AS DOUBLE) / CAST(ng AS DOUBLE)"))
+          .withColumn("mean_adj", expr(
+            "CAST(syg AS DOUBLE) / CAST(ng AS DOUBLE)" +
+              " - theta * (CAST(sxg AS DOUBLE) / CAST(ng AS DOUBLE)" +
+              " - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"))
+          .select($"g", $"ng", $"sxg", $"syg", $"theta",
+            $"mean_post", $"mean_adj")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, cents,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS rn,
+             |    count(*) OVER (PARTITION BY user_id) AS cnt
+             |  FROM (SELECT user_id, ts, event_id,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS cents FROM events)
+             |), pre AS (
+             |  SELECT user_id,
+             |    CAST(sum(cents) // count(*) AS BIGINT) AS x
+             |  FROM ev WHERE cnt >= 4 AND rn <= cnt // 2 GROUP BY 1
+             |), post AS (
+             |  SELECT user_id,
+             |    CAST(sum(cents) // count(*) AS BIGINT) AS y
+             |  FROM ev WHERE cnt >= 4 AND rn > cnt // 2 GROUP BY 1
+             |), u AS (
+             |  SELECT pre.user_id, x, y,
+             |    CASE WHEN pre.user_id % 2 = 0 THEN 1 ELSE 0 END AS g
+             |  FROM pre JOIN post ON pre.user_id = post.user_id
+             |), tt AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx,
+             |    CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy
+             |  FROM u
+             |), per AS (
+             |  SELECT g, CAST(count(*) AS BIGINT) AS ng,
+             |    CAST(sum(x) AS BIGINT) AS sxg,
+             |    CAST(sum(y) AS BIGINT) AS syg
+             |  FROM u GROUP BY 1
+             |)
+             |SELECT g, ng, sxg, syg,
+             |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+             |  CAST(syg AS DOUBLE) / CAST(ng AS DOUBLE) AS mean_post,
+             |  CAST(syg AS DOUBLE) / CAST(ng AS DOUBLE)
+             |    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+             |      * (CAST(sxg AS DOUBLE) / CAST(ng AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             |    AS mean_adj
+             |FROM per, tt""".stripMargin),
+    ),
   )
 }
