@@ -91,4 +91,60 @@ object Incremental {
     t1.unionByName(t2).unionByName(t3)
       .select(outCols :+ (col("__sa") * col("__sb")).as(sgnCol): _*)
   }
+
+  /** INCREMENTAL connected components under edge INSERTS: fold a batch
+    * of new edges into an existing (id, cluster_id) labeling without
+    * re-running the closure over the full edge history.
+    *
+    * The insight that makes it cheap: new edges can only MERGE
+    * existing components (inserts never split), and a merge is fully
+    * described on the COMPONENT graph — each new edge whose endpoints
+    * carry different labels contributes one (label, label) merge pair;
+    * the closure runs on THAT graph (components-touched-sized, not
+    * corpus-sized), and the result is a relabel map applied with one
+    * broadcast-able join. Endpoints never seen before enter labeled as
+    * themselves. Deletions invalidate labels (a removed bridge can
+    * split a component) — that genuinely needs recompute or harder
+    * machinery (Holm et al.); this operator REFUSES signed input
+    * rather than silently corrupting.
+    *
+    * Output labels keep [[Dedup.duplicateClusters]]' canonical
+    * contract — every node labeled with its component's minimum id —
+    * so maintained == recomputed exactly (asserted in q301 and the
+    * property spec).
+    *
+    * @param labels (id, cluster_id) — the maintained state; ids
+    *               absent from it are unknown nodes
+    * @param newEdges (srcCol, dstCol) undirected edge inserts
+    * @return (id, cluster_id) covering old nodes ∪ new endpoints */
+  def applyEdgesToComponents(labels: DataFrame, newEdges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    require(!newEdges.columns.contains("sgn"),
+      "edge deletions cannot be folded into a component labeling " +
+        "(a removed bridge splits a component) — recompute instead")
+    val edges = newEdges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val newNodes = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id"))).distinct()
+      .join(labels, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    val allLabels = labels.select(col("id"), col("cluster_id"))
+      .unionByName(newNodes)
+    val lSrc = allLabels.select(col("id").as("src"),
+      col("cluster_id").as("__ls"))
+    val lDst = allLabels.select(col("id").as("dst"),
+      col("cluster_id").as("__ld"))
+    val mergePairs = edges.join(lSrc, "src").join(lDst, "dst")
+      .filter(col("__ls") =!= col("__ld"))
+      .select(least(col("__ls"), col("__ld")).as("id_a"),
+        greatest(col("__ls"), col("__ld")).as("id_b"))
+      .distinct()
+    // closure on the COMPONENT graph only — touched-components-sized
+    val relabel = Dedup.duplicateClustersStar(mergePairs)
+      .select(col("id").as("cluster_id"),
+        col("cluster_id").as("__new"))
+    allLabels.join(relabel, Seq("cluster_id"), "left")
+      .select(col("id"),
+        coalesce(col("__new"), col("cluster_id")).as("cluster_id"))
+  }
 }

@@ -2345,5 +2345,53 @@ object AnalyticsQueries extends QueryModule {
              |    AS mean_adj
              |FROM per, tt""".stripMargin),
     ),
+
+    // ---- incremental connected components under edge inserts
+    // (Incremental.applyEdgesToComponents — the graph member of the
+    // IVM family): old co-purchase labels + a batch of new edges fold
+    // through merge pairs on the COMPONENT graph (touched-components-
+    // sized closure, never the full edge history), one relabel join.
+    // The oracle recomputes components from scratch over old ∪ new —
+    // equality IS the maintenance identity.
+    Q(
+      "q301_incremental_cc",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .filter($"l_partkey" % 7 === 0 && $"l_orderkey" % 7 === 0)
+          .select($"l_orderkey", $"l_partkey")
+        val edges = li.as("x").join(li.as("y"),
+            $"x.l_orderkey" === $"y.l_orderkey"
+              && $"x.l_partkey" < $"y.l_partkey")
+          .select($"x.l_partkey".as("src"), $"y.l_partkey".as("dst"))
+          .distinct()
+        val oldEdges = edges.filter(($"src" + $"dst") % 5 =!= 0)
+        val newEdges = edges.filter(($"src" + $"dst") % 5 === 0)
+        val oldLabels = Dedup.duplicateClustersStar(
+          oldEdges, "src", "dst")
+        Incremental.applyEdgesToComponents(
+          oldLabels, newEdges, "src", "dst")
+      },
+      Some("""WITH RECURSIVE li AS (
+             |  SELECT l_orderkey, l_partkey FROM lineitem
+             |  WHERE l_partkey % 7 = 0 AND l_orderkey % 7 = 0
+             |), p AS (
+             |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+             |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+             |    AND x.l_partkey < y.l_partkey
+             |), edges AS (
+             |  SELECT a AS src, b AS dst FROM p
+             |  UNION SELECT b, a FROM p
+             |), reach AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e
+             |    ON r.dst = e.src
+             |), comp AS (
+             |  SELECT src AS id, least(src, min(dst)) AS cluster_id
+             |  FROM reach GROUP BY src
+             |)
+             |SELECT id, cluster_id FROM comp""".stripMargin),
+    ),
   )
 }

@@ -149,6 +149,41 @@ class WavePropertySpec extends SparkSpec {
     }
   }
 
+  test("applyEdgesToComponents ≡ from-scratch CC on random graphs " +
+      "and random insert batches") {
+    val rnd = new scala.util.Random(41)
+    val allEdges = (0 until 200).map(_ =>
+      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val (newE, oldE) = allEdges.partition(_ => rnd.nextBoolean())
+    val oldLabels = Dedup.duplicateClustersStar(
+      oldE.toDF("src", "dst"), "src", "dst")
+    val maintained = Incremental.applyEdgesToComponents(
+      oldLabels, newE.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    // reference: union-find over ALL edges
+    val nodes = allEdges.flatMap(e => Seq(e._1, e._2)).distinct
+    val parent = scala.collection.mutable.Map(
+      nodes.map(n => n -> n): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    allEdges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = nodes.map(n => n ->
+      nodes.filter(o => find(o) == find(n)).min).toMap
+    assert(maintained == expected)
+  }
+
+  test("applyEdgesToComponents refuses signed (deletion-capable) input") {
+    val labels = Seq((1L, 1L)).toDF("id", "cluster_id")
+    val signed = Seq((1L, 2L, -1L)).toDF("src", "dst", "sgn")
+    intercept[IllegalArgumentException] {
+      Incremental.applyEdgesToComponents(labels, signed, "src", "dst")
+    }
+  }
+
   test("mannWhitneyUx2: U1 + U2 == 2·n1·n2 for random two-group data") {
     val vals = samples(Gen.chooseNum(-100L, 100L), 160, seed = 31L)
     val df = vals.zipWithIndex.map { case (v, i) =>
