@@ -2393,5 +2393,105 @@ object AnalyticsQueries extends QueryModule {
              |)
              |SELECT id, cluster_id FROM comp""".stripMargin),
     ),
+
+    // ---- grouped MODE with a deterministic tie-break (SQL MODE's
+    // order is engine-unspecified — both sides rank (count desc,
+    // value asc) explicitly): the most common transaction size per
+    // event type. Two hash aggregations + a per-group top-1.
+    Q(
+      "q302_grouped_mode",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select($"event_type",
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents"))
+          .groupBy($"event_type", $"cents")
+          .agg(count(lit(1)).as("n"))
+          .groupBy($"event_type")
+          .agg(min(struct((-$"n").as("__neg"), $"cents", $"n"))
+            .as("__m"))
+          .select($"event_type", $"__m.cents".as("mode_cents"),
+            $"__m.n".as("n_mode"))
+      },
+      Some("""WITH c AS (
+             |  SELECT event_type,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS cents,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2
+             |), r AS (
+             |  SELECT event_type, cents, n, row_number() OVER (
+             |    PARTITION BY event_type ORDER BY n DESC, cents ASC)
+             |      AS rk
+             |  FROM c
+             |)
+             |SELECT event_type, cents AS mode_cents, n AS n_mode
+             |FROM r WHERE rk = 1""".stripMargin),
+    ),
+
+    // ---- forecast-accuracy audit of q276's Holt smoother: per type,
+    // one-step-ahead WAPE (Σ|x−f| / Σx, integer per-mille) and bias
+    // (Σ(f−x) sign) over the same day axis — the eval loop that makes
+    // a forecasting op a measured capability rather than a shape. The
+    // oracle replays the Holt recursion AND the error fold.
+    Q(
+      "q303_forecast_error",
+      (s, d) => {
+        import s.implicits._
+        val h = SeriesStats.holtInt(
+          Tables.events(s, d)
+            .groupBy($"event_type",
+              datediff(to_date($"ts"), lit("1970-01-01")).as("day"))
+            .agg(expr("sum(CAST(CAST(value AS DECIMAL(18,2)) * 100" +
+              " AS BIGINT))").as("cents")),
+          "event_type", Seq("day"), "cents", denL = 4, denT = 8)
+        h.filter($"rn" > 1) // rn 1 has no prior state to forecast from
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(abs($"x" - $"forecast")).as("abs_err"),
+            sum($"forecast" - $"x").as("bias"),
+            sum($"x").as("actual"))
+          .withColumn("wape_pm",
+            expr("(1000 * abs_err) div actual"))
+      },
+      Some {
+        def sdiv(a: String, dd: Int): String =
+          s"(CASE WHEN ($a) >= 0 THEN ($a) // $dd" +
+            s" ELSE -((-($a)) // $dd) END)"
+        val f = "(r.level + r.trend)"
+        val lNew = s"($f + ${sdiv(s"b.x - $f", 4)})"
+        val bNew = s"(r.trend + ${sdiv(s"$lNew - r.level - r.trend", 8)})"
+        s"""WITH RECURSIVE s AS (
+           |  SELECT event_type,
+           |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+           |      AS day,
+           |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+           |      AS BIGINT)) AS BIGINT) AS x
+           |  FROM events GROUP BY 1, 2
+           |), b AS (
+           |  SELECT event_type, x,
+           |    CAST(row_number() OVER (PARTITION BY event_type
+           |      ORDER BY day) AS INTEGER) AS rn
+           |  FROM s
+           |), r AS (
+           |  SELECT event_type, rn, x, x AS level,
+           |    CAST(0 AS BIGINT) AS trend, x AS forecast
+           |  FROM b WHERE rn = 1
+           |  UNION ALL
+           |  SELECT b.event_type, b.rn, b.x, $lNew, $bNew,
+           |    (r.level + r.trend)
+           |  FROM r JOIN b ON b.event_type = r.event_type
+           |    AND b.rn = r.rn + 1
+           |)
+           |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(abs(x - forecast)) AS BIGINT) AS abs_err,
+           |  CAST(sum(forecast - x) AS BIGINT) AS bias,
+           |  CAST(sum(x) AS BIGINT) AS actual,
+           |  CAST((1000 * sum(abs(x - forecast))) // sum(x)
+           |    AS BIGINT) AS wape_pm
+           |FROM r WHERE rn > 1 GROUP BY 1""".stripMargin
+      },
+    ),
   )
 }
