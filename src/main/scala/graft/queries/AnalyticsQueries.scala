@@ -2493,5 +2493,145 @@ object AnalyticsQueries extends QueryModule {
            |FROM r WHERE rn > 1 GROUP BY 1""".stripMargin
       },
     ),
+
+    // ---- binary-segmentation changepoint (CUSUM q260's offline
+    // sibling): the single split of the daily-revenue series
+    // minimizing total within-segment SSE, found by evaluating EVERY
+    // candidate split from prefix sums over the day axis — the axis
+    // is calendar-bounded (~2.4k rows), so the prefix window is the
+    // documented model-sized exception, and each candidate's cost is
+    // a fixed IEEE formula over exact BIGINT prefix sums (identical
+    // text both engines; argmin tie-breaks on the earlier day).
+    Q(
+      "q304_binseg_changepoint",
+      (s, d) => {
+        import s.implicits._
+        val axis = Tables.lineitem(s, d)
+          .groupBy(datediff(to_date($"l_shipdate"), lit("1970-01-01"))
+            .cast("long").as("day"))
+          .agg(expr("sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))" +
+            " * 100 AS BIGINT)) div 100").as("x"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy($"day")
+          .rowsBetween(org.apache.spark.sql.expressions
+            .Window.unboundedPreceding, org.apache.spark.sql
+            .expressions.Window.currentRow)
+        val pre = axis
+          .withColumn("k", count(lit(1)).over(w))
+          .withColumn("sx", sum($"x").over(w))
+          .withColumn("sxx", sum($"x" * $"x").over(w))
+        val tot = pre.agg(max($"k").as("n"), max($"sx").as("tsx"),
+          max($"sxx").as("tsxx"))
+        val cost = pre.crossJoin(broadcast(tot))
+          .filter($"k" < $"n") // a split needs a non-empty right side
+          .withColumn("cost", expr(
+            """(CAST(sxx AS DOUBLE)
+              |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+              |    / CAST(k AS DOUBLE))
+              |+ (CAST(tsxx - sxx AS DOUBLE)
+              |  - CAST(tsx - sx AS DOUBLE) * CAST(tsx - sx AS DOUBLE)
+              |    / CAST(n - k AS DOUBLE))""".stripMargin))
+        cost.agg(min(struct($"cost", $"day", $"k",
+            ($"n" - $"k").as("k2"))).as("b"))
+          .select($"b.day".as("split_day"), $"b.k".as("n_left"),
+            $"b.k2".as("n_right"), $"b.cost".as("sse"))
+      },
+      Some("""WITH axis AS (
+             |  SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+             |      AS BIGINT) AS day,
+             |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             |      * 100 AS BIGINT)) // 100 AS BIGINT) AS x
+             |  FROM lineitem GROUP BY 1
+             |), pre AS (
+             |  SELECT day,
+             |    CAST(count(*) OVER wsum AS BIGINT) AS k,
+             |    CAST(sum(x) OVER wsum AS BIGINT) AS sx,
+             |    CAST(sum(x * x) OVER wsum AS BIGINT) AS sxx
+             |  FROM axis
+             |  WINDOW wsum AS (ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |), tot AS (
+             |  SELECT CAST(max(k) AS BIGINT) AS n,
+             |    CAST(max(sx) AS BIGINT) AS tsx,
+             |    CAST(max(sxx) AS BIGINT) AS tsxx
+             |  FROM pre
+             |), cost AS (
+             |  SELECT day, k, n - k AS k2,
+             |    (CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+             |        / CAST(k AS DOUBLE))
+             |    + (CAST(tsxx - sxx AS DOUBLE)
+             |      - CAST(tsx - sx AS DOUBLE) * CAST(tsx - sx AS DOUBLE)
+             |        / CAST(n - k AS DOUBLE)) AS cost
+             |  FROM pre, tot WHERE k < n
+             |), best AS (
+             |  SELECT day, k, k2, cost, row_number() OVER (
+             |    ORDER BY cost ASC, day ASC) AS rk
+             |  FROM cost
+             |)
+             |SELECT day AS split_day, k AS n_left, k2 AS n_right,
+             |  cost AS sse
+             |FROM best WHERE rk = 1""".stripMargin),
+    ),
+
+    // ---- degree assortativity of the co-purchase graph: Pearson r
+    // between endpoint degrees over the symmetrized edge list (Newman
+    // 2002 — do hubs buy with hubs?). Exact BIGINT sufficient sums via
+    // two hash joins of the degree table onto the edges; the one IEEE
+    // value comes from RankStats' shared rho text.
+    Q(
+      "q305_assortativity",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .filter($"l_partkey" % 7 === 0 && $"l_orderkey" % 7 === 0)
+          .select($"l_orderkey", $"l_partkey")
+        val pairs = li.as("x").join(li.as("y"),
+            $"x.l_orderkey" === $"y.l_orderkey"
+              && $"x.l_partkey" < $"y.l_partkey")
+          .select($"x.l_partkey".as("src"), $"y.l_partkey".as("dst"))
+          .distinct()
+        val sym = pairs.unionByName(
+          pairs.select($"dst".as("src"), $"src".as("dst")))
+        val deg = sym.groupBy($"src".as("node"))
+          .agg(count(lit(1)).as("deg"))
+        sym
+          .join(deg.select($"node".as("src"), $"deg".as("dx")), "src")
+          .join(deg.select($"node".as("dst"), $"deg".as("dy")), "dst")
+          .agg(count(lit(1)).as("n"), sum($"dx").as("sx"),
+            sum($"dy").as("sy"), sum($"dx" * $"dx").as("sxx"),
+            sum($"dy" * $"dy").as("syy"),
+            sum($"dx" * $"dy").as("sxy"))
+          .withColumn("r", expr(graft.ops.RankStats.rhoFormula))
+      },
+      Some(s"""WITH li AS (
+              |  SELECT l_orderkey, l_partkey FROM lineitem
+              |  WHERE l_partkey % 7 = 0 AND l_orderkey % 7 = 0
+              |), p AS (
+              |  SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+              |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+              |    AND x.l_partkey < y.l_partkey
+              |), sym AS (
+              |  SELECT src, dst FROM p
+              |  UNION ALL SELECT dst, src FROM p
+              |), deg AS (
+              |  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+              |  FROM sym GROUP BY 1
+              |), j AS (
+              |  SELECT a.deg AS dx, b.deg AS dy
+              |  FROM sym JOIN deg a ON sym.src = a.node
+              |    JOIN deg b ON sym.dst = b.node
+              |), a AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(dx) AS BIGINT) AS sx,
+              |    CAST(sum(dy) AS BIGINT) AS sy,
+              |    CAST(sum(dx * dx) AS BIGINT) AS sxx,
+              |    CAST(sum(dy * dy) AS BIGINT) AS syy,
+              |    CAST(sum(dx * dy) AS BIGINT) AS sxy
+              |  FROM j
+              |)
+              |SELECT n, sx, sy, sxx, syy, sxy,
+              |  ${graft.ops.RankStats.rhoFormula} AS r
+              |FROM a""".stripMargin),
+    ),
   )
 }
