@@ -2633,5 +2633,131 @@ object AnalyticsQueries extends QueryModule {
               |  ${graft.ops.RankStats.rhoFormula} AS r
               |FROM a""".stripMargin),
     ),
+
+    // ---- median imputation (the data-repair op every feature
+    // pipeline runs before a model that can't eat nulls): values
+    // nulled on a deterministic key pattern, refilled with the
+    // per-group EXACT median (exactQuantilesLongByGroup — one
+    // refinement loop serves all 5 groups at once), repaired sums
+    // verified. Null-handling is the point: the median sees only
+    // surviving values, the fill only the holes.
+    Q(
+      "q306_median_impute",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select($"event_id", $"event_type",
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+          .withColumn("holey",
+            when($"event_id" % 13 === 0, lit(null))
+              .otherwise($"cents"))
+        val med = SketchStats.exactQuantilesLongByGroup(
+            ev.filter($"holey".isNotNull), "event_type", "holey",
+            Seq(0.5))
+          .select($"event_type", $"value".as("med_c"))
+        ev.join(med, "event_type")
+          .withColumn("repaired", coalesce($"holey", $"med_c"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"holey".isNull.cast("long")).as("n_imputed"),
+            max($"med_c").as("med_c"),
+            sum($"repaired").as("sum_repaired"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, event_type,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS cents,
+             |    CASE WHEN event_id % 13 = 0 THEN NULL
+             |      ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100
+             |        AS BIGINT) END AS holey
+             |  FROM events
+             |), nn AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS c
+             |  FROM ev WHERE holey IS NOT NULL GROUP BY 1
+             |), srt AS (
+             |  SELECT event_type, holey, row_number() OVER (
+             |    PARTITION BY event_type ORDER BY holey) AS rn
+             |  FROM ev WHERE holey IS NOT NULL
+             |), med AS (
+             |  SELECT srt.event_type, holey AS med_c
+             |  FROM srt JOIN nn ON srt.event_type = nn.event_type
+             |  WHERE rn = CAST(ceil(0.5 * c) AS BIGINT)
+             |)
+             |SELECT ev.event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN holey IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_imputed,
+             |  CAST(max(med_c) AS BIGINT) AS med_c,
+             |  CAST(sum(coalesce(holey, med_c)) AS BIGINT)
+             |    AS sum_repaired
+             |FROM ev JOIN med ON ev.event_type = med.event_type
+             |GROUP BY 1""".stripMargin),
+    ),
+
+    // ---- Theil–Sen robust trend (median of pairwise slopes): the
+    // estimator a 30%-outlier-contaminated series can't poison, where
+    // q201's OLS follows every spike. Slopes in integer micro-units
+    // with the sign-guarded division; the median is an exact rank
+    // selection. Pair space is the thinned calendar axis squared —
+    // bounded by the calendar, not the data; full-data Theil–Sen
+    // would sample pairs (documented).
+    Q(
+      "q307_theil_sen",
+      (s, d) => {
+        import s.implicits._
+        val axis = Tables.lineitem(s, d)
+          .groupBy(datediff(to_date($"l_shipdate"), lit("1970-01-01"))
+            .cast("long").as("day"))
+          .agg(expr("sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))" +
+            " * 100 AS BIGINT)) div 100").as("y"))
+          .filter($"day" % 3 === 0)
+        // distinct lineages, not .as() aliases: a plan self-joined to
+        // itself can resolve both aliased sides to the SAME attribute
+        // (dx = day − day = 0 → the division throws)
+        val left = axis.select($"day".as("day_a"), $"y".as("y_a"))
+        val right = axis.select($"day".as("day_b"), $"y".as("y_b"))
+        val pairs = left.join(right, $"day_a" < $"day_b")
+          .select((($"y_b" - $"y_a") * 1000000L).as("dy"),
+            ($"day_b" - $"day_a").as("dx"))
+          // dx <= 0 guard is LOAD-BEARING even though the join
+          // condition excludes it: the nested-loop join's codegen
+          // evaluates this projection in doConsume BEFORE the
+          // condition drops the diagonal row (dx = 0), and ANSI
+          // division throws — the division must be total
+          .select(expr("""CASE WHEN dx <= 0 THEN CAST(0 AS BIGINT)
+            |WHEN dy >= 0 THEN dy div dx
+            |ELSE -((-dy) div dx) END""".stripMargin)
+            .as("slope_micro"))
+        val med = SketchStats.exactQuantilesLong(pairs, "slope_micro",
+          Seq(0.5))
+        pairs.agg(count(lit(1)).as("m"))
+          .crossJoin(broadcast(med.select($"value"
+            .as("slope_micro_med"))))
+      },
+      Some("""WITH axis AS (
+             |  SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+             |      AS BIGINT) AS day,
+             |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             |      * 100 AS BIGINT)) // 100 AS BIGINT) AS y
+             |  FROM lineitem GROUP BY 1
+             |), th AS (
+             |  SELECT day, y FROM axis WHERE day % 3 = 0
+             |), p AS (
+             |  SELECT CASE WHEN (b.y - a.y) >= 0
+             |      THEN ((b.y - a.y) * 1000000) // (b.day - a.day)
+             |      ELSE -((-((b.y - a.y) * 1000000))
+             |        // (b.day - a.day)) END AS slope_micro
+             |  FROM th a JOIN th b ON a.day < b.day
+             |), m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS m FROM p
+             |), srt AS (
+             |  SELECT slope_micro, row_number() OVER (
+             |    ORDER BY slope_micro) AS rn
+             |  FROM p
+             |)
+             |SELECT m.m, CAST(srt.slope_micro AS BIGINT)
+             |    AS slope_micro_med
+             |FROM srt, m WHERE rn = CAST(ceil(0.5 * m) AS BIGINT)"""
+        .stripMargin),
+    ),
   )
 }
