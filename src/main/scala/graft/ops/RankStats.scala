@@ -85,6 +85,67 @@ object RankStats {
       .withColumn("rho", expr(rhoFormula))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic, EXACT: D·n1·n2 is an
+    * integer — max over values v of |cum1(v)·n2 − cum2(v)·n1| — so no
+    * ECDF ever touches floating point and any engine replaying the
+    * definition hashes identically. (The caller compares D·n1·n2
+    * against c(α)·√(n1·n2·(n1+n2))·… scaled likewise, or divides once
+    * at the edge.)
+    *
+    * Scale shape: one hash aggregation to per-distinct-value group
+    * counts, then the [[SketchStats.weightedQuantilesLong]] prefix
+    * discipline — range partition the value axis, per-partition
+    * partial sums to the driver, partition-local running windows —
+    * and one max. Never a single-partition window.
+    *
+    * @return one row: (n1, n2, d_scaled = max|cum1·n2 − cum2·n1|) */
+  def ksTestScaled(df: DataFrame, grpCol: String,
+      valCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import graft.ops.Materialize.MaterializeOps
+    import org.apache.spark.sql.expressions.Window
+    val groups = df.select(col(grpCol).cast("string").as("__g"))
+      .distinct().orderBy(col("__g")).collect().map(_.getString(0))
+    require(groups.length == 2,
+      s"need exactly 2 groups, got ${groups.length}")
+    val (gA, gB) = (groups(0), groups(1))
+    val perValue = df.select(col(grpCol).cast("string").as("__g"),
+        col(valCol).cast("long").as("__v"))
+      .groupBy(col("__v"))
+      .agg(sum(when(col("__g") === gA, 1L).otherwise(0L)).as("__c1"),
+        sum(when(col("__g") === gB, 1L).otherwise(0L)).as("__c2"))
+    val p = spark.sessionState.conf.numShufflePartitions
+    val parted = perValue.repartitionByRange(p, col("__v").asc)
+      .sortWithinPartitions(col("__v").asc)
+      .withColumn("__pid", spark_partition_id())
+      .materialized
+    val partSums = parted.groupBy(col("__pid"))
+      .agg(sum(col("__c1")).as("__s1"), sum(col("__c2")).as("__s2"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    var acc1 = 0L; var acc2 = 0L
+    val offsets = (0 until p).map { i =>
+      val o = i -> ((acc1, acc2))
+      val (s1, s2) = partSums.getOrElse(i, (0L, 0L))
+      acc1 += s1; acc2 += s2
+      o
+    }.toMap
+    val (n1, n2) = (acc1, acc2)
+    require(n1 > 0 && n2 > 0, s"both groups need rows: n1=$n1 n2=$n2")
+    val off1 = partSums.keys.toSeq.sorted.foldLeft(lit(0L)) { (a, pid) =>
+      when(col("__pid") === pid, lit(offsets(pid)._1)).otherwise(a) }
+    val off2 = partSums.keys.toSeq.sorted.foldLeft(lit(0L)) { (a, pid) =>
+      when(col("__pid") === pid, lit(offsets(pid)._2)).otherwise(a) }
+    val win = Window.partitionBy(col("__pid")).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .withColumn("__cum1", off1 + sum(col("__c1")).over(win))
+      .withColumn("__cum2", off2 + sum(col("__c2")).over(win))
+      .agg(max(abs(col("__cum1") * n2 - col("__cum2") * n1))
+        .as("d_scaled"))
+      .select(lit(n1).as("n1"), lit(n2).as("n2"), col("d_scaled"))
+  }
+
   /** The shared rho text — identical in Spark and DuckDB (both parse
     * CAST/sqrt the same way), evaluated over the exact BIGINT sums. */
   val rhoFormula: String =

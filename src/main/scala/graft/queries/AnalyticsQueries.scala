@@ -2759,5 +2759,147 @@ object AnalyticsQueries extends QueryModule {
              |FROM srt, m WHERE rn = CAST(ceil(0.5 * m) AS BIGINT)"""
         .stripMargin),
     ),
+
+    // ---- exact two-sample Kolmogorov–Smirnov
+    // (RankStats.ksTestScaled): D·n1·n2 = max|cum1·n2 − cum2·n1| is an
+    // INTEGER, so the whole distribution comparison — q274's
+    // Mann–Whitney sees location shifts, KS sees ANY shape difference
+    // — hashes exactly; prefix counts ride the two-pass
+    // range-partitioned discipline.
+    Q(
+      "q308_ks_test",
+      (s, d) => {
+        import s.implicits._
+        RankStats.ksTestScaled(
+          Tables.customer(s, d)
+            .filter($"c_mktsegment".isin("BUILDING", "AUTOMOBILE"))
+            .select($"c_mktsegment".as("grp"),
+              expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100" +
+                " AS BIGINT)").as("bal_c")),
+          "grp", "bal_c")
+      },
+      Some("""WITH s AS (
+             |  SELECT c_mktsegment AS g,
+             |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS v
+             |  FROM customer
+             |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+             |), nn AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN g = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n1,
+             |    CAST(sum(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n2
+             |  FROM s
+             |), pv AS (
+             |  SELECT v,
+             |    sum(CASE WHEN g = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+             |      AS c1,
+             |    sum(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END) AS c2
+             |  FROM s GROUP BY 1
+             |), c AS (
+             |  SELECT sum(c1) OVER (ORDER BY v) AS cum1,
+             |    sum(c2) OVER (ORDER BY v) AS cum2
+             |  FROM pv
+             |)
+             |SELECT n1, n2,
+             |  CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT)
+             |    AS d_scaled
+             |FROM c, nn GROUP BY 1, 2""".stripMargin),
+    ),
+
+    // ---- seeded randomization (permutation-style) test on the same
+    // two segments: 100 hash-relabeled replicas in ONE scan (the q280
+    // bootstrap fan-out), each replica's |mean difference| compared to
+    // the observed via cross-multiplied integers lifted to
+    // DECIMAL(38,0) (the product crosses 2^63 at sf0.1 — HUGEINT on
+    // the DuckDB side). Random-relabel (binomial sizes), not the
+    // fixed-margin permutation — documented; sizes concentrate at
+    // n/2 and the test is a valid randomization test as-is.
+    Q(
+      "q309_permutation_test",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.customer(s, d)
+          .filter($"c_mktsegment".isin("BUILDING", "AUTOMOBILE"))
+          .select($"c_custkey",
+            expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100" +
+              " AS BIGINT)").as("cents"),
+            ($"c_mktsegment" === "AUTOMOBILE").cast("long").as("g1"))
+        val obs = base.agg(sum($"g1").as("n1"),
+          sum(when($"g1" === 1L, $"cents").otherwise(0L)).as("s1"),
+          (count(lit(1)) - sum($"g1")).as("n2"),
+          sum(when($"g1" === 0L, $"cents").otherwise(0L)).as("s2"))
+          .select($"n1", $"n2",
+            abs($"s1" * $"n2" - $"s2" * $"n1").as("t_obs"))
+        val reps = s.range(100).select(col("id").as("b"))
+        val perms = base.crossJoin(broadcast(reps))
+          .withColumn("p1", (pmod(graft.ops.Dedup.md5Hash60(
+            concat($"c_custkey".cast("string"), lit("|pm|"),
+              $"b".cast("string"))), lit(1000L)) < 500L).cast("long"))
+          .groupBy($"b")
+          .agg(sum($"p1").as("n1b"),
+            sum(when($"p1" === 1L, $"cents").otherwise(0L)).as("s1b"),
+            (count(lit(1)) - sum($"p1")).as("n2b"),
+            sum(when($"p1" === 0L, $"cents").otherwise(0L)).as("s2b"))
+          .withColumn("t_b", abs($"s1b" * $"n2b" - $"s2b" * $"n1b"))
+        perms.crossJoin(broadcast(obs))
+          .agg(count(lit(1)).as("n_reps"),
+            sum(expr("""CASE WHEN n1b = 0 OR n2b = 0 THEN 0
+              |WHEN CAST(t_b AS DECIMAL(38,0))
+              |    * CAST(n1 * n2 AS DECIMAL(38,0))
+              |  >= CAST(t_obs AS DECIMAL(38,0))
+              |    * CAST(n1b * n2b AS DECIMAL(38,0))
+              |THEN 1 ELSE 0 END""".stripMargin)).as("n_extreme"),
+            max($"t_obs").as("t_obs"), max($"n1").as("n1"),
+            max($"n2").as("n2"))
+      },
+      Some("""WITH base AS (
+             |  SELECT c_custkey,
+             |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS cents,
+             |    CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0
+             |      END AS g1
+             |  FROM customer
+             |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+             |), obs AS (
+             |  SELECT CAST(sum(g1) AS BIGINT) AS n1,
+             |    CAST(count(*) - sum(g1) AS BIGINT) AS n2,
+             |    CAST(abs(sum(CASE WHEN g1 = 1 THEN cents ELSE 0 END)
+             |        * (count(*) - sum(g1))
+             |      - sum(CASE WHEN g1 = 0 THEN cents ELSE 0 END)
+             |        * sum(g1)) AS BIGINT) AS t_obs
+             |  FROM base
+             |), r AS (
+             |  SELECT range AS b FROM range(100)
+             |), pm AS (
+             |  SELECT b,
+             |    CASE WHEN CAST('0x' || substr(md5(
+             |      CAST(c_custkey AS VARCHAR) || '|pm|'
+             |        || CAST(b AS VARCHAR)), 1, 15) AS BIGINT)
+             |      % 1000 < 500 THEN 1 ELSE 0 END AS p1,
+             |    cents
+             |  FROM base, r
+             |), agg AS (
+             |  SELECT b, CAST(sum(p1) AS BIGINT) AS n1b,
+             |    CAST(sum(CASE WHEN p1 = 1 THEN cents ELSE 0 END)
+             |      AS BIGINT) AS s1b,
+             |    CAST(count(*) - sum(p1) AS BIGINT) AS n2b,
+             |    CAST(sum(CASE WHEN p1 = 0 THEN cents ELSE 0 END)
+             |      AS BIGINT) AS s2b
+             |  FROM pm GROUP BY 1
+             |)
+             |SELECT CAST(count(*) AS BIGINT) AS n_reps,
+             |  CAST(sum(CASE WHEN n1b = 0 OR n2b = 0 THEN 0
+             |    WHEN CAST(abs(s1b * n2b - s2b * n1b) AS HUGEINT)
+             |        * CAST(n1 * n2 AS HUGEINT)
+             |      >= CAST(t_obs AS HUGEINT)
+             |        * CAST(n1b * n2b AS HUGEINT)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+             |  CAST(max(t_obs) AS BIGINT) AS t_obs,
+             |  CAST(max(n1) AS BIGINT) AS n1,
+             |  CAST(max(n2) AS BIGINT) AS n2
+             |FROM agg, obs""".stripMargin),
+    ),
   )
 }

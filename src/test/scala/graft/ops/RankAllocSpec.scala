@@ -119,6 +119,24 @@ class RankAllocSpec extends SparkSpec {
     assert(out == Map(0.25 -> 25L, 0.5 -> 50L, 0.99 -> 99L))
   }
 
+  test("ksTestScaled: hand ECDF case, identical samples give 0, " +
+      "disjoint give n1*n2") {
+    // A=[1,2,3] B=[2,3,4]: max|cum1*n2 - cum2*n1| = 3 (D = 1/3)
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 2L),
+      ("B", 3L), ("B", 4L)).toDF("g", "v")
+    val r = RankStats.ksTestScaled(df, "g", "v")
+      .as[(Long, Long, Long)].head()
+    assert(r == ((3L, 3L, 3L)))
+    val same = Seq(("A", 5L), ("B", 5L), ("A", 9L), ("B", 9L))
+      .toDF("g", "v")
+    assert(RankStats.ksTestScaled(same, "g", "v")
+      .as[(Long, Long, Long)].head()._3 == 0L)
+    val disj = Seq(("A", 1L), ("A", 2L), ("B", 10L)).toDF("g", "v")
+    // fully separated: D = 1 → scaled = n1*n2 = 2
+    assert(RankStats.ksTestScaled(disj, "g", "v")
+      .as[(Long, Long, Long)].head()._3 == 2L)
+  }
+
   test("joinSizeEstimate: sum of per-key count products, empty " +
       "intersection gives 0, hot key named") {
     val a = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")
