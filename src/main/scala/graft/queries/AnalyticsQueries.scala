@@ -2901,5 +2901,92 @@ object AnalyticsQueries extends QueryModule {
              |  CAST(max(n2) AS BIGINT) AS n2
              |FROM agg, obs""".stripMargin),
     ),
+
+    // ---- per-class precision / recall / F1 in integer per-mille —
+    // the classifier-eval derivation q296's confusion matrix feeds in
+    // practice, here over a self-contained deterministic predictor
+    // (each event predicted as its user's MODAL type, q302's argmax
+    // with the same tie-break). tp/fp/fn from two aggregations of the
+    // (actual, predicted) pairs; every ratio a positive integer
+    // division with an explicit zero-denominator guard.
+    Q(
+      "q310_precision_recall",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_id", $"event_type")
+        val mode = ev.groupBy($"user_id", $"event_type")
+          .agg(count(lit(1)).as("n"))
+          .groupBy($"user_id")
+          .agg(min(struct((-$"n").as("__neg"), $"event_type"))
+            .as("__m"))
+          .select($"user_id", $"__m.event_type".as("predicted"))
+        val pairs = ev.join(mode, "user_id")
+          .select($"event_type".as("actual"), $"predicted")
+        val byActual = pairs.groupBy($"actual".as("cls"))
+          .agg(count(lit(1)).as("n_actual"),
+            sum(($"actual" === $"predicted").cast("long")).as("tp"))
+        val byPred = pairs.groupBy($"predicted".as("cls"))
+          .agg(count(lit(1)).as("n_predicted"))
+        byActual.join(byPred, Seq("cls"), "full_outer")
+          .na.fill(0L, Seq("n_actual", "tp", "n_predicted"))
+          .withColumn("prec_pm", expr(
+            "CASE WHEN n_predicted = 0 THEN 0" +
+              " ELSE (1000 * tp) div n_predicted END"))
+          .withColumn("rec_pm", expr(
+            "CASE WHEN n_actual = 0 THEN 0" +
+              " ELSE (1000 * tp) div n_actual END"))
+          .withColumn("f1_pm", expr(
+            "CASE WHEN prec_pm + rec_pm = 0 THEN 0" +
+              " ELSE (2 * prec_pm * rec_pm) div (prec_pm + rec_pm)" +
+              " END"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type FROM events
+             |), cnt AS (
+             |  SELECT user_id, event_type,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM ev GROUP BY 1, 2
+             |), mode AS (
+             |  SELECT user_id, event_type AS predicted FROM (
+             |    SELECT user_id, event_type, row_number() OVER (
+             |      PARTITION BY user_id
+             |      ORDER BY n DESC, event_type ASC) AS rk
+             |    FROM cnt) WHERE rk = 1
+             |), pairs AS (
+             |  SELECT ev.event_type AS actual, mode.predicted
+             |  FROM ev JOIN mode ON ev.user_id = mode.user_id
+             |), ba AS (
+             |  SELECT actual AS cls, CAST(count(*) AS BIGINT)
+             |      AS n_actual,
+             |    CAST(sum(CASE WHEN actual = predicted THEN 1 ELSE 0
+             |      END) AS BIGINT) AS tp
+             |  FROM pairs GROUP BY 1
+             |), bp AS (
+             |  SELECT predicted AS cls, CAST(count(*) AS BIGINT)
+             |      AS n_predicted
+             |  FROM pairs GROUP BY 1
+             |), j AS (
+             |  SELECT coalesce(ba.cls, bp.cls) AS cls,
+             |    coalesce(n_actual, 0) AS n_actual,
+             |    coalesce(tp, 0) AS tp,
+             |    coalesce(n_predicted, 0) AS n_predicted
+             |  FROM ba FULL OUTER JOIN bp ON ba.cls = bp.cls
+             |), m AS (
+             |  SELECT cls, n_actual, tp, n_predicted,
+             |    CASE WHEN n_predicted = 0 THEN 0
+             |      ELSE (1000 * tp) // n_predicted END AS prec_pm,
+             |    CASE WHEN n_actual = 0 THEN 0
+             |      ELSE (1000 * tp) // n_actual END AS rec_pm
+             |  FROM j
+             |)
+             |SELECT cls, n_actual, tp, n_predicted,
+             |  CAST(prec_pm AS BIGINT) AS prec_pm,
+             |  CAST(rec_pm AS BIGINT) AS rec_pm,
+             |  CAST(CASE WHEN prec_pm + rec_pm = 0 THEN 0
+             |    ELSE (2 * prec_pm * rec_pm) // (prec_pm + rec_pm)
+             |    END AS BIGINT) AS f1_pm
+             |FROM m""".stripMargin),
+    ),
   )
 }
