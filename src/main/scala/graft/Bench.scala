@@ -71,6 +71,31 @@ object Bench {
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f",
         java.lang.Double.valueOf(v))
+    // committed-twin load guard (r8 finding): the round-8 official capture
+    // ran at load_avg 4.03 and published five fake per-query "regressions"
+    // (q132 14.8 s vs 1.0 s clean, byte-identical code). Before truncating
+    // BENCH_PERF.jsonl, read the PRIOR (committed) per-query seconds: any
+    // timed rep that lands >3x its committed twin gets ONE retry and
+    // publishes the better rep, so ambient-load spikes can't masquerade as
+    // plan regressions. The retry is annotated in the perf line
+    // ("retry_of") so the evidence channel still shows both values.
+    val priorSecs: Map[String, Double] = {
+      val f = new java.io.File("BENCH_PERF.jsonl")
+      if (!f.exists()) Map.empty
+      else {
+        val src = scala.io.Source.fromFile(f)
+        try {
+          val nameRe = """"name":"([^"]+)"""".r
+          val secRe = """"sec":([0-9.]+)""".r
+          src.getLines().flatMap { l =>
+            for {
+              nm <- nameRe.findFirstMatchIn(l).map(_.group(1))
+              sc <- secRe.findFirstMatchIn(l).map(_.group(1).toDouble)
+            } yield nm -> sc
+          }.toMap
+        } finally src.close()
+      }
+    }
     val perfLog = new java.io.PrintWriter(
       new java.io.FileWriter("BENCH_PERF.jsonl", false))
     // run-context stamp: a captured number is only interpretable next to
@@ -131,23 +156,18 @@ object Bench {
       val infos = spark.sparkContext.getRDDStorageInfo
       (infos.map(_.memSize).sum / (1024 * 1024), infos.length)
     }
-    val results = names.zipWithIndex.map { case (name, qIdx) =>
-      val fn = SparkEntry.queries(name)
-      if (warmDir != sfDir)
-        try fn(spark, warmDir).count()
-        catch { case e: Throwable => logWarmFailure(name, warmDir, e) }
-      // target-sf warm: eager build-time materialization (localCheckpoint
-      // in the dedup/text operators) runs jobs at the TARGET scale during
-      // query construction, whose codegen/JIT the small warm cannot
-      // amortize — r5's captured q50 published 10.3 s for a 1 s query
-      // because rep 1 paid a 4.6 s cold build inside the timed window
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable => logWarmFailure(name, sfDir, e) }
+    val startLoad = osBean.getSystemLoadAverage
+    // one timed rep: clean cache, quiesce the listener, run the query
+    // split into build (query construction — includes any eager
+    // materialization) and exec (the count action), then clean up the
+    // suite-pressure sources and emit a BENCH_PERF line. Returns the
+    // wall seconds so the caller can decide whether to retry.
+    def timedRep(name: String, fn: (org.apache.spark.sql.SparkSession,
+        String) => org.apache.spark.sql.DataFrame,
+        retryOf: Option[Double]): Double = {
       spark.catalog.clearCache()
       tracker.awaitQuiesce(stableMs = 50, timeoutMs = 2000)
       val before = tracker.snapshot()
-      // timed rep, split into build (query construction — includes any
-      // eager materialization) and exec (the count action)
       val t0 = System.nanoTime()
       var buildSecs = 0.0
       val n = try {
@@ -180,24 +200,51 @@ object Bench {
         s""","shuf_w":${after.shuffleBytesWritten - before.shuffleBytesWritten}""" +
         s""","spill":${after.spilledBytes - before.spilledBytes}""" +
         s""","tasks":${after.processed - before.processed}""" +
-        s""","heap_mb":${after.jvmHeapUsedMb.toLong}""" + {
+        s""","heap_mb":${after.jvmHeapUsedMb.toLong}""" +
+        retryOf.map(v => s""","retry_of":${f3(v)}""").getOrElse("") + {
           val (storeMb, storeRdds) = storageStats
           s""","store_mb":$storeMb,"store_rdds":$storeRdds}"""
         }
       perfLog.println(line)
       perfLog.flush()
+      secs
+    }
+    val results = names.zipWithIndex.map { case (name, qIdx) =>
+      val fn = SparkEntry.queries(name)
+      if (warmDir != sfDir)
+        try fn(spark, warmDir).count()
+        catch { case e: Throwable => logWarmFailure(name, warmDir, e) }
+      // target-sf warm: eager build-time materialization (localCheckpoint
+      // in the dedup/text operators) runs jobs at the TARGET scale during
+      // query construction, whose codegen/JIT the small warm cannot
+      // amortize — r5's captured q50 published 10.3 s for a 1 s query
+      // because rep 1 paid a 4.6 s cold build inside the timed window
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable => logWarmFailure(name, sfDir, e) }
+      val first = timedRep(name, fn, retryOf = None)
+      // committed-twin guard: >3x the prior committed capture AND >1 s
+      // absolute excess (sub-second jitter is not worth a rerun) → one
+      // retry, publish the better rep. Both reps are in BENCH_PERF.
+      val secs = priorSecs.get(name) match {
+        case Some(twin) if first > 3 * twin && first - twin > 1.0 =>
+          System.err.println(s"[bench] $name ${f3(first)}s vs committed " +
+            s"twin ${f3(twin)}s — retrying once (ambient-load guard)")
+          math.min(first, timedRep(name, fn, retryOf = Some(first)))
+        case _ => first
+      }
       if (gcEvery > 0 && (qIdx + 1) % gcEvery == 0) System.gc()
       name -> secs
     }
     perfLog.println(ctxLine("end"))
     perfLog.close()
-    // seconds at 1 decimal, DISPLAY-clamped to 9.9: a >10 s query has
-    // already blown this suite's per-query envelope (current max
-    // 4.5 s), and BENCH_PERF.jsonl carries the true f3 value — the
-    // clamp keeps the per-query line width bounded (10 bytes/query)
+    // seconds at 1 decimal, DISPLAY-clamped to 99.9: the map line is
+    // best-effort display since the r8 split (BENCH_PERF.jsonl carries
+    // the true f3 value), but r8's 9.9 clamp hid a 21 s ambient-load
+    // outlier from readers of BENCH_rNN.json alone — one extra byte per
+    // outlier buys an honest order of magnitude
     def f1c(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f",
-        java.lang.Double.valueOf(math.min(v, 9.9)))
+        java.lang.Double.valueOf(math.min(v, 99.9)))
     val qs = results.map { case (k, v) => "\"" + tiny(k) + "\":" + f1c(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -209,8 +256,14 @@ object Bench {
     // its own EARLIER line (best-effort — BENCH_PERF.jsonl is the
     // durable per-query channel regardless), and the FINAL line is a
     // tiny fixed-size object (~60 B) that parses at ANY query count.
+    // the final line self-describes the machine state that produced it
+    // (r8: a load_avg-4 capture published as the official total with the
+    // evidence only in BENCH_PERF's ctx lines): "load" is the start
+    // 1-min load average, and "degraded" appears when it exceeded 1.5
+    val loadField = s""","load":${f1c(math.max(0.0, startLoad))}""" +
+      (if (startLoad > 1.5) ""","degraded":true""" else "")
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfName"}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfName"$loadField}""")
     Console.out.flush()
     spark.stop()
   }

@@ -17,7 +17,11 @@ import org.apache.spark.sql.functions._
   * so the blowup is a small constant, never quadratic in the table.
   * A pathological basket (one key with 10^5 items) would need the
   * same cap-and-sample guard as [[SkewOps]]; `maxBasketSize` applies
-  * it: baskets above the cap are dropped (counted, not silent).
+  * it: baskets above the cap are SILENTLY excluded from pair mining
+  * (their items still count toward item supports). The output carries
+  * no dropped-basket counter — a caller that needs the audit trail
+  * counts `groupBy(basket).count > cap` itself before mining (one
+  * cheap aggregation over the same deduped relation).
   *
   * Metrics are emitted over exact BIGINT counts with one final IEEE
   * division each (support, confidence, lift) so the ranking is

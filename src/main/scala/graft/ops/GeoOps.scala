@@ -30,8 +30,17 @@ object GeoOps {
 
   /** All unordered pairs within Euclidean distance `r`.
     *
-    * @param points one row per point: (idCol, xCol, yCol) with
-    *               non-negative integer coordinates
+    * @param points one row per point: (idCol, xCol, yCol) with integer
+    *               coordinates. Non-negative coordinates give uniform
+    *               width-r cells; NEGATIVE coordinates are still
+    *               CORRECT but not uniform — Spark `div` truncates
+    *               toward zero, so the cells straddling zero widen to
+    *               2r−1. Pair enumeration survives because two points
+    *               within distance r can never land more than one
+    *               truncated cell apart on either axis (the zero cell
+    *               only absorbs its immediate neighbors), so the 3×3
+    *               offset probe still covers every qualifying pair;
+    *               the only cost is a denser zero-straddling cell.
     * @return id1 < id2, x/y of both, d2 = exact squared distance
     */
   def radiusPairs(points: DataFrame, idCol: String, xCol: String,

@@ -293,11 +293,21 @@ object GraphOps {
     * reports which one you got instead of leaving it implicit. Per
     * round: one degree aggregation + two semi-joins, lineage-cut —
     * the [[pageRankInt]] Pregel shape, O(rounds) plan depth at any
-    * graph size.
+    * graph size. EARLY EXIT: survivor sets are nested, so a round that
+    * drops zero nodes (count equality == set equality) is the fixpoint
+    * and remaining rounds are skipped — the survivor count was already
+    * paid per round, so convergence detection is free and the output
+    * (including `converged`) is unchanged by construction
+    * (round-invariance asserted in GraphOpsSpec).
     *
+    * @param roundsOut if set, receives the number of rounds actually
+    *                  executed (early exit ≤ rounds) — observability
+    *                  for tests and the SCALING.md round measurements
     * @return (node, in_core, converged) for every node of the simple
     *         graph */
-  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int,
+      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None)
+      : DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 50,
       s"rounds must be in [1, 50], got $rounds")
@@ -313,7 +323,8 @@ object GraphOps {
     var prevCount = survivors.count()
     var lastCount = prevCount
     var r = 0
-    while (r < rounds) {
+    var fixed = false
+    while (r < rounds && !fixed) {
       val deg = e.select(col("a").as("node"))
         .union(e.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("__deg"))
@@ -325,8 +336,10 @@ object GraphOps {
         .materialized
       prevCount = lastCount
       lastCount = survivors.count()
+      fixed = prevCount == lastCount
       r += 1
     }
+    roundsOut.foreach(_.set(r))
     val converged = prevCount == lastCount
     nodes.join(survivors.withColumn("__in", lit(true)),
         Seq("node"), "left")
@@ -352,10 +365,21 @@ object GraphOps {
     * assignments so the caller knows which they got. Per round: one
     * neighbor-label count aggregation + one argmax struct-max (count
     * desc, label asc — no window), lineage-cut — the Pregel shape.
+    * EARLY EXIT: the synchronous update is a deterministic function of
+    * the previous assignment, so a round that changes ZERO labels is a
+    * fixpoint and remaining rounds are skipped. The per-round change
+    * count is one equi-join + count on the two materialized node-sized
+    * label frames (it also IS the `converged` computation, hoisted into
+    * the loop — the exhausted-rounds path pays exactly what it paid
+    * before); output unchanged by construction (round-invariance
+    * asserted in GraphOpsSpec).
     *
     * @param edges (src, dst), any direction; self-loops dropped
+    * @param roundsOut if set, receives the rounds actually executed
     * @return (node, label, converged) */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None)
+      : DataFrame = {
     require(rounds >= 1 && rounds <= 50,
       s"rounds must be in [1, 50], got $rounds")
     val e = edges
@@ -367,10 +391,10 @@ object GraphOps {
       .materialized
     val nodes = und.select(col("a").as("node")).distinct().materialized
     var labels = nodes.withColumn("lab", col("node"))
-    var prev = labels
+    var changed = -1L
     var r = 0
-    while (r < rounds) {
-      prev = labels
+    while (r < rounds && changed != 0L) {
+      val prev = labels
       val counts = und
         .join(labels.select(col("node").as("b"), col("lab")), "b")
         .groupBy(col("a").as("node"), col("lab"))
@@ -381,11 +405,12 @@ object GraphOps {
           .as("__m"))
         .select(col("node"), (-col("__m.nl")).as("lab"))
         .materialized
+      changed = labels.as("x")
+        .join(prev.select(col("node"), col("lab").as("__pl")), "node")
+        .filter(col("lab") =!= col("__pl")).count()
       r += 1
     }
-    val changed = labels.as("x")
-      .join(prev.select(col("node"), col("lab").as("__pl")), "node")
-      .filter(col("lab") =!= col("__pl")).count()
+    roundsOut.foreach(_.set(r))
     labels.select(col("node"), col("lab").as("label"),
       lit(changed == 0L).as("converged"))
   }
@@ -403,9 +428,20 @@ object GraphOps {
     *
     * Exact BIGINT weights; unreachable-within-bound nodes are absent
     * (callers outer-join if they want infinities).
+    *
+    * EARLY EXIT: relaxation is monotone (dists only decrease, the node
+    * set only grows), so a round that adds no node AND improves no dist
+    * is the fixpoint — detected with one count + one filtered-join
+    * count per round against the two materialized node-sized dist
+    * frames, and remaining rounds are skipped. Output unchanged by
+    * construction (round-invariance asserted in GraphOpsSpec).
+    *
+    * @param roundsOut if set, receives the rounds actually executed
     */
   def shortestPathsBounded(edges: DataFrame, seeds: DataFrame,
-      maxHops: Int): DataFrame = {
+      maxHops: Int,
+      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None)
+      : DataFrame = {
     require(maxHops >= 0 && maxHops <= 50,
       s"maxHops must be in [0, 50], got $maxHops")
     val e = edges.select(col("src").cast("long").as("src"),
@@ -414,15 +450,24 @@ object GraphOps {
     var dist = seeds.select(col("node").cast("long").as("node"))
       .distinct()
       .withColumn("dist", lit(0L)).materialized
+    var nDist = dist.count()
     var hop = 0
-    while (hop < maxHops) {
+    var fixed = false
+    while (hop < maxHops && !fixed) {
+      val prev = dist
+      val prevN = nDist
       val relaxed = dist.join(e, dist("node") === e("src"))
         .select(e("dst").as("node"), (dist("dist") + e("w")).as("dist"))
       dist = dist.union(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .materialized
+      nDist = dist.count()
+      fixed = nDist == prevN &&
+        dist.join(prev.select(col("node"), col("dist").as("__pd")), "node")
+          .filter(col("dist") < col("__pd")).count() == 0L
       hop += 1
     }
+    roundsOut.foreach(_.set(hop))
     dist
   }
 }

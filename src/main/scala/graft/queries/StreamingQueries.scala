@@ -41,6 +41,39 @@ object StreamingQueries extends QueryModule {
   private def staged(tag: String, d: String)(write: String => Unit): String =
     graft.io.Scratch.staged(tag, d)(write)
 
+  /** Scoped shuffle/state partition count for the harness streams (r9
+    * brief item 4, generalizing q207's fix): a stateful streaming run
+    * creates one state-store partition per shuffle partition, and the
+    * count is frozen into the checkpoint at the FIRST batch — at the
+    * session default of 32, every harness tick paid 32 state-store
+    * inits + 32 tasks per stateful stage for inputs of a few thousand
+    * rows, and that setup dominated the family's build_sec. Scope it
+    * to 8 for the duration of one harness query and restore after.
+    * Results are partition-count invariant (exact aggregations /
+    * dedups / folds — the driver oracle re-checks every row), so this
+    * is pure overhead removal; a real deployment sizes the conf to its
+    * key cardinality instead. */
+  private def withHarnessPartitions[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Shared even/odd-by-event_id staging of the events table (r9 brief
+    * item 4): q222 and q245 tick the SAME parity split with different
+    * column subsets, so they share ONE staged superset and each
+    * readStream prunes to its own schema (parquet reads by name). */
+  private def eventsParitySplit(s: SparkSession, d: String): String =
+    staged("evsplit", d) { dir =>
+      val e = Tables.events(s, d)
+        .select(col("ts"), col("user_id"), col("event_id"),
+          col("event_type"), col("value"))
+      e.filter(col("event_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$dir/t0")
+      e.filter(col("event_id") % 2 === 1)
+        .coalesce(1).write.parquet(s"$dir/t1")
+    }
+
   /** q100's persisted old-corpus index, memoized per (session, sf) —
     * see the in-query note. */
   private val indexMemo = new java.util.concurrent.ConcurrentHashMap[
@@ -56,7 +89,7 @@ object StreamingQueries extends QueryModule {
     // master must equal q38's batch fold of the same rows.
     Q(
       "q41_streaming_merge",
-      (s, d) => {
+      (s, d) => withHarnessPartitions(s) {
         val src = staged("q41", d) { dir =>
           val ev = Tables.events(s, d)
             .filter(col("user_id") % 7 === 0)
@@ -156,7 +189,7 @@ object StreamingQueries extends QueryModule {
     // sink contents equal q13's batch rollup and share its oracle.
     Q(
       "q42_streaming_rollup",
-      (s, d) => {
+      (s, d) => withHarnessPartitions(s) {
         val root = scratch()
         val ev = Tables.events(s, d).select(col("ts"), col("event_type"),
           col("value"))
@@ -200,7 +233,7 @@ object StreamingQueries extends QueryModule {
     // gap) from first principles over the same events.
     Q(
       "q75_streaming_sessionize",
-      (s, d) => {
+      (s, d) => withHarnessPartitions(s) {
         val root = scratch()
         val ev = Tables.events(s, d).select(col("ts"), col("user_id"),
           col("value"))
@@ -261,7 +294,7 @@ object StreamingQueries extends QueryModule {
     // table exactly once.
     Q(
       "q53_streaming_dedup",
-      (s, d) => {
+      (s, d) => withHarnessPartitions(s) {
         val root = scratch()
         val ev = Tables.events(s, d).select(col("event_id"),
           col("user_id"), col("ts"), col("value"))
@@ -300,7 +333,7 @@ object StreamingQueries extends QueryModule {
     // along, so one oracle pins both the state machine and the timeout.
     Q(
       "q58_streaming_timeout_unpublish",
-      (s, d) => {
+      (s, d) => withHarnessPartitions(s) {
         val root = scratch()
         val quiet = 7L * 24 * 3600 * 1000
         // 1-in-37 events per 1-in-5 user: ~2 events/key, so SOME keys'
@@ -369,7 +402,7 @@ object StreamingQueries extends QueryModule {
     // oracle (an independent sorted-merge implementation).
     Q(
       "q93_streaming_asof",
-      (s, d) => {
+      (s, d) => withHarnessPartitions(s) {
         val root = scratch()
         val ev = Tables.events(s, d)
         val left = ev.filter(col("event_type") =!= "purchase")
@@ -427,7 +460,7 @@ object StreamingQueries extends QueryModule {
     // pairs, so it shares q77's brute-force DuckDB oracle verbatim.
     Q(
       "q100_streaming_cross_dedup",
-      (s, d) => {
+      (s, d) => withHarnessPartitions(s) {
         val root = scratch()
         val outDir = s"$root/out"
         val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -473,7 +506,7 @@ object StreamingQueries extends QueryModule {
     // construction with this query's seed.
     Q(
       "q163_streaming_sample",
-      (s, d) => {
+      (s, d) => withHarnessPartitions(s) {
         val root = scratch()
         val inDir = s"$root/in"
         val samplePath = s"$root/sample"
@@ -527,7 +560,7 @@ object StreamingQueries extends QueryModule {
     // convention).
     Q(
       "q177_streaming_warc",
-      (s, d) => {
+      (s, d) => withHarnessPartitions(s) {
         val fixtureDir = graft.sources.WarcFixtures.write(s, d)
         val root = scratch()
         val inDir = s"$root/in"
@@ -598,20 +631,14 @@ object StreamingQueries extends QueryModule {
     // re-emission all mismatch.
     Q(
       "q222_streaming_late_drop",
-      (s, d) => {
+      (s, d) => withHarnessPartitions(s) {
         val root = scratch()
         val inDir = s"$root/in"
         val ckpt = s"$root/ckpt"
-        val src = staged("q222", d) { dir =>
-          val e = Tables.events(s, d)
-          e.filter(col("event_id") % 2 === 0)
-            .select(col("ts"), col("event_type"), col("value"))
-            .coalesce(1).write.parquet(s"$dir/t0")
-          e.filter(col("event_id") % 2 === 1)
-            .select(col("ts"), col("event_type"), col("value"))
-            .coalesce(1).write.parquet(s"$dir/t1")
-        }
-        val schema = s.read.parquet(s"$src/t0").schema
+        val src = eventsParitySplit(s, d)
+        // subset of the shared staged superset — parquet prunes by name
+        val schema = Tables.events(s, d)
+          .select(col("ts"), col("event_type"), col("value")).schema
 
         // memory sinks refuse checkpoint recovery (run 2 must resume
         // run 1's watermark), so each run's update emissions land in
@@ -690,20 +717,16 @@ object StreamingQueries extends QueryModule {
     // restates as the bare quadratic BETWEEN.
     Q(
       "q207_streaming_interval_join",
-      (s, d) => {
+      (s, d) => withHarnessPartitions(s) {
         val root = scratch()
         // a stream-stream join runs FOUR state stores per partition
         // (two per side); at 32 shuffle partitions that is 128 store
         // loads+commits per micro-batch, and the bench measured the
         // cost as ~1.1 s/task of near-constant overhead (task time
         // barely moved when the input shrank 4×). State partitioning
-        // is fixed at the FIRST batch from this conf, so scope it
-        // down for the harness query and restore after — a real
-        // deployment sizes it to the key cardinality, not to the
-        // batch-engine default.
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        try {
+        // is fixed at the FIRST batch from this conf — the measurement
+        // that motivated withHarnessPartitions, which now scopes the
+        // whole family.
         val ev = Tables.events(s, d)
         val left = ev.filter(col("event_type") === "click")
           .select(col("event_id"), col("user_id"), col("ts"))
@@ -732,7 +755,6 @@ object StreamingQueries extends QueryModule {
           .start()
         q.awaitTermination()
         s.table(sinkTable)
-        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       },
       Some("""SELECT p.event_id, i.event_id AS purchase_id
              |FROM events p
@@ -756,11 +778,8 @@ object StreamingQueries extends QueryModule {
     // production deployment instead holds back the trailing window.
     Q(
       "q267_streaming_outer_interval",
-      (s, d) => {
+      (s, d) => withHarnessPartitions(s) {
         val root = scratch()
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        try {
           val ev = Tables.events(s, d)
           val far = lit("2100-01-01 00:00:00").cast("timestamp")
           val left = ev.filter(col("event_type") === "click")
@@ -794,7 +813,6 @@ object StreamingQueries extends QueryModule {
             .start()
           q.awaitTermination()
           s.table(sinkTable).filter(col("event_id") >= 0)
-        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       },
       Some("""SELECT c.event_id, p.event_id AS purchase_id
              |FROM events c
@@ -818,7 +836,7 @@ object StreamingQueries extends QueryModule {
     // |segments|·|event types|).
     Q(
       "q233_streaming_dim_join",
-      (s, d) => {
+      (s, d) => withHarnessPartitions(s) {
         val root = scratch()
         val inDir = s"$root/in"
         val ckpt = s"$root/ckpt"
@@ -867,19 +885,14 @@ object StreamingQueries extends QueryModule {
     // an off-by-one at the cap all mismatch.
     Q(
       "q245_streaming_quota",
-      (s, d) => {
+      (s, d) => withHarnessPartitions(s) {
         val root = scratch()
         val inDir = s"$root/in"
         val ckpt = s"$root/ckpt"
-        val src = staged("q245", d) { dir =>
-          val e = Tables.events(s, d)
-            .select(col("ts"), col("user_id"), col("event_id"))
-          e.filter(col("event_id") % 2 === 0)
-            .coalesce(1).write.parquet(s"$dir/t0")
-          e.filter(col("event_id") % 2 === 1)
-            .coalesce(1).write.parquet(s"$dir/t1")
-        }
-        val schema = s.read.parquet(s"$src/t0").schema
+        val src = eventsParitySplit(s, d)
+        // subset of the shared staged superset — parquet prunes by name
+        val schema = Tables.events(s, d)
+          .select(col("ts"), col("user_id"), col("event_id")).schema
         def tick(tickDir: String, outDir: String): Unit = {
           graft.io.Scratch.deliver(tickDir, inDir)
           val q = StreamOps

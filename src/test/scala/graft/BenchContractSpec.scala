@@ -30,12 +30,23 @@ class BenchContractSpec extends AnyFunSuite {
     // the window even alongside the epilogue. Its size must not
     // depend on the query inventory at all.
     val finalLine =
-      """{"metric":"total","value":99999.999,"unit":"sec","sf":"sf0.001"}"""
+      """{"metric":"total","value":99999.999,"unit":"sec","sf":"sf0.001"""" +
+        ""","load":99.9,"degraded":true}"""
     assert(finalLine.length < 120,
       s"final line would be ${finalLine.length} bytes — it must stay " +
         "fixed-size; never put per-query data back on it")
     assert(!finalLine.contains("queries"),
       "the final line must not carry the per-query map (r4/r7 clipping)")
+  }
+
+  test("per-query display clamp admits >10 s outliers (r8 hid a 21 s query)") {
+    // mirrors Bench.f1c: clamp must be 99.9, not 9.9 — BENCH_rNN.json
+    // alone must never understate an outlier by an order of magnitude
+    def f1c(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f",
+        java.lang.Double.valueOf(math.min(v, 99.9)))
+    assert(f1c(21.2) == "21.2")
+    assert(f1c(123.4) == "99.9")
   }
 
   test("every query has an oracle (the driver gate sees no no_oracle rows)") {

@@ -493,6 +493,45 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!out.exists(_._1 == 99L))
   }
 
+  test("hardNegativesIvf/nearestPositivesIvf: full-probe parity with the " +
+      "exact kernels, label constraint holds at reduced probe, null is loud") {
+    val rng = new scala.util.Random(13)
+    val d = (0L until 40L).map { i =>
+      (i, (i % 3).toInt, Seq.fill(6)(rng.nextDouble()))
+    }.toDF("vec_id", "label", "embedding")
+    // probing ALL cells makes the IVF form examine every candidate, so
+    // it must agree with the exact kernel BIT-FOR-BIT (same constraint,
+    // same cosine arithmetic, same tie-break)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"neighbor_id", $"cosine", $"rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    assert(
+      rows(Similarity.hardNegativesIvf(d, "vec_id", "embedding", "label",
+        3, numCentroids = 4, nProbe = 4, numBlocks = 2)) ==
+      rows(Similarity.hardNegativesKernel(d, "vec_id", "embedding",
+        "label", 3, numBlocks = 2)))
+    assert(
+      rows(Similarity.nearestPositivesIvf(d, "vec_id", "embedding", "label",
+        3, numCentroids = 4, nProbe = 4, numBlocks = 2)) ==
+      rows(Similarity.nearestPositivesKernel(d, "vec_id", "embedding",
+        "label", 3, numBlocks = 2)))
+    // reduced probe: every emitted neighbor still honors the label
+    // constraint, and every cosine is the EXACT value (the pruning is
+    // candidate-side only — scoring never approximates)
+    val lbl = (0L until 40L).map(i => i -> (i % 3).toInt).toMap
+    val reduced = Similarity.hardNegativesIvf(d, "vec_id", "embedding",
+        "label", 3, numCentroids = 4, nProbe = 2, numBlocks = 2)
+      .select($"id", $"neighbor_id").as[(Long, Long)].collect()
+    reduced.foreach { case (q, nb) => assert(lbl(q) != lbl(nb)) }
+    val e = intercept[Exception] {
+      Similarity.hardNegativesIvf(
+        Seq((1L, Some(0), Seq(1.0)), (2L, None, Seq(2.0)))
+          .toDF("vec_id", "label", "embedding"),
+        "vec_id", "embedding", "label", 1, numCentroids = 2).count()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("native cosine yields null on length mismatch, like the HOF form") {
     val d = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),
       (Seq(1.0, 0.0), Seq(1.0, 0.0))).toDF("a", "b")

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 class GraphOpsSpec extends SparkSpec {
@@ -171,6 +172,51 @@ class GraphOpsSpec extends SparkSpec {
       edges.repartition(5), seeds, iters = 2)
       .as[(Long, Long)].collect().toMap
     assert(again == out)
+  }
+
+  test("early exit: converged graphs stop paying rounds, output is " +
+      "round-count invariant for kCorePeel / labelPropagation / " +
+      "shortestPathsBounded") {
+    import java.util.concurrent.atomic.AtomicInteger
+    def rounds(f: AtomicInteger => org.apache.spark.sql.DataFrame)
+        : (Set[Row], Int) = {
+      val c = new AtomicInteger(-1)
+      (f(c).collect().toSet, c.get())
+    }
+    // triangle + pendant chain: peel depth 2 for k=2, then fixpoint
+    val peelEdges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val (core10, r10) = rounds(c =>
+      GraphOps.kCorePeel(peelEdges, k = 2, rounds = 10, Some(c)))
+    val (core3, r3) = rounds(c =>
+      GraphOps.kCorePeel(peelEdges, k = 2, rounds = 3, Some(c)))
+    assert(core10 == core3)           // round-count invariance
+    assert(r10 == r3 && r10 <= 4)     // early exit, not 10 rounds
+    assert(core10.forall(_.getBoolean(2))) // still reports converged
+    // two bridged triangles: LPA settles fast; 50 rounds must not run 50
+    val lpaEdges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    val (lab50, lr50) = rounds(c =>
+      GraphOps.labelPropagation(lpaEdges, rounds = 50, Some(c)))
+    val (lab5, lr5) = rounds(c =>
+      GraphOps.labelPropagation(lpaEdges, rounds = 5, Some(c)))
+    assert(lab50 == lab5)
+    assert(lr50 == lr5 && lr50 < 50)
+    // path graph: distances stabilize after 3 hops; 50 must early-exit
+    val spEdges = Seq((1L, 2L, 5L), (2L, 3L, 5L), (3L, 4L, 5L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val (d50, s50) = rounds(c =>
+      GraphOps.shortestPathsBounded(spEdges, seeds, maxHops = 50, Some(c)))
+    val (d4, s4) = rounds(c =>
+      GraphOps.shortestPathsBounded(spEdges, seeds, maxHops = 4, Some(c)))
+    assert(d50 == d4)
+    assert(s50 == s4 && s50 <= 4)
+    // under-bounded runs are NOT early-exited into wrong answers: 2 hops
+    // must still miss node 4
+    val d2 = GraphOps.shortestPathsBounded(spEdges, seeds, maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(!d2.contains(4L) && d2(3L) == 10L)
   }
 
   test("triangleCounts: a square (4-cycle) has none; a hub star has " +

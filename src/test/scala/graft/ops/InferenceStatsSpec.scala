@@ -132,6 +132,30 @@ class InferenceStatsSpec extends SparkSpec {
     assert(out(4L) == ((60L, 0L, true, false))) // reset to 0 via min
   }
 
+  test("cusumIntScan: bit-exact parity with cusumInt — hand case, " +
+      "randomized series, and many-partition scans") {
+    // the hand-verified cusumInt case
+    val s = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 30L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getBoolean(5))).toSet
+    assert(
+      rows(SeriesStats.cusumIntScan(s.toDF("t", "x"), "t", "x", 20, 2)) ==
+      rows(SeriesStats.cusumInt(s.toDF("t", "x"), "t", "x", 20, 2)))
+    // randomized longer series, forced through MANY range partitions so
+    // the cross-partition (offset, extremum) fold is actually exercised
+    val rng = new scala.util.Random(42)
+    val long = (1L to 500L).map(t => (t, rng.nextInt(1000).toLong))
+    for ((kd, hd) <- Seq((20, 2), (3, 5), (1, 1))) {
+      val exact = rows(SeriesStats.cusumInt(
+        long.toDF("t", "x"), "t", "x", kd, hd))
+      assert(rows(SeriesStats.cusumIntScan(
+        long.toDF("t", "x"), "t", "x", kd, hd, numPartitions = 13)) == exact)
+      assert(rows(SeriesStats.cusumIntScan(
+        long.toDF("t", "x"), "t", "x", kd, hd, numPartitions = 1)) == exact)
+    }
+  }
+
   test("ewmaInt: seeded first value, sign-guarded truncating division") {
     val rows = Seq(("u", 1L, 16L), ("u", 2L, 0L), ("u", 3L, 100L),
       ("v", 1L, 16L), ("v", 2L, 1L))
