@@ -60,6 +60,39 @@ object RankStats {
       (col("r_x2") - col("n") * (col("n") + lit(1L))).as("u_x2"))
   }
 
+  /** Exact ROC-AUC via the Mann–Whitney identity (Hanley & McNeil
+    * 1982): AUC = U⁺/(n⁺·n⁻), where U⁺ comes from the positives'
+    * tie-averaged rank sum — ties get 1/2 credit, the standard exact
+    * treatment (equivalent to trapezoidal integration over the tied
+    * ROC segment). All rank arithmetic rides the doubled-rank BIGINT
+    * discipline above: u_x2 = Σ 2·avgrank(pos) − n⁺(n⁺+1) is exact,
+    * and AUC is ONE final division u_x2 / (2·n⁺·n⁻) — bit-identical
+    * in any engine that replays the rank definition.
+    *
+    * Scale shape: inherits [[avgRankX2]]'s two-pass ranked scan (never
+    * a single-partition window) + one aggregation — the exact-AUC plan
+    * you want when the score table is 100 TB and sampling would bias
+    * the tail.
+    *
+    * @param labelCol 0/1 (castable); both classes must be present
+    * @return one row: n_pos, n_neg, u_x2, auc */
+  def rocAucExact(df: DataFrame, labelCol: String, scoreCol: String,
+      uidCol: String): DataFrame = {
+    val ranked = avgRankX2(
+      df.select(col(labelCol).cast("long").as("__y"),
+        col(scoreCol).cast("long").as("__score"), col(uidCol)),
+      "__score", uidCol, "__rx2")
+    ranked.agg(
+        sum(col("__y")).as("n_pos"),
+        sum(lit(1L) - col("__y")).as("n_neg"),
+        sum(when(col("__y") === 1L, col("__rx2"))).as("r_x2_pos"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("r_x2_pos") - col("n_pos") * (col("n_pos") + lit(1L)))
+          .as("u_x2"))
+      .withColumn("auc", expr(
+        "CAST(u_x2 AS DOUBLE) / (2.0 * n_pos * n_neg)"))
+  }
+
   /** Spearman rank correlation over (xCol, yCol): both variables'
     * doubled average ranks, exact BIGINT sufficient sums, and rho as
     * the Pearson formula over the rank sums — every operand cast to

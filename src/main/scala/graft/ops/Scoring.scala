@@ -1140,6 +1140,54 @@ object Scoring {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** CALIBRATION RELIABILITY BINS + Brier decomposition inputs — the
+    * model-eval companion to q310's precision/recall: does a predicted
+    * probability MEAN what it says? (Murphy 1973's reliability diagram;
+    * Guo et al. 2017's ECE popularized the binned form for neural
+    * classifiers.) Scores arrive as INTEGER MICROS in [0, 1e6] (the
+    * house fixed-point discipline — the caller converts once, exactly),
+    * labels as 0/1.
+    *
+    * Per equal-width bin (floor(score·bins/1e6), top edge clamped into
+    * the last bin): n, Σ score_micro, n_pos — all exact BIGINT — plus
+    * `ece_gap_num` = |Σ score_micro − n_pos·1e6| (the bin's
+    * |mean-pred − frac-pos|·n·1e6, kept as one exact integer so
+    * ECE = Σ gaps / (N·1e6) is a single final division) and
+    * `brier_num` = Σ (score_micro − label·1e6)² (Brier score =
+    * brier_num / (N·1e12)). The derived doubles (mean_pred, frac_pos)
+    * are one division each over the exact sums.
+    *
+    * Scale shape: ONE hash aggregation by bin id — map-side
+    * combinable, bins-sized output. Overflow: brier_num adds ≤ 1e12
+    * per row — exact in BIGINT to ~9.2M rows PER BIN; past that lift
+    * to DECIMAL(38,0) (the [[SeriesStats.welchTTest]] convention).
+    *
+    * @return one row per non-empty bin: bin, n, sum_score_micro,
+    *         n_pos, mean_pred, frac_pos, ece_gap_num, brier_num */
+  def calibrationBins(df: DataFrame, scoreMicroCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    val s = col(scoreMicroCol).cast("long")
+    val y = col(labelCol).cast("long")
+    df.select(
+        least(expr(s"(CAST($scoreMicroCol AS BIGINT) * $bins)" +
+          " div 1000000"), lit(bins - 1L)).as("bin"),
+        s.as("__s"), y.as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__s")).as("sum_score_micro"),
+        sum(col("__y")).as("n_pos"),
+        sum((col("__s") - col("__y") * lit(1000000L))
+          * (col("__s") - col("__y") * lit(1000000L))).as("brier_num"))
+      .withColumn("mean_pred",
+        expr("CAST(sum_score_micro AS DOUBLE) / n / 1000000.0"))
+      .withColumn("frac_pos", expr("CAST(n_pos AS DOUBLE) / n"))
+      .withColumn("ece_gap_num",
+        abs(col("sum_score_micro") - col("n_pos") * lit(1000000L)))
+      .select("bin", "n", "sum_score_micro", "n_pos", "mean_pred",
+        "frac_pos", "ece_gap_num", "brier_num")
+  }
+
   /** The \s+ token split every text op here shares. */
   private def split_part_tokens(c: org.apache.spark.sql.Column) =
     split(trim(c), "\\s+")

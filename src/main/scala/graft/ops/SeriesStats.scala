@@ -73,6 +73,64 @@ object SeriesStats {
       .drop("s_a", "q_a", "s_b", "q_b", "se2")
   }
 
+  /** One-way ANOVA F — the k-group generalization of [[welchTTest]]'s
+    * two-group comparison (equal-variance pooled form; Fisher 1925):
+    * does ANY group mean differ? The screening test a pipeline runs
+    * across k sources/segments before pairwise follow-ups.
+    *
+    * Scale shape: one hash aggregation to per-group exact sufficient
+    * sums (n_i, Σx, Σx² in BIGINT cents — map-side combinable), plus
+    * one global Σx² row. The between-group term Σ s_i²/n_i needs a
+    * Σ over GROUPS of per-group IEEE divisions — order-dependent in
+    * doubles — so it folds over the SORTED group axis via one
+    * `aggregate()` HOF (the [[cusumInt]] bounded-axis convention: the
+    * group axis is small even when the fact table is 100 TB), in
+    * ascending group-key order that the DuckDB oracle replays with a
+    * recursive CTE. Every double is derived from exact BIGINT sums at
+    * a pinned point, so F is bit-identical across engines.
+    *
+    * Overflow: q accumulates x² like [[welchTTest]] — same
+    * n · max(|cents|)² < 2⁶³ bound, same DECIMAL(38,0) escape hatch.
+    *
+    * @param groupCol BIGINT-castable group key (its sort order is part
+    *                 of the cross-engine contract)
+    * @return one row: k, n, ss_between, ss_within (value units²),
+    *         df1 = k−1, df2 = n−k, f_stat */
+  def oneWayAnovaF(df: DataFrame, groupCol: String,
+      centsCol: String): DataFrame = {
+    val g = df.select(col(groupCol).cast("long").as("g"),
+        col(centsCol).cast("long").as("x"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_i"), sum(col("x")).as("s_i"),
+        sum(col("x") * col("x")).as("q_i"))
+    g.agg(sort_array(collect_list(struct(col("g"), col("n_i"),
+        col("s_i"), col("q_i")))).as("gs"))
+      .select(
+        size(col("gs")).cast("long").as("k"),
+        expr("aggregate(gs, CAST(0 AS BIGINT), (a, e) -> a + e.n_i)")
+          .as("n"),
+        expr("aggregate(gs, CAST(0 AS BIGINT), (a, e) -> a + e.s_i)")
+          .as("s"),
+        expr("aggregate(gs, CAST(0 AS BIGINT), (a, e) -> a + e.q_i)")
+          .as("q"),
+        // Σ s_i²/n_i folded in ascending group order (exact-rational
+        // inputs, pinned double op order)
+        expr("""aggregate(gs, CAST(0 AS DOUBLE), (a, e) ->
+               |  a + CAST(e.s_i AS DOUBLE) * CAST(e.s_i AS DOUBLE)
+               |        / e.n_i)""".stripMargin).as("a_term"))
+      .filter(col("k") >= 2 && col("n") > col("k"))
+      // cents² → value units²: /100² exactly once per SS term
+      .withColumn("ss_between", expr(
+        "(a_term - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / 10000.0"))
+      .withColumn("ss_within",
+        expr("(CAST(q AS DOUBLE) - a_term) / 10000.0"))
+      .withColumn("df1", col("k") - lit(1L))
+      .withColumn("df2", col("n") - col("k"))
+      .withColumn("f_stat",
+        expr("(ss_between / df1) / (ss_within / df2)"))
+      .select("k", "n", "ss_between", "ss_within", "df1", "df2", "f_stat")
+  }
+
   /** mean in value units from a cents sum: shared Spark/DuckDB text. */
   def MeanSql(s: String, n: String): String =
     s"CAST($s AS DOUBLE) / ($n * 100.0)"

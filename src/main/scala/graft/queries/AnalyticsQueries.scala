@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.functions.JaroWinkler
 import graft.model.Tables
-import graft.ops.{Association, Dedup, GeoOps, GraphOps, Incremental, RankStats, Sampling, SeriesStats, SketchStats, Skyline, Survival, TemporalJoins}
+import graft.ops.{Association, Dedup, GeoOps, GraphOps, Incremental, RankStats, Sampling, Scoring, SeriesStats, SketchStats, Skyline, Survival, TemporalJoins}
 
 /** Round-8 analytics wave: association rules, survival analysis,
   * inference statistics, spatial self-join, sliding distinct counts.
@@ -2987,6 +2987,139 @@ object AnalyticsQueries extends QueryModule {
              |    ELSE (2 * prec_pm * rec_pm) // (prec_pm + rec_pm)
              |    END AS BIGINT) AS f1_pm
              |FROM m""".stripMargin),
+    ),
+
+    // ---- one-way ANOVA F across lineitem line numbers
+    // (ops/SeriesStats.oneWayAnovaF): exact per-group BIGINT
+    // sufficient sums; the between-group Σ s_i²/n_i folds over the
+    // sorted group axis in a pinned order that DuckDB replays with a
+    // recursive CTE (the q260 convention), so F is bit-identical.
+    // Quantity cents keep Σx² far inside BIGINT (50·100 cents max).
+    Q(
+      "q312_anova_f",
+      (s, d) => SeriesStats.oneWayAnovaF(
+        Tables.lineitem(s, d)
+          .select(col("l_linenumber").as("grp"),
+            expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100" +
+              " AS BIGINT)").as("cents")),
+        "grp", "cents"),
+      Some("""WITH g AS (
+             |  SELECT CAST(l_linenumber AS BIGINT) AS g,
+             |    CAST(count(*) AS BIGINT) AS n_i,
+             |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+             |      AS BIGINT)) AS BIGINT) AS s_i,
+             |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+             |        AS BIGINT)
+             |      * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+             |        AS BIGINT)) AS BIGINT) AS q_i
+             |  FROM lineitem GROUP BY 1
+             |), ord AS (
+             |  SELECT *, CAST(row_number() OVER (ORDER BY g) AS BIGINT)
+             |    AS rn
+             |  FROM g
+             |), fold AS (
+             |  WITH RECURSIVE f(rn, a) AS (
+             |    SELECT CAST(0 AS BIGINT), CAST(0 AS DOUBLE)
+             |    UNION ALL
+             |    SELECT o.rn,
+             |      f.a + CAST(o.s_i AS DOUBLE) * CAST(o.s_i AS DOUBLE)
+             |        / o.n_i
+             |    FROM f JOIN ord o ON o.rn = f.rn + 1
+             |  ) SELECT a FROM f ORDER BY rn DESC LIMIT 1
+             |), tot AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS k,
+             |    CAST(sum(n_i) AS BIGINT) AS n,
+             |    CAST(sum(s_i) AS BIGINT) AS s,
+             |    CAST(sum(q_i) AS BIGINT) AS q
+             |  FROM g
+             |)
+             |SELECT k, n,
+             |  (a - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / 10000.0
+             |    AS ss_between,
+             |  (CAST(q AS DOUBLE) - a) / 10000.0 AS ss_within,
+             |  k - 1 AS df1, n - k AS df2,
+             |  (((a - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+             |      / 10000.0) / (k - 1))
+             |    / (((CAST(q AS DOUBLE) - a) / 10000.0) / (n - k))
+             |    AS f_stat
+             |FROM tot, fold
+             |WHERE k >= 2 AND n > k""".stripMargin),
+    ),
+
+    // ---- exact ROC-AUC via the Mann–Whitney identity
+    // (ops/RankStats.rocAucExact): tie-averaged doubled ranks keep
+    // U⁺ exact BIGINT; AUC is one final division. The score is a
+    // deterministic value-derived integer (no model needed to pin the
+    // rank arithmetic); label = purchase events. The oracle restates
+    // 2·avgrank as 2·rank() + count(*) OVER (PARTITION BY score) − 1.
+    Q(
+      "q313_roc_auc",
+      (s, d) => RankStats.rocAucExact(
+        Tables.events(s, d).select(
+          (col("event_type") === "purchase").cast("long").as("y"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " % 1000000").as("score"),
+          col("event_id")),
+        "y", "score", "event_id"),
+      Some("""WITH s AS (
+             |  SELECT event_id,
+             |    CAST(event_type = 'purchase' AS BIGINT) AS y,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      % 1000000 AS sc
+             |  FROM events
+             |), r AS (
+             |  SELECT y, 2 * rank() OVER (ORDER BY sc)
+             |    + count(*) OVER (PARTITION BY sc) - 1 AS rx2
+             |  FROM s
+             |), agg AS (
+             |  SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+             |    CAST(sum(1 - y) AS BIGINT) AS n_neg,
+             |    CAST(sum(CASE WHEN y = 1 THEN rx2 END) AS BIGINT)
+             |      AS r_x2_pos
+             |  FROM r
+             |)
+             |SELECT n_pos, n_neg,
+             |  r_x2_pos - n_pos * (n_pos + 1) AS u_x2,
+             |  CAST(r_x2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+             |    / (2.0 * n_pos * n_neg) AS auc
+             |FROM agg""".stripMargin),
+    ),
+
+    // ---- calibration reliability bins + Brier/ECE numerators
+    // (ops/Scoring.calibrationBins): per-decile exact BIGINT sums over
+    // a fixed-point score in [0, 1e6); every derived double is one
+    // division over exact sums. A binning off-by-one (top edge), a
+    // float mean, or a dropped empty-bin row all mismatch.
+    Q(
+      "q314_calibration_bins",
+      (s, d) => Scoring.calibrationBins(
+        Tables.events(s, d).select(
+          expr("((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " * 7919 % 1000000) + 1000000) % 1000000").as("score_micro"),
+          (col("event_type") === "purchase").cast("long").as("y")),
+        "score_micro", "y", bins = 10),
+      Some("""WITH s AS (
+             |  SELECT ((CAST(CAST(value AS DECIMAL(18,2)) * 100
+             |        AS BIGINT) * 7919 % 1000000) + 1000000) % 1000000
+             |      AS sc,
+             |    CAST(event_type = 'purchase' AS BIGINT) AS y
+             |  FROM events
+             |), b AS (
+             |  SELECT least((sc * 10) // 1000000, 9) AS bin, sc, y
+             |  FROM s
+             |)
+             |SELECT CAST(bin AS BIGINT) AS bin,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(sc) AS BIGINT) AS sum_score_micro,
+             |  CAST(sum(y) AS BIGINT) AS n_pos,
+             |  CAST(sum(sc) AS DOUBLE) / count(*) / 1000000.0
+             |    AS mean_pred,
+             |  CAST(sum(y) AS DOUBLE) / count(*) AS frac_pos,
+             |  CAST(abs(sum(sc) - sum(y) * 1000000) AS BIGINT)
+             |    AS ece_gap_num,
+             |  CAST(sum((sc - y * 1000000) * (sc - y * 1000000))
+             |    AS BIGINT) AS brier_num
+             |FROM b GROUP BY 1""".stripMargin),
     ),
   )
 }

@@ -156,6 +156,61 @@ class InferenceStatsSpec extends SparkSpec {
     }
   }
 
+  test("oneWayAnovaF: hand-computed three-group F, sorted-group fold") {
+    // cents: g1 = [100, 200], g2 = [300, 300], g3 = [500, 700]
+    // A = 300²/2 + 600²/2 + 1200²/2 = 945000; S = 2100, Q = 970000
+    // SSB = (945000 − 735000)/1e4 = 21.0; SSW = 25000/1e4 = 2.5
+    val d = Seq((1L, 100L), (1L, 200L), (2L, 300L), (2L, 300L),
+      (3L, 500L), (3L, 700L)).toDF("g", "cents")
+    val r = SeriesStats.oneWayAnovaF(d, "g", "cents").collect().head
+    assert(r.getAs[Long]("k") == 3L && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Double]("ss_between") == 21.0)
+    assert(r.getAs[Double]("ss_within") == 2.5)
+    assert(r.getAs[Long]("df1") == 2L && r.getAs[Long]("df2") == 3L)
+    assert(r.getAs[Double]("f_stat") == (21.0 / 2) / (2.5 / 3))
+    // fewer than 2 groups → empty, not a wrong row
+    assert(SeriesStats.oneWayAnovaF(
+      Seq((1L, 100L), (1L, 200L)).toDF("g", "cents"),
+      "g", "cents").count() == 0L)
+  }
+
+  test("rocAucExact: perfect separation, all-ties, and tie-averaged mix") {
+    def auc(rows: Seq[(Long, Long, Long)]): (Long, Long, Long, Double) = {
+      val r = RankStats.rocAucExact(
+        rows.toDF("y", "score", "uid"), "y", "score", "uid")
+        .collect().head
+      (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+        r.getAs[Long]("u_x2"), r.getAs[Double]("auc"))
+    }
+    // positives strictly above negatives → AUC 1
+    assert(auc(Seq((1L, 3L, 1L), (1L, 4L, 2L), (0L, 1L, 3L),
+      (0L, 2L, 4L))) == ((2L, 2L, 8L, 1.0)))
+    // one tied score everywhere → AUC 0.5 (the half-credit convention)
+    assert(auc(Seq((1L, 2L, 1L), (0L, 2L, 2L)))._4 == 0.5)
+    // mixed with a tie pair: pos = [1, 3], neg = [2, 2] → U⁺ = 2
+    assert(auc(Seq((1L, 1L, 1L), (1L, 3L, 2L), (0L, 2L, 3L),
+      (0L, 2L, 4L))) == ((2L, 2L, 4L, 0.5)))
+  }
+
+  test("calibrationBins: decile assignment, top-edge clamp, exact " +
+      "ECE/Brier numerators") {
+    val d = Seq((50000L, 0L), (999999L, 1L), (1000000L, 1L))
+      .toDF("score_micro", "y")
+    val out = graft.ops.Scoring.calibrationBins(d, "score_micro", "y")
+      .collect().map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(out.keySet == Set(0L, 9L))
+    val b0 = out(0L)
+    assert(b0.getAs[Long]("n") == 1L && b0.getAs[Long]("n_pos") == 0L)
+    assert(b0.getAs[Long]("ece_gap_num") == 50000L)
+    assert(b0.getAs[Long]("brier_num") == 50000L * 50000L)
+    val b9 = out(9L) // 1e6 clamps into the last bin, not an 11th
+    assert(b9.getAs[Long]("n") == 2L && b9.getAs[Long]("n_pos") == 2L)
+    assert(b9.getAs[Long]("ece_gap_num") == 1L)
+    assert(b9.getAs[Long]("brier_num") == 1L)
+    assert(b9.getAs[Double]("mean_pred") == 1999999.0 / 2 / 1000000.0)
+    assert(b9.getAs[Double]("frac_pos") == 1.0)
+  }
+
   test("ewmaInt: seeded first value, sign-guarded truncating division") {
     val rows = Seq(("u", 1L, 16L), ("u", 2L, 0L), ("u", 3L, 100L),
       ("v", 1L, 16L), ("v", 2L, 1L))
