@@ -21,6 +21,7 @@ object SparkEntry {
     PipelineQueries,
     StreamingQueries,
     AnalyticsQueries,
+    RetrievalQueries,
   )
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank fusion and diversified selection — the two standard post-
+  * retrieval list operations next to the MRR/NDCG eval in
+  * [[Scoring.retrievalMetrics]]:
+  *
+  *  - RRF combines rankings from heterogeneous retrievers (BM25 +
+  *    embedding + freshness…) without score calibration — only ranks
+  *    matter, which is why it wins in practice over weighted-score
+  *    mixing across incomparable scales (Cormack, Clarke & Büttcher
+  *    2009, "Reciprocal Rank Fusion outperforms Condorcet and
+  *    individual rank learning methods", SIGIR).
+  *  - MMR re-orders a relevance shortlist to penalize redundancy —
+  *    the de-duplicating selection step before showing k results or
+  *    packing k passages into a RAG context (Carbonell & Goldstein
+  *    1998, "The use of MMR, diversity-based reranking", SIGIR).
+  *
+  * Both stay in the house integer-exact discipline: RRF's reciprocal
+  * is the INTEGER division 1e9 div (k + rank) (identical in any
+  * engine — no float reciprocal at all), and MMR's greedy objective
+  * is a pure BIGINT expression over integer relevance/similarity, so
+  * every selection and tie-break is replayable bit-for-bit.
+  */
+object Fusion {
+
+  /** Reciprocal-rank fusion over one or more runs' rankings.
+    *
+    * Scale shape: one hash aggregation on (query, doc) — map-side
+    * combinable — then a per-query rank window; per-query candidate
+    * volume is bounded by runs × per-run depth (the caller's run
+    * construction truncates each run, so the window partition is
+    * shortlist-sized at any corpus size).
+    *
+    * @param runs one row per (query, doc, rank) per run; rank is the
+    *             run's own 1-based position
+    * @param k    the RRF smoothing constant (60 in the paper — small k
+    *             overweights top ranks)
+    * @return (query, doc, n_runs, rrf_ppb, fused_rank): rrf_ppb =
+    *         Σ_runs 1e9 div (k + rank) — exact BIGINT; fused rank
+    *         breaks score ties by doc ascending */
+  def rrfFuse(runs: DataFrame, queryCol: String, docCol: String,
+      rankCol: String, k: Int = 60): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    val fused = runs
+      .select(col(queryCol).as("query"), // any key type — kept verbatim
+        col(docCol).cast("long").as("doc"),
+        col(rankCol).cast("long").as("__r"))
+      .groupBy(col("query"), col("doc"))
+      .agg(count(lit(1)).as("n_runs"),
+        sum(expr(s"1000000000 div ($k + __r)")).as("rrf_ppb"))
+    val w = Window.partitionBy(col("query"))
+      .orderBy(col("rrf_ppb").desc, col("doc").asc)
+    fused.withColumn("fused_rank", row_number().over(w).cast("int"))
+  }
+
+  /** Maximal-marginal-relevance greedy selection of `k` items per
+    * query from an integer-scored shortlist:
+    *
+    *   next = argmax over remaining d of
+    *     λpm · rel(d) − (1000 − λpm) · max_{s ∈ selected} sim(d, s)
+    *
+    * (first pick has no sim term; ties break to the smaller doc id —
+    * every quantity BIGINT, so the selection sequence is deterministic
+    * and any engine replaying the definition agrees).
+    *
+    * Scale shape: candidates and their pairwise sims group per query
+    * into ONE task over in-memory arrays (the IVF member-pack
+    * convention) — per-query state is shortlist-bounded (the caller's
+    * top-N construction, typically ≤ a few hundred: N² sims ≈ 10⁴
+    * longs), queries fan out across the cluster, and the greedy k·N
+    * scan is arithmetic on longs. Never corpus-sized: MMR is defined
+    * on a shortlist; diversifying a full corpus is the clustering
+    * problem, not this operator.
+    *
+    * @param cands (qid, doc, rel_micro) — docs unique per qid
+    * @param sims  (qid, doc_a, doc_b, sim_micro) — symmetric pairs in
+    *              either order; ABSENT pairs count as sim 0
+    * @param lambdaPermille λ in integer per-mille (700 = 0.7)
+    * @return (qid, doc, mmr_rank 1..k, obj) with obj the exact
+    *         selection-time objective (per-mille · micro units) */
+  def mmrSelect(cands: DataFrame, sims: DataFrame, k: Int,
+      lambdaPermille: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambdaPermille >= 0 && lambdaPermille <= 1000,
+      s"lambdaPermille must be in [0, 1000], got $lambdaPermille")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val c = cands
+      .select(col("qid").cast("long"), col("doc").cast("long"),
+        col("rel_micro").cast("long"))
+      .groupBy(col("qid"))
+      .agg(sort_array(collect_list(struct(col("doc").as("_1"),
+        col("rel_micro").as("_2")))).as("cs"))
+    val sp = sims
+      .select(col("qid").cast("long"), col("doc_a").cast("long"),
+        col("doc_b").cast("long"), col("sim_micro").cast("long"))
+      .groupBy(col("qid"))
+      .agg(collect_list(struct(col("doc_a").as("_1"),
+        col("doc_b").as("_2"), col("sim_micro").as("_3"))).as("ss"))
+    val lam = lambdaPermille.toLong
+    c.join(sp, Seq("qid"), "left")
+      .as[(Long, Seq[(Long, Long)], Option[Seq[(Long, Long, Long)]])]
+      .flatMap { case (qid, cs, ssOpt) =>
+        val sim = scala.collection.mutable.HashMap
+          .empty[(Long, Long), Long]
+        ssOpt.getOrElse(Nil).foreach { case (a, b, s) =>
+          sim((math.min(a, b), math.max(a, b))) = s
+        }
+        def simOf(a: Long, b: Long): Long =
+          sim.getOrElse((math.min(a, b), math.max(a, b)), 0L)
+        val rel = cs.toMap
+        val remaining =
+          scala.collection.mutable.LinkedHashSet(cs.map(_._1): _*)
+        var selected = List.empty[Long]
+        (1 to math.min(k, cs.size)).iterator.map { rank =>
+          val (obj, doc) = remaining.iterator.map { d =>
+            val maxSim =
+              if (selected.isEmpty) 0L
+              else selected.iterator.map(simOf(d, _)).max
+            (lam * rel(d) - (1000L - lam) * maxSim, d)
+          }.maxBy { case (o, d) => (o, -d) } // obj desc, doc asc
+          remaining -= doc
+          selected ::= doc
+          (qid, doc, rank, obj)
+        }.toList
+      }
+      .toDF("qid", "doc", "mmr_rank", "obj")
+  }
+}

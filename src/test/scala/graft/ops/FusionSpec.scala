@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class FusionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rrfFuse: exact integer reciprocals, multi-run sum, tie to " +
+      "smaller doc") {
+    // query 1: doc 10 is rank 1 in BOTH runs; doc 20 rank 2 in run A
+    // only; docs 30/40 tie on identical single-run rank 3
+    val runs = Seq(
+      (1L, 10L, 1L), (1L, 10L, 1L), (1L, 20L, 2L),
+      (1L, 30L, 3L), (1L, 40L, 3L),
+    ).toDF("q", "doc", "rank")
+    val out = Fusion.rrfFuse(runs, "q", "doc", "rank").collect()
+      .map(r => r.getAs[Long]("doc") ->
+        ((r.getAs[Long]("n_runs"), r.getAs[Long]("rrf_ppb"),
+          r.getAs[Int]("fused_rank")))).toMap
+    assert(out(10L) == ((2L, 2L * (1000000000L / 61L), 1)))
+    assert(out(20L) == ((1L, 1000000000L / 62L, 2)))
+    // equal scores: doc ascending decides
+    assert(out(30L)._3 == 3 && out(40L)._3 == 4)
+    assert(out(30L)._2 == out(40L)._2)
+  }
+
+  test("mmrSelect: redundancy penalized, absent sims are 0, ties to " +
+      "smaller doc, short groups emit < k") {
+    // a most relevant; b near-duplicate of a; c less relevant but
+    // novel → greedy picks a, then c (b's sim penalty buries it)
+    val cands = Seq((1L, 1L, 100L), (1L, 2L, 90L), (1L, 3L, 80L),
+      (2L, 7L, 50L)).toDF("qid", "doc", "rel_micro")
+    val sims = Seq((1L, 1L, 2L, 1000000L), (1L, 2L, 3L, 0L))
+      .toDF("qid", "doc_a", "doc_b", "sim_micro") // (1,3) pair absent → 0
+    val out = Fusion.mmrSelect(cands, sims, k = 3, lambdaPermille = 700)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("mmr_rank")) ->
+        ((r.getAs[Long]("doc"), r.getAs[Long]("obj")))).toMap
+    assert(out((1L, 1)) == ((1L, 700L * 100L)))
+    assert(out((1L, 2)) == ((3L, 700L * 80L))) // sim(3,1) absent → 0
+    assert(out((1L, 3)) == ((2L, 700L * 90L - 300L * 1000000L)))
+    // singleton group: one row, not k
+    assert(out((2L, 1)) == ((7L, 700L * 50L)))
+    assert(!out.contains((2L, 2)))
+    // exact objective tie → smaller doc first
+    val tied = Fusion.mmrSelect(
+      Seq((1L, 5L, 10L), (1L, 4L, 10L)).toDF("qid", "doc", "rel_micro"),
+      Seq.empty[(Long, Long, Long, Long)]
+        .toDF("qid", "doc_a", "doc_b", "sim_micro"),
+      k = 2, lambdaPermille = 700).collect()
+      .map(r => r.getAs[Int]("mmr_rank") -> r.getAs[Long]("doc")).toMap
+    assert(tied(1) == 4L && tied(2) == 5L)
+  }
+}
