@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.functions.JaroWinkler
 import graft.model.Tables
-import graft.ops.{Association, Dedup, GeoOps, GraphOps, Incremental, RankStats, Sampling, Scoring, SeriesStats, SketchStats, Skyline, Survival, TemporalJoins}
+import graft.ops.{Association, Behavior, Dedup, GeoOps, GraphOps, Incremental, RankStats, Sampling, Scoring, SeriesStats, SketchStats, Skyline, Survival, TemporalJoins}
 
 /** Round-8 analytics wave: association rules, survival analysis,
   * inference statistics, spatial self-join, sliding distinct counts.
@@ -3120,6 +3120,93 @@ object AnalyticsQueries extends QueryModule {
              |  CAST(sum((sc - y * 1000000) * (sc - y * 1000000))
              |    AS BIGINT) AS brier_num
              |FROM b GROUP BY 1""".stripMargin),
+    ),
+
+    // ---- strict ordered funnel signup → click → purchase
+    // (ops/Behavior.funnelSteps): step i counts only when its earliest
+    // occurrence is STRICTLY after step i−1's reach time — per-user
+    // one sorted aggregate() fold (the ewmaInt per-key shape). The
+    // oracle restates the chain as min-ts CTEs with the same strict
+    // inequality; an out-of-order credit, a non-strict boundary, or a
+    // per-mille rounding drift all mismatch.
+    Q(
+      "q317_funnel_steps",
+      (s, d) => Behavior.funnelSteps(Tables.events(s, d),
+        "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase")),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |    CAST(floor(epoch(ts) * 1000000) AS BIGINT) AS t
+             |  FROM events
+             |  WHERE event_type IN ('signup', 'click', 'purchase')
+             |), t1 AS (
+             |  SELECT user_id, min(t) AS r1 FROM e
+             |  WHERE event_type = 'signup' GROUP BY 1
+             |), t2 AS (
+             |  SELECT e.user_id, min(e.t) AS r2
+             |  FROM e JOIN t1 USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.t > t1.r1 GROUP BY 1
+             |), t3 AS (
+             |  SELECT e.user_id, min(e.t) AS r3
+             |  FROM e JOIN t2 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.t > t2.r2
+             |  GROUP BY 1
+             |), n AS (
+             |  SELECT (SELECT count(*) FROM t1) AS n1,
+             |    (SELECT count(*) FROM t2) AS n2,
+             |    (SELECT count(*) FROM t3) AS n3
+             |)
+             |SELECT 1 AS step_idx, 'signup' AS step,
+             |  CAST(n1 AS BIGINT) AS n_reached,
+             |  CAST(1000 AS BIGINT) AS conv_from_prev_pm,
+             |  CAST(CASE WHEN n1 = 0 THEN 0 ELSE 1000 END AS BIGINT)
+             |    AS conv_from_first_pm
+             |FROM n
+             |UNION ALL
+             |SELECT 2, 'click', CAST(n2 AS BIGINT),
+             |  CAST(CASE WHEN n1 = 0 THEN 0
+             |    ELSE (1000 * n2) // n1 END AS BIGINT),
+             |  CAST(CASE WHEN n1 = 0 THEN 0
+             |    ELSE (1000 * n2) // n1 END AS BIGINT)
+             |FROM n
+             |UNION ALL
+             |SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+             |  CAST(CASE WHEN n2 = 0 THEN 0
+             |    ELSE (1000 * n3) // n2 END AS BIGINT),
+             |  CAST(CASE WHEN n1 = 0 THEN 0
+             |    ELSE (1000 * n3) // n1 END AS BIGINT)
+             |FROM n""".stripMargin),
+    ),
+
+    // ---- weekly cohort retention matrix (ops/Behavior.cohortRetention):
+    // cohort = first-activity epoch-week, one distinct + two hash
+    // aggregations, all-BIGINT matrix with per-mille retention. The
+    // floor-then-cast epoch arithmetic is pinned on both engines
+    // (Spark's double→long cast truncates, DuckDB's rounds).
+    Q(
+      "q318_cohort_retention",
+      (s, d) => Behavior.cohortRetention(Tables.events(s, d),
+        "user_id", "ts", periodDays = 7),
+      Some("""WITH a AS (
+             |  SELECT DISTINCT user_id,
+             |    CAST(floor(epoch(ts) / 86400) AS BIGINT) // 7 AS p
+             |  FROM events
+             |), f AS (
+             |  SELECT user_id, min(p) AS c FROM a GROUP BY 1
+             |), m AS (
+             |  SELECT f.c AS cohort_period, a.p - f.c AS period_offset,
+             |    CAST(count(*) AS BIGINT) AS n_active
+             |  FROM a JOIN f USING (user_id) GROUP BY 1, 2
+             |), sz AS (
+             |  SELECT c AS cohort_period,
+             |    CAST(count(*) AS BIGINT) AS cohort_size
+             |  FROM f GROUP BY 1
+             |)
+             |SELECT m.cohort_period, m.period_offset, m.n_active,
+             |  sz.cohort_size,
+             |  CAST((1000 * m.n_active) // sz.cohort_size AS BIGINT)
+             |    AS retention_pm
+             |FROM m JOIN sz USING (cohort_period)""".stripMargin),
     ),
   )
 }

@@ -48,14 +48,17 @@ object StreamingQueries extends QueryModule {
     * session default of 32, every harness tick paid 32 state-store
     * inits + 32 tasks per stateful stage for inputs of a few thousand
     * rows, and that setup dominated the family's build_sec. Scope it
-    * to 8 for the duration of one harness query and restore after.
-    * Results are partition-count invariant (exact aggregations /
-    * dedups / folds — the driver oracle re-checks every row), so this
-    * is pure overhead removal; a real deployment sizes the conf to its
-    * key cardinality instead. */
+    * to 4 for the duration of one harness query and restore after
+    * (measured at sf0.1: the 13-query stateful family summed 22.3 s at
+    * 8 partitions, 19.2 s at 4 — the per-store near-constant overhead
+    * q207 first measured keeps paying down; 4 still exercises real
+    * multi-partition state). Results are partition-count invariant
+    * (exact aggregations / dedups / folds — the driver oracle
+    * re-checks every row), so this is pure overhead removal; a real
+    * deployment sizes the conf to its key cardinality instead. */
   private def withHarnessPartitions[T](s: SparkSession)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
