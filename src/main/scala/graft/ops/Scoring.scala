@@ -1140,6 +1140,70 @@ object Scoring {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** TOKEN-DISTRIBUTION JENSEN–SHANNON DIVERGENCE between two corpus
+    * slices — the drift detector for text (is this crawl snapshot /
+    * source mix distributed like the last one?), complementing
+    * [[histogramDrift]]'s per-bucket TV gaps with the single
+    * information-theoretic number (Lin 1991). JSD = ½Σpₓln(pₓ/mₓ) +
+    * ½Σqₓln(qₓ/mₓ), m = (p+q)/2 — symmetric, bounded by ln 2, zero
+    * iff identical.
+    *
+    * Exactness discipline (the q289 entropy-gate convention): each
+    * token's log ratio has the EXACT integer argument
+    * 2·aₓ·B / (aₓ·B + bₓ·A) (one BIGINT ratio → one double division →
+    * one ln), floored to integer micro-nats; the per-token terms then
+    * weight by the exact counts and SUM as BIGINTs — order-free, so
+    * the total is bit-identical at any parallelism and restatable by
+    * any engine sharing the per-term formula. Zero-count cells
+    * contribute exactly 0 (their weight is the count itself).
+    *
+    * Scale shape: two token-count hash aggregations + one full-outer
+    * join on token + one sum — no windows, no collects; vocabulary-
+    * sized intermediates.
+    *
+    * Overflow: |term_micro| ≤ 693147 (ln 2), so Σ a·term needs
+    * A · 693147 < 2⁶³ — exact to ~1.3e13 total tokens per side; lift
+    * to DECIMAL(38,0) past that (the welchTTest convention).
+    *
+    * @return one row: n_tok_a, n_tok_b, vocab, sum_a_term (Σ aₓ·tₐ),
+    *         sum_b_term (Σ bₓ·t_b) — exact BIGINT micro-nat·count —
+    *         and jsd_micro = sum_a/(2A) + sum_b/(2B) as the one final
+    *         double formula */
+  def tokenJsdMicro(a: DataFrame, b: DataFrame,
+      textCol: String): DataFrame = {
+    def counts(df: DataFrame, n: String): DataFrame = df
+      .select(explode(split_part_tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as(n))
+    val ca = counts(a, "n_a")
+    val cb = counts(b, "n_b")
+    val joined = ca.join(cb, Seq("tok"), "full_outer")
+      .select(col("tok"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val tot = joined.agg(sum(col("n_a")).as("ta"),
+      sum(col("n_b")).as("tb"), count(lit(1)).as("vocab"))
+    joined.crossJoin(broadcast(tot))
+      // term_a = floor(1e6·ln(2·a·B/(a·B + b·A))) for a > 0, else 0 —
+      // formula text shared verbatim with the DuckDB oracle
+      .select(col("ta"), col("tb"), col("vocab"),
+        expr("""CASE WHEN n_a = 0 THEN CAST(0 AS BIGINT)
+               |  ELSE n_a * CAST(floor(1000000 * ln(
+               |    CAST(2 * n_a * tb AS DOUBLE)
+               |      / (n_a * tb + n_b * ta))) AS BIGINT)
+               |END""".stripMargin).as("__wa"),
+        expr("""CASE WHEN n_b = 0 THEN CAST(0 AS BIGINT)
+               |  ELSE n_b * CAST(floor(1000000 * ln(
+               |    CAST(2 * n_b * ta AS DOUBLE)
+               |      / (n_a * tb + n_b * ta))) AS BIGINT)
+               |END""".stripMargin).as("__wb"))
+      .groupBy(col("ta").as("n_tok_a"), col("tb").as("n_tok_b"),
+        col("vocab"))
+      .agg(sum(col("__wa")).as("sum_a_term"),
+        sum(col("__wb")).as("sum_b_term"))
+      .withColumn("jsd_micro", expr(
+        "CAST(sum_a_term AS DOUBLE) / (2 * n_tok_a)" +
+          " + CAST(sum_b_term AS DOUBLE) / (2 * n_tok_b)"))
+  }
+
   /** CALIBRATION RELIABILITY BINS + Brier decomposition inputs — the
     * model-eval companion to q310's precision/recall: does a predicted
     * probability MEAN what it says? (Murphy 1973's reliability diagram;

@@ -131,6 +131,77 @@ object SeriesStats {
       .select("k", "n", "ss_between", "ss_within", "df1", "df2", "f_stat")
   }
 
+  /** The four SPRT integer constants in MICRO-NATS (floor(1e6·ln ·)):
+    * per-success / per-failure log-likelihood-ratio increments and the
+    * Wald decision bounds ln((1−β)/α), ln(β/(1−α)). Computed with
+    * StrictMath.log — fdlibm-specified, bit-identical on every JVM —
+    * so an oracle can embed the SAME integers as literals and a unit
+    * test can pin them (q319 does both). */
+  def sprtConstants(p0Pm: Int, p1Pm: Int, alphaPm: Int,
+      betaPm: Int): (Long, Long, Long, Long) = {
+    require(p0Pm > 0 && p0Pm < 1000 && p1Pm > 0 && p1Pm < 1000
+      && p0Pm != p1Pm, s"need distinct p0/p1 in (0,1000) pm")
+    require(alphaPm > 0 && alphaPm < 1000 && betaPm > 0 && betaPm < 1000,
+      "alpha/beta must be in (0,1000) pm")
+    def mn(x: Double): Long = math.floor(1e6 * StrictMath.log(x)).toLong
+    val ls = mn(p1Pm.toDouble / p0Pm)
+    val lf = mn((1000.0 - p1Pm) / (1000.0 - p0Pm))
+    val upper = mn((1000.0 - betaPm) / alphaPm)
+    val lower = mn(betaPm.toDouble / (1000.0 - alphaPm))
+    (ls, lf, upper, lower)
+  }
+
+  /** Wald's SEQUENTIAL PROBABILITY RATIO TEST over a Bernoulli stream
+    * aggregated to a time axis (Wald 1945) — the always-valid
+    * sequential A/B decision: stop as soon as the cumulative
+    * log-likelihood ratio leaves (ln(β/(1−α)), ln((1−β)/α)), instead
+    * of fixing n in advance. Everything integer: per-step increments
+    * and bounds are the [[sprtConstants]] micro-nat floors, the
+    * cumulative walk is a BIGINT prefix sum, so every crossing (and
+    * THE decision step) is bit-identical in any engine.
+    *
+    * Scale shape: one hash aggregation of (t, n, n_succ) — the 100-TB
+    * work — then a cumulative window over the BOUNDED time axis (the
+    * q260 day-axis convention; the axis is small even when the event
+    * table is not). For an unbounded axis the prefix sum distributes
+    * with the [[cusumIntScan]] two-pass shape; crossing detection is a
+    * filter either way.
+    *
+    * @param successCol boolean-ish: the Bernoulli outcome
+    * @return per t: n_trials, n_success, llr_cum_micro,
+    *         crossed ('h1'|'h0'|null — where the walk sits that step),
+    *         is_decision (true on the FIRST crossing step only) */
+  def sprtBernoulli(events: DataFrame, tCol: String, successCol: String,
+      p0Pm: Int, p1Pm: Int, alphaPm: Int = 50,
+      betaPm: Int = 50): DataFrame = {
+    val (ls, lf, upper, lower) =
+      sprtConstants(p0Pm, p1Pm, alphaPm, betaPm)
+    val spark = events.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(col(tCol).cast("long").as("t"),
+        col(successCol).cast("boolean").cast("long").as("__s"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_trials"), sum(col("__s")).as("n_success"))
+    // bounded-axis cumulative window (single partition over the time
+    // axis only — the q260 convention, never over raw events)
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walked = daily.withColumn("llr_cum_micro",
+        sum(col("n_success") * lit(ls)
+          + (col("n_trials") - col("n_success")) * lit(lf)).over(w))
+      .withColumn("crossed",
+        when(col("llr_cum_micro") >= upper, "h1")
+          .when(col("llr_cum_micro") <= lower, "h0"))
+    val firstCross = walked.filter(col("crossed").isNotNull)
+      .agg(min(col("t")).as("__dt"))
+    walked.crossJoin(broadcast(firstCross))
+      .withColumn("is_decision",
+        col("__dt").isNotNull && col("t") === col("__dt"))
+      .select("t", "n_trials", "n_success", "llr_cum_micro", "crossed",
+        "is_decision")
+  }
+
   /** mean in value units from a cents sum: shared Spark/DuckDB text. */
   def MeanSql(s: String, n: String): String =
     s"CAST($s AS DOUBLE) / ($n * 100.0)"

@@ -3208,5 +3208,49 @@ object AnalyticsQueries extends QueryModule {
              |    AS retention_pm
              |FROM m JOIN sz USING (cohort_period)""".stripMargin),
     ),
+
+    // ---- Wald SPRT over the daily purchase-rate stream
+    // (ops/SeriesStats.sprtBernoulli): H0 p=0.2 vs H1 p=0.3,
+    // α = β = 0.05. Increments and Wald bounds are micro-nat FLOORS
+    // from StrictMath.log (fdlibm — bit-identical on every JVM), so
+    // the oracle embeds the same four integers as literals (405465,
+    // −133532, +2944438, −2944439 — pinned against sprtConstants in
+    // InferenceStatsSpec) and the BIGINT walk, every crossing, and the
+    // first-decision day restate exactly.
+    Q(
+      "q319_sprt",
+      (s, d) => SeriesStats.sprtBernoulli(
+        Tables.events(s, d)
+          .select(datediff(to_date(col("ts")), lit("1970-01-01"))
+            .as("day"), (col("event_type") === "purchase").as("succ")),
+        "day", "succ", p0Pm = 200, p1Pm = 300),
+      Some("""WITH e AS (
+             |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+             |      AS BIGINT) AS t,
+             |    CAST(event_type = 'purchase' AS BIGINT) AS s
+             |  FROM events
+             |), dd AS (
+             |  SELECT t, CAST(count(*) AS BIGINT) AS n_trials,
+             |    CAST(sum(s) AS BIGINT) AS n_success
+             |  FROM e GROUP BY 1
+             |), wlk AS (
+             |  SELECT t, n_trials, n_success,
+             |    CAST(sum(n_success * 405465
+             |        + (n_trials - n_success) * -133532)
+             |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS llr_cum_micro
+             |  FROM dd
+             |), c AS (
+             |  SELECT *, CASE WHEN llr_cum_micro >= 2944438 THEN 'h1'
+             |    WHEN llr_cum_micro <= -2944439 THEN 'h0'
+             |    END AS crossed
+             |  FROM wlk
+             |), f AS (
+             |  SELECT min(t) AS dt FROM c WHERE crossed IS NOT NULL
+             |)
+             |SELECT t, n_trials, n_success, llr_cum_micro, crossed,
+             |  (dt IS NOT NULL AND t = dt) AS is_decision
+             |FROM c, f""".stripMargin),
+    ),
   )
 }

@@ -7415,6 +7415,66 @@ object CorpusQueries extends QueryModule {
       },
       Some("SELECT 'ivf16_probe10' AS method, true AS meets_floor"),
     ),
+
+    // ---- token-distribution Jensen–Shannon drift between two corpus
+    // slices (ops/Scoring.tokenJsdMicro): per-token micro-nat floors
+    // over EXACT integer ratio arguments, count-weighted BIGINT sums,
+    // one final double division — the q289 entropy-gate convention, so
+    // both engines restate the total bit-for-bit. Slices = even/odd
+    // doc_ids (near-identical distributions → small JSD; a real
+    // snapshot shift shows up as a jump).
+    Q(
+      "q320_token_jsd",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          col("text"))
+        Scoring.tokenJsdMicro(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "text")
+      },
+      Some("""WITH ta AS (
+             |  SELECT unnest(string_split(trim(text), ' ')) AS tok
+             |  FROM documents WHERE doc_id % 2 = 0
+             |), tb AS (
+             |  SELECT unnest(string_split(trim(text), ' ')) AS tok
+             |  FROM documents WHERE doc_id % 2 = 1
+             |), ca AS (
+             |  SELECT tok, CAST(count(*) AS BIGINT) AS n_a
+             |  FROM ta GROUP BY 1
+             |), cb AS (
+             |  SELECT tok, CAST(count(*) AS BIGINT) AS n_b
+             |  FROM tb GROUP BY 1
+             |), j AS (
+             |  SELECT coalesce(ca.tok, cb.tok) AS tok,
+             |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+             |  FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok
+             |), tot AS (
+             |  SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+             |    CAST(sum(n_b) AS BIGINT) AS tb,
+             |    CAST(count(*) AS BIGINT) AS vocab
+             |  FROM j
+             |), terms AS (
+             |  SELECT
+             |    CASE WHEN n_a = 0 THEN CAST(0 AS BIGINT)
+             |      ELSE n_a * CAST(floor(1000000 * ln(
+             |        CAST(2 * n_a * tb AS DOUBLE)
+             |          / (n_a * tb + n_b * ta))) AS BIGINT)
+             |    END AS wa,
+             |    CASE WHEN n_b = 0 THEN CAST(0 AS BIGINT)
+             |      ELSE n_b * CAST(floor(1000000 * ln(
+             |        CAST(2 * n_b * ta AS DOUBLE)
+             |          / (n_a * tb + n_b * ta))) AS BIGINT)
+             |    END AS wb,
+             |    ta, tb, vocab
+             |  FROM j, tot
+             |)
+             |SELECT ta AS n_tok_a, tb AS n_tok_b, vocab,
+             |  CAST(sum(wa) AS BIGINT) AS sum_a_term,
+             |  CAST(sum(wb) AS BIGINT) AS sum_b_term,
+             |  CAST(sum(wa) AS DOUBLE) / (2 * ta)
+             |    + CAST(sum(wb) AS DOUBLE) / (2 * tb) AS jsd_micro
+             |FROM terms GROUP BY 1, 2, 3""".stripMargin),
+    ),
   )
 
   /** Shared DuckDB replay of the quantized k-means run (q113/q159):

@@ -211,6 +211,32 @@ class InferenceStatsSpec extends SparkSpec {
     assert(b9.getAs[Double]("frac_pos") == 1.0)
   }
 
+  test("sprtBernoulli: pinned micro-nat constants, exact walk, first " +
+      "crossing flagged once") {
+    // the q319 oracle embeds these literals — they must never drift
+    assert(SeriesStats.sprtConstants(200, 300, 50, 50) ==
+      ((405465L, -133532L, 2944438L, -2944439L)))
+    // 8 successes on day 1 (llr 8·405465 = 3243720 ≥ 2944438 → h1,
+    // decision), day 2 keeps walking but is NOT a decision step
+    val ev = Seq.fill(8)((1L, true)) ++ Seq((2L, false), (2L, true))
+    val out = SeriesStats.sprtBernoulli(ev.toDF("day", "succ"),
+        "day", "succ", p0Pm = 200, p1Pm = 300).collect()
+      .map(r => r.getAs[Long]("t") ->
+        ((r.getAs[Long]("llr_cum_micro"), r.getAs[String]("crossed"),
+          r.getAs[Boolean]("is_decision")))).toMap
+    assert(out(1L) == ((8L * 405465L, "h1", true)))
+    assert(out(2L) == ((8L * 405465L + 405465L - 133532L, "h1", false)))
+    // all-failure stream walks down to h0
+    val lo = SeriesStats.sprtBernoulli(
+      (1L to 30L).map(d => (d, false)).toDF("day", "succ"),
+      "day", "succ", p0Pm = 200, p1Pm = 300).collect()
+      .filter(_.getAs[Boolean]("is_decision"))
+    assert(lo.length == 1 && lo.head.getAs[String]("crossed") == "h0")
+    // 23 failure days: 23·(−133532) = −3071236 ≤ −2944439; day 22 is
+    // −2937704, still inside → decision exactly on day 23
+    assert(lo.head.getAs[Long]("t") == 23L)
+  }
+
   test("ewmaInt: seeded first value, sign-guarded truncating division") {
     val rows = Seq(("u", 1L, 16L), ("u", 2L, 0L), ("u", 3L, 100L),
       ("v", 1L, 16L), ("v", 2L, 1L))
