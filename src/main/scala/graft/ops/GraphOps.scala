@@ -470,4 +470,60 @@ object GraphOps {
     roundsOut.foreach(_.set(hop))
     dist
   }
+
+  /** WEISFEILER–LEHMAN label refinement (Weisfeiler & Lehman 1968; the
+    * 1-WL color refinement behind WL graph kernels, Shervashidze et
+    * al. 2011) — per-node STRUCTURAL signatures: two nodes share a
+    * round-R label iff their radius-R neighborhood trees are
+    * indistinguishable to 1-WL. The structural-dedup primitive for
+    * graph-shaped records (parse trees, site link graphs, schema
+    * graphs): duplicate STRUCTURE groups by label even when ids
+    * differ, and a whole graph's signature is the sorted multiset of
+    * its node labels.
+    *
+    * Determinism across engines: label_0 = degree as a decimal string;
+    * each round re-labels as md5(own || '|' || neighbors' labels
+    * sorted and comma-joined) — md5 hex and binary string sort are
+    * identical in any engine (the q163 seeded-hash convention), so a
+    * DuckDB oracle restates every round verbatim.
+    *
+    * Scale shape: per round ONE adjacency join + one sorted-collect
+    * aggregation keyed by node (per-node state is its neighbor-label
+    * list — degree-bounded, the same bound the degree computation
+    * already carries; a pathological hub degrades to one wide row,
+    * not a shuffle explosion), lineage-cut — the Pregel shape,
+    * O(rounds) plan depth.
+    *
+    * @param edges (src, dst) any direction; self-loops dropped
+    * @param rounds refinement depth R (small — 1-WL stabilizes within
+    *               diameter+1 rounds; 2-3 suffices for dedup)
+    * @return (node, wl_label) — md5 hex (degree string at rounds = 0)
+    */
+  def wlLabels(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0 && rounds <= 8,
+      s"rounds must be in [0, 8], got $rounds")
+    val e = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .materialized
+    var labels = und.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).cast("string").as("lab")).materialized
+    var r = 0
+    while (r < rounds) {
+      labels = und
+        .join(labels.select(col("node").as("b"), col("lab")), "b")
+        .groupBy(col("a").as("node"))
+        .agg(concat_ws(",", sort_array(collect_list(col("lab"))))
+          .as("__nbrs"))
+        .join(labels, "node")
+        .select(col("node"),
+          md5(concat(col("lab"), lit("|"), col("__nbrs"))).as("lab"))
+        .materialized
+      r += 1
+    }
+    labels.select(col("node"), col("lab").as("wl_label"))
+  }
 }

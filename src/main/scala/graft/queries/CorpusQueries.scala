@@ -7416,6 +7416,73 @@ object CorpusQueries extends QueryModule {
       Some("SELECT 'ivf16_probe10' AS method, true AS meets_floor"),
     ),
 
+    // ---- Weisfeiler–Lehman structural labels over the q134 link
+    // graph (GraphOps.wlLabels): two refinement rounds of
+    // md5(own || '|' || sorted neighbor labels) from degree seeds —
+    // the structural-dedup signature (nodes share a label iff their
+    // radius-2 neighborhood trees agree under 1-WL). md5 hex and
+    // binary string sort are engine-identical, so the oracle restates
+    // both rounds verbatim; a sort-order or seed drift flips every
+    // hash.
+    Q(
+      "q321_wl_labels",
+      (s, d) => {
+        val dir = graft.sources.HtmlFixtures.write(s, d)
+        val pages = s.read.format("graft-html").load(dir)
+          .select(regexp_extract(col("name"), "doc_(\\d+)\\.html", 1)
+            .cast("long").as("doc_id"), col("html"))
+        val edges = GraphOps.extractLinkEdges(pages, "doc_id", "html")
+        GraphOps.wlLabels(edges, rounds = 2)
+          .select(col("node").as("doc_id"), col("wl_label"))
+      },
+      Some("""WITH f AS (
+             |  SELECT CAST(regexp_extract(file, 'doc_(\d+)\.html', 1)
+             |    AS BIGINT) AS doc_id
+             |  FROM glob('/root/repo/target/html_fixtures/sf0.01/*.html')
+             |), pos AS (
+             |  SELECT doc_id,
+             |    CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+             |      AS j,
+             |    CAST(count(*) OVER () AS BIGINT) AS n
+             |  FROM f
+             |), e0 AS (
+             |  SELECT a.doc_id AS src, b.doc_id AS dst
+             |  FROM pos a JOIN pos b ON b.j = (a.j + 1) % a.n
+             |  UNION ALL
+             |  SELECT a.doc_id, b.doc_id
+             |  FROM pos a JOIN pos b ON b.j = (2 * a.j + 1) % a.n
+             |  UNION ALL
+             |  SELECT a.doc_id, b.doc_id
+             |  FROM pos a JOIN pos b ON b.j = (7 * a.j + 3) % a.n
+             |), es AS MATERIALIZED (
+             |  SELECT DISTINCT least(src, dst) AS a,
+             |    greatest(src, dst) AS b
+             |  FROM e0 WHERE src <> dst
+             |), und AS MATERIALIZED (
+             |  SELECT a, b FROM es UNION ALL SELECT b, a FROM es
+             |), l0 AS MATERIALIZED (
+             |  SELECT a AS node, CAST(count(*) AS VARCHAR) AS lab
+             |  FROM und GROUP BY 1
+             |), l1 AS MATERIALIZED (
+             |  SELECT u.a AS node,
+             |    md5(o.lab || '|'
+             |      || string_agg(l.lab, ',' ORDER BY l.lab)) AS lab
+             |  FROM und u
+             |  JOIN l0 l ON l.node = u.b
+             |  JOIN l0 o ON o.node = u.a
+             |  GROUP BY u.a, o.lab
+             |), l2 AS (
+             |  SELECT u.a AS node,
+             |    md5(o.lab || '|'
+             |      || string_agg(l.lab, ',' ORDER BY l.lab)) AS lab
+             |  FROM und u
+             |  JOIN l1 l ON l.node = u.b
+             |  JOIN l1 o ON o.node = u.a
+             |  GROUP BY u.a, o.lab
+             |)
+             |SELECT node AS doc_id, lab AS wl_label FROM l2""".stripMargin),
+    ),
+
     // ---- token-distribution Jensen–Shannon drift between two corpus
     // slices (ops/Scoring.tokenJsdMicro): per-token micro-nat floors
     // over EXACT integer ratio arguments, count-weighted BIGINT sums,

@@ -219,6 +219,32 @@ class GraphOpsSpec extends SparkSpec {
     assert(!d2.contains(4L) && d2(3L) == 10L)
   }
 
+  test("wlLabels: symmetry classes on a path, id-invariant isomorphic " +
+      "multisets, star center distinct, and the classic 1-WL blind spot") {
+    def labels(es: Seq[(Long, Long)], r: Int): Map[Long, String] =
+      GraphOps.wlLabels(es.toDF("src", "dst"), r)
+        .as[(Long, String)].collect().toMap
+    // P4: ends {1,4} one class, middles {2,3} another, after any rounds
+    val p4 = labels(Seq((1L, 2L), (2L, 3L), (3L, 4L)), 2)
+    assert(p4(1L) == p4(4L) && p4(2L) == p4(3L) && p4(1L) != p4(2L))
+    // isomorphic triangles with disjoint id spaces → identical labels
+    val t1 = labels(Seq((1L, 2L), (2L, 3L), (3L, 1L)), 2)
+    val t2 = labels(Seq((10L, 20L), (20L, 30L), (30L, 10L)), 2)
+    assert(t1.values.toSeq.sorted == t2.values.toSeq.sorted)
+    // star: center separates from leaves at round 1 already
+    val s4 = labels(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)), 1)
+    assert(s4(1L) == s4(4L) && s4(0L) != s4(1L))
+    // the classic blind spot: C6 and two C3s are both 2-regular and
+    // 1-WL gives EVERY node the same label in both — documented limit,
+    // not a bug (distinguishing them needs k-WL or cycle counts, which
+    // triangleCounts provides)
+    val c6 = labels(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 1L)), 3)
+    val cc3 = labels(Seq((11L, 12L), (12L, 13L), (13L, 11L),
+      (21L, 22L), (22L, 23L), (23L, 21L)), 3)
+    assert((c6.values.toSet ++ cc3.values.toSet).size == 1)
+  }
+
   test("triangleCounts: a square (4-cycle) has none; a hub star has " +
       "none — the degree orientation doesn't invent wedges") {
     val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
