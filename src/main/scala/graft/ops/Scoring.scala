@@ -1140,6 +1140,64 @@ object Scoring {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** SIMPSON'S-PARADOX REVERSAL AUDIT — the classic confounding check
+    * before trusting an aggregate A/B rate comparison (Simpson 1951;
+    * Bickel et al. 1975's Berkeley admissions is the canonical case):
+    * per stratum, which side has the higher success rate, and does the
+    * POOLED comparison point the same way? A reversal (every stratum
+    * agrees on one direction, the pooled rates on the other) means the
+    * stratum mix, not the treatment, drives the aggregate.
+    *
+    * Exactness: rate comparisons are integer CROSS-MULTIPLICATIONS —
+    * sign(s_a·n_b − s_b·n_a) — never rate divisions, so every
+    * direction is a BIGINT sign any engine replays. Output: one row
+    * per stratum (counts, successes, cross-mult diff, direction) plus
+    * one `__pooled__` row; `reversed` is set on the pooled row when
+    * all nonzero stratum directions agree and the pooled direction is
+    * their opposite. One hash aggregation + one bounded-axis rollup.
+    *
+    * Overflow: s·n products cap at (rows per side)² — exact in BIGINT
+    * to ~3e9 rows per side per stratum; DECIMAL(38,0) past that.
+    *
+    * @param sideCol boolean-ish: false/0 = A, true/1 = B
+    * @return (stratum, n_a, s_a, n_b, s_b, cross_diff, direction,
+    *         reversed) — stratum '__pooled__' carries the verdict */
+  def simpsonsReversal(df: DataFrame, stratumCol: String,
+      sideCol: String, successCol: String): DataFrame = {
+    val b = col(sideCol).cast("boolean")
+    val y = col(successCol).cast("boolean").cast("long")
+    val per = df.groupBy(col(stratumCol).cast("string").as("stratum"))
+      .agg(count(when(!b, 1)).as("n_a"),
+        coalesce(sum(when(!b, y)), lit(0L)).as("s_a"),
+        count(when(b, 1)).as("n_b"),
+        coalesce(sum(when(b, y)), lit(0L)).as("s_b"))
+      .withColumn("cross_diff",
+        col("s_a") * col("n_b") - col("s_b") * col("n_a"))
+      .withColumn("direction", signum(col("cross_diff")).cast("long"))
+    val pooled = per.agg(sum(col("n_a")).as("n_a"),
+        sum(col("s_a")).as("s_a"), sum(col("n_b")).as("n_b"),
+        sum(col("s_b")).as("s_b"),
+        // stratum consensus: min/max over the nonzero directions
+        min(when(col("direction") =!= 0L, col("direction")))
+          .as("__dmin"),
+        max(when(col("direction") =!= 0L, col("direction")))
+          .as("__dmax"))
+      .withColumn("stratum", lit("__pooled__"))
+      .withColumn("cross_diff",
+        col("s_a") * col("n_b") - col("s_b") * col("n_a"))
+      .withColumn("direction", signum(col("cross_diff")).cast("long"))
+      .withColumn("reversed",
+        col("__dmin").isNotNull && col("__dmin") === col("__dmax")
+          && col("direction") =!= 0L
+          && col("direction") === -col("__dmin"))
+      .select(col("stratum"), col("n_a"), col("s_a"), col("n_b"),
+        col("s_b"), col("cross_diff"), col("direction"), col("reversed"))
+    per.withColumn("reversed", lit(false))
+      .select("stratum", "n_a", "s_a", "n_b", "s_b", "cross_diff",
+        "direction", "reversed")
+      .unionByName(pooled)
+  }
+
   /** TOKEN-DISTRIBUTION JENSEN–SHANNON DIVERGENCE between two corpus
     * slices — the drift detector for text (is this crawl snapshot /
     * source mix distributed like the last one?), complementing

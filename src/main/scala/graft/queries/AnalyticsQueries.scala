@@ -3252,5 +3252,77 @@ object AnalyticsQueries extends QueryModule {
              |  (dt IS NOT NULL AND t = dt) AS is_decision
              |FROM c, f""".stripMargin),
     ),
+
+    // ---- Simpson's-paradox reversal audit over purchase rates
+    // (ops/Scoring.simpsonsReversal): strata = epoch-day-of-week,
+    // sides = user-id parity, all comparisons integer
+    // cross-multiplications (never rate divisions) — per-stratum
+    // directions plus the pooled verdict row. The oracle restates
+    // every sign and the consensus rule; a division-based rate, a
+    // dropped zero-direction stratum, or a wrong consensus all flip
+    // rows.
+    Q(
+      "q322_simpsons_audit",
+      (s, d) => Scoring.simpsonsReversal(
+        Tables.events(s, d).select(
+          expr("CAST(floor(CAST(ts AS DOUBLE) / 86400) AS BIGINT) % 7")
+            .as("dow"),
+          (col("user_id") % 2 === 1).as("side"),
+          (col("event_type") === "purchase").as("succ")),
+        "dow", "side", "succ"),
+      Some("""WITH e AS (
+             |  SELECT CAST(CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7
+             |      AS VARCHAR) AS stratum,
+             |    user_id % 2 = 1 AS side,
+             |    event_type = 'purchase' AS succ
+             |  FROM events
+             |), per AS (
+             |  SELECT stratum,
+             |    CAST(count(*) FILTER (WHERE NOT side) AS BIGINT) AS n_a,
+             |    CAST(coalesce(sum(CASE WHEN NOT side AND succ
+             |      THEN 1 END), 0) AS BIGINT) AS s_a,
+             |    CAST(count(*) FILTER (WHERE side) AS BIGINT) AS n_b,
+             |    CAST(coalesce(sum(CASE WHEN side AND succ
+             |      THEN 1 END), 0) AS BIGINT) AS s_b
+             |  FROM e GROUP BY 1
+             |), per2 AS (
+             |  SELECT stratum, n_a, s_a, n_b, s_b,
+             |    CAST(s_a * n_b - s_b * n_a AS BIGINT) AS cross_diff,
+             |    CAST(CASE WHEN s_a * n_b - s_b * n_a > 0 THEN 1
+             |      WHEN s_a * n_b - s_b * n_a < 0 THEN -1 ELSE 0
+             |      END AS BIGINT) AS direction,
+             |    false AS reversed
+             |  FROM per
+             |), pool AS (
+             |  SELECT CAST(sum(n_a) AS BIGINT) AS n_a,
+             |    CAST(sum(s_a) AS BIGINT) AS s_a,
+             |    CAST(sum(n_b) AS BIGINT) AS n_b,
+             |    CAST(sum(s_b) AS BIGINT) AS s_b,
+             |    min(CASE WHEN direction <> 0 THEN direction END)
+             |      AS dmin,
+             |    max(CASE WHEN direction <> 0 THEN direction END)
+             |      AS dmax
+             |  FROM per2
+             |), poolrow AS (
+             |  SELECT '__pooled__' AS stratum, n_a, s_a, n_b, s_b,
+             |    CAST(s_a * n_b - s_b * n_a AS BIGINT) AS cross_diff,
+             |    CAST(CASE WHEN s_a * n_b - s_b * n_a > 0 THEN 1
+             |      WHEN s_a * n_b - s_b * n_a < 0 THEN -1 ELSE 0
+             |      END AS BIGINT) AS direction,
+             |    (dmin IS NOT NULL AND dmin = dmax
+             |     AND CASE WHEN s_a * n_b - s_b * n_a > 0 THEN 1
+             |       WHEN s_a * n_b - s_b * n_a < 0 THEN -1 ELSE 0 END
+             |       <> 0
+             |     AND CASE WHEN s_a * n_b - s_b * n_a > 0 THEN 1
+             |       WHEN s_a * n_b - s_b * n_a < 0 THEN -1 ELSE 0 END
+             |       = -dmin) AS reversed
+             |  FROM pool
+             |)
+             |SELECT stratum, n_a, s_a, n_b, s_b, cross_diff,
+             |  direction, reversed
+             |FROM per2
+             |UNION ALL
+             |SELECT * FROM poolrow""".stripMargin),
+    ),
   )
 }

@@ -104,6 +104,31 @@ class Round9PropertySpec extends SparkSpec {
     assert(out.sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("simpsonsReversal: a constructed Berkeley-style reversal flags, " +
+      "a consistent dataset does not") {
+    // stratum X: A 50/100 vs B 6/10 (B better); stratum Y: A 1/10 vs
+    // B 20/100 (B better); pooled: A 51/110 vs B 26/110 (A better)
+    def rows(st: String, side: Boolean, succ: Int, fail: Int) =
+      Seq.fill(succ)((st, side, true)) ++ Seq.fill(fail)((st, side, false))
+    val d = (rows("X", false, 50, 50) ++ rows("X", true, 6, 4) ++
+      rows("Y", false, 1, 9) ++ rows("Y", true, 20, 80))
+      .toDF("st", "side", "succ")
+    val out = Scoring.simpsonsReversal(d, "st", "side", "succ")
+      .collect().map(r => r.getAs[String]("stratum") ->
+        ((r.getAs[Long]("direction"), r.getAs[Boolean]("reversed"))))
+      .toMap
+    assert(out("X") == ((-1L, false)) && out("Y") == ((-1L, false)))
+    assert(out("__pooled__") == ((1L, true)))
+    // same strata but B wins pooled too → no reversal
+    val ok = (rows("X", false, 10, 90) ++ rows("X", true, 60, 40) ++
+      rows("Y", false, 1, 9) ++ rows("Y", true, 20, 80))
+      .toDF("st", "side", "succ")
+    val out2 = Scoring.simpsonsReversal(ok, "st", "side", "succ")
+      .collect().map(r => r.getAs[String]("stratum") ->
+        r.getAs[Boolean]("reversed")).toMap
+    assert(!out2("__pooled__"))
+  }
+
   test("tokenJsdMicro: identical slices give exactly 0, disjoint " +
       "vocabularies give exactly ln2 micro, random splits sit between") {
     val a = Seq("x y z", "x x w").toDF("text")
