@@ -33,6 +33,34 @@ import graft.io.PerfTracker
   * that produced it.
   */
 object Bench {
+
+  /** Twin-map parser for the committed-twin load guard, factored out
+    * for the contract spec. Discipline (r9 findings): (a) MIN sec per
+    * name — a plain .toMap kept the LAST line, so a retried query's
+    * worse rep became next round's twin; (b) lines that are themselves
+    * retries ("retry_of") are skipped — they are the load-spike
+    * evidence, not a baseline; (c) twins apply only when the file's
+    * ctx line was captured at the SAME sf_dir — a dev run at another
+    * scale factor would otherwise make the >3x guard fire on every
+    * query (or never). */
+  private[graft] def parseTwins(lines: Seq[String],
+      sfDir: String): Map[String, Double] = {
+    val sfRe = """"sf_dir":"([^"]+)"""".r
+    val priorSf = lines.find(_.contains(""""ctx":"start""""))
+      .flatMap(l => sfRe.findFirstMatchIn(l).map(_.group(1)))
+    if (!priorSf.contains(sfDir)) Map.empty
+    else {
+      val nameRe = """"name":"([^"]+)"""".r
+      val secRe = """"sec":([0-9.]+)""".r
+      lines.filterNot(_.contains(""""retry_of":""")).flatMap { l =>
+        for {
+          nm <- nameRe.findFirstMatchIn(l).map(_.group(1))
+          sc <- secRe.findFirstMatchIn(l).map(_.group(1).toDouble)
+        } yield nm -> sc
+      }.groupMapReduce(_._1)(_._2)(math.min)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -79,23 +107,35 @@ object Bench {
     // publishes the better rep, so ambient-load spikes can't masquerade as
     // plan regressions. The retry is annotated in the perf line
     // ("retry_of") so the evidence channel still shows both values.
+    // committed twins via [[parseTwins]] (min per name, retry lines
+    // skipped, sf_dir-matched — see the parser's scaladoc)
     val priorSecs: Map[String, Double] = {
       val f = new java.io.File("BENCH_PERF.jsonl")
       if (!f.exists()) Map.empty
       else {
         val src = scala.io.Source.fromFile(f)
         try {
-          val nameRe = """"name":"([^"]+)"""".r
-          val secRe = """"sec":([0-9.]+)""".r
-          src.getLines().flatMap { l =>
-            for {
-              nm <- nameRe.findFirstMatchIn(l).map(_.group(1))
-              sc <- secRe.findFirstMatchIn(l).map(_.group(1).toDouble)
-            } yield nm -> sc
-          }.toMap
+          val lines = src.getLines().toVector
+          val twins = parseTwins(lines, sfDir)
+          if (twins.isEmpty && lines.nonEmpty)
+            System.err.println("[bench] prior BENCH_PERF.jsonl has no " +
+              s"usable twins for $sfDir — running without the retry guard")
+          twins
         } finally src.close()
       }
     }
+    // Median-of-3 queries (r9 brief): the VM's measured idle
+    // run-to-run band (±8% totals, per-query swings to ~1.4× on
+    // byte-identical code) is the limiting factor for regression
+    // detection at the top of the time distribution — single reps
+    // can't adjudicate a 4 s query that swings 2 s. The TOP-20 slowest
+    // queries by committed twin get THREE timed reps and publish the
+    // MEDIAN (all reps ride BENCH_PERF.jsonl with a "rep" field); the
+    // rest stay single-rep under the 3× twin retry guard. Median, not
+    // min: min hides a real regression that shows in every rep's tail,
+    // median discards exactly the one-off spike.
+    val medianSet: Set[String] =
+      priorSecs.toSeq.sortBy(-_._2).take(20).map(_._1).toSet
     val perfLog = new java.io.PrintWriter(
       new java.io.FileWriter("BENCH_PERF.jsonl", false))
     // run-context stamp: a captured number is only interpretable next to
@@ -164,7 +204,7 @@ object Bench {
     // wall seconds so the caller can decide whether to retry.
     def timedRep(name: String, fn: (org.apache.spark.sql.SparkSession,
         String) => org.apache.spark.sql.DataFrame,
-        retryOf: Option[Double]): Double = {
+        retryOf: Option[Double], rep: Option[Int] = None): Double = {
       spark.catalog.clearCache()
       tracker.awaitQuiesce(stableMs = 50, timeoutMs = 2000)
       val before = tracker.snapshot()
@@ -201,7 +241,8 @@ object Bench {
         s""","spill":${after.spilledBytes - before.spilledBytes}""" +
         s""","tasks":${after.processed - before.processed}""" +
         s""","heap_mb":${after.jvmHeapUsedMb.toLong}""" +
-        retryOf.map(v => s""","retry_of":${f3(v)}""").getOrElse("") + {
+        retryOf.map(v => s""","retry_of":${f3(v)}""").getOrElse("") +
+        rep.map(i => s""","rep":$i""").getOrElse("") + {
           val (storeMb, storeRdds) = storageStats
           s""","store_mb":$storeMb,"store_rdds":$storeRdds}"""
         }
@@ -221,17 +262,29 @@ object Bench {
       // because rep 1 paid a 4.6 s cold build inside the timed window
       try fn(spark, sfDir).count()
       catch { case e: Throwable => logWarmFailure(name, sfDir, e) }
-      val first = timedRep(name, fn, retryOf = None)
-      // committed-twin guard: >3x the prior committed capture AND >1 s
-      // absolute excess (sub-second jitter is not worth a rerun) → one
-      // retry, publish the better rep. Both reps are in BENCH_PERF.
-      val secs = priorSecs.get(name) match {
-        case Some(twin) if first > 3 * twin && first - twin > 1.0 =>
-          System.err.println(s"[bench] $name ${f3(first)}s vs committed " +
-            s"twin ${f3(twin)}s — retrying once (ambient-load guard)")
-          math.min(first, timedRep(name, fn, retryOf = Some(first)))
-        case _ => first
-      }
+      val secs =
+        if (medianSet.contains(name)) {
+          // top-20-by-twin: three reps, publish the median (the twin
+          // retry guard is subsumed — a one-off spike is the discarded
+          // extreme rep, a real regression shows in the median)
+          val reps = (1 to 3).map(i =>
+            timedRep(name, fn, retryOf = None, rep = Some(i)))
+          reps.sorted.apply(1)
+        } else {
+          val first = timedRep(name, fn, retryOf = None)
+          // committed-twin guard: >3x the prior committed capture AND
+          // >1 s absolute excess (sub-second jitter is not worth a
+          // rerun) → one retry, publish the better rep. Both reps are
+          // in BENCH_PERF.
+          priorSecs.get(name) match {
+            case Some(twin) if first > 3 * twin && first - twin > 1.0 =>
+              System.err.println(s"[bench] $name ${f3(first)}s vs " +
+                s"committed twin ${f3(twin)}s — retrying once " +
+                "(ambient-load guard)")
+              math.min(first, timedRep(name, fn, retryOf = Some(first)))
+            case _ => first
+          }
+        }
       if (gcEvery > 0 && (qIdx + 1) % gcEvery == 0) System.gc()
       name -> secs
     }

@@ -25,14 +25,36 @@ object Behavior {
     * per-key state is k BIGINTs, a hot user degrades to a sequential
     * scan of its own events, never a shuffle explosion).
     *
-    * @param steps event-type sequence defining the funnel (k small)
+    * Hot-user bound: the per-user fold array holds that user's funnel
+    * events ONLY, but has no intrinsic cap — a pathological single
+    * user (a bot replaying one step millions of times) would build one
+    * giant array on one task. `maxPerStep > 0` bounds it to the
+    * EARLIEST maxPerStep occurrences per (user, step) via a windowed
+    * row_number (streaming sort state, never an array), capping the
+    * fold at k·maxPerStep elements per user. The cap is a documented
+    * semantic change, not an approximation of the unbounded fold: a
+    * user who needs a later-than-maxPerStep-th occurrence of a step to
+    * advance (because every earlier one precedes the prior step's
+    * reach time) counts as stalled there — "the funnel over each
+    * user's earliest maxPerStep occurrences per step", deterministic
+    * and restatable. Default 0 = unbounded (exact strict-fold
+    * semantics, the [[SeriesStats.ewmaInt]] per-key convention).
+    *
+    * @param steps event-type sequence defining the funnel (k small,
+    *              DISTINCT — a repeated type would make its earlier
+    *              step unreachable, so it is rejected loudly)
+    * @param maxPerStep 0 = unbounded; >0 keeps the earliest
+    *              maxPerStep events per (user, step) before the fold
     * @return one row per step: step_idx (1-based), step, n_reached,
     *         conv_from_prev_pm (1000·n_i div n_{i−1}; 1000 for step 1),
     *         conv_from_first_pm (1000·n_i div n_1) */
   def funnelSteps(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, steps: Seq[String]): DataFrame = {
+      typeCol: String, steps: Seq[String],
+      maxPerStep: Int = 0): DataFrame = {
     require(steps.nonEmpty && steps.size <= 8,
       s"need 1..8 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct event types, got $steps")
     val spark = events.sparkSession
     import spark.implicits._
     val k = steps.size
@@ -45,12 +67,21 @@ object Behavior {
     // floor-then-cast: Spark's double→long CAST truncates but DuckDB's
     // ROUNDS — an explicit floor() makes both engines agree (positive
     // epochs), and epoch micros stay inside double's exact-integer range
-    val per = events
+    val funnelEvents = events
       .select(col(userCol).as("__u"),
         expr(s"CAST(floor(CAST($tsCol AS DOUBLE) * 1000000) AS BIGINT)")
           .as("__t"),
         idxExpr.as("__s"))
       .filter(col("__s") >= 0)
+    val bounded =
+      if (maxPerStep <= 0) funnelEvents
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__u"), col("__s")).orderBy(col("__t"))
+        funnelEvents.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= maxPerStep).drop("__rn")
+      }
+    val per = bounded
       .groupBy(col("__u"))
       .agg(sort_array(collect_list(struct(col("__t"), col("__s"))))
         .as("evs"))
@@ -88,7 +119,9 @@ object Behavior {
   }
 
   /** Cohort retention matrix: users grouped by their FIRST-activity
-    * period (epoch-day div `periodDays`); for each (cohort, offset)
+    * period (epoch-day FLOOR-divided by `periodDays` — floor, not
+    * truncate, so negative epochs agree with engines whose integer
+    * division floors); for each (cohort, offset)
     * the distinct users active `offset` periods later, plus the
     * per-mille retention against the cohort's size.
     *
@@ -102,9 +135,16 @@ object Behavior {
   def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
       periodDays: Int = 7): DataFrame = {
     require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    // FLOOR division on both steps: DuckDB's `//` floors while Spark's
+    // `div` truncates toward zero — a pre-1970 timestamp (negative
+    // epoch day) would land in different periods. floor(floor(x/86400)
+    // / p) = floor(x/(86400·p)) (nested-floor identity, p ≥ 1), and
+    // the day magnitudes are far inside double's exact-integer range,
+    // so the floored double quotient IS the integer floor-div both
+    // engines restate.
     val perEvent = events.select(col(userCol).as("__u"),
-      expr(s"CAST(floor(CAST(${tsCol} AS DOUBLE) / 86400) AS BIGINT)" +
-        s" div $periodDays").as("__p"))
+      expr(s"CAST(floor(floor(CAST(${tsCol} AS DOUBLE) / 86400)" +
+        s" / $periodDays) AS BIGINT)").as("__p"))
     val active = perEvent.distinct() // (user, period)
     val firstP = active.groupBy(col("__u"))
       .agg(min(col("__p")).as("__c"))

@@ -1207,13 +1207,18 @@ object Scoring {
     * iff identical.
     *
     * Exactness discipline (the q289 entropy-gate convention): each
-    * token's log ratio has the EXACT integer argument
-    * 2·aₓ·B / (aₓ·B + bₓ·A) (one BIGINT ratio → one double division →
-    * one ln), floored to integer micro-nats; the per-token terms then
-    * weight by the exact counts and SUM as BIGINTs — order-free, so
-    * the total is bit-identical at any parallelism and restatable by
-    * any engine sharing the per-term formula. Zero-count cells
-    * contribute exactly 0 (their weight is the count itself).
+    * token's log ratio is 2·aₓ·B / (aₓ·B + bₓ·A), with the products
+    * computed in DOUBLE in a fixed written order (IEEE 754 — both
+    * engines round each product identically, and below 2⁵³ per
+    * product the doubles ARE the exact integers), floored to integer
+    * micro-nats; the per-token terms then weight by the exact counts
+    * and SUM as BIGINTs — order-free, so the total is bit-identical
+    * at any parallelism and restatable by any engine sharing the
+    * per-term formula text. The products stay in double deliberately:
+    * a BIGINT aₓ·B overflows int64 (ANSI raise) once per-side totals
+    * reach ~3e9 tokens, four orders of magnitude below the Σ-side
+    * bound. Zero-count cells contribute exactly 0 (their weight is
+    * the count itself).
     *
     * Scale shape: two token-count hash aggregations + one full-outer
     * join on token + one sum — no windows, no collects; vocabulary-
@@ -1245,13 +1250,15 @@ object Scoring {
       .select(col("ta"), col("tb"), col("vocab"),
         expr("""CASE WHEN n_a = 0 THEN CAST(0 AS BIGINT)
                |  ELSE n_a * CAST(floor(1000000 * ln(
-               |    CAST(2 * n_a * tb AS DOUBLE)
-               |      / (n_a * tb + n_b * ta))) AS BIGINT)
+               |    2 * CAST(n_a AS DOUBLE) * tb
+               |      / (CAST(n_a AS DOUBLE) * tb
+               |         + CAST(n_b AS DOUBLE) * ta))) AS BIGINT)
                |END""".stripMargin).as("__wa"),
         expr("""CASE WHEN n_b = 0 THEN CAST(0 AS BIGINT)
                |  ELSE n_b * CAST(floor(1000000 * ln(
-               |    CAST(2 * n_b * ta AS DOUBLE)
-               |      / (n_a * tb + n_b * ta))) AS BIGINT)
+               |    2 * CAST(n_b AS DOUBLE) * ta
+               |      / (CAST(n_a AS DOUBLE) * tb
+               |         + CAST(n_b AS DOUBLE) * ta))) AS BIGINT)
                |END""".stripMargin).as("__wb"))
       .groupBy(col("ta").as("n_tok_a"), col("tb").as("n_tok_b"),
         col("vocab"))

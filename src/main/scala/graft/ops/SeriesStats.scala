@@ -391,8 +391,16 @@ object SeriesStats {
         (col("n") * col("x") - col("total")).as("e"),
         expr(s"n * ((total div n) div $kDiv)").as("nk"),
         expr(s"n * ((total div n) div $hDiv)").as("nh"))
-      .repartitionByRange(p, col("t"))
-      .sortWithinPartitions(col("t"))
+      // sort by (t, x), not t alone: with duplicate t values a t-only
+      // sort leaves the tied rows' order nondeterministic, and the
+      // running prefix/extremum AT those rows could diverge from
+      // cusumInt's struct sort (which orders by the whole (t, x, e,
+      // nk, nh) struct). Equal (t, x) rows carry identical e/nk — e is
+      // a function of x and nk/nh are constants — so their mutual
+      // order is immaterial and (t, x) restores the documented
+      // bit-exact parity on ANY axis, unique-t or not.
+      .repartitionByRange(p, col("t"), col("x"))
+      .sortWithinPartitions(col("t"), col("x"))
       .materialized // both passes must observe the SAME partitioning
     // pass 1: four scalars per partition (a = e − nk, b = e + nk)
     val partials: Array[(Int, (Long, Long, Long, Long))] =

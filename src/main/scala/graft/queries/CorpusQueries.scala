@@ -7485,11 +7485,13 @@ object CorpusQueries extends QueryModule {
 
     // ---- token-distribution Jensen–Shannon drift between two corpus
     // slices (ops/Scoring.tokenJsdMicro): per-token micro-nat floors
-    // over EXACT integer ratio arguments, count-weighted BIGINT sums,
-    // one final double division — the q289 entropy-gate convention, so
-    // both engines restate the total bit-for-bit. Slices = even/odd
-    // doc_ids (near-identical distributions → small JSD; a real
-    // snapshot shift shows up as a jump).
+    // over ratio arguments whose products are computed in DOUBLE in a
+    // fixed written order (IEEE-identical in both engines; a BIGINT
+    // product would ANSI-overflow at ~3e9 tokens/side), count-weighted
+    // BIGINT sums, one final double division — so both engines restate
+    // the total bit-for-bit. Slices = even/odd doc_ids (near-identical
+    // distributions → small JSD; a real snapshot shift shows up as a
+    // jump).
     Q(
       "q320_token_jsd",
       (s, d) => {
@@ -7524,13 +7526,15 @@ object CorpusQueries extends QueryModule {
              |  SELECT
              |    CASE WHEN n_a = 0 THEN CAST(0 AS BIGINT)
              |      ELSE n_a * CAST(floor(1000000 * ln(
-             |        CAST(2 * n_a * tb AS DOUBLE)
-             |          / (n_a * tb + n_b * ta))) AS BIGINT)
+             |        2 * CAST(n_a AS DOUBLE) * tb
+             |          / (CAST(n_a AS DOUBLE) * tb
+             |             + CAST(n_b AS DOUBLE) * ta))) AS BIGINT)
              |    END AS wa,
              |    CASE WHEN n_b = 0 THEN CAST(0 AS BIGINT)
              |      ELSE n_b * CAST(floor(1000000 * ln(
-             |        CAST(2 * n_b * ta AS DOUBLE)
-             |          / (n_a * tb + n_b * ta))) AS BIGINT)
+             |        2 * CAST(n_b AS DOUBLE) * ta
+             |          / (CAST(n_a AS DOUBLE) * tb
+             |             + CAST(n_b AS DOUBLE) * ta))) AS BIGINT)
              |    END AS wb,
              |    ta, tb, vocab
              |  FROM j, tot

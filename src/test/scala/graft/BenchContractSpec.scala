@@ -53,4 +53,35 @@ class BenchContractSpec extends AnyFunSuite {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
+
+  test("twin map takes min per name and skips retry lines (r9 finding)") {
+    val sf = "/root/testdata/sf0.1"
+    val lines = Seq(
+      s"""{"ctx":"start","load_avg":0.5,"sf_dir":"$sf"}""",
+      """{"q":"q1","name":"q1_agg","sec":4.200,"task_ms":10}""",
+      // a worse retry rep must NOT become the twin: its own line is
+      // skipped entirely (it is the load-spike evidence)...
+      """{"q":"q1","name":"q1_agg","sec":9.000,"retry_of":4.200}""",
+      // ...and among non-retry reps the MIN wins, not the last
+      """{"q":"q2","name":"q2_scan","sec":2.000,"rep":1}""",
+      """{"q":"q2","name":"q2_scan","sec":1.000,"rep":2}""",
+      """{"q":"q2","name":"q2_scan","sec":3.000,"rep":3}""",
+      s"""{"ctx":"end","load_avg":0.6,"sf_dir":"$sf"}""")
+    val twins = Bench.parseTwins(lines, sf)
+    assert(twins == Map("q1_agg" -> 4.2, "q2_scan" -> 1.0))
+  }
+
+  test("twins only apply when the prior capture's sf_dir matches") {
+    val lines = Seq(
+      """{"ctx":"start","load_avg":0.5,"sf_dir":"/root/testdata/sf0.01"}""",
+      """{"q":"q1","name":"q1_agg","sec":0.400}""")
+    // a dev run at another scale factor must not arm the 3x guard
+    assert(Bench.parseTwins(lines, "/root/testdata/sf0.1").isEmpty)
+    assert(Bench.parseTwins(lines, "/root/testdata/sf0.01")
+      == Map("q1_agg" -> 0.4))
+    // a file with no ctx line at all (pre-r5 format) yields no twins
+    assert(Bench.parseTwins(
+      Seq("""{"q":"q1","name":"q1_agg","sec":0.400}"""),
+      "/root/testdata/sf0.1").isEmpty)
+  }
 }

@@ -154,6 +154,20 @@ class InferenceStatsSpec extends SparkSpec {
       assert(rows(SeriesStats.cusumIntScan(
         long.toDF("t", "x"), "t", "x", kd, hd, numPartitions = 1)) == exact)
     }
+    // DUPLICATE-t axis (r9 advice): a t-only sort left tied rows'
+    // order nondeterministic, so the running prefix AT those rows
+    // could diverge from cusumInt's full-struct sort; the (t, x) sort
+    // must restore bit-exact parity on ties too — every t duplicated
+    // with two different x values, shuffled input order, many
+    // partitions so ties straddle range boundaries
+    val dup = rng.shuffle((1L to 200L).flatMap(t =>
+      Seq((t, rng.nextInt(1000).toLong), (t, rng.nextInt(1000).toLong))))
+    for ((kd, hd) <- Seq((20, 2), (1, 1))) {
+      val exact = rows(SeriesStats.cusumInt(
+        dup.toDF("t", "x"), "t", "x", kd, hd))
+      assert(rows(SeriesStats.cusumIntScan(
+        dup.toDF("t", "x"), "t", "x", kd, hd, numPartitions = 13)) == exact)
+    }
   }
 
   test("oneWayAnovaF: hand-computed three-group F, sorted-group fold") {
