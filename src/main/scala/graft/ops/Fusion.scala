@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -129,5 +129,54 @@ object Fusion {
         }.toList
       }
       .toDF("qid", "doc", "mmr_rank", "obj")
+  }
+
+  /** END-TO-END MMR over an embedding table — the RAG-packing path as
+    * ONE call (r9 brief: no hand-staged sims): for every query vector
+    * (rows matching `queryPred`), (1) shortlist = its exact top-N
+    * cosine neighbors via [[Similarity.cosineTopKKernelForQueries]]'s
+    * blocked kernel, (2) relevance = that query–candidate cosine
+    * floored to integer micros, (3) redundancy = exact pairwise
+    * cosines WITHIN each query's shortlist (N²-bounded per query,
+    * never corpus²), (4) [[mmrSelect]] greedily picks `k` diversified
+    * results.
+    *
+    * Scale shape: the kernel is the only corpus-sized stage (B²
+    * block-pair tasks); everything after is shortlist-bounded —
+    * per-query N² pairs fetch their vectors through two hash joins on
+    * id and the greedy scan runs on ≤ N²/2 longs per query. Cosine
+    * stays the house sequential-fold double ([[Similarity.cosine]] —
+    * bit-identical to DuckDB's list_sum), so the floored micros and
+    * every selection replay exactly in the oracle.
+    *
+    * @param queryPred which rows are queries (e.g. `vec_id % 100 === 0`)
+    * @param shortlistN per-query candidate pool (≤ a few hundred)
+    * @return (qid, doc, mmr_rank 1..k, obj) as [[mmrSelect]] */
+  def mmrDiversifyEmbeddings(emb: DataFrame, idCol: String,
+      vecCol: String, queryPred: Column, shortlistN: Int, k: Int,
+      lambdaPermille: Int): DataFrame = {
+    import graft.ops.Materialize.MaterializeOps
+    require(shortlistN >= k,
+      s"shortlistN ($shortlistN) must be >= k ($k)")
+    val shortlist = Similarity.cosineTopKKernelForQueries(
+        emb, idCol, vecCol, shortlistN, queryPred)
+      .select(col("id").as("qid"), col("neighbor_id").as("doc"),
+        col("cosine"))
+      .materialized // reused: candidates + both sides of the pair join
+    val cands = shortlist.select(col("qid"), col("doc"),
+      expr("CAST(floor(1000000 * cosine) AS BIGINT)").as("rel_micro"))
+    val vecs = emb.select(col(idCol).cast("long").as("doc"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val sims = shortlist.select(col("qid"), col("doc").as("doc_a"))
+      .join(shortlist.select(col("qid"), col("doc").as("doc_b")), "qid")
+      .filter(col("doc_a") < col("doc_b"))
+      .join(vecs.select(col("doc").as("doc_a"), col("__v").as("__va")),
+        "doc_a")
+      .join(vecs.select(col("doc").as("doc_b"), col("__v").as("__vb")),
+        "doc_b")
+      .select(col("qid"), col("doc_a"), col("doc_b"),
+        floor(lit(1000000) * Similarity.cosine(col("__va"), col("__vb")))
+          .cast("long").as("sim_micro"))
+    mmrSelect(cands, sims, k, lambdaPermille)
   }
 }

@@ -494,7 +494,9 @@ object GraphOps {
     * not a shuffle explosion), lineage-cut — the Pregel shape,
     * O(rounds) plan depth.
     *
-    * @param edges (src, dst) any direction; self-loops dropped
+    * @param edges (src, dst) any direction; self-loops dropped. Node
+    *              ids keep their input type (any orderable type — the
+    *              canonicalization only needs least/greatest)
     * @param rounds refinement depth R (small — 1-WL stabilizes within
     *               diameter+1 rounds; 2-3 suffices for dedup)
     * @return (node, wl_label) — md5 hex (degree string at rounds = 0)
@@ -503,8 +505,8 @@ object GraphOps {
     require(rounds >= 0 && rounds <= 8,
       s"rounds must be in [0, 8], got $rounds")
     val e = edges
-      .select(least(col("src"), col("dst")).cast("long").as("a"),
-        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
     val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
@@ -525,5 +527,50 @@ object GraphOps {
       r += 1
     }
     labels.select(col("node"), col("lab").as("wl_label"))
+  }
+
+  /** WHOLE-GRAPH WL signature — the graph-shaped dedup grouping
+    * [[wlLabels]]'s scaladoc names: a graph's signature is the sorted
+    * multiset of its round-R node labels, hashed to one md5. Two
+    * graphs share a signature iff 1-WL cannot distinguish them at
+    * depth R (isomorphic ⇒ equal; the standard near-complete test —
+    * the known blind spots are the regular-graph families 1-WL can't
+    * separate, e.g. C6 vs 2×C3, which is why callers dedup on the
+    * signature and verify matches if exactness matters).
+    *
+    * Implementation: the DISJOINT-UNION trick — WL refinement never
+    * crosses connected components, so scoping every node id by its
+    * graph ('<graph_id>:<node>') lets ONE [[wlLabels]] run refine the
+    * whole family simultaneously: O(rounds) joins total, not per
+    * graph. The signature is then one hash aggregation per graph over
+    * its node labels (per-graph state is the graph's own label list —
+    * graphs here are RECORDS (parse trees, site link graphs, schema
+    * graphs), so the collect is record-bounded, the q321 fixture
+    * convention; a corpus of graphs fans out across the cluster).
+    *
+    * Determinism: md5-hex labels sort identically in any engine
+    * (binary == lexicographic on [0-9a-f]), so a DuckDB oracle
+    * restates every round AND the final sorted-concat hash verbatim.
+    *
+    * @param graphs one row per edge: (gCol, srcCol, dstCol); node ids
+    *               are scoped per graph (the same id in two graphs is
+    *               two nodes). gCol's STRING form must not contain
+    *               ':' (the scoping separator). Isolated nodes are
+    *               invisible (edge-list representation).
+    * @return (graph_id string, n_nodes, wl_signature md5 hex) */
+  def wlGraphSignature(graphs: DataFrame, gCol: String, srcCol: String,
+      dstCol: String, rounds: Int): DataFrame = {
+    val scoped = graphs.select(
+      concat(col(gCol).cast("string"), lit(":"),
+        col(srcCol).cast("string")).as("src"),
+      concat(col(gCol).cast("string"), lit(":"),
+        col(dstCol).cast("string")).as("dst"))
+    wlLabels(scoped, rounds)
+      .select(substring_index(col("node"), ":", 1).as("graph_id"),
+        col("wl_label"))
+      .groupBy(col("graph_id"))
+      .agg(count(lit(1)).as("n_nodes"),
+        md5(concat_ws(",", sort_array(collect_list(col("wl_label")))))
+          .as("wl_signature"))
   }
 }

@@ -138,10 +138,11 @@ object Packing {
     * [[chunkAssignments]]'s prefix sum, for any ranking an unpartitioned
     * `row_number().over(Window.orderBy(...))` would funnel through a
     * single task (vocabulary ids, leaderboards, global sample order).
-    * Same two-pass shape: range-partition by the ordering, count rows
-    * per partition, fold counts into exclusive offsets on the driver (P
-    * scalars — metadata, not data), then one mapPartitions pass emits
-    * offset + local position. Ranks are deterministic whenever `order`
+    * Since r10 this is a [[PrefixScan]] counter monoid: range-partition
+    * by the ordering, count rows per partition, fold counts into
+    * exclusive offsets on the driver (P scalars — metadata, not data),
+    * then one mapPartitions pass emits offset + local position. Ranks
+    * are deterministic whenever `order`
     * is a total order over the rows (ties ACROSS range boundaries would
     * otherwise land nondeterministically — callers must break ties,
     * e.g. with a unique trailing column).
@@ -156,50 +157,23 @@ object Packing {
     */
   def globalRowNumber(df: DataFrame, order: Seq[Column], outCol: String,
       limit: Long = Long.MaxValue, numPartitions: Int = 0): DataFrame = {
-    require(order.nonEmpty, "need at least one ordering column")
     require(limit >= 1, s"limit must be >= 1, got $limit")
     require(!df.columns.contains(outCol),
       s"output column $outCol already exists on the input")
-    val spark = df.sparkSession
-    val p = if (numPartitions > 0) numPartitions
-      else spark.sessionState.conf.numShufflePartitions
-    // Materialize the input BEFORE repartitionByRange: the range
-    // sampler's job and the shuffle would otherwise each re-execute the
-    // upstream plan, and rank consumers routinely order by expensive
-    // derived keys (tokenCount = split(text), tf aggregates) — 2–3
-    // redundant scans of the text column at scale. Then localCheckpoint
-    // again after the sort so both passes observe the SAME materialized
-    // partitioning (see chunkAssignments).
-    val input = df.materialized
-    val base = input.repartitionByRange(p, order: _*)
-      .sortWithinPartitions(order: _*)
-      .materialized
-    val counts = base
-      .groupBy(spark_partition_id().as("__pid"))
-      .agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets: Array[Long] = {
-      val out = new Array[Long](p)
-      var acc = 0L
-      for (i <- 0 until p) { out(i) = acc; acc += counts.getOrElse(i, 0L) }
-      out
-    }
-    val bcOffsets = spark.sparkContext.broadcast(offsets)
-    val outSchema = StructType(base.schema.fields :+
-      StructField(outCol, LongType, nullable = false))
-    spark.createDataFrame(
-      base.rdd.mapPartitionsWithIndex { (pid, it) =>
-        val start = bcOffsets.value(pid)
-        if (start >= limit) Iterator.empty
-        else {
-          var acc = start
-          it.takeWhile(_ => acc < limit).map { r =>
-            val out = Row.fromSeq(r.toSeq :+ acc)
-            acc += 1
-            out
-          }
-        }
-      }, outSchema)
+    // the simplest [[PrefixScan]] monoid: state = rows seen, zero
+    // stepCols (pass 1 folds zero-column rows — a pure count), rank =
+    // post-step count − 1, done once `limit` rows are ranked (the
+    // monotone early-exit that skips tail partitions wholesale)
+    PrefixScan.scan[Long](df, order,
+      Seq(StructField(outCol, LongType, nullable = false)),
+      new PrefixScan.ScanMonoid[Long] {
+        def stepCols: Seq[String] = Nil
+        def zero: Long = 0L
+        def step(s: Long, v: Array[Any]): Long = s + 1L
+        def combine(a: Long, b: Long): Long = a + b
+        def emit(post: Long, v: Array[Any]): Seq[Any] = Seq(post - 1L)
+        override def done(s: Long): Boolean = s >= limit
+      }, numPartitions)
   }
 
   /** Per-document sliding-window chunking with overlap — the OTHER

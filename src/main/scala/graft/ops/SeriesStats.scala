@@ -163,9 +163,10 @@ object SeriesStats {
     * Scale shape: one hash aggregation of (t, n, n_succ) — the 100-TB
     * work — then a cumulative window over the BOUNDED time axis (the
     * q260 day-axis convention; the axis is small even when the event
-    * table is not). For an unbounded axis the prefix sum distributes
-    * with the [[cusumIntScan]] two-pass shape; crossing detection is a
-    * filter either way.
+    * table is not). For an unbounded axis use [[sprtBernoulliScan]]:
+    * identical rows (parity-tested), prefix sum distributed with the
+    * [[PrefixScan]] two-pass shape; crossing detection is a filter
+    * either way.
     *
     * @param successCol boolean-ish: the Bernoulli outcome
     * @return per t: n_trials, n_success, llr_cum_micro,
@@ -176,26 +177,70 @@ object SeriesStats {
       betaPm: Int = 50): DataFrame = {
     val (ls, lf, upper, lower) =
       sprtConstants(p0Pm, p1Pm, alphaPm, betaPm)
-    val spark = events.sparkSession
     import org.apache.spark.sql.expressions.Window
-    val daily = events
-      .select(col(tCol).cast("long").as("t"),
-        col(successCol).cast("boolean").cast("long").as("__s"))
-      .groupBy(col("t"))
-      .agg(count(lit(1)).as("n_trials"), sum(col("__s")).as("n_success"))
     // bounded-axis cumulative window (single partition over the time
     // axis only — the q260 convention, never over raw events)
     val w = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val walked = daily.withColumn("llr_cum_micro",
+    val walked = sprtDaily(events, tCol, successCol)
+      .withColumn("llr_cum_micro",
         sum(col("n_success") * lit(ls)
           + (col("n_trials") - col("n_success")) * lit(lf)).over(w))
-      .withColumn("crossed",
-        when(col("llr_cum_micro") >= upper, "h1")
-          .when(col("llr_cum_micro") <= lower, "h0"))
-    val firstCross = walked.filter(col("crossed").isNotNull)
+    sprtDecide(walked, upper, lower)
+  }
+
+  /** [[sprtBernoulli]] for an UNBOUNDED time axis — identical rows
+    * (parity-tested in InferenceStatsSpec), no single-partition
+    * window: the cumulative log-likelihood walk is one BIGINT
+    * [[PrefixScan]] sum monoid over the aggregated (t, n_trials,
+    * n_success) axis (t is unique after the aggregation, so the order
+    * is total), and the decision step is the same filter + broadcast
+    * join. Prefer [[sprtBernoulli]] when the axis is known-bounded
+    * (one window over a day axis is cheaper and is the form the
+    * DuckDB oracle restates); this is the 100-TB path when it isn't.
+    */
+  def sprtBernoulliScan(events: DataFrame, tCol: String,
+      successCol: String, p0Pm: Int, p1Pm: Int, alphaPm: Int = 50,
+      betaPm: Int = 50, numPartitions: Int = 0): DataFrame = {
+    val (ls, lf, upper, lower) =
+      sprtConstants(p0Pm, p1Pm, alphaPm, betaPm)
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val walked = PrefixScan.scan[Long](
+      sprtDaily(events, tCol, successCol), Seq(col("t")),
+      Seq(StructField("llr_cum_micro", LongType, nullable = false)),
+      new PrefixScan.ScanMonoid[Long] {
+        def stepCols: Seq[String] = Seq("n_trials", "n_success")
+        def zero: Long = 0L
+        def step(s: Long, v: Array[Any]): Long = {
+          val nt = v(0).asInstanceOf[Long]
+          val ns = v(1).asInstanceOf[Long]
+          s + ns * ls + (nt - ns) * lf
+        }
+        def combine(a: Long, b: Long): Long = a + b
+        def emit(post: Long, v: Array[Any]): Seq[Any] = Seq(post)
+      }, numPartitions)
+    sprtDecide(walked, upper, lower)
+  }
+
+  /** Shared SPRT input shaping: the (t, n_trials, n_success) axis. */
+  private def sprtDaily(events: DataFrame, tCol: String,
+      successCol: String): DataFrame = events
+    .select(col(tCol).cast("long").as("t"),
+      col(successCol).cast("boolean").cast("long").as("__s"))
+    .groupBy(col("t"))
+    .agg(count(lit(1)).as("n_trials"), sum(col("__s")).as("n_success"))
+
+  /** Shared SPRT decision tail: crossing labels + the FIRST-crossing
+    * flag (one filtered min + broadcast join — never a second scan of
+    * the walk). */
+  private def sprtDecide(walked: DataFrame, upper: Long,
+      lower: Long): DataFrame = {
+    val labeled = walked.withColumn("crossed",
+      when(col("llr_cum_micro") >= upper, "h1")
+        .when(col("llr_cum_micro") <= lower, "h0"))
+    val firstCross = labeled.filter(col("crossed").isNotNull)
       .agg(min(col("t")).as("__dt"))
-    walked.crossJoin(broadcast(firstCross))
+    labeled.crossJoin(broadcast(firstCross))
       .withColumn("is_decision",
         col("__dt").isNotNull && col("t") === col("__dt"))
       .select("t", "n_trials", "n_success", "llr_cum_micro", "crossed",
@@ -363,13 +408,12 @@ object SeriesStats {
     *
     * (unroll: S⁺_i = max_{0≤j≤i} (P_i − P_j) — the clamp at 0 IS the
     * j = i term, and a reset at step j is exactly "the running min was
-    * attained at j"). Prefix sums and their running extrema distribute
-    * with the [[Packing.globalRowNumber]] two-pass shape:
-    * range-partition by t, sort within partitions, per-partition pass 1
-    * emits FOUR scalars (Σa, min-prefix(a), Σb, max-prefix(b)), the
-    * driver folds P partials into per-partition incoming (offset,
-    * extremum) pairs — metadata, not data — and pass 2 streams each
-    * partition once, carrying one BIGINT of local state. Same exact
+    * attained at j"). Prefix sums and their running extrema form a
+    * [[PrefixScan]] monoid (r10 — this was the third hand-rolled copy
+    * of the two-pass shape): per-partition summaries are FOUR scalars
+    * (Σa, min-prefix(a), Σb, max-prefix(b)), the driver folds P of
+    * them into incoming states — metadata, not data — and pass 2
+    * streams each partition once with four BIGINTs of state. Same exact
     * integer arithmetic as [[cusumInt]], so alarms stay bit-identical;
     * the only cost over the bounded form is one extra scan of the
     * (t, x) axis. Prefer [[cusumInt]] when the axis is known-bounded
@@ -379,10 +423,7 @@ object SeriesStats {
   def cusumIntScan(series: DataFrame, tCol: String, xCol: String,
       kDiv: Int, hDiv: Int, numPartitions: Int = 0): DataFrame = {
     require(kDiv > 0 && hDiv > 0, "kDiv/hDiv must be positive")
-    val spark = series.sparkSession
-    import Materialize.MaterializeOps
-    val p = if (numPartitions > 0) numPartitions
-      else spark.sessionState.conf.numShufflePartitions
+    import org.apache.spark.sql.types.{BooleanType, LongType, StructField}
     val s = series.select(col(tCol).cast("long").as("t"),
       col(xCol).cast("long").as("x"))
     val g = s.agg(count(lit(1)).as("n"), sum(col("x")).as("total"))
@@ -391,80 +432,43 @@ object SeriesStats {
         (col("n") * col("x") - col("total")).as("e"),
         expr(s"n * ((total div n) div $kDiv)").as("nk"),
         expr(s"n * ((total div n) div $hDiv)").as("nh"))
-      // sort by (t, x), not t alone: with duplicate t values a t-only
-      // sort leaves the tied rows' order nondeterministic, and the
-      // running prefix/extremum AT those rows could diverge from
-      // cusumInt's struct sort (which orders by the whole (t, x, e,
-      // nk, nh) struct). Equal (t, x) rows carry identical e/nk — e is
-      // a function of x and nk/nh are constants — so their mutual
-      // order is immaterial and (t, x) restores the documented
-      // bit-exact parity on ANY axis, unique-t or not.
-      .repartitionByRange(p, col("t"), col("x"))
-      .sortWithinPartitions(col("t"), col("x"))
-      .materialized // both passes must observe the SAME partitioning
-    // pass 1: four scalars per partition (a = e − nk, b = e + nk)
-    val partials: Array[(Int, (Long, Long, Long, Long))] =
-      base.select(col("e"), col("nk")).rdd.mapPartitionsWithIndex {
-        (pid, it) =>
-          var sumA = 0L; var minPrefA = 0L // prefix extrema include P_0=0
-          var sumB = 0L; var maxPrefB = 0L
-          it.foreach { r =>
-            val e = r.getLong(0); val nk = r.getLong(1)
-            sumA += e - nk; if (sumA < minPrefA) minPrefA = sumA
-            sumB += e + nk; if (sumB > maxPrefB) maxPrefB = sumB
-          }
-          Iterator.single(pid -> ((sumA, minPrefA, sumB, maxPrefB)))
-      }.collect()
-    // driver fold: incoming prefix offset + incoming running extremum
-    // per partition (P scalars — metadata, not data)
-    val inA = new Array[Long](p)
-    val inMin = new Array[Long](p)
-    val inB = new Array[Long](p)
-    val inMax = new Array[Long](p)
-    locally {
-      val byPid = partials.toMap
-      var accA = 0L; var accMin = 0L // min/max over P_0=0 and all prior
-      var accB = 0L; var accMax = 0L
-      for (i <- 0 until p) {
-        inA(i) = accA; inMin(i) = accMin
-        inB(i) = accB; inMax(i) = accMax
-        byPid.get(i).foreach { case (sa, mpa, sb, mpb) =>
-          accMin = math.min(accMin, accA + mpa); accA += sa
-          accMax = math.max(accMax, accB + mpb); accB += sb
+    // [[PrefixScan]] monoid: state = (prefix A, running min-prefix A,
+    // prefix B, running max-prefix B) with a = e − nk, b = e + nk; the
+    // extrema include P₀ = 0 via the zero state. Ordered by (t, x),
+    // not t alone: with duplicate t values a t-only order would leave
+    // tied rows' mutual order (and the running prefix AT them)
+    // nondeterministic vs cusumInt's full-struct sort — equal (t, x)
+    // rows carry identical e/nk (e is a function of x; nk/nh are
+    // constants), so (t, x) restores bit-exact parity on ANY axis.
+    val scanned = PrefixScan.scan[(Long, Long, Long, Long)](
+      base, Seq(col("t"), col("x")),
+      Seq(StructField("s_pos", LongType, nullable = false),
+        StructField("s_neg", LongType, nullable = false),
+        StructField("alarm_hi", BooleanType, nullable = false),
+        StructField("alarm_lo", BooleanType, nullable = false)),
+      new PrefixScan.ScanMonoid[(Long, Long, Long, Long)] {
+        def stepCols: Seq[String] = Seq("e", "nk")
+        override def emitCols: Seq[String] = Seq("nh")
+        def zero: (Long, Long, Long, Long) = (0L, 0L, 0L, 0L)
+        def step(st: (Long, Long, Long, Long),
+            v: Array[Any]): (Long, Long, Long, Long) = {
+          val e = v(0).asInstanceOf[Long]; val nk = v(1).asInstanceOf[Long]
+          val pa = st._1 + (e - nk); val pb = st._3 + (e + nk)
+          (pa, math.min(st._2, pa), pb, math.max(st._4, pb))
         }
-      }
-    }
-    val bcA = spark.sparkContext.broadcast(inA)
-    val bcMin = spark.sparkContext.broadcast(inMin)
-    val bcB = spark.sparkContext.broadcast(inB)
-    val bcMax = spark.sparkContext.broadcast(inMax)
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{BooleanType, LongType, StructField,
-      StructType}
-    val outSchema = StructType(Seq(
-      StructField("t", LongType, nullable = false),
-      StructField("x", LongType, nullable = false),
-      StructField("s_pos", LongType, nullable = false),
-      StructField("s_neg", LongType, nullable = false),
-      StructField("alarm_hi", BooleanType, nullable = false),
-      StructField("alarm_lo", BooleanType, nullable = false)))
-    // pass 2: one streamed scan per partition, one BIGINT of state each
-    // for (prefix, running extremum) on both sides
-    spark.createDataFrame(
-      base.rdd.mapPartitionsWithIndex { (pid, it) =>
-        var pa = bcA.value(pid); var mn = bcMin.value(pid)
-        var pb = bcB.value(pid); var mx = bcMax.value(pid)
-        it.map { r =>
-          val t = r.getLong(0); val x = r.getLong(1)
-          val e = r.getLong(2); val nk = r.getLong(3)
-          val nh = r.getLong(4)
-          pa += e - nk; if (pa < mn) mn = pa
-          pb += e + nk; if (pb > mx) mx = pb
-          val sp = pa - mn // ≥ 0 by construction (mn ≤ pa)
-          val sn = pb - mx // ≤ 0 by construction
-          Row(t, x, sp, sn, sp > nh, sn < -nh)
+        def combine(a: (Long, Long, Long, Long),
+            b: (Long, Long, Long, Long)): (Long, Long, Long, Long) =
+          (a._1 + b._1, math.min(a._2, a._1 + b._2),
+            a._3 + b._3, math.max(a._4, a._3 + b._4))
+        def emit(post: (Long, Long, Long, Long),
+            v: Array[Any]): Seq[Any] = {
+          val nh = v(2).asInstanceOf[Long]
+          val sp = post._1 - post._2 // ≥ 0 by construction (min ≤ pa)
+          val sn = post._3 - post._4 // ≤ 0 by construction
+          Seq(sp, sn, sp > nh, sn < -nh)
         }
-      }, outSchema)
+      }, numPartitions)
+    scanned.select("t", "x", "s_pos", "s_neg", "alarm_hi", "alarm_lo")
   }
 
   /** Per-key integer EWMA: s_1 = x_1, s_i = s_{i-1} +

@@ -7483,6 +7483,85 @@ object CorpusQueries extends QueryModule {
              |SELECT node AS doc_id, lab AS wl_label FROM l2""".stripMargin),
     ),
 
+    // ---- whole-graph WL signatures (ops/GraphOps.wlGraphSignature):
+    // graph-shaped dedup over a ten-graph family built arithmetically
+    // from doc_ids — group g = doc_id % 10, path edges j → j+1 inside
+    // each group, even groups close into cycles, and group 0 gets a
+    // chord (the near-miss). Even non-zero groups are isomorphic
+    // cycles → ONE shared signature; odd groups are isomorphic paths →
+    // another; g 0 separates. The disjoint-union scoping computes all
+    // ten graphs in one wlLabels run; DuckDB restates both WL rounds
+    // per graph AND the sorted-label md5 — a scoping leak (labels
+    // bleeding across graphs), a wrong sort, or a dropped chord all
+    // mismatch.
+    Q(
+      "q323_wl_graph_signature",
+      (s, d) => {
+        val ids = Tables.documents(s, d).select(col("doc_id"))
+        val base = ids.select(col("doc_id"),
+          (col("doc_id") % 10).as("g"))
+        val path = base.as("a").join(base.as("b"),
+            col("b.doc_id") === col("a.doc_id") + 10)
+          .select(col("a.g").as("graph_id"), col("a.doc_id").as("src"),
+            col("b.doc_id").as("dst"))
+        val grp = base.groupBy(col("g"))
+          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+            count(lit(1)).as("m"))
+        val close = grp.filter(col("g") % 2 === 0)
+          .select(col("g").as("graph_id"), col("mx").as("src"),
+            col("mn").as("dst"))
+        val chord = grp.filter(col("g") === 0)
+          .select(col("g").as("graph_id"), col("mn").as("src"),
+            (col("mn") + lit(10) * expr("m div 2")).as("dst"))
+        GraphOps.wlGraphSignature(
+          path.unionAll(close).unionAll(chord),
+          "graph_id", "src", "dst", rounds = 2)
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents),
+             |grp AS (
+             |  SELECT doc_id % 10 AS g, CAST(min(doc_id) AS BIGINT) AS mn,
+             |    CAST(max(doc_id) AS BIGINT) AS mx,
+             |    CAST(count(*) AS BIGINT) AS m
+             |  FROM ids GROUP BY 1
+             |), e0 AS (
+             |  SELECT x.doc_id % 10 AS g, x.doc_id AS s, y.doc_id AS d
+             |  FROM ids x JOIN ids y ON y.doc_id = x.doc_id + 10
+             |  UNION ALL
+             |  SELECT g, mx, mn FROM grp WHERE g % 2 = 0
+             |  UNION ALL
+             |  SELECT g, mn, mn + 10 * (m // 2) FROM grp WHERE g = 0
+             |), e AS (
+             |  SELECT DISTINCT g, least(s, d) AS a, greatest(s, d) AS b
+             |  FROM e0 WHERE s <> d
+             |), und AS (
+             |  SELECT g, a, b FROM e
+             |  UNION ALL SELECT g, b AS a, a AS b FROM e
+             |), l0 AS (
+             |  SELECT g, a AS node, CAST(count(*) AS VARCHAR) AS lab
+             |  FROM und GROUP BY 1, 2
+             |), l1 AS (
+             |  SELECT u.g, u.a AS node,
+             |    md5(o.lab || '|'
+             |      || string_agg(l.lab, ',' ORDER BY l.lab)) AS lab
+             |  FROM und u
+             |  JOIN l0 l ON l.g = u.g AND l.node = u.b
+             |  JOIN l0 o ON o.g = u.g AND o.node = u.a
+             |  GROUP BY u.g, u.a, o.lab
+             |), l2 AS (
+             |  SELECT u.g, u.a AS node,
+             |    md5(o.lab || '|'
+             |      || string_agg(l.lab, ',' ORDER BY l.lab)) AS lab
+             |  FROM und u
+             |  JOIN l1 l ON l.g = u.g AND l.node = u.b
+             |  JOIN l1 o ON o.g = u.g AND o.node = u.a
+             |  GROUP BY u.g, u.a, o.lab
+             |)
+             |SELECT CAST(g AS VARCHAR) AS graph_id,
+             |  CAST(count(*) AS BIGINT) AS n_nodes,
+             |  md5(string_agg(lab, ',' ORDER BY lab)) AS wl_signature
+             |FROM l2 GROUP BY g""".stripMargin),
+    ),
+
     // ---- token-distribution Jensen–Shannon drift between two corpus
     // slices (ops/Scoring.tokenJsdMicro): per-token micro-nat floors
     // over ratio arguments whose products are computed in DOUBLE in a

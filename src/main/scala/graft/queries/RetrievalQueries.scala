@@ -174,5 +174,98 @@ object RetrievalQueries extends QueryModule {
              |UNION ALL
              |SELECT qid, doc, 3, CAST(obj AS BIGINT) FROM s3""".stripMargin),
     ),
+
+    // ---- end-to-end MMR over embeddings (ops/Fusion
+    // .mmrDiversifyEmbeddings): the RAG-packing path as ONE call —
+    // exact top-6 cosine shortlist per query vector (every 100th
+    // vec_id), relevance = floored micro-cosine, redundancy = exact
+    // pairwise micro-cosines within each shortlist, greedy λ=0.7
+    // top-3 — no hand-staged sims anywhere (the r9 brief's gap).
+    // Cosine is the house sequential fold, bit-identical to DuckDB's
+    // list_sum, so the oracle restates the shortlist, both cosine
+    // floors, and all three unrolled selection steps exactly.
+    Q(
+      "q324_mmr_embeddings_e2e",
+      (s, d) => graft.ops.Fusion.mmrDiversifyEmbeddings(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") % 100 === 0, shortlistN = 6, k = 3,
+        lambdaPermille = 700),
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings
+             |), q AS (
+             |  SELECT vec_id, v FROM e WHERE vec_id % 100 = 0
+             |), p AS (
+             |  SELECT q.vec_id AS qid, b.vec_id AS doc,
+             |    list_sum(list_transform(list_zip(q.v, b.v),
+             |      p -> p[1] * p[2])) /
+             |      (sqrt(list_sum(list_transform(q.v, x -> x * x))) *
+             |       sqrt(list_sum(list_transform(b.v, x -> x * x))))
+             |      AS cosine
+             |  FROM q JOIN e b ON b.vec_id <> q.vec_id
+             |), cands AS (
+             |  SELECT qid, doc,
+             |    CAST(floor(1000000 * cosine) AS BIGINT) AS rel FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY qid
+             |      ORDER BY cosine DESC, doc ASC) AS r
+             |    FROM p) WHERE r <= 6
+             |), sims AS (
+             |  SELECT a.qid, a.doc AS da, b.doc AS db,
+             |    CAST(floor(1000000 * (
+             |      list_sum(list_transform(list_zip(va.v, vb.v),
+             |        p -> p[1] * p[2])) /
+             |        (sqrt(list_sum(list_transform(va.v, x -> x * x))) *
+             |         sqrt(list_sum(list_transform(vb.v, x -> x * x))))))
+             |      AS BIGINT) AS sim
+             |  FROM cands a JOIN cands b
+             |    ON a.qid = b.qid AND a.doc < b.doc
+             |  JOIN e va ON va.vec_id = a.doc
+             |  JOIN e vb ON vb.vec_id = b.doc
+             |), s1 AS (
+             |  SELECT qid, doc, 700 * rel AS obj FROM (
+             |    SELECT qid, doc, rel, row_number() OVER (
+             |      PARTITION BY qid
+             |      ORDER BY 700 * rel DESC, doc ASC) AS rn
+             |    FROM cands) WHERE rn = 1
+             |), o2 AS (
+             |  SELECT c.qid, c.doc,
+             |    700 * c.rel - 300 * coalesce(s.sim, 0) AS obj
+             |  FROM cands c
+             |  JOIN s1 ON c.qid = s1.qid AND c.doc <> s1.doc
+             |  LEFT JOIN sims s ON s.qid = c.qid
+             |    AND least(c.doc, s1.doc) = s.da
+             |    AND greatest(c.doc, s1.doc) = s.db
+             |), s2 AS (
+             |  SELECT qid, doc, obj FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY qid
+             |      ORDER BY obj DESC, doc ASC) AS rn
+             |    FROM o2) WHERE rn = 1
+             |), o3 AS (
+             |  SELECT c.qid, c.doc,
+             |    700 * c.rel - 300 * greatest(
+             |      coalesce(sa.sim, 0), coalesce(sb.sim, 0)) AS obj
+             |  FROM cands c
+             |  JOIN s1 ON c.qid = s1.qid
+             |  JOIN s2 ON c.qid = s2.qid
+             |  LEFT JOIN sims sa ON sa.qid = c.qid
+             |    AND least(c.doc, s1.doc) = sa.da
+             |    AND greatest(c.doc, s1.doc) = sa.db
+             |  LEFT JOIN sims sb ON sb.qid = c.qid
+             |    AND least(c.doc, s2.doc) = sb.da
+             |    AND greatest(c.doc, s2.doc) = sb.db
+             |  WHERE c.doc <> s1.doc AND c.doc <> s2.doc
+             |), s3 AS (
+             |  SELECT qid, doc, obj FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY qid
+             |      ORDER BY obj DESC, doc ASC) AS rn
+             |    FROM o3) WHERE rn = 1
+             |)
+             |SELECT qid, doc, 1 AS mmr_rank, CAST(obj AS BIGINT) AS obj
+             |FROM s1
+             |UNION ALL
+             |SELECT qid, doc, 2, CAST(obj AS BIGINT) FROM s2
+             |UNION ALL
+             |SELECT qid, doc, 3, CAST(obj AS BIGINT) FROM s3""".stripMargin),
+    ),
   )
 }

@@ -51,4 +51,29 @@ class FusionSpec extends SparkSpec {
       .map(r => r.getAs[Int]("mmr_rank") -> r.getAs[Long]("doc")).toMap
     assert(tied(1) == 4L && tied(2) == 5L)
   }
+
+  test("mmrDiversifyEmbeddings: end-to-end shortlist + sims + greedy — " +
+      "lambda steers between relevance and diversity") {
+    import org.apache.spark.sql.functions.col
+    // query [1,0]; d1/d2 nearly collinear with it (and each other),
+    // d3 diverse at cos 0.6
+    val emb = Seq(
+      (100L, Seq(1.0, 0.0)),
+      (1L, Seq(1.0, 0.05)),
+      (2L, Seq(1.0, 0.1)),
+      (3L, Seq(0.6, 0.8)),
+    ).toDF("vec_id", "embedding")
+    def picks(lambdaPm: Int): Map[Int, Long] =
+      Fusion.mmrDiversifyEmbeddings(emb, "vec_id", "embedding",
+          col("vec_id") % 100 === 0, shortlistN = 3, k = 2,
+          lambdaPermille = lambdaPm)
+        .collect()
+        .map(r => r.getAs[Int]("mmr_rank") -> r.getAs[Long]("doc"))
+        .toMap
+    // relevance-heavy: top cosine d1 first, near-duplicate d2 second
+    assert(picks(900) == Map(1 -> 1L, 2 -> 2L))
+    // diversity-heavy: d1 first, but d2's ~0.999 sim to d1 buries it
+    // under the diverse d3
+    assert(picks(100) == Map(1 -> 1L, 2 -> 3L))
+  }
 }

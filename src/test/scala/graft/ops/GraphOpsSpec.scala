@@ -245,6 +245,36 @@ class GraphOpsSpec extends SparkSpec {
     assert((c6.values.toSet ++ cc3.values.toSet).size == 1)
   }
 
+  test("wlGraphSignature: isomorphic graphs share a signature even " +
+      "with colliding node ids, a chord breaks it, C6 vs 2xC3 collide " +
+      "(the documented blind spot)") {
+    val edges = Seq(
+      // g=1: C5 on 1..5; g=2: the SAME cycle on ids 10..50 — and g=3
+      // REUSES g=1's ids with an extra 1-3 chord, so per-graph scoping
+      // is actually exercised
+      (1L, 1L, 2L), (1L, 2L, 3L), (1L, 3L, 4L), (1L, 4L, 5L),
+      (1L, 5L, 1L),
+      (2L, 10L, 20L), (2L, 20L, 30L), (2L, 30L, 40L), (2L, 40L, 50L),
+      (2L, 50L, 10L),
+      (3L, 1L, 2L), (3L, 2L, 3L), (3L, 3L, 4L), (3L, 4L, 5L),
+      (3L, 5L, 1L), (3L, 1L, 3L),
+      // g=4: C6; g=5: 2×C3 — both 2-regular, 1-WL cannot separate
+      (4L, 1L, 2L), (4L, 2L, 3L), (4L, 3L, 4L), (4L, 4L, 5L),
+      (4L, 5L, 6L), (4L, 6L, 1L),
+      (5L, 1L, 2L), (5L, 2L, 3L), (5L, 3L, 1L), (5L, 4L, 5L),
+      (5L, 5L, 6L), (5L, 6L, 4L),
+    ).toDF("graph_id", "src", "dst")
+    val sig = GraphOps.wlGraphSignature(edges, "graph_id", "src",
+        "dst", rounds = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2)))).toMap
+    assert(sig("1") == sig("2")) // isomorphic, id-invariant
+    assert(sig("1")._2 != sig("3")._2) // the chord near-miss separates
+    assert(sig("4") == sig("5")) // 1-WL blind spot — equal BY DESIGN
+    assert(sig("4")._2 != sig("1")._2)
+    assert(sig.size == 5)
+  }
+
   test("triangleCounts: a square (4-cycle) has none; a hub star has " +
       "none — the degree orientation doesn't invent wedges") {
     val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))

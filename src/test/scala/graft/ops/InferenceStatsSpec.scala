@@ -251,6 +251,34 @@ class InferenceStatsSpec extends SparkSpec {
     assert(lo.head.getAs[Long]("t") == 23L)
   }
 
+  test("sprtBernoulliScan: bit-exact parity with sprtBernoulli on a " +
+      "randomized stream across many partitions") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("t"),
+        r.getAs[Long]("n_trials"), r.getAs[Long]("n_success"),
+        r.getAs[Long]("llr_cum_micro"), r.getAs[String]("crossed"),
+        r.getAs[Boolean]("is_decision"))).toSet
+    // q319's shape: the hand-verified early-h1 walk
+    val ev = (Seq.fill(8)((1L, true)) ++ Seq((2L, false), (2L, true)))
+      .toDF("day", "succ")
+    assert(
+      rows(SeriesStats.sprtBernoulliScan(ev, "day", "succ", 200, 300)) ==
+      rows(SeriesStats.sprtBernoulli(ev, "day", "succ", 200, 300)))
+    // randomized 400-day stream with multiple trials per day, forced
+    // through 13 range partitions so the driver's incoming-state fold
+    // is actually exercised; a never-crossing parameterization too
+    val rng = new scala.util.Random(7)
+    val big = (1L to 400L).flatMap(d =>
+      (0 until 1 + rng.nextInt(4)).map(_ => (d, rng.nextInt(4) == 0)))
+      .toDF("day", "succ")
+    for ((p0, p1) <- Seq((200, 300), (240, 260))) {
+      val exact = rows(SeriesStats.sprtBernoulli(big, "day", "succ",
+        p0, p1))
+      assert(rows(SeriesStats.sprtBernoulliScan(big, "day", "succ",
+        p0, p1, numPartitions = 13)) == exact)
+    }
+  }
+
   test("ewmaInt: seeded first value, sign-guarded truncating division") {
     val rows = Seq(("u", 1L, 16L), ("u", 2L, 0L), ("u", 3L, 100L),
       ("v", 1L, 16L), ("v", 2L, 1L))
