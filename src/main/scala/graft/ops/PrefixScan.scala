@@ -9,10 +9,11 @@ import org.apache.spark.sql.types.{StructField, StructType}
 /** The house two-pass DISTRIBUTED PREFIX SCAN — one primitive for
   * every "ordered running state over an unbounded axis" operator that
   * a naive plan would funnel through a single-partition window.
-  * Extracted (r9 brief) from three hand-rolled copies of the same
+  * Extracted (r9 brief) from four hand-rolled copies of the same
   * shape: [[Packing.globalRowNumber]] (running count → global rank),
-  * [[SeriesStats.cusumIntScan]] (prefix sums + running extrema), and
-  * the rank machinery under [[RankStats.avgRankX2]]; new scans
+  * [[SeriesStats.cusumIntScan]] (prefix sums + running extrema),
+  * [[RankStats.ksTestScaled]] (cumulative pair counts), and the rank
+  * machinery under [[RankStats.avgRankX2]]; new scans
   * ([[SeriesStats.sprtBernoulliScan]]) state only their monoid.
   *
   * Shape (Blelloch 1990's scan decomposition, adapted to Spark's

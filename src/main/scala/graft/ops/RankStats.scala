@@ -126,17 +126,16 @@ object RankStats {
     * at the edge.)
     *
     * Scale shape: one hash aggregation to per-distinct-value group
-    * counts, then the [[SketchStats.weightedQuantilesLong]] prefix
-    * discipline — range partition the value axis, per-partition
-    * partial sums to the driver, partition-local running windows —
-    * and one max. Never a single-partition window.
+    * counts, then the cumulative pair-count walk is ONE
+    * [[PrefixScan]] (r10 — this was the fourth hand-rolled copy of
+    * the two-pass shape) and one max. Never a single-partition
+    * window.
     *
     * @return one row: (n1, n2, d_scaled = max|cum1·n2 − cum2·n1|) */
   def ksTestScaled(df: DataFrame, grpCol: String,
       valCol: String): DataFrame = {
-    val spark = df.sparkSession
     import graft.ops.Materialize.MaterializeOps
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{LongType, StructField}
     val groups = df.select(col(grpCol).cast("string").as("__g"))
       .distinct().orderBy(col("__g")).collect().map(_.getString(0))
     require(groups.length == 2,
@@ -147,33 +146,29 @@ object RankStats {
       .groupBy(col("__v"))
       .agg(sum(when(col("__g") === gA, 1L).otherwise(0L)).as("__c1"),
         sum(when(col("__g") === gB, 1L).otherwise(0L)).as("__c2"))
-    val p = spark.sessionState.conf.numShufflePartitions
-    val parted = perValue.repartitionByRange(p, col("__v").asc)
-      .sortWithinPartitions(col("__v").asc)
-      .withColumn("__pid", spark_partition_id())
-      .materialized
-    val partSums = parted.groupBy(col("__pid"))
-      .agg(sum(col("__c1")).as("__s1"), sum(col("__c2")).as("__s2"))
-      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
-      .toMap
-    var acc1 = 0L; var acc2 = 0L
-    val offsets = (0 until p).map { i =>
-      val o = i -> ((acc1, acc2))
-      val (s1, s2) = partSums.getOrElse(i, (0L, 0L))
-      acc1 += s1; acc2 += s2
-      o
-    }.toMap
-    val (n1, n2) = (acc1, acc2)
+    // pair-sum monoid over the value axis (__v is distinct after the
+    // aggregation, so the order is total); materialized because both
+    // the totals row and the final max consume it
+    val scanned = PrefixScan.scan[(Long, Long)](perValue,
+      Seq(col("__v").asc),
+      Seq(StructField("__cum1", LongType, nullable = false),
+        StructField("__cum2", LongType, nullable = false)),
+      new PrefixScan.ScanMonoid[(Long, Long)] {
+        def stepCols: Seq[String] = Seq("__c1", "__c2")
+        def zero: (Long, Long) = (0L, 0L)
+        def step(s: (Long, Long), v: Array[Any]): (Long, Long) =
+          (s._1 + v(0).asInstanceOf[Long], s._2 + v(1).asInstanceOf[Long])
+        def combine(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+          (a._1 + b._1, a._2 + b._2)
+        def emit(post: (Long, Long), v: Array[Any]): Seq[Any] =
+          Seq(post._1, post._2)
+      }).materialized
+    // the cumulative counts are monotone, so the totals are their max
+    val tot = scanned.agg(max(col("__cum1")).as("n1"),
+      max(col("__cum2")).as("n2"))
+    val Seq(n1, n2) = tot.head().toSeq.map(_.asInstanceOf[Long])
     require(n1 > 0 && n2 > 0, s"both groups need rows: n1=$n1 n2=$n2")
-    val off1 = partSums.keys.toSeq.sorted.foldLeft(lit(0L)) { (a, pid) =>
-      when(col("__pid") === pid, lit(offsets(pid)._1)).otherwise(a) }
-    val off2 = partSums.keys.toSeq.sorted.foldLeft(lit(0L)) { (a, pid) =>
-      when(col("__pid") === pid, lit(offsets(pid)._2)).otherwise(a) }
-    val win = Window.partitionBy(col("__pid")).orderBy(col("__v").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parted
-      .withColumn("__cum1", off1 + sum(col("__c1")).over(win))
-      .withColumn("__cum2", off2 + sum(col("__c2")).over(win))
+    scanned
       .agg(max(abs(col("__cum1") * n2 - col("__cum2") * n1))
         .as("d_scaled"))
       .select(lit(n1).as("n1"), lit(n2).as("n2"), col("d_scaled"))

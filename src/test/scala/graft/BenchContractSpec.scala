@@ -54,21 +54,27 @@ class BenchContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
 
-  test("twin map takes min per name and skips retry lines (r9 finding)") {
+  test("twin map takes min per name across all reps and retries " +
+      "(r9 finding)") {
     val sf = "/root/testdata/sf0.1"
     val lines = Seq(
       s"""{"ctx":"start","load_avg":0.5,"sf_dir":"$sf"}""",
       """{"q":"q1","name":"q1_agg","sec":4.200,"task_ms":10}""",
-      // a worse retry rep must NOT become the twin: its own line is
-      // skipped entirely (it is the load-spike evidence)...
+      // a worse retry rep must NOT become the twin (the old .toMap
+      // kept the LAST line): the min wins...
       """{"q":"q1","name":"q1_agg","sec":9.000,"retry_of":4.200}""",
-      // ...and among non-retry reps the MIN wins, not the last
+      // ...and when the FIRST rep was the load spike, the retry line
+      // holds the only clean measurement — it must count too
+      """{"q":"q3","name":"q3_join","sec":14.000,"task_ms":10}""",
+      """{"q":"q3","name":"q3_join","sec":1.500,"retry_of":14.000}""",
+      // median-rep lines: the MIN wins, not the last
       """{"q":"q2","name":"q2_scan","sec":2.000,"rep":1}""",
       """{"q":"q2","name":"q2_scan","sec":1.000,"rep":2}""",
       """{"q":"q2","name":"q2_scan","sec":3.000,"rep":3}""",
       s"""{"ctx":"end","load_avg":0.6,"sf_dir":"$sf"}""")
     val twins = Bench.parseTwins(lines, sf)
-    assert(twins == Map("q1_agg" -> 4.2, "q2_scan" -> 1.0))
+    assert(twins == Map("q1_agg" -> 4.2, "q2_scan" -> 1.0,
+      "q3_join" -> 1.5))
   }
 
   test("twins only apply when the prior capture's sf_dir matches") {
