@@ -44,20 +44,21 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // Fixture-glob portability (r9 brief): seven oracles restate the
-    // recorded-HTML fixture corpus from its on-disk path, which
-    // SparkEntry.oracleSql spells at the driver's gate scale (sf0.01,
-    // the map's static contract). The Spark side writes fixtures per
-    // sf (HtmlFixtures.write uses the CURRENT sfDir), so dumping here
-    // rewrites the path segment to the sf actually verified — at
-    // sf0.01 the dumped SQL is byte-identical to the static map (the
-    // driver's gate is untouched), and a 10x sweep at sf0.1 reads the
-    // sf0.1 fixture set instead of permanently skipping the class.
+    // Fixture-path portability (r9 brief): a dozen oracles restate a
+    // fixture corpus (recorded HTML, PNG/WAV/GVID media, perf logs,
+    // export shards) from its on-disk path, which SparkEntry.oracleSql
+    // spells at the driver's gate scale (sf0.01, the map's static
+    // contract). Every fixture writer is sf-parameterized
+    // (`target/<family>/<sf-name>/`), so dumping here rewrites the sf
+    // path segment to the sf actually verified — at sf0.01 the dumped
+    // SQL is byte-identical to the static map (the driver's gate is
+    // untouched), and a 10x sweep at sf0.1 reads each family's sf0.1
+    // fixture set instead of permanently skipping the class.
     val sfName = new java.io.File(sfDir).getName
+    val fixturePath = "(/root/repo/target/[a-z0-9_]+/)sf0\\.01/".r
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>
-        val sql = v.replace("target/html_fixtures/sf0.01/",
-          s"target/html_fixtures/$sfName/")
+        val sql = fixturePath.replaceAllIn(v, m => s"${m.group(1)}$sfName/")
         s"${q(k)}: ${q(sql)}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
