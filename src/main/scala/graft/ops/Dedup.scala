@@ -1098,4 +1098,74 @@ object Dedup {
         lit(1L).as("n_members"), lit(0L).as("sum_dist_milli"))
     medoids.unionByName(singles)
   }
+  /** EXACT-SUBSTRING duplicate spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", ACL — the ExactSubstr
+    * operator; SlimPajama/RefinedWeb run the same idea L-gram-anchored
+    * instead of suffix-array-exact, which is the form that
+    * map-reduces): every token span of length >= `l` whose L-gram
+    * occurs >= `minFreq` times ANYWHERE in the corpus (including twice
+    * in one document) is reported as a duplicated region, with
+    * overlapping/adjacent anchor windows merged into maximal spans.
+    * Complements [[exactDedup]] (whole-doc), [[Decontamination]]
+    * (vs a bench set), and q96's line-level dedup: this is the
+    * operator that catches boilerplate and licenses REPEATED INSIDE
+    * otherwise-unique documents — the duplication mode whole-doc
+    * hashing cannot see.
+    *
+    * Shape: tokenize once, one HOF window pass emits (pos, hash-60 of
+    * the space-joined L-gram), one hash aggregation counts gram
+    * frequencies (map-side combinable), one equi-join keeps duplicated
+    * anchors, and the interval merge is a per-document window
+    * (gaps-and-islands over ascending positions — equal-length
+    * intervals make `pos > lag(pos) + l` the exact merge rule). Never
+    * pairwise: candidate volume is (duplicated anchors), not n².
+    * Per-document window state is doc-bounded (the parse-op bound).
+    * All arithmetic integer; the md5-60 grams are the [[md5Hash60]]
+    * house convention, so any engine restates the exact span set.
+    *
+    * @param l     anchor length in tokens (Lee et al. use 50; small
+    *              corpora want ~10-20)
+    * @param minFreq a span counts as duplicated at this many
+    *              occurrences (default 2)
+    * @return (doc_id-named idCol, span_start 1-based token index,
+    *         span_end exclusive, n_anchor_tokens = span_end - span_start)
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      l: Int, minFreq: Long = 2L): DataFrame = {
+    require(l >= 2, s"anchor length must be >= 2 tokens, got $l")
+    require(minFreq >= 2, s"minFreq must be >= 2, got $minFreq")
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(trim(col(textCol)), "\\s+")
+    val grams = df
+      .select(col(idCol), toks.as("__w"))
+      .filter(size(col("__w")) >= l)
+      .select(col(idCol), explode(expr(
+        s"""transform(sequence(1, size(__w) - ${l - 1}),
+           |  i -> struct(i AS pos,
+           |    CAST(conv(substring(md5(
+           |      concat_ws(' ', slice(__w, i, $l))), 1, 15), 16, 10)
+           |      AS BIGINT) AS h))""".stripMargin)).as("__g"))
+      .select(col(idCol), col("__g.pos").as("__pos"),
+        col("__g.h").as("__h"))
+      .materialized // consumed twice: the frequency count and the join
+    val dupGrams = grams.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minFreq)
+      .select(col("__h"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    grams.join(dupGrams, "__h")
+      .withColumn("__prev", lag(col("__pos"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("__pos") > col("__prev") + l, 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("__pos")).as("span_start"),
+        (max(col("__pos")) + l).as("span_end"))
+      .select(col(idCol), col("span_start").cast("long"),
+        col("span_end").cast("long"),
+        (col("span_end") - col("span_start")).cast("long")
+          .as("n_anchor_tokens"))
+  }
 }

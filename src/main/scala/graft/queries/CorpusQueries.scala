@@ -1721,6 +1721,49 @@ object CorpusQueries extends QueryModule {
              |FROM reb""".stripMargin),
     ),
 
+    // ---- exact-substring duplicate spans (ops/Dedup.duplicateSpans —
+    // Lee et al. 2022's ExactSubstr, L-gram-anchored): maximal token
+    // regions whose 12-gram occurs >= 2 times anywhere in the corpus,
+    // the duplication mode whole-doc/line dedup cannot see. DuckDB
+    // rebuilds the same md5-60 grams, frequency bar, and
+    // gaps-and-islands interval merge, so every span boundary
+    // hash-compares exactly.
+    Q(
+      "q325_duplicate_spans",
+      (s, d) => Dedup.duplicateSpans(
+        Tables.documents(s, d), "doc_id", "text", l = 12),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS w
+             |  FROM documents
+             |), g0 AS (
+             |  SELECT doc_id, unnest([{'pos': i,
+             |      'h': CAST('0x' || substr(md5(
+             |        array_to_string(w[i:i+11], ' ')), 1, 15) AS BIGINT)}
+             |    for i in range(1, len(w) - 10)]) AS g
+             |  FROM t WHERE len(w) >= 12
+             |), g AS (
+             |  SELECT doc_id, g.pos AS pos, g.h AS h FROM g0
+             |), f AS (
+             |  SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+             |), sel AS (
+             |  SELECT g.doc_id, g.pos FROM g JOIN f USING (h)
+             |), o AS (
+             |  SELECT doc_id, pos,
+             |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+             |  FROM sel
+             |), isl AS (
+             |  SELECT doc_id, pos,
+             |    sum(CASE WHEN prev IS NULL OR pos > prev + 12
+             |      THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             |  FROM o
+             |)
+             |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             |  CAST(max(pos) + 12 AS BIGINT) AS span_end,
+             |  CAST(max(pos) + 12 - min(pos) AS BIGINT) AS n_anchor_tokens
+             |FROM isl GROUP BY doc_id, island""".stripMargin),
+    ),
+
     // ---- hashed linear classifier scoring: the weights are a
     // deterministic arithmetic function of the bucket (a stand-in for a
     // trained fastText/quality model — no model ships in this

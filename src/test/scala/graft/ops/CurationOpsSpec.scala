@@ -8,6 +8,44 @@ import org.apache.spark.sql.functions._
 class CurationOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  // -------------------------------------------- exact-substring spans
+
+  test("duplicateSpans: cross-doc shared run merges to one maximal " +
+      "span per doc; within-doc repetition counts; unique docs emit " +
+      "nothing") {
+    val docs = Seq(
+      (1L, "a b c d e x1 x2 x3"),     // shares "a b c d e" with doc 2
+      (2L, "y1 a b c d e y2"),
+      (3L, "p q r s p q r s"),        // internal repetition
+      (4L, "u1 u2 u3 u4 u5 u6 u7"),   // all unique
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text", l = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // doc 1: anchors at 1,2,3 (abc/bcd/cde) merge to tokens [1,6)
+    // doc 2: the same grams at 2,3,4 -> [2,7)
+    // doc 3: pqr@{1,5}, qrs@{2,6} are corpus-duplicated; anchors
+    //   1,2,5,6 chain (5 <= 2+3) into ONE span [1,9) — the whole doc
+    assert(out == Set((1L, 1L, 6L, 5L), (2L, 2L, 7L, 5L),
+      (3L, 1L, 9L, 8L)))
+  }
+
+  test("duplicateSpans: non-adjacent duplicated anchors stay separate " +
+      "spans; minFreq raises the duplication bar") {
+    val docs = Seq(
+      (1L, "a b c z1 z2 z3 z4 a b c"), // two separated copies
+      (2L, "a b c w1 w2"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text", l = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // doc1 anchors 1 and 8: 8 > 1+3 -> two spans [1,4) and [8,11)
+    assert(out == Set((1L, 1L, 4L), (1L, 8L, 11L), (2L, 1L, 4L)))
+    // "a b c" occurs 3 times corpus-wide; minFreq = 4 silences it
+    assert(Dedup.duplicateSpans(docs, "doc_id", "text", l = 3,
+      minFreq = 4L).count() == 0L)
+  }
+
   // ---------------------------------------------------- decontamination
 
   test("decontaminate drops exactly the docs sharing an n-gram") {
