@@ -62,6 +62,24 @@ object Bench {
     }
   }
 
+  /** Mechanical C2-DEOPT adjudication signature (r10 brief): SCALING.md
+    * names a code-state variance mode where a query runs 2-5x slow in
+    * ONE JVM with task_ms ≈ wall and zero task GC (q64: 10.4 s twice
+    * in-JVM, 2.2 s in a fresh JVM — the generated code deoptimized and
+    * never re-tiered), where an ambient-LOAD spike instead shows
+    * task_ms ≫ wall (32 busy cores) or heavy GC. A rep is flagged
+    * suspect when (a) it lands >2x its committed twin with >1 s excess,
+    * (b) total task time sits within [0.5, 1.5]x of wall (the
+    * effectively-serial signature on a 32-thread runner), and (c) task
+    * GC is near-zero (<150 ms). The flag rides the perf line as
+    * "suspect":"code-state" — the prescription is a fresh-JVM
+    * SPARK_GRAFT_BENCH_ONLY probe, now mechanical instead of manual. */
+  private[graft] def suspectCodeState(secs: Double, twin: Option[Double],
+      taskMs: Long, gcMs: Long): Boolean =
+    twin.exists(t => secs > 2 * t && secs - t > 1.0) &&
+      taskMs >= 0.5 * secs * 1000 && taskMs <= 1.5 * secs * 1000 &&
+      gcMs < 150
+
   def main(args: Array[String]): Unit = {
     // ambient load is sampled FIRST — before the SparkSession and the
     // entry warm — so "load"/"degraded" describe the machine we
@@ -115,8 +133,9 @@ object Bench {
     // publishes the better rep, so ambient-load spikes can't masquerade as
     // plan regressions. The retry is annotated in the perf line
     // ("retry_of") so the evidence channel still shows both values.
-    // committed twins via [[parseTwins]] (min per name, retry lines
-    // skipped, sf_dir-matched — see the parser's scaladoc)
+    // committed twins via [[parseTwins]] (min per name ACROSS ALL of a
+    // query's lines — retry and median-rep lines INCLUDED, sf_dir-
+    // matched — see the parser's scaladoc)
     val priorSecs: Map[String, Double] = {
       val f = new java.io.File("BENCH_PERF.jsonl")
       if (!f.exists()) Map.empty
@@ -150,7 +169,10 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
     val medianSet: Set[String] =
-      priorSecs.toSeq.sortBy(-_._2).take(20).map(_._1).toSet ++
+      // deterministic tie-break (name asc) so queries tied at the
+      // cutoff can't flip in/out of the rep protocol between captures
+      priorSecs.toSeq.sortBy { case (n, s) => (-s, n) }
+        .take(20).map(_._1).toSet ++
         priorSecs.keySet.filter(n =>
           medianExtra.exists(p => n == p || n.startsWith(p)))
     val perfLog = new java.io.PrintWriter(
@@ -253,10 +275,15 @@ object Bench {
       // metrics land in its own delta, not the next one's
       tracker.awaitQuiesce(stableMs = 50, timeoutMs = 2000)
       val after = tracker.snapshot()
+      val taskMs = after.executorRunTimeMs - before.executorRunTimeMs
+      val gcMs = after.jvmGcTimeMs - before.jvmGcTimeMs
+      val suspect =
+        suspectCodeState(secs, priorSecs.get(name), taskMs, gcMs)
       val line = s"""{"q":"${short(name)}","name":"$name","sec":${f3(secs)}""" +
         s""","build_sec":${f3(buildSecs)}""" +
-        s""","task_ms":${after.executorRunTimeMs - before.executorRunTimeMs}""" +
-        s""","gc_ms":${after.jvmGcTimeMs - before.jvmGcTimeMs}""" +
+        s""","task_ms":$taskMs""" +
+        s""","gc_ms":$gcMs""" +
+        (if (suspect) s""","suspect":"code-state"""" else "") +
         s""","shuf_r":${after.shuffleBytesRead - before.shuffleBytesRead}""" +
         s""","shuf_w":${after.shuffleBytesWritten - before.shuffleBytesWritten}""" +
         s""","spill":${after.spilledBytes - before.spilledBytes}""" +

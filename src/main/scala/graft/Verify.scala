@@ -56,9 +56,19 @@ object Verify {
     // fixture set instead of permanently skipping the class.
     val sfName = new java.io.File(sfDir).getName
     val fixturePath = "(/root/repo/target/[a-z0-9_]+/)sf0\\.01/".r
+    // quoteReplacement: a '$' or '\' in the sf-dir basename would
+    // otherwise be interpreted as a replacement-template reference
+    val sfRepl = scala.util.matching.Regex.quoteReplacement(s"$sfName/")
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>
-        val sql = fixturePath.replaceAllIn(v, m => s"${m.group(1)}$sfName/")
+        val sql = fixturePath.replaceAllIn(v, m => s"${m.group(1)}$sfRepl")
+        // a fixture-family dir outside [a-z0-9_]+ would silently skip
+        // the rewrite and read sf0.01 fixtures at another sf — warn
+        // loudly so a sweep failure is attributable from stderr alone
+        if (sfName != "sf0.01" && sql.contains("/sf0.01/"))
+          System.err.println(s"[verify] $k: an sf0.01 fixture path " +
+            s"survived the $sfName rewrite — check the fixture dir " +
+            "naming against Verify's [a-z0-9_]+ family pattern")
         s"${q(k)}: ${q(sql)}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

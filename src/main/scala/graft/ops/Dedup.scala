@@ -1135,19 +1135,21 @@ object Dedup {
     require(l >= 2, s"anchor length must be >= 2 tokens, got $l")
     require(minFreq >= 2, s"minFreq must be >= 2, got $minFreq")
     import org.apache.spark.sql.expressions.Window
-    val toks = split(trim(col(textCol)), "\\s+")
-    val grams = df
-      .select(col(idCol), toks.as("__w"))
-      .filter(size(col("__w")) >= l)
-      .select(col(idCol), explode(expr(
-        s"""transform(sequence(1, size(__w) - ${l - 1}),
-           |  i -> struct(i AS pos,
-           |    CAST(conv(substring(md5(
-           |      concat_ws(' ', slice(__w, i, $l))), 1, 15), 16, 10)
-           |      AS BIGINT) AS h))""".stripMargin)).as("__g"))
-      .select(col(idCol), col("__g.pos").as("__pos"),
-        col("__g.h").as("__h"))
-      .materialized // consumed twice: the frequency count and the join
+    // The gram stream is consumed TWICE (frequency bar + anchor join).
+    // Adjudicated trade (r11, measured at sf0.1 — 5k docs, ~1.0M
+    // grams): RECOMPUTE, don't checkpoint. Measured wall is a
+    // statistical TIE at this scale (recompute reps 3.18/3.22/3.42 s
+    // vs checkpoint 2.72/3.30 s, inside the VM's variance band), but
+    // the checkpoint run drags store_mb=18 of block-manager storage —
+    // a CORPUS-TOKENS-linear (id, pos, hash) write (~18 B/gram
+    // serialized) that at 100 TB of text becomes a corpus-scale spill
+    // to executor disk, the only full-corpus materialization in the
+    // dedup family. Regenerating grams instead costs one extra
+    // split+md5 pass over a two-column parquet projection
+    // (CPU-parallel, ~0.6 s of task time at sf0.1). Zero measured
+    // cost today, unbounded storage saved at scale. See SCALING.md
+    // (r11).
+    val grams = duplicateGramStream(df, idCol, textCol, l)
     val dupGrams = grams.groupBy(col("__h"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minFreq)
@@ -1167,5 +1169,56 @@ object Dedup {
         col("span_end").cast("long"),
         (col("span_end") - col("span_start")).cast("long")
           .as("n_anchor_tokens"))
+  }
+
+  /** The (id, pos, md5-60 L-gram hash) stream [[duplicateSpans]] and
+    * [[duplicateCoverage]] fold over — deliberately UN-materialized
+    * (see the recompute-vs-checkpoint note in [[duplicateSpans]]). */
+  private def duplicateGramStream(df: DataFrame, idCol: String,
+      textCol: String, l: Int): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol), toks.as("__w"))
+      .filter(size(col("__w")) >= l)
+      .select(col(idCol), explode(expr(
+        s"""transform(sequence(1, size(__w) - ${l - 1}),
+           |  i -> struct(i AS pos,
+           |    CAST(conv(substring(md5(
+           |      concat_ws(' ', slice(__w, i, $l))), 1, 15), 16, 10)
+           |      AS BIGINT) AS h))""".stripMargin)).as("__g"))
+      .select(col(idCol), col("__g.pos").as("__pos"),
+        col("__g.h").as("__h"))
+  }
+
+  /** Per-document DUPLICATE-TOKEN COVERAGE — the number SlimPajama-
+    * style curation actually thresholds on: the fraction of a
+    * document's tokens inside [[duplicateSpans]]' merged duplicate
+    * regions, in integer per-mille. Merged spans are disjoint and
+    * non-adjacent by construction (the gaps-and-islands merge), so
+    * summing span lengths counts each covered token exactly once.
+    *
+    * Every document appears (zero-coverage docs included — the
+    * threshold reads "keep docs under X‰", so absences would silently
+    * pass). Token count is the [[TextAnalysis.tokenCount]] whitespace
+    * convention — the same tokenization the spans are indexed in, so
+    * the fraction's numerator and denominator agree.
+    *
+    * Scale shape: [[duplicateSpans]]' shape plus one per-doc hash agg
+    * of span lengths and one join against the corpus id/token-count
+    * projection. All arithmetic integer (1000·dup div n_tokens).
+    *
+    * @return (idCol, n_tokens, dup_tokens, dup_fraction_pm) */
+  def duplicateCoverage(df: DataFrame, idCol: String, textCol: String,
+      l: Int, minFreq: Long = 2L): DataFrame = {
+    val perDoc = duplicateSpans(df, idCol, textCol, l, minFreq)
+      .groupBy(col(idCol))
+      .agg(sum(col("n_anchor_tokens")).as("dup_tokens"))
+    df.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long")
+          .as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("dup_tokens"))
+      .select(col(idCol), col("n_tokens"), col("dup_tokens"),
+        expr("(1000 * dup_tokens) div greatest(n_tokens, 1)")
+          .as("dup_fraction_pm"))
   }
 }

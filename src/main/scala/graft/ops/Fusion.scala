@@ -165,14 +165,24 @@ object Fusion {
       .materialized // reused: candidates + both sides of the pair join
     val cands = shortlist.select(col("qid"), col("doc"),
       expr("CAST(floor(1000000 * cosine) AS BIGINT)").as("rel_micro"))
+    // the pair fetch must NEVER shuffle the full embedding table for a
+    // per-mille-sized probe (r10 brief): prune vecs to shortlist ids
+    // through a BROADCAST semi-join (one scan of emb, no exchange of
+    // it), materialize the shortlist-sized survivor set once, and
+    // broadcast it into both pair joins — plan-asserted in FusionSpec
+    val ids = shortlist.select(col("doc")).distinct()
     val vecs = emb.select(col(idCol).cast("long").as("doc"),
-      col(vecCol).cast("array<double>").as("__v"))
+        col(vecCol).cast("array<double>").as("__v"))
+      .join(broadcast(ids), Seq("doc"), "left_semi")
+      .materialized // shortlist-sized; reused by the two pair joins
     val sims = shortlist.select(col("qid"), col("doc").as("doc_a"))
       .join(shortlist.select(col("qid"), col("doc").as("doc_b")), "qid")
       .filter(col("doc_a") < col("doc_b"))
-      .join(vecs.select(col("doc").as("doc_a"), col("__v").as("__va")),
+      .join(broadcast(
+        vecs.select(col("doc").as("doc_a"), col("__v").as("__va"))),
         "doc_a")
-      .join(vecs.select(col("doc").as("doc_b"), col("__v").as("__vb")),
+      .join(broadcast(
+        vecs.select(col("doc").as("doc_b"), col("__v").as("__vb"))),
         "doc_b")
       .select(col("qid"), col("doc_a"), col("doc_b"),
         floor(lit(1000000) * Similarity.cosine(col("__va"), col("__vb")))

@@ -559,18 +559,77 @@ object GraphOps {
     *               invisible (edge-list representation).
     * @return (graph_id string, n_nodes, wl_signature md5 hex) */
   def wlGraphSignature(graphs: DataFrame, gCol: String, srcCol: String,
-      dstCol: String, rounds: Int): DataFrame = {
-    val scoped = graphs.select(
-      concat(col(gCol).cast("string"), lit(":"),
-        col(srcCol).cast("string")).as("src"),
-      concat(col(gCol).cast("string"), lit(":"),
-        col(dstCol).cast("string")).as("dst"))
-    wlLabels(scoped, rounds)
-      .select(substring_index(col("node"), ":", 1).as("graph_id"),
-        col("wl_label"))
+      dstCol: String, rounds: Int): DataFrame =
+    scopedLabels(graphs, gCol, srcCol, dstCol, rounds)
       .groupBy(col("graph_id"))
       .agg(count(lit(1)).as("n_nodes"),
         md5(concat_ws(",", sort_array(collect_list(col("wl_label")))))
           .as("wl_signature"))
+
+  /** [[wlGraphSignature]] for UNBOUNDED graphs — the ORDER-FREE
+    * signature: instead of md5 over the per-graph SORTED label list
+    * (a collect that breaks on one giant graph — the scaladoc's own
+    * site-link-graph example), the signature is a pair of commutative
+    * modular sums of each node's md5-60 label value:
+    *
+    *   sig_pK = ( Σ_nodes (h60(wl_label) mod P_K) ) mod P_K
+    *
+    * with P_1 = 1e9+7, P_2 = 998244353. Sums are order-free, so the
+    * aggregation is a plain map-side-combinable hash agg — per-graph
+    * state is TWO BIGINTs regardless of graph size, and the BIGINT
+    * partial sum cannot overflow below ~9.2e9 nodes per PARTIAL
+    * (Long.Max / P_1), far past any real partition.
+    *
+    * Collision trade vs the sorted-md5 form: the sorted-concat hash
+    * collides only if md5 collides; a modular-sum signature can
+    * collide when two different label MULTISETS share both residue
+    * sums — probability ~1/(P_1·P_2) ≈ 2⁻⁶⁰ per pair under a uniform
+    * hash model (the two residues of one 60-bit value are CRT-
+    * independent since P_1·P_2 > 2⁶⁰). Same discipline as SimHash vs
+    * exact compare: dedup on the signature, verify matches if
+    * exactness matters. Isomorphic graphs STILL collide by
+    * construction (equal label multisets ⇒ equal sums), so recall is
+    * identical to [[wlGraphSignature]] — only false-merge risk
+    * differs.
+    *
+    * Determinism: h60 is the house md5-60 (conv of the first 15 hex
+    * chars), mod and sum are exact BIGINT — any engine restates the
+    * signature bit-for-bit.
+    *
+    * @return (graph_id string, n_nodes, sig_p1, sig_p2) */
+  def wlGraphSignatureOrderFree(graphs: DataFrame, gCol: String,
+      srcCol: String, dstCol: String, rounds: Int): DataFrame = {
+    val h60 = conv(substring(col("wl_label"), 1, 15), 16, 10)
+      .cast("long")
+    scopedLabels(graphs, gCol, srcCol, dstCol, rounds)
+      .select(col("graph_id"), h60.as("__h"))
+      .groupBy(col("graph_id"))
+      .agg(count(lit(1)).as("n_nodes"),
+        (sum(col("__h") % lit(1000000007L)) % lit(1000000007L))
+          .as("sig_p1"),
+        (sum(col("__h") % lit(998244353L)) % lit(998244353L))
+          .as("sig_p2"))
+  }
+
+  /** Shared disjoint-union scoping + refinement for the two signature
+    * forms: scope every node id by its graph ('<graph_id>:<node>'),
+    * run ONE [[wlLabels]] refinement over the whole family, and
+    * un-scope. Graph ids containing ':' (the scoping separator) would
+    * silently truncate at the un-scoping substring_index and mis-group
+    * labels — rejected loudly per row (the funnelSteps convention)
+    * via raise_error, which costs nothing on clean data. */
+  private def scopedLabels(graphs: DataFrame, gCol: String,
+      srcCol: String, dstCol: String, rounds: Int): DataFrame = {
+    val gid = col(gCol).cast("string")
+    val safeGid = when(gid.contains(":"), raise_error(concat(
+        lit("wlGraphSignature: graph id contains ':' " +
+          "(the scoping separator): "), gid)))
+      .otherwise(gid)
+    val scoped = graphs.select(
+      concat(safeGid, lit(":"), col(srcCol).cast("string")).as("src"),
+      concat(safeGid, lit(":"), col(dstCol).cast("string")).as("dst"))
+    wlLabels(scoped, rounds)
+      .select(substring_index(col("node"), ":", 1).as("graph_id"),
+        col("wl_label"))
   }
 }

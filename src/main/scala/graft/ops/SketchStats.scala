@@ -471,13 +471,12 @@ object SketchStats {
     * matters instead of "half the DOCUMENTS".
     *
     * Scale shape: per-distinct-value weight sums (one hash agg), then
-    * the [[Packing.globalRowNumber]] two-pass discipline applied to
-    * PREFIX WEIGHTS — range-partition the value axis, per-partition
-    * partial sums to the driver (one scalar per partition), running
-    * sums inside each partition under a partition-local window (keyed
-    * by the materialized partition id — never a single-partition
-    * funnel). Rows with w ≤ 0 are dropped (zero-weight rows cannot
-    * move a weighted rank; negative weights have no quantile meaning).
+    * ONE [[PrefixScan]] sum monoid over the value axis for the
+    * cumulative weights (r11 — this was the fifth and last hand-rolled
+    * copy of the two-pass range-shuffle shape the primitive was
+    * extracted to own). Rows with w ≤ 0 are dropped (zero-weight rows
+    * cannot move a weighted rank; negative weights have no quantile
+    * meaning).
     *
     * Rank convention mirrors [[exactQuantilesLong]]: target = ceil(p·W)
     * with p·W evaluated in IEEE double on both sides.
@@ -490,35 +489,31 @@ object SketchStats {
     val spark = df.sparkSession
     import spark.implicits._
     import graft.ops.Materialize.MaterializeOps
+    import org.apache.spark.sql.types.{LongType, StructField}
+    // materialized HERE (not just inside scan) so the total-weight agg
+    // below reads the checkpointed frame instead of re-running the
+    // upstream hash agg
     val perValue = df
       .select(col(valCol).cast("long").as("__v"),
         col(weightCol).cast("long").as("__w"))
       .filter(col("__w") > 0)
       .groupBy(col("__v")).agg(sum(col("__w")).as("__wv"))
-    val p = spark.sessionState.conf.numShufflePartitions
-    val parted = perValue.repartitionByRange(p, col("__v").asc)
-      .sortWithinPartitions(col("__v").asc)
-      .withColumn("__pid", spark_partition_id())
       .materialized
-    val partSums = parted.groupBy(col("__pid"))
-      .agg(sum(col("__wv")).as("__s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets: Map[Int, Long] = {
-      var acc = 0L
-      (0 until p).map { i =>
-        val o = i -> acc; acc += partSums.getOrElse(i, 0L); o
-      }.toMap
+    val total = perValue.agg(sum(col("__wv"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
     }
-    val total = offsets.getOrElse(p - 1, 0L) + partSums.getOrElse(p - 1, 0L)
     require(total > 0, "no positive-weight rows")
-    val offCol = partSums.keys.toSeq.sorted.foldLeft(lit(0L)) {
-      (acc, pid) => when(col("__pid") === pid,
-        lit(offsets(pid))).otherwise(acc)
-    }
-    val win = Window.partitionBy(col("__pid")).orderBy(col("__v").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = parted
-      .withColumn("__cum", offCol + sum(col("__wv")).over(win))
+    val cum = PrefixScan.scan[Long](perValue, Seq(col("__v")),
+      Seq(StructField("__cum", LongType, nullable = false)),
+      new PrefixScan.ScanMonoid[Long] {
+        def stepCols: Seq[String] = Seq("__wv")
+        def zero: Long = 0L
+        def step(s: Long, v: Array[Any]): Long =
+          s + v(0).asInstanceOf[Long]
+        def combine(a: Long, b: Long): Long = a + b
+        def emit(post: Long, v: Array[Any]): Seq[Any] = Seq(post)
+      })
     val targets = ps.map(pp =>
       (pp, math.ceil(pp * total.toDouble).toLong))
       .toDF("p", "__target")

@@ -1331,22 +1331,10 @@ object AnalyticsQueries extends QueryModule {
       "q283_cluster_medoids",
       (s, d) => Dedup.clusterMedoids(
         Tables.documents(s, d), "doc_id", "text", n = 3, tau = 0.5),
-      Some("""WITH RECURSIVE toks AS (
-             |  SELECT doc_id, string_split(trim(text), ' ') AS w
-             |  FROM documents
-             |), g AS (
-             |  SELECT doc_id, list_distinct(
-             |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-             |      for i in range(1, len(w) - 1)]) AS t
-             |  FROM toks
-             |), pr AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM g a JOIN g b ON a.doc_id < b.doc_id
-             |  WHERE len(list_intersect(a.t, b.t)) * 1.0 /
-             |      len(list_distinct(list_concat(a.t, b.t))) >= 0.5
-             |), edges AS (
-             |  SELECT id_a AS src, id_b AS dst FROM pr
-             |  UNION SELECT id_b, id_a FROM pr
+      Some("WITH RECURSIVE " + graft.queries.OracleSql.blockedPairCtes +
+        """, edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM p
+             |  UNION SELECT id_b, id_a FROM p
              |), reach AS (
              |  SELECT src, dst FROM edges
              |  UNION
@@ -3323,6 +3311,52 @@ object AnalyticsQueries extends QueryModule {
              |FROM per2
              |UNION ALL
              |SELECT * FROM poolrow""".stripMargin),
+    ),
+
+    // ---- the UNBOUNDED-axis SPRT (ops/SeriesStats.sprtBernoulliScan):
+    // the same Wald walk as q319 but the cumulative log-likelihood sum
+    // rides the PrefixScan two-pass shape instead of a single-partition
+    // window — the 100-TB path when the time axis itself is unbounded.
+    // Probe stream = daily CLICK rate (base ~0.2, so the walk drifts
+    // to h0 where q319's purchase walk tests the same hypotheses on
+    // its own data); constants are the identical pinned micro-nat
+    // floors (405465, −133532, +2944438, −2944439). The oracle is one
+    // cumulative window — in DuckDB the axis is bounded; the Spark
+    // side is what distributes.
+    Q(
+      "q326_sprt_scan",
+      (s, d) => SeriesStats.sprtBernoulliScan(
+        Tables.events(s, d)
+          .select(datediff(to_date(col("ts")), lit("1970-01-01"))
+            .as("day"), (col("event_type") === "click").as("succ")),
+        "day", "succ", p0Pm = 200, p1Pm = 300),
+      Some("""WITH e AS (
+             |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+             |      AS BIGINT) AS t,
+             |    CAST(event_type = 'click' AS BIGINT) AS s
+             |  FROM events
+             |), dd AS (
+             |  SELECT t, CAST(count(*) AS BIGINT) AS n_trials,
+             |    CAST(sum(s) AS BIGINT) AS n_success
+             |  FROM e GROUP BY 1
+             |), wlk AS (
+             |  SELECT t, n_trials, n_success,
+             |    CAST(sum(n_success * 405465
+             |        + (n_trials - n_success) * -133532)
+             |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS llr_cum_micro
+             |  FROM dd
+             |), c AS (
+             |  SELECT *, CASE WHEN llr_cum_micro >= 2944438 THEN 'h1'
+             |    WHEN llr_cum_micro <= -2944439 THEN 'h0'
+             |    END AS crossed
+             |  FROM wlk
+             |), f AS (
+             |  SELECT min(t) AS dt FROM c WHERE crossed IS NOT NULL
+             |)
+             |SELECT t, n_trials, n_success, llr_cum_micro, crossed,
+             |  (dt IS NOT NULL AND t = dt) AS is_decision
+             |FROM c, f""".stripMargin),
     ),
   )
 }

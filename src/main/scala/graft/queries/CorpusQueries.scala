@@ -28,32 +28,32 @@ object CorpusQueries extends QueryModule {
 
     // ---- MinHash-LSH near-dup: Spark side generates candidates via
     // 64 bands × 2 rows banding (recall 1-1e-8 at J≥0.5) then verifies
-    // exactly; DuckDB oracle brute-forces all pairs. Equal output ⇔ the
-    // LSH prefilter lost nothing.
+    // exactly; DuckDB restates the pair space through the LOSSLESS
+    // prefix filter (OracleSql.blockedPairCtes — a different, recall-
+    // exact blocking, so equal output still ⇔ the LSH prefilter lost
+    // nothing; the r10 brute force cost 30-120 min at sf0.1).
     Q(
       "q22_ngram_jaccard_pairs",
       (s, d) => Dedup.ngramJaccardPairs(
         Tables.documents(s, d), "doc_id", "text", n = 3, tau = 0.5),
-      Some("""WITH toks AS (
-             |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
-             |), g AS (
-             |  SELECT doc_id, list_distinct(
-             |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS t
-             |  FROM toks
-             |)
-             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |  len(list_intersect(a.t, b.t)) * 1.0 /
-             |    len(list_distinct(list_concat(a.t, b.t))) AS jaccard
-             |FROM g a JOIN g b ON a.doc_id < b.doc_id
-             |WHERE len(list_intersect(a.t, b.t)) * 1.0 /
-             |    len(list_distinct(list_concat(a.t, b.t))) >= 0.5""".stripMargin),
+      Some("WITH " + OracleSql.blockedPairCtes +
+        """
+             |SELECT p.id_a, p.id_b,
+             |  len(list_intersect(x.t, y.t)) * 1.0 /
+             |    len(list_distinct(list_concat(x.t, y.t))) AS jaccard
+             |FROM p JOIN g x ON x.doc_id = p.id_a
+             |JOIN g y ON y.doc_id = p.id_b
+             |WHERE len(list_intersect(x.t, y.t)) * 1.0 /
+             |    len(list_distinct(list_concat(x.t, y.t))) >= 0.5""".stripMargin),
     ),
 
     // ---- Duplicate CLUSTERS from the near-dup pairs: connected
     // components by min-label propagation, every document labeled with
     // its cluster's canonical (minimum) id — the survivor-selection step
     // after pair generation. DuckDB restates the components with a
-    // recursive transitive closure over the same brute-force pair set.
+    // recursive transitive closure over the prefix-filtered exact pair
+    // set (OracleSql.blockedPairCtes — lossless at tau, r11; the r10
+    // brute force cost 30-120 min at sf0.1).
     Q(
       "q49_dup_clusters",
       (s, d) => {
@@ -68,18 +68,8 @@ object CorpusQueries extends QueryModule {
             coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
           .withColumn("is_canonical", col("cluster_id") === col("doc_id"))
       },
-      Some("""WITH RECURSIVE toks AS (
-             |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
-             |), g AS (
-             |  SELECT doc_id, list_distinct(
-             |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS t
-             |  FROM toks
-             |), p AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM g a JOIN g b ON a.doc_id < b.doc_id
-             |  WHERE len(list_intersect(a.t, b.t)) * 1.0 /
-             |      len(list_distinct(list_concat(a.t, b.t))) >= 0.5
-             |), edges AS (
+      Some("WITH RECURSIVE " + OracleSql.blockedPairCtes +
+        """, edges AS (
              |  SELECT id_a AS src, id_b AS dst FROM p
              |  UNION SELECT id_b, id_a FROM p
              |), reach AS (
@@ -942,7 +932,10 @@ object CorpusQueries extends QueryModule {
     // ---- CROSS-CORPUS near-dup: the incoming batch (doc_id % 3 == 0)
     // deduped against the already-trained corpus (the rest) — MinHash
     // banding + estimate prefilter + exact verify across the two
-    // frames. DuckDB brute-forces all (new, old) gram-set pairs; equal
+    // frames. DuckDB restates the (new, old) pair space through the
+    // same lossless prefix filter as OracleSql.blockedPairCtes (rare-
+    // trigram prefixes joined across the two sides — r11; the r10
+    // brute force was one of the five 30-120 min sweep oracles); equal
     // output proves the cross-corpus LSH path loses nothing.
     Q(
       "q77_cross_corpus_pairs",
@@ -959,13 +952,29 @@ object CorpusQueries extends QueryModule {
              |  SELECT doc_id, list_distinct(
              |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS t
              |  FROM toks
+             |), tk AS (
+             |  SELECT doc_id, unnest(t) AS tok FROM g
+             |), dfc AS (
+             |  SELECT tok, count(*) AS dfc FROM tk GROUP BY tok
+             |), ord AS (
+             |  SELECT doc_id, list(tok ORDER BY dfc, tok) AS ot
+             |  FROM tk JOIN dfc USING (tok) GROUP BY doc_id
+             |), pre AS (
+             |  SELECT doc_id,
+             |    unnest(ot[1 : CAST(len(ot) - ceil(0.5 * len(ot)) + 1 AS INT)]) AS tok
+             |  FROM ord
+             |), cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+             |  FROM pre a JOIN pre b ON a.tok = b.tok
+             |    AND a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
              |)
-             |SELECT a.doc_id AS id_new, b.doc_id AS id_old,
-             |  len(list_intersect(a.t, b.t)) * 1.0 /
-             |    len(list_distinct(list_concat(a.t, b.t))) AS jaccard
-             |FROM g a JOIN g b ON a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
-             |WHERE len(list_intersect(a.t, b.t)) * 1.0 /
-             |    len(list_distinct(list_concat(a.t, b.t))) >= 0.5""".stripMargin),
+             |SELECT c.id_new, c.id_old,
+             |  len(list_intersect(x.t, y.t)) * 1.0 /
+             |    len(list_distinct(list_concat(x.t, y.t))) AS jaccard
+             |FROM cand c JOIN g x ON x.doc_id = c.id_new
+             |JOIN g y ON y.doc_id = c.id_old
+             |WHERE len(list_intersect(x.t, y.t)) * 1.0 /
+             |    len(list_distinct(list_concat(x.t, y.t))) >= 0.5""".stripMargin),
     ),
 
     // ---- CCNet-style boilerplate-line removal: the corpus has no
@@ -1764,6 +1773,61 @@ object CorpusQueries extends QueryModule {
              |FROM isl GROUP BY doc_id, island""".stripMargin),
     ),
 
+    // ---- per-document duplicate-token coverage
+    // (ops/Dedup.duplicateCoverage): the SlimPajama-style curation
+    // threshold — what fraction of each document's tokens sits inside
+    // q325's merged duplicate spans, integer per-mille, EVERY doc
+    // present (zero-coverage docs included). DuckDB replays the full
+    // span derivation, sums the disjoint span lengths per doc, and
+    // restates the integer division.
+    Q(
+      "q328_duplicate_coverage",
+      (s, d) => Dedup.duplicateCoverage(
+        Tables.documents(s, d), "doc_id", "text", l = 12),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS w
+             |  FROM documents
+             |), g0 AS (
+             |  SELECT doc_id, unnest([{'pos': i,
+             |      'h': CAST('0x' || substr(md5(
+             |        array_to_string(w[i:i+11], ' ')), 1, 15) AS BIGINT)}
+             |    for i in range(1, len(w) - 10)]) AS g
+             |  FROM t WHERE len(w) >= 12
+             |), g AS (
+             |  SELECT doc_id, g.pos AS pos, g.h AS h FROM g0
+             |), f AS (
+             |  SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+             |), sel AS (
+             |  SELECT g.doc_id, g.pos FROM g JOIN f USING (h)
+             |), o AS (
+             |  SELECT doc_id, pos,
+             |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+             |  FROM sel
+             |), isl AS (
+             |  SELECT doc_id, pos,
+             |    sum(CASE WHEN prev IS NULL OR pos > prev + 12
+             |      THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             |  FROM o
+             |), sp AS (
+             |  SELECT doc_id, max(pos) + 12 - min(pos) AS len
+             |  FROM isl GROUP BY doc_id, island
+             |), pd AS (
+             |  SELECT doc_id, CAST(sum(len) AS BIGINT) AS dup_tokens
+             |  FROM sp GROUP BY doc_id
+             |), nt AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+             |      AS BIGINT) AS n_tokens
+             |  FROM documents
+             |)
+             |SELECT nt.doc_id, nt.n_tokens,
+             |  CAST(coalesce(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+             |  CAST((1000 * coalesce(pd.dup_tokens, 0))
+             |    // greatest(nt.n_tokens, 1) AS BIGINT) AS dup_fraction_pm
+             |FROM nt LEFT JOIN pd USING (doc_id)""".stripMargin),
+    ),
+
     // ---- hashed linear classifier scoring: the weights are a
     // deterministic arithmetic function of the bucket (a stand-in for a
     // trained fastText/quality model — no model ships in this
@@ -1902,18 +1966,8 @@ object CorpusQueries extends QueryModule {
           .select(col("doc_id"), col("split_key"), col("bucket"),
             col("split"))
       },
-      Some("""WITH RECURSIVE toks AS (
-             |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
-             |), g AS (
-             |  SELECT doc_id, list_distinct(
-             |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS t
-             |  FROM toks
-             |), p AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM g a JOIN g b ON a.doc_id < b.doc_id
-             |  WHERE len(list_intersect(a.t, b.t)) * 1.0 /
-             |      len(list_distinct(list_concat(a.t, b.t))) >= 0.5
-             |), edges AS (
+      Some("WITH RECURSIVE " + OracleSql.blockedPairCtes +
+        """, edges AS (
              |  SELECT id_a AS src, id_b AS dst FROM p
              |  UNION SELECT id_b, id_a FROM p
              |), reach AS (
@@ -4836,18 +4890,8 @@ object CorpusQueries extends QueryModule {
         Dedup.resolveClusters(members, "doc_id", "cluster_id",
           "n_tokens")
       },
-      Some("""WITH RECURSIVE toks AS (
-             |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
-             |), g AS (
-             |  SELECT doc_id, list_distinct(
-             |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS t
-             |  FROM toks
-             |), p AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM g a JOIN g b ON a.doc_id < b.doc_id
-             |  WHERE len(list_intersect(a.t, b.t)) * 1.0 /
-             |      len(list_distinct(list_concat(a.t, b.t))) >= 0.5
-             |), edges AS (
+      Some("WITH RECURSIVE " + OracleSql.blockedPairCtes +
+        """, edges AS (
              |  SELECT id_a AS src, id_b AS dst FROM p
              |  UNION SELECT id_b, id_a FROM p
              |), reach AS (
@@ -7603,6 +7647,87 @@ object CorpusQueries extends QueryModule {
              |  CAST(count(*) AS BIGINT) AS n_nodes,
              |  md5(string_agg(lab, ',' ORDER BY lab)) AS wl_signature
              |FROM l2 GROUP BY g""".stripMargin),
+    ),
+
+    // ---- ORDER-FREE whole-graph WL signatures
+    // (GraphOps.wlGraphSignatureOrderFree): q323's exact ten-graph
+    // family, but the signature is the pair of commutative modular
+    // sums of each node's md5-60 label (mod 1e9+7 / 998244353) instead
+    // of the sorted-collect md5 — the form that survives ONE giant
+    // graph (per-graph state is two BIGINTs; no sorted collect).
+    // Isomorphic groups still share signatures by construction (equal
+    // label multisets ⇒ equal sums); DuckDB restates both WL rounds
+    // and both residue sums exactly.
+    Q(
+      "q327_wl_signature_orderfree",
+      (s, d) => {
+        val ids = Tables.documents(s, d).select(col("doc_id"))
+        val base = ids.select(col("doc_id"),
+          (col("doc_id") % 10).as("g"))
+        val path = base.as("a").join(base.as("b"),
+            col("b.doc_id") === col("a.doc_id") + 10)
+          .select(col("a.g").as("graph_id"), col("a.doc_id").as("src"),
+            col("b.doc_id").as("dst"))
+        val grp = base.groupBy(col("g"))
+          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+            count(lit(1)).as("m"))
+        val close = grp.filter(col("g") % 2 === 0)
+          .select(col("g").as("graph_id"), col("mx").as("src"),
+            col("mn").as("dst"))
+        val chord = grp.filter(col("g") === 0)
+          .select(col("g").as("graph_id"), col("mn").as("src"),
+            (col("mn") + lit(10) * expr("m div 2")).as("dst"))
+        GraphOps.wlGraphSignatureOrderFree(
+          path.unionAll(close).unionAll(chord),
+          "graph_id", "src", "dst", rounds = 2)
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents),
+             |grp AS (
+             |  SELECT doc_id % 10 AS g, CAST(min(doc_id) AS BIGINT) AS mn,
+             |    CAST(max(doc_id) AS BIGINT) AS mx,
+             |    CAST(count(*) AS BIGINT) AS m
+             |  FROM ids GROUP BY 1
+             |), e0 AS (
+             |  SELECT x.doc_id % 10 AS g, x.doc_id AS s, y.doc_id AS d
+             |  FROM ids x JOIN ids y ON y.doc_id = x.doc_id + 10
+             |  UNION ALL
+             |  SELECT g, mx, mn FROM grp WHERE g % 2 = 0
+             |  UNION ALL
+             |  SELECT g, mn, mn + 10 * (m // 2) FROM grp WHERE g = 0
+             |), e AS (
+             |  SELECT DISTINCT g, least(s, d) AS a, greatest(s, d) AS b
+             |  FROM e0 WHERE s <> d
+             |), und AS (
+             |  SELECT g, a, b FROM e
+             |  UNION ALL SELECT g, b AS a, a AS b FROM e
+             |), l0 AS (
+             |  SELECT g, a AS node, CAST(count(*) AS VARCHAR) AS lab
+             |  FROM und GROUP BY 1, 2
+             |), l1 AS (
+             |  SELECT u.g, u.a AS node,
+             |    md5(o.lab || '|'
+             |      || string_agg(l.lab, ',' ORDER BY l.lab)) AS lab
+             |  FROM und u
+             |  JOIN l0 l ON l.g = u.g AND l.node = u.b
+             |  JOIN l0 o ON o.g = u.g AND o.node = u.a
+             |  GROUP BY u.g, u.a, o.lab
+             |), l2 AS (
+             |  SELECT u.g, u.a AS node,
+             |    md5(o.lab || '|'
+             |      || string_agg(l.lab, ',' ORDER BY l.lab)) AS lab
+             |  FROM und u
+             |  JOIN l1 l ON l.g = u.g AND l.node = u.b
+             |  JOIN l1 o ON o.g = u.g AND o.node = u.a
+             |  GROUP BY u.g, u.a, o.lab
+             |), h AS (
+             |  SELECT g, CAST('0x' || substr(lab, 1, 15) AS BIGINT) AS hv
+             |  FROM l2
+             |)
+             |SELECT CAST(g AS VARCHAR) AS graph_id,
+             |  CAST(count(*) AS BIGINT) AS n_nodes,
+             |  CAST(sum(hv % 1000000007) % 1000000007 AS BIGINT) AS sig_p1,
+             |  CAST(sum(hv % 998244353) % 998244353 AS BIGINT) AS sig_p2
+             |FROM h GROUP BY g""".stripMargin),
     ),
 
     // ---- token-distribution Jensen–Shannon drift between two corpus

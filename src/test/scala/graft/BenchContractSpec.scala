@@ -90,4 +90,28 @@ class BenchContractSpec extends AnyFunSuite {
       Seq("""{"q":"q1","name":"q1_agg","sec":0.400}"""),
       "/root/testdata/sf0.1").isEmpty)
   }
+
+  test("code-state suspect flag: fires on the C2-deopt signature only " +
+      "(task_ms ≈ wall, zero GC, >2x twin)") {
+    // the SCALING.md q64 episode verbatim: 10.4 s against a 2.2 s
+    // twin, task time ≈ wall (one effectively-serial JVM), no task GC
+    assert(Bench.suspectCodeState(10.4, Some(2.2),
+      taskMs = 10300, gcMs = 0))
+    // ambient-LOAD spike: same slowdown but 32 busy cores → task_ms
+    // ≫ wall — NOT code-state (the twin retry guard owns this mode)
+    assert(!Bench.suspectCodeState(10.4, Some(2.2),
+      taskMs = 180000, gcMs = 0))
+    // GC-pressure mode: heavy task GC — not code-state either
+    assert(!Bench.suspectCodeState(10.4, Some(2.2),
+      taskMs = 10300, gcMs = 4000))
+    // within the twin band: never suspect, whatever the shape
+    assert(!Bench.suspectCodeState(2.5, Some(2.2),
+      taskMs = 2400, gcMs = 0))
+    // sub-second absolute excess: jitter, not a mode
+    assert(!Bench.suspectCodeState(0.9, Some(0.3),
+      taskMs = 900, gcMs = 0))
+    // no twin → nothing to adjudicate against
+    assert(!Bench.suspectCodeState(10.4, None,
+      taskMs = 10300, gcMs = 0))
+  }
 }

@@ -76,4 +76,42 @@ class FusionSpec extends SparkSpec {
     // under the diverse d3
     assert(picks(100) == Map(1 -> 1L, 2 -> 3L))
   }
+
+  test("mmrDiversifyEmbeddings plan: the pair-sims stage broadcasts — " +
+      "the full embedding table is never shuffled for a shortlist-" +
+      "sized probe") {
+    import org.apache.spark.sql.functions.col
+    // kill the auto-broadcast threshold so ONLY the explicit hints can
+    // produce broadcast joins — the assertion then pins the hints, not
+    // the tiny test-data sizes
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val emb = (1L to 40L).map(i =>
+          (i, Seq(math.sin(i.toDouble), math.cos(i.toDouble))))
+        .toDF("vec_id", "embedding")
+      val plan = Fusion.mmrDiversifyEmbeddings(emb, "vec_id",
+          "embedding", col("vec_id") % 10 === 0, shortlistN = 4, k = 2,
+          lambdaPermille = 700)
+        .queryExecution.executedPlan.toString
+      // both vector fetches are broadcast hash joins — never a
+      // shuffled join keyed on doc_a/doc_b (a SortMergeJoin there
+      // means the embedding side got exchanged for the probe)
+      val n = "BroadcastHashJoin".r.findAllIn(plan).length
+      assert(n >= 2, s"expected >= 2 BroadcastHashJoins, got $n:\n$plan")
+      assert(!plan.contains("SortMergeJoin [doc_a"), plan)
+      assert(!plan.contains("SortMergeJoin [doc_b"), plan)
+      // the id PRUNE runs inside the eager materialization (invisible
+      // in the final plan) — pin its shape directly: the explicit
+      // broadcast hint must plan the semi join as a broadcast, at any
+      // threshold (this is the join Fusion builds verbatim)
+      val ids = (1L to 4L).toDF("doc")
+      val prunePlan = emb.select(col("vec_id").as("doc"))
+        .join(org.apache.spark.sql.functions.broadcast(ids),
+          Seq("doc"), "left_semi")
+        .queryExecution.executedPlan.toString
+      assert(prunePlan.contains("BroadcastHashJoin"), prunePlan)
+      assert(prunePlan.contains("LeftSemi"), prunePlan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
 }

@@ -478,15 +478,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoop"), plan)
   }
 
-  test("weightedQuantilesLong plan: partition-local window only — no " +
-      "SinglePartition funnel, no global sort") {
+  test("weightedQuantilesLong plan: PrefixScan-backed — no " +
+      "SinglePartition funnel, no window at all (r11 migration)") {
     val df = graft.model.Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select($"l_extendedprice".cast("long").as("v"),
         $"l_quantity".cast("long").as("w"))
     val plan = SketchStats.weightedQuantilesLong(df, "v", "w", Seq(0.5))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange SinglePartition"), plan)
-    assert(plan.contains("Window"), plan) // the per-pid running sum
+    // the cumulative weights ride PrefixScan's streamed pass 2, not a
+    // window — a Window reappearing here means the hand-rolled copy
+    // came back
+    assert(!plan.contains("Window"), plan)
   }
 
   test("dbscanGrid plan: equality-keyed joins throughout — no " +
