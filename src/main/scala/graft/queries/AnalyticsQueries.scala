@@ -306,7 +306,7 @@ object AnalyticsQueries extends QueryModule {
              |  SELECT CAST(count(*) AS BIGINT) AS n,
              |    CAST(sum(x) AS BIGINT) AS total
              |  FROM s
-             |), b AS (
+             |), b AS MATERIALIZED (
              |  SELECT t, x, row_number() OVER (ORDER BY t) AS rn,
              |    n * x - total AS e,
              |    n * ((total // n) // 20) AS nk,

@@ -6216,10 +6216,13 @@ object CorpusQueries extends QueryModule {
         iters = 2, scale = 1024),
       Some {
         "WITH RECURSIVE " + kmeansReplaySql.stripPrefix("WITH ") + """,
-             |mem AS (
+             |mem AS MATERIALIZED (
              |  SELECT a3.vec_id AS id, a3.cl, qv.q
              |  FROM a3 JOIN qv ON a3.vec_id = qv.vec_id
              |), dots AS (
+             |  -- NOT MATERIALIZED: a materialized dots breaks the
+             |  -- correlated walk subqueries in DuckDB (returns no
+             |  -- rows — verified r11); mem alone is the safe hint
              |  SELECT a.cl, a.id AS a, b.id AS b,
              |    CAST(list_sum([a.q[i] * b.q[i]
              |      for i in range(1, len(a.q) + 1)]) AS BIGINT) AS dot
