@@ -948,7 +948,7 @@ object CorpusQueries extends QueryModule {
       },
       Some("""WITH toks AS (
              |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
-             |), g AS (
+             |), g AS MATERIALIZED (
              |  SELECT doc_id, list_distinct(
              |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS t
              |  FROM toks
@@ -2354,8 +2354,11 @@ object CorpusQueries extends QueryModule {
     // docs as the work list, and near-dup exactly that slice against
     // the once-built old-corpus index — the per-crawl-refresh cost a
     // production corpus pays instead of a full self-dedup. DuckDB
-    // restates the diff, the work-list cut, and the brute-force
-    // (work, old) pair scan in one query.
+    // restates the diff, the work-list cut, and the (work, old) pair
+    // scan through the lossless cross-side prefix filter (the
+    // OracleSql.blockedPairCtes argument, df over BOTH sides — r11;
+    // the brute force was the #2 sweep bottleneck at 780 s / sf0.1,
+    // this form runs 3.1 s with identical rows).
     Q(
       "q109_incremental_dedup",
       (s, d) => {
@@ -2386,25 +2389,49 @@ object CorpusQueries extends QueryModule {
              |  SELECT n.doc_id, n.text FROM n
              |  LEFT JOIN o ON n.doc_id = o.doc_id
              |  WHERE o.doc_id IS NULL OR md5(o.text) <> md5(n.text)
-             |), gw AS (
+             |), gw AS MATERIALIZED (
              |  SELECT doc_id, list_distinct(
              |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
              |     for i in range(1, len(w) - 1)]) AS t
              |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w
              |        FROM work)
-             |), go AS (
+             |), go AS MATERIALIZED (
              |  SELECT doc_id, list_distinct(
              |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
              |     for i in range(1, len(w) - 1)]) AS t
              |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w
              |        FROM o)
+             |), tk AS (
+             |  SELECT 'w' AS side, doc_id, unnest(t) AS tok FROM gw
+             |  UNION ALL
+             |  SELECT 'o' AS side, doc_id, unnest(t) AS tok FROM go
+             |), dfc AS (
+             |  SELECT tok, count(*) AS dfc FROM tk GROUP BY tok
+             |), ordw AS (
+             |  SELECT doc_id, list(tok ORDER BY dfc, tok) AS ot
+             |  FROM tk JOIN dfc USING (tok) WHERE side = 'w' GROUP BY doc_id
+             |), ordo AS (
+             |  SELECT doc_id, list(tok ORDER BY dfc, tok) AS ot
+             |  FROM tk JOIN dfc USING (tok) WHERE side = 'o' GROUP BY doc_id
+             |), prew AS (
+             |  SELECT doc_id,
+             |    unnest(ot[1 : CAST(len(ot) - ceil(0.5 * len(ot)) + 1 AS INT)]) AS tok
+             |  FROM ordw
+             |), preo AS (
+             |  SELECT doc_id,
+             |    unnest(ot[1 : CAST(len(ot) - ceil(0.5 * len(ot)) + 1 AS INT)]) AS tok
+             |  FROM ordo
+             |), cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+             |  FROM prew a JOIN preo b ON a.tok = b.tok
              |)
-             |SELECT a.doc_id AS id_new, b.doc_id AS id_old,
-             |  len(list_intersect(a.t, b.t)) * 1.0 /
-             |    len(list_distinct(list_concat(a.t, b.t))) AS jaccard
-             |FROM gw a JOIN go b ON true
-             |WHERE len(list_intersect(a.t, b.t)) * 1.0 /
-             |    len(list_distinct(list_concat(a.t, b.t))) >= 0.5"""
+             |SELECT c.id_new, c.id_old,
+             |  len(list_intersect(x.t, y.t)) * 1.0 /
+             |    len(list_distinct(list_concat(x.t, y.t))) AS jaccard
+             |FROM cand c JOIN gw x ON x.doc_id = c.id_new
+             |JOIN go y ON y.doc_id = c.id_old
+             |WHERE len(list_intersect(x.t, y.t)) * 1.0 /
+             |    len(list_distinct(list_concat(x.t, y.t))) >= 0.5"""
         .stripMargin),
     ),
 
@@ -5534,21 +5561,49 @@ object CorpusQueries extends QueryModule {
         Dedup.editDistancePairs(
           base.union(sub).union(del), "id", "s", maxDist = 2)
       },
+      // oracle blocking (r11): the PassJoin pigeonhole the operator
+      // itself uses — 3 fixed 15-char pieces; a pair within distance 2
+      // leaves >= 1 piece of one string VERBATIM in the other at a
+      // start shifted <= 2, so piece-vs-shifted-window equality is a
+      // LOSSLESS candidate filter; strings shorter than 45 (piece 3
+      // incomplete) fall back to all-pairs against everything (a
+      // handful of rows). Verified row-identical to the brute force at
+      // both sf; 169 s -> 0.2 s at sf0.1.
       Some("""WITH base AS (
              |  SELECT CAST(doc_id AS BIGINT) AS id,
              |    substr(text, 1, 48) AS s FROM documents
-             |), u AS (
+             |), u AS MATERIALIZED (
              |  SELECT * FROM base
              |  UNION ALL
              |  SELECT id + 100000, 'X' || substr(s, 2) FROM base
              |  WHERE id % 7 = 0
              |  UNION ALL
              |  SELECT id + 200000, substr(s, 2) FROM base WHERE id % 7 = 0
+             |), seg AS (
+             |  SELECT id, i.i, substr(s, 1 + 15 * (i.i - 1), 15) AS piece
+             |  FROM u, (SELECT unnest([1, 2, 3]) AS i) i
+             |  WHERE len(s) >= 45
+             |), win AS (
+             |  SELECT id, i.i, substr(s, st.st, 15) AS piece
+             |  FROM u,
+             |    (SELECT unnest([1, 2, 3]) AS i) i,
+             |    (SELECT unnest(range(-2, 3)) AS d) d,
+             |    LATERAL (SELECT 1 + 15 * (i.i - 1) + d.d AS st) st
+             |  WHERE st.st >= 1 AND st.st + 14 <= len(s)
+             |), shortu AS (SELECT id FROM u WHERE len(s) < 45
+             |), cand AS (
+             |  SELECT DISTINCT least(a.id, b.id) AS id_a,
+             |    greatest(a.id, b.id) AS id_b
+             |  FROM seg a JOIN win b ON a.i = b.i AND a.piece = b.piece
+             |    AND a.id <> b.id
+             |  UNION
+             |  SELECT DISTINCT least(sh.id, o.id), greatest(sh.id, o.id)
+             |  FROM shortu sh JOIN u o ON sh.id <> o.id
              |)
-             |SELECT a.id AS id_a, b.id AS id_b,
-             |  CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
-             |FROM u a JOIN u b ON a.id < b.id
-             |WHERE levenshtein(a.s, b.s) <= 2""".stripMargin),
+             |SELECT c.id_a, c.id_b,
+             |  CAST(levenshtein(x.s, y.s) AS INTEGER) AS dist
+             |FROM cand c JOIN u x ON x.id = c.id_a JOIN u y ON y.id = c.id_b
+             |WHERE levenshtein(x.s, y.s) <= 2""".stripMargin),
     ),
 
     // ---- interpolated Kneser–Ney bigram LM (the KenLM smoothing;
@@ -6206,9 +6261,15 @@ object CorpusQueries extends QueryModule {
     // ---- in-context-pretraining document ordering (Shi et al. 2023):
     // k-means clusters linearized by a greedy max-integer-dot
     // nearest-neighbor walk (min-id start, lowest-id ties). DuckDB
-    // chains the shared Lloyd replay into a RECURSIVE walk — one
-    // correlated argmax hop per step — and restates every chain
-    // position exactly (no FP anywhere: quantized integer dots).
+    // chains the shared Lloyd replay into a RECURSIVE walk over
+    // PRE-SORTED neighbor lists: nbrs holds each node's candidates by
+    // (dot DESC, id), so a step is one list_filter for the first
+    // unvisited — exactly the correlated argmax, restated without
+    // rescanning the dots table per step (the r10 form did, 1,305 s
+    // at sf0.1; this one runs 3.9 s, equal rows). nbrs MATERIALIZED is
+    // safe here (plain join into the recursion — the correlated-
+    // subquery form is what a materialized CTE silently breaks in
+    // DuckDB, verified r11).
     Q(
       "q184_incontext_order",
       (s, d) => Similarity.greedySimilarityChains(
@@ -6220,30 +6281,25 @@ object CorpusQueries extends QueryModule {
              |  SELECT a3.vec_id AS id, a3.cl, qv.q
              |  FROM a3 JOIN qv ON a3.vec_id = qv.vec_id
              |), dots AS (
-             |  -- NOT MATERIALIZED: a materialized dots breaks the
-             |  -- correlated walk subqueries in DuckDB (returns no
-             |  -- rows — verified r11); mem alone is the safe hint
              |  SELECT a.cl, a.id AS a, b.id AS b,
              |    CAST(list_sum([a.q[i] * b.q[i]
              |      for i in range(1, len(a.q) + 1)]) AS BIGINT) AS dot
              |  FROM mem a JOIN mem b ON a.cl = b.cl AND a.id <> b.id
+             |), nbrs AS MATERIALIZED (
+             |  SELECT cl, a, list(b ORDER BY dot DESC, b) AS bs
+             |  FROM dots GROUP BY cl, a
              |), starts AS (SELECT cl, min(id) AS s FROM mem GROUP BY 1),
              |walk AS (
              |  SELECT cl, s AS cur, [s] AS visited, 0 AS pos FROM starts
              |  UNION ALL
              |  SELECT w.cl,
-             |    (SELECT d.b FROM dots d WHERE d.cl = w.cl
-             |       AND d.a = w.cur AND NOT list_contains(w.visited, d.b)
-             |     ORDER BY d.dot DESC, d.b LIMIT 1),
+             |    list_filter(n.bs, x -> NOT list_contains(w.visited, x))[1],
              |    list_append(w.visited,
-             |      (SELECT d.b FROM dots d WHERE d.cl = w.cl
-             |         AND d.a = w.cur AND NOT list_contains(w.visited, d.b)
-             |       ORDER BY d.dot DESC, d.b LIMIT 1)),
+             |      list_filter(n.bs, x -> NOT list_contains(w.visited, x))[1]),
              |    w.pos + 1
-             |  FROM walk w
-             |  WHERE (SELECT d.b FROM dots d WHERE d.cl = w.cl
-             |       AND d.a = w.cur AND NOT list_contains(w.visited, d.b)
-             |     ORDER BY d.dot DESC, d.b LIMIT 1) IS NOT NULL
+             |  FROM walk w JOIN nbrs n ON n.cl = w.cl AND n.a = w.cur
+             |  WHERE len(list_filter(n.bs,
+             |    x -> NOT list_contains(w.visited, x))) > 0
              |)
              |SELECT cur AS vec_id, CAST(cl AS INTEGER) AS cluster,
              |  CAST(pos AS INTEGER) AS chain_pos

@@ -25,6 +25,14 @@ package graft.queries
   * one). Verified equal to the brute-force pair set at sf0.01
   * (25/25 pairs) and ~60–100× faster at sf0.1 (52 s vs 30–120 min).
   *
+  * `g` and `p` carry MATERIALIZED hints: both are referenced 2-3×
+  * (the verify joins, the closure's edges UNION) and DuckDB otherwise
+  * re-executes them per reference — q155's full oracle measured
+  * 163 s → 40 s at sf0.1 from the hints alone, rows identical. Safe
+  * here because every reference is a plain join (a materialized CTE
+  * under a CORRELATED subquery inside a recursion silently returns
+  * no rows — the q184 hazard recorded in SCALING.md r11).
+  *
   * The fragment defines CTEs `toks, g, tk, dfc, ord, pre, cand, p`
   * with `p` = (id_a < id_b) qualifying pairs and `g` = (doc_id,
   * distinct-trigram list) available to downstream CTEs. Callers write
@@ -35,7 +43,7 @@ object OracleSql {
   val blockedPairCtes: String =
     """toks AS (
       |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
-      |), g AS (
+      |), g AS MATERIALIZED (
       |  SELECT doc_id, list_distinct(
       |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS t
       |  FROM toks
@@ -53,7 +61,7 @@ object OracleSql {
       |), cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id
-      |), p AS (
+      |), p AS MATERIALIZED (
       |  SELECT c.id_a, c.id_b
       |  FROM cand c JOIN g x ON x.doc_id = c.id_a
       |  JOIN g y ON y.doc_id = c.id_b

@@ -487,7 +487,7 @@ object StreamingQueries extends QueryModule {
       },
       Some("""WITH toks AS (
              |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
-             |), g AS (
+             |), g AS MATERIALIZED (
              |  SELECT doc_id, list_distinct(
              |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS t
              |  FROM toks
