@@ -165,23 +165,35 @@ object Fusion {
       .materialized // reused: candidates + both sides of the pair join
     val cands = shortlist.select(col("qid"), col("doc"),
       expr("CAST(floor(1000000 * cosine) AS BIGINT)").as("rel_micro"))
-    // the pair fetch must NEVER shuffle the full embedding table for a
-    // per-mille-sized probe (r10 brief): prune vecs to shortlist ids
-    // through a BROADCAST semi-join (one scan of emb, no exchange of
-    // it), materialize the shortlist-sized survivor set once, and
-    // broadcast it into both pair joins — plan-asserted in FusionSpec
-    val ids = shortlist.select(col("doc")).distinct()
+    // the pair fetch must never shuffle the full embedding table for a
+    // probe-sized query set (r10 brief): prune vecs to shortlist ids
+    // through a semi-join, materialize the survivor set once, and feed
+    // both pair joins from it. The broadcasts are ADAPTIVE, not
+    // unconditional (r11 review): the id set is queries × shortlistN
+    // rows, and nothing in the API bounds queryPred — an unconditional
+    // hint would hit Spark's 8 GB broadcast ceiling (or OOM the
+    // driver) exactly when the caller diversifies a huge query set.
+    // The shortlist is already materialized, so counting it is a
+    // metadata read; past the threshold the joins fall back to
+    // shuffles — then the corpus table is exchanged once (the
+    // pre-r11 shape, which completes at any size), and every
+    // post-prune frame is still shortlist-bounded. Plan-asserted for
+    // the probe-sized case in FusionSpec.
+    val ids = shortlist.select(col("doc")).distinct().materialized
+    val probeSized = ids.count() <= 2000000L
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (probeSized) broadcast(df) else df
     val vecs = emb.select(col(idCol).cast("long").as("doc"),
         col(vecCol).cast("array<double>").as("__v"))
-      .join(broadcast(ids), Seq("doc"), "left_semi")
+      .join(maybeBroadcast(ids), Seq("doc"), "left_semi")
       .materialized // shortlist-sized; reused by the two pair joins
     val sims = shortlist.select(col("qid"), col("doc").as("doc_a"))
       .join(shortlist.select(col("qid"), col("doc").as("doc_b")), "qid")
       .filter(col("doc_a") < col("doc_b"))
-      .join(broadcast(
+      .join(maybeBroadcast(
         vecs.select(col("doc").as("doc_a"), col("__v").as("__va"))),
         "doc_a")
-      .join(broadcast(
+      .join(maybeBroadcast(
         vecs.select(col("doc").as("doc_b"), col("__v").as("__vb"))),
         "doc_b")
       .select(col("qid"), col("doc_a"), col("doc_b"),

@@ -952,27 +952,14 @@ object CorpusQueries extends QueryModule {
              |  SELECT doc_id, list_distinct(
              |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS t
              |  FROM toks
-             |), tk AS (
-             |  SELECT doc_id, unnest(t) AS tok FROM g
-             |), dfc AS (
-             |  SELECT tok, count(*) AS dfc FROM tk GROUP BY tok
-             |), ord AS (
-             |  SELECT doc_id, list(tok ORDER BY dfc, tok) AS ot
-             |  FROM tk JOIN dfc USING (tok) GROUP BY doc_id
-             |), pre AS (
-             |  SELECT doc_id,
-             |    unnest(ot[1 : CAST(len(ot) - ceil(0.5 * len(ot)) + 1 AS INT)]) AS tok
-             |  FROM ord
-             |), cand AS (
-             |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
-             |  FROM pre a JOIN pre b ON a.tok = b.tok
-             |    AND a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
-             |)
+             |), gw AS (SELECT * FROM g WHERE doc_id % 3 = 0
+             |), go AS (SELECT * FROM g WHERE doc_id % 3 <> 0
+             |)""".stripMargin + OracleSql.crossPrefixPairCtes + """
              |SELECT c.id_new, c.id_old,
              |  len(list_intersect(x.t, y.t)) * 1.0 /
              |    len(list_distinct(list_concat(x.t, y.t))) AS jaccard
-             |FROM cand c JOIN g x ON x.doc_id = c.id_new
-             |JOIN g y ON y.doc_id = c.id_old
+             |FROM cand c JOIN gw x ON x.doc_id = c.id_new
+             |JOIN go y ON y.doc_id = c.id_old
              |WHERE len(list_intersect(x.t, y.t)) * 1.0 /
              |    len(list_distinct(list_concat(x.t, y.t))) >= 0.5""".stripMargin),
     ),
@@ -2401,30 +2388,7 @@ object CorpusQueries extends QueryModule {
              |     for i in range(1, len(w) - 1)]) AS t
              |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w
              |        FROM o)
-             |), tk AS (
-             |  SELECT 'w' AS side, doc_id, unnest(t) AS tok FROM gw
-             |  UNION ALL
-             |  SELECT 'o' AS side, doc_id, unnest(t) AS tok FROM go
-             |), dfc AS (
-             |  SELECT tok, count(*) AS dfc FROM tk GROUP BY tok
-             |), ordw AS (
-             |  SELECT doc_id, list(tok ORDER BY dfc, tok) AS ot
-             |  FROM tk JOIN dfc USING (tok) WHERE side = 'w' GROUP BY doc_id
-             |), ordo AS (
-             |  SELECT doc_id, list(tok ORDER BY dfc, tok) AS ot
-             |  FROM tk JOIN dfc USING (tok) WHERE side = 'o' GROUP BY doc_id
-             |), prew AS (
-             |  SELECT doc_id,
-             |    unnest(ot[1 : CAST(len(ot) - ceil(0.5 * len(ot)) + 1 AS INT)]) AS tok
-             |  FROM ordw
-             |), preo AS (
-             |  SELECT doc_id,
-             |    unnest(ot[1 : CAST(len(ot) - ceil(0.5 * len(ot)) + 1 AS INT)]) AS tok
-             |  FROM ordo
-             |), cand AS (
-             |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
-             |  FROM prew a JOIN preo b ON a.tok = b.tok
-             |)
+             |)""".stripMargin + OracleSql.crossPrefixPairCtes + """
              |SELECT c.id_new, c.id_old,
              |  len(list_intersect(x.t, y.t)) * 1.0 /
              |    len(list_distinct(list_concat(x.t, y.t))) AS jaccard

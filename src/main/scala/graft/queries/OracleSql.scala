@@ -68,4 +68,39 @@ object OracleSql {
       |  WHERE len(list_intersect(x.t, y.t)) * 1.0 /
       |      len(list_distinct(list_concat(x.t, y.t))) >= 0.5
       |)""".stripMargin
+
+  /** The CROSS-SIDE prefix filter — same lossless construction as
+    * [[blockedPairCtes]] but between two frames (incoming batch vs
+    * trained corpus: q77, q100, q109). The caller defines CTEs
+    * `gw`/`go`, each (doc_id, t distinct-trigram list); this fragment
+    * appends `tk, dfc, ordw, ordo, prew, preo, cand` with
+    * `cand` = the DISTINCT (id_new, id_old) candidates. Document
+    * frequency is computed over BOTH sides' union — any consistent
+    * global token order preserves the losslessness argument. The
+    * caller appends its own exact-Jaccard verify tail over gw/go. */
+  val crossPrefixPairCtes: String =
+    """, tk AS (
+      |  SELECT 'w' AS side, doc_id, unnest(t) AS tok FROM gw
+      |  UNION ALL
+      |  SELECT 'o' AS side, doc_id, unnest(t) AS tok FROM go
+      |), dfc AS (
+      |  SELECT tok, count(*) AS dfc FROM tk GROUP BY tok
+      |), ordw AS (
+      |  SELECT doc_id, list(tok ORDER BY dfc, tok) AS ot
+      |  FROM tk JOIN dfc USING (tok) WHERE side = 'w' GROUP BY doc_id
+      |), ordo AS (
+      |  SELECT doc_id, list(tok ORDER BY dfc, tok) AS ot
+      |  FROM tk JOIN dfc USING (tok) WHERE side = 'o' GROUP BY doc_id
+      |), prew AS (
+      |  SELECT doc_id,
+      |    unnest(ot[1 : CAST(len(ot) - ceil(0.5 * len(ot)) + 1 AS INT)]) AS tok
+      |  FROM ordw
+      |), preo AS (
+      |  SELECT doc_id,
+      |    unnest(ot[1 : CAST(len(ot) - ceil(0.5 * len(ot)) + 1 AS INT)]) AS tok
+      |  FROM ordo
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+      |  FROM prew a JOIN preo b ON a.tok = b.tok
+      |)""".stripMargin
 }

@@ -24,10 +24,14 @@ class Round11PropertySpec extends SparkSpec {
       .filter { case (a, b) => a != b }.distinct
     val perm = rnd.shuffle((0L to 11L).toVector)
     val iso = edges.map { case (a, b) => (perm(a.toInt), perm(b.toInt)) }
-    val extra = edges ++ Seq(
-      edges.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted match {
-        case ns => (ns.head, ns.last) // may duplicate; distinct below
-      }, (0L, 7L), (3L, 11L)).distinct
+    // graph 3 = graph 1 plus one GUARANTEED-new undirected edge (the
+    // first enumerated pair absent from the normalized edge set), so
+    // its degree multiset — and hence every signature depth — differs
+    val norm = edges.map { case (a, b) =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    val newEdge = (for { a <- 0L to 11L; b <- (a + 1) to 11L
+      if !norm((a, b)) } yield (a, b)).head
+    val extra = edges :+ newEdge
     val df = (edges.map { case (a, b) => (1L, a, b) } ++
       iso.map { case (a, b) => (2L, a, b) } ++
       extra.map { case (a, b) => (3L, a, b) })
@@ -38,6 +42,10 @@ class Round11PropertySpec extends SparkSpec {
         .map(x => x.getString(0) ->
           ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
       assert(free("1") == free("2"), s"rounds=$r: iso copies diverged")
+      // the extra-edge variant must SEPARATE: its degree multiset
+      // differs, so the label multiset differs at every depth
+      assert((free("3")._2, free("3")._3) !=
+        (free("1")._2, free("1")._3), s"rounds=$r: extra edge merged")
       val sorted = GraphOps.wlGraphSignature(
           df, "graph_id", "src", "dst", rounds = r).collect()
         .map(x => x.getString(0) -> x.getString(2)).toMap

@@ -6,14 +6,16 @@ DuckDB-vs-parquet compare as tools/check_oracle.py, but sharded across
 N worker processes and recording per-oracle wall seconds, so a full
 sf0.1 sweep is one command and its cost is attributable per oracle.
 
-Usage: python3 tools/sweep.py <sfDir> <outDir> [shards=8] [timing.json]
+Usage: python3 tools/sweep.py <sfDir> <outDir> [shards=8] [timing.json] [only]
 
 After `sbt "runMain graft.Verify /root/testdata/sf0.1 <outDir>"`:
     python3 tools/sweep.py /root/testdata/sf0.1 /tmp/verify_sf01 8
 Prints one OK/FAIL line per oracle (same semantics as check_oracle:
 sorted rows/columns, exact value compare) plus the 15 slowest oracles,
 and writes per-oracle seconds to timing.json (default
-<outDir>/sweep_timing.json).
+<outDir>/sweep_timing.json). `only` is check_oracle's comma-separated
+query filter, for sweeping a filtered Verify dump without flagging
+every unselected query as missing.
 """
 import json
 import multiprocessing as mp
@@ -45,8 +47,11 @@ def run_one(args):
     return name, msg, time.time() - t0
 
 
-def main(sf_dir, out_dir, shards=8, timing_path=None):
+def main(sf_dir, out_dir, shards=8, timing_path=None, only=None):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        names = set(only.split(","))
+        oracles = {k: v for k, v in oracles.items() if k in names}
     tasks = [(sf_dir, out_dir, n, s) for n, s in sorted(oracles.items())]
     t0 = time.time()
     with mp.Pool(shards) as pool:
@@ -58,7 +63,7 @@ def main(sf_dir, out_dir, shards=8, timing_path=None):
         timings[name] = round(secs, 2)
         if msg.startswith("FAIL"):
             fails += 1
-            print(msg)
+        print(msg)
     print(f"\n{len(results) - fails}/{len(results)} oracle-checked "
           f"queries pass — sweep wall {wall:.0f}s on {shards} shards")
     slow = sorted(timings.items(), key=lambda kv: -kv[1])[:15]
@@ -75,4 +80,5 @@ def main(sf_dir, out_dir, shards=8, timing_path=None):
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2],
                   int(sys.argv[3]) if len(sys.argv) > 3 else 8,
-                  sys.argv[4] if len(sys.argv) > 4 else None))
+                  sys.argv[4] if len(sys.argv) > 4 else None,
+                  sys.argv[5] if len(sys.argv) > 5 else None))
