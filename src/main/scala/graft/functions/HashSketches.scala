@@ -261,12 +261,66 @@ case class SignLshBucketsExpr(child: Expression,
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** array<string> words → array<struct<pos int, h long>> of POSITIONED
+  * md5-60 L-gram anchors — the [[graft.ops.Dedup.duplicateSpans]] /
+  * `duplicateCoverage` gram stream in ONE native pass per document.
+  * Bit-identical to the composed Column form
+  * `transform(sequence(1, n-l+1), i -> struct(i, conv(substring(md5(
+  * concat_ws(' ', slice(w, i, l))), 1, 15), 16, 10)))` (parity-pinned
+  * in CorpusOpsSpec): positions are 1-based, the hash is
+  * [[Sketch.md5_60]] over the space-joined slice via the SAME
+  * UTF8String.concatWs the builtin uses. The composed form pays a
+  * 32-char hex string + substring + base-16 parse per gram; this goes
+  * digest-bytes → long directly. Evaluated once per row —
+  * CodegenFallback costs one virtual call per document. Fewer than l
+  * words → empty array (callers filter first, but the contract is
+  * total). */
+case class GramHash60Expr(child: Expression, l: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(l >= 1, s"gram length must be >= 1, got $l")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("h", LongType,
+        nullable = false))), containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < l) return new GenericArrayData(Array.empty[Any])
+    val sep = UTF8String.fromString(" ")
+    val words = new Array[UTF8String](n)
+    var k = 0
+    while (k < n) { words(k) = arr.getUTF8String(k); k += 1 }
+    val out = new Array[Any](n - l + 1)
+    val window = new Array[UTF8String](l)
+    var i = 0
+    while (i <= n - l) {
+      var j = 0
+      while (j < l) { window(j) = words(i + j); j += 1 }
+      val gram = UTF8String.concatWs(sep, window: _*)
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        i + 1, Sketch.md5_60(gram))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object HashSketches {
   import org.apache.spark.sql.GraftBridge
 
   def minhashSignature(grams: Column, numHashes: Int): Column =
     GraftBridge.column(
       MinHashSignatureExpr(GraftBridge.expression(grams), numHashes))
+
+  /** words → positioned md5-60 L-gram anchors (see [[GramHash60Expr]]). */
+  def gramHash60(words: Column, l: Int): Column =
+    GraftBridge.column(GramHash60Expr(GraftBridge.expression(words), l))
 
   def simhash64(tokens: Column): Column =
     GraftBridge.column(SimHash64Expr(GraftBridge.expression(tokens)))

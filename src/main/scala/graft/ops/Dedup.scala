@@ -1173,18 +1173,21 @@ object Dedup {
 
   /** The (id, pos, md5-60 L-gram hash) stream [[duplicateSpans]] and
     * [[duplicateCoverage]] fold over — deliberately UN-materialized
-    * (see the recompute-vs-checkpoint note in [[duplicateSpans]]). */
+    * (see the recompute-vs-checkpoint note in [[duplicateSpans]]).
+    * The positioned anchors come from the native
+    * [[graft.functions.GramHash60Expr]] one-pass expression
+    * (digest-bytes → long, no per-gram hex/substring/conv tree) —
+    * bit-identical to the composed HOF form, parity-pinned in
+    * CorpusOpsSpec, which matters doubly since the recompute decision
+    * runs this projection twice. */
   private def duplicateGramStream(df: DataFrame, idCol: String,
       textCol: String, l: Int): DataFrame = {
     val toks = split(trim(col(textCol)), "\\s+")
     df.select(col(idCol), toks.as("__w"))
       .filter(size(col("__w")) >= l)
-      .select(col(idCol), explode(expr(
-        s"""transform(sequence(1, size(__w) - ${l - 1}),
-           |  i -> struct(i AS pos,
-           |    CAST(conv(substring(md5(
-           |      concat_ws(' ', slice(__w, i, $l))), 1, 15), 16, 10)
-           |      AS BIGINT) AS h))""".stripMargin)).as("__g"))
+      .select(col(idCol),
+        explode(graft.functions.HashSketches.gramHash60(col("__w"), l))
+          .as("__g"))
       .select(col(idCol), col("__g.pos").as("__pos"),
         col("__g.h").as("__h"))
   }

@@ -153,6 +153,22 @@ class CorpusOpsSpec extends SparkSpec {
         HashSketches.simhashMd5_60(split($"text", "\\s+")).as("b"))
       .filter($"a" =!= $"b").count()
     assert(md5Mismatch == 0)
+    // the positioned gram-anchor expression (duplicateSpans' stream):
+    // bit-identical to the composed HOF + md5/substring/conv form —
+    // the q325/q328 oracles hash-depend on this
+    val gramMismatch = docs
+      .select(split(trim($"text"), "\\s+").as("w"))
+      .filter(org.apache.spark.sql.functions.size($"w") >= 12)
+      .select(
+        org.apache.spark.sql.functions.expr(
+          """transform(sequence(1, size(w) - 11),
+            |  i -> struct(CAST(i AS INT) AS pos,
+            |    CAST(conv(substring(md5(
+            |      concat_ws(' ', slice(w, i, 12))), 1, 15), 16, 10)
+            |      AS BIGINT) AS h))""".stripMargin).as("a"),
+        HashSketches.gramHash60($"w", 12).as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(gramMismatch == 0)
   }
 
   test("native sign-LSH buckets equal the Column-composed lshBucket form") {
