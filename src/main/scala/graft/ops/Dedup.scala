@@ -200,6 +200,76 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Near-duplicate pairs by exact word-n-gram Jaccard ≥ tau with
+    * PREFIX-FILTER candidate generation (Bayardo, Ma & Srikant 2007,
+    * "Scaling Up All Pairs Similarity Search", WWW; Xiao et al. 2008)
+    * — the RECALL-EXACT alternative to [[ngramJaccardPairs]]' MinHash
+    * banding: order every document's distinct n-grams by ascending
+    * document frequency (rare first, ties by gram text), keep the
+    * first |t| − ceil(τ·|t|) + 1 as its PREFIX, and generate
+    * candidates only from documents sharing a prefix gram. Lossless at
+    * τ: J(A,B) ≥ τ ⇒ |A∩B| ≥ ceil(τ·max(|A|,|B|)), so a qualifying
+    * pair sharing nothing in A's prefix would confine its whole
+    * intersection to A's last ceil(τ·|A|) − 1 grams — a contradiction.
+    * Same output contract as [[ngramJaccardPairs]] (id_a < id_b,
+    * exact jaccard) — the two paths are differentially tested equal,
+    * and q329/q22 check both against one DuckDB restatement. Choose
+    * this one when candidate recall must be PROVABLY 1.0 (dedup
+    * audits, legal/compliance sweeps); the banding path when the
+    * 1−(1−τʳ)ᵇ envelope is acceptable and gram df skew is unknown.
+    *
+    * Scale shape: two hash aggregations (per-doc distinct grams →
+    * gram document frequencies), one per-doc sorted-collect (state =
+    * the doc's own gram list — the parse-op bound), an equality join
+    * on PREFIX grams, and exact verification on the candidate set
+    * only. Candidate volume is driven by co-occurrence of RARE grams
+    * (the df-ascending order exists precisely to keep frequent grams
+    * out of prefixes), so the classic LSH degenerate-bucket hazard
+    * (every doc sharing one hot band value) cannot arise from corpus-
+    * common grams; a gram shared by m docs inside prefixes still
+    * costs m² candidate rows — that only happens when the gram is
+    * globally rare, which bounds m. AQE skew-join covers the
+    * residual. Runs Spark jobs eagerly at call time (the gram table
+    * feeds df counts, prefixes, and both verify sides — see
+    * [[Materialize]] for the cluster strategy conf).
+    */
+  def prefixFilterJaccardPairs(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, tau: Double = 0.5): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    val grams = df
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
+      .select(col(idCol), wordNGramsFromWords(col("__w"), n).as("t"))
+      .filter(size(col("t")) > 0)
+      .withColumn("__gh", transform(col("t"), g => xxhash64(g)))
+      .materialized // feeds df counts, prefixes, and both verify sides
+    val tk = grams.select(col(idCol), explode(col("t")).as("__tok"))
+    val dfc = tk.groupBy(col("__tok")).agg(count(lit(1)).as("__dfc"))
+    // per-doc grams in ascending-(df, gram) order, cut to the prefix
+    val pre = tk.join(dfc, "__tok")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__dfc"), col("__tok"))))
+        .as("__ot"))
+      .select(col(idCol), explode(expr(
+        s"""slice(transform(__ot, s -> s.__tok), 1,
+           |  CAST(size(__ot) - ceil($tau * size(__ot)) + 1 AS INT))"""
+          .stripMargin)).as("__tok"))
+    val cands = pre.select(col(idCol).as("id_a"), col("__tok"))
+      .join(pre.select(col(idCol).as("id_b"), col("__tok")), "__tok")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cands
+      .join(grams.select(col(idCol).as("id_a"), col("__gh").as("ga")),
+        "id_a")
+      .join(grams.select(col(idCol).as("id_b"), col("__gh").as("gb")),
+        "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("ga"), col("gb"))) /
+          size(array_union(col("ga"), col("gb"))))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** CROSS-CORPUS near-duplicate pairs: every (new, old) pair with
     * exact word-n-gram Jaccard ≥ tau — "dedup the incoming crawl
     * against everything already trained on", the incremental sibling of

@@ -47,6 +47,30 @@ object CorpusQueries extends QueryModule {
              |    len(list_distinct(list_concat(x.t, y.t))) >= 0.5""".stripMargin),
     ),
 
+    // ---- PREFIX-FILTER near-dup pairs (Dedup.prefixFilterJaccardPairs
+    // — Bayardo 2007 / Xiao 2008): the RECALL-EXACT Spark-side
+    // candidate path, against the same blocked restatement q22's
+    // LSH-banded path checks against. One oracle, two independent
+    // blockings (probabilistic banding vs lossless rare-prefix join)
+    // — equal output proves BOTH candidate generators lose nothing at
+    // tau = 0.5, and the pair is differentially tested equal in
+    // Round11PropertySpec.
+    Q(
+      "q329_prefix_filter_pairs",
+      (s, d) => Dedup.prefixFilterJaccardPairs(
+        Tables.documents(s, d), "doc_id", "text", n = 3, tau = 0.5)
+        .select(col("id_a"), col("id_b"), col("jaccard")),
+      Some("WITH " + OracleSql.blockedPairCtes +
+        """
+             |SELECT p.id_a, p.id_b,
+             |  len(list_intersect(x.t, y.t)) * 1.0 /
+             |    len(list_distinct(list_concat(x.t, y.t))) AS jaccard
+             |FROM p JOIN g x ON x.doc_id = p.id_a
+             |JOIN g y ON y.doc_id = p.id_b
+             |WHERE len(list_intersect(x.t, y.t)) * 1.0 /
+             |    len(list_distinct(list_concat(x.t, y.t))) >= 0.5""".stripMargin),
+    ),
+
     // ---- Duplicate CLUSTERS from the near-dup pairs: connected
     // components by min-label propagation, every document labeled with
     // its cluster's canonical (minimum) id — the survivor-selection step

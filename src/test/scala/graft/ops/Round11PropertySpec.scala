@@ -119,6 +119,32 @@ class Round11PropertySpec extends SparkSpec {
     assert(cov(4L)._2 == 0L && cov(4L)._3 == 0L)
   }
 
+  test("prefixFilterJaccardPairs equals ngramJaccardPairs: two " +
+      "independent candidate blockings, one exact pair truth") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.model.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSet
+    val lsh = pairs(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, tau = 0.5))
+    val pf = pairs(Dedup.prefixFilterJaccardPairs(docs, "doc_id",
+      "text", n = 3, tau = 0.5))
+    assert(pf == lsh, s"prefix-filter ${pf.size} vs LSH ${lsh.size}")
+    assert(pf.nonEmpty) // the fixture corpus has planted near-dups
+    // planted sanity: a verbatim copy scores jaccard 1.0 and survives
+    // both paths
+    val aug = docs.unionByName(
+      docs.filter(col("doc_id") === 1)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val dup = pairs(Dedup.prefixFilterJaccardPairs(aug, "doc_id",
+      "text", n = 3, tau = 0.5))
+    assert(dup.exists { case (a, b, j) =>
+      a == 1L && b == 1000001L && j == 1.0 })
+  }
+
   test("weightedQuantilesLong on PrefixScan: partition-count-invariant " +
       "and equal to the serial weighted rank") {
     val rnd = new scala.util.Random(117)
