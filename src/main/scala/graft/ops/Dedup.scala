@@ -232,6 +232,16 @@ object Dedup {
     * residual. Runs Spark jobs eagerly at call time (the gram table
     * feeds df counts, prefixes, and both verify sides — see
     * [[Materialize]] for the cluster strategy conf).
+    *
+    * Cost is DF-DISTRIBUTION-DEPENDENT (measured, sf0.1): the
+    * synthetic corpus has only ~27k distinct trigrams at avg df ≈ 88
+    * — adversarially dense for prefix pruning — so ~409k candidates
+    * survive (3.3% of all-pairs; brute force would verify 12.5M) and
+    * the exact verify dominates at ~9 s where the LSH path runs 0.7 s.
+    * On natural corpora gram dfs are heavy-tailed and prefixes prune
+    * far harder. The trade is the point: this path buys PROVABLE
+    * recall; [[ngramJaccardPairs]] buys speed with a known
+    * 1−(1−τʳ)ᵇ envelope.
     */
   def prefixFilterJaccardPairs(df: DataFrame, idCol: String,
       textCol: String, n: Int = 3, tau: Double = 0.5): DataFrame = {
@@ -242,19 +252,34 @@ object Dedup {
       .filter(size(col("t")) > 0)
       .withColumn("__gh", transform(col("t"), g => xxhash64(g)))
       .materialized // feeds df counts, prefixes, and both verify sides
+    // The blocking order is internal: the OUTPUT (exact-verified pairs)
+    // is identical under ANY consistent global gram order, so the hot
+    // path runs on 64-bit gram hashes — df counts keyed on the hash
+    // (a collision merges two grams' counts, which is still one
+    // globally-consistent ordering function), the sort keyed
+    // (df, hash) with the gram STRING as the collision tiebreak (so
+    // the order stays TOTAL and doc-independent even if two grams
+    // share a hash — the losslessness argument needs exactly that),
+    // and the candidate self-join on the hash (a collision can only
+    // ADD a spurious candidate that exact verification discards).
     val tk = grams.select(col(idCol), explode(col("t")).as("__tok"))
-    val dfc = tk.groupBy(col("__tok")).agg(count(lit(1)).as("__dfc"))
-    // per-doc grams in ascending-(df, gram) order, cut to the prefix
-    val pre = tk.join(dfc, "__tok")
+      .select(col(idCol), col("__tok"), xxhash64(col("__tok")).as("__th"))
+    val dfc = tk.groupBy(col("__th")).agg(count(lit(1)).as("__dfc"))
+    // per-doc grams in ascending-(df, hash, gram) order, cut to the
+    // prefix. Materialized: both sides of the candidate self-join read
+    // it — unmaterialized, the whole two-shuffle subtree computes
+    // twice.
+    val pre = tk.join(dfc, "__th")
       .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("__dfc"), col("__tok"))))
-        .as("__ot"))
+      .agg(sort_array(collect_list(
+        struct(col("__dfc"), col("__th"), col("__tok")))).as("__ot"))
       .select(col(idCol), explode(expr(
-        s"""slice(transform(__ot, s -> s.__tok), 1,
+        s"""slice(transform(__ot, s -> s.__th), 1,
            |  CAST(size(__ot) - ceil($tau * size(__ot)) + 1 AS INT))"""
-          .stripMargin)).as("__tok"))
-    val cands = pre.select(col(idCol).as("id_a"), col("__tok"))
-      .join(pre.select(col(idCol).as("id_b"), col("__tok")), "__tok")
+          .stripMargin)).as("__th"))
+      .materialized
+    val cands = pre.select(col(idCol).as("id_a"), col("__th"))
+      .join(pre.select(col(idCol).as("id_b"), col("__th")), "__th")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
