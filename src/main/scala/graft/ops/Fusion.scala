@@ -154,7 +154,27 @@ object Fusion {
     * @return (qid, doc, mmr_rank 1..k, obj) as [[mmrSelect]] */
   def mmrDiversifyEmbeddings(emb: DataFrame, idCol: String,
       vecCol: String, queryPred: Column, shortlistN: Int, k: Int,
-      lambdaPermille: Int): DataFrame = {
+      lambdaPermille: Int): DataFrame =
+    mmrDiversifyEmbeddings(emb, idCol, vecCol, queryPred, shortlistN,
+      k, lambdaPermille, VecsBroadcastCeilingBytes)
+
+  /** Conservative ceiling for broadcasting the pruned id+vector frame:
+    * far under Spark's hard 8 GB broadcast limit AND under typical
+    * driver/executor headroom, because the broadcast is built on the
+    * driver and replicated to every executor. */
+  private[graft] val VecsBroadcastCeilingBytes: Long = 512L << 20
+
+  /** Estimated in-memory bytes of the pruned vecs frame: one BIGINT id
+    * plus an array<double> of `dim` elements per row (24 B covers the
+    * id + array header + per-row overhead). Exactness is not the point
+    * — the gate only needs the right order of magnitude: 2 M ids at
+    * dim 768 estimates ~12 GB and must NOT broadcast. */
+  private[graft] def vecsBroadcastBytes(idCount: Long, dim: Long): Long =
+    idCount * (dim * 8L + 24L)
+
+  private[graft] def mmrDiversifyEmbeddings(emb: DataFrame, idCol: String,
+      vecCol: String, queryPred: Column, shortlistN: Int, k: Int,
+      lambdaPermille: Int, vecsCeilingBytes: Long): DataFrame = {
     import graft.ops.Materialize.MaterializeOps
     require(shortlistN >= k,
       s"shortlistN ($shortlistN) must be >= k ($k)")
@@ -169,31 +189,41 @@ object Fusion {
     // probe-sized query set (r10 brief): prune vecs to shortlist ids
     // through a semi-join, materialize the survivor set once, and feed
     // both pair joins from it. The broadcasts are ADAPTIVE, not
-    // unconditional (r11 review): the id set is queries × shortlistN
-    // rows, and nothing in the API bounds queryPred — an unconditional
-    // hint would hit Spark's 8 GB broadcast ceiling (or OOM the
-    // driver) exactly when the caller diversifies a huge query set.
-    // The shortlist is already materialized, so counting it is a
-    // metadata read; past the threshold the joins fall back to
-    // shuffles — then the corpus table is exchanged once (the
+    // unconditional (r11 review), and the two frames are gated
+    // SEPARATELY (r11 verdict): the id frame is bare BIGINTs — a row
+    // threshold bounds its bytes (2 M rows ≈ 16 MB) — but the vecs
+    // frame carries the full array<double> embedding, so its byte
+    // size is rows × dim-dependent: 2 M ids at dim 768 is ~12 GB,
+    // inside any sane row threshold yet over Spark's 8 GB broadcast
+    // ceiling. vecs is therefore gated on ESTIMATED BYTES, with the
+    // width read from the already-materialized survivor frame (a
+    // limit-1 read, not a scan). Past either gate the joins fall back
+    // to shuffles — then the corpus table is exchanged once (the
     // pre-r11 shape, which completes at any size), and every
-    // post-prune frame is still shortlist-bounded. Plan-asserted for
-    // the probe-sized case in FusionSpec.
+    // post-prune frame is still shortlist-bounded. Plan-asserted in
+    // FusionSpec for both the probe-sized broadcast case and the
+    // wide-dim shuffle fallback.
     val ids = shortlist.select(col("doc")).distinct().materialized
-    val probeSized = ids.count() <= 2000000L
-    def maybeBroadcast(df: DataFrame): DataFrame =
-      if (probeSized) broadcast(df) else df
+    val idCount = ids.count()
+    val probeSized = idCount <= 2000000L
     val vecs = emb.select(col(idCol).cast("long").as("doc"),
         col(vecCol).cast("array<double>").as("__v"))
-      .join(maybeBroadcast(ids), Seq("doc"), "left_semi")
+      .join(if (probeSized) broadcast(ids) else ids, Seq("doc"),
+        "left_semi")
       .materialized // shortlist-sized; reused by the two pair joins
+    val dim = vecs.select(size(col("__v")).cast("long")).head(1)
+      .headOption.map(_.getLong(0)).getOrElse(0L)
+    val vecsSized = probeSized &&
+      vecsBroadcastBytes(idCount, dim) <= vecsCeilingBytes
+    def maybeBroadcastVecs(df: DataFrame): DataFrame =
+      if (vecsSized) broadcast(df) else df
     val sims = shortlist.select(col("qid"), col("doc").as("doc_a"))
       .join(shortlist.select(col("qid"), col("doc").as("doc_b")), "qid")
       .filter(col("doc_a") < col("doc_b"))
-      .join(maybeBroadcast(
+      .join(maybeBroadcastVecs(
         vecs.select(col("doc").as("doc_a"), col("__v").as("__va"))),
         "doc_a")
-      .join(maybeBroadcast(
+      .join(maybeBroadcastVecs(
         vecs.select(col("doc").as("doc_b"), col("__v").as("__vb"))),
         "doc_b")
       .select(col("qid"), col("doc_a"), col("doc_b"),

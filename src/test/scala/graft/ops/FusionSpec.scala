@@ -114,4 +114,49 @@ class FusionSpec extends SparkSpec {
       assert(prunePlan.contains("LeftSemi"), prunePlan)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
+
+  test("mmrDiversifyEmbeddings: vecs broadcast is gated on BYTES — " +
+      "2M ids at dim 768 must not broadcast; estimate is dim-linear") {
+    // the r11 hole: the row gate admits 2M ids, but 2M × 768-dim
+    // doubles is ~12 GB — over Spark's 8 GB broadcast ceiling
+    assert(Fusion.vecsBroadcastBytes(2000000L, 768L) >
+      Fusion.VecsBroadcastCeilingBytes)
+    assert(Fusion.vecsBroadcastBytes(2000000L, 1024L) >
+      Fusion.VecsBroadcastCeilingBytes)
+    // a genuinely probe-sized fetch stays under it
+    assert(Fusion.vecsBroadcastBytes(10000L, 768L) <
+      Fusion.VecsBroadcastCeilingBytes)
+    // monotone in both arguments (a wider dim can only push a given id
+    // set OVER the ceiling, never back under)
+    assert(Fusion.vecsBroadcastBytes(1000L, 4096L) >
+      Fusion.vecsBroadcastBytes(1000L, 768L))
+  }
+
+  test("mmrDiversifyEmbeddings: over the byte ceiling the pair joins " +
+      "fall back to shuffles — and the output is unchanged") {
+    import org.apache.spark.sql.functions.col
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val emb = (1L to 40L).map(i =>
+          (i, Seq(math.sin(i.toDouble), math.cos(i.toDouble))))
+        .toDF("vec_id", "embedding")
+      // ceiling of 1 byte: every vecs frame is "too wide" — the gate
+      // must route both pair joins to the shuffle path
+      val wide = Fusion.mmrDiversifyEmbeddings(emb, "vec_id",
+        "embedding", col("vec_id") % 10 === 0, shortlistN = 4, k = 2,
+        lambdaPermille = 700, vecsCeilingBytes = 1L)
+      val widePlan = wide.queryExecution.executedPlan.toString
+      assert(!widePlan.contains("BroadcastHashJoin"), widePlan)
+      assert(widePlan.contains("SortMergeJoin"), widePlan)
+      // semantics identical to the broadcast path
+      val bcast = Fusion.mmrDiversifyEmbeddings(emb, "vec_id",
+        "embedding", col("vec_id") % 10 === 0, shortlistN = 4, k = 2,
+        lambdaPermille = 700)
+      val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("mmr_rank")) ->
+          ((r.getAs[Long]("doc"), r.getAs[Long]("obj")))).toMap
+      assert(key(wide) == key(bcast))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
 }
