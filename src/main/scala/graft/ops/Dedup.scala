@@ -181,8 +181,12 @@ object Dedup {
     // per candidate pair faster than the collector drains them).
     // Signatures still derive from the gram STRINGS, so LSH candidate
     // generation is byte-identical to the pre-hash construction.
+    // trim BEFORE split: the house gram convention (matches the DuckDB
+    // oracles' string_split(trim(text)) and prefixFilterJaccardPairs —
+    // untrimmed, whitespace-padded text grows a leading "" token and
+    // the two differentially-tested candidate paths could diverge).
     val grams = df
-      .select(col(idCol), split(col(textCol), "\\s+").as("__w"))
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
       .select(col(idCol), wordNGramsFromWords(col("__w"), n).as("grams"))
       .withColumn("__gh", transform(col("grams"), g => xxhash64(g)))
       .materialized
@@ -233,11 +237,40 @@ object Dedup {
     * feeds df counts, prefixes, and both verify sides — see
     * [[Materialize]] for the cluster strategy conf).
     *
+    * Candidate pruning beyond the bare prefix filter — the LENGTH and
+    * POSITIONAL filters from the same Xiao et al. 2008 (ppjoin),
+    * applied per matched prefix row with ANY-ROW-PASSES semantics so
+    * losslessness survives hash collisions (below):
+    *
+    *  - length: J(A,B) ≥ τ ⇒ τ·max(|A|,|B|) ≤ min(|A|,|B|) — a
+    *    pair-level set-size property, checked on the lengths each
+    *    prefix row carries.
+    *  - positional: J ≥ τ forces |A∩B| ≥ ceil(τ/(1+τ)·(|A|+|B|))
+    *    (from J = ∩/(|A|+|B|−∩)). The FIRST common gram of a
+    *    qualifying pair sits inside BOTH prefixes (were it past A's
+    *    prefix, the whole intersection would fit in A's last
+    *    ceil(τ·|A|)−1 grams — too few), and nothing of A∩B precedes
+    *    it, so at its 1-based sorted positions (i, j):
+    *    |A∩B| ≤ 1 + min(|A|−i, |B|−j). Filtering each matched row on
+    *    that bound with ANY-ROW-PASSES semantics is therefore
+    *    lossless — the first-common-gram row always passes for a
+    *    qualifying pair — while rows for LATER common grams may fail
+    *    it, which is exactly the pruning (a pair whose earliest
+    *    shared prefix gram sits late cannot reach the required
+    *    overlap). A spurious hash-collision row (two different grams,
+    *    one 64-bit hash) can only ADD a survivor, never veto one (a
+    *    min-over-rows aggregation would lose that guarantee: one
+    *    collision row could bury a real pair).
+    *    Both cutoffs relax by 1e-9 before the compare so float
+    *    rounding at exact-threshold boundaries can only under-prune.
+    *
     * Cost is DF-DISTRIBUTION-DEPENDENT (measured, sf0.1): the
     * synthetic corpus has only ~27k distinct trigrams at avg df ≈ 88
-    * — adversarially dense for prefix pruning — so ~409k candidates
-    * survive (3.3% of all-pairs; brute force would verify 12.5M) and
-    * the exact verify dominates at ~9 s where the LSH path runs 0.7 s.
+    * — adversarially dense for prefix pruning — so the bare prefix
+    * filter left ~409k candidates (3.3% of all-pairs; brute force
+    * would verify 12.5M) and exact verify dominated at ~8 s where the
+    * LSH path runs 0.7 s; the r12 length+positional filters cut the
+    * verify set to ~30k (0.24% of all-pairs) and the twin to ~2 s.
     * On natural corpora gram dfs are heavy-tailed and prefixes prune
     * far harder. The trade is the point: this path buys PROVABLE
     * recall; [[ngramJaccardPairs]] buys speed with a known
@@ -246,54 +279,173 @@ object Dedup {
   def prefixFilterJaccardPairs(df: DataFrame, idCol: String,
       textCol: String, n: Int = 3, tau: Double = 0.5): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
-    val grams = df
-      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
+    val grams = prefixGramFrame(df, idCol, textCol, n)
+    val tk = prefixTokenStream(grams, idCol)
+    val ranked = rankedGramVocab(tk)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val pre = prefixFrame(tk, ranked, idCol, tau, par)
+    val cands = ppjoinCandidates(
+        pre.select(col(idCol).as("id_a"), col("__len").as("__la"),
+          col("__i").as("__ia"), col("__th")),
+        pre.select(col(idCol).as("id_b"), col("__len").as("__lb"),
+          col("__i").as("__ib"), col("__th")),
+        tau, selfJoin = true)
+    verifyJaccard(cands, grams, grams, idCol, tau, par)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** CROSS-CORPUS recall-exact near-dup pairs — the lossless sibling of
+    * [[crossCorpusJaccardPairs]], exactly as [[prefixFilterJaccardPairs]]
+    * is the lossless sibling of [[ngramJaccardPairs]]: every (new, old)
+    * pair with exact word-n-gram Jaccard ≥ tau, candidates generated by
+    * the two-frame Bayardo/Xiao prefix filter instead of MinHash
+    * banding. Document frequencies are computed over the UNION of both
+    * sides (any single consistent global gram order preserves the
+    * losslessness argument — the same convention the DuckDB
+    * [[graft.queries.OracleSql.crossPrefixPairCtes]] restates); the
+    * ppjoin length+positional filters apply unchanged (the first-
+    * common-gram argument is about ONE pair of gram sets and never
+    * cared which corpus each came from). No id ordering constraint:
+    * the sides themselves distinguish the pair, and ids may exist in
+    * both corpora. Output: (id_new, id_old, jaccard).
+    *
+    * Scale shape: [[prefixFilterJaccardPairs]]' per side, with the
+    * candidate join ACROSS the two prefix tables. Choose it when the
+    * incremental dedup must be PROVABLY recall-1.0;
+    * [[crossCorpusJaccardPairs]] when the banding envelope is
+    * acceptable (and when the old side should be indexed once — the
+    * union-df requirement here re-reads the old corpus's grams per
+    * batch, the price of exactness).
+    */
+  def crossCorpusPrefixFilterPairs(dfNew: DataFrame, dfOld: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      tau: Double = 0.5): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    val gramsNew = prefixGramFrame(dfNew, idCol, textCol, n)
+    val gramsOld = prefixGramFrame(dfOld, idCol, textCol, n)
+    val tkNew = prefixTokenStream(gramsNew, idCol)
+    val tkOld = prefixTokenStream(gramsOld, idCol)
+    val ranked = rankedGramVocab(tkNew.unionByName(tkOld))
+    val par = dfNew.sparkSession.sparkContext.defaultParallelism
+    val preNew = prefixFrame(tkNew, ranked, idCol, tau, par)
+    val preOld = prefixFrame(tkOld, ranked, idCol, tau, par)
+    val cands = ppjoinCandidates(
+        preNew.select(col(idCol).as("id_a"), col("__len").as("__la"),
+          col("__i").as("__ia"), col("__th")),
+        preOld.select(col(idCol).as("id_b"), col("__len").as("__lb"),
+          col("__i").as("__ib"), col("__th")),
+        tau, selfJoin = false)
+    verifyJaccard(cands, gramsNew, gramsOld, idCol, tau, par)
+      .select(col("id_a").as("id_new"), col("id_b").as("id_old"),
+        col("jaccard"))
+  }
+
+  /** The per-corpus distinct-gram frame the prefix-filter family runs
+    * on. NO size(t)>0 filter: it would be REDUNDANT (a gram-less doc
+    * emits no token rows, so no prefixes, candidates, or pairs) and it
+    * is expensive — the predicate pushes below the gram projection and
+    * re-evaluates the whole n-gram expression per row (measured 0.3 s
+    * → 6.5 s on this frame at sf0.1). */
+  private def prefixGramFrame(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
       .select(col(idCol), wordNGramsFromWords(col("__w"), n).as("t"))
-      .filter(size(col("t")) > 0)
       .withColumn("__gh", transform(col("t"), g => xxhash64(g)))
-      .materialized // feeds df counts, prefixes, and both verify sides
-    // The blocking order is internal: the OUTPUT (exact-verified pairs)
-    // is identical under ANY consistent global gram order, so the hot
-    // path runs on 64-bit gram hashes — df counts keyed on the hash
-    // (a collision merges two grams' counts, which is still one
-    // globally-consistent ordering function), the sort keyed
-    // (df, hash) with the gram STRING as the collision tiebreak (so
-    // the order stays TOTAL and doc-independent even if two grams
-    // share a hash — the losslessness argument needs exactly that),
-    // and the candidate self-join on the hash (a collision can only
-    // ADD a spurious candidate that exact verification discards).
-    val tk = grams.select(col(idCol), explode(col("t")).as("__tok"))
-      .select(col(idCol), col("__tok"), xxhash64(col("__tok")).as("__th"))
-    val dfc = tk.groupBy(col("__th")).agg(count(lit(1)).as("__dfc"))
-    // per-doc grams in ascending-(df, hash, gram) order, cut to the
-    // prefix. Materialized: both sides of the candidate self-join read
-    // it — unmaterialized, the whole two-shuffle subtree computes
-    // twice.
-    val pre = tk.join(dfc, "__th")
+      .materialized // feeds df counts, prefixes, and the verify side
+
+  /** One (id, gram string, gram hash) row per distinct gram per doc. */
+  private def prefixTokenStream(grams: DataFrame, idCol: String): DataFrame =
+    grams
+      .select(col(idCol), explode(arrays_zip(col("t"), col("__gh"))).as("z"))
+      .select(col(idCol), col("z.t").as("__tok"), col("z.__gh").as("__th"))
+
+  /** Gram vocabulary with document frequency and a collision index.
+    *
+    * The blocking order is internal: the OUTPUT (exact-verified pairs)
+    * is identical under ANY consistent global gram order, so the hot
+    * path runs on 64-bit gram hashes — df counts keyed on the gram
+    * (this vocab table), the per-doc sort keyed
+    * (df, hash, collision-index), and the candidate join on the hash
+    * (a collision can only ADD a spurious candidate that exact
+    * verification discards). The collision index replaces the r11
+    * gram-STRING tiebreak: ranking gram text inside each (df, hash)
+    * group keeps the global order TOTAL even if two grams share a hash
+    * (the losslessness argument needs exactly that) while the
+    * CORPUS-sized collect/sort in [[prefixFrame]] carries only longs —
+    * strings stay confined to this VOCAB-sized frame, and the window's
+    * partitions are collision groups, i.e. singletons at any corpus
+    * size (never a single-partition window hazard). */
+  private def rankedGramVocab(tk: DataFrame): DataFrame = {
+    val vocab = tk.groupBy(col("__tok"), col("__th"))
+      .agg(count(lit(1)).as("__dfc"))
+    val collisionW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__dfc"), col("__th")).orderBy(col("__tok"))
+    vocab.withColumn("__cx", row_number().over(collisionW).cast("long"))
+  }
+
+  /** Per-doc grams in ascending-(df, hash, collision-index) order, cut
+    * to the prefix, carrying the doc's distinct-gram-set size and each
+    * prefix gram's 1-based sorted position for the ppjoin filters.
+    * Materialized: both sides of the candidate join read it —
+    * unmaterialized, the whole two-shuffle subtree computes twice.
+    * The explicit hash repartition pins the per-doc sort's width: the
+    * collect+sort is CPU-bound on byte-small rows, so AQE's byte-based
+    * coalescing would squeeze it onto a handful of partitions (the
+    * q172 lesson at [[containmentPairs]]); groupBy reuses the id-hash
+    * partitioning, so this adds no extra exchange. */
+  private def prefixFrame(tk: DataFrame, ranked: DataFrame, idCol: String,
+      tau: Double, par: Int): DataFrame =
+    tk.join(ranked, Seq("__tok", "__th"))
+      .repartition(par, col(idCol))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(
-        struct(col("__dfc"), col("__th"), col("__tok")))).as("__ot"))
-      .select(col(idCol), explode(expr(
-        s"""slice(transform(__ot, s -> s.__th), 1,
-           |  CAST(size(__ot) - ceil($tau * size(__ot)) + 1 AS INT))"""
-          .stripMargin)).as("__th"))
+        struct(col("__dfc"), col("__th"), col("__cx")))).as("__ot"))
+      .select(col(idCol), size(col("__ot")).cast("long").as("__len"),
+        posexplode(expr(
+          s"""slice(transform(__ot, s -> s.__th), 1,
+             |  CAST(size(__ot) - ceil($tau * size(__ot)) + 1 AS INT))"""
+            .stripMargin)))
+      .select(col(idCol), col("__len"), (col("pos") + 1).as("__i"),
+        col("col").as("__th"))
       .materialized
-    val cands = pre.select(col(idCol).as("id_a"), col("__th"))
-      .join(pre.select(col(idCol).as("id_b"), col("__th")), "__th")
-      .filter(col("id_a") < col("id_b"))
+
+  /** Prefix-hash equality join + the ppjoin length and positional
+    * filters (see [[prefixFilterJaccardPairs]]' scaladoc for the
+    * losslessness argument; ANY-ROW-PASSES semantics throughout). */
+  private def ppjoinCandidates(a: DataFrame, b: DataFrame, tau: Double,
+      selfJoin: Boolean): DataFrame = {
+    val joined0 = a.join(b, "__th")
+    val joined = if (selfJoin) joined0.filter(col("id_a") < col("id_b"))
+      else joined0
+    joined
+      .filter(least(col("__la"), col("__lb")).cast("double") >=
+        lit(tau) * greatest(col("__la"), col("__lb")) - lit(1e-9))
+      .filter((lit(1) +
+          least(col("__la") - col("__ia"), col("__lb") - col("__ib")))
+            .cast("double") >=
+        lit(tau / (1.0 + tau)) * (col("__la") + col("__lb")) - lit(1e-9))
       .select(col("id_a"), col("id_b"))
       .distinct()
+  }
+
+  /** Exact set-Jaccard verification over the candidate pairs. The
+    * repartition spreads the candidates BEFORE the verify joins (the
+    * [[containmentPairs]] pattern): exact set-Jaccard over two ~|doc|
+    * long arrays is CPU-bound on byte-small rows — left to AQE the
+    * pair frame coalesces to a couple of partitions and the verify
+    * runs serial. */
+  private def verifyJaccard(cands: DataFrame, gramsA: DataFrame,
+      gramsB: DataFrame, idCol: String, tau: Double, par: Int): DataFrame =
     cands
-      .join(grams.select(col(idCol).as("id_a"), col("__gh").as("ga")),
+      .repartition(4 * par)
+      .join(gramsA.select(col(idCol).as("id_a"), col("__gh").as("ga")),
         "id_a")
-      .join(grams.select(col(idCol).as("id_b"), col("__gh").as("gb")),
+      .join(gramsB.select(col(idCol).as("id_b"), col("__gh").as("gb")),
         "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("ga"), col("gb"))) /
           size(array_union(col("ga"), col("gb"))))
       .filter(col("jaccard") >= tau)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
 
   /** CROSS-CORPUS near-duplicate pairs: every (new, old) pair with
     * exact word-n-gram Jaccard ≥ tau — "dedup the incoming crawl
@@ -336,9 +488,10 @@ object Dedup {
   def indexCorpus(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 128, bandRows: Int = 2): CorpusIndex = {
     // `__gh` = 64-bit gram hashes for the verify compare (see
-    // ngramJaccardPairs — Jaccard is hash-invariant, longs don't GC-storm)
+    // ngramJaccardPairs — Jaccard is hash-invariant, longs don't
+    // GC-storm); trim-before-split is the house gram convention
     val grams = df
-      .select(col(idCol), split(col(textCol), "\\s+").as("__w"))
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
       .select(col(idCol), wordNGramsFromWords(col("__w"), n).as("grams"))
       .withColumn("__gh", transform(col("grams"), g => xxhash64(g)))
       .materialized
@@ -354,7 +507,7 @@ object Dedup {
       textCol: String, tau: Double): DataFrame = {
     val idCol = index.idCol
     val gramsNew = dfNew
-      .select(col(idCol), split(col(textCol), "\\s+").as("__w"))
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
       .select(col(idCol),
         wordNGramsFromWords(col("__w"), index.n).as("grams"))
       .withColumn("__gh", transform(col("grams"), g => xxhash64(g)))
@@ -1158,7 +1311,8 @@ object Dedup {
       numHashes, bandRows)
     val clusters = duplicateClusters(pairs)
     val grams = df
-      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("__w"))
+      .select(col(idCol).as("id"),
+        split(trim(col(textCol)), "\\s+").as("__w")) // house convention
       .select(col("id"), wordNGramsFromWords(col("__w"), n).as("grams"))
       .select(col("id"),
         array_distinct(transform(col("grams"), g => xxhash64(g)))
@@ -1217,6 +1371,18 @@ object Dedup {
     * Per-document window state is doc-bounded (the parse-op bound).
     * All arithmetic integer; the md5-60 grams are the [[md5Hash60]]
     * house convention, so any engine restates the exact span set.
+    *
+    * INPUT MUST BE DETERMINISTIC: the gram stream is deliberately
+    * un-materialized (the r11 recompute adjudication below) and is
+    * evaluated TWICE — once for the frequency bar, once for the anchor
+    * join. A non-deterministic `df` (a `sample`, a bare `limit` over
+    * unordered data, a non-stable source) can present DIFFERENT rows
+    * to the two passes, yielding anchors inconsistent with the
+    * frequencies — silently wrong spans. Pass a deterministic frame
+    * (any parquet/table read qualifies); stabilize a non-deterministic
+    * one first with [[Materialize.MaterializeOps.materialized]] at the
+    * call site — opt-in, because that checkpoint is the corpus-sized
+    * write the recompute decision exists to avoid.
     *
     * @param l     anchor length in tokens (Lee et al. use 50; small
     *              corpora want ~10-20)
@@ -1303,6 +1469,9 @@ object Dedup {
     * Scale shape: [[duplicateSpans]]' shape plus one per-doc hash agg
     * of span lengths and one join against the corpus id/token-count
     * projection. All arithmetic integer (1000·dup div n_tokens).
+    * Inherits [[duplicateSpans]]' DETERMINISTIC-INPUT requirement (and
+    * reads `df` once more itself for the token counts — a third pass a
+    * non-deterministic frame would also skew).
     *
     * @return (idCol, n_tokens, dup_tokens, dup_fraction_pm) */
   def duplicateCoverage(df: DataFrame, idCol: String, textCol: String,
@@ -1318,5 +1487,40 @@ object Dedup {
       .select(col(idCol), col("n_tokens"), col("dup_tokens"),
         expr("(1000 * dup_tokens) div greatest(n_tokens, 1)")
           .as("dup_fraction_pm"))
+  }
+
+  /** The two frames [[dedupByCoverage]] returns: `survivors` keeps the
+    * input's FULL schema (it is the corpus the pipeline trains on);
+    * `dropped` is the audit manifest — [[duplicateCoverage]]'s row for
+    * every document the threshold removed. */
+  case class CoverageDedupResult(survivors: DataFrame, dropped: DataFrame)
+
+  /** APPLY the SlimPajama-style duplicate-coverage threshold — the
+    * curation step [[duplicateCoverage]] computes the number for:
+    * keep documents whose duplicate-token fraction is ≤ `maxPm`
+    * per-mille, and emit the rest as a drop manifest (curation
+    * pipelines persist WHY a document left the corpus — the manifest
+    * is the audit artifact, not a byproduct).
+    *
+    * Scale shape: [[duplicateCoverage]]'s shape (whose doc-count-sized
+    * output is materialized once here — 4 BIGINTs per document — and
+    * feeds both verdict sides), then one left-semi join to carve the
+    * survivors out of the input with its full schema intact. Inherits
+    * the DETERMINISTIC-INPUT requirement of [[duplicateSpans]].
+    *
+    * @param maxPm keep docs with dup_fraction_pm <= maxPm (SlimPajama
+    *              keeps low-coverage docs; 1000 keeps everything)
+    * @return survivors (input schema) + dropped (coverage manifest) */
+  def dedupByCoverage(df: DataFrame, idCol: String, textCol: String,
+      l: Int, maxPm: Long, minFreq: Long = 2L): CoverageDedupResult = {
+    require(maxPm >= 0 && maxPm <= 1000,
+      s"maxPm is per-mille, must be in [0, 1000], got $maxPm")
+    val cov = duplicateCoverage(df, idCol, textCol, l, minFreq)
+      .materialized // read twice: keep-side semi join + drop manifest
+    val keepIds = cov.filter(col("dup_fraction_pm") <= maxPm)
+      .select(col(idCol))
+    CoverageDedupResult(
+      survivors = df.join(keepIds, Seq(idCol), "left_semi"),
+      dropped = cov.filter(col("dup_fraction_pm") > maxPm))
   }
 }

@@ -1839,6 +1839,112 @@ object CorpusQueries extends QueryModule {
              |FROM nt LEFT JOIN pd USING (doc_id)""".stripMargin),
     ),
 
+    // ---- APPLY the coverage threshold (Dedup.dedupByCoverage): the
+    // curation step q328 computes the number for — survivors keep
+    // their content (hash-matched via md5(text)), dropped docs emit
+    // the audit manifest row. One output frame encodes both sides:
+    // kept rows carry the content hash, dropped rows the per-mille.
+    // maxPm = 500 splits the synthetic corpus's bimodal coverage
+    // distribution (455 docs at 0 pm / 45 docs > 600 pm at sf0.01).
+    Q(
+      "q330_dedup_by_coverage",
+      (s, d) => {
+        val r = Dedup.dedupByCoverage(Tables.documents(s, d),
+          "doc_id", "text", l = 12, maxPm = 500)
+        r.survivors
+          .select(col("doc_id"), md5(col("text")).as("content_md5"),
+            lit(true).as("kept"),
+            lit(null).cast("long").as("dup_fraction_pm"))
+          .unionByName(r.dropped
+            .select(col("doc_id"),
+              lit(null).cast("string").as("content_md5"),
+              lit(false).as("kept"), col("dup_fraction_pm")))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS w
+             |  FROM documents
+             |), g0 AS (
+             |  SELECT doc_id, unnest([{'pos': i,
+             |      'h': CAST('0x' || substr(md5(
+             |        array_to_string(w[i:i+11], ' ')), 1, 15) AS BIGINT)}
+             |    for i in range(1, len(w) - 10)]) AS g
+             |  FROM t WHERE len(w) >= 12
+             |), g AS (
+             |  SELECT doc_id, g.pos AS pos, g.h AS h FROM g0
+             |), f AS (
+             |  SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+             |), sel AS (
+             |  SELECT g.doc_id, g.pos FROM g JOIN f USING (h)
+             |), o AS (
+             |  SELECT doc_id, pos,
+             |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+             |  FROM sel
+             |), isl AS (
+             |  SELECT doc_id, pos,
+             |    sum(CASE WHEN prev IS NULL OR pos > prev + 12
+             |      THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             |  FROM o
+             |), sp AS (
+             |  SELECT doc_id, max(pos) + 12 - min(pos) AS len
+             |  FROM isl GROUP BY doc_id, island
+             |), pd AS (
+             |  SELECT doc_id, CAST(sum(len) AS BIGINT) AS dup_tokens
+             |  FROM sp GROUP BY doc_id
+             |), nt AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+             |      AS BIGINT) AS n_tokens
+             |  FROM documents
+             |), cov AS (
+             |  SELECT nt.doc_id,
+             |    CAST((1000 * coalesce(pd.dup_tokens, 0))
+             |      // greatest(nt.n_tokens, 1) AS BIGINT) AS pm
+             |  FROM nt LEFT JOIN pd USING (doc_id)
+             |)
+             |SELECT d.doc_id, md5(d.text) AS content_md5, TRUE AS kept,
+             |  CAST(NULL AS BIGINT) AS dup_fraction_pm
+             |FROM documents d JOIN cov USING (doc_id) WHERE cov.pm <= 500
+             |UNION ALL
+             |SELECT doc_id, CAST(NULL AS VARCHAR) AS content_md5,
+             |  FALSE AS kept, pm AS dup_fraction_pm
+             |FROM cov WHERE pm > 500""".stripMargin),
+    ),
+
+    // ---- CROSS-CORPUS recall-exact near-dup pairs
+    // (Dedup.crossCorpusPrefixFilterPairs): the lossless sibling of
+    // q77's LSH-banded path, against q77's own blocked restatement
+    // (OracleSql.crossPrefixPairCtes) — one oracle, two independent
+    // cross-frame blockings, same split (incoming = doc_id % 3 == 0,
+    // trained = the rest). Differentially tested equal to
+    // crossCorpusJaccardPairs in Round12PropertySpec.
+    Q(
+      "q331_cross_prefix_pairs",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.crossCorpusPrefixFilterPairs(
+          docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", n = 3, tau = 0.5)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+             |), g AS MATERIALIZED (
+             |  SELECT doc_id, list_distinct(
+             |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS t
+             |  FROM toks
+             |), gw AS (SELECT * FROM g WHERE doc_id % 3 = 0
+             |), go AS (SELECT * FROM g WHERE doc_id % 3 <> 0
+             |)""".stripMargin + OracleSql.crossPrefixPairCtes + """
+             |SELECT c.id_new, c.id_old,
+             |  len(list_intersect(x.t, y.t)) * 1.0 /
+             |    len(list_distinct(list_concat(x.t, y.t))) AS jaccard
+             |FROM cand c JOIN gw x ON x.doc_id = c.id_new
+             |JOIN go y ON y.doc_id = c.id_old
+             |WHERE len(list_intersect(x.t, y.t)) * 1.0 /
+             |    len(list_distinct(list_concat(x.t, y.t))) >= 0.5""".stripMargin),
+    ),
+
     // ---- hashed linear classifier scoring: the weights are a
     // deterministic arithmetic function of the bucket (a stand-in for a
     // trained fastText/quality model — no model ships in this

@@ -134,6 +134,25 @@ class Round11PropertySpec extends SparkSpec {
       "text", n = 3, tau = 0.5))
     assert(pf == lsh, s"prefix-filter ${pf.size} vs LSH ${lsh.size}")
     assert(pf.nonEmpty) // the fixture corpus has planted near-dups
+    // space-padded text: both paths trim before tokenizing (the house
+    // gram convention, r12 — SQL trim strips SPACES, matching the
+    // oracles' string_split(trim(text))) — a padded verbatim copy of
+    // doc 1 must score jaccard 1.0 against it on BOTH paths (untrimmed,
+    // the leading pad grows a "" token via split's keep-leading-empty
+    // semantics and the copy scores < 1)
+    val padded = docs.unionByName(
+      docs.filter(col("doc_id") === 1)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(lit("   "), col("text"), lit("  ")).as("text")))
+    Seq(
+      pairs(Dedup.ngramJaccardPairs(padded, "doc_id", "text",
+        n = 3, tau = 0.5)),
+      pairs(Dedup.prefixFilterJaccardPairs(padded, "doc_id", "text",
+        n = 3, tau = 0.5)),
+    ).foreach { ps =>
+      assert(ps.exists { case (a, b, j) =>
+        a == 1L && b == 2000001L && j == 1.0 }, ps.toString)
+    }
     // planted sanity: a verbatim copy scores jaccard 1.0 and survives
     // both paths
     val aug = docs.unionByName(

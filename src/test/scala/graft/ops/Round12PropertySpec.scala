@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class Round12PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("crossCorpusPrefixFilterPairs equals crossCorpusJaccardPairs: " +
+      "two independent cross-frame blockings, one exact pair truth") {
+    val docs = graft.model.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val newSide = docs.filter(col("doc_id") % 3 === 0)
+    val oldSide = docs.filter(col("doc_id") % 3 =!= 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSet
+    val lsh = pairs(Dedup.crossCorpusJaccardPairs(newSide, oldSide,
+      "doc_id", "text", n = 3, tau = 0.5))
+    val pf = pairs(Dedup.crossCorpusPrefixFilterPairs(newSide, oldSide,
+      "doc_id", "text", n = 3, tau = 0.5))
+    assert(pf == lsh, s"prefix-filter ${pf.size} vs LSH ${lsh.size}")
+    assert(pf.nonEmpty) // the fixture corpus has planted near-dups
+    // a verbatim copy planted across the frames scores jaccard 1.0
+    val donor = oldSide.limit(1)
+      .select((col("doc_id") + 3000000).as("doc_id"), col("text"))
+    val donorId = donor.collect()(0).getLong(0)
+    val matched = pairs(Dedup.crossCorpusPrefixFilterPairs(
+      newSide.unionByName(donor.select(
+        // keep the new-side id ≡ 0 (mod 3) irrelevant here — the op
+        // takes the frames as given, no residue assumption
+        col("doc_id"), col("text"))),
+      oldSide, "doc_id", "text", n = 3, tau = 0.5))
+    assert(matched.exists { case (a, _, j) => a == donorId && j == 1.0 },
+      matched.toString)
+  }
+
+  test("dedupByCoverage: survivors + dropped partition the corpus, " +
+      "dropped is exactly the over-threshold coverage manifest") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet")
+    def sentence(n: Int): String =
+      (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val boiler = "one two three four five six seven eight nine ten " +
+      "eleven twelve"
+    // docs 1/2: mostly boilerplate (high coverage); 3/4: a touch of it
+    // (low); 5: clean; 6: too short for any anchor
+    val docs = Seq(
+      (1L, s"$boiler $boiler ${sentence(4)}"),
+      (2L, s"${sentence(3)} $boiler $boiler"),
+      (3L, s"${sentence(40)} $boiler ${sentence(40)}"),
+      (4L, s"$boiler ${sentence(90)}"),
+      (5L, sentence(60)),
+      (6L, sentence(5)),
+    ).toDF("doc_id", "text")
+    val l = 12
+    val maxPm = 500L
+    val cov = Dedup.duplicateCoverage(docs, "doc_id", "text", l)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val r = Dedup.dedupByCoverage(docs, "doc_id", "text", l, maxPm)
+    val kept = r.survivors.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val dropped = r.dropped.collect()
+      .map(x => x.getLong(0) -> x.getLong(3)).toMap
+    // partition: every doc on exactly one side
+    assert(kept.intersect(dropped.keySet).isEmpty)
+    assert(kept ++ dropped.keySet == cov.keySet)
+    // the threshold is the coverage number, applied verbatim
+    assert(kept == cov.filter(_._2 <= maxPm).keySet)
+    assert(dropped == cov.filter(_._2 > maxPm))
+    // survivors keep the FULL input schema
+    assert(r.survivors.columns.toSeq == docs.columns.toSeq)
+    // the planted boilerplate docs drop; the clean/short docs survive
+    assert(!kept.contains(1L) && !kept.contains(2L))
+    assert(kept.contains(5L) && kept.contains(6L))
+  }
+}
