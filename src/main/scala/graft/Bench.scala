@@ -80,6 +80,108 @@ object Bench {
       taskMs >= 0.5 * secs * 1000 && taskMs <= 1.5 * secs * 1000 &&
       gcMs < 150
 
+  /** One timed rep's outcome — seconds plus whether the C2-deopt
+    * signature fired, so the caller can decide if the PUBLISHED rep
+    * (median of 3, or the single/retried rep) still carries the flag
+    * and warrants the fresh-JVM probe. */
+  private[graft] case class RepResult(secs: Double, suspect: Boolean)
+
+  /** The rep a median-of-3 publishes: middle by seconds (the sort is
+    * stable, so exact ties publish the middle INPUT position —
+    * deterministic for the probe decision). */
+  private[graft] def medianRep(reps: Seq[RepResult]): RepResult =
+    reps.sortBy(_.secs).apply(reps.size / 2)
+
+  /** 12-hex-char fingerprint of the EXECUTED plan (the post-AQE final
+    * plan), with per-run identifiers normalized out — expression ids
+    * (#123), plan ids, and the streaming harness's UUID-named memory
+    * sinks — so byte-identical code + data produce the same value
+    * across JVMs and rounds. A cross-round regression hunt then starts
+    * with a mechanical field compare: same "plan" → the wall delta is
+    * ambient/JIT, different "plan" → the plan genuinely changed and
+    * the diff is worth reading. (Deliberately the FINAL adaptive plan:
+    * an AQE decision flip — broadcast to SMJ on a borderline size — IS
+    * a plan change a reader wants surfaced.) */
+  private[graft] def planFingerprint(
+      df: org.apache.spark.sql.DataFrame): String = {
+    val norm = df.queryExecution.executedPlan.toString
+      .replaceAll("#\\d+", "#")
+      .replaceAll("_\\d+#", "#") // lambda variable counters (x_3 → x)
+      .replaceAll("plan_id=\\d+", "plan_id=")
+      .replaceAll("graft_stream\\w*", "graft_stream")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(norm.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+  }
+
+  /** Fresh-JVM probe command for a suspect query (r11 brief #5): the
+    * same Bench main, one query, in an isolated working directory (its
+    * own BENCH_PERF.jsonl — never the parent's), with
+    * SPARK_GRAFT_PROBE=1 so a probe can never recurse. Returned as
+    * (argv, extra env) so the contract spec can pin the shape without
+    * spawning anything. */
+  private[graft] def probeCommand(classpath: String, name: String,
+      sfDir: String, cpus: String): (Seq[String], Map[String, String]) = (
+    Seq(System.getProperty("java.home") + "/bin/java",
+      "-Xmx16g", "-cp", classpath, "graft.Bench"),
+    Map("SPARK_GRAFT_BENCH_ONLY" -> name, "SPARK_GRAFT_SF_DIR" -> sfDir,
+      "SPARK_GRAFT_CPUS" -> cpus, "SPARK_GRAFT_PROBE" -> "1"))
+
+  /** The project + spark classpath as seen through the context
+    * classloader chain (under sbt runMain, java.class.path is only the
+    * sbt launcher — the real classpath lives in layered
+    * URLClassLoaders). */
+  private def liveClasspath(): String = {
+    def walk(cl: ClassLoader): Seq[String] = cl match {
+      case null => Nil
+      case u: java.net.URLClassLoader =>
+        u.getURLs.toSeq.flatMap(x =>
+          scala.util.Try(new java.io.File(x.toURI).getPath).toOption) ++
+          walk(cl.getParent)
+      case other => walk(other.getParent)
+    }
+    (walk(Thread.currentThread().getContextClassLoader) ++
+      System.getProperty("java.class.path").split(
+        java.io.File.pathSeparator).toSeq)
+      .distinct.mkString(java.io.File.pathSeparator)
+  }
+
+  /** Spawn the fresh-JVM probe and return its measured seconds for
+    * `name` (the child's final total — it runs exactly one query), or
+    * None on any failure (probe evidence is best-effort: a broken
+    * probe must never fail the capture). */
+  private def runProbe(name: String, sfDir: String,
+      cpus: String): Option[Double] = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_probe_").toFile
+    try {
+      val (argv, env) = probeCommand(liveClasspath(), name, sfDir, cpus)
+      val pb = new ProcessBuilder(argv: _*)
+      pb.directory(tmp)
+      pb.redirectErrorStream(false)
+      env.foreach { case (k, v) => pb.environment().put(k, v) }
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      p.getErrorStream.readAllBytes() // drain
+      if (!p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly(); None
+      } else {
+        val totalRe = """"metric":"total","value":([0-9.]+)""".r
+        totalRe.findFirstMatchIn(out).map(_.group(1).toDouble)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] probe for $name failed: " +
+        e.getClass.getName)
+      None
+    } finally {
+      tmp.listFiles() match {
+        case null => ()
+        case fs => fs.foreach(_.delete())
+      }
+      tmp.delete()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     // ambient load is sampled FIRST — before the SparkSession and the
     // entry warm — so "load"/"degraded" describe the machine we
@@ -247,18 +349,25 @@ object Bench {
     // wall seconds so the caller can decide whether to retry.
     def timedRep(name: String, fn: (org.apache.spark.sql.SparkSession,
         String) => org.apache.spark.sql.DataFrame,
-        retryOf: Option[Double], rep: Option[Int] = None): Double = {
+        retryOf: Option[Double], rep: Option[Int] = None): RepResult = {
       spark.catalog.clearCache()
       tracker.awaitQuiesce(stableMs = 50, timeoutMs = 2000)
       val before = tracker.snapshot()
       val t0 = System.nanoTime()
       var buildSecs = 0.0
+      var builtDf: org.apache.spark.sql.DataFrame = null
       val n = try {
         val df = fn(spark, sfDir)
+        builtDf = df
         buildSecs = (System.nanoTime() - t0) / 1e9
         df.count()
       } catch { case _: Throwable => -1L }
       val secs = (System.nanoTime() - t0) / 1e9
+      // fingerprint AFTER the timed window (string build + md5 is
+      // milliseconds, but it is not this query's execution)
+      val planFp = if (n >= 0 && builtDf != null)
+        try planFingerprint(builtDf) catch { case _: Throwable => "" }
+      else ""
       if (n < 0) System.err.println(s"[bench] $name FAILED")
       // operators may persist() intermediates; drop them so successive
       // queries measure from a clean heap
@@ -284,6 +393,7 @@ object Bench {
         s""","task_ms":$taskMs""" +
         s""","gc_ms":$gcMs""" +
         (if (suspect) s""","suspect":"code-state"""" else "") +
+        (if (planFp.nonEmpty) s""","plan":"$planFp"""" else "") +
         s""","shuf_r":${after.shuffleBytesRead - before.shuffleBytesRead}""" +
         s""","shuf_w":${after.shuffleBytesWritten - before.shuffleBytesWritten}""" +
         s""","spill":${after.spilledBytes - before.spilledBytes}""" +
@@ -296,8 +406,9 @@ object Bench {
         }
       perfLog.println(line)
       perfLog.flush()
-      secs
+      RepResult(secs, suspect)
     }
+    var probesSpent = 0
     val results = names.zipWithIndex.map { case (name, qIdx) =>
       val fn = SparkEntry.queries(name)
       if (warmDir != sfDir)
@@ -310,14 +421,14 @@ object Bench {
       // because rep 1 paid a 4.6 s cold build inside the timed window
       try fn(spark, sfDir).count()
       catch { case e: Throwable => logWarmFailure(name, sfDir, e) }
-      val secs =
+      val published: RepResult =
         if (medianSet.contains(name)) {
           // top-20-by-twin: three reps, publish the median (the twin
           // retry guard is subsumed — a one-off spike is the discarded
           // extreme rep, a real regression shows in the median)
           val reps = (1 to 3).map(i =>
             timedRep(name, fn, retryOf = None, rep = Some(i)))
-          reps.sorted.apply(1)
+          medianRep(reps)
         } else {
           val first = timedRep(name, fn, retryOf = None)
           // committed-twin guard: >3x the prior committed capture AND
@@ -325,16 +436,38 @@ object Bench {
           // rerun) → one retry, publish the better rep. Both reps are
           // in BENCH_PERF.
           priorSecs.get(name) match {
-            case Some(twin) if first > 3 * twin && first - twin > 1.0 =>
-              System.err.println(s"[bench] $name ${f3(first)}s vs " +
+            case Some(twin) if first.secs > 3 * twin &&
+                first.secs - twin > 1.0 =>
+              System.err.println(s"[bench] $name ${f3(first.secs)}s vs " +
                 s"committed twin ${f3(twin)}s — retrying once " +
                 "(ambient-load guard)")
-              math.min(first, timedRep(name, fn, retryOf = Some(first)))
+              val second = timedRep(name, fn, retryOf = Some(first.secs))
+              if (second.secs < first.secs) second else first
             case _ => first
           }
         }
+      // auto-probe (r11 brief #5): a code-state-suspect rep that
+      // SURVIVES into the published number gets the fresh-JVM probe
+      // automatically — the manual SPARK_GRAFT_BENCH_ONLY prescription,
+      // now mechanical. Bounded at 3 probes per capture (each costs a
+      // JVM + session start) and disabled inside probes themselves.
+      if (published.suspect && probesSpent < 3 &&
+          !sys.env.contains("SPARK_GRAFT_PROBE")) {
+        probesSpent += 1
+        System.err.println(s"[bench] $name published rep is code-state " +
+          "suspect — spawning fresh-JVM probe")
+        runProbe(name, sfDir, cpus) match {
+          case Some(probeSec) =>
+            perfLog.println(s"""{"q":"${short(name)}","name":"$name"""" +
+              s""","probe_sec":${f3(probeSec)},"probe":"fresh-jvm"""" +
+              s""","published_sec":${f3(published.secs)}}""")
+            perfLog.flush()
+          case None =>
+            System.err.println(s"[bench] $name probe produced no total")
+        }
+      }
       if (gcEvery > 0 && (qIdx + 1) % gcEvery == 0) System.gc()
-      name -> secs
+      name -> published.secs
     }
     perfLog.println(ctxLine("end"))
     perfLog.close()

@@ -114,4 +114,37 @@ class BenchContractSpec extends AnyFunSuite {
     assert(!Bench.suspectCodeState(10.4, None,
       taskMs = 10300, gcMs = 0))
   }
+
+  test("median-of-3 publishes the middle rep and carries ITS suspect " +
+      "flag into the auto-probe decision") {
+    import Bench.RepResult
+    // the one-off spike is the discarded extreme — its flag dies with it
+    val spiked = Seq(RepResult(1.0, false), RepResult(1.2, false),
+      RepResult(9.7, true))
+    assert(Bench.medianRep(spiked) == RepResult(1.2, false))
+    // a real code-state episode shows in the middle rep → probe fires
+    val stuck = Seq(RepResult(9.1, true), RepResult(9.4, true),
+      RepResult(1.3, false))
+    assert(Bench.medianRep(stuck) == RepResult(9.1, true))
+    // deterministic on exact ties: the sort is stable, so the middle
+    // INPUT position is published
+    assert(Bench.medianRep(Seq(RepResult(2.0, false), RepResult(2.0, true),
+      RepResult(2.0, false))).suspect)
+    assert(!Bench.medianRep(Seq(RepResult(2.0, true), RepResult(2.0, false),
+      RepResult(2.0, true))).suspect)
+  }
+
+  test("probe command is a fresh isolated JVM: own BENCH_ONLY, same " +
+      "sf/cpus, recursion-proof") {
+    val (argv, env) = Bench.probeCommand("a.jar:b.jar",
+      "q109_incremental_dedup", "/root/testdata/sf0.1", "32")
+    assert(argv.head.endsWith("/bin/java"))
+    assert(argv.contains("graft.Bench"))
+    assert(argv.contains("a.jar:b.jar"))
+    assert(env("SPARK_GRAFT_BENCH_ONLY") == "q109_incremental_dedup")
+    assert(env("SPARK_GRAFT_SF_DIR") == "/root/testdata/sf0.1")
+    assert(env("SPARK_GRAFT_CPUS") == "32")
+    // the child must never probe ITS suspects
+    assert(env("SPARK_GRAFT_PROBE") == "1")
+  }
 }

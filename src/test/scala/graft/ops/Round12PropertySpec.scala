@@ -37,6 +37,42 @@ class Round12PropertySpec extends SparkSpec {
       matched.toString)
   }
 
+  test("planFingerprint: invariant across rebuilds of the same query " +
+      "(exprIds normalized away), distinct for a different plan") {
+    val d = "/root/testdata/sf0.001"
+    def built(): org.apache.spark.sql.DataFrame = {
+      val df = graft.model.Tables.documents(spark, d)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      df.count() // finalize the adaptive plan before fingerprinting
+      df
+    }
+    val a = graft.Bench.planFingerprint(built())
+    val b = graft.Bench.planFingerprint(built())
+    // two builds allocate different expression ids — the normalized
+    // fingerprint must not see them
+    assert(a == b)
+    // the harder case: a query with materialized intermediates and
+    // HOF lambdas (whose variable names carry a global counter —
+    // the first fingerprint version leaked it, three reps → three
+    // "plans")
+    def builtDedup(): org.apache.spark.sql.DataFrame = {
+      val df = Dedup.ngramJaccardPairs(
+        graft.model.Tables.documents(spark, d)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 3, tau = 0.5)
+      df.count()
+      df
+    }
+    assert(graft.Bench.planFingerprint(builtDedup()) ==
+      graft.Bench.planFingerprint(builtDedup()))
+    assert(a.length == 12 && a.forall(c => c.isDigit || ('a' to 'f')
+      .contains(c)), a)
+    val other = graft.model.Tables.documents(spark, d)
+      .filter(col("n_chars") > 100).select(col("doc_id"))
+    other.count()
+    assert(graft.Bench.planFingerprint(other) != a)
+  }
+
   test("dedupByCoverage: survivors + dropped partition the corpus, " +
       "dropped is exactly the over-threshold coverage manifest") {
     val rnd = new scala.util.Random(31)
