@@ -108,6 +108,10 @@ object Bench {
       .replaceAll("#\\d+", "#")
       .replaceAll("_\\d+#", "#") // lambda variable counters (x_3 → x)
       .replaceAll("plan_id=\\d+", "plan_id=")
+      // typed-API closures print as Class$$Lambda$123/0xabc@instancehash
+      // — the id is classload-order and the hash is per-instance
+      .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$\\$Lambda")
+      .replaceAll("@[0-9a-f]{6,}", "@")
       .replaceAll("graft_stream\\w*", "graft_stream")
     java.security.MessageDigest.getInstance("MD5")
       .digest(norm.getBytes("UTF-8"))

@@ -65,6 +65,21 @@ class Round12PropertySpec extends SparkSpec {
     }
     assert(graft.Bench.planFingerprint(builtDedup()) ==
       graft.Bench.planFingerprint(builtDedup()))
+    // ...and the typed-API case: MapPartitions nodes print the closure
+    // as Class$$Lambda$<classload-order>/0x<addr>@<instance-hash> —
+    // all three vary per rep/JVM and must normalize away (q171's three
+    // reps fingerprinted as three different "plans" before this)
+    def builtMapPartitions(): org.apache.spark.sql.DataFrame = {
+      val dir = graft.sources.PngFixtures.write(spark, d)
+      val bin = spark.read.format("binaryFile").load(s"$dir/*.png")
+        .select(regexp_extract(col("path"), "img_(\\d+)\\.png", 1)
+          .cast("long").as("doc_id"), col("content"))
+      val df = Multimodal.resizeImages(bin, "doc_id", "content", 8, 8)
+      df.count()
+      df
+    }
+    assert(graft.Bench.planFingerprint(builtMapPartitions()) ==
+      graft.Bench.planFingerprint(builtMapPartitions()))
     assert(a.length == 12 && a.forall(c => c.isDigit || ('a' to 'f')
       .contains(c)), a)
     val other = graft.model.Tables.documents(spark, d)
