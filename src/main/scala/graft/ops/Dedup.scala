@@ -185,7 +185,10 @@ object Dedup {
     // oracles' string_split(trim(text)) and prefixFilterJaccardPairs —
     // untrimmed, whitespace-padded text grows a leading "" token and
     // the two differentially-tested candidate paths could diverge).
-    val grams = df
+    // widened: the sketch map is CPU-heavy per doc and a narrow input
+    // (one small parquet file → one scan partition) would run it
+    // serial (see Materialize.widened — no-op on wide inputs).
+    val grams = Materialize.widened(df)
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
       .select(col(idCol), wordNGramsFromWords(col("__w"), n).as("grams"))
       .withColumn("__gh", transform(col("grams"), g => xxhash64(g)))
@@ -348,7 +351,8 @@ object Dedup {
     * → 6.5 s on this frame at sf0.1). */
   private def prefixGramFrame(df: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
+    Materialize.widened(df)
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
       .select(col(idCol), wordNGramsFromWords(col("__w"), n).as("t"))
       .withColumn("__gh", transform(col("t"), g => xxhash64(g)))
       .materialized // feeds df counts, prefixes, and the verify side
@@ -489,8 +493,9 @@ object Dedup {
       n: Int = 3, numHashes: Int = 128, bandRows: Int = 2): CorpusIndex = {
     // `__gh` = 64-bit gram hashes for the verify compare (see
     // ngramJaccardPairs — Jaccard is hash-invariant, longs don't
-    // GC-storm); trim-before-split is the house gram convention
-    val grams = df
+    // GC-storm); trim-before-split is the house gram convention;
+    // widened so a one-file corpus doesn't sketch serially
+    val grams = Materialize.widened(df)
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
       .select(col(idCol), wordNGramsFromWords(col("__w"), n).as("grams"))
       .withColumn("__gh", transform(col("grams"), g => xxhash64(g)))
@@ -506,7 +511,7 @@ object Dedup {
   def crossCorpusAgainstIndex(dfNew: DataFrame, index: CorpusIndex,
       textCol: String, tau: Double): DataFrame = {
     val idCol = index.idCol
-    val gramsNew = dfNew
+    val gramsNew = Materialize.widened(dfNew)
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
       .select(col(idCol),
         wordNGramsFromWords(col("__w"), index.n).as("grams"))
@@ -840,8 +845,9 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame =
     hammingBandPairs(
-      df.select(col(idCol), graft.functions.HashSketches
-        .simhash64(split(col(textCol), "\\s+")).as("fp")),
+      Materialize.widened(df)
+        .select(col(idCol), graft.functions.HashSketches
+          .simhash64(split(col(textCol), "\\s+")).as("fp")),
       idCol, 16, maxHamming)
 
   /** Oracle path: same operator over the portable 60-bit md5 hash
@@ -851,8 +857,9 @@ object Dedup {
   def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame =
     hammingBandPairs(
-      df.select(col(idCol), graft.functions.HashSketches
-        .simhashMd5_60(split(col(textCol), "\\s+")).as("fp")),
+      Materialize.widened(df)
+        .select(col(idCol), graft.functions.HashSketches
+          .simhashMd5_60(split(col(textCol), "\\s+")).as("fp")),
       idCol, 15, maxHamming)
 
   /** SUBSTRING-level corpus dedup — the distributed word-granular

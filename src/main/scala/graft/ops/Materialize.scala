@@ -44,8 +44,24 @@ object Materialize {
         s"$StrategyKey must be localCheckpoint or checkpoint, got $other")
     }
 
+  /** Round-robin-widen a NARROW input before a CPU-heavy per-row map
+    * (MinHash/SimHash sketches, n-gram builds): a small table often
+    * arrives as one parquet file → one scan partition → ONE task
+    * computes every document's sketch while 31 cores idle (measured:
+    * the sf0.1 documents table is a single 15 MB file, and the
+    * cross-corpus index build ran serial). No-op when the input
+    * already has >= defaultParallelism partitions — at 100 TB real
+    * tables arrive thousands of partitions wide and the extra
+    * exchange would be pure waste; the narrow case this fixes is
+    * exactly the one where the exchange is cheap. */
+  def widened(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
   /** `.materialized` chain form: `df.groupBy(...).agg(...).materialized`. */
   implicit class MaterializeOps(private val df: DataFrame) extends AnyVal {
     def materialized: DataFrame = Materialize(df)
+    def widened: DataFrame = Materialize.widened(df)
   }
 }
