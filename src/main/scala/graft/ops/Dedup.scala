@@ -271,9 +271,12 @@ object Dedup {
     * synthetic corpus has only ~27k distinct trigrams at avg df ≈ 88
     * — adversarially dense for prefix pruning — so the bare prefix
     * filter left ~409k candidates (3.3% of all-pairs; brute force
-    * would verify 12.5M) and exact verify dominated at ~8 s where the
-    * LSH path runs 0.7 s; the r12 length+positional filters cut the
-    * verify set to ~30k (0.24% of all-pairs) and the twin to ~2 s.
+    * would verify 12.5M); the r12 length+positional filters cut the
+    * verify set to ~125k (1.0% of all-pairs), and the twin went 8.4 s
+    * → ~2.2 s (the larger shares: removing a pushed-down size(t)>0
+    * filter that re-evaluated the gram projection per row, and
+    * explicit repartitions where AQE byte-coalescing serialized the
+    * CPU-bound sort/verify stages — see SCALING.md r12).
     * On natural corpora gram dfs are heavy-tailed and prefixes prune
     * far harder. The trade is the point: this path buys PROVABLE
     * recall; [[ngramJaccardPairs]] buys speed with a known

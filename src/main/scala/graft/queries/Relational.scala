@@ -1788,9 +1788,14 @@ object Relational extends QueryModule {
       "q250_table_profile",
       (s, d) => {
         import s.implicits._
-        val o = Tables.orders(s, d).withColumn("price_cents",
-          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
-            + " AS BIGINT)"))
+        // widened: five exact count-distincts expand the input 5× and
+        // a one-file table would push all of it through ONE task (the
+        // r12 narrow-scan finding); the 3 MB exchange is free next to
+        // the serial expand
+        val o = graft.ops.Materialize.widened(Tables.orders(s, d))
+          .withColumn("price_cents",
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+              + " AS BIGINT)"))
         val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
           "price_cents", "o_orderpriority")
         def render(c: String) = col(c).cast("string")
