@@ -628,6 +628,55 @@ object Dedup {
 
   // ------------------------------------------------------------ clustering
 
+  /** Edge-count cap under which connected components run as a
+    * DRIVER-LOCAL union-find instead of the iterative distributed
+    * loops: 2M edges = two longs each ≈ 32 MB collected — the same
+    * driver-size budget as the IVF training sample and the MMR id
+    * gate. Precedent and reason are the IVF k-means finding: per-round
+    * JOB LAUNCH dominates iterative fits at small sizes (measured
+    * here: 6 star rounds ≈ 0.7 s each for 2,929 edges, where
+    * union-find is microseconds). Near-dup pair lists are almost
+    * always tiny relative to the corpus; a boilerplate storm that
+    * exceeds the cap falls back to the distributed loop unchanged. */
+  private[ops] val DriverUnionFindCap = 2000000L
+
+  /** Driver-local min-label connected components: union-by-smaller-
+    * root (so every root IS its component's minimum id — the exact
+    * [[duplicateClusters]] contract) plus path compression. One
+    * (node, min-of-component) row per distinct node, first-seen
+    * order. */
+  private[ops] def unionFindMinLabels(
+      es: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent(c); parent(c) = r; c = n
+      }
+      r
+    }
+    var i = 0
+    while (i < es.length) {
+      val (a, b) = es(i)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      i += 1
+    }
+    val nodes = scala.collection.mutable.LinkedHashSet.empty[Long]
+    es.foreach { case (a, b) => nodes += a; nodes += b }
+    nodes.iterator.map(n => n -> find(n)).toSeq
+  }
+
+  /** The driver gate engages only for BIGINT id columns: the rebuilt
+    * label frame is typed long, and any other id type must keep the
+    * distributed path so the output schema never shifts with size. */
+  private def bothLong(df: DataFrame, a: String, b: String): Boolean = {
+    import org.apache.spark.sql.types.LongType
+    df.schema(a).dataType == LongType && df.schema(b).dataType == LongType
+  }
+
   /** Connected components over a near-dup pair list → duplicate
     * clusters (cluster id = min member id): the "keep one survivor per
     * duplicate group" step a training pipeline runs after pair
@@ -637,15 +686,26 @@ object Dedup {
     * diameter) rounds — near-dup components are shallow in practice.
     * At extreme scale (deep components) use [[duplicateClustersStar]]:
     * the alternating large-star/small-star scheme converges in O(log n)
-    * rounds with the same per-round plan shape.
+    * rounds with the same per-round plan shape. Below `driverCap`
+    * DOUBLED edges (and for BIGINT ids), both forms short-circuit to
+    * one driver-local union-find — see [[DriverUnionFindCap]].
     *
     * @return (id, cluster_id) for every id present in `pairs`.
     */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+      idB: String = "id_b", maxIter: Int = 25,
+      driverCap: Long = DriverUnionFindCap): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().persist()
+    if (bothLong(pairs, idA, idB) && edges.count() <= driverCap) {
+      val labels = unionFindMinLabels(
+        edges.select(col("src"), col("dst")).as[(Long, Long)].collect())
+      edges.unpersist()
+      return spark.createDataset(labels).toDF("id", "cluster_id")
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id")).materialized
 
@@ -711,7 +771,10 @@ object Dedup {
     *         contract as [[duplicateClusters]].
     */
   def duplicateClustersStar(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+      idB: String = "id_b", maxIter: Int = 25,
+      driverCap: Long = DriverUnionFindCap): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     // canonical undirected edge list (u < v), self-loops dropped
     var edges = pairs
       .select(col(idA).as("__x"), col(idB).as("__y"))
@@ -751,27 +814,40 @@ object Dedup {
     // round's equality check — recounting the (checkpointed) previous
     // frame would add a redundant job to every round
     var edgeCount = edges.count()
-    while (i < maxIter && !done) {
-      val next = starRound(edges)
-      val nextCount = next.count()
-      // set equality via count + one-sided except (both over
-      // already-checkpointed frames); the alternation is monotone so a
-      // same-size superset cannot occur silently
-      done = nextCount == edgeCount && next.exceptAll(edges).isEmpty
-      edges = next
-      edgeCount = nextCount
-      i += 1
+    val labels: DataFrame = if (bothLong(edges, "u", "v") &&
+        edgeCount <= driverCap) {
+      // driver-local short-circuit (see DriverUnionFindCap): the edge
+      // frame is already materialized, so the collect re-reads
+      // checkpointed blocks, and union-by-smaller-root yields exactly
+      // the min-id fixed point the star loop converges to
+      spark.createDataset(unionFindMinLabels(
+          edges.as[(Long, Long)].collect()))
+        .toDF("id", "cluster_id")
+    } else {
+      while (i < maxIter && !done) {
+        val next = starRound(edges)
+        val nextCount = next.count()
+        // set equality via count + one-sided except (both over
+        // already-checkpointed frames); the alternation is monotone so a
+        // same-size superset cannot occur silently
+        done = nextCount == edgeCount && next.exceptAll(edges).isEmpty
+        edges = next
+        edgeCount = nextCount
+        i += 1
+      }
+      if (!done) throw new IllegalStateException(
+        s"duplicateClustersStar did not converge in $maxIter rounds")
+      // fixed point = depth-1 stars: each non-root appears as v exactly
+      // once with its root as u; roots label themselves.
+      edges.select(col("v").as("id"), col("u").as("cluster_id"))
+        .unionByName(edges.select(col("u").as("id"),
+          col("u").as("cluster_id")))
+        .distinct()
     }
-    if (!done) throw new IllegalStateException(
-      s"duplicateClustersStar did not converge in $maxIter rounds")
-    // fixed point = depth-1 stars: each non-root appears as v exactly
-    // once with its root as u; roots label themselves. Re-attach ids
-    // whose only pairs were self-loops (dropped from the edge set
-    // above) as their own singleton clusters — the contract promises a
-    // row for EVERY id in `pairs`, matching [[duplicateClusters]].
-    val labels = edges.select(col("v").as("id"), col("u").as("cluster_id"))
-      .unionByName(edges.select(col("u").as("id"), col("u").as("cluster_id")))
-      .distinct()
+    // Re-attach ids whose only pairs were self-loops (dropped from the
+    // edge set above) as their own singleton clusters — the contract
+    // promises a row for EVERY id in `pairs`, matching
+    // [[duplicateClusters]].
     val allIds = pairs.select(col(idA).as("id"))
       .unionByName(pairs.select(col(idB).as("id"))).distinct()
     allIds.join(labels, Seq("id"), "left")

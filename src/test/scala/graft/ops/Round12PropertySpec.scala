@@ -88,6 +88,44 @@ class Round12PropertySpec extends SparkSpec {
     assert(graft.Bench.planFingerprint(other) != a)
   }
 
+  test("driver-local union-find equals both distributed CC loops on " +
+      "paths, cycles, stars and random graphs") {
+    val rnd = new scala.util.Random(41)
+    def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val graphs: Seq[Seq[(Long, Long)]] = Seq(
+      (1L to 30L).sliding(2).map(s => (s(0), s(1))).toSeq, // path
+      (1L to 20L).sliding(2).map(s => (s(0), s(1))).toSeq :+
+        ((20L, 1L)), // cycle
+      (2L to 15L).map(i => (1L, i)), // star
+      Seq.fill(60)((rnd.nextInt(40).toLong + 1, // random multigraph
+        rnd.nextInt(40).toLong + 1)).filter(p => p._1 != p._2),
+      Seq((5L, 5L), (7L, 7L), (3L, 9L)), // self-loops → singletons
+    )
+    graphs.zipWithIndex.foreach { case (g, gi) =>
+      val pairs = g.toDF("id_a", "id_b")
+      // driverCap = -1 forces the distributed loops; default engages
+      // the union-find gate (small long-id graphs)
+      // maxIter raised for the forced-distributed propagation run: the
+      // 30-node path's diameter exceeds the default 25 (the documented
+      // O(diameter) bound the star form exists to beat)
+      val prop = labelsOf(Dedup.duplicateClusters(pairs,
+        maxIter = 40, driverCap = -1L))
+      val star = labelsOf(Dedup.duplicateClustersStar(pairs,
+        driverCap = -1L))
+      val ufProp = labelsOf(Dedup.duplicateClusters(pairs))
+      val ufStar = labelsOf(Dedup.duplicateClustersStar(pairs))
+      assert(ufProp == prop, s"graph $gi: union-find vs propagation")
+      assert(ufStar == star, s"graph $gi: union-find vs star")
+    }
+    // non-long id columns must keep the distributed path (schema
+    // stability): int ids still produce correct labels
+    val intPairs = Seq((1, 2), (2, 3), (7, 8)).toDF("id_a", "id_b")
+    val viaInt = Dedup.duplicateClusters(intPairs).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(viaInt == Map(1 -> 1, 2 -> 1, 3 -> 1, 7 -> 7, 8 -> 7))
+  }
+
   test("dedupByCoverage: survivors + dropped partition the corpus, " +
       "dropped is exactly the over-threshold coverage manifest") {
     val rnd = new scala.util.Random(31)
