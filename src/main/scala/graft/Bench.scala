@@ -162,11 +162,14 @@ object Bench {
       val (argv, env) = probeCommand(liveClasspath(), name, sfDir, cpus)
       val pb = new ProcessBuilder(argv: _*)
       pb.directory(tmp)
-      pb.redirectErrorStream(false)
+      // discard stderr at the OS level: reading stdout to completion
+      // FIRST would deadlock if the child fills the stderr pipe buffer
+      // (Spark's startup INFO alone can), and the probe only needs the
+      // stdout total line
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       env.foreach { case (k, v) => pb.environment().put(k, v) }
       val p = pb.start()
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-      p.getErrorStream.readAllBytes() // drain
       if (!p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)) {
         p.destroyForcibly(); None
       } else {

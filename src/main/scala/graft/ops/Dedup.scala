@@ -331,7 +331,9 @@ object Dedup {
     val gramsOld = prefixGramFrame(dfOld, idCol, textCol, n)
     val tkNew = prefixTokenStream(gramsNew, idCol)
     val tkOld = prefixTokenStream(gramsOld, idCol)
-    val ranked = rankedGramVocab(tkNew.unionByName(tkOld))
+    // materialized: BOTH sides' prefix builds read the vocab — left
+    // lazy, the union-df aggregation (corpus-sized input) runs twice
+    val ranked = rankedGramVocab(tkNew.unionByName(tkOld)).materialized
     val par = dfNew.sparkSession.sparkContext.defaultParallelism
     val preNew = prefixFrame(tkNew, ranked, idCol, tau, par)
     val preOld = prefixFrame(tkOld, ranked, idCol, tau, par)
