@@ -1284,8 +1284,9 @@ object Dedup {
     require(n >= 1 && maxDf >= 2 && tauPpm >= 0,
       s"need n >= 1, maxDf >= 2, tauPpm >= 0; got $n/$maxDf/$tauPpm")
     import graft.ops.Materialize.MaterializeOps
-    // feeds the df-prune, both sizes, and both join sides — once
-    val grams = df
+    // feeds the df-prune, both sizes, and both join sides — once;
+    // widened so the per-gram hashing never runs on one task
+    val grams = Materialize.widened(df)
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
       .select(col(idCol),
         explode(Decontamination.gramHashesFromWords(col("__w"), n))

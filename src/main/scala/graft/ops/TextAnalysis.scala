@@ -522,6 +522,12 @@ object TextAnalysis {
       idCol: Option[String]): DataFrame = {
     val words = split(trim(col(textCol)), "\\s+")
     val keep = idCol.map(col).toSeq
+    // NOT widened (measured r12): the KN train/score pipelines above
+    // this stage aggregate through many small downstream stages, and
+    // the widening exchange + per-task overhead REGRESSED q169
+    // 1.71 → 2.40 s while no bigramOcc consumer improved — unlike the
+    // sketch/winnowing maps, the md5-per-bigram work here is followed
+    // by immediate map-side-combining aggs that AQE already sizes well
     df.select(keep :+ words.as("__ws"): _*)
       .filter(size(col("__ws")) >= 2)
       .select(keep :+ explode(
@@ -949,7 +955,7 @@ object TextAnalysis {
     // split(...) expression inside a transform re-splits the text per
     // element — O(words²) per document per n. Bound as an attribute,
     // the split runs once per row.
-    val prepared = df.select(grpExpr.as("scope"),
+    val prepared = Materialize.widened(df).select(grpExpr.as("scope"),
       split(trim(col(textCol)), "\\s+").as("__w"))
     val w = col("__w")
     // totals: |grams_n(doc)| = max(|w| - (n-1), 0) — no explode
@@ -1369,7 +1375,8 @@ object TextAnalysis {
     */
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 12, w: Int = 16): DataFrame =
-    df.filter(length(col(textCol)) >= k)
+    Materialize.widened(df) // O(n)-per-doc sketch: never on one task
+      .filter(length(col(textCol)) >= k)
       .select(col(idCol),
         explode(graft.functions.HashSketches.winnowing(col(textCol), k, w))
           .as("fp"))
