@@ -45,7 +45,19 @@ object Bench {
     * SAME sf_dir — a dev run at another scale factor would otherwise
     * make the >3x guard fire on every query (or never). */
   private[graft] def parseTwins(lines: Seq[String],
-      sfDir: String): Map[String, Double] = {
+      sfDir: String): Map[String, Double] =
+    parseTwinStats(lines, sfDir).map { case (k, v) => k -> v._1 }
+
+  /** [[parseTwins]] plus the twin's TASK time: (min sec across all of a
+    * query's lines, that same line's task_ms). The task_ms rides the
+    * clean (min-sec) rep because it feeds the PARALLEL-shape code-state
+    * signature ([[suspectCodeStateParallel]]) — the per-task-CPU
+    * baseline must come from the rep the wall twin comes from, or the
+    * ratio compares across machine states. Lines without task_ms
+    * (probe evidence lines) carry no "sec" key either, so they never
+    * enter the fold. */
+  private[graft] def parseTwinStats(lines: Seq[String],
+      sfDir: String): Map[String, (Double, Long)] = {
     val sfRe = """"sf_dir":"([^"]+)"""".r
     val priorSf = lines.find(_.contains(""""ctx":"start""""))
       .flatMap(l => sfRe.findFirstMatchIn(l).map(_.group(1)))
@@ -53,12 +65,14 @@ object Bench {
     else {
       val nameRe = """"name":"([^"]+)"""".r
       val secRe = """"sec":([0-9.]+)""".r
+      val taskRe = """"task_ms":(-?[0-9]+)""".r
       lines.flatMap { l =>
         for {
           nm <- nameRe.findFirstMatchIn(l).map(_.group(1))
           sc <- secRe.findFirstMatchIn(l).map(_.group(1).toDouble)
-        } yield nm -> sc
-      }.groupMapReduce(_._1)(_._2)(math.min)
+        } yield nm -> (sc,
+          taskRe.findFirstMatchIn(l).map(_.group(1).toLong).getOrElse(0L))
+      }.groupMapReduce(_._1)(_._2)((a, b) => if (b._1 < a._1) b else a)
     }
   }
 
@@ -79,6 +93,28 @@ object Bench {
     twin.exists(t => secs > 2 * t && secs - t > 1.0) &&
       taskMs >= 0.5 * secs * 1000 && taskMs <= 1.5 * secs * 1000 &&
       gcMs < 150
+
+  /** PARALLEL-shape sibling of [[suspectCodeState]] (r12 verdict #2):
+    * widened queries never satisfy task_ms ≈ wall — their tasks run
+    * 32-wide, so a C2 deopt shows as per-task-CPU MULTIPLICATION
+    * instead (the q99 episode: 66 s task CPU against a 2.5 s twin on
+    * an identical-fingerprint plan). A rep is flagged when (a) wall
+    * lands >2× its committed twin with >1 s excess (the shared
+    * guards), (b) the shape is genuinely parallel (task_ms > 1.5×
+    * wall — the serial signature owns the rest), (c) task CPU is >2×
+    * the twin rep's task CPU with >2 s excess, and (d) task GC is
+    * under 10% of task time (GC pressure is its own mode). Ambient
+    * core contention can inflate task wall-in-task too — the flag is
+    * a PROBE TRIGGER, not a verdict; the fresh-JVM probe adjudicates
+    * either way and publishes its number alongside. */
+  private[graft] def suspectCodeStateParallel(secs: Double,
+      twin: Option[Double], taskMs: Long, twinTaskMs: Option[Long],
+      gcMs: Long): Boolean =
+    twin.exists(t => secs > 2 * t && secs - t > 1.0) &&
+      taskMs > 1.5 * secs * 1000 &&
+      twinTaskMs.exists(tt => tt > 0 && taskMs > 2 * tt &&
+        taskMs - tt > 2000) &&
+      gcMs < math.max(150L, taskMs / 10)
 
   /** One timed rep's outcome — seconds plus whether the C2-deopt
     * signature fired, so the caller can decide if the PUBLISHED rep
@@ -162,17 +198,27 @@ object Bench {
       val (argv, env) = probeCommand(liveClasspath(), name, sfDir, cpus)
       val pb = new ProcessBuilder(argv: _*)
       pb.directory(tmp)
-      // discard stderr at the OS level: reading stdout to completion
-      // FIRST would deadlock if the child fills the stderr pipe buffer
-      // (Spark's startup INFO alone can), and the probe only needs the
-      // stdout total line
+      // both streams go to the OS, not pipes (r12 ADVICE): reading
+      // stdout to EOF in-process would (a) deadlock if the child fills
+      // the unread stderr pipe (Spark's startup INFO alone can) and
+      // (b) make the 300 s waitFor below dead code — readAllBytes
+      // only returns once the child has exited or closed stdout, so a
+      // hung probe JVM would block the whole capture. stdout lands in
+      // a file inside the probe's own temp dir and is read AFTER the
+      // timeout-guarded wait.
       pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val outFile = new java.io.File(tmp, "probe_stdout")
+      pb.redirectOutput(ProcessBuilder.Redirect.to(outFile))
       env.foreach { case (k, v) => pb.environment().put(k, v) }
       val p = pb.start()
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
       if (!p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)) {
-        p.destroyForcibly(); None
+        System.err.println(s"[bench] probe for $name timed out — killing")
+        p.destroyForcibly()
+        p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+        None
       } else {
+        val out = new String(
+          java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
         val totalRe = """"metric":"total","value":([0-9.]+)""".r
         totalRe.findFirstMatchIn(out).map(_.group(1).toDouble)
       }
@@ -181,11 +227,16 @@ object Bench {
         e.getClass.getName)
       None
     } finally {
-      tmp.listFiles() match {
-        case null => ()
-        case fs => fs.foreach(_.delete())
-      }
-      tmp.delete()
+      // recursive (r12 ADVICE): the child Spark session creates nested
+      // dirs in its cwd (spark-warehouse, metastore_db) that a flat
+      // listFiles().delete() silently skipped, leaking one
+      // graft_probe_* tree per probe
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmp.toPath)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p =>
+          scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
+      finally walk.close()
     }
   }
 
@@ -245,14 +296,14 @@ object Bench {
     // committed twins via [[parseTwins]] (min per name ACROSS ALL of a
     // query's lines — retry and median-rep lines INCLUDED, sf_dir-
     // matched — see the parser's scaladoc)
-    val priorSecs: Map[String, Double] = {
+    val priorStats: Map[String, (Double, Long)] = {
       val f = new java.io.File("BENCH_PERF.jsonl")
       if (!f.exists()) Map.empty
       else {
         val src = scala.io.Source.fromFile(f)
         try {
           val lines = src.getLines().toVector
-          val twins = parseTwins(lines, sfDir)
+          val twins = parseTwinStats(lines, sfDir)
           if (twins.isEmpty && lines.nonEmpty)
             System.err.println("[bench] prior BENCH_PERF.jsonl has no " +
               s"usable twins for $sfDir — running without the retry guard")
@@ -260,6 +311,10 @@ object Bench {
         } finally src.close()
       }
     }
+    val priorSecs: Map[String, Double] =
+      priorStats.map { case (k, v) => k -> v._1 }
+    val priorTaskMs: Map[String, Long] =
+      priorStats.map { case (k, v) => k -> v._2 }
     // Median-of-3 queries (r9 brief): the VM's measured idle
     // run-to-run band (±8% totals, per-query swings to ~1.4× on
     // byte-identical code) is the limiting factor for regression
@@ -357,6 +412,16 @@ object Bench {
     def timedRep(name: String, fn: (org.apache.spark.sql.SparkSession,
         String) => org.apache.spark.sql.DataFrame,
         retryOf: Option[Double], rep: Option[Int] = None): RepResult = {
+      // per-rep ambient stamp (r12 verdict #5): the q99/q171/q282
+      // adjudications all reduced to "what was the box doing DURING
+      // this rep" — sampled at rep START so it reflects the trailing
+      // minute (prior queries + external load), before this rep's own
+      // work moves it
+      val repLoad = osBean.getSystemLoadAverage
+      val rt = Runtime.getRuntime
+      val heapFreeMb =
+        (rt.maxMemory() - (rt.totalMemory() - rt.freeMemory())) /
+          (1024L * 1024L)
       spark.catalog.clearCache()
       tracker.awaitQuiesce(stableMs = 50, timeoutMs = 2000)
       val before = tracker.snapshot()
@@ -393,19 +458,25 @@ object Bench {
       val after = tracker.snapshot()
       val taskMs = after.executorRunTimeMs - before.executorRunTimeMs
       val gcMs = after.jvmGcTimeMs - before.jvmGcTimeMs
-      val suspect =
+      val suspectSerial =
         suspectCodeState(secs, priorSecs.get(name), taskMs, gcMs)
+      val suspectPar = !suspectSerial && suspectCodeStateParallel(secs,
+        priorSecs.get(name), taskMs, priorTaskMs.get(name), gcMs)
+      val suspect = suspectSerial || suspectPar
       val line = s"""{"q":"${short(name)}","name":"$name","sec":${f3(secs)}""" +
         s""","build_sec":${f3(buildSecs)}""" +
         s""","task_ms":$taskMs""" +
         s""","gc_ms":$gcMs""" +
-        (if (suspect) s""","suspect":"code-state"""" else "") +
+        (if (suspectSerial) s""","suspect":"code-state"""" else "") +
+        (if (suspectPar) s""","suspect":"code-state-par"""" else "") +
         (if (planFp.nonEmpty) s""","plan":"$planFp"""" else "") +
         s""","shuf_r":${after.shuffleBytesRead - before.shuffleBytesRead}""" +
         s""","shuf_w":${after.shuffleBytesWritten - before.shuffleBytesWritten}""" +
         s""","spill":${after.spilledBytes - before.spilledBytes}""" +
         s""","tasks":${after.processed - before.processed}""" +
         s""","heap_mb":${after.jvmHeapUsedMb.toLong}""" +
+        s""","load_avg":${f3(math.max(0.0, repLoad))}""" +
+        s""","heap_free_mb":$heapFreeMb""" +
         retryOf.map(v => s""","retry_of":${f3(v)}""").getOrElse("") +
         rep.map(i => s""","rep":$i""").getOrElse("") + {
           val (storeMb, storeRdds) = storageStats

@@ -928,7 +928,7 @@ object Dedup {
     hammingBandPairs(
       Materialize.widened(df)
         .select(col(idCol), graft.functions.HashSketches
-          .simhash64(split(col(textCol), "\\s+")).as("fp")),
+          .simhash64(split(trim(col(textCol)), "\\s+")).as("fp")),
       idCol, 16, maxHamming)
 
   /** Oracle path: same operator over the portable 60-bit md5 hash
@@ -940,7 +940,7 @@ object Dedup {
     hammingBandPairs(
       Materialize.widened(df)
         .select(col(idCol), graft.functions.HashSketches
-          .simhashMd5_60(split(col(textCol), "\\s+")).as("fp")),
+          .simhashMd5_60(split(trim(col(textCol)), "\\s+")).as("fp")),
       idCol, 15, maxHamming)
 
   /** SUBSTRING-level corpus dedup — the distributed word-granular

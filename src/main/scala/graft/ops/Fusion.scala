@@ -172,6 +172,19 @@ object Fusion {
   private[graft] def vecsBroadcastBytes(idCount: Long, dim: Long): Long =
     idCount * (dim * 8L + 24L)
 
+  /** Embedding width for the byte gate: MAX over a small sample of
+    * non-degenerate rows (r12 ADVICE — a single head(1) row could be
+    * a NULL embedding, whose size() of -1 collapsed the byte estimate
+    * to 16 B/row and let an arbitrarily wide frame pass the ceiling).
+    * Returns 0 when nothing measurable — the caller treats that as
+    * DO-NOT-BROADCAST: a frame we cannot size does not get onto the
+    * driver. A 64-row limit over the already-materialized survivor
+    * frame, not a scan. */
+  private[graft] def sampledDim(vecs: DataFrame, vecCol: String): Long =
+    vecs.select(size(col(vecCol)).cast("long").as("__d"))
+      .filter(col("__d") > 0).limit(64)
+      .collect().map(_.getLong(0)).foldLeft(0L)(math.max)
+
   private[graft] def mmrDiversifyEmbeddings(emb: DataFrame, idCol: String,
       vecCol: String, queryPred: Column, shortlistN: Int, k: Int,
       lambdaPermille: Int, vecsCeilingBytes: Long): DataFrame = {
@@ -211,9 +224,8 @@ object Fusion {
       .join(if (probeSized) broadcast(ids) else ids, Seq("doc"),
         "left_semi")
       .materialized // shortlist-sized; reused by the two pair joins
-    val dim = vecs.select(size(col("__v")).cast("long")).head(1)
-      .headOption.map(_.getLong(0)).getOrElse(0L)
-    val vecsSized = probeSized &&
+    val dim = sampledDim(vecs, "__v")
+    val vecsSized = probeSized && dim > 0 &&
       vecsBroadcastBytes(idCount, dim) <= vecsCeilingBytes
     def maybeBroadcastVecs(df: DataFrame): DataFrame =
       if (vecsSized) broadcast(df) else df

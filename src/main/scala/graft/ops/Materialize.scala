@@ -53,10 +53,65 @@ object Materialize {
     * already has >= defaultParallelism partitions — at 100 TB real
     * tables arrive thousands of partitions wide and the extra
     * exchange would be pure waste; the narrow case this fixes is
-    * exactly the one where the exchange is cheap. */
-  def widened(df: DataFrame): DataFrame = {
+    * exactly the one where the exchange is cheap.
+    *
+    * SCAN-SHAPED INPUTS ONLY (r12 ADVICE): the width probe converts to
+    * an RDD, and with AQE enabled that finalizes the adaptive plan —
+    * for a frame containing shuffles it would EXECUTE the upstream
+    * query stages just to read a partition count, then the real query
+    * re-executes them (silent 2× upstream work). Frames whose plan is
+    * not scan-shaped (any aggregate/join/window/shuffle in the
+    * optimized plan) are returned UNCHANGED: post-shuffle frames are
+    * already `spark.sql.shuffle.partitions` wide by construction, and
+    * the AQE-coalesced-narrow case has its own fix pattern (an
+    * explicit `repartition(par, key)` at the consumer — the
+    * containmentPairs lesson), not this helper.
+    *
+    * WHEN TO WIDEN AT ALL — the measured rule (r12, two waves):
+    * widen a narrow scan feeding a CPU-heavy computation whose output
+    * is CONSUMED AS A FRAME (sketch builds, gram explodes, per-row
+    * parses: q22's sketch map, q64/q65's parse, q204's gram bar);
+    * do NOT widen a cheap map feeding a map-side-COMBINING aggregate —
+    * the exchange moves full pre-combine rows that the narrow plan
+    * would have collapsed in place (q169's bigramOcc: widening
+    * regressed 1.71 → 2.40 s and was reverted). When the per-row work
+    * is trivial, the exchange is pure overhead either way — that is
+    * what `minRowsPerSlot` encodes. */
+  def widened(df: DataFrame): DataFrame = widened(df, 0L)
+
+  /** [[widened]] with an opt-in ROW FLOOR (r12 verdict #6): skip the
+    * exchange when the input has fewer than `minRowsPerSlot ×
+    * defaultParallelism` rows — below that, per-task fixed costs
+    * (scheduling, codegen entry) dominate any parallelism win and the
+    * exchange is measured overhead. The floor costs one `count()` of
+    * the input, so it is opt-in and only sensible on scan-shaped
+    * frames where the count collapses to parquet metadata. */
+  def widened(df: DataFrame, minRowsPerSlot: Long): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+    if (!scanShaped(df)) df
+    else if (df.rdd.getNumPartitions >= p) df
+    else if (minRowsPerSlot > 0 && df.count() < minRowsPerSlot * p) df
+    else df.repartition(p)
+  }
+
+  /** True when the optimized plan is a scan (any [[LeafNode]]:
+    * relation, LocalRelation, Range, or the LogicalRDD a
+    * `materialized` frame lands as — already computed) with only
+    * narrow row-level ops on top — the shapes whose `.rdd` width
+    * probe is free (no exchange to finalize, nothing AQE could
+    * execute early). */
+  private[graft] def scanShaped(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def narrow(plan: LogicalPlan): Boolean = plan match {
+      case _: LeafNode => true
+      case p: Project => narrow(p.child)
+      case f: Filter => narrow(f.child)
+      case r: Repartition if !r.shuffle => narrow(r.child) // coalesce
+      case s: SubqueryAlias => narrow(s.child)
+      case h: ResolvedHint => narrow(h.child)
+      case _ => false
+    }
+    narrow(df.queryExecution.optimizedPlan)
   }
 
   /** `.materialized` chain form: `df.groupBy(...).agg(...).materialized`. */

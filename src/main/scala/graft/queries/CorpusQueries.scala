@@ -120,7 +120,8 @@ object CorpusQueries extends QueryModule {
       (s, d) => Dedup.simhashPairsPortable(
         Tables.documents(s, d), "doc_id", "text", maxHamming = 3),
       Some("""WITH toks AS (
-             |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
              |  FROM documents
              |), h AS (
              |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv
@@ -654,7 +655,8 @@ object CorpusQueries extends QueryModule {
           .withColumn("is_canonical", col("cluster_id") === col("doc_id"))
       },
       Some("""WITH RECURSIVE toks AS (
-             |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
              |  FROM documents
              |), h AS (
              |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv

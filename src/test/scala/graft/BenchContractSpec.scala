@@ -115,6 +115,58 @@ class BenchContractSpec extends AnyFunSuite {
       taskMs = 10300, gcMs = 0))
   }
 
+  test("twin task_ms rides the min-sec (clean) rep, not the last line") {
+    val sf = "/root/testdata/sf0.1"
+    val lines = Seq(
+      s"""{"ctx":"start","load_avg":0.5,"sf_dir":"$sf"}""",
+      // the load-spike rep carries inflated task CPU; the clean retry's
+      // task_ms must become the parallel-signature baseline
+      """{"q":"q9","name":"q9_x","sec":14.000,"task_ms":180000}""",
+      """{"q":"q9","name":"q9_x","sec":1.500,"task_ms":2500,"retry_of":14.000}""",
+      // a line with no task_ms at all parses as 0 (pre-r13 files)
+      """{"q":"q8","name":"q8_y","sec":2.000}""",
+      s"""{"ctx":"end","load_avg":0.6,"sf_dir":"$sf"}""")
+    val stats = Bench.parseTwinStats(lines, sf)
+    assert(stats("q9_x") == ((1.5, 2500L)))
+    assert(stats("q8_y") == ((2.0, 0L)))
+    // parseTwins stays the seconds view of the same fold
+    assert(Bench.parseTwins(lines, sf) ==
+      Map("q9_x" -> 1.5, "q8_y" -> 2.0))
+  }
+
+  test("parallel-shape code-state flag: fires on per-task-CPU " +
+      "multiplication in a widened (task_ms >> wall) query") {
+    // the q99 episode verbatim: 6.27 s against a 2.41 s twin, 66 s of
+    // task CPU against the twin's 2.5 s, negligible GC — parallel
+    // shape, so the serial signature stays silent but this one fires
+    assert(Bench.suspectCodeStateParallel(6.27, Some(2.41),
+      taskMs = 66000, twinTaskMs = Some(2500), gcMs = 300))
+    assert(!Bench.suspectCodeState(6.27, Some(2.41),
+      taskMs = 66000, gcMs = 300))
+    // wall over the twin but task CPU in line with it: scheduling /
+    // ambient delay, not a code-state mode
+    assert(!Bench.suspectCodeStateParallel(6.27, Some(2.41),
+      taskMs = 66000, twinTaskMs = Some(40000), gcMs = 300))
+    // serial shape (task_ms ≈ wall) belongs to suspectCodeState — the
+    // two signatures are mutually exclusive by construction
+    assert(!Bench.suspectCodeStateParallel(10.4, Some(2.2),
+      taskMs = 10300, twinTaskMs = Some(2000), gcMs = 0))
+    assert(Bench.suspectCodeState(10.4, Some(2.2),
+      taskMs = 10300, gcMs = 0))
+    // GC-pressure mode: >10% of task time in GC is its own story
+    assert(!Bench.suspectCodeStateParallel(6.27, Some(2.41),
+      taskMs = 66000, twinTaskMs = Some(2500), gcMs = 20000))
+    // no twin task baseline (pre-r13 capture, task_ms absent → 0):
+    // nothing to adjudicate against — never fires
+    assert(!Bench.suspectCodeStateParallel(6.27, Some(2.41),
+      taskMs = 66000, twinTaskMs = Some(0L), gcMs = 300))
+    assert(!Bench.suspectCodeStateParallel(6.27, Some(2.41),
+      taskMs = 66000, twinTaskMs = None, gcMs = 300))
+    // within the twin wall band: whatever the CPU shape, not suspect
+    assert(!Bench.suspectCodeStateParallel(2.5, Some(2.41),
+      taskMs = 66000, twinTaskMs = Some(2500), gcMs = 300))
+  }
+
   test("median-of-3 publishes the middle rep and carries ITS suspect " +
       "flag into the auto-probe decision") {
     import Bench.RepResult

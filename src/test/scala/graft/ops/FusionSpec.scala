@@ -132,6 +132,22 @@ class FusionSpec extends SparkSpec {
       Fusion.vecsBroadcastBytes(1000L, 768L))
   }
 
+  test("sampledDim: a null or empty FIRST embedding cannot shrink the " +
+      "width estimate (r12 advice — the 16 B/row collapse)") {
+    // first row null, later rows wide: the old head(1) estimate read
+    // size(null) = -1 and the byte gate admitted any frame
+    val vecs = Seq(
+        (1L, null.asInstanceOf[Seq[Double]]),
+        (2L, Seq.fill(512)(0.5)), (3L, Seq.fill(640)(0.25)))
+      .toDF("doc", "__v")
+    assert(Fusion.sampledDim(vecs, "__v") == 640L)
+    // no measurable width at all → 0, which the caller must read as
+    // DO-NOT-BROADCAST (dim > 0 is part of the gate)
+    val nulls = Seq((1L, null.asInstanceOf[Seq[Double]]),
+      (2L, Seq.empty[Double])).toDF("doc", "__v")
+    assert(Fusion.sampledDim(nulls, "__v") == 0L)
+  }
+
   test("mmrDiversifyEmbeddings: over the byte ceiling the pair joins " +
       "fall back to shuffles — and the output is unchanged") {
     import org.apache.spark.sql.functions.col
