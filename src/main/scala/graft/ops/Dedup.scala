@@ -348,6 +348,121 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** PERSISTED prefix-filter index over a trained corpus (r12 verdict
+    * #3) — the artifacts [[crossCorpusPrefixFilterPairsIndexed]] reads
+    * so the recall-exact cross-corpus path AMORTIZES like
+    * [[indexCorpus]] instead of re-paying the old side per batch:
+    *
+    *  - `vocab`: the old corpus's gram vocabulary with each gram's
+    *    FROZEN document frequency (`__dfc`) — frozen because the
+    *    global gram order the prefix filter needs must never reorder
+    *    once prefixes are persisted (see the order argument below).
+    *  - `grams`: the old side's per-doc distinct gram-hash arrays —
+    *    the exact-verify side.
+    *  - `prefixes`: the old side's prefix rows, precomputed at `tau`.
+    *
+    * All three are materialized flat frames a deployment writes to
+    * parquet once and merges per batch ([[mergePrefixIndex]]).
+    *
+    * WHY A FROZEN ORDER IS STILL LOSSLESS: the Bayardo/Xiao prefix
+    * filter (and the ppjoin positional filter) are exact under ANY
+    * single total order over grams applied consistently to both sides
+    * — document frequency is only the pruning HEURISTIC. The order
+    * here is (frozen df at first sight, gram hash, gram text within
+    * collision groups): an old gram keeps the df it entered with
+    * forever; a gram first seen in a later batch enters at df = 0
+    * (novel grams are genuinely rare — the heuristic stays sharp).
+    * Stored prefixes remain prefixes across merges because a doc's
+    * sort order depends only on the frozen keys of grams the doc
+    * CONTAINS, and those never change; appending new grams can only
+    * interleave AROUND them. */
+  case class PrefixIndex(vocab: DataFrame, grams: DataFrame,
+      prefixes: DataFrame, idCol: String, n: Int, tau: Double)
+
+  /** Build the [[PrefixIndex]] for `dfOld` (the trained corpus). One
+    * pass: gram frames, document frequencies, prefix rows — the same
+    * stages [[crossCorpusPrefixFilterPairs]] runs on its old side
+    * every batch, here run ONCE and kept. */
+  def indexCorpusPrefix(dfOld: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tau: Double = 0.5): PrefixIndex = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    val grams = prefixGramFrame(dfOld, idCol, textCol, n)
+    val tk = prefixTokenStream(grams, idCol)
+    val vocab = rankedGramVocab(tk).materialized
+    val par = dfOld.sparkSession.sparkContext.defaultParallelism
+    val prefixes = prefixFrame(tk, vocab, idCol, tau, par)
+    PrefixIndex(vocab, grams, prefixes, idCol, n, tau)
+  }
+
+  /** Fold a new batch INTO the index after it has been deduped — the
+    * mergeable per-batch update. Novel grams enter the vocabulary at
+    * frozen df = 0; existing grams keep their frozen (df, collision
+    * rank) untouched, so every previously persisted prefix row stays
+    * valid (the frozen-order argument on [[PrefixIndex]]). The batch's
+    * own gram/prefix rows are computed under the merged order and
+    * appended. Vocab-sized work plus one batch-sized prefix build —
+    * never an old-corpus rescan. */
+  def mergePrefixIndex(index: PrefixIndex, dfBatch: DataFrame,
+      textCol: String): PrefixIndex = {
+    val gramsB = prefixGramFrame(dfBatch, index.idCol, textCol, index.n)
+    val tkB = prefixTokenStream(gramsB, index.idCol)
+    val vocab = frozenAugmentedVocab(index.vocab, tkB).materialized
+    val par = dfBatch.sparkSession.sparkContext.defaultParallelism
+    val preB = prefixFrame(tkB, vocab, index.idCol, index.tau, par)
+    PrefixIndex(vocab, index.grams.unionByName(gramsB),
+      index.prefixes.unionByName(preB), index.idCol, index.n, index.tau)
+  }
+
+  /** The RECALL-EXACT cross-corpus near-dup pairs of
+    * [[crossCorpusPrefixFilterPairs]], reading the old side from a
+    * [[PrefixIndex]] instead of recomputing it — the r12 "what's
+    * wrong #3" enhancement: per batch this touches only batch-sized
+    * frames plus one vocab-sized order extension (novel grams at
+    * frozen df = 0), where the fresh path re-aggregated the UNION's
+    * document frequencies and re-sorted the old corpus every call.
+    * Output is IDENTICAL to the fresh path (both are recall-exact and
+    * the verify is the same exact Jaccard) — differentially pinned in
+    * Round13PropertySpec. */
+  def crossCorpusPrefixFilterPairsIndexed(dfNew: DataFrame,
+      index: PrefixIndex, textCol: String): DataFrame = {
+    val gramsNew = prefixGramFrame(dfNew, index.idCol, textCol, index.n)
+    val tkNew = prefixTokenStream(gramsNew, index.idCol)
+    val ranked = frozenAugmentedVocab(index.vocab, tkNew)
+    val par = dfNew.sparkSession.sparkContext.defaultParallelism
+    val preNew = prefixFrame(tkNew, ranked, index.idCol, index.tau, par)
+    val idCol = index.idCol
+    val cands = ppjoinCandidates(
+        preNew.select(col(idCol).as("id_a"), col("__len").as("__la"),
+          col("__i").as("__ia"), col("__th")),
+        index.prefixes.select(col(idCol).as("id_b"),
+          col("__len").as("__lb"), col("__i").as("__ib"), col("__th")),
+        index.tau, selfJoin = false)
+    verifyJaccard(cands, gramsNew, index.grams, idCol, index.tau, par)
+      .select(col("id_a").as("id_new"), col("id_b").as("id_old"),
+        col("jaccard"))
+  }
+
+  /** The index vocabulary EXTENDED with a batch's novel grams at
+    * frozen df = 0, collision ranks recomputed vocab-wide. Recomputing
+    * `__cx` is safe across calls and merges: within a (df, hash)
+    * collision group the rank orders by gram TEXT, so existing
+    * members' RELATIVE order — the only thing the persisted prefixes
+    * depend on — never changes when new members interleave; the
+    * recompute just keeps the (df, hash, cx) key total after the
+    * group gains members. */
+  private def frozenAugmentedVocab(vocab: DataFrame,
+      tkNew: DataFrame): DataFrame = {
+    val novel = tkNew.select(col("__tok"), col("__th")).distinct()
+      .join(vocab.select(col("__tok"), col("__th")),
+        Seq("__tok", "__th"), "left_anti")
+      .select(col("__tok"), col("__th"), lit(0L).as("__dfc"))
+    val all = vocab.select(col("__tok"), col("__th"),
+      col("__dfc").cast("long").as("__dfc")).unionByName(novel)
+    val collisionW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__dfc"), col("__th")).orderBy(col("__tok"))
+    all.withColumn("__cx", row_number().over(collisionW).cast("long"))
+  }
+
   /** The per-corpus distinct-gram frame the prefix-filter family runs
     * on. NO size(t)>0 filter: it would be REDUNDANT (a gram-less doc
     * emits no token rows, so no prefixes, candidates, or pairs) and it
@@ -1500,10 +1615,20 @@ object Dedup {
     // cost today, unbounded storage saved at scale. See SCALING.md
     // (r11).
     val grams = duplicateGramStream(df, idCol, textCol, l)
-    val dupGrams = grams.groupBy(col("__h"))
-      .agg(count(lit(1)).as("__n"))
+    val dupGrams = spanGramState(df, idCol, textCol, l)
       .filter(col("__n") >= minFreq)
       .select(col("__h"))
+    mergeAnchorsToSpans(grams, dupGrams, idCol, l)
+  }
+
+  /** Anchor → maximal-span merge shared by [[duplicateSpans]] and the
+    * incremental [[duplicateSpansAgainst]]: join the positioned grams
+    * to the over-the-bar hash set, then gaps-and-islands per document
+    * (equal-length intervals make `pos > lag(pos) + l` the exact merge
+    * rule). */
+  private def mergeAnchorsToSpans(grams: DataFrame, dupGrams: DataFrame,
+      idCol: String, l: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
     grams.join(dupGrams, "__h")
       .withColumn("__prev", lag(col("__pos"), 1).over(w))
@@ -1519,6 +1644,75 @@ object Dedup {
         col("span_end").cast("long"),
         (col("span_end") - col("span_start")).cast("long")
           .as("n_anchor_tokens"))
+  }
+
+  /** MERGEABLE GRAM-FREQUENCY STATE for the exact-substring family
+    * (r12 verdict #8 — the streaming-era sibling of [[PrefixIndex]]):
+    * the (L-gram hash, occurrence count) table [[duplicateSpans]]
+    * thresholds against, as a persistable artifact. A per-batch
+    * pipeline builds one per batch, folds it into the accumulated
+    * state with [[mergeSpanGramState]] (one hash aggregation — counts
+    * are sums, the only state the operator ever needed), and runs
+    * [[duplicateSpansAgainst]]/[[duplicateCoverageAgainst]] on JUST
+    * the batch instead of recomputing the full-corpus bar every time.
+    *
+    * Counts BELOW the bar must be kept (1 + 1 = 2 across batches is
+    * the point), so the state is corpus-distinct-L-gram-sized — the
+    * same scale as any inverted index over the corpus; at 100 TB it is
+    * a bucketed parquet table keyed on `__h` and the merge is a
+    * co-partitioned sum. Inherits [[duplicateSpans]]'
+    * DETERMINISTIC-INPUT requirement.
+    *
+    * @return (__h md5-60 L-gram hash, __n occurrences) */
+  def spanGramState(df: DataFrame, idCol: String, textCol: String,
+      l: Int): DataFrame =
+    duplicateGramStream(df, idCol, textCol, l)
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"))
+
+  /** Sum-merge two [[spanGramState]] frames (associative and
+    * commutative — fold batches in any order). */
+  def mergeSpanGramState(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("__h"))
+      .agg(sum(col("__n")).as("__n"))
+
+  /** [[duplicateSpans]] for ONE batch against an ACCUMULATED
+    * [[spanGramState]]: anchors come from `df` only, the frequency bar
+    * from the state. When the state covers batches 0..k (including
+    * `df` itself), the output equals the full-corpus
+    * [[duplicateSpans]] over those batches restricted to `df`'s
+    * documents — replay-from-scratch differential in
+    * Round13PropertySpec. */
+  def duplicateSpansAgainst(df: DataFrame, state: DataFrame,
+      idCol: String, textCol: String, l: Int,
+      minFreq: Long = 2L): DataFrame = {
+    require(l >= 2, s"anchor length must be >= 2 tokens, got $l")
+    require(minFreq >= 2, s"minFreq must be >= 2, got $minFreq")
+    val grams = duplicateGramStream(df, idCol, textCol, l)
+    val dupGrams = state.filter(col("__n") >= minFreq).select(col("__h"))
+    mergeAnchorsToSpans(grams, dupGrams, idCol, l)
+  }
+
+  /** [[duplicateCoverage]] for ONE batch against an ACCUMULATED
+    * [[spanGramState]] — the incremental curation read: what fraction
+    * of each NEW document is text the accumulated corpus has already
+    * seen enough times. Same output contract as [[duplicateCoverage]]
+    * (every batch doc appears, zero-coverage included). */
+  def duplicateCoverageAgainst(df: DataFrame, state: DataFrame,
+      idCol: String, textCol: String, l: Int,
+      minFreq: Long = 2L): DataFrame = {
+    val perDoc = duplicateSpansAgainst(df, state, idCol, textCol, l,
+        minFreq)
+      .groupBy(col(idCol))
+      .agg(sum(col("n_anchor_tokens")).as("dup_tokens"))
+    df.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long")
+          .as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("dup_tokens"))
+      .select(col(idCol), col("n_tokens"), col("dup_tokens"),
+        expr("(1000 * dup_tokens) div greatest(n_tokens, 1)")
+          .as("dup_fraction_pm"))
   }
 
   /** The (id, pos, md5-60 L-gram hash) stream [[duplicateSpans]] and

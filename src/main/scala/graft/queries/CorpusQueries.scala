@@ -1947,6 +1947,139 @@ object CorpusQueries extends QueryModule {
              |    len(list_distinct(list_concat(x.t, y.t))) >= 0.5""".stripMargin),
     ),
 
+    // ---- the SAME cross-corpus recall-exact pairs through the
+    // PERSISTED prefix index (Dedup.indexCorpusPrefix → mergePrefixIndex
+    // → crossCorpusPrefixFilterPairsIndexed): the old side is indexed
+    // once on batch 1, EXTENDED with batch 2 through the mergeable
+    // update (novel grams enter the frozen order at df = 0), and batch
+    // 0 dedups against the merged index — exercising build, merge, and
+    // query in one oracle-checked pass. Output is identical to q331's
+    // fresh-union path (both recall-exact, same exact verify; the
+    // frozen order only changes WHICH candidates get verified), so the
+    // oracle is q331's restatement verbatim and Round13PropertySpec
+    // pins the differential.
+    Q(
+      "q332_cross_prefix_indexed",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val idx0 = Dedup.indexCorpusPrefix(
+          docs.filter(col("doc_id") % 3 === 1), "doc_id", "text",
+          n = 3, tau = 0.5)
+        val idx = Dedup.mergePrefixIndex(idx0,
+          docs.filter(col("doc_id") % 3 === 2), "text")
+        Dedup.crossCorpusPrefixFilterPairsIndexed(
+          docs.filter(col("doc_id") % 3 === 0), idx, "text")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+             |), g AS MATERIALIZED (
+             |  SELECT doc_id, list_distinct(
+             |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS t
+             |  FROM toks
+             |), gw AS (SELECT * FROM g WHERE doc_id % 3 = 0
+             |), go AS (SELECT * FROM g WHERE doc_id % 3 <> 0
+             |)""".stripMargin + OracleSql.crossPrefixPairCtes + """
+             |SELECT c.id_new, c.id_old,
+             |  len(list_intersect(x.t, y.t)) * 1.0 /
+             |    len(list_distinct(list_concat(x.t, y.t))) AS jaccard
+             |FROM cand c JOIN gw x ON x.doc_id = c.id_new
+             |JOIN go y ON y.doc_id = c.id_old
+             |WHERE len(list_intersect(x.t, y.t)) * 1.0 /
+             |    len(list_distinct(list_concat(x.t, y.t))) >= 0.5""".stripMargin),
+    ),
+
+    // ---- prefix-filter pairs at a SECOND parameter point (τ = 0.7,
+    // bigrams — r12 verdict #7): q329 and every blocked oracle run at
+    // τ = 0.5/n = 3, so a parameter-dependent misderivation of the
+    // prefix length (the ceil boundary) that cancels at 0.5 could pass
+    // every gate. Same operator, same generator-built oracle
+    // (OracleSql.blockedPairCtesAt), different arithmetic — and the
+    // brute audit re-verifies THIS oracle against an unblocked
+    // all-pairs restatement at the same parameters.
+    Q(
+      "q333_prefix_pairs_tau07",
+      (s, d) => Dedup.prefixFilterJaccardPairs(
+        Tables.documents(s, d), "doc_id", "text", n = 2, tau = 0.7)
+        .select(col("id_a"), col("id_b"), col("jaccard")),
+      Some("WITH " + OracleSql.blockedPairCtesAt("0.7", 2) +
+        """
+             |SELECT p.id_a, p.id_b,
+             |  len(list_intersect(x.t, y.t)) * 1.0 /
+             |    len(list_distinct(list_concat(x.t, y.t))) AS jaccard
+             |FROM p JOIN g x ON x.doc_id = p.id_a
+             |JOIN g y ON y.doc_id = p.id_b
+             |WHERE len(list_intersect(x.t, y.t)) * 1.0 /
+             |    len(list_distinct(list_concat(x.t, y.t))) >= 0.7""".stripMargin),
+    ),
+
+    // ---- INCREMENTAL duplicate-token coverage (Dedup.spanGramState →
+    // mergeSpanGramState → duplicateCoverageAgainst): the L-gram
+    // frequency bar is accumulated batch-by-batch as mergeable state
+    // (three batches by doc_id % 3, folded in order), then batch 2's
+    // coverage is computed against the ACCUMULATED state instead of a
+    // full-corpus recompute — the per-batch form of q328. Equal by
+    // construction to full-corpus coverage restricted to batch 2
+    // (the bar sums to the same counts), which is exactly what the
+    // oracle restates: q328's CTEs with the final read filtered to
+    // the batch.
+    Q(
+      "q334_incremental_coverage",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        def batch(k: Int) = docs.filter(col("doc_id") % 3 === k)
+        val state = Dedup.mergeSpanGramState(
+          Dedup.mergeSpanGramState(
+            Dedup.spanGramState(batch(0), "doc_id", "text", l = 12),
+            Dedup.spanGramState(batch(1), "doc_id", "text", l = 12)),
+          Dedup.spanGramState(batch(2), "doc_id", "text", l = 12))
+        Dedup.duplicateCoverageAgainst(batch(2), state,
+          "doc_id", "text", l = 12)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS w
+             |  FROM documents
+             |), g0 AS (
+             |  SELECT doc_id, unnest([{'pos': i,
+             |      'h': CAST('0x' || substr(md5(
+             |        array_to_string(w[i:i+11], ' ')), 1, 15) AS BIGINT)}
+             |    for i in range(1, len(w) - 10)]) AS g
+             |  FROM t WHERE len(w) >= 12
+             |), g AS (
+             |  SELECT doc_id, g.pos AS pos, g.h AS h FROM g0
+             |), f AS (
+             |  SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+             |), sel AS (
+             |  SELECT g.doc_id, g.pos FROM g JOIN f USING (h)
+             |  WHERE g.doc_id % 3 = 2
+             |), o AS (
+             |  SELECT doc_id, pos,
+             |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+             |  FROM sel
+             |), isl AS (
+             |  SELECT doc_id, pos,
+             |    sum(CASE WHEN prev IS NULL OR pos > prev + 12
+             |      THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             |  FROM o
+             |), sp AS (
+             |  SELECT doc_id, max(pos) + 12 - min(pos) AS len
+             |  FROM isl GROUP BY doc_id, island
+             |), pd AS (
+             |  SELECT doc_id, CAST(sum(len) AS BIGINT) AS dup_tokens
+             |  FROM sp GROUP BY doc_id
+             |), nt AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+             |      AS BIGINT) AS n_tokens
+             |  FROM documents WHERE doc_id % 3 = 2
+             |)
+             |SELECT nt.doc_id, nt.n_tokens,
+             |  CAST(coalesce(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+             |  CAST((1000 * coalesce(pd.dup_tokens, 0))
+             |    // greatest(nt.n_tokens, 1) AS BIGINT) AS dup_fraction_pm
+             |FROM nt LEFT JOIN pd USING (doc_id)""".stripMargin),
+    ),
+
     // ---- hashed linear classifier scoring: the weights are a
     // deterministic arithmetic function of the bucket (a stand-in for a
     // trained fastText/quality model — no model ships in this

@@ -40,12 +40,26 @@ package graft.queries
   */
 object OracleSql {
 
-  val blockedPairCtes: String =
-    """toks AS (
+  val blockedPairCtes: String = blockedPairCtesAt("0.5", 3)
+
+  /** [[blockedPairCtes]] at an arbitrary (τ, word-n-gram n) — the
+    * house instantiation above is this generator at ("0.5", 3), so the
+    * prefix-length derivation (the `ceil` boundary) is exercised at a
+    * SECOND parameter point by q333 + the brute audit (r12 verdict
+    * #7): a parameter-dependent misderivation that happened to cancel
+    * at τ = 0.5 cannot hide. `tau` is a string so the SQL text is
+    * byte-stable (no double formatting surprises). */
+  def blockedPairCtesAt(tau: String, n: Int): String = {
+    require(n >= 2, s"word n-grams need n >= 2, got $n")
+    val gram = (0 until n)
+      .map(o => if (o == 0) "w[i]" else s"w[i+$o]")
+      .mkString(" || ' ' || ")
+    val rangeEnd = if (n == 2) "len(w)" else s"len(w) - ${n - 2}"
+    s"""toks AS (
       |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
       |), g AS MATERIALIZED (
       |  SELECT doc_id, list_distinct(
-      |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS t
+      |    [$gram for i in range(1, $rangeEnd)]) AS t
       |  FROM toks
       |), tk AS (
       |  SELECT doc_id, unnest(t) AS tok FROM g
@@ -56,7 +70,7 @@ object OracleSql {
       |  FROM tk JOIN dfc USING (tok) GROUP BY doc_id
       |), pre AS (
       |  SELECT doc_id,
-      |    unnest(ot[1 : CAST(len(ot) - ceil(0.5 * len(ot)) + 1 AS INT)]) AS tok
+      |    unnest(ot[1 : CAST(len(ot) - ceil($tau * len(ot)) + 1 AS INT)]) AS tok
       |  FROM ord
       |), cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -66,8 +80,9 @@ object OracleSql {
       |  FROM cand c JOIN g x ON x.doc_id = c.id_a
       |  JOIN g y ON y.doc_id = c.id_b
       |  WHERE len(list_intersect(x.t, y.t)) * 1.0 /
-      |      len(list_distinct(list_concat(x.t, y.t))) >= 0.5
+      |      len(list_distinct(list_concat(x.t, y.t))) >= $tau
       |)""".stripMargin
+  }
 
   /** The CROSS-SIDE prefix filter — same lossless construction as
     * [[blockedPairCtes]] but between two frames (incoming batch vs

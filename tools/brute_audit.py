@@ -8,8 +8,10 @@ misderivation (say, an off-by-one in the prefix length) could pass the
 hash gate on both sides (round-11 verdict, "What's wrong #2"). This
 tool closes that hole mechanically:
 
- 1. PAIR-SET EQUALITY: re-runs the committed q329 (self-join) and q331
-    (cross-frame) oracle SQL — read from a Verify dump's
+ 1. PAIR-SET EQUALITY: re-runs the committed q329 (self-join), q331
+    (cross-frame), and q333 (self-join at the SECOND parameter point
+    tau=0.7/n=2, so a ceil-boundary misderivation that cancels at 0.5
+    cannot hide) oracle SQL — read from a Verify dump's
     oracle_sql.json, so the audit covers exactly the text the driver
     checks against — and compares the (id, id, jaccard) rows with an
     INDEPENDENT brute-force restatement (all-pairs join, no blocking
@@ -40,7 +42,7 @@ SHARED_SELF = [
 ]
 # ...and OracleSql.crossPrefixPairCtes (cross-frame form)
 SHARED_CROSS = ["q77_cross_corpus_pairs", "q100_streaming_cross_dedup",
-                "q109_incremental_dedup"]
+                "q109_incremental_dedup", "q332_cross_prefix_indexed"]
 
 BRUTE_SELF = """
 WITH toks AS (
@@ -76,6 +78,27 @@ WHERE len(list_intersect(a.t, b.t)) * 1.0 /
     len(list_distinct(list_concat(a.t, b.t))) >= 0.5
 """
 
+# Second parameterization (r12 verdict #7): every other blocked oracle
+# runs at tau=0.5/n=3, so a prefix-length misderivation (the ceil
+# boundary) that happens to cancel at 0.5 could pass every gate. q333
+# commits the blocked form at tau=0.7 over BIGRAMS; this is its
+# independent all-pairs restatement.
+BRUTE_SELF_T07N2 = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id, list_distinct(
+    [w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS t
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  len(list_intersect(a.t, b.t)) * 1.0 /
+    len(list_distinct(list_concat(a.t, b.t))) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.t, b.t)) * 1.0 /
+    len(list_distinct(list_concat(a.t, b.t))) >= 0.7
+"""
+
 
 def rows(con, sql):
     df = con.execute(sql).fetchdf()
@@ -93,7 +116,8 @@ def main(sf_dir, out_dir, artifact=None):
     ok = True
 
     for name, brute in (("q329_prefix_filter_pairs", BRUTE_SELF),
-                        ("q331_cross_prefix_pairs", BRUTE_CROSS)):
+                        ("q331_cross_prefix_pairs", BRUTE_CROSS),
+                        ("q333_prefix_pairs_tau07", BRUTE_SELF_T07N2)):
         t0 = time.time()
         blocked = rows(con, oracles[name])
         brute_rows = rows(con, brute)
