@@ -306,16 +306,51 @@ object GraphOps {
     * @return (node, in_core, converged) for every node of the simple
     *         graph */
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int,
-      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None)
-      : DataFrame = {
+      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None,
+      driverCap: Long = DriverKCoreCap): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 50,
       s"rounds must be in [1, 50], got $rounds")
+    // explicit width on the canonicalizing distinct (the prefixFrame
+    // pattern): the raw edge stream is often a join fan-out whose
+    // BYTES are small — AQE's byte-coalescing squeezes the dedup onto
+    // a handful of partitions and the CPU-bound canonicalization runs
+    // near-serial (measured on q241's co-purchase build: task ≈ wall).
+    // distinct() reuses the (a, b) hash partitioning, so this pins
+    // width without an extra exchange.
+    val par = edges.sparkSession.sparkContext.defaultParallelism
     val e0 = edges
       .select(least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
+      .repartition(par, col("a"), col("b"))
       .distinct().materialized
+    // driver-local short-circuit (r13; the Dedup.DriverUnionFindCap
+    // precedent): each distributed peel round is a degree aggregation
+    // + two semi-joins + a count — ~4 job launches, ~0.7 s of fixed
+    // cost at small edge counts regardless of data volume. Below the
+    // cap (canonical edges already materialized and counted — 16 B/row
+    // ≈ 32 MB at 2 M) the EXACT synchronized peel replays in driver
+    // memory: same rounds contract, same count-equality early exit,
+    // same converged flag; the distributed loop below is untouched and
+    // remains the 100×-scale path (ids are already cast long, so no
+    // schema shift across the gate). Forced distributed in
+    // GraphOpsSpec via driverCap = -1 and asserted equal.
+    if (e0.count() <= driverCap) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = e0.as[(Long, Long)].collect()
+      val (inCore, converged, r) = kCorePeelLocal(es, k, rounds)
+      roundsOut.foreach(_.set(r))
+      val nodeSeq = {
+        val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+        es.foreach { case (a, b) => seen += a; seen += b }
+        seen.toSeq
+      }
+      return spark.createDataset(
+          nodeSeq.map(n => (n, inCore.contains(n), converged)))
+        .toDF("node", "in_core", "converged")
+    }
     val nodes = e0.select(col("a").as("node"))
       .union(e0.select(col("b").as("node"))).distinct().materialized
     var e = e0
@@ -346,6 +381,48 @@ object GraphOps {
       .select(col("node"),
         coalesce(col("__in"), lit(false)).as("in_core"),
         lit(converged).as("converged"))
+  }
+
+  /** Edge-count ceiling for [[kCorePeel]]'s driver-local replay — the
+    * [[Dedup.DriverUnionFindCap]] rationale: 2 M canonical (long,
+    * long) edges ≈ 32 MB on the driver, far under any sane driver
+    * heap, while the distributed loop's per-round fixed cost dominates
+    * wall time at these sizes. */
+  private[ops] val DriverKCoreCap = 2000000L
+
+  /** The synchronized bounded-round peel, in memory — semantics
+    * IDENTICAL to the distributed loop in [[kCorePeel]] by
+    * construction: same per-round (degree ≥ k → survivors → edge
+    * restriction), same nested-survivor count-equality early exit,
+    * same converged read. Property-pinned equal to the forced
+    * distributed path in GraphOpsSpec.
+    * @return (final survivor set, converged, rounds executed) */
+  private[ops] def kCorePeelLocal(es: Array[(Long, Long)], k: Int,
+      rounds: Int): (scala.collection.Set[Long], Boolean, Int) = {
+    val nodes = scala.collection.mutable.LinkedHashSet.empty[Long]
+    es.foreach { case (a, b) => nodes += a; nodes += b }
+    var edges = es
+    var survivors: scala.collection.Set[Long] = nodes
+    var prev = nodes.size.toLong
+    var last = prev
+    var r = 0
+    var fixed = false
+    while (r < rounds && !fixed) {
+      val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+      edges.foreach { case (a, b) =>
+        deg.update(a, deg.getOrElse(a, 0L) + 1L)
+        deg.update(b, deg.getOrElse(b, 0L) + 1L)
+      }
+      val surv = deg.iterator.collect {
+        case (n, d) if d >= k => n }.toSet
+      survivors = surv
+      edges = edges.filter { case (a, b) => surv(a) && surv(b) }
+      prev = last
+      last = surv.size.toLong
+      fixed = prev == last
+      r += 1
+    }
+    (survivors, prev == last, r)
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007) with the

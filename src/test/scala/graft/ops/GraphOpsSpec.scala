@@ -146,6 +146,42 @@ class GraphOpsSpec extends SparkSpec {
     assert(empty.forall(r => !r._2 && r._3))
   }
 
+  test("kCorePeel: driver-local short-circuit equals the forced " +
+      "distributed path (driverCap = -1) — hand case, bounded case, " +
+      "random graph, rounds executed") {
+    import java.util.concurrent.atomic.AtomicInteger
+    def run(edges: org.apache.spark.sql.DataFrame, k: Int, rounds: Int,
+        cap: Long): (Map[Long, (Boolean, Boolean)], Int) = {
+      val c = new AtomicInteger(-1)
+      val m = GraphOps.kCorePeel(edges, k, rounds, Some(c), driverCap = cap)
+        .as[(Long, Boolean, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      (m, c.get())
+    }
+    val hand = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    for ((k, rounds) <- Seq((2, 4), (2, 1), (10, 3))) {
+      val (dm, dr) = run(hand, k, rounds, cap = GraphOps.DriverKCoreCap)
+      val (xm, xr) = run(hand, k, rounds, cap = -1L)
+      assert(dm == xm, s"k=$k rounds=$rounds")
+      assert(dr == xr, s"rounds executed diverged at k=$k rounds=$rounds")
+    }
+    // pseudo-random multigraph with duplicate + reversed + self edges
+    // (the canonicalization is upstream of the gate — both paths must
+    // see the same simple graph)
+    val rnd = (1 to 400).map { i =>
+      val a = (i * 7919L) % 37; val b = (i * 104729L) % 37
+      (a, b)
+    }
+    val rndDf = (rnd ++ rnd.map(_.swap)).toDF("src", "dst")
+    val (dm, dr) = run(rndDf, k = 4, rounds = 6,
+      cap = GraphOps.DriverKCoreCap)
+    val (xm, xr) = run(rndDf, k = 4, rounds = 6, cap = -1L)
+    assert(dm == xm)
+    assert(dr == xr)
+    assert(dm.nonEmpty)
+  }
+
   test("personalizedPageRankInt: restart lands ONLY on seeds, matches " +
       "a hand-computed iteration, rejects disjoint seeds") {
     // path 1 → 2 → 3, seed {1}; T = 1e9, d = 850‰, base = 15e7
