@@ -1949,24 +1949,29 @@ object CorpusQueries extends QueryModule {
 
     // ---- the SAME cross-corpus recall-exact pairs through the
     // PERSISTED prefix index (Dedup.indexCorpusPrefix → mergePrefixIndex
-    // → crossCorpusPrefixFilterPairsIndexed): the old side is indexed
-    // once on batch 1, EXTENDED with batch 2 through the mergeable
-    // update (novel grams enter the frozen order at df = 0), and batch
-    // 0 dedups against the merged index — exercising build, merge, and
-    // query in one oracle-checked pass. Output is identical to q331's
-    // fresh-union path (both recall-exact, same exact verify; the
-    // frozen order only changes WHICH candidates get verified), so the
-    // oracle is q331's restatement verbatim and Round13PropertySpec
-    // pins the differential.
+    // → crossCorpusPrefixFilterPairsIndexed): the bulk of the old side
+    // (doc_id % 3 ≠ 0 minus a 1/30 slice) is indexed once, the slice
+    // (doc_id % 30 == 1 — a subset of % 3 == 1, so index ∪ merge is
+    // EXACTLY q331's old side) arrives as the mergeable per-batch
+    // update (novel grams enter the frozen order at df = 0), and the
+    // % 3 == 0 frame dedups against the merged index — build, merge,
+    // and query all in one oracle-checked pass WITHOUT re-processing
+    // the corpus twice (the merge batch is incremental-sized, which is
+    // the operating point the index exists for). Output is identical
+    // to q331's fresh-union path (both recall-exact, same exact
+    // verify; the frozen order only changes WHICH candidates get
+    // verified), so the oracle is q331's restatement verbatim and
+    // Round13PropertySpec pins the differential under both fold
+    // orders.
     Q(
       "q332_cross_prefix_indexed",
       (s, d) => {
         val docs = Tables.documents(s, d)
         val idx0 = Dedup.indexCorpusPrefix(
-          docs.filter(col("doc_id") % 3 === 1), "doc_id", "text",
-          n = 3, tau = 0.5)
+          docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 30 =!= 1),
+          "doc_id", "text", n = 3, tau = 0.5)
         val idx = Dedup.mergePrefixIndex(idx0,
-          docs.filter(col("doc_id") % 3 === 2), "text")
+          docs.filter(col("doc_id") % 30 === 1), "text")
         Dedup.crossCorpusPrefixFilterPairsIndexed(
           docs.filter(col("doc_id") % 3 === 0), idx, "text")
       },
