@@ -149,6 +149,12 @@ object Bench {
       .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$\\$Lambda")
       .replaceAll("@[0-9a-f]{6,}", "@")
       .replaceAll("graft_stream\\w*", "graft_stream")
+      // run-random filesystem locations (r13: ~10 streaming/sink
+      // queries scan or checkpoint under fresh temp dirs every run —
+      // their fingerprints read CHANGED across byte-identical code,
+      // polluting the plan_diff read)
+      .replaceAll("file:[^\\s\\]),]+", "file:")
+      .replaceAll("/tmp/[^\\s\\]),]+", "/tmp/")
     java.security.MessageDigest.getInstance("MD5")
       .digest(norm.getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
