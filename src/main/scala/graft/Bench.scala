@@ -236,15 +236,31 @@ object Bench {
       // recursive (r12 ADVICE): the child Spark session creates nested
       // dirs in its cwd (spark-warehouse, metastore_db) that a flat
       // listFiles().delete() silently skipped, leaking one
-      // graft_probe_* tree per probe
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(tmp.toPath)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(p =>
-          scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
-      finally walk.close()
+      // graft_probe_* tree per probe. The WHOLE cleanup is Try-wrapped
+      // (r13 review): a killed child can still be mutating its cwd
+      // while we walk it, and Files.walk throws from the eager sort on
+      // a vanished entry — an exception escaping this finally would
+      // bypass the catch above and abort the capture, breaking the
+      // "broken probe must never fail the capture" contract. A leaked
+      // temp tree is the acceptable worst case.
+      scala.util.Try {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(tmp.toPath)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p =>
+            scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
+        finally walk.close()
+      }
     }
   }
+
+  /** The per-rep ambient stamp appended to every perf line (r12
+    * verdict #5) — factored so the contract spec pins the REAL
+    * emission fragment, not a parallel literal. */
+  private[graft] def ambientStamp(loadAvg: Double, heapFreeMb: Long,
+      f3: Double => String): String =
+    s""","load_avg":${f3(math.max(0.0, loadAvg))}""" +
+      s""","heap_free_mb":$heapFreeMb"""
 
   def main(args: Array[String]): Unit = {
     // ambient load is sampled FIRST — before the SparkSession and the
@@ -481,8 +497,7 @@ object Bench {
         s""","spill":${after.spilledBytes - before.spilledBytes}""" +
         s""","tasks":${after.processed - before.processed}""" +
         s""","heap_mb":${after.jvmHeapUsedMb.toLong}""" +
-        s""","load_avg":${f3(math.max(0.0, repLoad))}""" +
-        s""","heap_free_mb":$heapFreeMb""" +
+        ambientStamp(repLoad, heapFreeMb, f3) +
         retryOf.map(v => s""","retry_of":${f3(v)}""").getOrElse("") +
         rep.map(i => s""","rep":$i""").getOrElse("") + {
           val (storeMb, storeRdds) = storageStats

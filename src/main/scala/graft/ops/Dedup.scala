@@ -1614,11 +1614,10 @@ object Dedup {
     // (CPU-parallel, ~0.6 s of task time at sf0.1). Zero measured
     // cost today, unbounded storage saved at scale. See SCALING.md
     // (r11).
-    val grams = duplicateGramStream(df, idCol, textCol, l)
-    val dupGrams = spanGramState(df, idCol, textCol, l)
-      .filter(col("__n") >= minFreq)
-      .select(col("__h"))
-    mergeAnchorsToSpans(grams, dupGrams, idCol, l)
+    // the full-corpus read IS the incremental read against your own
+    // state (self-state identity, Round13PropertySpec)
+    duplicateSpansAgainst(df, spanGramState(df, idCol, textCol, l),
+      idCol, textCol, l, minFreq)
   }
 
   /** Anchor → maximal-span merge shared by [[duplicateSpans]] and the
@@ -1758,19 +1757,13 @@ object Dedup {
     *
     * @return (idCol, n_tokens, dup_tokens, dup_fraction_pm) */
   def duplicateCoverage(df: DataFrame, idCol: String, textCol: String,
-      l: Int, minFreq: Long = 2L): DataFrame = {
-    val perDoc = duplicateSpans(df, idCol, textCol, l, minFreq)
-      .groupBy(col(idCol))
-      .agg(sum(col("n_anchor_tokens")).as("dup_tokens"))
-    df.select(col(idCol),
-        TextAnalysis.tokenCount(col(textCol)).cast("long")
-          .as("n_tokens"))
-      .join(perDoc, Seq(idCol), "left")
-      .na.fill(0L, Seq("dup_tokens"))
-      .select(col(idCol), col("n_tokens"), col("dup_tokens"),
-        expr("(1000 * dup_tokens) div greatest(n_tokens, 1)")
-          .as("dup_fraction_pm"))
-  }
+      l: Int, minFreq: Long = 2L): DataFrame =
+    // the full-corpus read IS the incremental read against your own
+    // state (Round13PropertySpec pins the identity) — one
+    // implementation, so the coverage arithmetic can never diverge
+    // between the batch and full-corpus operators
+    duplicateCoverageAgainst(df, spanGramState(df, idCol, textCol, l),
+      idCol, textCol, l, minFreq)
 
   /** The two frames [[dedupByCoverage]] returns: `survivors` keeps the
     * input's FULL schema (it is the corpus the pipeline trains on);

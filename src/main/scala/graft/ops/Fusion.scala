@@ -172,18 +172,22 @@ object Fusion {
   private[graft] def vecsBroadcastBytes(idCount: Long, dim: Long): Long =
     idCount * (dim * 8L + 24L)
 
-  /** Embedding width for the byte gate: MAX over a small sample of
-    * non-degenerate rows (r12 ADVICE — a single head(1) row could be
-    * a NULL embedding, whose size() of -1 collapsed the byte estimate
-    * to 16 B/row and let an arbitrarily wide frame pass the ceiling).
-    * Returns 0 when nothing measurable — the caller treats that as
-    * DO-NOT-BROADCAST: a frame we cannot size does not get onto the
-    * driver. A 64-row limit over the already-materialized survivor
-    * frame, not a scan. */
-  private[graft] def sampledDim(vecs: DataFrame, vecCol: String): Long =
-    vecs.select(size(col(vecCol)).cast("long").as("__d"))
-      .filter(col("__d") > 0).limit(64)
-      .collect().map(_.getLong(0)).foldLeft(0L)(math.max)
+  /** Embedding width for the byte gate: the EXACT max over the pruned
+    * frame. r12 ADVICE closed the null-first-row collapse (a head(1)
+    * row with a NULL embedding read size() = -1 and the byte estimate
+    * fell to 16 B/row); the r13 review closed the residual
+    * heterogeneous-width hole — a SAMPLE whose first rows are narrow
+    * (128-dim summaries) ahead of wide rows (4096-dim) under-sizes
+    * the broadcast the same way. The frame is already materialized
+    * and shortlist-bounded, so one max aggregation (map-side partial,
+    * no shuffle of the vectors themselves) is cheap insurance against
+    * the catastrophic failure the gate exists for. Returns 0 when
+    * nothing measurable (empty / all-null) — the caller treats that
+    * as DO-NOT-BROADCAST. */
+  private[graft] def sampledDim(vecs: DataFrame, vecCol: String): Long = {
+    val row = vecs.agg(max(size(col(vecCol))).cast("long").as("__d")).head()
+    if (row.isNullAt(0)) 0L else math.max(0L, row.getLong(0))
+  }
 
   private[graft] def mmrDiversifyEmbeddings(emb: DataFrame, idCol: String,
       vecCol: String, queryPred: Column, shortlistN: Int, k: Int,
@@ -209,8 +213,8 @@ object Fusion {
     // size is rows × dim-dependent: 2 M ids at dim 768 is ~12 GB,
     // inside any sane row threshold yet over Spark's 8 GB broadcast
     // ceiling. vecs is therefore gated on ESTIMATED BYTES, with the
-    // width read from the already-materialized survivor frame (a
-    // limit-1 read, not a scan). Past either gate the joins fall back
+    // width read as an exact max over the already-materialized
+    // survivor frame (see sampledDim). Past either gate the joins fall back
     // to shuffles — then the corpus table is exchanged once (the
     // pre-r11 shape, which completes at any size), and every
     // post-prune frame is still shortlist-bounded. Plan-asserted in

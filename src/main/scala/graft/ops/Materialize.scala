@@ -85,7 +85,12 @@ object Materialize {
     * (scheduling, codegen entry) dominate any parallelism win and the
     * exchange is measured overhead. The floor costs one `count()` of
     * the input, so it is opt-in and only sensible on scan-shaped
-    * frames where the count collapses to parquet metadata. */
+    * frames where the count collapses to parquet metadata. No library
+    * call site passes a floor yet — the q169 precedent applies:
+    * call sites adopt it WITH a measurement showing the count pays
+    * for itself, never speculatively (the widen-vs-not decision has
+    * already flipped both ways under measurement; see the rule text
+    * above and SCALING.md r12/r13). */
   def widened(df: DataFrame, minRowsPerSlot: Long): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (!scanShaped(df)) df

@@ -169,18 +169,26 @@ class BenchContractSpec extends AnyFunSuite {
 
   test("per-rep ambient stamps ride every perf line (r12 verdict #5): " +
       "load_avg and heap_free_mb are part of the line contract") {
-    // mirror of the timedRep emission template — the degraded-capture
-    // adjudications (q99/q171/q282) all reduced to "what was the box
-    // doing DURING this rep", so the stamps must never be dropped from
-    // the line without failing this pin. parseTwinStats must also
-    // tolerate their presence (and the ctx lines' own load_avg).
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f",
+        java.lang.Double.valueOf(v))
+    // the REAL emission fragment (timedRep appends Bench.ambientStamp
+    // verbatim) — the degraded-capture adjudications (q99/q171/q282)
+    // all reduced to "what was the box doing DURING this rep", so the
+    // stamps must never be dropped from the line
+    val stamp = Bench.ambientStamp(0.75, 14000L, f3)
+    assert(stamp == ""","load_avg":0.750,"heap_free_mb":14000""")
+    // a negative getSystemLoadAverage (unsupported platform) clamps
+    // to 0 instead of emitting a negative stamp
+    assert(Bench.ambientStamp(-1.0, 100L, f3)
+      == ""","load_avg":0.000,"heap_free_mb":100""")
+    // parseTwinStats tolerates the stamp riding a query line (the sec
+    // and task_ms regexes must not be confused by the new keys)
+    val sf = "/root/testdata/sf0.1"
     val line = """{"q":"q1","name":"q1_agg","sec":1.500,"build_sec":0.100,""" +
       """"task_ms":2500,"gc_ms":10,"plan":"abcdef012345","shuf_r":1,""" +
-      """"shuf_w":1,"spill":0,"tasks":4,"heap_mb":100,""" +
-      """"load_avg":0.750,"heap_free_mb":14000,"store_mb":0,"store_rdds":0}"""
-    assert(line.contains("\"load_avg\":"))
-    assert(line.contains("\"heap_free_mb\":"))
-    val sf = "/root/testdata/sf0.1"
+      """"shuf_w":1,"spill":0,"tasks":4,"heap_mb":100""" + stamp +
+      ""","store_mb":0,"store_rdds":0}"""
     val twins = Bench.parseTwinStats(Seq(
       s"""{"ctx":"start","load_avg":0.5,"sf_dir":"$sf"}""", line), sf)
     assert(twins == Map("q1_agg" -> ((1.5, 2500L))))

@@ -132,15 +132,18 @@ class FusionSpec extends SparkSpec {
       Fusion.vecsBroadcastBytes(1000L, 768L))
   }
 
-  test("sampledDim: a null or empty FIRST embedding cannot shrink the " +
-      "width estimate (r12 advice — the 16 B/row collapse)") {
+  test("sampledDim: null/empty/narrow leading rows cannot shrink the " +
+      "width estimate — exact max, not a head or sample read") {
     // first row null, later rows wide: the old head(1) estimate read
-    // size(null) = -1 and the byte gate admitted any frame
-    val vecs = Seq(
-        (1L, null.asInstanceOf[Seq[Double]]),
-        (2L, Seq.fill(512)(0.5)), (3L, Seq.fill(640)(0.25)))
-      .toDF("doc", "__v")
-    assert(Fusion.sampledDim(vecs, "__v") == 640L)
+    // size(null) = -1 and the byte gate admitted any frame (r12
+    // advice); a prefix SAMPLE had the sibling hole — narrow summary
+    // vectors ahead of wide ones (r13 review). The exact max sees the
+    // widest row wherever it sits.
+    val narrowFirst = (1L to 200L).map(i => (i, Seq.fill(8)(0.1))) :+
+      ((201L, null.asInstanceOf[Seq[Double]])) :+
+      ((202L, Seq.fill(4096)(0.25)))
+    val vecs = narrowFirst.toDF("doc", "__v")
+    assert(Fusion.sampledDim(vecs, "__v") == 4096L)
     // no measurable width at all → 0, which the caller must read as
     // DO-NOT-BROADCAST (dim > 0 is part of the gate)
     val nulls = Seq((1L, null.asInstanceOf[Seq[Double]]),

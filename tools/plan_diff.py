@@ -31,20 +31,36 @@ import sys
 
 
 def load(path):
-    """name -> (min sec, plan fingerprint of the min-sec line)."""
+    """name -> (min sec, plan fingerprint of the min-sec line).
+
+    sf-gated like Bench.parseTwins (r13 review): a BENCH_PERF file can
+    contain appended dev runs at another scale factor whose ctx line
+    switches sf_dir mid-file — folding those in would print 10x "same
+    plan" deltas that are pure scale artifacts. Only lines captured
+    under the file's FIRST ctx sf_dir count; returns (rows, sf_dir).
+    """
     best = {}
+    file_sf = None
+    current_sf = None
     with open(path) as f:
         for raw in f:
             try:
                 d = json.loads(raw)
             except json.JSONDecodeError:
                 continue
+            if d.get("ctx") == "start":
+                current_sf = d.get("sf_dir")
+                if file_sf is None:
+                    file_sf = current_sf
+                continue
             if "name" not in d or "sec" not in d:
+                continue
+            if current_sf != file_sf:
                 continue
             cur = best.get(d["name"])
             if cur is None or d["sec"] < cur[0]:
                 best[d["name"]] = (d["sec"], d.get("plan", ""))
-    return best
+    return best, file_sf
 
 
 def main(argv):
@@ -53,7 +69,10 @@ def main(argv):
     if len(paths) != 2:
         print(__doc__)
         return 2
-    a, b = load(paths[0]), load(paths[1])
+    (a, sf_a), (b, sf_b) = load(paths[0]), load(paths[1])
+    if sf_a != sf_b:
+        print(f"WARNING: captures are at different scale factors "
+              f"({sf_a} vs {sf_b}) — seconds are not comparable.\n")
     rows = []
     for name in sorted(set(a) | set(b)):
         sa, pa = a.get(name, (None, ""))
