@@ -50,6 +50,20 @@ class Round13PropertySpec extends SparkSpec {
       b1, "text")
     assert(pairs(Dedup.crossCorpusPrefixFilterPairsIndexed(
       newSide, merged21, "text")) == fresh)
+    // chained DOUBLE merge: the second merge's novel grams land in
+    // df = 0 collision groups that already hold the first merge's
+    // novel grams — the cx recompute must keep the relative order of
+    // existing members (by gram text) so prefixes persisted after
+    // merge 1 stay valid through merge 2
+    val b2a = b2.filter(col("doc_id") % 2 === 0)
+    val b2b = b2.filter(col("doc_id") % 2 =!= 0)
+    val chained = Dedup.mergePrefixIndex(
+      Dedup.mergePrefixIndex(
+        Dedup.indexCorpusPrefix(b1, "doc_id", "text", n = 3, tau = 0.5),
+        b2a, "text"),
+      b2b, "text")
+    assert(pairs(Dedup.crossCorpusPrefixFilterPairsIndexed(
+      newSide, chained, "text")) == fresh)
   }
 
   test("span-gram state: fold order irrelevant; accumulated state " +
