@@ -326,30 +326,32 @@ object GraphOps {
       .repartition(par, col("a"), col("b"))
       .distinct().materialized
     // driver-local short-circuit (r13; the Dedup.DriverUnionFindCap
-    // precedent): each distributed peel round is a degree aggregation
-    // + two semi-joins + a count — ~4 job launches, ~0.7 s of fixed
-    // cost at small edge counts regardless of data volume. Below the
-    // cap (canonical edges already materialized and counted — 16 B/row
-    // ≈ 32 MB at 2 M) the EXACT synchronized peel replays in driver
-    // memory: same rounds contract, same count-equality early exit,
-    // same converged flag; the distributed loop below is untouched and
-    // remains the 100×-scale path (ids are already cast long, so no
-    // schema shift across the gate). Forced distributed in
-    // GraphOpsSpec via driverCap = -1 and asserted equal.
-    if (e0.count() <= driverCap) {
-      val spark = edges.sparkSession
-      import spark.implicits._
-      val es = e0.as[(Long, Long)].collect()
-      val (inCore, converged, r) = kCorePeelLocal(es, k, rounds)
-      roundsOut.foreach(_.set(r))
-      val nodeSeq = {
-        val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
-        es.foreach { case (a, b) => seen += a; seen += b }
-        seen.toSeq
-      }
-      return spark.createDataset(
-          nodeSeq.map(n => (n, inCore.contains(n), converged)))
-        .toDF("node", "in_core", "converged")
+    // precedent, gate logic shared via DriverGate since r14): each
+    // distributed peel round is a degree aggregation + two semi-joins
+    // + a count — ~4 job launches, ~0.7 s of fixed cost at small edge
+    // counts regardless of data volume. Below the cap (canonical edges
+    // already materialized — 16 B/row ≈ 32 MB at 2 M) the EXACT
+    // synchronized peel replays in driver memory: same rounds
+    // contract, same count-equality early exit, same converged flag;
+    // the distributed loop below is untouched and remains the
+    // 100×-scale path (ids are already cast long, so no schema shift
+    // across the gate). Forced distributed in GraphOpsSpec via
+    // driverCap = -1 and asserted equal.
+    DriverGate.edges(e0, "a", "b", driverCap).edges match {
+      case Some(es) =>
+        val spark = edges.sparkSession
+        import spark.implicits._
+        val (inCore, converged, r) = kCorePeelLocal(es, k, rounds)
+        roundsOut.foreach(_.set(r))
+        val nodeSeq = {
+          val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+          es.foreach { case (a, b) => seen += a; seen += b }
+          seen.toSeq
+        }
+        return spark.createDataset(
+            nodeSeq.map(n => (n, inCore.contains(n), converged)))
+          .toDF("node", "in_core", "converged")
+      case None => ()
     }
     val nodes = e0.select(col("a").as("node"))
       .union(e0.select(col("b").as("node"))).distinct().materialized
@@ -387,8 +389,10 @@ object GraphOps {
     * [[Dedup.DriverUnionFindCap]] rationale: 2 M canonical (long,
     * long) edges ≈ 32 MB on the driver, far under any sane driver
     * heap, while the distributed loop's per-round fixed cost dominates
-    * wall time at these sizes. */
-  private[ops] val DriverKCoreCap = 2000000L
+    * wall time at these sizes. One shared constant ([[DriverGate]])
+    * since r14, so the cap/byte math cannot drift between the three
+    * gated operators. */
+  private[ops] val DriverKCoreCap = DriverGate.EdgeCap
 
   /** The synchronized bounded-round peel, in memory — semantics
     * IDENTICAL to the distributed loop in [[kCorePeel]] by

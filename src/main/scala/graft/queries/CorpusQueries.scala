@@ -2038,7 +2038,7 @@ object CorpusQueries extends QueryModule {
             Dedup.spanGramState(batch(1), "doc_id", "text", l = 12)),
           Dedup.spanGramState(batch(2), "doc_id", "text", l = 12))
         Dedup.duplicateCoverageAgainst(batch(2), state,
-          "doc_id", "text", l = 12)
+          "doc_id", "text")
       },
       Some("""WITH t AS (
              |  SELECT doc_id, string_split(trim(text), ' ') AS w

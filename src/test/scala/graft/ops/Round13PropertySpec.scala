@@ -76,11 +76,11 @@ class Round13PropertySpec extends SparkSpec {
       Dedup.mergeSpanGramState(states(0), states(1)), states(2))
     val s210 = Dedup.mergeSpanGramState(states(2),
       Dedup.mergeSpanGramState(states(1), states(0)))
-    val folded = asMap(s012)
-    assert(folded == asMap(s210))
+    val folded = asMap(s012.df)
+    assert(folded == asMap(s210.df))
     // merged batch states == the single-pass full-corpus state
     assert(folded == asMap(
-      Dedup.spanGramState(docs, "doc_id", "text", l = 12)))
+      Dedup.spanGramState(docs, "doc_id", "text", l = 12).df))
     assert(folded.nonEmpty)
 
     def rows(df: DataFrame): Set[Seq[Any]] =
@@ -88,7 +88,7 @@ class Round13PropertySpec extends SparkSpec {
     // replay differential: batch coverage against the accumulated
     // state equals full-corpus coverage restricted to the batch
     val incremental = rows(Dedup.duplicateCoverageAgainst(b(2), s012,
-      "doc_id", "text", l = 12))
+      "doc_id", "text"))
     val fullRestricted = rows(Dedup.duplicateCoverage(docs,
         "doc_id", "text", l = 12)
       .filter(col("doc_id") % 3 === 2))
@@ -99,7 +99,7 @@ class Round13PropertySpec extends SparkSpec {
     // same bar + merge)
     val selfState = Dedup.spanGramState(docs, "doc_id", "text", l = 12)
     assert(rows(Dedup.duplicateSpansAgainst(docs, selfState,
-        "doc_id", "text", l = 12)) ==
+        "doc_id", "text")) ==
       rows(Dedup.duplicateSpans(docs, "doc_id", "text", l = 12)))
   }
 
