@@ -48,15 +48,24 @@ object OracleSql {
     * SECOND parameter point by q333 + the brute audit (r12 verdict
     * #7): a parameter-dependent misderivation that happened to cancel
     * at τ = 0.5 cannot hide. `tau` is a string so the SQL text is
-    * byte-stable (no double formatting surprises). */
-  def blockedPairCtesAt(tau: String, n: Int): String = {
+    * byte-stable (no double formatting surprises).
+    *
+    * `where` (r13 verdict "next" #3) restricts the corpus BEFORE gram
+    * building — q333's τ=0.7 bigram dfs barely prune, so its verify
+    * join approaches all-pairs in DuckDB and one oracle dominated the
+    * whole 10× sweep (503 of 586 s); a deterministic slice keeps the
+    * parameter point exercised at a bounded cost. Empty (the default)
+    * emits byte-identical text to the pre-r14 generator — the
+    * Round13PropertySpec byte pin on the house instantiation holds. */
+  def blockedPairCtesAt(tau: String, n: Int, where: String = ""): String = {
     require(n >= 2, s"word n-grams need n >= 2, got $n")
     val gram = (0 until n)
       .map(o => if (o == 0) "w[i]" else s"w[i+$o]")
       .mkString(" || ' ' || ")
     val rangeEnd = if (n == 2) "len(w)" else s"len(w) - ${n - 2}"
+    val src = if (where.isEmpty) "documents" else s"documents WHERE $where"
     s"""toks AS (
-      |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM $src
       |), g AS MATERIALIZED (
       |  SELECT doc_id, list_distinct(
       |    [$gram for i in range(1, $rangeEnd)]) AS t

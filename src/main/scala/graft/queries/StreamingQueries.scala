@@ -951,5 +951,129 @@ object StreamingQueries extends QueryModule {
              |FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2)"""
         .stripMargin),
     ),
+
+    // ---- INCREMENTAL exact-substring dedup state maintained ACROSS
+    // REAL MICRO-BATCHES (r13 verdict "next" #2 — the q41 + q334
+    // pattern combined): documents split by doc_id parity into two
+    // cron ticks; each AvailableNow run's foreachBatch (a) builds the
+    // batch's span-gram state, (b) merges it into the ACCUMULATED
+    // state read from PARQUET (Dedup.readSpanGramState — tick 2's
+    // merge reads what tick 1 persisted), (c) writes the merged state
+    // back to the SAME directory (safe: AtomicParquet tmp-then-swap
+    // under the lazy read), and (d) scores the batch's duplicate
+    // coverage against the state RE-READ from disk — so the bar
+    // crosses the persistence boundary in BOTH directions every
+    // micro-batch. The oracle replays from scratch: batch-0 coverage
+    // against batch 0's own bar, batch-1 coverage against the
+    // two-batch cumulative bar (counts are sums — 1 + 1 = 2 across
+    // batches is exactly what the state carries).
+    Q(
+      "q336_streaming_span_state",
+      (s, d) => withHarnessPartitions(s) {
+        val src = staged("q336", d) { dir =>
+          val docs = Tables.documents(s, d)
+            .select(col("doc_id"), col("text"))
+          docs.filter(col("doc_id") % 2 === 0)
+            .coalesce(1).write.parquet(s"$dir/t0")
+          docs.filter(col("doc_id") % 2 =!= 0)
+            .coalesce(1).write.parquet(s"$dir/t1")
+        }
+        val schema = s.read.parquet(s"$src/t0").schema
+        val root = scratch()
+        val inDir = s"$root/in"
+        val ckpt = s"$root/ckpt"
+        val stateDir = s"$root/state"
+        val outDir = s"$root/out"
+        def tick(tickDir: String): Unit = {
+          graft.io.Scratch.deliver(tickDir, inDir)
+          val q = s.readStream.schema(schema).parquet(inDir)
+            .writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              val D = graft.ops.Dedup
+              val batchState =
+                D.spanGramState(batch, "doc_id", "text", l = 12)
+              val merged =
+                if (new java.io.File(s"$stateDir/state").exists())
+                  D.mergeSpanGramState(
+                    D.readSpanGramState(s, stateDir), batchState)
+                else batchState
+              D.writeSpanGramState(merged, stateDir)
+              // coverage against the state RE-READ from disk: the
+              // persisted artifact, not the in-memory frame, is what
+              // the next deployment stage would consume
+              D.duplicateCoverageAgainst(batch,
+                  D.readSpanGramState(s, stateDir), "doc_id", "text")
+                .write.mode("append").parquet(outDir)
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        tick(s"$src/t0")
+        tick(s"$src/t1")
+        s.read.parquet(outDir)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS w
+             |  FROM documents
+             |), g0 AS (
+             |  SELECT doc_id, unnest([{'pos': i,
+             |      'h': CAST('0x' || substr(md5(
+             |        array_to_string(w[i:i+11], ' ')), 1, 15) AS BIGINT)}
+             |    for i in range(1, len(w) - 10)]) AS g
+             |  FROM t WHERE len(w) >= 12
+             |), g AS (
+             |  SELECT doc_id, g.pos AS pos, g.h AS h FROM g0
+             |), """.stripMargin +
+        spanCoverageCtes(0, "doc_id % 2 = 0", "doc_id % 2 = 0") + ", " +
+        spanCoverageCtes(1, "TRUE", "doc_id % 2 = 1") + "\n" +
+        spanCoverageSelect(0) + "\nUNION ALL\n" + spanCoverageSelect(1)),
+    ),
   )
+
+  /** One per-batch coverage pipeline for q336's oracle — q334's
+    * island-merge CTEs at l = 12, parameterized by the CUMULATIVE-bar
+    * predicate (which batches the state has seen) and the batch
+    * predicate (which docs are scored); suffix `k` keeps the CTE
+    * names distinct across the replay union. */
+  private def spanCoverageCtes(k: Int, barPred: String,
+      batchPred: String): String =
+    s"""f$k AS (
+       |  SELECT h FROM g WHERE $barPred GROUP BY h HAVING count(*) >= 2
+       |), sel$k AS (
+       |  SELECT g.doc_id, g.pos FROM g JOIN f$k USING (h)
+       |  WHERE $batchPred
+       |), o$k AS (
+       |  SELECT doc_id, pos,
+       |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |  FROM sel$k
+       |), isl$k AS (
+       |  SELECT doc_id, pos,
+       |    sum(CASE WHEN prev IS NULL OR pos > prev + 12
+       |      THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM o$k
+       |), sp$k AS (
+       |  SELECT doc_id, max(pos) + 12 - min(pos) AS len
+       |  FROM isl$k GROUP BY doc_id, island
+       |), pd$k AS (
+       |  SELECT doc_id, CAST(sum(len) AS BIGINT) AS dup_tokens
+       |  FROM sp$k GROUP BY doc_id
+       |), nt$k AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+       |      AS BIGINT) AS n_tokens
+       |  FROM documents WHERE $batchPred
+       |)""".stripMargin
+
+  /** The final per-batch read of [[spanCoverageCtes]]' pipeline `k` —
+    * q334's output contract (every batch doc appears, zero-coverage
+    * included). */
+  private def spanCoverageSelect(k: Int): String =
+    s"""SELECT nt$k.doc_id, nt$k.n_tokens,
+       |  CAST(coalesce(pd$k.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  CAST((1000 * coalesce(pd$k.dup_tokens, 0))
+       |    // greatest(nt$k.n_tokens, 1) AS BIGINT) AS dup_fraction_pm
+       |FROM nt$k LEFT JOIN pd$k USING (doc_id)""".stripMargin
 }

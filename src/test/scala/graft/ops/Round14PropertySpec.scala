@@ -134,6 +134,17 @@ class Round14PropertySpec extends SparkSpec {
     assert(e.getMessage.contains("anchor"))
   }
 
+  test("blockedPairCtesAt slice: the predicate lands in the toks " +
+      "source and is the ONLY change; the default stays byte-identical") {
+    import graft.queries.OracleSql
+    assert(OracleSql.blockedPairCtesAt("0.7", 2) ==
+      OracleSql.blockedPairCtesAt("0.7", 2, ""))
+    val sliced = OracleSql.blockedPairCtesAt("0.7", 2, "doc_id % 4 = 1")
+    assert(sliced.contains("FROM documents WHERE doc_id % 4 = 1"))
+    assert(sliced.replace(" WHERE doc_id % 4 = 1", "") ==
+      OracleSql.blockedPairCtesAt("0.7", 2))
+  }
+
   test("DriverGate probe: type guard skips the count, cap -1 forces " +
       "distributed, and an eligible frame collects the exact pairs") {
     val spark2 = spark

@@ -81,11 +81,14 @@ WHERE len(list_intersect(a.t, b.t)) * 1.0 /
 # Second parameterization (r12 verdict #7): every other blocked oracle
 # runs at tau=0.5/n=3, so a prefix-length misderivation (the ceil
 # boundary) that happens to cancel at 0.5 could pass every gate. q333
-# commits the blocked form at tau=0.7 over BIGRAMS; this is its
-# independent all-pairs restatement.
+# commits the blocked form at tau=0.7 over BIGRAMS, sliced to
+# doc_id % 4 == 1 since r14 (the tau=0.7 bigram verify approaches
+# all-pairs in DuckDB and dominated the 10x sweep); this is its
+# independent all-pairs restatement AT THE SAME SLICE.
 BRUTE_SELF_T07N2 = """
 WITH toks AS (
   SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+  WHERE doc_id % 4 = 1
 ), g AS (
   SELECT doc_id, list_distinct(
     [w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS t
