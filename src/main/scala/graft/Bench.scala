@@ -139,25 +139,83 @@ object Bench {
     * an AQE decision flip — broadcast to SMJ on a borderline size — IS
     * a plan change a reader wants surfaced.) */
   private[graft] def planFingerprint(
-      df: org.apache.spark.sql.DataFrame): String = {
-    val norm = df.queryExecution.executedPlan.toString
-      .replaceAll("#\\d+", "#")
-      .replaceAll("_\\d+#", "#") // lambda variable counters (x_3 → x)
-      .replaceAll("plan_id=\\d+", "plan_id=")
-      // typed-API closures print as Class$$Lambda$123/0xabc@instancehash
-      // — the id is classload-order and the hash is per-instance
-      .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$\\$Lambda")
-      .replaceAll("@[0-9a-f]{6,}", "@")
-      .replaceAll("graft_stream\\w*", "graft_stream")
-      // run-random filesystem locations (r13: ~10 streaming/sink
-      // queries scan or checkpoint under fresh temp dirs every run —
-      // their fingerprints read CHANGED across byte-identical code,
-      // polluting the plan_diff read)
-      .replaceAll("file:[^\\s\\]),]+", "file:")
-      .replaceAll("/tmp/[^\\s\\]),]+", "/tmp/")
+      df: org.apache.spark.sql.DataFrame): String =
+    md5hex12(normalizePlanText(
+      df.queryExecution.executedPlan.toString))
+
+  /** The per-run-identifier normalization shared by [[planFingerprint]]
+    * (whole-tree text) and [[planFingerprint2]] (per-node text). */
+  private[graft] def normalizePlanText(s: String): String = s
+    .replaceAll("#\\d+", "#")
+    .replaceAll("_\\d+#", "#") // lambda variable counters (x_3 → x)
+    .replaceAll("plan_id=\\d+", "plan_id=")
+    // typed-API closures print as Class$$Lambda$123/0xabc@instancehash
+    // — the id is classload-order and the hash is per-instance
+    .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$\\$Lambda")
+    .replaceAll("@[0-9a-f]{6,}", "@")
+    .replaceAll("graft_stream\\w*", "graft_stream")
+    // run-random filesystem locations (r13: ~10 streaming/sink
+    // queries scan or checkpoint under fresh temp dirs every run —
+    // their fingerprints read CHANGED across byte-identical code,
+    // polluting the plan_diff read)
+    .replaceAll("file:[^\\s\\]),]+", "file:")
+    .replaceAll("/tmp/[^\\s\\]),]+", "/tmp/")
+
+  private def md5hex12(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(norm.getBytes("UTF-8"))
+      .digest(s.getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
+
+  /** STRUCTURAL plan fingerprint, canonical under same-shape sibling
+    * REORDERING beneath Union nodes (r13 verdict "next" #4): q334's
+    * executed plan prints its (semantically order-free) union subtrees
+    * in an order that depends on execution context — byte-identical
+    * code fingerprints differently inside the full suite vs under
+    * SPARK_GRAFT_BENCH_ONLY, so the one query reads permanently
+    * CHANGED in plan_diff. This variant hashes the tree bottom-up —
+    * each node = md5(normalized node text + child hashes) — and SORTS
+    * child hashes under UnionExec (order there changes row order, not
+    * semantics, and our hash compare is order-free); every other
+    * node's child order is significant and kept. The walk descends
+    * through the wrapper nodes whose payload lives OUTSIDE `children`
+    * (AQE root, query stages, exchange reuse) and appends subquery
+    * plans, so it sees the same final adaptive plan the text
+    * fingerprint prints.
+    *
+    * Emitted as `plan2` ALONGSIDE `plan` for a transition round:
+    * plan_diff prefers plan2 when both captures carry it and falls
+    * back to plan against pre-r14 captures, so the r13-vs-r14 read
+    * stays mechanical instead of every row flipping CHANGED under a
+    * new scheme. */
+  private[graft] def planFingerprint2(
+      df: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.execution.{SparkPlan, UnionExec}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def walk(p: SparkPlan): String = {
+      val kids: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      val kh = kids.map(walk)
+      val ordered = p match {
+        case _: UnionExec => kh.sorted
+        case _ => kh
+      }
+      val sub = p.subqueries.map(walk) // order-kept
+      // codegen stage ids number nodes in TREE-PRINT order, so a
+      // sibling swap renumbers both subtrees — normalized here ONLY
+      // (the shared normalizer must keep `plan` byte-compatible with
+      // pre-r14 captures)
+      val self = normalizePlanText(p.simpleString(Int.MaxValue))
+        .replaceAll("WholeStageCodegen \\(\\d+\\)", "WholeStageCodegen")
+        .replaceAll("codegen id : \\d+", "codegen id :")
+      md5hex12(self + "|" + (ordered ++ sub).mkString(","))
+    }
+    walk(df.queryExecution.executedPlan)
   }
 
   /** Fresh-JVM probe command for a suspect query (r11 brief #5): the
@@ -457,10 +515,13 @@ object Bench {
         df.count()
       } catch { case _: Throwable => -1L }
       val secs = (System.nanoTime() - t0) / 1e9
-      // fingerprint AFTER the timed window (string build + md5 is
+      // fingerprints AFTER the timed window (string build + md5 is
       // milliseconds, but it is not this query's execution)
       val planFp = if (n >= 0 && builtDf != null)
         try planFingerprint(builtDf) catch { case _: Throwable => "" }
+      else ""
+      val planFp2 = if (n >= 0 && builtDf != null)
+        try planFingerprint2(builtDf) catch { case _: Throwable => "" }
       else ""
       if (n < 0) System.err.println(s"[bench] $name FAILED")
       // operators may persist() intermediates; drop them so successive
@@ -492,6 +553,7 @@ object Bench {
         (if (suspectSerial) s""","suspect":"code-state"""" else "") +
         (if (suspectPar) s""","suspect":"code-state-par"""" else "") +
         (if (planFp.nonEmpty) s""","plan":"$planFp"""" else "") +
+        (if (planFp2.nonEmpty) s""","plan2":"$planFp2"""" else "") +
         s""","shuf_r":${after.shuffleBytesRead - before.shuffleBytesRead}""" +
         s""","shuf_w":${after.shuffleBytesWritten - before.shuffleBytesWritten}""" +
         s""","spill":${after.spilledBytes - before.spilledBytes}""" +

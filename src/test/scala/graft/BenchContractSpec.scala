@@ -194,6 +194,37 @@ class BenchContractSpec extends AnyFunSuite {
     assert(twins == Map("q1_agg" -> ((1.5, 2500L))))
   }
 
+  test("structural fingerprint (plan2): invariant under union sibling " +
+      "order, sensitive to everything else, deterministic (r13 next #4)") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    // q334's failure mode in miniature: same-shape union subtrees in
+    // either order — the TEXT fingerprint differs (tree print order),
+    // the structural one must not (our hash compare is row-order-free,
+    // so sibling order under Union is not a plan property)
+    val a = spark.range(10).toDF("x").filter(col("x") > 5)
+    val b = spark.range(20).toDF("x").filter(col("x") > 7)
+    val ab = a.union(b)
+    val ba = b.union(a)
+    assert(Bench.planFingerprint2(ab) == Bench.planFingerprint2(ba))
+    assert(Bench.planFingerprint(ab) != Bench.planFingerprint(ba),
+      "text fingerprints coinciding would make this test vacuous")
+    // ...but a genuinely different child is a different plan
+    val c = spark.range(20).toDF("x").filter(col("x") > 9)
+    assert(Bench.planFingerprint2(ab) != Bench.planFingerprint2(a.union(c)))
+    // deterministic on a rebuild of the same non-union plan, and
+    // sensitive to a real plan change there too
+    val g1 = spark.range(30).toDF("x").groupBy((col("x") % 3).as("k"))
+      .count()
+    val g2 = spark.range(30).toDF("x").groupBy((col("x") % 3).as("k"))
+      .count()
+    assert(Bench.planFingerprint2(g1) == Bench.planFingerprint2(g2))
+    assert(Bench.planFingerprint2(g1) != Bench.planFingerprint2(
+      spark.range(30).toDF("x").groupBy((col("x") % 4).as("k")).count()))
+    // 12 hex chars, same width contract as `plan`
+    assert(Bench.planFingerprint2(ab).matches("[0-9a-f]{12}"))
+  }
+
   test("median-of-3 publishes the middle rep and carries ITS suspect " +
       "flag into the auto-probe decision") {
     import Bench.RepResult
