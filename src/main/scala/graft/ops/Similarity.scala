@@ -790,10 +790,13 @@ object Similarity {
   }
 
   /** ANN top-k for `queries` against a prepared [[IvfIndex]]: only the
-    * query side's distance pass runs per call. Note: queries present in
-    * the indexed corpus will (correctly) retrieve themselves at
-    * cosine 1 — filter `neighbor_id =!= id` downstream if self-matches
-    * are unwanted. */
+    * query side's distance pass runs per call. Note: a query whose ID
+    * equals an indexed member's id is EXCLUDED from that member's
+    * results (the shared kernel's self-exclusion — corrected r14: this
+    * scaladoc used to claim the opposite; the oracle-checked behavior
+    * was always exclusion). Searching for duplicates of indexed
+    * vectors therefore needs query ids disjoint from member ids —
+    * the Round14PropertySpec twin probe pattern. */
   def annSearchIvf(queries: DataFrame, index: IvfIndex, idCol: String,
       vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
@@ -803,6 +806,88 @@ object Similarity {
     val probes = nearestCells(base, bcCenters, nProbe)
       .select(col("id"), col("__vq"), col("cell"))
     rankAgainstPacks(probes, index.memberPacks, k)
+  }
+
+  /** Deletion-list size under which [[deleteFromIvfIndex]] filters the
+    * packs IN PLACE with a broadcast id set (2 M longs ≈ 16 MB — the
+    * [[DriverGate.EdgeCap]] driver-size budget applied to single ids);
+    * larger lists fall back to the distributed unpack → anti-join →
+    * repack compaction, index-sized at any list size. */
+  private[ops] val MaxBroadcastDeletes = DriverGate.EdgeCap
+
+  /** DELETION PROPAGATION into a built [[IvfIndex]] (r13 verdict
+    * "next" #8 — q235's delete-manifest semantics applied to the
+    * member packs): drop the listed members from every cell WITHOUT
+    * refitting centroids or touching the source corpus. Below
+    * [[MaxBroadcastDeletes]] ids the filter is pack-local — one map
+    * over the pack rows against a broadcast hash set, no explode, no
+    * shuffle (deletion manifests are bounded in practice); above it, a
+    * distributed unpack → anti-join → repack runs at index size.
+    * Cells emptied by the delete are dropped (a probe of an empty cell
+    * contributes nothing either way). Exact-by-construction: search
+    * results can only lose the deleted neighbors — candidate ranking
+    * of the survivors is byte-identical (Round14PropertySpec pins
+    * delete/append order-insensitivity and the never-retrieved
+    * property). */
+  def deleteFromIvfIndex(index: IvfIndex, deleteIds: DataFrame,
+      idCol: String,
+      maxBroadcast: Long = MaxBroadcastDeletes): IvfIndex = {
+    val spark = deleteIds.sparkSession
+    import spark.implicits._
+    val ids = deleteIds.select(col(idCol).cast("long").as("member_id"))
+      .distinct()
+    val packs =
+      if (ids.count() <= maxBroadcast) {
+        val bc = spark.sparkContext.broadcast(
+          ids.as[Long].collect().toSet)
+        index.memberPacks.as[(Int, Seq[(Long, Seq[Double])])]
+          .map { case (cell, mv) =>
+            (cell, mv.filterNot(m => bc.value(m._1))) }
+          .filter(_._2.nonEmpty)
+          .toDF("cell", "mv")
+      } else {
+        val unpacked = index.memberPacks
+          .select(col("cell"), explode(col("mv")).as("m"))
+          .select(col("cell"), col("m._1").as("member_id"),
+            col("m._2").as("__vm"))
+        packMembers(unpacked.join(ids, Seq("member_id"), "left_anti"))
+      }
+    IvfIndex(index.centers, graft.ops.Materialize(packs))
+  }
+
+  /** BATCH-APPEND into a built [[IvfIndex]] without centroid refit —
+    * the ANN sibling of [[Dedup.mergePrefixIndex]]'s frozen order: new
+    * vectors are assigned to the EXISTING centroids and their packs
+    * concatenated per cell, so the merge costs one batch-sized
+    * distance pass plus a cell-count-sized pack join — never an
+    * old-corpus rescan or refit. WHY FROZEN CENTROIDS ARE SOUND: cell
+    * assignment is only the candidate-pruning heuristic — ranking is
+    * exact cosine on the stored vectors, and assignment is a pure
+    * function of (centers, vector), so the maintained index has
+    * byte-the-same member placement as an index over the final corpus
+    * under the same centers (delete/append fold order is irrelevant
+    * for disjoint sets — property-pinned). BOUNDED DRIFT: what decays
+    * is recall, not correctness — appended mass can shift true cell
+    * populations away from the trained quantizer, exactly like novel
+    * grams entering the frozen df order at 0. A deployment refits on
+    * a drift budget; the q337 verdict query is the recall floor that
+    * gates it. */
+  def appendToIvfIndex(index: IvfIndex, dfNew: DataFrame, idCol: String,
+      vecCol: String): IvfIndex = {
+    val spark = dfNew.sparkSession
+    val base = dfNew.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("__v"))
+    val bcCenters = spark.sparkContext.broadcast(index.centers)
+    val membersNew = nearestCells(base, bcCenters, nProbe = 1)
+      .select(col("id").as("member_id"), col("__vq").as("__vm"),
+        col("cell"))
+    val merged = index.memberPacks.as("o")
+      .join(packMembers(membersNew).as("n"), Seq("cell"), "full_outer")
+      .select(col("cell"),
+        when(col("o.mv").isNull, col("n.mv"))
+          .when(col("n.mv").isNull, col("o.mv"))
+          .otherwise(concat(col("o.mv"), col("n.mv"))).as("mv"))
+    IvfIndex(index.centers, graft.ops.Materialize(merged))
   }
 
   /** ANN-BACKED CONTRASTIVE MINING — the 100-TB sibling of

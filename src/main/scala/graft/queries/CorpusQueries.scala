@@ -2162,6 +2162,57 @@ object CorpusQueries extends QueryModule {
              |    len(list_distinct(list_concat(x.t, y.t))) >= 0.5""".stripMargin),
     ),
 
+    // ---- MAINTAINED IVF index recall gate (r13 verdict "next" #8 —
+    // the ANN sibling of q332's mergeable prefix index): build on the
+    // bulk (vec_id % 5 ≠ 4), propagate a deletion manifest
+    // (% 7 == 3 of the bulk — pack-local broadcast filter), append
+    // the % 5 == 4 batch WITHOUT centroid refit (frozen centers — the
+    // frozen-gram-order argument: assignment is the pruning heuristic,
+    // ranking is exact cosine), then search a deterministic query
+    // subset (% 11 == 0 of the FINAL corpus) against the maintained
+    // index and gate recall@3 vs the exact blocked kernel over the
+    // final corpus — the q311 verdict pattern. Uniform-random test
+    // embeddings are ANN's worst case (recall ≈ nProbe/numCentroids);
+    // floor 0.85 with 16 cells / nProbe 10, deterministic per sf
+    // (seeded k-means, fixed data). A wrong delete (stale neighbors),
+    // a wrong append (missing neighbors), or drifted assignment
+    // crushes recall and flips the row; the oracle verifies by
+    // mismatch.
+    Q(
+      "q337_ivf_maintenance",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val k = 3
+        val bulk = emb.filter(col("vec_id") % 5 =!= 4)
+        val appendBatch = emb.filter(col("vec_id") % 5 === 4)
+        val delIds = bulk.filter(col("vec_id") % 7 === 3)
+          .select(col("vec_id"))
+        val maintained = Similarity.appendToIvfIndex(
+          Similarity.deleteFromIvfIndex(
+            Similarity.buildIvfIndex(bulk, "vec_id", "embedding",
+              numCentroids = 16),
+            delIds, "vec_id"),
+          appendBatch, "vec_id", "embedding")
+        val corpus = bulk.join(delIds, Seq("vec_id"), "left_anti")
+          .unionByName(appendBatch)
+        val exact = Similarity.cosineTopKKernelForQueries(corpus,
+            "vec_id", "embedding", k, col("vec_id") % 11 === 0)
+          .select(col("id"), col("neighbor_id"))
+        val approx = Similarity.annSearchIvf(
+            corpus.filter(col("vec_id") % 11 === 0), maintained,
+            "vec_id", "embedding", k, nProbe = 10)
+          .select(col("id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1))
+        exact.join(approx, Seq("id", "neighbor_id"), "left")
+          .agg((sum(coalesce(col("__hit"), lit(0))) / count(lit(1)))
+            .as("recall"))
+          .select(lit("ivf16_probe10_del_append").as("method"),
+            (col("recall") >= 0.85).as("meets_floor"))
+      },
+      Some("SELECT 'ivf16_probe10_del_append' AS method, " +
+        "true AS meets_floor"),
+    ),
+
     // ---- hashed linear classifier scoring: the weights are a
     // deterministic arithmetic function of the bucket (a stand-in for a
     // trained fastText/quality model — no model ships in this

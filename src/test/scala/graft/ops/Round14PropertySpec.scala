@@ -145,6 +145,80 @@ class Round14PropertySpec extends SparkSpec {
       OracleSql.blockedPairCtesAt("0.7", 2))
   }
 
+  test("IVF maintenance: delete/append fold order irrelevant for " +
+      "disjoint sets, deleted members never retrieved, appended twins " +
+      "found, empty ops are identity, both delete paths agree") {
+    val emb = graft.model.Tables
+      .embeddings(spark, "/root/testdata/sf0.001")
+    val bulk = emb.filter(col("vec_id") % 5 =!= 4)
+    val appendBatch = emb.filter(col("vec_id") % 5 === 4)
+    val delIds = bulk.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+    val queries = emb.filter(col("vec_id") % 11 === 0)
+    def results(idx: Similarity.IvfIndex): Set[(Long, Long, Double)] =
+      Similarity.annSearchIvf(queries, idx, "vec_id", "embedding",
+          k = 3, nProbe = 4)
+        .select(col("id"), col("neighbor_id"), col("cosine"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          BigDecimal(r.getDouble(2)).setScale(9,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+
+    val base = Similarity.buildIvfIndex(bulk, "vec_id", "embedding",
+      numCentroids = 8)
+    // fold order: (delete then append) == (append then delete) —
+    // assignment is a pure function of the FROZEN centers, so
+    // disjoint maintenance ops commute
+    val da = results(Similarity.appendToIvfIndex(
+      Similarity.deleteFromIvfIndex(base, delIds, "vec_id"),
+      appendBatch, "vec_id", "embedding"))
+    val ad = results(Similarity.deleteFromIvfIndex(
+      Similarity.appendToIvfIndex(base, appendBatch, "vec_id",
+        "embedding"),
+      delIds, "vec_id"))
+    assert(da == ad)
+    assert(da.nonEmpty)
+    // deleted members are never retrieved
+    val deleted = delIds.collect().map(_.getLong(0)).toSet
+    assert(da.forall { case (_, nb, _) => !deleted(nb) })
+    // appended twins are found: a RE-ID'd duplicate of each appended
+    // vector (the kernel excludes equal ids — annSearchIvf's r14 doc
+    // fix) probed at nProbe = 1 retrieves the appended member at
+    // cosine ~1: same vector + same frozen centers ⇒ the twin's
+    // rank-0 probe cell IS the member's stored cell
+    val appendedIds = appendBatch.select(col("vec_id")).collect()
+      .map(_.getLong(0)).toSet
+    val twinProbes = appendBatch.select(
+      (col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val twinHits = Similarity.annSearchIvf(twinProbes,
+        Similarity.appendToIvfIndex(base, appendBatch, "vec_id",
+          "embedding"),
+        "vec_id", "embedding", k = 1, nProbe = 1)
+      .select(col("id"), col("neighbor_id"), col("cosine")).collect()
+    assert(twinHits.nonEmpty && twinHits.forall(r =>
+      r.getLong(1) == r.getLong(0) - 1000000L && r.getDouble(2) > 0.999999))
+    assert(appendedIds.nonEmpty)
+    // empty delete and empty append are identity on search output
+    val emptyIds = delIds.filter(col("vec_id") < 0)
+    val emptyBatch = appendBatch.filter(col("vec_id") < 0)
+    assert(results(Similarity.deleteFromIvfIndex(base, emptyIds,
+      "vec_id")) == results(base))
+    assert(results(Similarity.appendToIvfIndex(base, emptyBatch,
+      "vec_id", "embedding")) == results(base))
+    // both delete implementations agree: the broadcast pack-local
+    // filter (default) vs the distributed unpack → anti-join → repack
+    // (forced via maxBroadcast = -1, the driverCap convention)
+    assert(results(Similarity.deleteFromIvfIndex(base, delIds,
+        "vec_id", maxBroadcast = -1L)) ==
+      results(Similarity.deleteFromIvfIndex(base, delIds, "vec_id")))
+    // deleting EVERY bulk member leaves only appended neighbors
+    val allBulkGone = Similarity.appendToIvfIndex(
+      Similarity.deleteFromIvfIndex(base,
+        bulk.select(col("vec_id")), "vec_id"),
+      appendBatch, "vec_id", "embedding")
+    val onlyAppended = results(allBulkGone)
+    assert(onlyAppended.nonEmpty &&
+      onlyAppended.forall { case (_, nb, _) => appendedIds(nb) })
+  }
+
   test("DriverGate probe: type guard skips the count, cap -1 forces " +
       "distributed, and an eligible frame collects the exact pairs") {
     val spark2 = spark
