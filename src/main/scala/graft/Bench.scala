@@ -209,10 +209,22 @@ object Bench {
       // codegen stage ids number nodes in TREE-PRINT order, so a
       // sibling swap renumbers both subtrees — normalized here ONLY
       // (the shared normalizer must keep `plan` byte-compatible with
-      // pre-r14 captures)
+      // pre-r14 captures). Scan nodes additionally drop the
+      // DataFilters…PushedFilters metadata span: each metadata VALUE
+      // is truncated at a 100-char RAW budget
+      // (spark.sql.maxMetadataStringLength), so the cut point shifts
+      // with expression-id DIGIT WIDTH — i.e. with how many exprIds
+      // earlier queries in the JVM consumed (q334's r13 "context-
+      // sensitive fingerprint", root-caused r14 via PlanProbe). The
+      // strip runs to the last ", ReadSchema:" (schema text has no
+      // exprIds, so its own truncation is context-free); pushdown
+      // changes stay visible — a filter that stops (or starts) being
+      // pushed adds (or removes) the Filter node above the scan.
       val self = normalizePlanText(p.simpleString(Int.MaxValue))
         .replaceAll("WholeStageCodegen \\(\\d+\\)", "WholeStageCodegen")
         .replaceAll("codegen id : \\d+", "codegen id :")
+        .replaceAll("DataFilters: .*, ReadSchema: ",
+          "DataFilters: _, ReadSchema: ")
       md5hex12(self + "|" + (ordered ++ sub).mkString(","))
     }
     walk(df.queryExecution.executedPlan)

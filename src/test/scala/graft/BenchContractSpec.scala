@@ -225,6 +225,31 @@ class BenchContractSpec extends AnyFunSuite {
     assert(Bench.planFingerprint2(ab).matches("[0-9a-f]{12}"))
   }
 
+  test("plan2 is stable under exprId-width-driven scan-metadata " +
+      "truncation (the q334/q316 mechanism, root-caused r14)") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    // a filter long enough that the FileScan's DataFilters metadata
+    // VALUE exceeds the 100-char raw truncation budget — the cut
+    // point then depends on exprId digit width, i.e. on how many ids
+    // the JVM has allocated so far
+    def build() = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") % 3 === 2 &&
+        size(split(trim(col("text")), "\\s+")) >= 12 &&
+        length(col("text")) > 5)
+      .select(col("doc_id"))
+    val fp1 = Bench.planFingerprint2(build())
+    // burn expression ids so a rebuild of the SAME query prints its
+    // raw metadata at a different width (and so a different cut)
+    (1 to 40).foreach { _ =>
+      spark.range(1)
+        .select((1 to 200).map(i => (col("id") + i).as("c" + i)): _*)
+        .queryExecution.analyzed
+    }
+    assert(Bench.planFingerprint2(build()) == fp1)
+  }
+
   test("median-of-3 publishes the middle rep and carries ITS suspect " +
       "flag into the auto-probe decision") {
     import Bench.RepResult
