@@ -447,39 +447,48 @@ object Dedup {
     * scalar parameters (idCol, n, tau) — crossing the persistence
     * boundary the index's scaladoc promises (r13 verdict "what's
     * wrong" #1: the artifacts had never actually been round-tripped).
-    * Each frame goes through [[graft.io.AtomicParquet.publish]]
-    * (write-tmp-then-swap), which makes the read → [[mergePrefixIndex]]
-    * → write-back-to-the-same-dir cycle SAFE: the merged frames read
-    * the old parquet lazily, and a plain overwrite would delete the
-    * input under the running job. Readers see the old or the new
-    * index, never a half-written one.
+    * The WHOLE directory is one
+    * [[graft.io.AtomicParquet.publishDir]] transaction (r14 review:
+    * per-frame swaps left a window where a reader saw new grams with
+    * old prefixes — batch docs then silently never became
+    * candidates), which also makes the read → [[mergePrefixIndex]] →
+    * write-back-to-the-same-dir cycle SAFE: the merged frames read
+    * the old parquet lazily while the new frames land in the tmp dir,
+    * and the rename swaps them in as a unit. Readers see the old or
+    * the new index, never a mixed one; [[readPrefixIndex]] heals a
+    * crashed half-swap before reading.
     *
     * Scale shape: three distributed parquet writes (no coalesce — the
     * frames are corpus-sized); a 100 TB deployment additionally
     * buckets `prefixes` and `vocab` by `__th` so the per-batch merge
     * join is co-partitioned. Round-trip identity (schema and output,
-    * including a merge ON the reloaded index) is pinned in
-    * Round14PropertySpec and driver-checked by q335. */
+    * including a merge ON the reloaded index and a simulated crashed
+    * swap) is pinned in Round14PropertySpec and driver-checked by
+    * q335. */
   def writePrefixIndex(index: PrefixIndex, dir: String): Unit = {
     val spark = index.vocab.sparkSession
     import spark.implicits._
-    graft.io.AtomicParquet.publish(index.vocab, s"$dir/vocab")
-    graft.io.AtomicParquet.publish(index.grams, s"$dir/grams")
-    graft.io.AtomicParquet.publish(index.prefixes, s"$dir/prefixes")
-    graft.io.AtomicParquet.publish(
+    graft.io.AtomicParquet.publishDir(spark, dir) { tmp =>
+      index.vocab.write.parquet(s"$tmp/vocab")
+      index.grams.write.parquet(s"$tmp/grams")
+      index.prefixes.write.parquet(s"$tmp/prefixes")
       Seq((index.idCol, index.n, index.tau)).toDF("id_col", "n", "tau")
-        .coalesce(1),
-      s"$dir/meta")
+        .coalesce(1).write.parquet(s"$tmp/meta")
+    }
   }
 
-  /** Reload a [[writePrefixIndex]] directory. The frames come back as
-    * plain parquet scans (cheap to re-read; nothing to materialize)
-    * and the scalar parameters come from the meta row — so a reader
-    * can never run the index under a different n/tau than it was built
-    * at (the same mistake-class guard [[SpanGramState]] gets from
-    * carrying `l`). */
+  /** Reload a [[writePrefixIndex]] directory, healing a crashed
+    * half-swap first ([[graft.io.AtomicParquet.recover]] — without it
+    * a reader after a mid-publish crash would find no directory at
+    * all, despite the intact copy at `__old`). The frames come back
+    * as plain parquet scans (cheap to re-read; nothing to
+    * materialize) and the scalar parameters come from the meta row —
+    * so a reader can never run the index under a different n/tau than
+    * it was built at (the same mistake-class guard [[SpanGramState]]
+    * gets from carrying `l`). */
   def readPrefixIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): PrefixIndex = {
+    graft.io.AtomicParquet.recover(spark, dir)
     val m = spark.read.parquet(s"$dir/meta").collect()(0)
     PrefixIndex(
       spark.read.parquet(s"$dir/vocab"),
@@ -972,8 +981,10 @@ object Dedup {
     // the first round's equality check — recounting the
     // (checkpointed) previous frame would add a redundant job
     val probe = DriverGate.edges(edges, "u", "v", driverCap)
-    var edgeCount = probe.count.getOrElse(
-      if (probe.edges.isEmpty) edges.count() else 0L)
+    // probe.count is None only when the type guard excluded the gate
+    // (then probe.edges is None too) — count here, once, for the
+    // convergence check
+    var edgeCount = probe.count.getOrElse(edges.count())
     val labels: DataFrame = probe.edges match {
       case Some(es) =>
         // driver-local short-circuit (see DriverUnionFindCap): the edge
@@ -1715,11 +1726,15 @@ object Dedup {
     *
     * @param df (__h md5-60 L-gram hash, __n occurrences)
     * @param l  the anchor length every hash in `df` was built at */
-  case class SpanGramState(df: DataFrame, l: Int)
+  case class SpanGramState(df: DataFrame, l: Int) {
+    // guards EVERY construction path — including a reload whose meta
+    // row was corrupted or hand-written (r14 review: the readers used
+    // to skip the l >= 2 validation the old call sites enforced)
+    require(l >= 2, s"anchor length must be >= 2 tokens, got $l")
+  }
 
   def spanGramState(df: DataFrame, idCol: String, textCol: String,
       l: Int): SpanGramState = {
-    require(l >= 2, s"anchor length must be >= 2 tokens, got $l")
     SpanGramState(
       duplicateGramStream(df, idCol, textCol, l)
         .groupBy(col("__h"))
@@ -1743,27 +1758,33 @@ object Dedup {
 
   /** Write a [[SpanGramState]] to `dir` as a `state` parquet table
     * plus a one-row `meta` carrying the anchor length — the persisted
-    * form of the mergeable bar. [[graft.io.AtomicParquet.publish]]
-    * (write-tmp-then-swap) on both, so the per-batch
-    * read → [[mergeSpanGramState]] → write-back cycle — the streaming
-    * foreachBatch loop in q336 — can target the SAME directory: the
-    * merged frame reads the old state lazily, and a plain overwrite
-    * would delete its own input mid-job. At 100 TB the state table is
-    * bucketed by `__h` so the sum-merge is co-partitioned. */
+    * form of the mergeable bar. One whole-directory
+    * [[graft.io.AtomicParquet.publishDir]] transaction (r14 review —
+    * the per-frame form left a state/meta mixed-version window), so
+    * the per-batch read → [[mergeSpanGramState]] → write-back cycle —
+    * the streaming foreachBatch loop in q336 — can target the SAME
+    * directory: the merged frame reads the old state lazily while the
+    * new one lands in tmp, and a plain overwrite would delete its own
+    * input mid-job. At 100 TB the state table is bucketed by `__h` so
+    * the sum-merge is co-partitioned. */
   def writeSpanGramState(state: SpanGramState, dir: String): Unit = {
     val spark = state.df.sparkSession
     import spark.implicits._
-    graft.io.AtomicParquet.publish(state.df, s"$dir/state")
-    graft.io.AtomicParquet.publish(
-      Seq(state.l).toDF("l").coalesce(1), s"$dir/meta")
+    graft.io.AtomicParquet.publishDir(spark, dir) { tmp =>
+      state.df.write.parquet(s"$tmp/state")
+      Seq(state.l).toDF("l").coalesce(1).write.parquet(s"$tmp/meta")
+    }
   }
 
-  /** Reload a [[writeSpanGramState]] directory; `l` comes from the
-    * meta row, so a reloaded state can never be read at another L. */
+  /** Reload a [[writeSpanGramState]] directory, healing a crashed
+    * half-swap first; `l` comes from the meta row, so a reloaded
+    * state can never be read at another L. */
   def readSpanGramState(spark: org.apache.spark.sql.SparkSession,
-      dir: String): SpanGramState =
+      dir: String): SpanGramState = {
+    graft.io.AtomicParquet.recover(spark, dir)
     SpanGramState(spark.read.parquet(s"$dir/state"),
       spark.read.parquet(s"$dir/meta").collect()(0).getAs[Int]("l"))
+  }
 
   /** [[duplicateSpans]] for ONE batch against an ACCUMULATED
     * [[spanGramState]]: anchors come from `df` only, the frequency bar

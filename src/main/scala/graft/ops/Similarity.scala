@@ -809,10 +809,12 @@ object Similarity {
   }
 
   /** Deletion-list size under which [[deleteFromIvfIndex]] filters the
-    * packs IN PLACE with a broadcast id set (2 M longs ≈ 16 MB — the
-    * [[DriverGate.EdgeCap]] driver-size budget applied to single ids);
-    * larger lists fall back to the distributed unpack → anti-join →
-    * repack compaction, index-sized at any list size. */
+    * packs IN PLACE with a broadcast SORTED PRIMITIVE Array[Long] +
+    * binary search (2 M unboxed longs = 16 MB — the
+    * [[DriverGate.EdgeCap]] driver-size budget applied to single ids;
+    * a Set[Long] here would BOX every entry, ~10× the stated budget —
+    * r14 review); larger lists fall back to the distributed unpack →
+    * anti-join → repack compaction, index-sized at any list size. */
   private[ops] val MaxBroadcastDeletes = DriverGate.EdgeCap
 
   /** DELETION PROPAGATION into a built [[IvfIndex]] (r13 verdict
@@ -838,11 +840,15 @@ object Similarity {
       .distinct()
     val packs =
       if (ids.count() <= maxBroadcast) {
+        // sorted primitive array, not a Set: unboxed 8 B/id keeps the
+        // broadcast at the documented budget; binarySearch is the
+        // membership probe
         val bc = spark.sparkContext.broadcast(
-          ids.as[Long].collect().toSet)
+          ids.as[Long].collect().sorted)
         index.memberPacks.as[(Int, Seq[(Long, Seq[Double])])]
           .map { case (cell, mv) =>
-            (cell, mv.filterNot(m => bc.value(m._1))) }
+            (cell, mv.filterNot(m =>
+              java.util.Arrays.binarySearch(bc.value, m._1) >= 0)) }
           .filter(_._2.nonEmpty)
           .toDF("cell", "mv")
       } else {
@@ -859,18 +865,29 @@ object Similarity {
     * the ANN sibling of [[Dedup.mergePrefixIndex]]'s frozen order: new
     * vectors are assigned to the EXISTING centroids and their packs
     * concatenated per cell, so the merge costs one batch-sized
-    * distance pass plus a cell-count-sized pack join — never an
-    * old-corpus rescan or refit. WHY FROZEN CENTROIDS ARE SOUND: cell
-    * assignment is only the candidate-pruning heuristic — ranking is
-    * exact cosine on the stored vectors, and assignment is a pure
-    * function of (centers, vector), so the maintained index has
-    * byte-the-same member placement as an index over the final corpus
-    * under the same centers (delete/append fold order is irrelevant
-    * for disjoint sets — property-pinned). BOUNDED DRIFT: what decays
-    * is recall, not correctness — appended mass can shift true cell
-    * populations away from the trained quantizer, exactly like novel
-    * grams entering the frozen df order at 0. A deployment refits on
-    * a drift budget; the q337 verdict query is the recall floor that
+    * distance pass plus a pack-local delete and a cell-count-sized
+    * pack join — never an old-corpus rescan or refit.
+    *
+    * UPSERT SEMANTICS (r14 review): the batch's ids are deleted from
+    * the existing packs FIRST, so re-appending an updated vector (or
+    * replaying a batch after a partial failure) replaces the old
+    * entry instead of silently duplicating it — a duplicate would
+    * consume a top-k slot AND distort any recall denominator. The
+    * delete is the [[deleteFromIvfIndex]] pack-local broadcast filter
+    * (a no-op map when the ids are genuinely new), so disjoint-batch
+    * appends are unchanged — property-pinned.
+    *
+    * WHY FROZEN CENTROIDS ARE SOUND: cell assignment is only the
+    * candidate-pruning heuristic — ranking is exact cosine on the
+    * stored vectors, and assignment is a pure function of (centers,
+    * vector), so the maintained index has byte-the-same member
+    * placement as an index over the final corpus under the same
+    * centers (delete/append fold order is irrelevant for disjoint
+    * sets — property-pinned). BOUNDED DRIFT: what decays is recall,
+    * not correctness — appended mass can shift true cell populations
+    * away from the trained quantizer, exactly like novel grams
+    * entering the frozen df order at 0. A deployment refits on a
+    * drift budget; the q337 verdict query is the recall floor that
     * gates it. */
   def appendToIvfIndex(index: IvfIndex, dfNew: DataFrame, idCol: String,
       vecCol: String): IvfIndex = {
@@ -881,7 +898,11 @@ object Similarity {
     val membersNew = nearestCells(base, bcCenters, nProbe = 1)
       .select(col("id").as("member_id"), col("__vq").as("__vm"),
         col("cell"))
-    val merged = index.memberPacks.as("o")
+    // upsert: evict the batch's ids from the old packs before the
+    // concat (no-op for genuinely novel ids)
+    val evicted = deleteFromIvfIndex(index,
+      dfNew.select(col(idCol)), idCol).memberPacks
+    val merged = evicted.as("o")
       .join(packMembers(membersNew).as("n"), Seq("cell"), "full_outer")
       .select(col("cell"),
         when(col("o.mv").isNull, col("n.mv"))

@@ -15,20 +15,19 @@ import graft.ops.{Decontamination, Dedup, GraphOps, Packing, Sampling,
   */
 object CorpusQueries extends QueryModule {
 
-  /** q332's PERSISTED prefix index, memoized per (session, sf) — the
-    * q100 indexMemo pattern. The index's own contract is "build once,
+  /** q332's PERSISTED prefix index, memoized per (live session, sf)
+    * via [[SessionMemo]]. The index's own contract is "build once,
     * run every incoming batch against it", so the one-time build+merge
     * happens on the first invocation — the bench's warm rep — and
     * every later invocation measures the amortized operating point the
     * index exists for (r13 verdict "what's wrong" #4: q332 re-paid the
     * build in every timed rep and read as the suite's slowest query).
-    * Keyed per session: the value holds materialized RDD blocks that
-    * die with their SparkContext. Bounded: one index per (session, sf)
-    * — tens of MB at sf0.1, freed with the session. (q335's disk twin
+    * Bounded: one index per (live session, sf) — tens of MB at sf0.1,
+    * collectable with the session (see SessionMemo's scaladoc for why
+    * the previous identityHashCode keying wasn't). (q335's disk twin
     * memoizes through [[graft.io.Scratch.staged]] instead: its
     * artifact is a parquet directory, session-independent.) */
-  private val prefixIndexMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, Dedup.PrefixIndex]()
+  private val prefixIndexMemo = new SessionMemo[Dedup.PrefixIndex]
 
   val queries: Seq[Q] = Seq(
 
@@ -1982,16 +1981,14 @@ object CorpusQueries extends QueryModule {
       "q332_cross_prefix_indexed",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val idx = prefixIndexMemo.computeIfAbsent(
-          s"${System.identityHashCode(s)}|$d",
-          _ => {
-            val idx0 = Dedup.indexCorpusPrefix(
-              docs.filter(col("doc_id") % 3 =!= 0 &&
-                col("doc_id") % 30 =!= 1),
-              "doc_id", "text", n = 3, tau = 0.5)
-            Dedup.mergePrefixIndex(idx0,
-              docs.filter(col("doc_id") % 30 === 1), "text")
-          })
+        val idx = prefixIndexMemo.getOrCompute(s, d) {
+          val idx0 = Dedup.indexCorpusPrefix(
+            docs.filter(col("doc_id") % 3 =!= 0 &&
+              col("doc_id") % 30 =!= 1),
+            "doc_id", "text", n = 3, tau = 0.5)
+          Dedup.mergePrefixIndex(idx0,
+            docs.filter(col("doc_id") % 30 === 1), "text")
+        }
         Dedup.crossCorpusPrefixFilterPairsIndexed(
           docs.filter(col("doc_id") % 3 === 0), idx, "text")
       },

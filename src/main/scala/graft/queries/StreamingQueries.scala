@@ -77,10 +77,11 @@ object StreamingQueries extends QueryModule {
         .coalesce(1).write.parquet(s"$dir/t1")
     }
 
-  /** q100's persisted old-corpus index, memoized per (session, sf) —
-    * see the in-query note. */
-  private val indexMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, graft.ops.Dedup.CorpusIndex]()
+  /** q100's persisted old-corpus index, memoized per (live session,
+    * sf) — see the in-query note. [[SessionMemo]] since r14 (the
+    * identityHashCode-keyed map leaked dead sessions' checkpointed
+    * frames and could collide — see its scaladoc). */
+  private val indexMemo = new SessionMemo[graft.ops.Dedup.CorpusIndex]
 
   val queries: Seq[Q] = Seq(
     // ---- S1/S2/S5/S6/S7 + J1/R-rules through the real streaming path:
@@ -470,11 +471,10 @@ object StreamingQueries extends QueryModule {
         // the index is the PERSISTED side of the operator — its own
         // contract is "build once, run every incoming batch against
         // it" — so it memoizes alongside the staged input (keyed per
-        // session: a memoized index holds materialized RDD blocks
+        // LIVE session: a memoized index holds materialized RDD blocks
         // that die with their SparkContext)
-        val index = indexMemo.computeIfAbsent(
-          s"${System.identityHashCode(s)}|$d",
-          _ => graft.ops.Dedup.indexCorpus(
+        val index = indexMemo.getOrCompute(s, d)(
+          graft.ops.Dedup.indexCorpus(
             docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", n = 3))
         val inDir = staged("q100", d)(r =>
           docs.filter(col("doc_id") % 3 === 0)
@@ -992,8 +992,13 @@ object StreamingQueries extends QueryModule {
               val D = graft.ops.Dedup
               val batchState =
                 D.spanGramState(batch, "doc_id", "text", l = 12)
+              // the probe HEALS a crashed half-swap before answering
+              // (r14 review): a raw File.exists would read the
+              // post-crash window as "no state yet", fold this batch
+              // alone, and the next publish would delete __old — the
+              // only surviving copy of the accumulated bar
               val merged =
-                if (new java.io.File(s"$stateDir/state").exists())
+                if (graft.io.AtomicParquet.exists(s, stateDir))
                   D.mergeSpanGramState(
                     D.readSpanGramState(s, stateDir), batchState)
                 else batchState

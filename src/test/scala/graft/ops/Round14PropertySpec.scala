@@ -86,6 +86,16 @@ class Round14PropertySpec extends SparkSpec {
     val rereloaded = Dedup.readPrefixIndex(spark, dir)
     assert(pairs(Dedup.crossCorpusPrefixFilterPairsIndexed(
       newSide, rereloaded, "text")) == fresh)
+
+    // CRASHED HALF-SWAP recovery (r14 review): a publish that died
+    // between its two renames leaves the intact index at __old and no
+    // main dir — the reader must heal it, not see "no index"
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.move(p, java.nio.file.Paths.get(dir + "__old"))
+    val healed = Dedup.readPrefixIndex(spark, dir)
+    assert(pairs(Dedup.crossCorpusPrefixFilterPairsIndexed(
+      newSide, healed, "text")) == fresh)
+    assert(java.nio.file.Files.exists(p)) // main dir restored
   }
 
   test("SpanGramState survives a parquet round trip: l, counts, " +
@@ -120,8 +130,20 @@ class Round14PropertySpec extends SparkSpec {
     // and check the counts are the full-corpus bar
     Dedup.writeSpanGramState(mergedReloaded, dir)
     val rAll = Dedup.readSpanGramState(spark, dir)
-    assert(rows(rAll.df) ==
-      rows(Dedup.spanGramState(docs, "doc_id", "text", l = 12).df))
+    val fullBar = rows(
+      Dedup.spanGramState(docs, "doc_id", "text", l = 12).df)
+    assert(rows(rAll.df) == fullBar)
+
+    // crashed half-swap: the healing probe answers true AND the
+    // subsequent read returns the intact state (a raw File.exists
+    // here would read "no state" and the next publish would delete
+    // the only copy — the q336 trap the r14 review closed)
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.move(p, java.nio.file.Paths.get(dir + "__old"))
+    assert(graft.io.AtomicParquet.exists(spark, dir))
+    assert(rows(Dedup.readSpanGramState(spark, dir).df) == fullBar)
+    // ...and on a never-written dir the probe is simply false
+    assert(!graft.io.AtomicParquet.exists(spark, tmpDir("empty") + "/x"))
   }
 
   test("SpanGramState: cross-L merge is rejected loudly (r13 ADVICE — " +
@@ -217,6 +239,20 @@ class Round14PropertySpec extends SparkSpec {
     val onlyAppended = results(allBulkGone)
     assert(onlyAppended.nonEmpty &&
       onlyAppended.forall { case (_, nb, _) => appendedIds(nb) })
+    // UPSERT semantics (r14 review): replaying the same append — or
+    // re-appending an updated vector — must REPLACE, not duplicate.
+    // A duplicate entry would burn a top-k slot and distort any
+    // recall denominator; search results after the replay are
+    // byte-identical to the single append
+    val once = Similarity.appendToIvfIndex(base, appendBatch,
+      "vec_id", "embedding")
+    val replayed = Similarity.appendToIvfIndex(once, appendBatch,
+      "vec_id", "embedding")
+    assert(results(replayed) == results(once))
+    // ...and the member count did not grow
+    def memberCount(idx: Similarity.IvfIndex): Long = idx.memberPacks
+      .select(explode(col("mv"))).count()
+    assert(memberCount(replayed) == memberCount(once))
   }
 
   test("DriverGate probe: type guard skips the count, cap -1 forces " +
