@@ -61,6 +61,30 @@ object Scratch {
     }
   }
 
+  /** [[deliver]], recursively — for staged artifacts that are
+    * DIRECTORY TREES (a written [[graft.ops.Dedup.PrefixIndex]]:
+    * vocab/grams/prefixes/meta parquet dirs). Used when a query
+    * MUTATES its per-invocation copy (q338 folds stream batches into
+    * the index), so invocations must never share the staged
+    * original. Same skip rules as [[deliver]] per level. */
+  def deliverTree(srcDir: String, dst: String): Unit = {
+    val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.createDirectories(d)
+    val s = java.nio.file.Paths.get(srcDir)
+    val it = java.nio.file.Files.list(s).iterator()
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getFileName.toString
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        if (java.nio.file.Files.isDirectory(f))
+          deliverTree(f.toString, d.resolve(name).toString)
+        else
+          java.nio.file.Files.copy(f, d.resolve(name),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
   private def deleteTree(f: java.io.File): Unit =
     try {
       val kids = f.listFiles()

@@ -102,29 +102,38 @@ object OracleSql {
     * frequency is computed over BOTH sides' union — any consistent
     * global token order preserves the losslessness argument. The
     * caller appends its own exact-Jaccard verify tail over gw/go. */
-  val crossPrefixPairCtes: String =
-    """, tk AS (
-      |  SELECT 'w' AS side, doc_id, unnest(t) AS tok FROM gw
+  val crossPrefixPairCtes: String = crossPrefixPairCtesAt("")
+
+  /** [[crossPrefixPairCtes]] with every CTE name (and the gw/go
+    * inputs it reads) SUFFIXED — so one oracle can instantiate the
+    * cross blocking more than once (q338's per-tick replay: tick 1
+    * blocks batch A vs the initial corpus, tick 2 blocks batch B vs
+    * initial ∪ A — two blockings, one WITH clause). The house
+    * fragment above is this generator at "", spec-pinned
+    * byte-identical. */
+  def crossPrefixPairCtesAt(sfx: String): String =
+    s""", tk$sfx AS (
+      |  SELECT 'w' AS side, doc_id, unnest(t) AS tok FROM gw$sfx
       |  UNION ALL
-      |  SELECT 'o' AS side, doc_id, unnest(t) AS tok FROM go
-      |), dfc AS (
-      |  SELECT tok, count(*) AS dfc FROM tk GROUP BY tok
-      |), ordw AS (
+      |  SELECT 'o' AS side, doc_id, unnest(t) AS tok FROM go$sfx
+      |), dfc$sfx AS (
+      |  SELECT tok, count(*) AS dfc FROM tk$sfx GROUP BY tok
+      |), ordw$sfx AS (
       |  SELECT doc_id, list(tok ORDER BY dfc, tok) AS ot
-      |  FROM tk JOIN dfc USING (tok) WHERE side = 'w' GROUP BY doc_id
-      |), ordo AS (
+      |  FROM tk$sfx JOIN dfc$sfx USING (tok) WHERE side = 'w' GROUP BY doc_id
+      |), ordo$sfx AS (
       |  SELECT doc_id, list(tok ORDER BY dfc, tok) AS ot
-      |  FROM tk JOIN dfc USING (tok) WHERE side = 'o' GROUP BY doc_id
-      |), prew AS (
+      |  FROM tk$sfx JOIN dfc$sfx USING (tok) WHERE side = 'o' GROUP BY doc_id
+      |), prew$sfx AS (
       |  SELECT doc_id,
       |    unnest(ot[1 : CAST(len(ot) - ceil(0.5 * len(ot)) + 1 AS INT)]) AS tok
-      |  FROM ordw
-      |), preo AS (
+      |  FROM ordw$sfx
+      |), preo$sfx AS (
       |  SELECT doc_id,
       |    unnest(ot[1 : CAST(len(ot) - ceil(0.5 * len(ot)) + 1 AS INT)]) AS tok
-      |  FROM ordo
-      |), cand AS (
+      |  FROM ordo$sfx
+      |), cand$sfx AS (
       |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
-      |  FROM prew a JOIN preo b ON a.tok = b.tok
+      |  FROM prew$sfx a JOIN preo$sfx b ON a.tok = b.tok
       |)""".stripMargin
 }

@@ -1035,7 +1035,101 @@ object StreamingQueries extends QueryModule {
         spanCoverageCtes(1, "TRUE", "doc_id % 2 = 1") + "\n" +
         spanCoverageSelect(0) + "\nUNION ALL\n" + spanCoverageSelect(1)),
     ),
+
+    // ---- the PREFIX INDEX maintained across real micro-batches —
+    // q336's sibling for the second r13 persistence artifact, and the
+    // full deployment loop for recall-exact incremental dedup: the
+    // trained corpus (doc_id % 3 ≠ 0) is indexed + written to parquet
+    // ONCE (staged); each invocation copies the index tree
+    // (Scratch.deliverTree — the stream MUTATES its copy) and streams
+    // the % 3 == 0 docs in two ticks (% 6 == 0, then % 6 == 3). Each
+    // foreachBatch (a) dedups the batch against the index READ FROM
+    // PARQUET — so tick 2's old side includes tick 1's batch — and
+    // (b) folds the batch in (mergePrefixIndex) and writes the index
+    // back as one atomic directory swap. Intra-batch pairs are
+    // deliberately out of scope (that is the self-join operator,
+    // q329). The oracle replays both ticks from scratch with the
+    // SUFFIXED cross-blocking generator (crossPrefixPairCtesAt):
+    // tick 1 blocks batch A vs the initial corpus, tick 2 blocks
+    // batch B vs initial ∪ A — recall-exact on both sides, so the
+    // frozen-order index path must produce the identical pair set.
+    Q(
+      "q338_streaming_prefix_index",
+      (s, d) => withHarnessPartitions(s) {
+        val src = staged("q338", d) { dir =>
+          val docs = Tables.documents(s, d)
+            .select(col("doc_id"), col("text"))
+          docs.filter(col("doc_id") % 6 === 0)
+            .coalesce(1).write.parquet(s"$dir/t0")
+          docs.filter(col("doc_id") % 6 === 3)
+            .coalesce(1).write.parquet(s"$dir/t1")
+        }
+        val idxSrc = staged("q338idx", d) { dir =>
+          graft.ops.Dedup.writePrefixIndex(
+            graft.ops.Dedup.indexCorpusPrefix(
+              Tables.documents(s, d)
+                .filter(col("doc_id") % 3 =!= 0)
+                .select(col("doc_id"), col("text")),
+              "doc_id", "text", n = 3, tau = 0.5),
+            s"$dir/idx")
+        } + "/idx"
+        val root = scratch()
+        val idxDir = s"$root/idx"
+        graft.io.Scratch.deliverTree(idxSrc, idxDir)
+        val inDir = s"$root/in"
+        val ckpt = s"$root/ckpt"
+        val outDir = s"$root/out"
+        val schema = s.read.parquet(s"$src/t0").schema
+        def tick(tickDir: String): Unit = {
+          graft.io.Scratch.deliver(tickDir, inDir)
+          val q = s.readStream.schema(schema).parquet(inDir)
+            .writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              val D = graft.ops.Dedup
+              val idx = D.readPrefixIndex(s, idxDir)
+              // dedup FIRST (against the pre-merge index — the batch
+              // never pairs with itself here), then fold the batch in
+              D.crossCorpusPrefixFilterPairsIndexed(batch, idx, "text")
+                .write.mode("append").parquet(outDir)
+              D.writePrefixIndex(
+                D.mergePrefixIndex(idx, batch, "text"), idxDir)
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        tick(s"$src/t0")
+        tick(s"$src/t1")
+        s.read.parquet(outDir)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+             |), g AS MATERIALIZED (
+             |  SELECT doc_id, list_distinct(
+             |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS t
+             |  FROM toks
+             |), gw1 AS (SELECT * FROM g WHERE doc_id % 6 = 0
+             |), go1 AS (SELECT * FROM g WHERE doc_id % 3 <> 0
+             |), gw2 AS (SELECT * FROM g WHERE doc_id % 6 = 3
+             |), go2 AS (SELECT * FROM g WHERE doc_id % 3 <> 0 OR doc_id % 6 = 0
+             |)""".stripMargin +
+        OracleSql.crossPrefixPairCtesAt("1") +
+        OracleSql.crossPrefixPairCtesAt("2") + "\n" +
+        crossVerifySelect("1") + "\nUNION ALL\n" + crossVerifySelect("2")),
+    ),
   )
+
+  /** The exact-Jaccard verify tail over one suffixed cross blocking
+    * (q338's per-tick replay — see [[OracleSql.crossPrefixPairCtesAt]]). */
+  private def crossVerifySelect(sfx: String): String =
+    s"""SELECT c.id_new, c.id_old,
+       |  len(list_intersect(x.t, y.t)) * 1.0 /
+       |    len(list_distinct(list_concat(x.t, y.t))) AS jaccard
+       |FROM cand$sfx c JOIN gw$sfx x ON x.doc_id = c.id_new
+       |JOIN go$sfx y ON y.doc_id = c.id_old
+       |WHERE len(list_intersect(x.t, y.t)) * 1.0 /
+       |    len(list_distinct(list_concat(x.t, y.t))) >= 0.5""".stripMargin
 
   /** One per-batch coverage pipeline for q336's oracle — q334's
     * island-merge CTEs at l = 12, parameterized by the CUMULATIVE-bar

@@ -165,6 +165,14 @@ class Round14PropertySpec extends SparkSpec {
     assert(sliced.contains("FROM documents WHERE doc_id % 4 = 1"))
     assert(sliced.replace(" WHERE doc_id % 4 = 1", "") ==
       OracleSql.blockedPairCtesAt("0.7", 2))
+    // the suffixed cross-blocking generator's "" instantiation IS the
+    // house fragment (q338's per-tick oracle reuses the audited
+    // construction, not a fork)
+    assert(OracleSql.crossPrefixPairCtes ==
+      OracleSql.crossPrefixPairCtesAt(""))
+    val sfx = OracleSql.crossPrefixPairCtesAt("2")
+    assert(sfx.contains("cand2 AS") && sfx.contains("FROM gw2") &&
+      !sfx.contains("FROM gw\n"))
   }
 
   test("IVF maintenance: delete/append fold order irrelevant for " +
