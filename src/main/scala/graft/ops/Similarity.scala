@@ -380,6 +380,82 @@ object Similarity {
     labelNeighborsKernel(df, idCol, vecCol, labelCol, k, numBlocks,
       sameLabel = true)
 
+  /** BOTH label-constrained neighbor lists in ONE blocked pass —
+    * [[nearestPositivesKernel]] and [[hardNegativesKernel]] fused for
+    * callers that need both (q149's contrastive triplets). The two
+    * single-sided kernels spend their CPU on the SAME all-(block-)pairs
+    * dot products — called separately they compute every cosine twice
+    * (measured r14: q149 at sf0.1 burned 106 s of task CPU, ~half of it
+    * the duplicate pass). One pass computes each query-candidate cosine
+    * once and routes it to the same-label or different-label partial
+    * top-k; per-side candidate order, NaN-first sort, (cosine desc,
+    * neighbor asc) tie-break, and the merge window are IDENTICAL to the
+    * single-sided kernels, so the per-side output is bit-equal
+    * (differentially pinned in Round14PerfSpec).
+    *
+    * @return (id, neighbor_id, cosine, rank 1..k within side,
+    *         same_label) */
+  def labelNeighborsBothKernel(df: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int,
+      numBlocks: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lbl = when(col(labelCol).isNotNull, col(labelCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("labelNeighborsBothKernel: null label for "),
+        col(idCol).cast("string"))))
+    val packed = df.select(col(idCol).cast("long").as("id"),
+        lbl.as("__l"), asDouble(col(vecCol)).as("__v"))
+      .groupBy(pmod(col("id"), lit(numBlocks)).cast("int").as("__blk"))
+      .agg(collect_list(struct(col("id").as("_1"), col("__l").as("_2"),
+        col("__v").as("_3"))).as("vecs"))
+    val tasks = packed.select(col("__blk").as("qblk"), col("vecs").as("qv"))
+      .crossJoin(packed.select(col("__blk").as("cblk"), col("vecs").as("cv")))
+      .repartition(numBlocks * numBlocks) // one task per block pair
+      .as[(Int, Seq[(Long, Long, Seq[Double])],
+        Int, Seq[(Long, Long, Seq[Double])])]
+    val partial = tasks.flatMap { case (_, qvecs, _, cvecs) =>
+      labelBlockTopKBoth(qvecs, cvecs, k)
+    }.toDF("id", "neighbor_id", "cosine", "same_label")
+    val w = Window.partitionBy(col("id"), col("same_label"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    partial.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Fused inner loop for [[labelNeighborsBothKernel]]: one cosine per
+    * candidate, routed by label equality; each side then sorts and cuts
+    * exactly like [[labelBlockTopK]] (same candidate order, same
+    * NaN-first key, same stable sort), so side-filtered output equals
+    * the single-sided loop's bit-for-bit. */
+  private def labelBlockTopKBoth(qvecs: Seq[(Long, Long, Seq[Double])],
+      cvecs: Seq[(Long, Long, Seq[Double])],
+      k: Int): Iterator[(Long, Long, Double, Boolean)] = {
+    val cs = cvecs.map { case (id, l, v) =>
+      val a = v.toArray; (id, l, a, l2(a)) }.toArray
+    qvecs.iterator.flatMap { case (qid, ql, qv) =>
+      val qa = qv.toArray
+      val qn = l2(qa)
+      val same = Array.newBuilder[(Double, Long)]
+      val diff = Array.newBuilder[(Double, Long)]
+      var i = 0
+      while (i < cs.length) {
+        val c = cs(i)
+        if (c._1 != qid) {
+          val cos = dotP(qa, c._3) / (qn * c._4)
+          if (c._2 == ql) same += ((cos, c._1)) else diff += ((cos, c._1))
+        }
+        i += 1
+      }
+      def top(side: Array[(Double, Long)],
+          s: Boolean): Iterator[(Long, Long, Double, Boolean)] =
+        side.sortBy { case (cv, id) =>
+          (if (cv.isNaN) Double.NegativeInfinity else -cv, id)
+        }.take(k).iterator.map { case (cv, idb) => (qid, idb, cv, s) }
+      top(same.result(), s = true) ++ top(diff.result(), s = false)
+    }
+  }
+
   /** MARGIN-BASED BITEXT MINING (Artetxe & Schwenk 2019, "Margin-based
     * Parallel Corpus Mining with Multilingual Sentence Embeddings",
     * ACL; the ccMatrix/LASER alignment step): candidate translation

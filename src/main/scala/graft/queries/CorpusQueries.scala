@@ -4926,12 +4926,19 @@ object CorpusQueries extends QueryModule {
       "q149_contrastive_triplets",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val pos = Similarity.nearestPositivesKernel(emb, "vec_id",
-            "embedding", "label", k = 1)
+        // ONE blocked pass feeds both sides (guide §1.2: the dominant
+        // cost was the identical all-pairs dot products run twice by
+        // the separate pos/neg kernels — r14 halved it); materialized
+        // so the pos/neg branches of the self-join don't re-run the
+        // kernel subtree. Per-side output is bit-equal to the
+        // single-sided kernels (Round14PerfSpec differential).
+        val both = graft.ops.Materialize(
+          Similarity.labelNeighborsBothKernel(emb, "vec_id",
+            "embedding", "label", k = 1))
+        val pos = both.filter(col("same_label"))
           .select(col("id"), col("neighbor_id").as("pos_id"),
             col("cosine").as("pos_cosine"))
-        val neg = Similarity.hardNegativesKernel(emb, "vec_id",
-            "embedding", "label", k = 1)
+        val neg = both.filter(!col("same_label"))
           .select(col("id"), col("neighbor_id").as("neg_id"),
             col("cosine").as("neg_cosine"))
         pos.join(neg, "id")

@@ -83,9 +83,15 @@ object ParseQueries extends QueryModule {
             lit("<div data-name=\"OfferUnpublished\">Снято</div>"))
             .otherwise(lit("")),
           lit("</body></html>"))
-        val pages = Tables.customer(s, d).select(
-          concat(lit("https://cian.ru/rent/flat/"), cks, lit("/")).as("url"),
-          html.as("html")).as[RawPage]
+        // widened (the q64/q65 parse precedent): the customer table is
+        // ONE parquet file → 3 scan tasks carried the whole 15k-row
+        // HTML parse while 29 cores idled (r14 measured: 2.5 s wall on
+        // 2.1 s of task CPU); the regex parse is exactly the CPU-heavy
+        // per-row map the widening rule exists for
+        val pages = graft.ops.Materialize.widened(Tables.customer(s, d))
+          .select(
+            concat(lit("https://cian.ru/rent/flat/"), cks, lit("/")).as("url"),
+            html.as("html")).as[RawPage]
         val parsed = Pipeline.filterParsed(
           Pipeline.parsePages(s, pages, "2024-06-01 00:00:00"))
         val normalized = Normalize(Flatten(parsed),
@@ -153,9 +159,11 @@ object ParseQueries extends QueryModule {
         val html = concat(
           lit("<html><body><div data-name=\"Offers\">"),
           card(1), card(2), lit("</div></body></html>"))
-        val pages = Tables.customer(s, d).select(
-          concat(lit("https://cian.ru/rent/flats/?page="), n(ck)).as("url"),
-          html.as("html")).as[RawPage]
+        // widened — same narrow-scan-feeding-regex-parse shape as q36
+        val pages = graft.ops.Materialize.widened(Tables.customer(s, d))
+          .select(
+            concat(lit("https://cian.ru/rent/flats/?page="), n(ck)).as("url"),
+            html.as("html")).as[RawPage]
         Pipeline.filterParsed(
             Pipeline.parsePages(s, pages, "2024-06-01 00:00:00"))
           .select(col("offer_id"), col("offer_url"),
