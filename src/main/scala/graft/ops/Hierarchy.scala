@@ -37,7 +37,13 @@ object Hierarchy {
     val spark = df.sparkSession
     val v = "graft_tree_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    df.createOrReplaceTempView(v)
+    // materialize the working table ONCE before the recursion (r14):
+    // the recursive join re-executes the view's plan EVERY round, so a
+    // depth-10 tree re-ran the upstream scan+filter 10 times (measured
+    // q220: ~70 stages, most of them per-round FileScanRDD re-reads) —
+    // the same reason every hand-rolled loop here checkpoints its
+    // round inputs
+    Materialize(df).createOrReplaceTempView(v)
     // sql() analyzes eagerly, inlining the view into the returned
     // plan — dropping the view immediately after is safe and keeps
     // the catalog clean across repeated calls
@@ -82,7 +88,9 @@ object Hierarchy {
     val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
     val ev = s"graft_bfs_e_$sfx"
     val sv = s"graft_bfs_s_$sfx"
-    edges.createOrReplaceTempView(ev)
+    // materialized for the same per-round re-execution reason as
+    // [[rootToNodePaths]] (seeds only seed round 0, no need)
+    Materialize(edges).createOrReplaceTempView(ev)
     seeds.createOrReplaceTempView(sv)
     try spark.sql(
       s"""WITH RECURSIVE __b AS (

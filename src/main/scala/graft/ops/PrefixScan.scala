@@ -93,9 +93,23 @@ object PrefixScan {
     require(order.nonEmpty, "need at least one ordering column")
     val spark = df.sparkSession
     import Materialize.MaterializeOps
+    val pre = df.materialized
     val p = if (numPartitions > 0) numPartitions
-      else spark.sessionState.conf.numShufflePartitions
-    val base = df.materialized
+      else {
+        // scale-adaptive range width (r14, guide §2): a constant
+        // conf-wide shuffle put 32 near-empty sorted partitions (and a
+        // RangePartitioner SAMPLING JOB) under every tiny rank/quantile
+        // frame — the scan family's dominant fixed cost at small sf.
+        // The materialized input's OWN width is free to read (the
+        // localCheckpoint already executed, so `.rdd` is the stored
+        // blocks, no re-execution) and already scale-sized: AQE byte-
+        // coalescing for post-shuffle frames, input splits for scans —
+        // tiny frames range-shuffle to ONE partition (p=1 skips the
+        // sampling pass outright), 100 TB frames keep the conf width.
+        val conf = spark.sessionState.conf.numShufflePartitions
+        math.min(conf, math.max(1, pre.rdd.getNumPartitions))
+      }
+    val base = pre
       .repartitionByRange(p, order: _*)
       .sortWithinPartitions(order: _*)
       .materialized
