@@ -437,9 +437,48 @@ object Dedup {
         index.prefixes.select(col(idCol).as("id_b"),
           col("__len").as("__lb"), col("__i").as("__ib"), col("__th")),
         index.tau, selfJoin = false)
-    verifyJaccard(cands, gramsNew, index.grams, idCol, index.tau, par)
+    verifyJaccard(cands, gramsNew, index.grams, idCol, index.tau, par,
+        derivedWidth = true)
       .select(col("id_a").as("id_new"), col("id_b").as("id_old"),
         col("jaccard"))
+  }
+
+  /** One-pass per-batch step for the streaming deployment loop (r14
+    * optimization): dedup the batch against the index AND fold it in,
+    * SHARING the batch gram frame, the frozen-order vocab extension,
+    * and the batch prefix build. Calling
+    * [[crossCorpusPrefixFilterPairsIndexed]] then [[mergePrefixIndex]]
+    * separately computes all three twice per batch — q338 measured
+    * 11.2 s at sf0.1 with the duplicate work, and a real per-batch
+    * deployment always wants both outputs. Pair set and merged index
+    * are IDENTICAL to the two separate calls (the shared frames are
+    * value-equal by construction: same batch, same frozen vocab
+    * extension — differentially pinned in Round14PerfSpec).
+    *
+    * @return (pairs (id_new, id_old, jaccard), merged index) */
+  def dedupAndMergePrefixIndex(dfNew: DataFrame, index: PrefixIndex,
+      textCol: String): (DataFrame, PrefixIndex) = {
+    val idCol = index.idCol
+    val gramsNew = prefixGramFrame(dfNew, idCol, textCol, index.n)
+    val tkNew = prefixTokenStream(gramsNew, idCol)
+    // materialized: read by the batch prefix build here AND carried
+    // into the merged index (mergePrefixIndex materializes it too)
+    val vocab = frozenAugmentedVocab(index.vocab, tkNew).materialized
+    val par = dfNew.sparkSession.sparkContext.defaultParallelism
+    val preNew = prefixFrame(tkNew, vocab, idCol, index.tau, par)
+    val cands = ppjoinCandidates(
+        preNew.select(col(idCol).as("id_a"), col("__len").as("__la"),
+          col("__i").as("__ia"), col("__th")),
+        index.prefixes.select(col(idCol).as("id_b"),
+          col("__len").as("__lb"), col("__i").as("__ib"), col("__th")),
+        index.tau, selfJoin = false)
+    val pairs = verifyJaccard(cands, gramsNew, index.grams, idCol,
+        index.tau, par, derivedWidth = true)
+      .select(col("id_a").as("id_new"), col("id_b").as("id_old"),
+        col("jaccard"))
+    val merged = PrefixIndex(vocab, index.grams.unionByName(gramsNew),
+      index.prefixes.unionByName(preNew), idCol, index.n, index.tau)
+    (pairs, merged)
   }
 
   /** Write a [[PrefixIndex]] to `dir` as four parquet tables —
@@ -613,10 +652,32 @@ object Dedup {
     * long arrays is CPU-bound on byte-small rows — left to AQE the
     * pair frame coalesces to a couple of partitions and the verify
     * runs serial. */
+  /** @param derivedWidth size the verify spread from the EXACT
+    *        candidate count (one cheap materialize+count of the
+    *        (id, id) pair frame; ≥256 pairs/task, floor 1, cap the
+    *        pinned 4·par) instead of pinning 4·par. Measured r14
+    *        (min-of-3 at sf0.1): the BATCH-vs-index paths win — their
+    *        per-batch candidate sets are small and the pinned 128-task
+    *        stage was pure spread overhead (q338 10.8 → 8.7 s) — while
+    *        the corpus self/cross paths LOSE (q329 2.7 → 2.9 s,
+    *        q331 3.3 → 3.7 s: candidate sets big enough that the width
+    *        stays 128 and the extra checkpoint+count is dead weight),
+    *        so those call sites keep the pinned width. */
   private def verifyJaccard(cands: DataFrame, gramsA: DataFrame,
-      gramsB: DataFrame, idCol: String, tau: Double, par: Int): DataFrame =
-    cands
-      .repartition(4 * par)
+      gramsB: DataFrame, idCol: String, tau: Double, par: Int,
+      derivedWidth: Boolean = false): DataFrame = {
+    val (c, width) =
+      if (!derivedWidth) (cands, 4 * par)
+      else {
+        // pinned-width rationale (the containmentPairs lesson): exact
+        // set-Jaccard is CPU-bound on byte-small rows, so AQE's
+        // byte-coalescing must never serialize a LARGE verify — hence
+        // an explicit repartition, here sized by the true pair count
+        val m = Materialize(cands)
+        (m, math.min(4L * par,
+          math.max(1L, (m.count() + 255L) / 256L)).toInt)
+      }
+    c.repartition(width)
       .join(gramsA.select(col(idCol).as("id_a"), col("__gh").as("ga")),
         "id_a")
       .join(gramsB.select(col(idCol).as("id_b"), col("__gh").as("gb")),
@@ -625,6 +686,7 @@ object Dedup {
         size(array_intersect(col("ga"), col("gb"))) /
           size(array_union(col("ga"), col("gb"))))
       .filter(col("jaccard") >= tau)
+  }
 
   /** CROSS-CORPUS near-duplicate pairs: every (new, old) pair with
     * exact word-n-gram Jaccard ≥ tau — "dedup the incoming crawl

@@ -1087,12 +1087,15 @@ object StreamingQueries extends QueryModule {
             .foreachBatch { (batch: DataFrame, _: Long) =>
               val D = graft.ops.Dedup
               val idx = D.readPrefixIndex(s, idxDir)
-              // dedup FIRST (against the pre-merge index — the batch
-              // never pairs with itself here), then fold the batch in
-              D.crossCorpusPrefixFilterPairsIndexed(batch, idx, "text")
-                .write.mode("append").parquet(outDir)
-              D.writePrefixIndex(
-                D.mergePrefixIndex(idx, batch, "text"), idxDir)
+              // dedup against the pre-merge index (the batch never
+              // pairs with itself here) and fold the batch in, as ONE
+              // shared-frame step (r14: the separate calls built the
+              // batch grams, vocab extension, and prefix rows twice
+              // per tick — outputs identical, Round14PerfSpec)
+              val (pairs, merged) =
+                D.dedupAndMergePrefixIndex(batch, idx, "text")
+              pairs.write.mode("append").parquet(outDir)
+              D.writePrefixIndex(merged, idxDir)
             }
             .option("checkpointLocation", ckpt)
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

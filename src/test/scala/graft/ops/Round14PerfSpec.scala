@@ -18,6 +18,35 @@ class Round14PerfSpec extends SparkSpec {
   private def rows(df: DataFrame): Set[Seq[Any]] =
     df.collect().map(_.toSeq).toSet
 
+  test("dedupAndMergePrefixIndex equals the separate indexed-dedup + " +
+      "merge calls: same pair set, same merged-index query behavior") {
+    val docs = graft.model.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val oldSide = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 6 === 0)
+    val probe = docs.filter(col("doc_id") % 6 === 3)
+    val idx = Dedup.indexCorpusPrefix(oldSide, "doc_id", "text",
+      n = 3, tau = 0.5)
+
+    val sepPairs = rows(Dedup.crossCorpusPrefixFilterPairsIndexed(
+      batch, idx, "text"))
+    val sepMerged = Dedup.mergePrefixIndex(idx, batch, "text")
+
+    val (fusedPairs, fusedMerged) =
+      Dedup.dedupAndMergePrefixIndex(batch, idx, "text")
+    assert(rows(fusedPairs) == sepPairs, "pair set diverged")
+    assert(sepPairs.nonEmpty)
+
+    // the merged indexes must behave identically for the NEXT batch
+    val viaSep = rows(Dedup.crossCorpusPrefixFilterPairsIndexed(
+      probe, sepMerged, "text"))
+    val viaFused = rows(Dedup.crossCorpusPrefixFilterPairsIndexed(
+      probe, fusedMerged, "text"))
+    assert(viaSep == viaFused, "merged-index behavior diverged")
+    assert(viaSep.nonEmpty)
+  }
+
   test("labelNeighborsBothKernel side-filtered equals the single-sided " +
       "kernels bit-for-bit (cosines, ids, ranks), k=1 and k=3") {
     val emb = embeddings
