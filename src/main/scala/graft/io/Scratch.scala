@@ -85,6 +85,43 @@ object Scratch {
     }
   }
 
+  /** [[deliverTree]] by HARDLINK instead of byte copy (falling back to
+    * a copy when the filesystem refuses to link, e.g. cross-device):
+    * carries a directory tree's files into a new location in O(files)
+    * metadata operations instead of O(bytes) I/O. Used by the
+    * append-structured index merge ([[graft.ops.Dedup
+    * .dedupAndMergePrefixIndexDir]]) to bring the UNCHANGED part-files
+    * of the previous index version into the publish transaction —
+    * the linked names are re-created at their old relative paths, so
+    * plans holding the old paths keep resolving after the swap, and
+    * deleting the swapped-out directory only drops link counts. Same
+    * `_`/hidden skip rules as [[deliverTree]]. Local-filesystem
+    * paths; a cluster deployment replaces the whole publish seam with
+    * a transactional table format (the [[graft.io.AtomicParquet]]
+    * scaladoc's standing caveat). */
+  def linkTree(srcDir: String, dst: String): Unit = {
+    val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.createDirectories(d)
+    val s = java.nio.file.Paths.get(srcDir)
+    if (!java.nio.file.Files.isDirectory(s)) return
+    val it = java.nio.file.Files.list(s).iterator()
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getFileName.toString
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        if (java.nio.file.Files.isDirectory(f))
+          linkTree(f.toString, d.resolve(name).toString)
+        else
+          try java.nio.file.Files.createLink(d.resolve(name), f)
+          catch { case _: UnsupportedOperationException
+              | _: java.nio.file.FileSystemException =>
+            java.nio.file.Files.copy(f, d.resolve(name),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+      }
+    }
+  }
+
   private def deleteTree(f: java.io.File): Unit =
     try {
       val kids = f.listFiles()

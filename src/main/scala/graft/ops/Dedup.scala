@@ -481,6 +481,63 @@ object Dedup {
     (pairs, merged)
   }
 
+  /** [[dedupAndMergePrefixIndex]] against a PERSISTED index directory,
+    * with an APPEND-STRUCTURED publish (r14 optimization): the
+    * read → dedup → merge → write-back cycle previously re-wrote the
+    * ENTIRE grams/prefixes tables every batch — O(corpus) parquet I/O
+    * per batch, the opposite of the "never an old-corpus rescan" merge
+    * contract. Here the unchanged part-files of the previous index
+    * version are HARDLINKED into the publish transaction
+    * ([[graft.io.Scratch.linkTree]] — O(files) metadata, copy
+    * fallback) and only the batch's gram/prefix rows are written as
+    * appended files; `vocab` (vocab-sized, the frozen-order extension
+    * recomputes its collision ranks anyway) and the one-row meta are
+    * rewritten. The whole directory still swaps as ONE
+    * [[graft.io.AtomicParquet.publishDir]] transaction: readers see
+    * the old or the new index, a crash leaves the old intact, and the
+    * linked names re-appear at their old relative paths so plans
+    * holding them keep resolving after the swap.
+    *
+    * Returned pairs are MATERIALIZED before the swap (they read the
+    * pre-merge index). Directory contents after the call are
+    * row-identical to `writePrefixIndex(mergePrefixIndex(read, batch))`
+    * — only the part-file layout differs (Round14PerfSpec pins both
+    * the row sets and next-batch dedup equality).
+    *
+    * @return the batch-vs-index pairs (id_new, id_old, jaccard) */
+  def dedupAndMergePrefixIndexDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String, dfBatch: DataFrame, textCol: String): DataFrame = {
+    val index = readPrefixIndex(spark, dir)
+    val idCol = index.idCol
+    val gramsNew = prefixGramFrame(dfBatch, idCol, textCol, index.n)
+    val tkNew = prefixTokenStream(gramsNew, idCol)
+    val vocab = frozenAugmentedVocab(index.vocab, tkNew).materialized
+    val par = dfBatch.sparkSession.sparkContext.defaultParallelism
+    val preNew = prefixFrame(tkNew, vocab, idCol, index.tau, par)
+    val cands = ppjoinCandidates(
+        preNew.select(col(idCol).as("id_a"), col("__len").as("__la"),
+          col("__i").as("__ia"), col("__th")),
+        index.prefixes.select(col(idCol).as("id_b"),
+          col("__len").as("__lb"), col("__i").as("__ib"), col("__th")),
+        index.tau, selfJoin = false)
+    val pairs = Materialize(
+      verifyJaccard(cands, gramsNew, index.grams, idCol, index.tau, par,
+          derivedWidth = true)
+        .select(col("id_a").as("id_new"), col("id_b").as("id_old"),
+          col("jaccard")))
+    import spark.implicits._
+    graft.io.AtomicParquet.publishDir(spark, dir) { tmp =>
+      vocab.write.parquet(s"$tmp/vocab")
+      graft.io.Scratch.linkTree(s"$dir/grams", s"$tmp/grams")
+      gramsNew.write.mode("append").parquet(s"$tmp/grams")
+      graft.io.Scratch.linkTree(s"$dir/prefixes", s"$tmp/prefixes")
+      preNew.write.mode("append").parquet(s"$tmp/prefixes")
+      Seq((idCol, index.n, index.tau)).toDF("id_col", "n", "tau")
+        .coalesce(1).write.parquet(s"$tmp/meta")
+    }
+    pairs
+  }
+
   /** Write a [[PrefixIndex]] to `dir` as four parquet tables —
     * `vocab`, `grams`, `prefixes`, and a one-row `meta` carrying the
     * scalar parameters (idCol, n, tau) — crossing the persistence

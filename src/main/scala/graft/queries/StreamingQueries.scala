@@ -1085,17 +1085,17 @@ object StreamingQueries extends QueryModule {
           val q = s.readStream.schema(schema).parquet(inDir)
             .writeStream
             .foreachBatch { (batch: DataFrame, _: Long) =>
-              val D = graft.ops.Dedup
-              val idx = D.readPrefixIndex(s, idxDir)
               // dedup against the pre-merge index (the batch never
               // pairs with itself here) and fold the batch in, as ONE
-              // shared-frame step (r14: the separate calls built the
-              // batch grams, vocab extension, and prefix rows twice
-              // per tick — outputs identical, Round14PerfSpec)
-              val (pairs, merged) =
-                D.dedupAndMergePrefixIndex(batch, idx, "text")
-              pairs.write.mode("append").parquet(outDir)
-              D.writePrefixIndex(merged, idxDir)
+              // shared-frame, append-structured step (r14: the
+              // separate calls built the batch grams, vocab extension,
+              // and prefix rows twice per tick, then re-WROTE the
+              // whole corpus index per batch; the dir step links the
+              // unchanged part-files and appends only the batch —
+              // outputs identical, Round14PerfSpec)
+              graft.ops.Dedup
+                .dedupAndMergePrefixIndexDir(s, idxDir, batch, "text")
+                .write.mode("append").parquet(outDir)
             }
             .option("checkpointLocation", ckpt)
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

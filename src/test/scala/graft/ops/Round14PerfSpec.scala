@@ -47,6 +47,51 @@ class Round14PerfSpec extends SparkSpec {
     assert(viaSep.nonEmpty)
   }
 
+  test("dedupAndMergePrefixIndexDir (append-structured publish) equals " +
+      "write(merge(read)): same pairs, row-identical directory, same " +
+      "next-batch behavior after a second dir merge") {
+    val docs = graft.model.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val oldSide = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch1 = docs.filter(col("doc_id") % 6 === 0)
+    val batch2 = docs.filter(col("doc_id") % 6 === 3)
+    val built = Dedup.indexCorpusPrefix(oldSide, "doc_id", "text",
+      n = 3, tau = 0.5)
+    val dirA = graft.io.Scratch.dir("graft-r14-dirmerge-a-")  + "/idx"
+    val dirB = graft.io.Scratch.dir("graft-r14-dirmerge-b-") + "/idx"
+    Dedup.writePrefixIndex(built, dirA)
+    Dedup.writePrefixIndex(built, dirB)
+
+    // reference path: read -> separate dedup + merge -> full rewrite
+    val refIdx = Dedup.readPrefixIndex(spark, dirB)
+    val refPairs = rows(Dedup.crossCorpusPrefixFilterPairsIndexed(
+      batch1, refIdx, "text"))
+    Dedup.writePrefixIndex(
+      Dedup.mergePrefixIndex(refIdx, batch1, "text"), dirB)
+
+    val dirPairs = rows(Dedup.dedupAndMergePrefixIndexDir(
+      spark, dirA, batch1, "text"))
+    assert(dirPairs == refPairs, "tick-1 pair set diverged")
+    assert(dirPairs.nonEmpty)
+
+    // the two directories must hold row-identical frames
+    val a = Dedup.readPrefixIndex(spark, dirA)
+    val b = Dedup.readPrefixIndex(spark, dirB)
+    assert(rows(a.vocab) == rows(b.vocab), "vocab diverged")
+    assert(rows(a.grams) == rows(b.grams), "grams diverged")
+    assert(rows(a.prefixes) == rows(b.prefixes), "prefixes diverged")
+    assert((a.idCol, a.n, a.tau) == (b.idCol, b.n, b.tau))
+
+    // and answer the NEXT batch identically through ANOTHER dir merge
+    val tick2A = rows(Dedup.dedupAndMergePrefixIndexDir(
+      spark, dirA, batch2, "text"))
+    val tick2B = rows(Dedup.crossCorpusPrefixFilterPairsIndexed(
+      batch2, Dedup.readPrefixIndex(spark, dirB), "text"))
+    assert(tick2A == tick2B, "tick-2 pair set diverged")
+    assert(tick2A.nonEmpty)
+  }
+
   test("labelNeighborsBothKernel side-filtered equals the single-sided " +
       "kernels bit-for-bit (cosines, ids, ranks), k=1 and k=3") {
     val emb = embeddings
