@@ -40,7 +40,20 @@ object GvidFixtures {
   def sceneOf(docId: Long, frame: Long): Int =
     (1 + (docId * 5 + frame * 3) % 62).toInt
 
-  def write(spark: SparkSession, sfDir: String): String = {
+  private val written =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Memoized per (sfDir) for the JVM (the [[WarcFixtures]] r7
+    * pattern, applied r14): the fixture is deterministic, and the
+    * delete-and-rewrite of every file ran on EVERY bench invocation —
+    * twice-warm + timed = three collect+encode passes per query rep,
+    * pure harness build_sec. A fresh JVM still rewrites from scratch
+    * (no cross-run state), and the fixed `target/...` path the oracle
+    * globs is unchanged. */
+  def write(spark: SparkSession, sfDir: String): String =
+    written.computeIfAbsent(sfDir, _ => writeOnce(spark, sfDir))
+
+  private def writeOnce(spark: SparkSession, sfDir: String): String = {
     val sfName = new java.io.File(sfDir).getName
     val dir = java.nio.file.Paths.get("target", "gvid", sfName)
       .toAbsolutePath

@@ -30,7 +30,20 @@ object PngFixtures {
   def greenOf(docId: Long): Int = ((docId * 3) % 256).toInt
   def blueOf(docId: Long): Int = ((docId * 7) % 256).toInt
 
-  def write(spark: SparkSession, sfDir: String): String = {
+  private val written =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Memoized per (sfDir) for the JVM (the [[WarcFixtures]] r7
+    * pattern, applied r14): the fixture is deterministic, and the
+    * delete-and-rewrite of every file ran on EVERY bench invocation —
+    * twice-warm + timed = three collect+encode passes per query rep,
+    * pure harness build_sec. A fresh JVM still rewrites from scratch
+    * (no cross-run state), and the fixed `target/...` path the oracle
+    * globs is unchanged. */
+  def write(spark: SparkSession, sfDir: String): String =
+    written.computeIfAbsent(sfDir, _ => writeOnce(spark, sfDir))
+
+  private def writeOnce(spark: SparkSession, sfDir: String): String = {
     val sfName = new java.io.File(sfDir).getName
     val dir = java.nio.file.Paths.get("target", "png_fixtures", sfName)
       .toAbsolutePath
@@ -75,7 +88,16 @@ object PngFixtures {
     * the 8×8 pooling grid is the identity and the expected hash needs
     * no resampling model. Same fixed-path/driver-glob contract as
     * [[write]]. */
-  def writePatterned(spark: SparkSession, sfDir: String): String = {
+  private val writtenPatterned =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Memoized like [[write]] (same r7/r14 rationale). */
+  def writePatterned(spark: SparkSession, sfDir: String): String =
+    writtenPatterned.computeIfAbsent(sfDir, _ =>
+      writePatternedOnce(spark, sfDir))
+
+  private def writePatternedOnce(spark: SparkSession,
+      sfDir: String): String = {
     val sfName = new java.io.File(sfDir).getName
     val dir = java.nio.file.Paths.get("target", "png_ahash", sfName)
       .toAbsolutePath

@@ -77,7 +77,14 @@ object WarcFixtures {
     * `<html><body><nav>SITE NAV</nav><p>` text `</p><footer>(c) 2026
     * crawl chrome</footer></body></html>`. Same fixed-path contract;
     * written to `target/warc_http/<sf-name>/`. */
-  def writeHttp(spark: SparkSession, sfDir: String): String = {
+  private val writtenHttp =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Memoized like [[write]] (same rationale). */
+  def writeHttp(spark: SparkSession, sfDir: String): String =
+    writtenHttp.computeIfAbsent(sfDir, _ => writeHttpOnce(spark, sfDir))
+
+  private def writeHttpOnce(spark: SparkSession, sfDir: String): String = {
     val sfName = new java.io.File(sfDir).getName
     val dir = java.nio.file.Paths.get("target", "warc_http", sfName)
       .toAbsolutePath
