@@ -437,8 +437,11 @@ object Dedup {
         index.prefixes.select(col(idCol).as("id_b"),
           col("__len").as("__lb"), col("__i").as("__ib"), col("__th")),
         index.tau, selfJoin = false)
-    verifyJaccard(cands, gramsNew, index.grams, idCol, index.tau, par,
-        derivedWidth = true)
+    // pinned width here (r14 A/B): this entry point serves CORPUS-
+    // sized batches too (q335 queries a whole slice — derived width
+    // regressed it 2.9 -> 4.9 s, the q329 lesson), so only the
+    // per-micro-batch fused steps below derive the spread
+    verifyJaccard(cands, gramsNew, index.grams, idCol, index.tau, par)
       .select(col("id_a").as("id_new"), col("id_b").as("id_old"),
         col("jaccard"))
   }
