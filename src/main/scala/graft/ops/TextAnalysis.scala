@@ -522,12 +522,17 @@ object TextAnalysis {
       idCol: Option[String]): DataFrame = {
     val words = split(trim(col(textCol)), "\\s+")
     val keep = idCol.map(col).toSeq
-    // NOT widened (measured r12): the KN train/score pipelines above
-    // this stage aggregate through many small downstream stages, and
-    // the widening exchange + per-task overhead REGRESSED q169
-    // 1.71 → 2.40 s while no bigramOcc consumer improved — unlike the
-    // sketch/winnowing maps, the md5-per-bigram work here is followed
-    // by immediate map-side-combining aggs that AQE already sizes well
+    // NOT widened — re-measured r14 and the r12 rule STANDS: an
+    // isolated same-JVM probe (tools/WidenProbe) shows the widened
+    // build wins its own stage (1.63 → 0.62 s wall at sf0.1) but every
+    // downstream consumer stage of the 32-partition checkpoint pays
+    // ~+0.25 s of per-task overhead on this oversubscribed runner
+    // (task wall, not CPU — the executorRunTime caveat), and bigramOcc
+    // feeds 3 aggregations plus the score-side joins: net wash to
+    // regression (q137 1.25 committed → 1.7-4.5 s widened across three
+    // fresh-JVM reps). The serial build here is ~1.4 s of md5 on one
+    // scan split — below the breakeven the q36 parse (2.5 s serial,
+    // ONE consumer) clears.
     df.select(keep :+ words.as("__ws"): _*)
       .filter(size(col("__ws")) >= 2)
       .select(keep :+ explode(
@@ -669,10 +674,20 @@ object TextAnalysis {
     val prefixes = occ.groupBy(col("__w1h"))
       .agg(count(lit(1)).as("__c1"),
         count_distinct(col("__bh")).as("__n1fw")).materialized
-    val types = occ.select(col("__bh"), col("__w2h")).distinct().materialized
-    val continuations = types.groupBy(col("__w2h"))
-      .agg(count(lit(1)).as("__n1pw")).materialized
-    KneserNeyLm(bigrams, prefixes, continuations, types.count(),
+    // r14: the continuation table used to go through a SEPARATE
+    // distinct-pairs pass (types.distinct().materialized, then a
+    // count(1) agg, then types.count() as a third job). One
+    // count_distinct aggregation produces the identical table —
+    // N1+(·,w2) = |{distinct bh within w2h}| — and B falls out as
+    // Σ N1+(·,w2) = |distinct (bh, w2h) pairs|, read from the 31-row
+    // (vocab-sized) materialized result instead of re-counting the
+    // occurrence-sized distinct frame. Same values by definition;
+    // q169's oracle hash is unchanged (driver-checked).
+    val continuations = occ.groupBy(col("__w2h"))
+      .agg(count_distinct(col("__bh")).as("__n1pw")).materialized
+    val nBigramTypes = continuations
+      .agg(coalesce(sum(col("__n1pw")), lit(0L))).collect()(0).getLong(0)
+    KneserNeyLm(bigrams, prefixes, continuations, nBigramTypes,
       prefixes.count(), dPermille)
   }
 
