@@ -97,16 +97,32 @@ object GeoOps {
   def dbscanGrid(points: DataFrame, idCol: String, xCol: String,
       yCol: String, r: Long, minPts: Int): DataFrame = {
     require(minPts >= 1, s"minPts must be >= 1, got $minPts")
-    val pts = points.select(col(idCol).cast("long").as("id"))
-    val pairs = radiusPairs(points, idCol, xCol, yCol, r)
-      .select(col("id1"), col("id2"))
+    // r14: the point projection, the symmetric pair set, and the
+    // flagged table are each consumed by SEVERAL downstream subtrees
+    // (points: both sides of the cell join + pts; sym: deg, coreEdges,
+    // borderAttach; flagged: coreIds twice + the final join).
+    // Unmaterialized, the upstream scan/distinct and the whole
+    // neighbor join re-executed per consumer — q282's stage profile
+    // showed SEVEN FileScanRDD re-reads of the source and three
+    // executions of the pair join (~2.3 s of a 2.9 s wall at sf0.1;
+    // 3.0 → 1.7 s after). At scale the same rule holds: a reused
+    // point-table-sized frame is cheaper materialized once than
+    // recomputed three times.
+    val p0 = Materialize(points.select(col(idCol).cast("long").as("id"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y")))
+    val pts = p0.select(col("id"))
+    val pairs = Materialize(radiusPairs(p0, "id", "x", "y", r)
+      .select(col("id1"), col("id2")))
+    // sym stays lazy: both union branches are block re-reads of the
+    // materialized pairs — checkpointing it would store the pair set
+    // twice for no saved compute
     val sym = pairs.unionByName(
       pairs.select(col("id2").as("id1"), col("id1").as("id2")))
     val deg = sym.groupBy(col("id1").as("id"))
       .agg(count(lit(1)).as("__nbrs"))
-    val flagged = pts.join(deg, Seq("id"), "left")
+    val flagged = Materialize(pts.join(deg, Seq("id"), "left")
       .na.fill(0L, Seq("__nbrs"))
-      .withColumn("__core", col("__nbrs") + 1 >= minPts)
+      .withColumn("__core", col("__nbrs") + 1 >= minPts))
     val coreIds = flagged.filter(col("__core")).select(col("id"))
     val coreEdges = sym
       .join(coreIds.select(col("id").as("id1")), "id1")
