@@ -128,8 +128,14 @@ object Incremental {
       .unionByName(edges.select(col("dst").as("id"))).distinct()
       .join(labels, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster_id"))
-    val allLabels = labels.select(col("id"), col("cluster_id"))
-      .unionByName(newNodes)
+    // materialized (r14): consumed by BOTH endpoint-label joins and
+    // the final relabel — unmaterialized, the labels union (and the
+    // anti-join behind newNodes, and whatever lineage the caller's
+    // labels frame carries) re-executed three times per maintenance
+    // call (q301: the old-label closure's output distinct re-ran per
+    // consumer). One state-sized checkpoint, the IVM shape at scale.
+    val allLabels = Materialize(labels.select(col("id"), col("cluster_id"))
+      .unionByName(newNodes))
     val lSrc = allLabels.select(col("id").as("src"),
       col("cluster_id").as("__ls"))
     val lDst = allLabels.select(col("id").as("dst"),

@@ -2348,11 +2348,14 @@ object AnalyticsQueries extends QueryModule {
         val li = Tables.lineitem(s, d)
           .filter($"l_partkey" % 7 === 0 && $"l_orderkey" % 7 === 0)
           .select($"l_orderkey", $"l_partkey")
-        val edges = li.as("x").join(li.as("y"),
+        // materialized (r14): the self-join + distinct feeds the
+        // old-edge closure AND both new-edge consumers in the
+        // maintenance step — unmaterialized it executed three times
+        val edges = graft.ops.Materialize(li.as("x").join(li.as("y"),
             $"x.l_orderkey" === $"y.l_orderkey"
               && $"x.l_partkey" < $"y.l_partkey")
           .select($"x.l_partkey".as("src"), $"y.l_partkey".as("dst"))
-          .distinct()
+          .distinct())
         val oldEdges = edges.filter(($"src" + $"dst") % 5 =!= 0)
         val newEdges = edges.filter(($"src" + $"dst") % 5 === 0)
         val oldLabels = Dedup.duplicateClustersStar(
