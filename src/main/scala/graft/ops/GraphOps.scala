@@ -179,36 +179,47 @@ object GraphOps {
       .union(e.select(col("dst").as("node"))).distinct().materialized
     val n = nodes.count()
     require(n > 0, "hitsInt needs a non-empty edge list")
-    var scores = nodes
-      .withColumn("authority_ppb", lit(totalPpb / n))
-      .withColumn("hub_ppb", lit(totalPpb / n))
+    // auth and hub ride SEPARATE frames through the loop (r14): each
+    // half-step only reads the OTHER side's scores, so the per-round
+    // auth⋈hub join + materialize the old loop carried existed purely
+    // to rebuild a combined row — join once AFTER the loop instead
+    // (iters × (one shuffle join + one checkpoint job) saved).
+    var authF = nodes.withColumn("authority_ppb", lit(totalPpb / n))
+    var hubF = nodes.withColumn("hub_ppb", lit(totalPpb / n))
     var it = 0
     def normalized(raw: DataFrame, valCol: String): DataFrame = {
+      // materialize raw FIRST (r14): computing the total over the
+      // unmaterialized frame executed the whole join+agg subtree for
+      // the 1-row collect and then AGAIN for the post-div checkpoint —
+      // now the heavy subtree runs once, the total is a block-read
+      // job, and the div is a lazy projection over the blocks (trivial
+      // per-row arithmetic for the ≤2 consumers of each half-step).
       // Σ over a non-empty edge-touched frame; 0 only if every score
       // upstream collapsed to 0 (all mass truncated away) — guard the
       // div so the degenerate graph yields zeros, not a crash
-      val total = raw.agg(sum(col(valCol))).head().getLong(0)
-      if (total <= 0L) raw.withColumn(valCol, lit(0L))
-      else raw.withColumn(valCol,
+      val m = Materialize(raw)
+      val total = m.agg(sum(col(valCol))).head().getLong(0)
+      if (total <= 0L) m.withColumn(valCol, lit(0L))
+      else m.withColumn(valCol,
         expr(s"($valCol * ${totalPpb}L) div ${total}L"))
     }
     while (it < iters) {
-      val authIn = e.join(scores, e("src") === scores("node"))
+      val authIn = e.join(hubF, e("src") === hubF("node"))
         .groupBy(col("dst")).agg(sum(col("hub_ppb")).as("__a"))
-      val auth = normalized(
+      authF = normalized(
         nodes.join(authIn, nodes("node") === authIn("dst"), "left")
           .select(col("node"), coalesce(col("__a"), lit(0L)).as("authority_ppb")),
-        "authority_ppb").materialized
-      val hubIn = e.join(auth, e("dst") === auth("node"))
+        "authority_ppb")
+      val hubIn = e.join(authF, e("dst") === authF("node"))
         .groupBy(col("src")).agg(sum(col("authority_ppb")).as("__h"))
-      val hub = normalized(
+      hubF = normalized(
         nodes.join(hubIn, nodes("node") === hubIn("src"), "left")
           .select(col("node"), coalesce(col("__h"), lit(0L)).as("hub_ppb")),
-        "hub_ppb").materialized
-      scores = auth.join(hub, "node").materialized
+        "hub_ppb")
       it += 1
     }
-    scores.select(col("node"), col("authority_ppb"), col("hub_ppb"))
+    authF.join(hubF, "node")
+      .select(col("node"), col("authority_ppb"), col("hub_ppb"))
   }
 
   /** Per-node triangle counts over an undirected edge multiset, via
