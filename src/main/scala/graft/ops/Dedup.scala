@@ -167,7 +167,18 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.5,
-      numHashes: Int = 128, bandRows: Int = 2): DataFrame = {
+      numHashes: Int = 128, bandRows: Int = 2): DataFrame =
+    ngramJaccardPairsWithGrams(df, idCol, textCol, n, tau,
+      numHashes, bandRows)._1
+
+  /** [[ngramJaccardPairs]] plus its MATERIALIZED per-doc gram frame
+    * (idCol, grams, __gh) — for callers that need the gram sets again
+    * downstream ([[clusterMedoids]]' pairwise distances): re-deriving
+    * them re-runs the whole split + n-gram + hash projection over the
+    * corpus when the frame is already computed and checkpointed here. */
+  private[ops] def ngramJaccardPairsWithGrams(df: DataFrame, idCol: String,
+      textCol: String, n: Int, tau: Double,
+      numHashes: Int, bandRows: Int): (DataFrame, DataFrame) = {
     // grams feed the signature AND both verification sides; the signature
     // table feeds banding AND both estimate sides — materialize both
     // (small: |docs| rows) instead of recomputing the explode/agg subtree
@@ -197,7 +208,7 @@ object Dedup {
     val cands = estimateFilter(
       candidatesFromSig(sig, idCol, numHashes, bandRows),
       sig, sig, idCol, numHashes, minEst = tau * 0.6)
-    cands
+    val pairs = cands
       .join(grams.select(col(idCol).as("id_a"), col("__gh").as("ga")), "id_a")
       .join(grams.select(col(idCol).as("id_b"), col("__gh").as("gb")), "id_b")
       .withColumn("jaccard",
@@ -205,6 +216,7 @@ object Dedup {
           size(array_union(col("ga"), col("gb"))))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    (pairs, grams)
   }
 
   /** Near-duplicate pairs by exact word-n-gram Jaccard ≥ tau with
@@ -528,15 +540,17 @@ object Dedup {
           derivedWidth = true)
         .select(col("id_a").as("id_new"), col("id_b").as("id_old"),
           col("jaccard")))
-    import spark.implicits._
     graft.io.AtomicParquet.publishDir(spark, dir) { tmp =>
       vocab.write.parquet(s"$tmp/vocab")
       graft.io.Scratch.linkTree(s"$dir/grams", s"$tmp/grams")
       gramsNew.write.mode("append").parquet(s"$tmp/grams")
       graft.io.Scratch.linkTree(s"$dir/prefixes", s"$tmp/prefixes")
       preNew.write.mode("append").parquet(s"$tmp/prefixes")
-      Seq((idCol, index.n, index.tau)).toDF("id_col", "n", "tau")
-        .coalesce(1).write.parquet(s"$tmp/meta")
+      // meta is the index's IMMUTABLE parameters (id_col, n, tau) —
+      // merging never changes them, so link the previous version's
+      // one-row table instead of re-running a toDF + parquet write
+      // JOB per micro-batch (r14: ~0.2 s of per-tick fixed cost)
+      graft.io.Scratch.linkTree(s"$dir/meta", s"$tmp/meta")
     }
     pairs
   }
@@ -1687,16 +1701,18 @@ object Dedup {
   def clusterMedoids(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.5,
       numHashes: Int = 128, bandRows: Int = 2): DataFrame = {
-    val pairs = ngramJaccardPairs(df, idCol, textCol, n, tau,
-      numHashes, bandRows)
+    // the pair generator's materialized gram frame is reused for the
+    // medoid distances (r14): re-deriving the gram sets here re-ran
+    // the split + n-gram + xxhash projection over the whole corpus a
+    // second time per call. array_distinct over the shared frame's
+    // positional hashes is value-identical to hashing the distinct
+    // grams (same split, same n-gram window, same hash).
+    val (pairs, gramsShared) = ngramJaccardPairsWithGrams(df, idCol,
+      textCol, n, tau, numHashes, bandRows)
     val clusters = duplicateClusters(pairs)
-    val grams = df
+    val grams = gramsShared
       .select(col(idCol).as("id"),
-        split(trim(col(textCol)), "\\s+").as("__w")) // house convention
-      .select(col("id"), wordNGramsFromWords(col("__w"), n).as("grams"))
-      .select(col("id"),
-        array_distinct(transform(col("grams"), g => xxhash64(g)))
-          .as("__gh"))
+        array_distinct(col("__gh")).as("__gh"))
     val members = clusters.join(grams, Seq("id")).materialized
     val a = members.select(col("cluster_id"), col("id").as("ida"),
       col("__gh").as("ga"))

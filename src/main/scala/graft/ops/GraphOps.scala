@@ -254,9 +254,15 @@ object GraphOps {
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct().materialized
+    // materialized (r14): consumed THREE times — both sides of the
+    // orientation join (da/db) and the final all-nodes left join —
+    // and each unmaterialized consumer re-ran the union + count
+    // aggregation over 2|e| rows (q226 profile: 14.5 s task in a
+    // 2.8 s-wall query, the deg subtree the dominant repeat)
     val deg = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+      .materialized
     // orient from (deg, id)-smaller to larger: total order, so the
     // oriented graph is a DAG with out-degree ≤ O(√m)
     val da = deg.select(col("node").as("a"), col("deg").as("__da"))

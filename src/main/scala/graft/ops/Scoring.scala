@@ -34,6 +34,12 @@ object Scoring {
   /** The shared token → bucket map: md5-60 of the token mod `buckets`
     * (md5-60 is non-negative, so no sign fixup). Portable: any engine
     * computes CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % buckets. */
+  /** Driver-local training gate for [[trainLinearHashed]]: engage the
+    * in-memory loop only when BOTH the row count and the total token
+    * count of the encoded sample fit — 32 M ints ≈ 128 MB collected,
+    * the [[DriverGate.EdgeCap]] budget class. -1 forces distributed. */
+  val LinearTrainTokenCap = 32000000L
+
   @inline private def bucketOf(tok: String, buckets: Int): Int =
     (Sketch.md5_60(UTF8String.fromString(tok)) % buckets).toInt
 
@@ -114,7 +120,8 @@ object Scoring {
     * @return ((bucket, weight_milli) frame for scoreLinearHashed,
     *         bias_milli, final mean log-loss) */
   def trainLinearHashed(df: DataFrame, textCol: String, labelCol: String,
-      buckets: Int, iters: Int = 50, lr: Double = 1.0)
+      buckets: Int, iters: Int = 50, lr: Double = 1.0,
+      localTokenCap: Long = LinearTrainTokenCap)
       : (DataFrame, Long, Double) = {
     require(buckets >= 1 && iters >= 1 && lr > 0,
       s"need buckets >= 1, iters >= 1, lr > 0; got $buckets/$iters/$lr")
@@ -139,36 +146,82 @@ object Scoring {
     var w = new Array[Double](buckets)
     var b = 0.0
     var loss = Double.NaN
-    for (_ <- 1 to iters) {
-      val bcW = spark.sparkContext.broadcast(w)
-      val bcB = b
-      // (grad w, grad b, sum log-loss)
-      val zeroG = (new Array[Double](buckets), 0.0, 0.0)
-      val (gw, gb, sl) = encoded.treeAggregate(zeroG)(
-        seqOp = { case ((g, g0, l), (y, bs)) =>
-          val wt = bcW.value
-          val m = bs.length.max(1).toDouble
-          var z = bcB
-          var i = 0
-          while (i < bs.length) { z += wt(bs(i)) / m; i += 1 }
-          val p = 1.0 / (1.0 + math.exp(-z))
-          val d = p - y
-          i = 0
-          while (i < bs.length) { g(bs(i)) += d / m; i += 1 }
-          val ll = -(y * math.log(p.max(1e-12)) +
-            (1 - y) * math.log((1 - p).max(1e-12)))
-          (g, g0 + d, l + ll)
-        },
-        combOp = { case ((g1, a1, l1), (g2, a2, l2)) =>
-          var i = 0
-          while (i < g1.length) { g1(i) += g2(i); i += 1 }
-          (g1, a1 + a2, l1 + l2)
-        })
-      bcW.destroy()
+    // one row's gradient contribution, SHARED by the distributed seqOp
+    // and the driver-local loop below so the arithmetic can never
+    // drift between the two paths: accumulates grad-w into `g` in
+    // place, returns (d = p − y, the row's log-loss)
+    @inline def rowGrad(y: Double, bs: Array[Int], wt: Array[Double],
+        bias: Double, g: Array[Double]): (Double, Double) = {
+      val m = bs.length.max(1).toDouble
+      var z = bias
       var i = 0
-      while (i < buckets) { w(i) -= lr * gw(i) / n; i += 1 }
-      b -= lr * gb / n
-      loss = sl / n
+      while (i < bs.length) { z += wt(bs(i)) / m; i += 1 }
+      val p = 1.0 / (1.0 + math.exp(-z))
+      val d = p - y
+      i = 0
+      while (i < bs.length) { g(bs(i)) += d / m; i += 1 }
+      (d, -(y * math.log(p.max(1e-12)) +
+        (1 - y) * math.log((1 - p).max(1e-12))))
+    }
+    // driver-local short-circuit (r14 — the DriverGate rationale
+    // applied to the training loop): each full-batch pass is ONE
+    // treeAggregate JOB over the encoded cache, so at sample sizes the
+    // fixed job-launch cost dominates (q106: 60 jobs ≈ 1.6 s of wall
+    // for 0.4 s of task work). Below the cap the encoded sample
+    // collects once — one bounded job reading already-computed blocks,
+    // Σ tokens ≤ 32 M ints ≈ 128 MB, the DriverGate budget class —
+    // and the same per-row arithmetic runs in driver memory. Gradient
+    // float sums depend on aggregation order EITHER way (the contract
+    // above: weights are deterministic only to FP noise, callers gate
+    // verdicts on separable data, never raw weights), so the gate
+    // changes nothing a caller may rely on. localTokenCap = -1 forces
+    // the distributed loop (the forced-distributed differential in
+    // ScoringSpec); the distributed path is untouched and remains the
+    // corpus-scale shape.
+    val localRows: Option[Array[(Double, Array[Int])]] =
+      if (localTokenCap >= 0 && n <= localTokenCap &&
+          encoded.map(_._2.length.toLong).sum() <= localTokenCap)
+        Some(encoded.collect())
+      else None
+    localRows match {
+      case Some(rows) =>
+        for (_ <- 1 to iters) {
+          val g = new Array[Double](buckets)
+          var g0 = 0.0
+          var l = 0.0
+          var r = 0
+          while (r < rows.length) {
+            val (y, bs) = rows(r)
+            val (d, ll) = rowGrad(y, bs, w, b, g)
+            g0 += d; l += ll; r += 1
+          }
+          var i = 0
+          while (i < buckets) { w(i) -= lr * g(i) / n; i += 1 }
+          b -= lr * g0 / n
+          loss = l / n
+        }
+      case None =>
+        for (_ <- 1 to iters) {
+          val bcW = spark.sparkContext.broadcast(w)
+          val bcB = b
+          // (grad w, grad b, sum log-loss)
+          val zeroG = (new Array[Double](buckets), 0.0, 0.0)
+          val (gw, gb, sl) = encoded.treeAggregate(zeroG)(
+            seqOp = { case ((g, g0, l), (y, bs)) =>
+              val (d, ll) = rowGrad(y, bs, bcW.value, bcB, g)
+              (g, g0 + d, l + ll)
+            },
+            combOp = { case ((g1, a1, l1), (g2, a2, l2)) =>
+              var i = 0
+              while (i < g1.length) { g1(i) += g2(i); i += 1 }
+              (g1, a1 + a2, l1 + l2)
+            })
+          bcW.destroy()
+          var i = 0
+          while (i < buckets) { w(i) -= lr * gw(i) / n; i += 1 }
+          b -= lr * gb / n
+          loss = sl / n
+        }
     }
     import spark.implicits._
     val weights = w.zipWithIndex

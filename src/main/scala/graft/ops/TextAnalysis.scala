@@ -612,7 +612,15 @@ object TextAnalysis {
     *         docs with fewer than two tokens score (0, 0, null, null) */
   def scoreBigramLm(df: DataFrame, idCol: String, textCol: String,
       lm: BigramLm): DataFrame = {
-    val occ = bigramOcc(df, textCol, Some(idCol))
+    // SCORE-side scan widened (r14): unlike the train side (whose
+    // materialized occ checkpoint feeds several small aggregations —
+    // the measured-regression case recorded at [[bigramOcc]]), the
+    // score pass has ONE consumer: the shuffle write feeding the count
+    // joins. That is exactly the q36 widening rule (serial CPU-heavy
+    // per-row parse, one consumer) — unwidened, the whole split+md5
+    // pass ran on the scan's 1–3 file splits (q156: 1.15 s of a 3.4 s
+    // wall on one task). No-op once the scan has real splits.
+    val occ = bigramOcc(Materialize.widened(df), textCol, Some(idCol))
     val c12 = coalesce(col("__c12"), lit(0L))
     val c1 = coalesce(col("__c1"), lit(0L))
     val joined = occ
@@ -723,7 +731,8 @@ object TextAnalysis {
     *         fewer than two tokens score (0, 0, null) */
   def scoreKneserNeyLm(df: DataFrame, idCol: String, textCol: String,
       lm: KneserNeyLm): DataFrame = {
-    val occ = bigramOcc(df, textCol, Some(idCol))
+    // score-side scan widened — same rationale as [[scoreBigramLm]]
+    val occ = bigramOcc(Materialize.widened(df), textCol, Some(idCol))
     val dp = lm.dPermille
     val bv = lm.nBigramTypes + lm.vocabSize
     val joined = occ

@@ -5331,8 +5331,12 @@ object CorpusQueries extends QueryModule {
           .scoreBigramLm(docs, "doc_id", "text", lm)
           .filter(col("n_bigrams") > 0)
           .select(col("doc_id"), col("lm_mean_prob_ppb"))
-        val lang = docs.select(col("doc_id"),
-          TextAnalysis.langId(col("text")).as("lang"))
+        // widened (r14): the langId char-class pass ran serial on the
+        // one-file scan (0.5 s single-task stage); one consumer (the
+        // buckets join) — the q36 rule
+        val lang = graft.ops.Materialize.widened(docs)
+          .select(col("doc_id"),
+            TextAnalysis.langId(col("text")).as("lang"))
         Scoring.qualityBuckets(scored.join(lang, "doc_id"),
           "doc_id", "lm_mean_prob_ppb", "lang", 3)
       },

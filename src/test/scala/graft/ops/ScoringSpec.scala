@@ -124,6 +124,31 @@ class ScoringSpec extends SparkSpec {
     assert(scored.forall { case (y, s) => (s > 0) == (y == 1.0) })
   }
 
+  test("trainLinearHashed driver-local gate matches the forced-" +
+      "distributed loop (r14): same verdicts, milli-level weights") {
+    val docs = (1L to 60L).map { i =>
+      val label = (i % 2).toDouble
+      val marker = if (label == 1.0) "good good signal" else "bad bad noise"
+      (i, label, s"common filler words here $marker more shared text")
+    }.toDF("doc_id", "label", "text")
+    val (wL, bL, lossL) = Scoring.trainLinearHashed(docs, "text", "label",
+      buckets = 64, iters = 40, lr = 2.0)
+    val (wD, bD, lossD) = Scoring.trainLinearHashed(docs, "text", "label",
+      buckets = 64, iters = 40, lr = 2.0, localTokenCap = -1L)
+    // gradient sums depend on aggregation order by contract (FP noise
+    // only) — the quantized artifact must agree to the milli, and the
+    // caller-visible verdicts exactly
+    val mL = wL.select($"bucket", $"weight_milli")
+      .as[(Int, Long)].collect().toMap
+    val mD = wD.select($"bucket", $"weight_milli")
+      .as[(Int, Long)].collect().toMap
+    assert(mL.keySet == mD.keySet)
+    val maxDiff = mL.keys.map(k => math.abs(mL(k) - mD(k))).max
+    assert(maxDiff <= 1L, s"weights diverge beyond FP noise: $maxDiff")
+    assert(math.abs(bL - bD) <= 1L)
+    assert(math.abs(lossL - lossD) < 1e-9)
+  }
+
   test("trainLinearHashed rejects bad labels and empty input loudly") {
     val bad = Seq((1L, 0.5, "x")).toDF("doc_id", "label", "text")
     intercept[org.apache.spark.SparkException] {
