@@ -1323,8 +1323,12 @@ object Dedup {
     // one positioned gram per starting word: (doc, start pos, hash).
     // Bind the words array before the lambda; positions are 0-based to
     // line up with posexplode's __pos.
-    val grams = df.select(col(idCol),
-        split(trim(text), "\\s+").as("__w"))
+    // widened (r14): the per-position md5-over-8-grams build is the
+    // operator's CPU (q112: 1.25 s of task time on the scan's 4
+    // splits); one materialized build, downstream consumers read
+    // blocks — the prefixGramFrame shape exactly
+    val grams = Materialize.widened(df)
+      .select(col(idCol), split(trim(text), "\\s+").as("__w"))
       .filter(size(col("__w")) >= n)
       .select(col(idCol), posexplode(
         transform(sequence(lit(1), size(col("__w")) - (n - 1)),

@@ -358,15 +358,10 @@ object GraphOps {
       case Some(es) =>
         val spark = edges.sparkSession
         import spark.implicits._
-        val (inCore, converged, r) = kCorePeelLocal(es, k, rounds)
+        val (nodeIds, inCore, converged, r) = kCorePeelLocal(es, k, rounds)
         roundsOut.foreach(_.set(r))
-        val nodeSeq = {
-          val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
-          es.foreach { case (a, b) => seen += a; seen += b }
-          seen.toSeq
-        }
         return spark.createDataset(
-            nodeSeq.map(n => (n, inCore.contains(n), converged)))
+            nodeIds.indices.map(i => (nodeIds(i), inCore(i), converged)))
           .toDF("node", "in_core", "converged")
       case None => ()
     }
@@ -418,32 +413,75 @@ object GraphOps {
     * same converged read. Property-pinned equal to the forced
     * distributed path in GraphOpsSpec.
     * @return (final survivor set, converged, rounds executed) */
+  /** @return (sorted node ids, per-node in-core flags aligned to the
+    *         ids, converged, rounds executed). Primitive-array form
+    *         (r14): the boxed HashMap/Set version spent ~0.5–1 s on
+    *         q241's 1.2 M collected edges (2·|E| boxed map updates per
+    *         round, an Array[(Long,Long)] filter allocation per round,
+    *         plus the caller's boxed first-seen node re-scan); here
+    *         ids index once into a sorted array and every round is
+    *         three primitive-array sweeps. Same synchronized-peel
+    *         semantics as the distributed loop — count-equality early
+    *         exit, nested survivor sets, converged flag — asserted
+    *         equal against it in GraphOpsSpec. */
   private[ops] def kCorePeelLocal(es: Array[(Long, Long)], k: Int,
-      rounds: Int): (scala.collection.Set[Long], Boolean, Int) = {
-    val nodes = scala.collection.mutable.LinkedHashSet.empty[Long]
-    es.foreach { case (a, b) => nodes += a; nodes += b }
-    var edges = es
-    var survivors: scala.collection.Set[Long] = nodes
-    var prev = nodes.size.toLong
+      rounds: Int): (Array[Long], Array[Boolean], Boolean, Int) = {
+    val m = es.length
+    val all = new Array[Long](2 * m)
+    var i = 0
+    while (i < m) {
+      all(2 * i) = es(i)._1; all(2 * i + 1) = es(i)._2; i += 1
+    }
+    java.util.Arrays.sort(all)
+    var n = 0
+    i = 0
+    while (i < all.length) {
+      if (n == 0 || all(i) != all(n - 1)) { all(n) = all(i); n += 1 }
+      i += 1
+    }
+    val ids = java.util.Arrays.copyOf(all, n)
+    val ea = new Array[Int](m)
+    val eb = new Array[Int](m)
+    i = 0
+    while (i < m) {
+      ea(i) = java.util.Arrays.binarySearch(ids, es(i)._1)
+      eb(i) = java.util.Arrays.binarySearch(ids, es(i)._2)
+      i += 1
+    }
+    val alive = new Array[Boolean](m)
+    java.util.Arrays.fill(alive, true)
+    val deg = new Array[Int](n)
+    val inCore = new Array[Boolean](n)
+    var prev = n.toLong
     var last = prev
     var r = 0
     var fixed = false
     while (r < rounds && !fixed) {
-      val deg = scala.collection.mutable.HashMap.empty[Long, Long]
-      edges.foreach { case (a, b) =>
-        deg.update(a, deg.getOrElse(a, 0L) + 1L)
-        deg.update(b, deg.getOrElse(b, 0L) + 1L)
+      java.util.Arrays.fill(deg, 0)
+      i = 0
+      while (i < m) {
+        if (alive(i)) { deg(ea(i)) += 1; deg(eb(i)) += 1 }
+        i += 1
       }
-      val surv = deg.iterator.collect {
-        case (n, d) if d >= k => n }.toSet
-      survivors = surv
-      edges = edges.filter { case (a, b) => surv(a) && surv(b) }
+      var surv = 0L
+      i = 0
+      while (i < n) {
+        inCore(i) = deg(i) >= k
+        if (inCore(i)) surv += 1
+        i += 1
+      }
+      i = 0
+      while (i < m) {
+        if (alive(i) && !(inCore(ea(i)) && inCore(eb(i))))
+          alive(i) = false
+        i += 1
+      }
       prev = last
-      last = surv.size.toLong
+      last = surv
       fixed = prev == last
       r += 1
     }
-    (survivors, prev == last, r)
+    (ids, inCore, prev == last, r)
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007) with the

@@ -65,6 +65,12 @@ object AnalyticsQueries extends QueryModule {
       "q254_kaplan_meier",
       (s, d) => {
         import s.implicits._
+        // NOT width-pinned (r14, measured): the AQE-coalesced 1-task
+        // join stage looked like the q241 trap, but pinning the
+        // aggregation/join width with an explicit repartition
+        // REGRESSED it 1.31 -> 1.88 s idle min-of-3 — the coalesced
+        // serial stage is only ~0.9 s under ambient load and the pin
+        // pays an extra exchange plus 32-task fixed costs every rep
         val lastShip = Tables.lineitem(s, d)
           .groupBy($"l_orderkey")
           .agg(max($"l_shipdate").as("last_ship"))

@@ -3500,14 +3500,19 @@ object CorpusQueries extends QueryModule {
           url.as("url"))
         import s.implicits._
         val bl = Seq("example2.com", "ads.example0.com").toDF("domain")
-        val kept = graft.ops.UrlOps.blocklistFilter(aug, "doc_id", "url", bl)
+        // kept and mixed are each consumed TWICE (strip+source join;
+        // shards+rate join) — unmaterialized, the whole upstream
+        // suffix-explode/boilerplate chain re-executed per consumer
+        // (r14: 45 jobs for 1.6 s of task work, the q282/q301 pattern)
+        val kept = graft.ops.Materialize(
+          graft.ops.UrlOps.blocklistFilter(aug, "doc_id", "url", bl))
         val clean = TextAnalysis.stripBoilerplateLines(kept, "doc_id",
             "t", maxDocFreq = 10L)
           .join(kept.select(id, col("source")), "doc_id")
-        val mixed = Sampling.temperatureMixSqrt(
+        val mixed = graft.ops.Materialize(Sampling.temperatureMixSqrt(
           clean.select(id, col("source"), col("clean_text")),
           "source", "doc_id", TextAnalysis.tokenCount(col("clean_text")),
-          seed = "web42")
+          seed = "web42"))
         val sharded = Sampling.balancedShards(
           mixed.select(id, col("n_tokens")), "doc_id", "n_tokens",
           numShards = 4)
