@@ -1531,11 +1531,22 @@ object Dedup {
            |           div 2000)
            |      + 1)),
            |  x -> x.__tok)""".stripMargin).as("__pre"))
-      .select(col("id"), explode(col("__pre")).as("__tok")).distinct()
-    // (measured and rejected: also round-robin-spreading the prefix
-    // frame before the token self-join halves wall at sf0.1 but costs
-    // ~4× total CPU — per-task aggregate setup and a second full-pair
-    // shuffle; the candidate spread below is the right knob)
+      .select(col("id"), explode(col("__pre")).as("__tok"))
+      // pinned width on the canonicalizing distinct (r14; the q241
+      // pattern — distinct() reuses the hash partitioning, so no
+      // extra exchange): byte-small prefix rows let AQE coalesce the
+      // self-join's probe side to ONE partition, serializing the
+      // per-token pair expansion + distinct partials (measured: a
+      // 1.9 s single-task stage of a 3.9 s wall at sf0.1)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("id"), col("__tok"))
+      .distinct()
+    // (measured and rejected: ROUND-ROBIN-spreading the prefix frame
+    // before the token self-join — unlike the hash pin above, it
+    // breaks the join partitioning — halves wall at sf0.1 but costs
+    // ~4× total CPU (per-task aggregate setup and a second full-pair
+    // shuffle); the candidate spread below is the right knob for the
+    // DP side)
     val cands = prefix
       .join(prefix.select(col("id").as("id2"), col("__tok")), "__tok")
       .filter(col("id") < col("id2"))

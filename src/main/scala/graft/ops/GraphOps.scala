@@ -57,12 +57,31 @@ object GraphOps {
     * @return (node, rank_ppb) */
   def pageRankInt(edges: DataFrame, iters: Int = 3,
       dampingPermille: Long = 850L,
-      totalPpb: Long = 1000000000L): DataFrame = {
+      totalPpb: Long = 1000000000L,
+      driverCap: Long = DriverGate.EdgeCap): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
     require(dampingPermille >= 0L && dampingPermille <= 1000L,
       s"dampingPermille must be in [0, 1000], got $dampingPermille")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).materialized
+    // driver-local short-circuit (r14 — the kCorePeel gate applied to
+    // the Pregel loops): each iteration is 2-3 jobs of fixed launch
+    // cost at small edge counts. The ppb arithmetic is INTEGER
+    // (associative sums, truncating div on non-negative values), so
+    // the in-memory replay is BIT-IDENTICAL to the distributed loop —
+    // asserted equal in GraphOpsSpec via driverCap = -1. Multigraph
+    // edges collect as-is (contributions are per edge occurrence).
+    DriverGate.edges(e, "src", "dst", driverCap).edges match {
+      case Some(es) =>
+        val spark = edges.sparkSession
+        import spark.implicits._
+        val (ids, ranks) = pageRankLocal(es, iters, dampingPermille,
+          totalPpb, None)
+        return spark.createDataset(
+            ids.indices.map(i => (ids(i), ranks(i))))
+          .toDF("node", "rank_ppb")
+      case None => ()
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().materialized
     val n = nodes.count()
@@ -104,12 +123,34 @@ object GraphOps {
     * @return (node, rank_ppb) for every node appearing as src or dst */
   def personalizedPageRankInt(edges: DataFrame, seeds: DataFrame,
       iters: Int = 2, dampingPermille: Long = 850L,
-      totalPpb: Long = 1000000000L): DataFrame = {
+      totalPpb: Long = 1000000000L,
+      driverCap: Long = DriverGate.EdgeCap): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
     require(dampingPermille >= 0L && dampingPermille <= 1000L,
       s"dampingPermille must be in [0, 1000], got $dampingPermille")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).materialized
+    // driver-local short-circuit — [[pageRankInt]]'s gate with the
+    // seed-restart arithmetic; the distinct seed frame is counted
+    // against the same cap before collecting (a bigger-than-cap seed
+    // set falls through to the distributed loop). Empty edge frames
+    // fall through so the error contract is exactly the old one.
+    DriverGate.edges(e, "src", "dst", driverCap).edges match {
+      case Some(es) if es.nonEmpty =>
+        val spark = edges.sparkSession
+        import spark.implicits._
+        val sdf = seeds.select(col("node").cast("long").as("node"))
+          .distinct()
+        if (sdf.count() <= driverCap) {
+          val ss = sdf.as[Long].collect().toSet
+          val (ids, ranks) = pageRankLocal(es, iters, dampingPermille,
+            totalPpb, Some(ss))
+          return spark.createDataset(
+              ids.indices.map(i => (ids(i), ranks(i))))
+            .toDF("node", "rank_ppb")
+        }
+      case _ => ()
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().materialized
     val sd = seeds.select(col("node").cast("long").as("node")).distinct()
@@ -484,6 +525,172 @@ object GraphOps {
     (ids, inCore, prev == last, r)
   }
 
+  /** Driver-local replay of [[pageRankInt]] (and, with `seeds` set,
+    * [[personalizedPageRankInt]]) — BIT-IDENTICAL to the distributed
+    * loops: ppb ranks are integers, contribution sums are associative,
+    * and `div` on the non-negative operands here equals Scala `/`.
+    * Multigraph edge occurrences each contribute (outdeg counts
+    * occurrences), exactly like the distributed out-degree join.
+    * @return (sorted node ids, rank_ppb aligned to the ids) */
+  private[ops] def pageRankLocal(es: Array[(Long, Long)], iters: Int,
+      dampingPermille: Long, totalPpb: Long,
+      seeds: Option[scala.collection.Set[Long]])
+      : (Array[Long], Array[Long]) = {
+    val m = es.length
+    val all = new Array[Long](2 * m)
+    var i = 0
+    while (i < m) {
+      all(2 * i) = es(i)._1; all(2 * i + 1) = es(i)._2; i += 1
+    }
+    java.util.Arrays.sort(all)
+    var n = 0
+    i = 0
+    while (i < all.length) {
+      if (n == 0 || all(i) != all(n - 1)) { all(n) = all(i); n += 1 }
+      i += 1
+    }
+    val ids = java.util.Arrays.copyOf(all, n)
+    val esrc = new Array[Int](m)
+    val edst = new Array[Int](m)
+    i = 0
+    while (i < m) {
+      esrc(i) = java.util.Arrays.binarySearch(ids, es(i)._1)
+      edst(i) = java.util.Arrays.binarySearch(ids, es(i)._2)
+      i += 1
+    }
+    val outdeg = new Array[Long](n)
+    i = 0
+    while (i < m) { outdeg(esrc(i)) += 1L; i += 1 }
+    val isSeed: Array[Boolean] = seeds match {
+      case Some(ss) =>
+        val f = new Array[Boolean](n)
+        i = 0
+        while (i < n) { f(i) = ss.contains(ids(i)); i += 1 }
+        f
+      case None => null
+    }
+    val k: Long =
+      if (isSeed == null) n.toLong
+      else {
+        var c = 0L
+        i = 0
+        while (i < n) { if (isSeed(i)) c += 1L; i += 1 }
+        c
+      }
+    require(k > 0, "seed set does not intersect the graph")
+    val base = (totalPpb - totalPpb * dampingPermille / 1000L) / k
+    val rank = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      rank(i) =
+        if (isSeed == null) totalPpb / n
+        else if (isSeed(i)) totalPpb / k
+        else 0L
+      i += 1
+    }
+    val inflow = new Array[Long](n)
+    var it = 0
+    while (it < iters) {
+      java.util.Arrays.fill(inflow, 0L)
+      i = 0
+      while (i < m) {
+        inflow(edst(i)) += rank(esrc(i)) / outdeg(esrc(i))
+        i += 1
+      }
+      i = 0
+      while (i < n) {
+        val b = if (isSeed == null || isSeed(i)) base else 0L
+        rank(i) = b + dampingPermille * inflow(i) / 1000L
+        i += 1
+      }
+      it += 1
+    }
+    (ids, rank)
+  }
+
+  /** Driver-local replay of [[labelPropagation]]'s synchronous
+    * min-label-tie rounds over the SYMMETRIC distinct pair list —
+    * deterministic integer semantics, so exactly the distributed
+    * result (most-frequent neighbor label, ties to the smallest; a
+    * zero-change round is the fixpoint).
+    * @param prs the symmetric (a, b) rows — BOTH directions present
+    * @return (sorted node ids, labels aligned to ids, converged,
+    *         rounds executed) */
+  private[ops] def labelPropagationLocal(prs: Array[(Long, Long)],
+      rounds: Int): (Array[Long], Array[Long], Boolean, Int) = {
+    val m = prs.length
+    val all = new Array[Long](2 * m)
+    var i = 0
+    while (i < m) {
+      all(2 * i) = prs(i)._1; all(2 * i + 1) = prs(i)._2; i += 1
+    }
+    java.util.Arrays.sort(all)
+    var n = 0
+    i = 0
+    while (i < all.length) {
+      if (n == 0 || all(i) != all(n - 1)) { all(n) = all(i); n += 1 }
+      i += 1
+    }
+    val ids = java.util.Arrays.copyOf(all, n)
+    // CSR adjacency from the directed rows (a ← neighbor b)
+    val deg = new Array[Int](n)
+    val pa = new Array[Int](m)
+    val pb = new Array[Int](m)
+    i = 0
+    while (i < m) {
+      pa(i) = java.util.Arrays.binarySearch(ids, prs(i)._1)
+      pb(i) = java.util.Arrays.binarySearch(ids, prs(i)._2)
+      deg(pa(i)) += 1
+      i += 1
+    }
+    val off = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val fill = java.util.Arrays.copyOf(off, n)
+    val adj = new Array[Int](m)
+    i = 0
+    while (i < m) { adj(fill(pa(i))) = pb(i); fill(pa(i)) += 1; i += 1 }
+    var maxDeg = 0
+    i = 0
+    while (i < n) {
+      if (deg(i) > maxDeg) maxDeg = deg(i)
+      i += 1
+    }
+    var lab: Array[Long] = ids.clone()
+    var changed = -1L
+    var r = 0
+    val buf = new Array[Long](maxDeg)
+    while (r < rounds && changed != 0L) {
+      val next = new Array[Long](n)
+      var ch = 0L
+      i = 0
+      while (i < n) {
+        val d = off(i + 1) - off(i)
+        var j = 0
+        while (j < d) { buf(j) = lab(adj(off(i) + j)); j += 1 }
+        java.util.Arrays.sort(buf, 0, d)
+        // longest run wins; sorted ascending, so strict > keeps the
+        // SMALLEST label on count ties — the min-label tie rule
+        var bestLab = Long.MaxValue
+        var bestC = 0
+        j = 0
+        while (j < d) {
+          var e2 = j + 1
+          while (e2 < d && buf(e2) == buf(j)) e2 += 1
+          if (e2 - j > bestC) { bestC = e2 - j; bestLab = buf(j) }
+          j = e2
+        }
+        next(i) = bestLab
+        if (next(i) != lab(i)) ch += 1L
+        i += 1
+      }
+      lab = next
+      changed = ch
+      r += 1
+    }
+    (ids, lab, changed == 0L, r)
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) with the
     * deterministic min-label tie rule: every node starts as its own
     * label; each round it adopts the label most frequent among its
@@ -514,8 +721,8 @@ object GraphOps {
     * @param roundsOut if set, receives the rounds actually executed
     * @return (node, label, converged) */
   def labelPropagation(edges: DataFrame, rounds: Int,
-      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None)
-      : DataFrame = {
+      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None,
+      driverCap: Long = DriverGate.EdgeCap): DataFrame = {
     require(rounds >= 1 && rounds <= 50,
       s"rounds must be in [1, 50], got $rounds")
     val e = edges
@@ -525,6 +732,23 @@ object GraphOps {
       .distinct()
     val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .materialized
+    // driver-local short-circuit (r14): the synchronous min-label-tie
+    // update is a deterministic integer function of the previous
+    // assignment, so the in-memory replay matches the distributed
+    // rounds exactly (GraphOpsSpec, driverCap = -1 forces
+    // distributed). Gate probes the symmetric frame (2·|e| rows
+    // against the cap); q251 paid ~4 jobs/round of launch cost.
+    DriverGate.edges(und, "a", "b", driverCap).edges match {
+      case Some(prs) if prs.nonEmpty =>
+        val spark = edges.sparkSession
+        import spark.implicits._
+        val (ids, labs, converged, r) = labelPropagationLocal(prs, rounds)
+        roundsOut.foreach(_.set(r))
+        return spark.createDataset(
+            ids.indices.map(i => (ids(i), labs(i), converged)))
+          .toDF("node", "label", "converged")
+      case _ => ()
+    }
     val nodes = und.select(col("a").as("node")).distinct().materialized
     var labels = nodes.withColumn("lab", col("node"))
     var changed = -1L

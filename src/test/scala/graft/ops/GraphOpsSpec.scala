@@ -182,6 +182,35 @@ class GraphOpsSpec extends SparkSpec {
     assert(dm.nonEmpty)
   }
 
+  test("pageRankInt / personalizedPageRankInt / labelPropagation: " +
+      "driver-local gates are BIT-identical to the forced-distributed " +
+      "loops (driverCap = -1) — integer arithmetic, random multigraph") {
+    val rnd = (1 to 500).map { i =>
+      ((i * 7919L) % 41, (i * 104729L) % 41)
+    }.filter { case (a, b) => a != b }
+    val edges = (rnd ++ rnd.take(90)).toDF("src", "dst") // dup edges kept
+    def prMap(cap: Long) = GraphOps.pageRankInt(edges, iters = 3,
+        driverCap = cap)
+      .as[(Long, Long)].collect().toMap
+    assert(prMap(graft.ops.DriverGate.EdgeCap) == prMap(-1L))
+    val seeds = Seq(1L, 5L, 9L, 400L).toDF("node") // 400 off-graph
+    def pprMap(cap: Long) = GraphOps.personalizedPageRankInt(edges,
+        seeds, iters = 2, driverCap = cap)
+      .as[(Long, Long)].collect().toMap
+    assert(pprMap(graft.ops.DriverGate.EdgeCap) == pprMap(-1L))
+    import java.util.concurrent.atomic.AtomicInteger
+    def lpa(cap: Long) = {
+      val c = new AtomicInteger(-1)
+      val m = GraphOps.labelPropagation(edges, rounds = 4, Some(c),
+          driverCap = cap)
+        .as[(Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      (m, c.get())
+    }
+    assert(lpa(graft.ops.DriverGate.EdgeCap) == lpa(-1L))
+    assert(prMap(-1L).nonEmpty && lpa(-1L)._1.nonEmpty)
+  }
+
   test("personalizedPageRankInt: restart lands ONLY on seeds, matches " +
       "a hand-computed iteration, rejects disjoint seeds") {
     // path 1 → 2 → 3, seed {1}; T = 1e9, d = 850‰, base = 15e7
