@@ -1152,15 +1152,20 @@ object Scoring {
       floor(lit(1000.0) * log(c.cast("double"))).cast("long")
     val split = pmod(Dedup.md5Hash60(
       concat(col(idCol).cast("string"), lit(seed))), lit(5L))
-    val toks = df
+    // materialized (r14): the exploded token frame feeds SIX
+    // consumers (class counts, vocab + its count, the train-doc
+    // count, the class-term counts, and the test side) — each re-ran
+    // the tokenize+explode subtree unmaterialized. Same for vocab
+    // (its count + the likelihood-grid cross join).
+    val toks = Materialize(df
       .select(col(idCol), col(labelCol).as("__lbl"), split.as("__s"),
-        explode(split_part_tokens(col(textCol))).as("__t"))
+        explode(split_part_tokens(col(textCol))).as("__t")))
     val train = toks.filter(col("__s") =!= 0L)
     val test = toks.filter(col("__s") === 0L)
     val classCounts = train.groupBy(col("__lbl").as("__c"))
       .agg(count(lit(1)).as("__ctot"),
         count_distinct(col(idCol)).as("__cdocs"))
-    val vocab = train.select(col("__t")).distinct()
+    val vocab = Materialize(train.select(col("__t")).distinct())
     val vSize = vocab.count()
     val totDocs = train.select(col(idCol)).distinct().count()
     val ctCounts = train.groupBy(col("__lbl").as("__c"), col("__t"))
